@@ -1,0 +1,59 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line with per-query wall seconds.
+
+Each query is forced end-to-end with a noop-format write (full plan
+execution, no driver-side collect overhead). One warm-up run of the
+smallest query amortizes JVM/codegen start-up out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from demy_spark.session import get_spark  # noqa: E402
+from demy_spark import queries as _q  # noqa: E402
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("demy_spark_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    names = sorted(_q.headline_queries())
+    # warm-up: JVM + codegen + parquet footer caches
+    force(_q.REGISTRY[names[0]].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        force(_q.REGISTRY[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

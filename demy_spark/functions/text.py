@@ -1,0 +1,209 @@
+"""Text normalization kit.
+
+Column-expression re-implementations of the reference's scalar text
+functions, kept JVM-side (translate / regexp_replace chains compile into
+whole-stage codegen) instead of the reference's per-char Scala loops:
+
+- ``simplify_text``     parity: mllib/src/main/scala/text/Word.scala:34-55
+- ``phonetic_simplify`` parity: geo/src/main/scala/TextTools.scala:10-35
+- ``strip_urls``/``blank_urls`` parity: text/Word.scala:75-90
+- ``clean_tweet``       parity: text/TweetCleaner.scala:28-47
+- ``tokenize``          parity: index/implicits.scala:332-336 (regex
+                        ``[^\\p{L}]+`` split) and text/Corpus.scala:29-32
+- ``double_acronyms``   parity: index/AcronymFilter.scala:23-60
+- ``split_sentences``   parity: text/SentenceBuilder.scala:23-68
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Accent folding table (Word.scala:38-50). æ→a and œ→e fold to one char.
+_ACCENT_SRC = "àáâãäåæèéêëœìíîïðñòóôõöøùúûüç"
+_ACCENT_DST = "aaaaaaaeeeeeiiiioooooooouuuuc"
+
+URL_REGEX = r"(?i)(https?|ftp|gopher|telnet|file)://[\w\d:#@%/;$()~_?\+\-=\\\.&]*"
+
+
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def simplify_text(c: Column | str) -> Column:
+    """Lowercase + accent folding + French elision blanking.
+
+    Matches Word.simplifyText: each accented char folds to its base
+    letter, ``-`` and ``'`` become spaces, and an ``l`` or ``d``
+    immediately followed by ``'`` becomes a space as well (so
+    ``l'hôpital`` → ``"  hopital"`` — offsets are preserved).
+    """
+    c = F.lower(_as_col(c))
+    c = F.regexp_replace(c, r"l'", "  ")
+    c = F.regexp_replace(c, r"d'", "  ")
+    return F.translate(c, _ACCENT_SRC + "-'", _ACCENT_DST + "  ")
+
+
+def phonetic_simplify(c: Column | str) -> Column:
+    """Geo phonetic folding (TextTools.simplifyText): accents + z→s,
+    v/w→b, k→c, g→j, q(u)→c, ç→s, collapsed ll/ss, dropped elisions."""
+    c = F.lower(_as_col(c))
+    c = F.regexp_replace(c, r"l'", "")
+    c = F.regexp_replace(c, r"d'", "")
+    c = F.regexp_replace(c, r"qu", "c")
+    c = F.regexp_replace(c, r"l{2,}", "l")
+    c = F.regexp_replace(c, r"s{2,}", "s")
+    return F.translate(
+        c, _ACCENT_SRC + "zvwkgq-", _ACCENT_DST.replace("c", "s") + "sbbcjc "
+    )
+
+
+def strip_urls(c: Column | str, replacement: str = " ") -> Column:
+    """Replace URLs with ``replacement`` (offsets NOT preserved)."""
+    return F.regexp_replace(_as_col(c), URL_REGEX, replacement)
+
+
+@F.pandas_udf(T.StringType())
+def _blank_urls_udf(s: pd.Series) -> pd.Series:
+    import re
+
+    pat = re.compile(URL_REGEX)
+    return s.map(
+        lambda t: None if t is None else pat.sub(lambda m: " " * len(m.group(0)), t)
+    )
+
+
+def blank_urls(c: Column | str) -> Column:
+    """Replace each URL with same-length whitespace so char offsets
+    survive (Word.linksAsBlanks). Needs a length-preserving replacement,
+    which regexp_replace can't express → vectorized pandas UDF."""
+    return _blank_urls_udf(_as_col(c))
+
+
+def clean_tweet(
+    c: Column | str,
+    link_to: str = "link",
+    user_mention_to: str = "user",
+    sentiment_map: Iterable[tuple[str, str]] | None = None,
+) -> Column:
+    """Tweet normalization: URLs → ``link_to``, @mentions →
+    ``user_mention_to``, RT/via markers dropped, ``#`` stripped, plus an
+    optional literal→replacement map (emoji sentiment substitution —
+    pass the collected dictionary; it is dictionary-sized by contract).
+    """
+    col = _as_col(c)
+    col = F.regexp_replace(col, URL_REGEX, f" {link_to} ")
+    col = F.regexp_replace(col, r"(?<=^|[^a-zA-Z0-9-_\.])@(\w+)\b", f" {user_mention_to} ")
+    col = F.regexp_replace(col, r"\bRT\b|\bvia\b", " ")
+    col = F.regexp_replace(col, r"#", "")
+    import re as _re
+
+    for literal, repl in sentiment_map or ():
+        col = F.regexp_replace(col, _re.escape(literal), f" {repl} ")
+    return col
+
+
+def tokenize(
+    c: Column | str,
+    lowercase: bool = True,
+    pattern: str = r"[^\p{L}0-9]+",
+) -> Column:
+    """Split into tokens on non-letter runs → array<string> without
+    empty strings. Default pattern extends the reference's
+    ``[^\\p{L}]+`` with digits so ids/quantities survive."""
+    col = _as_col(c)
+    if lowercase:
+        col = F.lower(col)
+    return F.array_remove(F.split(col, pattern), "")
+
+
+def double_acronyms(tokens: Column | str) -> Column:
+    """2-letter all-uppercase tokens are doubled ("TX" → "TXTX") so they
+    are not drowned out at scoring time (AcronymFilter semantics). Apply
+    BEFORE lowercasing; operates on an array<string> column."""
+    t = _as_col(tokens)
+    return F.transform(
+        t,
+        lambda x: F.when(x.rlike(r"^[A-Z]{2}$"), F.concat(x, x)).otherwise(x),
+    )
+
+
+_SENTENCE_SCHEMA = T.ArrayType(T.StringType())
+
+
+def make_sentence_splitter(
+    min_phrase_size: int = 2, max_phrase_size: int = 20
+):
+    """Factory for the sentence-split pandas UDF (SentenceBuilder
+    semantics): hard breaks (newline/tab) always split; soft breaks
+    (.;:!?) split once ``min_phrase_size`` words have accumulated; word
+    separators split run-ons past ``max_phrase_size`` words; a French
+    subject pronoun starting a word also splits. Returns array<string>
+    preserving every character of the input."""
+
+    hard = set("\n\r\t")
+    soft = set(".;:!?")
+    seps = set(" ()")
+    pronouns = ("je", "tu", "il", "elle", "vous", "nous", "ils")
+
+    def split_one(text: str | None) -> list[str]:
+        if text is None:
+            return [""]
+        splits = [0]
+        in_word = False
+        word_count = 0
+        last_break = 0
+        lower = text.lower()
+        for i, ch in enumerate(text):
+            do_break = False
+            was_in_word = in_word
+            if ch in hard:
+                do_break, in_word = True, False
+            elif ch in soft:
+                do_break = word_count > min_phrase_size
+                in_word = False
+            elif ch in seps:
+                do_break = word_count > max_phrase_size
+                in_word = False
+            else:
+                if not was_in_word and any(
+                    lower.startswith(p, i) and len(text) > i + len(p)
+                    and text[i + len(p)] in seps
+                    for p in pronouns
+                ):
+                    do_break = word_count > min_phrase_size
+                in_word = True
+            if do_break:
+                if last_break < i - 1:
+                    splits.append(i)
+                last_break = i
+                word_count = 0
+            elif not in_word and was_in_word:
+                word_count += 1
+        import re
+
+        if splits and len([w for w in re.split(r"\W", text[splits[-1]:]) if w]) < min_phrase_size:
+            if len(splits) > 1:
+                splits.pop()
+        return [
+            text[s : (splits[j + 1] if j + 1 < len(splits) else len(text))]
+            for j, s in enumerate(splits)
+        ]
+
+    @F.pandas_udf(_SENTENCE_SCHEMA)
+    def _split(series: pd.Series) -> pd.Series:
+        return series.map(split_one)
+
+    return _split
+
+
+def split_sentences(
+    c: Column | str, min_phrase_size: int = 2, max_phrase_size: int = 20
+) -> Column:
+    """Sentence split → array<string>; pair with ``F.posexplode`` to get
+    (phrase_id, sentence) rows like the reference's explode mode."""
+    return make_sentence_splitter(min_phrase_size, max_phrase_size)(_as_col(c))

@@ -1,0 +1,125 @@
+"""Text analytics for large-scale training-data pipelines.
+
+These are the document-quality primitives an LLM-data pipeline runs over
+billions of documents, so every one of them is a pure Column expression
+(JVM-side, codegen'd, pushdown-friendly) — no Python in the hot path.
+
+- ``token_count``   whitespace tokens + a BPE-ish subword estimate
+- ``quality_score`` length / punctuation / stopword-ratio heuristics
+- ``language_id``   stopword-hit n-gram heuristic over a small profile set
+- ``fingerprint``   normalized-text content hash for exact dedup
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_WORD_SPLIT = r"\s+"
+
+# Tiny per-language stopword profiles (public common-word lists). At
+# scale these are literal arrays inside the plan — no broadcast needed.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "it", "for", "was"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "que", "pour", "dans"],
+    "es": ["el", "la", "los", "de", "que", "y", "es", "en", "por", "para"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"],
+}
+
+
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens_ws(c: Column | str) -> Column:
+    """Whitespace tokens, empties removed."""
+    return F.array_remove(F.split(F.trim(_as_col(c)), _WORD_SPLIT), "")
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count (long)."""
+    return F.size(tokens_ws(c)).cast("long")
+
+
+def subword_count(c: Column | str, chars_per_token: float = 3.6) -> Column:
+    """BPE-ish token estimate: word-piece regex count plus a length
+    correction — the standard chars/3.6 heuristic for English-like text."""
+    col = _as_col(c)
+    pieces = F.size(
+        F.array_remove(F.split(col, r"[^\p{L}0-9]+|(?<=[a-z])(?=[A-Z])"), "")
+    )
+    return F.greatest(
+        pieces.cast("double"), F.length(col) / F.lit(chars_per_token)
+    ).cast("long")
+
+
+def stopword_ratio(c: Column | str, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are profile stopwords."""
+    toks = F.transform(tokens_ws(c), lambda x: F.lower(x))
+    hits = F.size(
+        F.filter(toks, lambda x: x.isin(*LANG_PROFILES[lang]))
+    )
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(c: Column | str) -> Column:
+    col = _as_col(c)
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, r"[\p{Punct}]", ""))
+    return F.when(F.length(col) > 0, n_punct / F.length(col)).otherwise(F.lit(0.0))
+
+
+def quality_score(c: Column | str, lang: str = "en") -> Column:
+    """Document quality in [0,1]: blend of length sweet-spot, low
+    punctuation density, stopword presence and mean-word-length sanity.
+    Deterministic, fully columnar — the scale path for corpus filtering."""
+    col = _as_col(c)
+    n_tok = token_count(col).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    sw = stopword_ratio(col, lang)
+    sw_score = F.least(sw * 4.0, F.lit(1.0))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4.0)
+    mean_wl = F.when(n_tok > 0, F.length(col) / n_tok).otherwise(F.lit(0.0))
+    wl_score = F.when((mean_wl >= 3) & (mean_wl <= 12), F.lit(1.0)).otherwise(F.lit(0.3))
+    return F.round(
+        len_score * 0.3 + sw_score * 0.3 + punct_score * 0.2 + wl_score * 0.2, 6
+    )
+
+
+def language_id(c: Column | str) -> Column:
+    """Pick the language whose stopword profile hits the most tokens;
+    'und' when nothing hits. Expressed as a greatest-of-struct so the
+    whole decision stays in one codegen stage."""
+    toks = F.transform(tokens_ws(c), lambda x: F.lower(x))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, lambda x: x.isin(*words))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(LANG_PROFILES.items())
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Content fingerprint: md5 of the whitespace-normalized, lowercased
+    text. Two docs with the same fingerprint are exact (normalized)
+    duplicates — the groupBy key for exact dedup at any scale."""
+    norm = F.regexp_replace(F.lower(F.trim(_as_col(c))), r"\s+", " ")
+    return F.md5(norm)
+
+
+def rolling_hash_shingles(c: Column | str, k: int = 3) -> Column:
+    """k-word shingle hashes (xxhash64) — the input to MinHash and to
+    n-gram Jaccard dedup. Pure columnar: slice+hash over the token array."""
+    toks = F.transform(tokens_ws(c), lambda x: F.lower(x))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(
+            idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))

@@ -1,0 +1,113 @@
+"""Table IO, checkpointing and snapshots.
+
+Parity: core/src/main/scala/util/util.scala:31-78 (parquet checkpoint
+with column-name escaping and reuse), mllib/src/main/scala/Model.scala:86-107
+(per-step snapshot cache).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_INVALID = re.compile(r"[ ,;{}()\n\t=]")
+
+
+def _nanos_ts_fields(path: str) -> list[str]:
+    """Parquet TIMESTAMP(NANOS) columns — Spark has no nanos timestamp
+    type, so these need the nanosAsLong escape hatch + a cast."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return [n for n in schema.names if str(schema.field(n).type) == "timestamp[ns]"]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos = _nanos_ts_fields(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(
+            c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the full star schema; also registers each as a temp view so
+    SQL-expressed operators can refer to tables by name."""
+    # Deterministic timestamp semantics even in sessions we didn't
+    # build (the correctness driver hands us its own SparkSession).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = load_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
+
+
+def escape_columns(df: DataFrame) -> DataFrame:
+    """Escape parquet-hostile characters in column names before writing.
+
+    Parity: util.scala:60-77 encodes invalid chars on checkpoint; we
+    percent-encode each offending character so the mapping is reversible.
+    """
+    renames = {}
+    for c in df.columns:
+        esc = _INVALID.sub(lambda m: f"%{ord(m.group(0)):02X}", c)
+        if esc != c:
+            renames[c] = esc
+    for old, new in renames.items():
+        df = df.withColumnRenamed(old, new)
+    return df
+
+
+def unescape_columns(df: DataFrame) -> DataFrame:
+    for c in df.columns:
+        orig = re.sub(r"%([0-9A-F]{2})", lambda m: chr(int(m.group(1), 16)), c)
+        if orig != c:
+            df = df.withColumnRenamed(c, orig)
+    return df
+
+
+def checkpoint(
+    df: DataFrame,
+    path: str,
+    reuse_existing: bool = True,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Materialize to parquet and re-read — cuts lineage, enables reuse.
+
+    Parity: util.scala:44-78 ``checkpoint(reuseExisting=...)``. At scale
+    this is the resumable-pipeline primitive: a step's output survives
+    driver restarts, unlike ``df.cache()``.
+    """
+    spark = df.sparkSession
+    marker = os.path.join(path, "_SUCCESS")
+    if not (reuse_existing and os.path.exists(marker)):
+        writer = escape_columns(df).write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+    return unescape_columns(spark.read.parquet(path))

@@ -1,0 +1,750 @@
+"""Query registry: every implemented operator exposed as a named query.
+
+Each entry pairs a Spark DataFrame plan (the engine under test) with an
+equivalent ANSI-SQL oracle that DuckDB runs over the same parquet tables.
+Column names/types are aligned on both sides because the correctness
+driver hashes values under sorted column names.
+
+Float discipline: aggregates over doubles are rounded (2dp for money,
+4dp for ratios) on BOTH sides so accumulation-order noise cannot flip
+the hash; counts/keys stay exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from demy_spark.io import load_tables
+from demy_spark.functions import textstats
+from demy_spark.functions.vectors import cosine_similarity
+from demy_spark.operators.topk import top_k_per_group
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver runs rows-only check
+    headline: bool = False  # included in bench.py
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, headline: bool = False):
+    def deco(fn):
+        REGISTRY[name] = Query(fn=fn, oracle=oracle, headline=headline)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Relational substrate (scan/filter/project/agg/join/window/set-ops).
+# Parity notes cite the reference pattern each query generalizes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 2)                                        AS avg_qty,
+           round(avg(l_extendedprice), 2)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped scan→filter→hash-agg. One shuffle (partial aggs
+    map-side); the shipdate filter pushes to the parquet scan."""
+    li = _t(spark, sf_dir)["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation, r.r_name AS region,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    headline=True,
+)
+def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact→fact shuffle joins + broadcast dims. nation and
+    region are broadcast explicitly (dictionary-sized at any SF); the
+    lineitem⋈orders⋈customer chain is left to Catalyst/AQE."""
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q03_top_orders",
+    """
+    SELECT o.o_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS orderdate, o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+    headline=True,
+)
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: selective dim filter → join → agg → global
+    top-k. Spark runs the LIMIT as TakeOrderedAndProject (no full sort)."""
+    t = _t(spark, sf_dir)
+    return (
+        t["customer"]
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp"))
+        .groupBy(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+        .select("orderkey", "revenue", "orderdate", "priority")
+    )
+
+
+@register(
+    "q04_priority_exists",
+    """
+    SELECT o_orderpriority AS priority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join (no row duplication, early-out probe)."""
+    t = _t(spark, sf_dir)
+    flagged = t["lineitem"].where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        t["orders"]
+        .join(flagged, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q05_customers_without_orders",
+    """
+    SELECT c_mktsegment AS segment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join (PhraseClustering orphan pattern,
+    text/PhraseClustering.scala:36)."""
+    t = _t(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "q06_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS promo_revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 25
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter+agg; all four predicates push to the parquet scan."""
+    li = _t(spark, sf_dir)["lineitem"]
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 25)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "promo_revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q07_top_orders_per_customer",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           round(o_totalprice, 2) AS totalprice,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+    FROM orders
+    QUALIFY rk <= 3
+    """,
+)
+def q07_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via rank window (geo argmax pattern,
+    AddressLocalizator.scala:29-36, generalized to k)."""
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rk",
+        )
+    )
+
+
+@register(
+    "q08_running_revenue",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def q08_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate window (RankSplit fold-builder pattern,
+    tuning/RankSplit.scala:36-44)."""
+    t = _t(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t["orders"].select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "q09_rollup_returns",
+    """
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q09_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir)["lineitem"]
+    return (
+        li.rollup(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        ).agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q10_cube_orders",
+    """
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q10_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["orders"]
+        .cube(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "q11_repeat_customers",
+    """
+    SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def q11_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface: INTERSECT of two filtered projections
+    (union/difference patterns: tuning/RandomSplit.scala:30-33)."""
+    t = _t(spark, sf_dir)
+    o = t["orders"]
+    a = o.where(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.where(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@register(
+    "q12_events_hourly",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    headline=True,
+)
+def q12_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming hourly tumbling window (the
+    reference's hand-rolled hourly flush, twitter/Execute.scala:58-98).
+    streaming/windows.py runs the same agg under readStream+watermark."""
+    t = _t(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "q13_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def q13_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>threshold cumsum — the batch analog of
+    streaming session windows."""
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 30 * 60),
+        1,
+    ).otherwise(0)
+    return (
+        t["events"]
+        .withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "q14_top_parts_per_brand",
+    """
+    SELECT p_brand AS brand, p_partkey AS partkey, round(p_retailprice, 2) AS price
+    FROM part
+    QUALIFY rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) <= 2
+    """,
+)
+def q14_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() keeps ties → result set is deterministic even with equal
+    prices (row_number would not be)."""
+    t = _t(spark, sf_dir)
+    ranked = top_k_per_group(
+        t["part"],
+        ["p_brand"],
+        [F.col("p_retailprice").desc()],
+        k=2,
+        method="rank",
+    )
+    return ranked.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("partkey"),
+        F.round("p_retailprice", 2).alias("price"),
+    )
+
+
+@register(
+    "q15_acctbal_folds",
+    """
+    WITH folds AS (
+      SELECT c_acctbal,
+             CAST(ntile(5) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS fold
+      FROM customer)
+    SELECT fold, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
+    FROM folds GROUP BY fold
+    """,
+)
+def q15_acctbal_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-ordered fold assignment (RankSplit, tuning/RankSplit.scala:14-120)
+    expressed as ntile. NOTE: global-order ntile is single-partition; for
+    the 100 TB path use operators/folds.py hash folds instead."""
+    t = _t(spark, sf_dir)
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        t["customer"]
+        .withColumn("fold", F.ntile(5).over(w))
+        .groupBy("fold")
+        .agg(F.count("*").alias("n"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+    )
+
+
+@register(
+    "q16_distinct_parts",
+    """
+    SELECT l_returnflag AS returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q16_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir)["lineitem"]
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over `documents` (LLM-pipeline operators).
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = "list_filter(string_split(trim(lower(text)), ' '), x -> x <> '')"
+
+
+@register(
+    "q17_doc_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+           CASE WHEN len({_TOKS_SQL}) > 0 THEN {_TOKS_SQL}[1] END AS first_tok,
+           CASE WHEN len({_TOKS_SQL}) > 0 THEN {_TOKS_SQL}[-1] END AS last_tok
+    FROM documents
+    """,
+)
+def q17_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization + string scalar surface over documents."""
+    t = _t(spark, sf_dir)
+    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    return t["documents"].select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.when(F.size(toks) > 0, toks[0]).alias("first_tok"),
+        F.when(F.size(toks) > 0, F.element_at(toks, -1)).alias("last_tok"),
+    )
+
+
+@register(
+    "q18_exact_dedup",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(array_to_string(({_TOKS_SQL})[1:3], ' ')) AS fp
+      FROM documents
+      WHERE len({_TOKS_SQL}) >= 3)
+    SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM keyed GROUP BY fp HAVING count(*) > 1
+    """,
+    headline=True,
+)
+def q18_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (prefix-fingerprint) dedup: hash-groupBy, keep min id.
+    The full-text variant is operators/dedup.exact_dedup; a 3-token
+    prefix is used here so the synthetic corpus actually has groups."""
+    t = _t(spark, sf_dir)
+    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    keyed = (
+        t["documents"]
+        .where(F.size(toks) >= 3)
+        .select("doc_id", F.md5(F.concat_ws(" ", F.slice(toks, 1, 3))).alias("fp"))
+    )
+    return (
+        keyed.groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+@register(
+    "q19_token_topk",
+    f"""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def q19_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary top-k: explode → count → TakeOrdered (dictionary
+    build, feature/Tag2Vector.scala:63-85)."""
+    t = _t(spark, sf_dir)
+    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    return (
+        t["documents"]
+        .select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textstats.LANG_PROFILES[lang])
+    return (
+        f"CAST(len(list_filter({_TOKS_SQL}, x -> x IN ({words}))) AS BIGINT)"
+    )
+
+
+@register(
+    "q20_language_id",
+    f"""
+    WITH hits AS (
+      SELECT doc_id,
+             {_lang_hits_sql('de')} AS h_de,
+             {_lang_hits_sql('en')} AS h_en,
+             {_lang_hits_sql('es')} AS h_es,
+             {_lang_hits_sql('fr')} AS h_fr
+      FROM documents)
+    SELECT doc_id, h_de, h_en, h_es, h_fr,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+                WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+                WHEN h_en >= h_de THEN 'en'
+                ELSE 'de' END AS lang_guess
+    FROM hits
+    """,
+)
+def q20_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram heuristic (stopword-profile hits, argmax with
+    later-alphabet tie-break) — fully columnar."""
+    t = _t(spark, sf_dir)
+    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    hits = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(*words))).cast("long")
+        for lang, words in textstats.LANG_PROFILES.items()
+    }
+    df = t["documents"].select(
+        "doc_id",
+        hits["de"].alias("h_de"),
+        hits["en"].alias("h_en"),
+        hits["es"].alias("h_es"),
+        hits["fr"].alias("h_fr"),
+    )
+    best = F.greatest("h_de", "h_en", "h_es", "h_fr")
+    guess = (
+        F.when(best == 0, "und")
+        .when((F.col("h_fr") >= F.col("h_es")) & (F.col("h_fr") >= F.col("h_en")) & (F.col("h_fr") >= F.col("h_de")), "fr")
+        .when((F.col("h_es") >= F.col("h_en")) & (F.col("h_es") >= F.col("h_de")), "es")
+        .when(F.col("h_en") >= F.col("h_de"), "en")
+        .otherwise("de")
+    )
+    return df.withColumn("lang_guess", guess)
+
+
+@register(
+    "q21_quality_score",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_SQL}) AS DOUBLE) AS n_tok,
+             length(text) AS n_char,
+             CAST(len(list_filter({_TOKS_SQL},
+                 x -> x IN ('the','of','and','to','in','is','that','it','for','was')))
+                 AS DOUBLE) AS sw_hits
+      FROM documents)
+    SELECT doc_id,
+           round(least(n_tok / 50.0, 1.0), 4) AS len_score,
+           round(CASE WHEN n_tok > 0 THEN least(sw_hits / n_tok * 4.0, 1.0) ELSE 0.0 END, 4) AS sw_score
+    FROM s
+    """,
+)
+def q21_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring components (length sweet-spot + stopword ratio);
+    the full blended score is functions/textstats.quality_score."""
+    t = _t(spark, sf_dir)
+    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    n_tok = F.size(toks).cast("double")
+    sw = F.size(
+        F.filter(toks, lambda x: x.isin(*textstats.LANG_PROFILES["en"]))
+    ).cast("double")
+    return t["documents"].select(
+        "doc_id",
+        F.round(F.least(n_tok / 50.0, F.lit(1.0)), 4).alias("len_score"),
+        F.round(
+            F.when(n_tok > 0, F.least(sw / n_tok * 4.0, F.lit(1.0))).otherwise(0.0), 4
+        ).alias("sw_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding ops over `embeddings`.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q22_label_centroids",
+    """
+    WITH flat AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings)
+    SELECT label, pos, round(avg(v), 4) + 0.0 AS centroid_val
+    FROM flat GROUP BY label, pos
+    """,
+)
+def q22_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise centroid per label: posexplode → hash agg. The
+    vector-aggregate pattern (feature/GroupBy.scala sum/mean over ML
+    vectors) executed as plain columnar aggregation."""
+    t = _t(spark, sf_dir)
+    return (
+        t["embeddings"]
+        .select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg((F.round(F.avg("v"), 4) + 0.0).alias("centroid_val"))
+    )
+
+
+@register(
+    "q23_cosine_topk",
+    """
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                        b.vec_id) AS INTEGER) AS rk
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < 5
+    QUALIFY rk <= 5
+    """,
+    headline=True,
+)
+def q23_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (ANN baseline): broadcast the query
+    side, score JVM-side via zip_with/aggregate, rank window. The
+    LSH-bucketed scale path is operators/similarity.py."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_similarity("q_emb", "embedding").alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "rk")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle}
+
+
+def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items() if q.headline}

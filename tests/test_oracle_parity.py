@@ -1,0 +1,78 @@
+"""Differential tests: every oracle-backed query in the registry must
+match DuckDB on the same parquet tables — the same check the driver
+runs at sf0.01 (here at sf0.001 for speed).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+
+import duckdb
+import pytest
+
+from demy_spark import queries as Q
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6) + 0.0
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _rows(pdf):
+    cols = sorted(pdf.columns)
+    return sorted(
+        (tuple(_norm(v) for v in row) for row in pdf[cols].itertuples(index=False)),
+        key=repr,
+    )
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+ORACLE_QUERIES = sorted(n for n, q in Q.REGISTRY.items() if q.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(name, spark, sf_dir, ddb):
+    q = Q.REGISTRY[name]
+    spark_pdf = q.fn(spark, sf_dir).toPandas()
+    duck_pdf = ddb.execute(q.oracle).fetchdf()
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    )
+    s_rows, d_rows = _rows(spark_pdf), _rows(duck_pdf)
+    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    mismatches = [
+        (a, b) for a, b in zip(s_rows, d_rows) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
