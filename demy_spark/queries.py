@@ -738,6 +738,93 @@ def q23_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Custom operators: fuzzy lookup (flagship), lexicon lookup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q24_fuzzy_lookup",
+    None,  # BM25-style scoring is not reasonably ANSI-SQL-expressible → rows-only
+    headline=True,
+)
+def q24_fuzzy_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship fuzzy text lookup join: documents probed against a
+    derived phrase dictionary (entity-linking shape). Golden-ranking
+    parity with the reference's luceneLookup lives in
+    tests/test_fuzzy_lookup.py."""
+    from demy_spark.operators.fuzzy_lookup import fuzzy_lookup
+
+    t = _t(spark, sf_dir)
+    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    dictionary = (
+        t["documents"]
+        .where((F.col("doc_id") % 97 == 0) & (F.size(toks) >= 3))
+        .select(
+            F.concat_ws(" ", F.slice(toks, 1, 3)).alias("phrase"),
+            F.col("doc_id").alias("entity_id"),
+        )
+        .groupBy("phrase")
+        .agg(F.min("entity_id").alias("entity_id"))
+    )
+    probes = t["documents"].where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    out = fuzzy_lookup(
+        probes,
+        dictionary,
+        "text",
+        "phrase",
+        max_lev_distance=0,
+        strategy="ngram",
+        n_ngrams=3,
+        min_score=1.0,
+    )
+    return out.select(
+        "doc_id",
+        "phrase",
+        "entity_id",
+        F.col("_tags_").alias("matched_tokens"),
+        F.col("_startIndex_").alias("start_index"),
+        F.col("_endIndex_").alias("end_index"),
+    )
+
+
+@register(
+    "q25_lexicon_lookup",
+    f"""
+    WITH lexicon AS (
+      SELECT tok, 'LEMMA_' || upper(tok) AS lemma
+      FROM (SELECT DISTINCT unnest({_TOKS_SQL}) AS tok FROM documents)
+      WHERE length(tok) % 2 = 0),
+    doc_toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)
+    SELECT d.doc_id, d.tok, l.lemma, count(*) AS n
+    FROM doc_toks d LEFT JOIN lexicon l ON d.tok = l.tok
+    GROUP BY d.doc_id, d.tok, l.lemma
+    """,
+)
+def q25_lexicon_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon (lemmatizer) lookup join: explode tokens → broadcast
+    dictionary join (text/Lemmatizer.scala:38-52 re-expressed; the
+    lexicon is dictionary-sized by contract → broadcast, no shuffle on
+    the fact side)."""
+    t = _t(spark, sf_dir)
+    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    lexicon = (
+        t["documents"]
+        .select(F.explode(toks).alias("tok"))
+        .distinct()
+        .where(F.length("tok") % 2 == 0)
+        .select("tok", F.concat(F.lit("LEMMA_"), F.upper("tok")).alias("lemma"))
+    )
+    doc_toks = t["documents"].select("doc_id", F.explode(toks).alias("tok"))
+    return (
+        doc_toks.join(F.broadcast(lexicon), "tok", "left")
+        .groupBy("doc_id", "tok", "lemma")
+        .agg(F.count("*").alias("n"))
+        .select("doc_id", "tok", "lemma", "n")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -1,0 +1,143 @@
+"""Golden tests for fuzzy_lookup, ported from the reference's own suite
+(mllib/src/test/scala/index/implicits.scala:11-199). Parity is on
+*ranking behavior* (top-1 identity), not raw score values — the score
+function is demy_spark's own documented BM25-style blend.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demy_spark.operators.fuzzy_lookup import FuzzyIndex, fuzzy_lookup
+
+
+def _lookup_pairs(df, extra=()):
+    rows = (
+        df.where(F.col("text").isNotNull())
+        .select("query", "text", *extra)
+        .collect()
+    )
+    return [tuple(r) for r in rows]
+
+
+def test_perfect_match(spark):
+    left = spark.createDataFrame([("foo",), ("bar",)], ["query"])
+    right = spark.createDataFrame(
+        [("this is bar", 99), ("I am out of here!", 99)], ["text", "val"]
+    )
+    out = fuzzy_lookup(left, right, "query", "text", max_lev_distance=0)
+    assert _lookup_pairs(out, ["val"]) == [("bar", "this is bar", 99)]
+
+
+def test_min_score_excludes_spam(spark):
+    left = spark.createDataFrame([("Twitter",), ("Fort Worth",)], ["query"])
+    right = spark.createDataFrame(
+        [("Titter Khel",), ("I am out of here!",), ("Fort Worth, TX",)], ["text"]
+    )
+    out = fuzzy_lookup(left, right, "query", "text", max_lev_distance=0, min_score=1.0)
+    assert _lookup_pairs(out) == [("Fort Worth", "Fort Worth, TX")]
+
+
+def test_acronyms(spark):
+    left = spark.createDataFrame(
+        [("Fort Worth, TX",), ("Des Plaines, IL",), ("IL",), ("OH",), ("Columbus, OH",)],
+        ["query"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("Illinois, IL",),
+            ("Wœrth, FR",),
+            ("Fort Worth, TX",),
+            ("Des Plaines, US, IL",),
+            ("Sainte-Anne-des-Plaines, CA",),
+            ("Beau Bassin MU",),
+            ("Ohio, OH, US",),
+            ("Columbus, US, OH",),
+            ("Columbus, NI",),
+        ],
+        ["text"],
+    )
+    out = fuzzy_lookup(
+        left, right, "query", "text", max_lev_distance=0, boost_acronyms=True
+    )
+    expected = {
+        "Fort Worth, TX": "Fort Worth, TX",
+        "Des Plaines, IL": "Des Plaines, US, IL",
+        "IL": "Illinois, IL",
+        "OH": "Ohio, OH, US",
+        "Columbus, OH": "Columbus, US, OH",
+    }
+    assert dict(_lookup_pairs(out)) == expected
+
+
+def test_ngram_strategy(spark):
+    query = "In South east of CA lies the beauty of Glasgow in Scotland England"
+    left = spark.createDataFrame([(query,)], ["query"])
+    right = spark.createDataFrame(
+        [
+            ("Wœrth, FR",),
+            ("Sainte-Anne-des-Plaines, CA",),
+            ("Cardiff",),
+            ("South Wales Valley",),
+            ("New Glasgow, Californien CA",),
+            ("North west Glasgow GB Scotland",),
+            ("Glasgow South France",),
+        ],
+        ["text"],
+    )
+    out = fuzzy_lookup(
+        left, right, "query", "text",
+        max_lev_distance=0, strategy="ngram", n_ngrams=3,
+    )
+    assert _lookup_pairs(out) == [(query, "North west Glasgow GB Scotland")]
+    row = out.where(F.col("text").isNotNull()).first()
+    toks = query.lower().split(" ")
+    # winning window must cover "glasgow in scotland"
+    assert toks[row["_startIndex_"] : row["_endIndex_"]] == ["glasgow", "in", "scotland"]
+    assert row["_tags_"] == ["glasgow", "in", "scotland"]
+
+
+def test_fuzzy_levenshtein(spark):
+    left = spark.createDataFrame([("Glasgo",), ("Cardif",)], ["query"])
+    right = spark.createDataFrame(
+        [("Glasgow city",), ("Cardiff town",), ("Paris",)], ["text"]
+    )
+    out = fuzzy_lookup(left, right, "query", "text", max_lev_distance=2)
+    assert dict(_lookup_pairs(out)) == {
+        "Glasgo": "Glasgow city",
+        "Cardif": "Cardiff town",
+    }
+
+
+def test_popularity_boost(spark):
+    left = spark.createDataFrame([("Springfield",)], ["query"])
+    right = spark.createDataFrame(
+        [("Springfield small", 1.0), ("Springfield big", 10.0)], ["text", "pop"]
+    )
+    out = fuzzy_lookup(
+        left, right, "query", "text", max_lev_distance=0, popularity_col="pop"
+    )
+    assert _lookup_pairs(out) == [("Springfield", "Springfield big")]
+
+
+def test_unmatched_rows_null_filled(spark):
+    left = spark.createDataFrame([("zzz",), ("bar",)], ["query"])
+    right = spark.createDataFrame([("this is bar",)], ["text"])
+    out = fuzzy_lookup(left, right, "query", "text", max_lev_distance=0)
+    rows = {r["query"]: r for r in out.collect()}
+    assert rows["zzz"]["text"] is None and rows["zzz"]["_score_"] is None
+    assert rows["bar"]["text"] == "this is bar"
+    assert rows["bar"]["_tags_"] == ["bar"]
+    assert out.count() == 2
+
+
+def test_index_reuse(spark, tmp_path):
+    left = spark.createDataFrame([("bar",)], ["query"])
+    right = spark.createDataFrame([("this is bar",), ("nope",)], ["text"])
+    idx = FuzzyIndex(right, "text")
+    idx.save(str(tmp_path / "fuzzy_idx"))
+    loaded = FuzzyIndex.load(spark, str(tmp_path / "fuzzy_idx"))
+    out = fuzzy_lookup(
+        left, right, "query", "text", max_lev_distance=0, index=loaded
+    )
+    assert _lookup_pairs(out) == [("bar", "this is bar")]

@@ -70,6 +70,16 @@ def test_oracle_parity(name, spark, sf_dir, ddb):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
+ROWS_ONLY_QUERIES = sorted(n for n, q in Q.REGISTRY.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(name, spark, sf_dir):
+    df = Q.REGISTRY[name].fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
