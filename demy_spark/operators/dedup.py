@@ -1,0 +1,393 @@
+"""Deduplication operators for large-scale corpus curation.
+
+The reference deduplicates only by key (latest-wins merges); a training
+-data pipeline needs content dedup at 100 TB. Four strategies, all pure
+DataFrame plans (no Python in the hot path):
+
+- ``exact_dedup``          md5 of normalized text → hash groupBy.
+- ``minhash_lsh_dedup``    k-word shingles → minhash signature →
+                           LSH band buckets → candidate pairs →
+                           exact-Jaccard verify. The scale path: cost is
+                           O(docs × signature) + bucket-local joins, no
+                           all-pairs comparison anywhere.
+- ``simhash_dedup``        64-bit SimHash + Charikar chunk blocking →
+                           Hamming-distance verify.
+- ``ngram_jaccard_pairs``  exact word-shingle Jaccard over blocked pairs.
+
+All near-dup operators return candidate PAIRS (doc_a < doc_b with their
+similarity); ``assign_clusters`` turns pairs into duplicate-cluster ids
+via iterative min-id propagation (bounded-iteration connected
+components — each iteration is one join+agg, no driver-side graph).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from demy_spark.functions.textstats import fingerprint, rolling_hash_shingles, tokens_ws
+
+
+def _shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """Distinct k-word shingle hashes as (_id_, _s_) ROWS.
+
+    Row formulation instead of the array-valued ``rolling_hash_shingles``
+    because Spark's higher-order functions are interpreted per element —
+    at bulk-dedup volumes that is ~50ms/doc of expression-tree walking.
+    Here: split → posexplode → window ``lead`` rebuilds each shingle →
+    xxhash64, all whole-stage codegen. The explicit repartition count
+    defeats AQE's small-data coalescing (the stage is compute-bound,
+    not byte-bound) and the window + downstream groupBys reuse the same
+    hash partitioning, so the whole dedup pipeline shuffles the corpus
+    exactly once."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    toks = F.array_remove(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), "")
+    t = (
+        df.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col).alias("_id_"), F.posexplode(toks).alias("_pos_", "_w_"))
+    )
+    w = Window.partitionBy("_id_").orderBy("_pos_")
+    parts = [F.col("_w_")] + [F.lead("_w_", j).over(w) for j in range(1, k)]
+    sh = t.select(
+        "_id_",
+        F.when(parts[-1].isNotNull(), F.xxhash64(F.concat_ws(" ", *parts))).alias("_s_"),
+    )
+    return sh.where(F.col("_s_").isNotNull()).dropDuplicates(["_id_", "_s_"])
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Drop exact (normalized) duplicates, keeping the ``keep`` id per
+    fingerprint group. One shuffle on the 128-bit fingerprint."""
+    fp = fingerprint(F.col(text_col)).alias("_fp_")
+    keep_fn = F.min if keep == "min" else F.max
+    keepers = (
+        df.select(F.col(id_col), fp)
+        .groupBy("_fp_")
+        .agg(keep_fn(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+def minhash_signature(shingle_hashes: Column | str, num_hashes: int = 128) -> Column:
+    """MinHash signature as array<bigint> from a PRECOMPUTED shingle-hash
+    array (see ``rolling_hash_shingles``): for each seed i, min over
+    shingle hashes s of xxhash64(i, s).
+
+    Per-row convenience form. Higher-order functions are interpreted
+    (not codegen'd) in Spark, so for bulk dedup use
+    ``minhash_lsh_dedup``, whose explode→groupBy-min formulation stays
+    inside whole-stage codegen with map-side partial aggregation."""
+    sh = F.col(shingle_hashes) if isinstance(shingle_hashes, str) else shingle_hashes
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))),
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    bands=32 × rows=4 over 128 hashes ⇒ collision prob ≈
+    1-(1-j^4)^32 — steep around j≈0.7. Candidates from band-bucket
+    self-join are verified with EXACT shingle-set Jaccard, so the
+    output has no false positives; banding only bounds recall.
+
+    Plan shape (scale path): shingle once → explode → 128 codegen'd
+    ``min(xxhash64(seed, shingle))`` aggs with map-side partial
+    aggregation (the shuffle carries ≤ num_hashes longs per doc, not
+    the shingle sets) → band buckets → bucket self-join → verify
+    jaccard by joining shingle sets back only for candidate pairs.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    rows_per_band = num_hashes // bands
+    sh_rows = _shingle_rows(df, text_col, id_col, shingle_k).persist()
+    # shingle sets per doc, for exact-jaccard verification of candidates
+    # (groupBy reuses sh_rows' partitioning — no extra shuffle)
+    base = sh_rows.groupBy("_id_").agg(F.collect_list("_s_").alias("_sh_"))
+
+    sig = (
+        sh_rows
+        .groupBy("_id_")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("_s_"))).alias(f"_h{i}_")
+                for i in range(num_hashes)
+            ]
+        )
+    )
+    # band bucket = hash of (band index, its signature rows); the band
+    # index is part of the hash, so the bucket value alone is the key
+    buckets = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"_h{b * rows_per_band + r}_") for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("_id_", F.explode(buckets).alias("_bucket_"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._bucket_") == F.col("b._bucket_"))
+            & (F.col("a._id_") < F.col("b._id_")),
+        )
+        .select(F.col("a._id_").alias("doc_a"), F.col("b._id_").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    pairs = (
+        cand.join(base.select(F.col("_id_").alias("doc_a"), F.col("_sh_").alias("_sha_")), "doc_a")
+        .join(base.select(F.col("_id_").alias("doc_b"), F.col("_sh_").alias("_shb_")), "doc_b")
+    )
+    inter = F.size(F.array_intersect("_sha_", "_shb_")).cast("double")
+    union = F.size(F.array_union("_sha_", "_shb_")).cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash over whitespace tokens: per bit, sign of the sum
+    of ±1 votes from each token's xxhash64. Returns bigint.
+
+    Per-row convenience form (64 interpreted ``F.aggregate`` passes over
+    the token array) — fine for small inputs; bulk dedup goes through
+    ``simhash_dedup``'s explode→groupBy formulation instead."""
+    toks = F.transform(tokens_ws(text), lambda t: F.xxhash64(F.lower(t)))
+
+    def bit_vote(i: int) -> Column:
+        # NB: pyspark counts lambda parameters to bind lambda variables,
+        # so the bit index must be captured by closure, not default arg
+        return F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, i).bitwiseAND(F.lit(1).cast("long")) * 2 - 1),
+        )
+
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        out = out.bitwiseOR(
+            # shiftleft instead of lit(1 << i): bit 63 overflows a Java long
+            F.when(
+                bit_vote(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via SimHash + Charikar chunk blocking: two
+    fingerprints within ``max_hamming`` ≤ 3 bits must agree on at least
+    one of 4 16-bit chunks → block on (chunk_idx, chunk_value), verify
+    with bit_count(xor). Returns (doc_a, doc_b, hamming).
+
+    The fingerprint is computed by explode→groupBy: one hashed-token
+    row stream, 64 codegen'd conditional-sum aggs (bit i vote = 2 ×
+    popcount_i − n_tokens), then one projection reassembles the 64
+    sign bits into the bigint. Docs with zero tokens are dropped (they
+    carry no signal; the per-row ``simhash64`` gives them hash 0)."""
+    toks = F.array_remove(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), "")
+    ex = (
+        # explicit count: beat AQE coalescing on a compute-bound stage;
+        # hash AFTER the explode so it runs codegen'd per row, not as an
+        # interpreted per-element lambda
+        df.select(id_col, text_col)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col).alias("_id_"), F.explode(toks).alias("_w_"))
+        .select("_id_", F.xxhash64("_w_").alias("_h_"))
+    )
+    one = F.lit(1).cast("long")
+    votes = ex.groupBy("_id_").agg(
+        F.count(F.lit(1)).alias("_n_"),
+        *[
+            F.sum(F.shiftright("_h_", i).bitwiseAND(one)).alias(f"_b{i}_")
+            for i in range(64)
+        ],
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        # majority vote: bit set iff 2*popcount_i > n_tokens
+        sim = sim.bitwiseOR(
+            F.when(
+                F.col(f"_b{i}_") * 2 > F.col("_n_"),
+                F.shiftleft(one, i),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    base = votes.select("_id_", sim.alias("_sim_"))
+    chunked = base.select(
+        "_id_",
+        "_sim_",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("_sim_"), i * 16).bitwiseAND(
+                        F.lit(0xFFFF).cast("long")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("_chunk_", "_ckey_"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._chunk_") == F.col("b._chunk_"))
+            & (F.col("a._ckey_") == F.col("b._ckey_"))
+            & (F.col("a._id_") < F.col("b._id_")),
+        )
+        .select(
+            F.col("a._id_").alias("doc_a"),
+            F.col("b._id_").alias("doc_b"),
+            F.col("a._sim_").alias("_sa_"),
+            F.col("b._sim_").alias("_sb_"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("_sa_").bitwiseXOR(F.col("_sb_")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-shingle Jaccard over pairs blocked on their MINIMUM
+    shingle hash (= MinHash with one hash function): any pair with
+    Jaccard ≥ ~0.5 shares its min shingle with probability ≥ Jaccard.
+    Returns (doc_a, doc_b, jaccard)."""
+    base = (
+        _shingle_rows(df, text_col, id_col, shingle_k)
+        .groupBy("_id_")
+        .agg(F.collect_list("_s_").alias("_sh_"), F.min("_s_").alias("_block_"))
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect("a._sh_", "b._sh_")).cast("double")
+    union = F.size(F.array_union("a._sh_", "b._sh_")).cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a._block_") == F.col("b._block_"))
+            & (F.col("a._id_") < F.col("b._id_")),
+        )
+        .select(
+            F.col("a._id_").alias("doc_a"),
+            F.col("b._id_").alias("doc_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: random-hyperplane LSH bucket →
+    exact cosine verify ≥ threshold. See operators/similarity.py for
+    the plane construction."""
+    from demy_spark.functions.vectors import cosine_similarity
+    from demy_spark.operators.similarity import hyperplane_bucket
+
+    base = df.select(
+        F.col(id_col).alias("_id_"),
+        F.col(vec_col).alias("_v_"),
+    ).withColumn("_bucket_", hyperplane_bucket(F.col("_v_"), num_planes, seed))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._bucket_") == F.col("b._bucket_"))
+            & (F.col("a._id_") < F.col("b._id_")),
+        )
+        .select(
+            F.col("a._id_").alias("doc_a"),
+            F.col("b._id_").alias("doc_b"),
+            F.round(cosine_similarity("a._v_", "b._v_"), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def assign_clusters(
+    pairs: DataFrame, ids: DataFrame, id_col: str, max_iters: int = 5
+) -> DataFrame:
+    """Duplicate-cluster assignment from near-dup pairs: iterative
+    min-id propagation (label = min(label of self, labels of
+    neighbors)); converges in O(cluster diameter) joins — near-dup
+    clusters are shallow in practice, so ``max_iters``=5 suffices.
+    Returns (id, cluster_id).
+
+    The edge list is persisted once (else each iteration re-executes
+    the whole upstream near-dup plan) and the label frame is
+    checkpointed per iteration to cut the exponentially-deepening
+    lineage — standard practice for iterative DataFrame algorithms."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("_x_"), F.col("doc_b").alias("_y_"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("_x_"), F.col("doc_a").alias("_y_"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("_x_"), F.col(id_col).alias("_lbl_")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("_x_", "_y_"), "_y_")
+            .groupBy("_x_")
+            .agg(F.min("_lbl_").alias("_nlbl_"))
+        )
+        labels = (
+            labels.join(neighbor_min, "_x_", "left")
+            .select(
+                "_x_",
+                F.least(
+                    F.col("_lbl_"), F.coalesce("_nlbl_", F.col("_lbl_"))
+                ).alias("_lbl_"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        F.col("_x_").alias(id_col), F.col("_lbl_").alias("cluster_id")
+    )

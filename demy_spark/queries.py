@@ -825,6 +825,147 @@ def q25_lexicon_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Dedup + similarity search (LLM-pipeline operators).
+# ---------------------------------------------------------------------------
+
+
+@register("q26_minhash_dedup", None, headline=True)
+def q26_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs over documents (exact-Jaccard
+    verified, so no false positives; banding bounds recall only)."""
+    from demy_spark.operators.dedup import minhash_lsh_dedup
+
+    t = _t(spark, sf_dir)
+    return minhash_lsh_dedup(
+        t["documents"], "text", "doc_id", jaccard_threshold=0.5
+    )
+
+
+@register("q27_simhash_dedup", None)
+def q27_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Charikar chunk blocking, hamming ≤ 6)."""
+    from demy_spark.operators.dedup import simhash_dedup
+
+    t = _t(spark, sf_dir)
+    return simhash_dedup(t["documents"], "text", "doc_id", max_hamming=6)
+
+
+@register("q28_embedding_dedup", None)
+def q28_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup pairs via hyperplane-LSH blocking."""
+    from demy_spark.operators.dedup import embedding_cosine_pairs
+
+    t = _t(spark, sf_dir)
+    return embedding_cosine_pairs(
+        t["embeddings"], "embedding", "vec_id", threshold=0.9, num_planes=8
+    )
+
+
+@register("q29_lsh_ann_topk", None)
+def q29_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors (hyperplane LSH buckets + exact
+    cosine rerank) — the scale path behind q23's exact baseline."""
+    from demy_spark.operators.similarity import lsh_cosine_topk
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    return lsh_cosine_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        "embedding",
+        "vec_id",
+        k=5,
+        num_planes=4,
+    ).select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rk")
+
+
+_SHINGLES_SQL = (
+    f"list_distinct([array_to_string(({_TOKS_SQL})[i:i+2], ' ') "
+    f"FOR i IN range(1, len({_TOKS_SQL}) - 1)])"
+)
+
+
+@register(
+    "q30_ngram_jaccard",
+    f"""
+    WITH docs AS (
+      SELECT doc_id,
+             {_SHINGLES_SQL} AS sh,
+             array_to_string(({_TOKS_SQL})[1:2], ' ') AS blk
+      FROM documents WHERE len({_TOKS_SQL}) >= 3)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM docs a JOIN docs b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
+    """,
+)
+def q30_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard over pairs blocked on their first-2-token
+    prefix — the oracle-able twin of operators/dedup.ngram_jaccard_pairs
+    (which blocks on min-shingle-hash; hashes aren't SQL-portable)."""
+    t = _t(spark, sf_dir)
+    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        )
+    )
+    docs = (
+        t["documents"]
+        .where(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            shingles.alias("sh"),
+            F.concat_ws(" ", F.slice(toks, 1, 2)).alias("blk"),
+        )
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    jac = F.size(F.array_intersect("a.sh", "b.sh")).cast("double") / F.size(
+        F.array_union("a.sh", "b.sh")
+    )
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.05)
+    )
+
+
+@register("q31_dup_clusters", None)
+def q31_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: minhash pairs → iterative min-id
+    propagation (bounded connected components, no driver-side graph)."""
+    from demy_spark.operators.dedup import assign_clusters, minhash_lsh_dedup
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    pairs = minhash_lsh_dedup(docs, "text", "doc_id", jaccard_threshold=0.5)
+    clusters = assign_clusters(pairs, docs.select("doc_id"), "doc_id")
+    return clusters.where(F.col("doc_id") != F.col("cluster_id"))
+
+
+@register("q32_media_features", None)
+def q32_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → Arrow-batched
+    byte-level features (sniffed mime, sha1, entropy proxy)."""
+    from demy_spark.operators.multimodal import extract_byte_features, synth_media_table
+
+    media = synth_media_table(spark, n=256)
+    feats = extract_byte_features(media)
+    return feats.groupBy("sniffed_mime").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("entropy_proxy"), 4).alias("avg_entropy"),
+        F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -43,6 +43,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # wide agg stages (e.g. the 128-column MinHash signature) must
+        # stay in whole-stage codegen; the default cutoff is 100 fields
+        .config("spark.sql.codegen.maxFields", "256")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

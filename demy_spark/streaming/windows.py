@@ -1,0 +1,92 @@
+"""Structured Streaming windows over event streams.
+
+The reference ingests streams with a hand-rolled ring buffer flushed to
+hourly gzip files (twitter/src/main/scala/Execute.scala:32-98) and has
+no Spark Streaming at all (SURVEY §2.12). Here the same hourly-file
+semantics are native Structured Streaming: file source → watermark →
+tumbling window → sink, which adds late-data correctness and
+exactly-once sinks for free and scales with executor count instead of
+one ingest JVM.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (see io.load_table)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (one file per
+    micro-batch in tests; a directory of hourly files in production —
+    exactly the reference's capture layout, consumed incrementally).
+
+    The file source requires a directory; the fixture is a single
+    parquet file, so it is staged (symlinked) into a scratch dir."""
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(), "demy_stream_" + sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return stream.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def hourly_event_aggregate(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type with late-data
+    tolerance ``watermark``. Works on both batch and streaming frames
+    (same plan — the batch twin is queries.q12_events_hourly)."""
+    df = events
+    if events.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return df.groupBy(F.window("ts", window).alias("win"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+def run_stream_to_memory(
+    agg: DataFrame, name: str = "stream_out", output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming aggregate to completion against the available
+    input (test harness: memory sink + processAllAvailable)."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg.sparkSession.sql(f"SELECT * FROM {name}")

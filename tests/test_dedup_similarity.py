@@ -1,0 +1,127 @@
+"""Unit tests for dedup + similarity operators on synthetic corpora
+with planted duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demy_spark.operators.dedup import (
+    assign_clusters,
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from demy_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "in the warm sun near the old barn door waiting for dinner time"
+)
+NEAR = BASE.replace("lazy", "sleepy").replace("warm", "hot")
+OTHER = (
+    "completely different content about spark query engines and columnar "
+    "execution with vectorized readers shuffling partitions across nodes"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE),                      # exact dup of 1
+            (3, "  " + BASE.upper() + " "), # normalized dup of 1
+            (4, NEAR),                      # near dup of 1
+            (5, OTHER),
+            (6, OTHER + " extra tail words here"),  # near dup of 5
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 4, 5, 6]  # 2 and 3 collapse into 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = minhash_lsh_dedup(
+        _docs(spark), "text", "doc_id", jaccard_threshold=0.5
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got  # exact dups always collide
+    assert (1, 4) in got                    # near dup above threshold
+    assert not any(a in (1, 2, 3, 4) and b in (5, 6) for a, b in got)
+
+
+def test_minhash_jaccard_is_exact(spark):
+    pairs = minhash_lsh_dedup(_docs(spark), "text", "doc_id", jaccard_threshold=0.9)
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    assert exact[(1, 2)] == 1.0  # identical docs → jaccard exactly 1
+
+
+def test_simhash_dedup(spark):
+    pairs = simhash_dedup(_docs(spark), "text", "doc_id", max_hamming=6)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got
+    assert not any(a in (1, 2, 3) and b == 5 for a, b in got)
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), "text", "doc_id", threshold=0.3)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (5, 6) in got
+
+
+def test_assign_clusters(spark):
+    docs = _docs(spark)
+    pairs = minhash_lsh_dedup(docs, "text", "doc_id", jaccard_threshold=0.5)
+    clusters = assign_clusters(pairs, docs.select("doc_id"), "doc_id")
+    got = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert got[1] == got[2] == got[3] == got[4] == 1
+    assert got[5] == 5
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.98, 0.2, 0.0]),   # near 2
+        (4, [0.0, 0.0, 0.0, 1.0]),
+        (5, [-1.0, 0.0, 0.0, 0.0]),   # opposite of 0
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(spark):
+    vecs = _vecs(spark)
+    out = cosine_topk(vecs, vecs.where(F.col("vec_id") == 0), "embedding", "vec_id", k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rk"])
+    assert [r["neighbor_id"] for r in rows] == [1, 2]
+    assert rows[0]["sim"] > 0.99
+
+
+def test_lsh_topk_same_bucket_recall(spark):
+    vecs = _vecs(spark)
+    out = lsh_cosine_topk(
+        vecs, vecs.where(F.col("vec_id") == 0), "embedding", "vec_id",
+        k=2, num_planes=2,
+    )
+    rows = sorted(out.collect(), key=lambda r: r["rk"])
+    # with 2 planes (4 buckets), the near-identical vector must land
+    # in the same bucket as the query and rank first
+    assert rows and rows[0]["neighbor_id"] == 1
+
+
+def test_embedding_cosine_pairs(spark):
+    vecs = _vecs(spark)
+    pairs = embedding_cosine_pairs(
+        vecs, "embedding", "vec_id", threshold=0.9, num_planes=2
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert (0, 5) not in got  # opposite vectors never pass the verify
