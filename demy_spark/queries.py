@@ -966,6 +966,138 @@ def q32_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Tuning: folders, out-of-fold prediction, threshold optimization
+# (tuning/RandomSplit.scala, FoldsPredictor.scala, BinaryOptimalEvaluator.scala)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q33_hash_folds",
+    """
+    WITH folds AS (
+      SELECT c_acctbal,
+             CAST(((c_custkey * 2654435761) % 4294967296) % 5 AS INTEGER) AS fold
+      FROM customer)
+    SELECT fold, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
+    FROM folds GROUP BY fold
+    """,
+)
+def q33_hash_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-consistent hash folds (RandomSplit, tuning/RandomSplit.scala:
+    46-57): multiplicative-hash fold id — shuffle-free assignment, the
+    scale path vs q15's global-sort ntile."""
+    from demy_spark.tuning import random_split
+
+    t = _t(spark, sf_dir)
+    return (
+        random_split(t["customer"], 5, "c_custkey")
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+    )
+
+
+@register(
+    "q34_threshold_sweep",
+    """
+    WITH scored AS (
+      SELECT ((o_orderkey * 2654435761) % 4294967296) / 4294967296.0 AS score,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    binned AS (
+      SELECT CAST(least(floor(score * 20), 19) AS INTEGER) AS bin,
+             sum(y) AS pos, count(*) AS n
+      FROM scored GROUP BY 1),
+    cum AS (
+      SELECT bin,
+             sum(pos) OVER w AS tp,
+             sum(n) OVER w - sum(pos) OVER w AS fp,
+             sum(pos) OVER () - sum(pos) OVER w AS fn,
+             (sum(n) OVER () - sum(pos) OVER ())
+               - (sum(n) OVER w - sum(pos) OVER w) AS tn
+      FROM binned WINDOW w AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING))
+    SELECT bin / 20.0 AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           round(tp / nullif(tp + fp, 0), 6) AS precision,
+           round(tp / nullif(tp + fn, 0), 6) AS recall,
+           round(coalesce(2.0 * (tp / nullif(tp + fp, 0)) * (tp / nullif(tp + fn, 0))
+                 / nullif(tp / nullif(tp + fp, 0) + tp / nullif(tp + fn, 0), 0), 0), 6) AS f1
+    FROM cum ORDER BY threshold
+    """,
+)
+def q34_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BinaryOptimalEvaluator's binned threshold sweep (tuning/
+    BinaryOptimalEvaluator.scala:35-224) over a deterministic
+    pseudo-score. Constant-size agg before the global window."""
+    from demy_spark.tuning import threshold_sweep
+
+    t = _t(spark, sf_dir)
+    scored = t["orders"].select(
+        (
+            F.pmod(F.col("o_orderkey").cast("long") * 2654435761, 4294967296)
+            / 4294967296.0
+        ).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    return threshold_sweep(scored, "score", "y", bins=20)
+
+
+@register(
+    "q35_oof_mean_model",
+    """
+    WITH folds AS (
+      SELECT c_custkey, c_acctbal,
+             CAST(((c_custkey * 2654435761) % 4294967296) % 4 AS INTEGER) AS fold
+      FROM customer),
+    stats AS (
+      SELECT fold, sum(c_acctbal) AS s, count(*) AS n FROM folds GROUP BY fold),
+    thresholds AS (
+      SELECT fold,
+             (sum(s) OVER () - s) / (sum(n) OVER () - n) AS train_mean
+      FROM stats)
+    SELECT f.fold, count(*) AS n_test,
+           CAST(sum(CASE WHEN f.c_acctbal > t.train_mean THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           round(any_value(t.train_mean), 2) AS train_mean
+    FROM folds f JOIN thresholds t ON f.fold = t.fold
+    GROUP BY f.fold
+    """,
+)
+def q35_oof_mean_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold prediction (FoldsPredictor.scala:43-124) with a
+    mean-threshold model: each fold is scored by a model fit on the
+    other folds. The fit callable collects ONE scalar per fold (the
+    train mean) — the pattern that generalizes to any estimator."""
+    from demy_spark.tuning import out_of_fold_predict
+
+    t = _t(spark, sf_dir)
+    cust = t["customer"].select("c_custkey", "c_acctbal")
+
+    def fit(train: DataFrame) -> float:
+        return train.agg(F.avg("c_acctbal")).first()[0]
+
+    def transform(mean: float, test: DataFrame) -> DataFrame:
+        return test.select(
+            "c_custkey",
+            "c_acctbal",
+            (F.col("c_acctbal") > mean).cast("int").alias("pred"),
+            F.lit(mean).alias("train_mean"),
+        )
+
+    from demy_spark.tuning import fold_of
+
+    oof = out_of_fold_predict(cust, 4, "c_custkey", fit, transform)
+    return (
+        oof.withColumn("fold", fold_of("c_custkey", 4))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum("pred").alias("n_above"),
+            F.round(F.any_value("train_mean"), 2).alias("train_mean"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
