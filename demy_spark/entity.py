@@ -1,0 +1,126 @@
+"""Entity dictionary matching and co-occurrence refinement.
+
+Parity targets:
+- ``EntityCalculator`` (text/EntityCalculator.scala:16-249): match
+  entity synonym "legs" (token sequences) inside token streams —
+  exact, fuzzy (levenshtein similarity ≥ threshold) — and group the
+  matches per entity.
+- ``WordCoocurrenceRefiner`` / ``WordCategoryScorer``
+  (text/WordCoocurrenceRefiner.scala:14-130, WordCategoryScorer.scala:
+  14-131): propose co-occurring tokens as new synonym candidates,
+  scored by how specifically they co-occur with an entity's matches.
+
+Scale notes: the dictionary side is broadcast (entity dictionaries are
+human-curated, i.e. small); documents are exploded once to (doc, pos,
+token) rows; fuzzy matching prunes with a length-delta prefilter before
+computing any edit distance; co-occurrence is one join back to the
+exploded tokens + a keyed count — no driver-side loops over data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def explode_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, token) rows, lowercased whitespace tokens."""
+    toks = F.array_remove(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), "")
+    return df.select(
+        F.col(id_col).alias("_id_"), F.posexplode(toks).alias("_pos_", "_tok_")
+    )
+
+
+def match_entities(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    entities: DataFrame,
+    *,
+    entity_col: str = "entity",
+    synonym_col: str = "synonym",
+    min_similarity: float = 1.0,
+) -> DataFrame:
+    """Match single-token entity synonyms against documents.
+
+    ``min_similarity`` = 1.0 → exact token equality (hash join);
+    < 1.0 → fuzzy: similarity = 1 - levenshtein/max(len) ≥ threshold,
+    with a length-delta prefilter bounding candidates (the reference
+    accepts Levenshtein-similarity ≥ 0.8, EntityCalculator.scala:
+    150-156). Returns (id, pos, token, entity, synonym, similarity).
+    """
+    toks = explode_tokens(docs, text_col, id_col)
+    ents = F.broadcast(
+        entities.select(
+            F.col(entity_col).alias("_ent_"),
+            F.lower(F.col(synonym_col)).alias("_syn_"),
+        )
+    )
+    if min_similarity >= 1.0:
+        cand = toks.join(ents, toks["_tok_"] == ents["_syn_"]).withColumn(
+            "similarity", F.lit(1.0)
+        )
+    else:
+        max_delta = int((1.0 - min_similarity) * 20) + 1
+        lev = F.levenshtein("_tok_", "_syn_")
+        sim = 1.0 - lev / F.greatest(F.length("_tok_"), F.length("_syn_"))
+        cand = (
+            toks.join(
+                ents,
+                F.abs(F.length("_tok_") - F.length("_syn_")) <= max_delta,
+            )
+            .withColumn("similarity", F.round(sim, 6))
+            .where(F.col("similarity") >= min_similarity)
+        )
+    return cand.select(
+        F.col("_id_").alias(id_col),
+        F.col("_pos_").alias("pos"),
+        F.col("_tok_").alias("token"),
+        F.col("_ent_").alias("entity"),
+        F.col("_syn_").alias("synonym"),
+        "similarity",
+    )
+
+
+def cooccurring_tokens(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    matches: DataFrame,
+    *,
+    top_k: int = 20,
+    min_count: int = 2,
+    stop_tokens: list[str] | None = None,
+) -> DataFrame:
+    """Synonym candidates per entity: tokens sharing a document with a
+    match, ranked by co-occurrence count (ties → token asc). Excludes
+    the already-matched tokens and optional stop tokens
+    (WordCoocurrenceRefiner.scala:14-130). Returns
+    (entity, candidate, n_docs, rk)."""
+    from pyspark.sql import Window
+
+    toks = explode_tokens(docs, text_col, id_col).select(
+        "_id_", "_tok_"
+    ).dropDuplicates(["_id_", "_tok_"])
+    ent_docs = matches.select(
+        F.col(id_col).alias("_id_"), "entity"
+    ).dropDuplicates(["_id_", "entity"])
+    matched_toks = matches.select(
+        "entity", F.col("token").alias("_tok_")
+    ).dropDuplicates()
+
+    cand = (
+        ent_docs.join(toks, "_id_")
+        .join(matched_toks, ["entity", "_tok_"], "left_anti")
+    )
+    if stop_tokens:
+        cand = cand.where(~F.col("_tok_").isin(stop_tokens))
+    counts = cand.groupBy("entity", "_tok_").agg(
+        F.countDistinct("_id_").alias("n_docs")
+    ).where(F.col("n_docs") >= min_count)
+    w = Window.partitionBy("entity").orderBy(F.desc("n_docs"), F.asc("_tok_"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .select("entity", F.col("_tok_").alias("candidate"), "n_docs", "rk")
+    )

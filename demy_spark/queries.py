@@ -1098,6 +1098,411 @@ def q35_oof_mean_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Feature encoders (Tag2Vector multi-hot, embedding application) and
+# classification (one-vs-rest).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q36_multi_hot",
+    """
+    SELECT user_id,
+           CAST(max(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS INTEGER) AS hot_click,
+           CAST(max(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS INTEGER) AS hot_error,
+           CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INTEGER) AS hot_purchase,
+           CAST(max(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS INTEGER) AS hot_signup,
+           CAST(max(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS INTEGER) AS hot_view,
+           count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def q36_multi_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag2Vector multi-hot encoding (feature/Tag2Vector.scala:32-50):
+    per-user event-type set → multi-hot over the literal vocabulary.
+    Encoding is a pure projection — the vocabulary lives in the plan."""
+    from demy_spark.features import multi_hot
+
+    vocab = ["click", "error", "purchase", "signup", "view"]
+    t = _t(spark, sf_dir)
+    sets = t["events"].groupBy("user_id").agg(
+        F.collect_set("event_type").alias("types")
+    )
+    hot = multi_hot("types", vocab)
+    return sets.select(
+        "user_id",
+        *[hot[i].alias(f"hot_{v}") for i, v in enumerate(vocab)],
+        F.size("types").cast("long").alias("n_types"),
+    )
+
+
+@register(
+    "q37_embed_apply",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents),
+    counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    vocab AS (
+      SELECT w, row_number() OVER (ORDER BY c DESC, w ASC) AS r
+      FROM counts QUALIFY r <= 50),
+    nt AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+    j AS (SELECT t.doc_id, v.r FROM toks t JOIN vocab v USING (w)),
+    agg AS (
+      SELECT doc_id, count(*) AS n_matched,
+             sum(((r * 31 + 0) * 2654435761 % 4294967296) / 4294967296.0) AS d0,
+             sum(((r * 31 + 1) * 2654435761 % 4294967296) / 4294967296.0) AS d1,
+             sum(((r * 31 + 2) * 2654435761 % 4294967296) / 4294967296.0) AS d2,
+             sum(((r * 31 + 3) * 2654435761 % 4294967296) / 4294967296.0) AS d3
+      FROM j GROUP BY doc_id)
+    SELECT a.doc_id, round(d0, 4) AS d0, round(d1, 4) AS d1,
+           round(d2, 4) AS d2, round(d3, 4) AS d3,
+           nt.n_tokens, a.n_matched
+    FROM agg a JOIN nt USING (doc_id)
+    """,
+)
+def q37_embed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2VecApplier's lookup-join + per-doc vector sum
+    (text/Word2VecApplier.scala:104-138) against a deterministic
+    pseudo-embedding table built from the corpus' top-50 tokens. The
+    element-wise sum runs as posexplode → keyed aggs (all codegen)."""
+    from demy_spark.features import apply_embeddings
+
+    t = _t(spark, sf_dir)
+    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    docs = t["documents"].select("doc_id", toks.alias("toks"))
+    w = Window.orderBy(F.desc("c"), F.asc("w"))
+    vectors = (
+        docs.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 50)
+        .select(
+            "w",
+            F.array(
+                *[
+                    (
+                        F.pmod((F.col("r") * 31 + d) * 2654435761, 4294967296)
+                        / 4294967296.0
+                    )
+                    for d in range(4)
+                ]
+            ).alias("vec"),
+        )
+    )
+    applied = apply_embeddings(
+        docs, "doc_id", "toks", vectors, word_col="w", vector_col="vec",
+        element_type="double",
+    )
+    emb = F.col("embedding")
+    return applied.select(
+        "doc_id",
+        *[F.round(emb[d], 4).alias(f"d{d}") for d in range(4)],
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+@register("q38_one_vs_rest", None)
+def q38_one_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiscreteVectorClassifier (classification/DiscreteVectorClassifier
+    .scala:19-150): one LinearSVC per label over the embeddings table,
+    margins calibrated to [0,1] scores, argmax label; output is the
+    label × predicted confusion. Rows-only check (iterative fit)."""
+    from pyspark.ml.functions import array_to_vector
+
+    from demy_spark.classification import fit_one_vs_rest, predict_one_vs_rest
+    from demy_spark.features import multi_hot
+
+    t = _t(spark, sf_dir)
+    n_labels = 4  # coarse-grained: label mod 4 keeps the fit fast
+    base = t["embeddings"].select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        (F.col("label") % n_labels).alias("y"),
+    )
+    labeled = base.withColumn(
+        "labels", multi_hot(F.array("y"), list(range(n_labels)))
+    )
+    models = fit_one_vs_rest(labeled, "features", "labels", n_labels, parallelism=2)
+    pred = predict_one_vs_rest(models, labeled, "features")
+    return (
+        pred.groupBy("y", "predicted_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("y", "predicted_label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geo: hierarchy flatten, address parse, locality fuzzy match, bbox join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q39_admin_flatten",
+    """
+    SELECT c.c_custkey AS leaf_key,
+           r.r_name || ' > ' || n.n_name || ' > ' || c.c_name AS path
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q39_admin_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoNames hierarchy flatten (twitter/GeoNames.scala:9-128):
+    chained parent-child joins building alias paths, region → nation →
+    customer standing in for country → adm → city."""
+    from demy_spark.geo import admin_hierarchy_flatten
+
+    t = _t(spark, sf_dir)
+    return admin_hierarchy_flatten(
+        [
+            (t["region"], "r_regionkey", "", "r_name"),
+            (t["nation"], "n_nationkey", "n_regionkey", "n_name"),
+            (t["customer"], "c_custkey", "c_nationkey", "c_name"),
+        ]
+    )
+
+
+_ADDR_SQL = (
+    "CAST(c_custkey % 999 + 1 AS VARCHAR) || ' RUE ' || c_mktsegment || ' ' || "
+    "CAST(10000 + c_nationkey * 100 + c_custkey % 100 AS VARCHAR) || ' ' || n_name"
+)
+
+
+@register(
+    "q40_parse_address",
+    rf"""
+    WITH a AS (
+      SELECT c_custkey, {_ADDR_SQL} AS addr
+      FROM customer JOIN nation ON c_nationkey = n_nationkey),
+    stripped AS (
+      SELECT c_custkey, addr, trim(regexp_replace(addr, '^(\d+)', '')) AS no_num
+      FROM a)
+    SELECT c_custkey,
+           CAST(regexp_extract(addr, '^(\d+)', 1) AS INTEGER) AS house_number,
+           regexp_extract(addr, '\b(\d{{5}})\b', 1) AS postcode,
+           trim(string_split_regex(no_num, '\b\d{{5}}\b')[1]) AS street,
+           trim(string_split_regex(no_num, '\b\d{{5}}\b')[-1]) AS city
+    FROM stripped
+    """,
+)
+def q40_parse_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Address parsing heuristics (geo/ParsedAddress.scala:42-67) over
+    synthetic addresses built from fixture columns: leading house
+    number, 5-digit postcode, street between, city tail."""
+    from demy_spark.geo import parse_address
+
+    t = _t(spark, sf_dir)
+    addr = F.concat(
+        (F.col("c_custkey") % 999 + 1).cast("string"),
+        F.lit(" RUE "),
+        F.col("c_mktsegment"),
+        F.lit(" "),
+        (10000 + F.col("c_nationkey") * 100 + F.col("c_custkey") % 100).cast("string"),
+        F.lit(" "),
+        F.col("n_name"),
+    )
+    base = (
+        t["customer"]
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", parse_address(addr).alias("p"))
+    )
+    return base.select(
+        "c_custkey",
+        F.col("p.house_number").alias("house_number"),
+        F.col("p.postcode").alias("postcode"),
+        F.col("p.street").alias("street"),
+        F.col("p.city").alias("city"),
+    )
+
+
+@register(
+    "q41_locality_match",
+    """
+    WITH corrupted AS (
+      SELECT n_name,
+             substr(n_name, 1, 1) || substr(n_name, 3) AS q
+      FROM nation),
+    cand AS (
+      SELECT c.q, c.n_name AS original, n.n_name AS matched_name,
+             levenshtein(c.q, n.n_name) AS match_distance
+      FROM corrupted c JOIN nation n
+        ON abs(length(c.q) - length(n.n_name)) <= 5)
+    SELECT q, original, matched_name, CAST(match_distance AS INTEGER) AS match_distance
+    FROM cand
+    QUALIFY row_number() OVER (PARTITION BY q ORDER BY match_distance, matched_name) = 1
+    """,
+)
+def q41_locality_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locality fuzzy match + argmax (geo/AddressLocalizator.scala:
+    27-31,76-95): levenshtein best match with a length-delta candidate
+    prefilter, reduced via window top-1."""
+    from demy_spark.geo import best_locality_match
+
+    t = _t(spark, sf_dir)
+    nation = t["nation"]
+    corrupted = nation.select(
+        F.col("n_name").alias("original"),
+        F.concat(F.substring("n_name", 1, 1), F.expr("substring(n_name, 3)")).alias("q"),
+    )
+    out = best_locality_match(
+        corrupted, nation.select("n_name"), "q", "n_name", max_length_delta=5
+    )
+    return out.select(
+        "q", "original", "matched_name", F.col("match_distance").cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Topic: seeded k-means + tree routing (text/PhraseClustering.scala,
+# topic/Node.scala) — iterative, so rows-only checks.
+# ---------------------------------------------------------------------------
+
+
+@register("q42_seeded_kmeans", None)
+def q42_seeded_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged k-means (PhraseClustering.scala:16-572): seeds from the
+    labelled rows' centroids, Lloyd iterations with distributed assign
+    + driver-side center update."""
+    from demy_spark.topic import seed_centers_from_tags, seeded_kmeans
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    tags = t["embeddings"].where(F.col("label") < 4).select(
+        "vec_id", F.col("label").cast("string").alias("tag")
+    )
+    centers = seed_centers_from_tags(emb, "vec_id", "v", tags)
+    assigned, _, iters = seeded_kmeans(emb, "vec_id", "v", centers, max_iters=3)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("sim"), 4).alias("avg_sim"))
+        .withColumn("iters", F.lit(iters))
+        .orderBy("cluster")
+    )
+
+
+@register("q43_topic_tree_walk", None)
+def q43_topic_tree_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-tree routing (topic/Node.scala:92-126): two-level tree
+    built from label centroids; one assign pass per level."""
+    from demy_spark.topic import TopicNode, seed_centers_from_tags, walk_topic_tree
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    tags = t["embeddings"].select("vec_id", F.col("label").cast("string").alias("tag"))
+    centers = seed_centers_from_tags(emb, "vec_id", "v", tags)  # one per label 0..9
+
+    def mean(vs: list[list[float]]) -> list[float]:
+        return [sum(col) / len(col) for col in zip(*vs)]
+
+    root = TopicNode(
+        "root",
+        children=[
+            TopicNode(
+                f"group{g}",
+                center=mean(centers[g * 5 : (g + 1) * 5]),
+                children=[
+                    TopicNode(f"label{i}", center=centers[i])
+                    for i in range(g * 5, (g + 1) * 5)
+                ],
+            )
+            for g in range(2)
+        ],
+    )
+    out = walk_topic_tree(emb, "vec_id", "v", root)
+    return out.groupBy("topic").agg(F.count(F.lit(1)).alias("n")).orderBy("topic")
+
+
+# ---------------------------------------------------------------------------
+# Entity dictionary matching + co-occurrence refinement
+# (text/EntityCalculator.scala, text/WordCoocurrenceRefiner.scala).
+# ---------------------------------------------------------------------------
+
+_ENTITY_DICT = [
+    ("join_ops", "join"),
+    ("join_ops", "merge"),
+    ("scan_ops", "scan"),
+    ("scan_ops", "filter"),
+    ("agg_ops", "agg"),
+    ("agg_ops", "group"),
+]
+
+_ENTITY_DICT_SQL = (
+    "dict(entity, synonym) AS (VALUES "
+    + ", ".join(f"('{e}', '{s}')" for e, s in _ENTITY_DICT)
+    + ")"
+)
+
+
+@register(
+    "q44_entity_match",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    {_ENTITY_DICT_SQL},
+    m AS (
+      SELECT t.doc_id, d.entity, d.synonym
+      FROM toks t JOIN dict d ON t.tok = d.synonym)
+    SELECT entity, synonym, count(*) AS n_matches,
+           count(DISTINCT doc_id) AS n_docs
+    FROM m GROUP BY entity, synonym
+    """,
+)
+def q44_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity synonym matching (text/EntityCalculator.scala:16-249):
+    broadcast dictionary joined against exploded token rows."""
+    from demy_spark.entity import match_entities
+
+    t = _t(spark, sf_dir)
+    ents = spark.createDataFrame(_ENTITY_DICT, ["entity", "synonym"])
+    m = match_entities(t["documents"], "text", "doc_id", ents)
+    return m.groupBy("entity", "synonym").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@register(
+    "q45_entity_cooccurrence",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    {_ENTITY_DICT_SQL},
+    m AS (
+      SELECT DISTINCT t.doc_id, d.entity, t.tok
+      FROM toks t JOIN dict d ON t.tok = d.synonym),
+    ent_docs AS (SELECT DISTINCT doc_id, entity FROM m),
+    matched_toks AS (SELECT DISTINCT entity, tok FROM m),
+    cand AS (
+      SELECT e.entity, t.tok, t.doc_id
+      FROM ent_docs e JOIN toks t USING (doc_id)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM matched_toks mt
+        WHERE mt.entity = e.entity AND mt.tok = t.tok)),
+    counts AS (
+      SELECT entity, tok AS candidate, count(DISTINCT doc_id) AS n_docs
+      FROM cand GROUP BY entity, tok HAVING count(DISTINCT doc_id) >= 2)
+    SELECT entity, candidate, n_docs,
+           CAST(row_number() OVER (PARTITION BY entity ORDER BY n_docs DESC, candidate) AS INTEGER) AS rk
+    FROM counts
+    QUALIFY rk <= 10
+    """,
+)
+def q45_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurring-token synonym proposals (text/
+    WordCoocurrenceRefiner.scala:14-130): tokens sharing documents with
+    an entity's matches, ranked per entity."""
+    from demy_spark.entity import cooccurring_tokens, match_entities
+
+    t = _t(spark, sf_dir)
+    ents = spark.createDataFrame(_ENTITY_DICT, ["entity", "synonym"])
+    m = match_entities(t["documents"], "text", "doc_id", ents)
+    out = cooccurring_tokens(
+        t["documents"], "text", "doc_id", m, top_k=10, min_count=2
+    )
+    return out.withColumn("rk", F.col("rk").cast("int"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -1,0 +1,203 @@
+"""Topic operators: seeded (tagged) k-means and hierarchical topic-tree
+routing.
+
+Parity targets:
+- ``PhraseClustering`` (text/PhraseClustering.scala:16-572): k-means
+  over phrase vectors with user-context seed centers (tagged rows),
+  iterate until cost stops improving. The reference's own shape is
+  "assign distributed, update centers on driver" — kept here, because
+  k×dim floats is driver-sized at any corpus scale.
+- ``ClusteringNode`` center updates (topic/ClusteringNode.scala:
+  378-407): running weighted means — the batch Lloyd update is the
+  batch equivalent.
+- ``Node.walk`` routing (topic/Node.scala:92-126): a document descends
+  the tree to the child with the best similarity at each level.
+
+Scale notes: the assign step is posexplode(dims) → broadcast-join the
+exploded centers on dim → one keyed sum-of-products agg → window
+argmax. Everything whole-stage codegen; no per-row vector lambdas; the
+shuffle carries (id, cluster, partial dot) rows. Center update is one
+more keyed avg; only k×dim aggregated floats ever reach the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _explode_dims(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id_"), F.posexplode(vec_col).alias("_d_", "_x_")
+    )
+
+
+def _centers_df(spark, centers: list[list[float]]) -> DataFrame:
+    rows = [
+        (c, d, float(x)) for c, vec in enumerate(centers) for d, x in enumerate(vec)
+    ]
+    return spark.createDataFrame(rows, ["_c_", "_d_", "_w_"])
+
+
+def assign_to_centers(
+    df: DataFrame, id_col: str, vec_col: str, centers: list[list[float]]
+) -> DataFrame:
+    """Nearest center per row by cosine (ties → lowest cluster id).
+    Returns (id, cluster, sim). Plan: exploded dot products against the
+    broadcast center table + argmax window — no per-row lambdas."""
+    spark = df.sparkSession
+    dims = _explode_dims(df, id_col, vec_col)
+    cent = _centers_df(spark, centers)
+    norm_c = cent.groupBy("_c_").agg(F.sqrt(F.sum(F.col("_w_") ** 2)).alias("_nc_"))
+    dots = (
+        dims.join(F.broadcast(cent), "_d_")
+        .groupBy("_id_", "_c_")
+        .agg(F.sum(F.col("_x_") * F.col("_w_")).alias("_dot_"))
+    )
+    norms = dims.groupBy("_id_").agg(F.sqrt(F.sum(F.col("_x_") ** 2)).alias("_nx_"))
+    sim = (
+        dots.join(F.broadcast(norm_c), "_c_")
+        .join(norms, "_id_")
+        .select(
+            "_id_",
+            "_c_",
+            (F.col("_dot_") / F.nullif(F.col("_nx_") * F.col("_nc_"), F.lit(0.0))).alias(
+                "_sim_"
+            ),
+        )
+    )
+    w = Window.partitionBy("_id_").orderBy(F.desc("_sim_"), F.asc("_c_"))
+    return (
+        sim.withColumn("_rk_", F.row_number().over(w))
+        .where(F.col("_rk_") == 1)
+        .select(
+            F.col("_id_").alias(id_col),
+            F.col("_c_").cast("int").alias("cluster"),
+            F.col("_sim_").alias("sim"),
+        )
+    )
+
+
+def _update_centers(
+    df: DataFrame, id_col: str, vec_col: str, assigned: DataFrame, k: int, dim: int
+) -> list[list[float]]:
+    """Element-wise mean per cluster; empty clusters keep a zero vector
+    (the reference re-seeds them from orphan tags; callers can too)."""
+    dims = _explode_dims(df, id_col, vec_col)
+    joined = dims.join(
+        assigned.select(F.col(id_col).alias("_id_"), "cluster"), "_id_"
+    )
+    rows = (
+        joined.groupBy("cluster", "_d_")
+        .agg(F.avg("_x_").alias("_m_"))
+        .collect()
+    )
+    centers = [[0.0] * dim for _ in range(k)]
+    for r in rows:
+        centers[r["cluster"]][r["_d_"]] = r["_m_"]
+    return centers
+
+
+def seed_centers_from_tags(
+    df: DataFrame, id_col: str, vec_col: str, tags: DataFrame, tag_col: str = "tag"
+) -> list[list[float]]:
+    """Initial centers = per-tag element-wise mean of tagged vectors
+    (PhraseClustering's user-context seeds, tag order = tag asc)."""
+    dims = _explode_dims(df, id_col, vec_col)
+    tagged = dims.join(tags.select(F.col(id_col).alias("_id_"), tag_col), "_id_")
+    rows = tagged.groupBy(tag_col, "_d_").agg(F.avg("_x_").alias("_m_")).collect()
+    by_tag: dict = {}
+    for r in rows:
+        by_tag.setdefault(r[tag_col], {})[r["_d_"]] = r["_m_"]
+    centers = []
+    for tag in sorted(by_tag):
+        d = by_tag[tag]
+        centers.append([d.get(i, 0.0) for i in range(max(d) + 1)])
+    return centers
+
+
+def seeded_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centers: list[list[float]],
+    *,
+    max_iters: int = 10,
+    tol: float = 1e-4,
+) -> tuple[DataFrame, list[list[float]], int]:
+    """Lloyd iterations from explicit seed centers; stops when the max
+    center shift drops below ``tol``. Returns (assignments, centers,
+    iterations). The input frame is persisted across iterations (it is
+    re-scanned twice per iteration otherwise)."""
+    k, dim = len(centers), len(centers[0])
+    base = df.select(id_col, vec_col).persist()
+    try:
+        it = 0
+        for it in range(1, max_iters + 1):
+            assigned = assign_to_centers(base, id_col, vec_col, centers)
+            new_centers = _update_centers(base, id_col, vec_col, assigned, k, dim)
+            shift = max(
+                abs(a - b)
+                for row_a, row_b in zip(centers, new_centers)
+                for a, b in zip(row_a, row_b)
+            )
+            centers = new_centers
+            if shift < tol:
+                break
+        return assign_to_centers(base, id_col, vec_col, centers), centers, it
+    finally:
+        base.unpersist()
+
+
+@dataclass
+class TopicNode:
+    """Topic-tree node: route by best-cosine child, classify at leaves
+    (topic/Node.scala:92-126 ``walk``, simplified to similarity
+    routing — FilterMode facts reduce to 'child with best score')."""
+
+    name: str
+    center: list[float] | None = None  # None for the root
+    children: list["TopicNode"] = field(default_factory=list)
+
+
+def walk_topic_tree(
+    df: DataFrame, id_col: str, vec_col: str, root: TopicNode
+) -> DataFrame:
+    """Assign each row to a leaf topic by descending the tree level by
+    level: at each node, the row goes to the child whose center has the
+    best cosine. One assign job per tree LEVEL (not per node) — rows
+    at different nodes of the same depth are routed in a single plan
+    pass, keyed by their current node."""
+    current = df.select(F.col(id_col).alias(id_col), vec_col).withColumn(
+        "_node_", F.lit(root.name)
+    )
+    frontier = [root]
+    while any(n.children for n in frontier):
+        parts = []
+        next_frontier: list[TopicNode] = []
+        for node in frontier:
+            rows = current.where(F.col("_node_") == node.name)
+            if not node.children:
+                parts.append(rows)
+                continue
+            next_frontier.extend(node.children)
+            assigned = assign_to_centers(
+                rows, id_col, vec_col, [c.center for c in node.children]
+            )
+            name_map = F.array(*[F.lit(c.name) for c in node.children])
+            routed = (
+                rows.drop("_node_")
+                .join(assigned.select(id_col, "cluster"), id_col)
+                .withColumn("_node_", F.element_at(name_map, F.col("cluster") + 1))
+                .drop("cluster")
+            )
+            parts.append(routed)
+        current = parts[0]
+        for p in parts[1:]:
+            current = current.unionByName(p)
+        frontier = next_frontier or frontier
+        if not next_frontier:
+            break
+    return current.withColumnRenamed("_node_", "topic")

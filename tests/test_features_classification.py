@@ -1,0 +1,85 @@
+"""Unit tests for feature encoders and one-vs-rest classification."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demy_spark.features import (
+    apply_embeddings,
+    embedding_hit_rate,
+    hashed_tf,
+    learn_tag_vocabulary,
+    multi_hot,
+)
+
+
+def test_learn_tag_vocabulary_orders_by_freq_then_tag(spark):
+    df = spark.createDataFrame(
+        [(["a", "b"],), (["b", "c"],), (["b"],), (["c"],)], ["tags"]
+    )
+    assert learn_tag_vocabulary(df, "tags", top_k=2) == ["b", "c"]
+    assert learn_tag_vocabulary(df, "tags", top_k=3) == ["b", "c", "a"]
+
+
+def test_multi_hot_encoding(spark):
+    df = spark.createDataFrame([(1, ["x", "z"]), (2, ["y"]), (3, [])], ["id", "tags"])
+    out = df.select("id", multi_hot("tags", ["x", "y", "z"]).alias("hot"))
+    got = {r["id"]: r["hot"] for r in out.collect()}
+    assert got == {1: [1, 0, 1], 2: [0, 1, 0], 3: [0, 0, 0]}
+
+
+def test_hashed_tf_shape(spark):
+    df = spark.createDataFrame([(["a", "b", "a"],)], ["toks"])
+    out = hashed_tf(df, "toks", "tf", num_features=16).first()["tf"]
+    assert out.toArray().sum() == 3.0  # term counts preserved
+
+
+def _vectors(spark):
+    return spark.createDataFrame(
+        [("cat", [1.0, 0.0]), ("dog", [0.0, 1.0]), ("fish", [1.0, 1.0])],
+        ["word", "vector"],
+    )
+
+
+def test_apply_embeddings_sum_and_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, ["cat", "dog", "unknown"]), (2, ["fish", "fish"]), (3, ["zzz"])],
+        ["doc_id", "toks"],
+    )
+    out = apply_embeddings(docs, "doc_id", "toks", _vectors(spark))
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["embedding"] == [1.0, 1.0]
+    assert (got[1]["n_tokens"], got[1]["n_matched"]) == (3, 2)
+    assert got[2]["embedding"] == [2.0, 2.0]
+    assert 3 not in got  # no matched tokens → absent (join semantics)
+
+    hr = embedding_hit_rate(out).first()
+    assert hr["hit_rate"] == 0.8  # 4 matched of 5 tokens in docs 1-2
+
+
+def test_apply_embeddings_mean(spark):
+    docs = spark.createDataFrame([(1, ["cat", "fish"])], ["doc_id", "toks"])
+    out = apply_embeddings(docs, "doc_id", "toks", _vectors(spark), agg="mean").first()
+    assert out["embedding"] == [1.0, 0.5]
+
+
+def test_one_vs_rest_separable(spark):
+    from pyspark.ml.functions import array_to_vector
+
+    from demy_spark.classification import fit_one_vs_rest, predict_one_vs_rest
+
+    # two linearly separable blobs on the first axis
+    rows = [([float(10 + i % 3), 0.0], 0) for i in range(12)] + [
+        ([float(-10 - i % 3), 0.0], 1) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, ["arr", "y"])
+    base = df.select(
+        array_to_vector("arr").alias("features"),
+        multi_hot(F.array("y"), [0, 1]).alias("labels"),
+        "y",
+    )
+    models = fit_one_vs_rest(base, "features", "labels", 2, parallelism=2)
+    pred = predict_one_vs_rest(models, base, "features")
+    rows = pred.select("y", "predicted_label", "scores").collect()
+    assert all(r["y"] == r["predicted_label"] for r in rows)
+    assert all(0.0 <= s <= 1.0 for r in rows for s in r["scores"])

@@ -1,0 +1,76 @@
+"""Unit tests for seeded k-means and topic-tree routing."""
+
+from __future__ import annotations
+
+from demy_spark.topic import (
+    TopicNode,
+    assign_to_centers,
+    seed_centers_from_tags,
+    seeded_kmeans,
+    walk_topic_tree,
+)
+
+
+def _vecs(spark):
+    # two tight blobs: around e1 and around e2
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.95, 0.0, 0.05]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.1, 0.9, 0.0]),
+        (5, [0.0, 0.95, 0.05]),
+    ]
+    return spark.createDataFrame(rows, ["id", "vec"])
+
+
+def test_assign_to_centers_cosine_argmax(spark):
+    out = assign_to_centers(_vecs(spark), "id", "vec", [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    got = {r["id"]: r["cluster"] for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+    sims = {r["id"]: r["sim"] for r in out.collect()}
+    assert sims[0] == 1.0
+
+
+def test_seeded_kmeans_converges(spark):
+    # bad seeds still converge to the two blobs
+    assigned, centers, iters = seeded_kmeans(
+        _vecs(spark), "id", "vec", [[0.6, 0.4, 0.0], [0.4, 0.6, 0.0]], max_iters=10
+    )
+    got = {r["id"]: r["cluster"] for r in assigned.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+    assert iters <= 5
+    assert centers[0][0] > 0.9 and centers[1][1] > 0.9
+
+
+def test_seed_centers_from_tags(spark):
+    tags = spark.createDataFrame([(0, "a"), (3, "b")], ["id", "tag"])
+    centers = seed_centers_from_tags(_vecs(spark), "id", "vec", tags)
+    assert centers[0] == [1.0, 0.0, 0.0]  # tag 'a' ← row 0
+    assert centers[1] == [0.0, 1.0, 0.0]  # tag 'b' ← row 3
+
+
+def test_walk_topic_tree_two_levels(spark):
+    tree = TopicNode(
+        "root",
+        children=[
+            TopicNode(
+                "x-ish",
+                center=[1.0, 0.0, 0.0],
+                children=[
+                    TopicNode("x-pure", center=[1.0, 0.0, 0.0]),
+                    TopicNode("x-mixed", center=[0.8, 0.2, 0.0]),
+                ],
+            ),
+            TopicNode("y-ish", center=[0.0, 1.0, 0.0]),
+        ],
+    )
+    vecs = _vecs(spark).unionByName(
+        spark.createDataFrame([(6, [0.75, 0.25, 0.0])], ["id", "vec"])
+    )
+    out = walk_topic_tree(vecs, "id", "vec", tree)
+    got = {r["id"]: r["topic"] for r in out.collect()}
+    assert got[0] == "x-pure"
+    assert got[1] == "x-pure"  # 6.3° off pure vs 7.7° off mixed
+    assert got[6] == "x-mixed"  # 18.4° off pure vs 4.4° off mixed
+    assert got[3] == "y-ish" and got[4] == "y-ish" and got[5] == "y-ish"
