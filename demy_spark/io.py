@@ -67,6 +67,25 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+def read_text_corpus(spark: SparkSession, path: str, *, line_col: str = "line") -> DataFrame:
+    """Text scan (≈ text/Corpus.scala:27, Word2VecApplier.scala:94-98):
+    one row per line."""
+    return spark.read.text(path).withColumnRenamed("value", line_col)
+
+
+def read_csv(
+    spark: SparkSession, path: str, *, sep: str = ";", header: bool = False
+) -> DataFrame:
+    """CSV scan with the reference's semicolon default
+    (twitter/Execute.scala:30)."""
+    return spark.read.option("sep", sep).option("header", str(header).lower()).csv(path)
+
+
+def read_json(spark: SparkSession, path: str) -> DataFrame:
+    """JSON scan (net2demy/Execute.scala:62)."""
+    return spark.read.json(path)
+
+
 def escape_columns(df: DataFrame) -> DataFrame:
     """Escape parquet-hostile characters in column names before writing.
 

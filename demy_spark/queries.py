@@ -1503,6 +1503,65 @@ def q45_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rk", F.col("rk").cast("int"))
 
 
+@register("q46_pos_tag", None)
+def q46_pos_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam-search POS tagging (text/GramTag.scala:83-344, search/
+    PTree.scala:6-68): broadcast lexicon + Arrow-batched pandas UDF.
+    Tag-frequency rollup output; rows-only (sequential decode)."""
+    from demy_spark.postag import pos_tag
+
+    t = _t(spark, sf_dir)
+    lexicon = {
+        "join": {"OP": 0.8, "NOUN": 0.2},
+        "scan": {"OP": 0.7, "NOUN": 0.3},
+        "filter": {"OP": 0.6, "NOUN": 0.4},
+        "table": {"NOUN": 1.0},
+        "query": {"NOUN": 0.7, "VERB": 0.3},
+        "fast": {"ADJ": 1.0},
+        "slow": {"ADJ": 1.0},
+        "a": {"DET": 1.0},
+        "the": {"DET": 1.0},
+    }
+    transitions = {
+        ("^", "DET"): 0.4,
+        ("DET", "NOUN"): 0.8,
+        ("ADJ", "NOUN"): 0.7,
+        ("NOUN", "OP"): 0.5,
+        ("OP", "NOUN"): 0.5,
+    }
+    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    docs = t["documents"].select("doc_id", toks.alias("toks")).limit(200)
+    tagged = pos_tag(docs, "toks", lexicon, transitions)
+    return (
+        tagged.select(F.explode("tags").alias("tag"))
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("tag")
+    )
+
+
+@register("q47_genetic_prototypes", None)
+def q47_genetic_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genetic prototype selection (topic/TopicTree.scala:210-356):
+    whole population scored in one Spark job per generation."""
+    from demy_spark.genetic import evolve_prototypes
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    best, fit, history = evolve_prototypes(
+        emb, "vec_id", "v", k=3, pop_size=6, generations=3, seed=7
+    )
+    return spark.createDataFrame(
+        [
+            (g, round(score, 6), len(best))
+            for g, score in enumerate(history)
+        ],
+        ["generation", "best_fitness", "k"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -1,0 +1,64 @@
+"""Stateful streaming sessionization test: file-source stream →
+applyInPandasWithState → memory sink."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import types as T
+
+from demy_spark.streaming.sessions import sessionize_stream
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def test_sessionize_stream_closes_on_gap(spark, tmp_path):
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        (1, at(0), 1.0),
+        (1, at(5), 2.0),     # same session (gap 30 min)
+        (1, at(120), 4.0),   # 115-min jump → closes session 1
+        (2, at(0), 8.0),     # single open session, never closed
+    ]
+    src = os.path.join(str(tmp_path), "events")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    sessions = sessionize_stream(stream, gap_seconds=1800)
+    q = (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions_out")
+        .start()
+    )
+    # ProcessingTimeTimeout schedules periodic state-cleanup batches, so
+    # processAllAvailable never settles — poll the sink instead
+    import time
+
+    try:
+        got = []
+        for _ in range(60):
+            got = spark.sql("SELECT * FROM sessions_out").collect()
+            if got:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert len(got) == 1  # only user 1's first session closed
+    r = got[0]
+    assert r["user_id"] == 1
+    assert r["n_events"] == 2
+    assert r["total_value"] == 3.0
+    assert r["session_start"] == t0
+    assert r["session_end"] == at(5)
