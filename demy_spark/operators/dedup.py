@@ -118,15 +118,24 @@ def minhash_lsh_dedup(
     # (groupBy reuses sh_rows' partitioning — no extra shuffle)
     base = sh_rows.groupBy("_id_").agg(F.collect_list("_s_").alias("_sh_"))
 
-    sig = (
-        sh_rows
-        .groupBy("_id_")
-        .agg(
-            *[
-                F.min(F.xxhash64(F.lit(i), F.col("_s_"))).alias(f"_h{i}_")
-                for i in range(num_hashes)
-            ]
-        )
+    # Kirsch-Mitzenmacher double hashing: two real hashes per shingle,
+    # the num_hashes family derived as h1 + (2i+1)*h2. Cuts per-row agg
+    # work from num_hashes xxhash64 calls to one multiply-add each (the
+    # 128-column HashAggregate is too wide for whole-stage codegen, so
+    # expression cost is paid interpreted). Operands are pre-shrunk
+    # (h1 >>> 8, h2 masked to 31 bits) so ANSI mode cannot overflow.
+    hashed = sh_rows.select(
+        "_id_",
+        F.shiftrightunsigned(F.xxhash64(F.lit(0), F.col("_s_")), 8).alias("_h1_"),
+        F.xxhash64(F.lit(1), F.col("_s_"))
+        .bitwiseAND(F.lit(0x7FFFFFFF).cast("long"))
+        .alias("_h2_"),
+    )
+    sig = hashed.groupBy("_id_").agg(
+        *[
+            F.min(F.col("_h1_") + F.lit(2 * i + 1) * F.col("_h2_")).alias(f"_h{i}_")
+            for i in range(num_hashes)
+        ]
     )
     # band bucket = hash of (band index, its signature rows); the band
     # index is part of the hash, so the bucket value alone is the key

@@ -107,22 +107,29 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join: fact→fact shuffle joins + broadcast dims. nation and
-    region are broadcast explicitly (dictionary-sized at any SF); the
-    lineitem⋈orders⋈customer chain is left to Catalyst/AQE."""
+    """Star join with pushed-down partial aggregation: lineitem revenue
+    is pre-aggregated per orderkey (map-side partial + one shuffle on
+    the join key), which (a) shrinks the fact table to order grain
+    before any join and (b) makes orderkey unique so the per-nation
+    rollup needs no countDistinct expand. Dims broadcast; the orders
+    join is AQE-broadcast at small SF and co-keyed at scale."""
     t = _t(spark, sf_dir)
-    return (
+    rev_per_order = (
         t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_orderkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev_")
+        )
+    )
+    return (
+        rev_per_order.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("_rev_"), 2).alias("revenue"),
+            F.count("o_orderkey").alias("n_orders"),
         )
     )
 
