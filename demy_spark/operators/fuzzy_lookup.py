@@ -393,3 +393,46 @@ def fuzzy_lookup(
     return out.withColumn("_score_", F.col("_score_").cast("float")).withColumn(
         "_startIndex_", F.col("_startIndex_").cast("int")
     )
+
+
+def fuzzy_lookup_array(
+    left: DataFrame,
+    right: DataFrame,
+    queries_col: str,
+    text_col: str,
+    *,
+    result_col: str = "_results_",
+    **options,
+) -> DataFrame:
+    """Array-of-queries variant (luceneLookups' array join,
+    index/implicits.scala:220-229): each element of ``queries_col``
+    (array<string>) is matched independently; results come back as
+    ``result_col`` = array<struct> aligned with the query array (null
+    struct fields where an element had no match).
+
+    Plan: posexplode the query array → the scalar ``fuzzy_lookup`` on
+    the exploded rows (one shared index build) → collect_list back per
+    row ordered by element position. Options pass through."""
+    ARR_ID = "_aid_"
+    POS = "_apos_"
+    left_id = left.withColumn(ARR_ID, F.monotonically_increasing_id())
+    exploded = left_id.select(
+        ARR_ID, F.posexplode_outer(queries_col).alias(POS, "_query_")
+    )
+    matched = fuzzy_lookup(exploded, right, "_query_", text_col, **options)
+    right_cols = [c for c in matched.columns if c not in (ARR_ID, POS, "_query_")]
+    grouped = (
+        matched.groupBy(ARR_ID)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(POS), F.struct(*right_cols).alias("_r_"))
+                )
+            ).alias("_rs_")
+        )
+        .select(
+            ARR_ID,
+            F.transform("_rs_", lambda s: s["_r_"]).alias(result_col),
+        )
+    )
+    return left_id.join(grouped, ARR_ID, "left").drop(ARR_ID)

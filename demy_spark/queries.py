@@ -1569,6 +1569,55 @@ def q47_genetic_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q48_simplify_text",
+    """
+    WITH synth AS (
+      SELECT n_nationkey,
+             'L''Hôpital Général d''Été — ' || n_name AS s
+      FROM nation)
+    SELECT n_nationkey,
+           translate(regexp_replace(regexp_replace(lower(s), 'l''', '  ', 'g'),
+                                    'd''', '  ', 'g'),
+                     'àáâãäåæèéêëœìíîïðñòóôõöøùúûüç-''',
+                     'aaaaaaaeeeeeiiiioooooooouuuuc  ') AS simplified
+    FROM synth
+    """,
+)
+def q48_simplify_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simplify_text parity (text/Word.scala:34-55): accent folding +
+    French elision blanking as codegen'd translate/regexp chains,
+    oracle-checked char-for-char against DuckDB's translate."""
+    from demy_spark.functions.text import simplify_text
+
+    t = _t(spark, sf_dir)
+    s = F.concat(F.lit("L'Hôpital Général d'Été — "), F.col("n_name"))
+    return t["nation"].select(
+        "n_nationkey", simplify_text(s).alias("simplified")
+    )
+
+
+@register("q49_sentence_split", None)
+def q49_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence splitting + posexplode (text/SentenceBuilder.scala:
+    23-80): pandas-UDF split preserving every character, exploded to
+    (doc, phrase_id) rows. Rows-only (stateful char scan)."""
+    from demy_spark.functions.text import split_sentences
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].limit(300).select(
+        "doc_id", split_sentences(F.col("text"), 2, 12).alias("sentences")
+    )
+    return (
+        docs.select("doc_id", F.posexplode("sentences").alias("phrase_id", "sentence"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum(F.length("sentence")).alias("total_chars"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

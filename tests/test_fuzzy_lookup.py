@@ -141,3 +141,26 @@ def test_index_reuse(spark, tmp_path):
         left, right, "query", "text", max_lev_distance=0, index=loaded
     )
     assert _lookup_pairs(out) == [("bar", "this is bar")]
+
+
+def test_fuzzy_lookup_array_alignment(spark):
+    from demy_spark.operators.fuzzy_lookup import fuzzy_lookup_array
+
+    right = spark.createDataFrame(
+        [("Illinois", 1), ("Texas", 2), ("Vermont", 3)], ["name", "code"]
+    )
+    left = spark.createDataFrame(
+        [(10, ["illinois", "texas"]), (20, ["vermont", "zzz-no-match"]), (30, [])],
+        ["row_id", "queries"],
+    )
+    out = fuzzy_lookup_array(
+        left, right, "queries", "name", max_lev_distance=0, min_score=0.0
+    )
+    got = {r["row_id"]: r["_results_"] for r in out.collect()}
+    assert [x["name"] for x in got[10]] == ["Illinois", "Texas"]
+    assert got[10][0]["_score_"] > 0
+    v = got[20]
+    assert v[0]["name"] == "Vermont"
+    assert len(v) in (1, 2)  # unmatched element may carry a null struct
+    if len(v) == 2:
+        assert v[1]["name"] is None

@@ -1,0 +1,111 @@
+"""Golden tests for the text-normalization kit (reference semantics:
+Word.scala:34-55, TextTools.scala:10-35, TweetCleaner.scala:28-47,
+SentenceBuilder.scala:23-68) and the GroupBy vector reductions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demy_spark.functions.text import (
+    blank_urls,
+    clean_tweet,
+    double_acronyms,
+    phonetic_simplify,
+    simplify_text,
+    split_sentences,
+    strip_urls,
+    tokenize,
+)
+from demy_spark.operators.groupby import group_by_reduce
+
+
+def _one(spark, text, col_fn):
+    return spark.createDataFrame([(text,)], ["t"]).select(col_fn("t").alias("o")).first()["o"]
+
+
+def test_simplify_text_accents_and_elision(spark):
+    assert _one(spark, "L'Hôpital Général", simplify_text) == "  hopital general"
+    # offsets preserved: elision becomes two spaces, - and ' become spaces
+    assert _one(spark, "d'Île-de-France", simplify_text) == "  ile de france"
+    # translate is a 1:1 char map: ligatures fold to one base letter
+    assert _one(spark, "œuvre cœur æquo", simplify_text) == "euvre ceur aquo"
+
+
+def test_phonetic_simplify_foldings(spark):
+    assert _one(spark, "Quimper", phonetic_simplify) == "cimper"
+    assert _one(spark, "vallée", phonetic_simplify) == "balee"
+    assert _one(spark, "Wassy", phonetic_simplify) == "basy"
+    assert _one(spark, "zigzag", phonetic_simplify) == "sijsaj"
+
+
+def test_strip_and_blank_urls(spark):
+    s = "see https://ex.com/a?b=1 now"
+    assert _one(spark, s, strip_urls) == "see   now"
+    blanked = _one(spark, s, blank_urls)
+    assert len(blanked) == len(s)  # offsets preserved
+    assert blanked.startswith("see ") and blanked.endswith(" now")
+    assert set(blanked[4:-4]) == {" "}
+
+
+def test_clean_tweet(spark):
+    out = _one(
+        spark,
+        "RT @bob: flu season http://t.co/xyz #health :(",
+        lambda c: clean_tweet(c, sentiment_map=[(":(", "sad")]),
+    )
+    toks = out.split()
+    assert "user" in toks and "link" in toks and "sad" in toks
+    assert "RT" not in toks and "@bob:" not in " ".join(toks)
+    assert "health" in toks  # hashtag stripped, word kept
+
+
+def test_tokenize_and_double_acronyms(spark):
+    df = spark.createDataFrame([("Flu in TX, 42 cases!",)], ["t"])
+    toks = df.select(tokenize("t", lowercase=False).alias("o")).first()["o"]
+    assert toks == ["Flu", "in", "TX", "42", "cases"]
+    doubled = df.select(
+        double_acronyms(tokenize("t", lowercase=False)).alias("o")
+    ).first()["o"]
+    assert doubled == ["Flu", "in", "TXTX", "42", "cases"]
+
+
+def test_split_sentences_hard_and_soft_breaks(spark):
+    # soft break fires once more than min_phrase_size words completed
+    text = "first phrase here now. second phrase there\nthird one"
+    parts = _one(spark, text, split_sentences)
+    assert "".join(parts) == text  # every char preserved
+    assert len(parts) == 3
+
+
+def test_group_by_reduce_scalars_and_vectors(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 2.0, [1.0, 5.0]),
+            ("a", 3, 4.0, [2.0, 3.0]),
+            ("b", 7, 1.0, [0.0, 1.0]),
+        ],
+        ["k", "x", "y", "v"],
+    )
+    out = group_by_reduce(
+        df,
+        ["k"],
+        {"x": "max", "y": "sum", "v": "max"},
+        vector_cols=["v"],
+    )
+    got = {r["k"]: r for r in out.collect()}
+    assert got["a"]["x"] == 3 and got["a"]["y"] == 6.0
+    assert got["a"]["v"] == [2.0, 5.0]  # element-wise max
+    assert got["b"]["v"] == [0.0, 1.0]
+
+
+def test_word2vec_fit_roundtrip(spark):
+    from demy_spark.features import fit_word2vec
+
+    docs = spark.createDataFrame(
+        [(["spark", "query", "engine"],), (["spark", "fast", "engine"],)] * 5,
+        ["toks"],
+    )
+    vecs = fit_word2vec(docs, "toks", dim=8, min_count=1)
+    rows = {r["word"]: r["vector"] for r in vecs.collect()}
+    assert set(rows) == {"spark", "query", "engine", "fast"}
+    assert all(len(v) == 8 for v in rows.values())
