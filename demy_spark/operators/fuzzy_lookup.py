@@ -192,13 +192,16 @@ def fuzzy_lookup(
     (reference reuseExistingIndex=true).
     """
     if index is None:
+        # self-built index frames are each consumed 2-4× inside this
+        # plan (scalar stats job, exact + fuzzy candidate joins, doc
+        # stats join) — persist so the right side tokenizes once
         index = FuzzyIndex(
             right,
             text_col,
             token_pattern=token_pattern,
             case_insensitive=case_insensitive,
             boost_acronyms=boost_acronyms,
-        )
+        ).persist()
 
     left_id = left.withColumn(QID, F.monotonically_increasing_id())
 

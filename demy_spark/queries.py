@@ -1618,6 +1618,57 @@ def q49_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q50_fuzzy_typos", None)
+def q50_fuzzy_typos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (Levenshtein) path of the flagship lookup at corpus scale:
+    probes are corrupted two-token phrases (vowels dropped from the
+    leading tokens), matched back against the clean phrase dictionary
+    through SymSpell delete-variant blocking (index/IndexStrategy.scala
+    fuzzy terms; NO exact token needed). Rows-only (BM25-style score)."""
+    from demy_spark.operators.fuzzy_lookup import fuzzy_lookup
+
+    t = _t(spark, sf_dir)
+    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    dictionary = (
+        t["documents"]
+        .where((F.col("doc_id") % 29 == 0) & (F.size(toks) >= 2))
+        .select(
+            F.concat_ws(" ", F.slice(toks, 1, 2)).alias("phrase"),
+            F.col("doc_id").alias("entity_id"),
+        )
+        .groupBy("phrase")
+        .agg(F.min("entity_id").alias("entity_id"))
+    )
+    probes = (
+        t["documents"]
+        .where((F.col("doc_id") % 61 == 0) & (F.size(toks) >= 2))
+        .select(
+            "doc_id",
+            # drop one vowel from each of the first two tokens
+            F.regexp_replace(
+                F.concat_ws(" ", F.slice(toks, 1, 2)), r"([aeiou])", ""
+            ).alias("typo_phrase"),
+        )
+    )
+    out = fuzzy_lookup(
+        probes,
+        dictionary,
+        "typo_phrase",
+        "phrase",
+        max_lev_distance=2,
+        min_score=0.1,
+        top_k=1,
+    )
+    return (
+        out.where(F.col("phrase").isNotNull())
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(F.avg("_score_"), 4).alias("avg_score"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -151,6 +151,39 @@ def seeded_kmeans(
         base.unpersist()
 
 
+def analogy_direction(
+    pairs: DataFrame, a_col: str, b_col: str
+) -> list[float]:
+    """Mean difference vector over analogy pairs (AnalogyNode's
+    averaged-analogy mode, topic/AnalogyNode.scala:107-115): one
+    posexplode + keyed avg; only dim floats reach the driver."""
+    dims = pairs.select(
+        F.posexplode(a_col).alias("_d_", "_a_"),
+        F.col(b_col).alias("_bv_"),
+    ).select("_d_", (F.element_at("_bv_", F.col("_d_") + 1) - F.col("_a_")).alias("_diff_"))
+    rows = dims.groupBy("_d_").agg(F.avg("_diff_").alias("_m_")).orderBy("_d_").collect()
+    return [r["_m_"] for r in rows]
+
+
+def analogy_score(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    direction: list[float],
+    *,
+    out_col: str = "analogy_score",
+) -> DataFrame:
+    """Score how well (x → y) follows the analogy ``direction``:
+    similarityScore = (cos(y−x, direction)+1)/2 ∈ [0,1] (the
+    reference's similarity normalization, linalg/implicits.scala:
+    21-102)."""
+    from demy_spark.functions.vectors import cosine_similarity, vec_minus
+
+    d = F.array(*[F.lit(float(v)) for v in direction])
+    cos = cosine_similarity(vec_minus(F.col(y_col), F.col(x_col)), d)
+    return df.withColumn(out_col, F.round((cos + 1.0) / 2.0, 6))
+
+
 @dataclass
 class TopicNode:
     """Topic-tree node: route by best-cosine child, classify at leaves

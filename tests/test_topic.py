@@ -74,3 +74,29 @@ def test_walk_topic_tree_two_levels(spark):
     assert got[1] == "x-pure"  # 6.3° off pure vs 7.7° off mixed
     assert got[6] == "x-mixed"  # 18.4° off pure vs 4.4° off mixed
     assert got[3] == "y-ish" and got[4] == "y-ish" and got[5] == "y-ish"
+
+
+def test_analogy_direction_and_score(spark):
+    from demy_spark.topic import analogy_direction, analogy_score
+
+    # pairs all share the same offset d = (1, -1, 0)
+    pairs = spark.createDataFrame(
+        [
+            ([0.0, 1.0, 0.0], [1.0, 0.0, 0.0]),
+            ([2.0, 3.0, 1.0], [3.0, 2.0, 1.0]),
+        ],
+        ["a", "b"],
+    )
+    d = analogy_direction(pairs, "a", "b")
+    assert d == [1.0, -1.0, 0.0]
+
+    probes = spark.createDataFrame(
+        [
+            (1, [0.0, 5.0, 0.0], [1.0, 4.0, 0.0]),   # follows the analogy
+            (2, [0.0, 5.0, 0.0], [-1.0, 6.0, 0.0]),  # opposite direction
+        ],
+        ["id", "x", "y"],
+    )
+    out = {r["id"]: r["analogy_score"] for r in analogy_score(probes, "x", "y", d).collect()}
+    assert out[1] == 1.0
+    assert out[2] == 0.0
