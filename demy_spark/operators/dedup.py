@@ -52,7 +52,10 @@ def _shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFram
         "_id_",
         F.when(parts[-1].isNotNull(), F.xxhash64(F.concat_ws(" ", *parts))).alias("_s_"),
     )
-    return sh.where(F.col("_s_").isNotNull()).dropDuplicates(["_id_", "_s_"])
+    # NOT deduped: min-aggregates downstream are duplicate-insensitive,
+    # and set-consumers dedup inside their own agg (collect_set) —
+    # skipping the distinct here removes a blocking aggregation
+    return sh.where(F.col("_s_").isNotNull())
 
 
 def exact_dedup(
@@ -116,7 +119,7 @@ def minhash_lsh_dedup(
     sh_rows = _shingle_rows(df, text_col, id_col, shingle_k).persist()
     # shingle sets per doc, for exact-jaccard verification of candidates
     # (groupBy reuses sh_rows' partitioning — no extra shuffle)
-    base = sh_rows.groupBy("_id_").agg(F.collect_list("_s_").alias("_sh_"))
+    base = sh_rows.groupBy("_id_").agg(F.collect_set("_s_").alias("_sh_"))
 
     # Kirsch-Mitzenmacher double hashing: two real hashes per shingle,
     # the num_hashes family derived as h1 + (2i+1)*h2. Cuts per-row agg
@@ -302,7 +305,7 @@ def ngram_jaccard_pairs(
     base = (
         _shingle_rows(df, text_col, id_col, shingle_k)
         .groupBy("_id_")
-        .agg(F.collect_list("_s_").alias("_sh_"), F.min("_s_").alias("_block_"))
+        .agg(F.collect_set("_s_").alias("_sh_"), F.min("_s_").alias("_block_"))
     )
     a, b = base.alias("a"), base.alias("b")
     inter = F.size(F.array_intersect("a._sh_", "b._sh_")).cast("double")
