@@ -2,8 +2,10 @@
 
 ``entry(spark)`` runs the flagship star-join query at sf0.001;
 ``queries()``/``oracle_sql()`` expose the full operator inventory from
-demy_spark.queries (each Spark plan paired with a DuckDB oracle where
-SQL-expressible; custom operators fall back to rows-only checks).
+demy_spark.queries — 50 queries, 36 DuckDB-oracle-backed; custom
+operators (fuzzy lookup scoring, LSH dedup, iterative fits, pandas-UDF
+decodes) fall back to rows-only checks. COVERAGE.md maps each SURVEY §2
+inventory row to its query and test.
 """
 
 from __future__ import annotations

@@ -74,6 +74,41 @@ def hourly_event_aggregate(
     )
 
 
+def capture_to_partitioned_parquet(
+    events: DataFrame,
+    path: str,
+    *,
+    checkpoint_dir: str,
+    partition_granularity: str = "hour",
+    trigger_seconds: int | None = None,
+):
+    """Streaming capture sink: events land as parquet partitioned by
+    (date, hour) — the reference's hourly-gzip-file capture loop
+    (twitter/Execute.scala:58-98) as an exactly-once Structured
+    Streaming sink. Returns the started StreamingQuery.
+
+    Scale notes: partitioning by coarse time buckets keeps file counts
+    bounded and makes downstream scans partition-prunable on date/hour;
+    the checkpoint dir gives restart-without-duplication (the reference's
+    ring buffer loses its buffer on crash)."""
+    cols = [F.to_date("ts").alias("_date_")]
+    if partition_granularity == "hour":
+        cols.append(F.hour("ts").alias("_hour_"))
+    out = events.select("*", *cols)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy(*[c for c in ("_date_", "_hour_")[: len(cols)]])
+        .outputMode("append")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_stream_to_memory(
     agg: DataFrame, name: str = "stream_out", output_mode: str = "append"
 ) -> DataFrame:

@@ -62,3 +62,34 @@ def test_sessionize_stream_closes_on_gap(spark, tmp_path):
     assert r["total_value"] == 3.0
     assert r["session_start"] == t0
     assert r["session_end"] == at(5)
+
+
+def test_capture_to_partitioned_parquet(spark, tmp_path):
+    import os
+
+    from demy_spark.streaming.windows import capture_to_partitioned_parquet
+
+    t0 = datetime.datetime(2026, 1, 2, 9, 30, 0)
+    rows = [
+        (1, t0, 1.0),
+        (2, t0 + datetime.timedelta(hours=1), 2.0),
+        (3, t0 + datetime.timedelta(hours=1, minutes=5), 3.0),
+    ]
+    src = os.path.join(str(tmp_path), "in")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(src)
+
+    out = os.path.join(str(tmp_path), "capture")
+    q = capture_to_partitioned_parquet(
+        spark.readStream.schema(SCHEMA).parquet(src),
+        out,
+        checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+    )
+    q.awaitTermination(60)  # availableNow trigger stops by itself
+
+    hours = sorted(
+        d for d in os.listdir(os.path.join(out, "_date_=2026-01-02")) if d.startswith("_hour_=")
+    )
+    assert hours == ["_hour_=10", "_hour_=9"] or hours == ["_hour_=9", "_hour_=10"]
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert back.where("_hour_ = 10").count() == 2
