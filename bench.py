@@ -3,8 +3,11 @@
 JSON line with per-query wall seconds.
 
 Each query is forced end-to-end with a noop-format write (full plan
-execution, no driver-side collect overhead). One warm-up run of the
-smallest query amortizes JVM/codegen start-up out of the numbers.
+execution, no driver-side collect overhead). A full warm-up pass over
+every headline query amortizes JVM start-up, codegen compilation and
+parquet footer caching out of the numbers — the reported figures are
+steady-state wall times (each query still recomputes its whole plan;
+nothing result-level is cached between passes).
 """
 
 from __future__ import annotations
@@ -30,8 +33,9 @@ def main() -> None:
     spark = get_spark("demy_spark_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
     names = sorted(_q.headline_queries())
-    # warm-up: JVM + codegen + parquet footer caches
-    force(_q.REGISTRY[names[0]].fn(spark, sf_dir))
+    # warm-up pass: JVM + codegen + parquet footer caches
+    for name in names:
+        force(_q.REGISTRY[name].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:

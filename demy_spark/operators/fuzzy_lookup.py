@@ -187,6 +187,9 @@ def fuzzy_lookup(
     ``n_ngrams`` query tokens score independently and the best
     (window, doc) pair wins (NgramStrategy); ``_startIndex_/_endIndex_``
     are the winning window's token bounds and ``_tags_`` its tokens.
+    strategy="predict": only the ``n_ngrams``-token window centered on
+    the term-weight peak scores (PredictStrategy, argmax-peak
+    simplification; pair with ``term_weights_col``).
 
     Pass a prebuilt ``index`` to reuse a materialized FuzzyIndex
     (reference reuseExistingIndex=true).
@@ -315,7 +318,37 @@ def fuzzy_lookup(
         .agg(F.max("_c_").alias("_c_"))
     )
 
-    if strategy == "ngram":
+    if strategy == "predict":
+        # PredictStrategy (index/PredictStrategy.scala:31-105): probe a
+        # window of n_ngrams tokens centered on the query's term-weight
+        # peak (weights ≥ 0.75 of the max) — contributions outside the
+        # window are discarded before scoring. Peak location is a
+        # per-query window agg over the token weights; no extra shuffle
+        # (same QID partitioning as the score agg).
+        peaks = (
+            qtoks.groupBy(QID)
+            .agg(
+                F.max(F.struct(F.col("_w_"), (-F.col("_pos_")).alias("_np_"))).alias("_m_")
+            )
+            .select(QID, (-F.col("_m_._np_")).alias("_peak_"))
+        )
+        half = n_ngrams // 2
+        contrib = (
+            contrib.join(peaks, QID)
+            .where(
+                (F.col("_pos_") >= F.col("_peak_") - half)
+                & (F.col("_pos_") <= F.col("_peak_") + half)
+            )
+        )
+        scored = (
+            contrib.groupBy(QID, RID)
+            .agg(
+                F.sum("_c_").alias("_score_"),
+                F.greatest(F.min("_peak_") - half, F.lit(0)).alias("_startIndex_"),
+            )
+            .withColumn("_endIndex_", (F.col("_startIndex_") + n_ngrams).cast("int"))
+        )
+    elif strategy == "ngram":
         n = n_ngrams
         # token at _pos_ belongs to windows [max(0,pos-n+1) .. pos]
         per_window = (

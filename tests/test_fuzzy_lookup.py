@@ -164,3 +164,39 @@ def test_fuzzy_lookup_array_alignment(spark):
     assert len(v) in (1, 2)  # unmatched element may carry a null struct
     if len(v) == 2:
         assert v[1]["name"] is None
+
+
+def test_predict_strategy_scores_only_weight_peak_window(spark):
+    from demy_spark.operators.fuzzy_lookup import fuzzy_lookup
+
+    right = spark.createDataFrame(
+        [("springfield", 1), ("noise ridge", 2)], ["name", "code"]
+    )
+    # peak weight sits on 'springfield' (pos 3); 'noise ridge' tokens
+    # appear OUTSIDE the 3-token window around the peak, so doc 2 must
+    # not outscore doc 1 even though its tokens match twice
+    left = spark.createDataFrame(
+        [
+            (
+                10,
+                "noise ridge near springfield today noise ridge",
+                [0.1, 0.1, 0.2, 1.0, 0.2, 0.1, 0.1],
+            )
+        ],
+        ["row_id", "q", "w"],
+    )
+    out = fuzzy_lookup(
+        left,
+        right,
+        "q",
+        "name",
+        max_lev_distance=0,
+        strategy="predict",
+        n_ngrams=3,
+        term_weights_col="w",
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["name"] == "springfield"
+    assert (r["_startIndex_"], r["_endIndex_"]) == (2, 5)
+    assert r["_tags_"] == ["near", "springfield", "today"]
