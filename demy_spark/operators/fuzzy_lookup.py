@@ -174,6 +174,7 @@ def fuzzy_lookup(
     n_ngrams: int = 3,
     top_k: int = 1,
     max_df: int | None = None,
+    tie_break_cols: Sequence[str] = (),
     index: FuzzyIndex | None = None,
 ) -> DataFrame:
     """Best fuzzy text match from ``right`` for each row of ``left``.
@@ -193,6 +194,13 @@ def fuzzy_lookup(
 
     Pass a prebuilt ``index`` to reuse a materialized FuzzyIndex
     (reference reuseExistingIndex=true).
+
+    ``tie_break_cols``: right-table columns that order equal-score
+    candidates (ascending) before the internal row id. Score ties are
+    otherwise broken by ingestion order (the reference keeps whichever
+    index partition answered first, index/implicits.scala:347-358);
+    naming a unique right-side key makes the result fully deterministic
+    and therefore oracle-comparable.
     """
     if index is None:
         # self-built index frames are each consumed 2-4× inside this
@@ -391,11 +399,21 @@ def fuzzy_lookup(
             .drop("_popval_")
         )
 
-    w = Window.partitionBy(QID).orderBy(F.col("_score_").desc(), F.col(RID))
+    order = [F.col("_score_").desc()]
+    tb_names: list[str] = []
+    if tie_break_cols:
+        tb_names = [f"_tb{i}_" for i in range(len(tie_break_cols))]
+        tb = index.right.select(
+            RID, *[F.col(c).alias(a) for c, a in zip(tie_break_cols, tb_names)]
+        )
+        scored = scored.join(tb, RID)
+        order += [F.col(a).asc() for a in tb_names]
+    order.append(F.col(RID))
+    w = Window.partitionBy(QID).orderBy(*order)
     best = (
         scored.withColumn("_rk_", F.row_number().over(w))
         .where((F.col("_rk_") <= top_k) & (F.col("_score_") >= F.lit(min_score)))
-        .drop("_rk_")
+        .drop("_rk_", *tb_names)
     )
 
     # --- reassemble -----------------------------------------------------

@@ -858,14 +858,46 @@ def q27_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(t["documents"], "text", "doc_id", max_hamming=6)
 
 
-@register("q28_embedding_dedup", None)
+@register(
+    "q28_embedding_dedup",
+    """
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id % 5 = 0
+    )
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 2) + 0.0 AS cosine
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) >= 0.9
+    """,
+)
 def q28_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding cosine near-dup pairs via hyperplane-LSH blocking."""
+    """Embedding cosine near-dup pairs via hyperplane-LSH blocking.
+
+    The fixture's embeddings are mutually far apart (max pairwise cosine
+    ~0.51), so the corpus is seeded with exact duplicates of every 5th
+    vector under shifted ids — the dedup shape of a re-crawled corpus.
+    Identical vectors hash to identical LSH buckets, so the blocked plan
+    provably finds every pair the brute-force oracle finds (no LSH
+    false-negative at the 0.9 threshold given the 0.51 background)."""
     from demy_spark.operators.dedup import embedding_cosine_pairs
 
     t = _t(spark, sf_dir)
-    return embedding_cosine_pairs(
-        t["embeddings"], "embedding", "vec_id", threshold=0.9, num_planes=8
+    emb = t["embeddings"].select("vec_id", "embedding")
+    dup = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    pairs = embedding_cosine_pairs(
+        emb.unionByName(dup), "embedding", "vec_id", threshold=0.9, num_planes=8
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        (F.round(F.col("cosine").cast("double"), 2) + F.lit(0.0)).alias("cosine"),
     )
 
 
@@ -1618,13 +1650,84 @@ def q49_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q50_fuzzy_typos", None)
+@register(
+    "q50_fuzzy_typos",
+    """
+    WITH dtoks AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    dict AS (
+        SELECT array_to_string(toks[1:2], ' ') AS phrase, min(doc_id) AS entity_id
+        FROM dtoks WHERE doc_id % 29 = 0 AND len(toks) >= 2
+        GROUP BY 1
+    ),
+    probes AS (
+        SELECT doc_id,
+               regexp_replace(array_to_string(toks[1:2], ' '),
+                              '([aeiou])', '', 'g') AS typo_phrase
+        FROM dtoks WHERE doc_id % 61 = 0 AND len(toks) >= 2
+    ),
+    postings AS (
+        SELECT phrase, entity_id, tok, count(*) AS tf
+        FROM (SELECT phrase, entity_id,
+                     unnest(string_split(phrase, ' ')) AS tok FROM dict)
+        GROUP BY 1, 2, 3
+    ),
+    dls AS (SELECT phrase, len(string_split(phrase, ' ')) AS dl FROM dict),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls),
+    dfs AS (SELECT tok, count(DISTINCT phrase) AS df FROM postings GROUP BY 1),
+    qtoks AS (
+        SELECT doc_id, typo_phrase, tok, count(*) AS qn
+        FROM (SELECT doc_id, typo_phrase,
+                     unnest(list_filter(string_split(typo_phrase, ' '),
+                                        x -> x <> '')) AS tok
+              FROM probes)
+        GROUP BY 1, 2, 3
+    ),
+    cand AS (
+        SELECT q.doc_id, q.typo_phrase, q.tok, q.qn, p.phrase, p.entity_id,
+               CASE WHEN q.tok = p.tok THEN 4.0
+                    ELSE 1.0 - levenshtein(q.tok, p.tok) / length(q.tok) END
+               * ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS c
+        FROM qtoks q
+        JOIN postings p
+          ON q.tok = p.tok
+          OR (length(q.tok) > 2 AND q.tok <> p.tok
+              AND levenshtein(q.tok, p.tok) <= 2)
+        JOIN dfs f ON p.tok = f.tok
+        JOIN dls l ON p.phrase = l.phrase
+        CROSS JOIN stats s
+    ),
+    best_c AS (
+        SELECT doc_id, typo_phrase, tok, qn, phrase, entity_id, max(c) AS mc
+        FROM cand GROUP BY 1, 2, 3, 4, 5, 6
+    ),
+    scored AS (
+        SELECT doc_id, typo_phrase, phrase, entity_id, sum(qn * mc) AS score
+        FROM best_c GROUP BY 1, 2, 3, 4
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, entity_id) AS rk
+        FROM scored WHERE score >= 0.1
+    )
+    SELECT doc_id, typo_phrase, phrase, entity_id,
+           round(score, 2) + 0.0 AS score
+    FROM ranked WHERE rk = 1
+    """,
+)
 def q50_fuzzy_typos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy (Levenshtein) path of the flagship lookup at corpus scale:
     probes are corrupted two-token phrases (vowels dropped from the
     leading tokens), matched back against the clean phrase dictionary
     through SymSpell delete-variant blocking (index/IndexStrategy.scala
-    fuzzy terms; NO exact token needed). Rows-only (BM25-style score)."""
+    fuzzy terms; NO exact token needed). Oracle = brute-force
+    Levenshtein join computing the same documented BM25-style score;
+    `tie_break_cols` makes the top-1 deterministic on both sides."""
     from demy_spark.operators.fuzzy_lookup import fuzzy_lookup
 
     t = _t(spark, sf_dir)
@@ -1644,7 +1747,7 @@ def q50_fuzzy_typos(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("doc_id") % 61 == 0) & (F.size(toks) >= 2))
         .select(
             "doc_id",
-            # drop one vowel from each of the first two tokens
+            # drop every vowel from the two-token probe phrase
             F.regexp_replace(
                 F.concat_ws(" ", F.slice(toks, 1, 2)), r"([aeiou])", ""
             ).alias("typo_phrase"),
@@ -1658,14 +1761,104 @@ def q50_fuzzy_typos(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_lev_distance=2,
         min_score=0.1,
         top_k=1,
+        tie_break_cols=("entity_id",),
     )
-    return (
-        out.where(F.col("phrase").isNotNull())
-        .groupBy()
-        .agg(
-            F.count(F.lit(1)).alias("n_matched"),
-            F.round(F.avg("_score_"), 4).alias("avg_score"),
+    return out.where(F.col("phrase").isNotNull()).select(
+        "doc_id",
+        "typo_phrase",
+        "phrase",
+        "entity_id",
+        (F.round(F.col("_score_").cast("double"), 2) + F.lit(0.0)).alias("score"),
+    )
+
+
+@register(
+    "q51_fuzzy_standard",
+    """
+    WITH dtoks AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    dict AS (
+        SELECT array_to_string(toks[1:3], ' ') AS phrase, min(doc_id) AS entity_id
+        FROM dtoks WHERE doc_id % 97 = 0 AND len(toks) >= 3
+        GROUP BY 1
+    ),
+    postings AS (
+        SELECT phrase, entity_id, tok, count(*) AS tf
+        FROM (SELECT phrase, entity_id,
+                     unnest(string_split(phrase, ' ')) AS tok FROM dict)
+        GROUP BY 1, 2, 3
+    ),
+    dls AS (SELECT phrase, len(string_split(phrase, ' ')) AS dl FROM dict),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls),
+    dfs AS (SELECT tok, count(DISTINCT phrase) AS df FROM postings GROUP BY 1),
+    qtoks AS (
+        SELECT doc_id, tok, count(*) AS qn
+        FROM (SELECT doc_id, unnest(toks) AS tok
+              FROM dtoks WHERE doc_id % 10 = 0)
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT q.doc_id, p.phrase, p.entity_id,
+               sum(q.qn * 4.0
+                   * ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * (p.tf * 2.2)
+                   / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+        FROM qtoks q
+        JOIN postings p ON q.tok = p.tok
+        JOIN dfs f ON p.tok = f.tok
+        JOIN dls l ON p.phrase = l.phrase
+        CROSS JOIN stats s
+        GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, entity_id) AS rk
+        FROM scored WHERE score >= 1.0
+    )
+    SELECT doc_id, phrase, entity_id, round(score, 2) + 0.0 AS score
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q51_fuzzy_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StandardStrategy path of the flagship lookup
+    (index/IndexStrategy.scala:69-126): the whole document is one bag
+    of terms probed against a 3-token phrase dictionary; top-1 by the
+    documented BM25-style score. The DuckDB oracle recomputes the exact
+    score (idf, length-normalized tf, exact boost) from first
+    principles — value-level parity, not just ranking parity."""
+    from demy_spark.operators.fuzzy_lookup import fuzzy_lookup
+
+    t = _t(spark, sf_dir)
+    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    dictionary = (
+        t["documents"]
+        .where((F.col("doc_id") % 97 == 0) & (F.size(toks) >= 3))
+        .select(
+            F.concat_ws(" ", F.slice(toks, 1, 3)).alias("phrase"),
+            F.col("doc_id").alias("entity_id"),
         )
+        .groupBy("phrase")
+        .agg(F.min("entity_id").alias("entity_id"))
+    )
+    probes = t["documents"].where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    out = fuzzy_lookup(
+        probes,
+        dictionary,
+        "text",
+        "phrase",
+        max_lev_distance=0,
+        min_score=1.0,
+        top_k=1,
+        tie_break_cols=("entity_id",),
+    )
+    return out.where(F.col("phrase").isNotNull()).select(
+        "doc_id",
+        "phrase",
+        "entity_id",
+        (F.round(F.col("_score_").cast("double"), 2) + F.lit(0.0)).alias("score"),
     )
 
 

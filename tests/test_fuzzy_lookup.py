@@ -200,3 +200,20 @@ def test_predict_strategy_scores_only_weight_peak_window(spark):
     assert r["name"] == "springfield"
     assert (r["_startIndex_"], r["_endIndex_"]) == (2, 5)
     assert r["_tags_"] == ["near", "springfield", "today"]
+
+
+def test_tie_break_cols_deterministic(spark):
+    from demy_spark.operators.fuzzy_lookup import fuzzy_lookup
+
+    # two right rows with identical text → identical score; the named
+    # tie-break column must decide the winner deterministically
+    right = spark.createDataFrame(
+        [("springfield", 9), ("springfield", 3), ("shelbyville", 1)],
+        ["name", "code"],
+    )
+    left = spark.createDataFrame([(1, "springfield")], ["row_id", "q"])
+    out = fuzzy_lookup(
+        left, right, "q", "name", max_lev_distance=0, tie_break_cols=("code",)
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["code"] == 3
