@@ -19,7 +19,7 @@ exploded tokens + a keyed count — no driver-side loops over data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -123,4 +123,87 @@ def cooccurring_tokens(
         counts.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= top_k)
         .select("entity", F.col("_tok_").alias("candidate"), "n_docs", "rk")
+    )
+
+
+def score_word_categories(
+    docs: DataFrame,
+    text_col: str,
+    group_col: str,
+    tag_col: str,
+    *,
+    top_k: int = 10,
+    exclude_tokens: list[str] | None = None,
+) -> DataFrame:
+    """Propose the tokens most characteristic of each (group, tag)
+    category — the synonym-proposal scorer.
+
+    Parity: ``WordCategoryScorer`` (text/WordCategoryScorer.scala:
+    14-131): per tag, token score = tf · idf where idf is computed over
+    the group's TAGS (ln(n_tags / n_tags_containing_token)), normalized
+    to the token's share of the tag's total tf·idf mass; a token is
+    then kept only in its single best-scoring tag of the group (the
+    reference's cross-tag elimination drops a token wherever another
+    tag scores ≥ it — exact ties eliminate the token everywhere); the
+    top ``top_k`` survivors per tag are the proposals. The reference
+    additionally weights scores by cosine(token vector, tag centroid −
+    token) when embeddings are present; compose the returned tokens
+    with ``features.apply_embeddings`` for that variant.
+
+    Everything is hash-agg + window — two shuffles (token grain, then
+    tag grain), no driver-side state; ``exclude_tokens`` plays the role
+    of the reference's already-matched entity spans.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("_grp_"),
+        F.col(tag_col).alias("_tag_"),
+        F.explode(
+            F.array_remove(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), "")
+        ).alias("_tok_"),
+    )
+    if exclude_tokens:
+        toks = toks.where(~F.col("_tok_").isin(list(exclude_tokens)))
+    tf = toks.groupBy("_grp_", "_tag_", "_tok_").agg(F.count("*").alias("_tf_"))
+    n_tags = (
+        toks.select("_grp_", "_tag_")
+        .distinct()
+        .groupBy("_grp_")
+        .agg(F.count("*").alias("_ntags_"))
+    )
+    dfs = tf.groupBy("_grp_", "_tok_").agg(F.count("*").alias("_df_"))
+    scored = (
+        tf.join(dfs, ["_grp_", "_tok_"])
+        .join(n_tags, "_grp_")
+        .withColumn("_tfidf_", F.col("_tf_") * F.log(F.col("_ntags_") / F.col("_df_")))
+        .withColumn("_tot_", F.sum("_tfidf_").over(Window.partitionBy("_grp_", "_tag_")))
+        # a group whose tags share every token (e.g. a single-tag group)
+        # has zero tf·idf mass — no discriminative tokens to propose
+        # (null share drops out below; ANSI-safe division)
+        .withColumn(
+            "_share_",
+            F.when(F.col("_tot_") != 0.0, F.col("_tfidf_") / F.col("_tot_")),
+        )
+    )
+    wtok = Window.partitionBy("_grp_", "_tok_")
+    survivors = (
+        scored.withColumn("_mx_", F.max("_share_").over(wtok))
+        .withColumn(
+            "_nmx_",
+            F.sum(F.when(F.col("_share_") == F.col("_mx_"), 1).otherwise(0)).over(wtok),
+        )
+        .where((F.col("_share_") == F.col("_mx_")) & (F.col("_nmx_") == 1))
+    )
+    wrank = Window.partitionBy("_grp_", "_tag_").orderBy(
+        F.desc("_share_"), F.asc("_tok_")
+    )
+    return (
+        survivors.withColumn("rk", F.row_number().over(wrank))
+        .where(F.col("rk") <= top_k)
+        .select(
+            F.col("_grp_").alias(group_col),
+            F.col("_tag_").alias(tag_col),
+            F.col("_tok_").alias("token"),
+            F.col("_share_").alias("share"),
+            "rk",
+        )
     )

@@ -752,14 +752,80 @@ def q23_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q24_fuzzy_lookup",
-    None,  # BM25-style scoring is not reasonably ANSI-SQL-expressible → rows-only
+    """
+    WITH dtoks AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    dict AS (
+        SELECT array_to_string(toks[1:3], ' ') AS phrase, min(doc_id) AS entity_id
+        FROM dtoks WHERE doc_id % 97 = 0 AND len(toks) >= 3
+        GROUP BY 1
+    ),
+    postings AS (
+        SELECT phrase, entity_id, tok, count(*) AS tf
+        FROM (SELECT phrase, entity_id,
+                     unnest(string_split(phrase, ' ')) AS tok FROM dict)
+        GROUP BY 1, 2, 3
+    ),
+    dls AS (SELECT phrase, len(string_split(phrase, ' ')) AS dl FROM dict),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls),
+    dfs AS (SELECT tok, count(DISTINCT phrase) AS df FROM postings GROUP BY 1),
+    qtok AS (
+        SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+               unnest(toks) AS tok
+        FROM dtoks WHERE doc_id % 10 = 0
+    ),
+    contrib AS (
+        SELECT q.doc_id, q.pos, p.phrase, p.entity_id,
+               4.0 * ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * (p.tf * 2.2)
+                   / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS c
+        FROM qtok q
+        JOIN postings p ON q.tok = p.tok
+        JOIN dfs f ON p.tok = f.tok
+        JOIN dls l ON p.phrase = l.phrase
+        CROSS JOIN stats s
+    ),
+    wins AS (
+        SELECT doc_id, phrase, entity_id,
+               unnest(generate_series(greatest(pos - 2, 0), pos)) AS win, c
+        FROM contrib
+    ),
+    win_scores AS (
+        SELECT doc_id, phrase, entity_id, win, sum(c) AS s
+        FROM wins GROUP BY 1, 2, 3, 4
+    ),
+    best_win AS (
+        SELECT doc_id, phrase, entity_id, win, s,
+               row_number() OVER (PARTITION BY doc_id, phrase
+                                  ORDER BY s DESC, win ASC) AS rk
+        FROM win_scores
+    ),
+    ranked AS (
+        SELECT doc_id, phrase, entity_id, win, s,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY s DESC, entity_id ASC) AS rk2
+        FROM best_win WHERE rk = 1 AND s >= 1.0
+    )
+    SELECT r.doc_id, r.phrase, r.entity_id,
+           array_to_string(d.toks[r.win + 1 : least(r.win + 3, len(d.toks))],
+                           ' ') AS matched_tokens,
+           r.win::INTEGER AS start_index,
+           least(r.win + 3, len(d.toks))::INTEGER AS end_index
+    FROM ranked r JOIN dtoks d ON r.doc_id = d.doc_id
+    WHERE r.rk2 = 1
+    """,
     headline=True,
 )
 def q24_fuzzy_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship fuzzy text lookup join: documents probed against a
     derived phrase dictionary (entity-linking shape). Golden-ranking
     parity with the reference's luceneLookup lives in
-    tests/test_fuzzy_lookup.py."""
+    tests/test_fuzzy_lookup.py; the DuckDB oracle recomputes the ngram
+    sliding-window score (best 3-token window per candidate, earliest
+    window on ties) from first principles."""
     from demy_spark.operators.fuzzy_lookup import fuzzy_lookup
 
     t = _t(spark, sf_dir)
@@ -784,12 +850,13 @@ def q24_fuzzy_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         strategy="ngram",
         n_ngrams=3,
         min_score=1.0,
+        tie_break_cols=("entity_id",),
     )
-    return out.select(
+    return out.where(F.col("phrase").isNotNull()).select(
         "doc_id",
         "phrase",
         "entity_id",
-        F.col("_tags_").alias("matched_tokens"),
+        F.concat_ws(" ", F.col("_tags_")).alias("matched_tokens"),
         F.col("_startIndex_").alias("start_index"),
         F.col("_endIndex_").alias("end_index"),
     )
@@ -1859,6 +1926,72 @@ def q51_fuzzy_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phrase",
         "entity_id",
         (F.round(F.col("_score_").cast("double"), 2) + F.lit(0.0)).alias("score"),
+    )
+
+
+@register(
+    "q52_word_categories",
+    """
+    WITH toks AS (
+        SELECT lang, source,
+               unnest(list_filter(string_split(trim(lower(text)), ' '),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT lang, source, tok, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+    ntags AS (SELECT lang, count(DISTINCT source) AS n_tags FROM toks GROUP BY 1),
+    dfs AS (SELECT lang, tok, count(*) AS df FROM tf GROUP BY 1, 2),
+    shared AS (
+        SELECT lang, source, tok,
+               CASE WHEN tot <> 0 THEN tfidf / tot END AS share
+        FROM (
+            SELECT t.lang, t.source, t.tok,
+                   t.tf * ln(n.n_tags / d.df) AS tfidf,
+                   sum(t.tf * ln(n.n_tags / d.df))
+                     OVER (PARTITION BY t.lang, t.source) AS tot
+            FROM tf t
+            JOIN dfs d ON t.lang = d.lang AND t.tok = d.tok
+            JOIN ntags n ON t.lang = n.lang
+        )
+    ),
+    flagged AS (
+        SELECT *,
+               max(share) OVER (PARTITION BY lang, tok) AS mx,
+               count(*) OVER (PARTITION BY lang, tok) AS n_tags_with
+        FROM shared
+    ),
+    survivors AS (
+        SELECT lang, source, tok, share
+        FROM flagged f
+        WHERE share = mx
+          AND 1 = (SELECT count(*) FROM flagged g
+                   WHERE g.lang = f.lang AND g.tok = f.tok AND g.share = g.mx)
+    ),
+    ranked AS (
+        SELECT lang, source, tok AS token, share,
+               row_number() OVER (PARTITION BY lang, source
+                                  ORDER BY share DESC, tok ASC) AS rk
+        FROM survivors
+    )
+    SELECT lang, source, token, round(share, 4) + 0.0 AS share, rk::INTEGER AS rk
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def q52_word_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCategoryScorer parity (text/WordCategoryScorer.scala:14-131):
+    the 10 tokens most characteristic of each document source within a
+    language — per-tag tf·idf share with cross-tag elimination (a token
+    proposed for at most one source; exact score ties eliminate it)."""
+    from demy_spark.entity import score_word_categories
+
+    t = _t(spark, sf_dir)
+    out = score_word_categories(t["documents"], "text", "lang", "source", top_k=10)
+    return out.select(
+        "lang",
+        "source",
+        "token",
+        (F.round(F.col("share"), 4) + F.lit(0.0)).alias("share"),
+        F.col("rk").cast("int").alias("rk"),
     )
 
 
