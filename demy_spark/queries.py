@@ -1696,15 +1696,41 @@ def q48_simplify_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q49_sentence_split", None)
+@register(
+    "q49_sentence_split",
+    """
+    WITH d AS (
+        SELECT doc_id, length(text) AS total_chars,
+               len(list_filter(string_split(trim(lower(text)), ' '),
+                               x -> x <> '')) AS n
+        FROM documents
+    ),
+    m AS (SELECT doc_id, total_chars, n,
+                 cast(ceil(n / 14.0) AS BIGINT) AS chunks
+          FROM d)
+    SELECT doc_id,
+           (CASE WHEN chunks > 1 AND n - 14 * (chunks - 1) < 2
+                 THEN chunks - 1 ELSE chunks END) AS n_sentences,
+           total_chars::BIGINT AS total_chars
+    FROM m
+    """,
+)
 def q49_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence splitting + posexplode (text/SentenceBuilder.scala:
-    23-80): pandas-UDF split preserving every character, exploded to
-    (doc, phrase_id) rows. Rows-only (stateful char scan)."""
+    23-80): pandas-UDF stateful char scan preserving every character,
+    exploded to (doc, phrase_id) rows and re-aggregated per doc.
+
+    The oracle exploits that the fixture text is punctuation-free
+    single-spaced words, where the splitter's semantics reduce to a
+    closed form: run-on breaks every max_phrase_size+2 = 14 words, and
+    a trailing chunk under min_phrase_size words merges backwards
+    (validated against the Python splitter for 1..60 words; the
+    general char-scan paths — hard/soft breaks, pronoun starts — are
+    golden-tested in tests/test_text_functions.py)."""
     from demy_spark.functions.text import split_sentences
 
     t = _t(spark, sf_dir)
-    docs = t["documents"].limit(300).select(
+    docs = t["documents"].select(
         "doc_id", split_sentences(F.col("text"), 2, 12).alias("sentences")
     )
     return (
