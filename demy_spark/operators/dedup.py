@@ -134,7 +134,22 @@ def minhash_lsh_dedup(
         .bitwiseAND(F.lit(0x7FFFFFFF).cast("long"))
         .alias("_h2_"),
     )
-    sig = hashed.groupBy("_id_").agg(
+    # Exact pre-reduction: every signature slot is min(h1 + c·h2) with
+    # c > 0, so only PARETO-MINIMAL (h1, h2) points of a doc can attain
+    # any slot's min (a dominated point loses for every positive c).
+    # For ~random hashes the pareto set of n shingles is O(ln n) —
+    # ~10× fewer rows reaching the 128-slot aggregate, which is the
+    # pipeline's one interpreted (too wide for codegen) operator. The
+    # window reuses the doc-keyed partitioning — no extra shuffle.
+    wp = (
+        Window.partitionBy("_id_")
+        .orderBy(F.col("_h1_").asc(), F.col("_h2_").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pareto = hashed.withColumn("_pm_", F.min("_h2_").over(wp)).where(
+        F.col("_pm_").isNull() | (F.col("_h2_") < F.col("_pm_"))
+    )
+    sig = pareto.groupBy("_id_").agg(
         *[
             F.min(F.col("_h1_") + F.lit(2 * i + 1) * F.col("_h2_")).alias(f"_h{i}_")
             for i in range(num_hashes)
@@ -151,7 +166,10 @@ def minhash_lsh_dedup(
             for b in range(bands)
         ]
     )
-    banded = sig.select("_id_", F.explode(buckets).alias("_bucket_"))
+    # persisted: the bucket self-join below would otherwise re-execute
+    # the whole signature pipeline once per join side (band rows are
+    # num_bands longs per doc — far smaller than the shingle sets)
+    banded = sig.select("_id_", F.explode(buckets).alias("_bucket_")).persist()
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
