@@ -249,11 +249,18 @@ def fuzzy_lookup(
         token_stats = token_stats.where(F.col("_df_") <= max_df)
         postings = postings.join(token_stats.select("_tok_"), "_tok_", "left_semi")
 
-    # corpus scalars (tiny agg job); folded into the idf expression
-    n_docs, avgdl = index.doc_stats.agg(F.count("*"), F.avg("_dl_")).first()
-    avgdl = float(avgdl or 1.0)
+    # corpus scalars folded into the plan as a broadcast 1-row frame —
+    # no blocking driver job at plan-build time (the lookup stays fully
+    # lazy), and the idf/tfn expressions read them as columns
+    stats = F.broadcast(
+        index.doc_stats.agg(
+            F.count("*").cast("double").alias("_ndocs_"),
+            F.coalesce(F.avg("_dl_"), F.lit(1.0)).alias("_avgdl_"),
+        )
+    )
+    token_stats = token_stats.crossJoin(stats)
     idf = F.log(
-        1.0 + (F.lit(float(n_docs)) - F.col("_df_") + 0.5) / (F.col("_df_") + 0.5)
+        1.0 + (F.col("_ndocs_") - F.col("_df_") + 0.5) / (F.col("_df_") + 0.5)
     )
 
     # --- candidates: exact token equi-join ----------------------------
@@ -266,6 +273,7 @@ def fuzzy_lookup(
             RID,
             "_tf_",
             "_w_",
+            "_avgdl_",
             idf.alias("_idf_"),
             F.when(
                 F.col("_is_acro_") & F.lit(max_lev_distance > 0), ACRONYM_BOOST
@@ -284,12 +292,16 @@ def fuzzy_lookup(
             "_qtok_", F.explode(_delete_variants(F.col("_qtok_"), d)).alias("_var_")
         )
         r_vars = token_stats.select(
-            "_tok_", "_df_", F.explode(_delete_variants(F.col("_tok_"), d)).alias("_var_")
+            "_tok_",
+            "_df_",
+            "_ndocs_",
+            "_avgdl_",
+            F.explode(_delete_variants(F.col("_tok_"), d)).alias("_var_"),
         )
         pairs = (
             q_vars.join(r_vars, "_var_")
             .where(F.col("_qtok_") != F.col("_tok_"))
-            .select("_qtok_", "_tok_", "_df_")
+            .select("_qtok_", "_tok_", "_df_", "_ndocs_", "_avgdl_")
             .distinct()
             .where(F.levenshtein("_qtok_", "_tok_") <= d)
             .withColumn(
@@ -305,6 +317,7 @@ def fuzzy_lookup(
                 RID,
                 "_tf_",
                 "_w_",
+                "_avgdl_",
                 idf.alias("_idf_"),
                 F.col("_sim_").alias("_boost_"),
             )
@@ -317,7 +330,7 @@ def fuzzy_lookup(
         .withColumn(
             "_tfn_",
             (F.col("_tf_") * (K1 + 1))
-            / (F.col("_tf_") + K1 * (1 - B + B * F.col("_dl_") / F.lit(avgdl))),
+            / (F.col("_tf_") + K1 * (1 - B + B * F.col("_dl_") / F.col("_avgdl_"))),
         )
         .withColumn(
             "_c_", F.col("_w_") * F.col("_boost_") * F.col("_idf_") * F.col("_tfn_")
