@@ -26,10 +26,14 @@ from demy_spark.functions.vectors import cosine_similarity
 
 
 def _plane_component(plane: Column, dim_idx: Column, seed: int) -> Column:
-    """Deterministic pseudo-random plane component in [-1, 1): derived
-    from xxhash64(plane, dim, seed) — stable across executors/runs."""
-    h = F.xxhash64(plane, dim_idx, F.lit(seed))
-    return (h % 100003).cast("double") / 100003.0
+    """Deterministic pseudo-random plane component in [-1, 1): Knuth
+    multiplicative hash of (plane, dim, seed) — stable across
+    executors/runs AND bit-reproducible in plain SQL (the DuckDB
+    oracles recompute it), unlike xxhash64. The key is masked to 20
+    bits before the multiply so ANSI mode cannot overflow a long."""
+    key = (plane * 1000003 + dim_idx * 7 + F.lit(seed)).bitwiseAND(F.lit(0xFFFFF))
+    h = (key * F.lit(2654435761)) % F.lit(4294967296) % 100003
+    return h.cast("double") / 100003.0 * 2.0 - 1.0
 
 
 def hyperplane_bucket(vec: Column, num_planes: int = 16, seed: int = 42) -> Column:

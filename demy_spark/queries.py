@@ -968,10 +968,62 @@ def q28_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q29_lsh_ann_topk", None)
+@register(
+    "q29_lsh_ann_topk",
+    """
+    WITH dims AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               unnest(embedding::DOUBLE[]) AS x
+        FROM embeddings
+    ),
+    comps AS (
+        SELECT p.p, dd.d,
+               ((((p.p * 1000003 + dd.d * 7 + 42) & 1048575) * 2654435761)
+                % 4294967296 % 100003) / 100003.0 * 2.0 - 1.0 AS w
+        FROM (SELECT unnest(range(4)) AS p) p,
+             (SELECT DISTINCT d FROM dims) dd
+    ),
+    dots AS (
+        SELECT dims.vec_id, comps.p, sum(dims.x * comps.w) AS dot
+        FROM dims JOIN comps ON dims.d = comps.d
+        GROUP BY 1, 2
+    ),
+    buckets AS (
+        SELECT vec_id,
+               sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+        FROM dots GROUP BY 1
+    ),
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM buckets q
+        JOIN buckets c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+    ),
+    sims AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) AS sim
+        FROM cand
+        JOIN embeddings a ON cand.query_id = a.vec_id
+        JOIN embeddings b ON cand.neighbor_id = b.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rk
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) + 0.0 AS sim, rk::INTEGER AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
 def q29_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors (hyperplane LSH buckets + exact
-    cosine rerank) — the scale path behind q23's exact baseline."""
+    cosine rerank) — the scale path behind q23's exact baseline. The
+    plane components use a Knuth multiplicative hash, so the DuckDB
+    oracle recomputes the BUCKETS themselves bit-for-bit, then the
+    same in-bucket rerank — the approximation is verified, not just
+    row-counted."""
     from demy_spark.operators.similarity import lsh_cosine_topk
 
     t = _t(spark, sf_dir)
@@ -1044,15 +1096,68 @@ def q30_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q31_dup_clusters", None)
+@register(
+    "q31_dup_clusters",
+    f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id,
+             {_SHINGLES_SQL} AS sh,
+             array_to_string(({_TOKS_SQL})[1:2], ' ') AS blk
+      FROM documents WHERE len({_TOKS_SQL}) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM docs a JOIN docs b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05),
+    edges AS (
+      SELECT doc_a AS x, doc_b AS y FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(x, y) AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
+    SELECT x AS doc_id, least(x, min(y)) AS cluster_id
+    FROM reach GROUP BY x
+    HAVING x <> least(x, min(y))
+    """,
+)
 def q31_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster assignment: minhash pairs → iterative min-id
-    propagation (bounded connected components, no driver-side graph)."""
-    from demy_spark.operators.dedup import assign_clusters, minhash_lsh_dedup
+    """Duplicate-cluster assignment: near-dup pairs → iterative min-id
+    propagation (bounded connected components, no driver-side graph).
+    Pairs here are the oracle-portable prefix-blocked trigram-jaccard
+    edges (q30); the minhash pair source feeds the same operator in
+    q26's pipeline. The DuckDB oracle computes true components via a
+    recursive transitive closure — it matches because near-dup
+    component diameters are far below the propagation bound."""
+    from demy_spark.operators.dedup import assign_clusters
 
     t = _t(spark, sf_dir)
     docs = t["documents"]
-    pairs = minhash_lsh_dedup(docs, "text", "doc_id", jaccard_threshold=0.5)
+    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        )
+    )
+    blocked = docs.where(F.size(toks) >= 3).select(
+        "doc_id",
+        shingles.alias("sh"),
+        F.concat_ws(" ", F.slice(toks, 1, 2)).alias("blk"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    jac = F.size(F.array_intersect("a.sh", "b.sh")).cast("double") / F.size(
+        F.array_union("a.sh", "b.sh")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(jac >= 0.05)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
     clusters = assign_clusters(pairs, docs.select("doc_id"), "doc_id")
     return clusters.where(F.col("doc_id") != F.col("cluster_id"))
 
@@ -1465,11 +1570,62 @@ def q41_locality_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("q42_seeded_kmeans", None)
+def _kmeans_round_sql(n: int, cent: str) -> str:
+    """One Lloyd round as CTE fragments: cosine-argmax assignment
+    against ``cent`` (ties → lowest cluster), then element-wise mean
+    centers ``cent{n}``."""
+    return f"""
+    dot{n} AS (
+        SELECT dims.vec_id, c.c, sum(dims.x * c.m) AS dot
+        FROM dims JOIN {cent} c ON dims.d = c.d GROUP BY 1, 2),
+    cnorm{n} AS (SELECT c, sqrt(sum(m * m)) AS nc FROM {cent} GROUP BY 1),
+    assign{n} AS (
+        SELECT vec_id, c, sim FROM (
+            SELECT d.vec_id, d.c, d.dot / nullif(v.nx * cn.nc, 0) AS sim,
+                   row_number() OVER (PARTITION BY d.vec_id
+                       ORDER BY d.dot / nullif(v.nx * cn.nc, 0) DESC, d.c ASC) AS rk
+            FROM dot{n} d
+            JOIN vnorm v ON d.vec_id = v.vec_id
+            JOIN cnorm{n} cn ON d.c = cn.c
+        ) WHERE rk = 1),
+    cent{n} AS (
+        SELECT a.c, dims.d, avg(dims.x) AS m
+        FROM dims JOIN assign{n} a ON dims.vec_id = a.vec_id GROUP BY 1, 2),"""
+
+
+_Q42_SQL = (
+    """
+    WITH dims AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               unnest(embedding::DOUBLE[]) AS x
+        FROM embeddings
+    ),
+    vnorm AS (SELECT vec_id, sqrt(sum(x * x)) AS nx FROM dims GROUP BY 1),
+    cent0 AS (
+        SELECT label AS c, d, avg(x) AS m FROM dims WHERE label < 4 GROUP BY 1, 2),"""
+    + _kmeans_round_sql(1, "cent0")
+    + _kmeans_round_sql(2, "cent1")
+    + _kmeans_round_sql(3, "cent2")
+    + _kmeans_round_sql(4, "cent3")
+    + """
+    final AS (SELECT * FROM assign4)
+    SELECT c::INTEGER AS cluster, count(*) AS n,
+           round(avg(sim), 4) + 0.0 AS avg_sim, 3 AS iters
+    FROM final GROUP BY 1 ORDER BY 1
+    """
+)
+
+
+@register("q42_seeded_kmeans", _Q42_SQL)
 def q42_seeded_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged k-means (PhraseClustering.scala:16-572): seeds from the
     labelled rows' centroids, Lloyd iterations with distributed assign
-    + driver-side center update."""
+    + driver-side center update. The DuckDB oracle unrolls the three
+    Lloyd iterations (cosine argmax assign → element-wise mean update)
+    plus the final assignment as a CTE chain — the random fixture never
+    converges within tol in 3 iterations, so the iteration count is a
+    constant on both sides."""
     from demy_spark.topic import seed_centers_from_tags, seeded_kmeans
 
     t = _t(spark, sf_dir)
@@ -1487,10 +1643,65 @@ def q42_seeded_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q43_topic_tree_walk", None)
+@register(
+    "q43_topic_tree_walk",
+    """
+    WITH dims AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               unnest(embedding::DOUBLE[]) AS x
+        FROM embeddings
+    ),
+    lcent AS (SELECT label, d, avg(x) AS m FROM dims GROUP BY 1, 2),
+    gcent AS (SELECT label // 5 AS g, d, avg(m) AS m FROM lcent GROUP BY 1, 2),
+    vnorm AS (SELECT vec_id, sqrt(sum(x * x)) AS nx FROM dims GROUP BY 1),
+    gnorm AS (SELECT g, sqrt(sum(m * m)) AS nc FROM gcent GROUP BY 1),
+    lnorm AS (SELECT label, sqrt(sum(m * m)) AS nc FROM lcent GROUP BY 1),
+    gdot AS (
+        SELECT dims.vec_id, gcent.g, sum(x * m) AS dot
+        FROM dims JOIN gcent ON dims.d = gcent.d GROUP BY 1, 2
+    ),
+    gassign AS (
+        SELECT vec_id, g FROM (
+            SELECT gd.vec_id, gd.g,
+                   row_number() OVER (
+                       PARTITION BY gd.vec_id
+                       ORDER BY gd.dot / nullif(v.nx * gn.nc, 0) DESC, gd.g ASC
+                   ) AS rk
+            FROM gdot gd
+            JOIN vnorm v ON gd.vec_id = v.vec_id
+            JOIN gnorm gn ON gd.g = gn.g
+        ) WHERE rk = 1
+    ),
+    ldot AS (
+        SELECT dims.vec_id, lcent.label, sum(x * m) AS dot
+        FROM dims
+        JOIN gassign ga ON dims.vec_id = ga.vec_id
+        JOIN lcent ON dims.d = lcent.d AND lcent.label // 5 = ga.g
+        GROUP BY 1, 2
+    ),
+    lassign AS (
+        SELECT vec_id, label FROM (
+            SELECT ld.vec_id, ld.label,
+                   row_number() OVER (
+                       PARTITION BY ld.vec_id
+                       ORDER BY ld.dot / nullif(v.nx * ln.nc, 0) DESC, ld.label ASC
+                   ) AS rk
+            FROM ldot ld
+            JOIN vnorm v ON ld.vec_id = v.vec_id
+            JOIN lnorm ln ON ld.label = ln.label
+        ) WHERE rk = 1
+    )
+    SELECT 'label' || label::VARCHAR AS topic, count(*) AS n
+    FROM lassign GROUP BY 1 ORDER BY 1
+    """,
+)
 def q43_topic_tree_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-tree routing (topic/Node.scala:92-126): two-level tree
-    built from label centroids; one assign pass per level."""
+    built from label centroids; one assign pass per level. The DuckDB
+    oracle recomputes the centroids and both cosine-argmax routing
+    levels from first principles (integer counts out — no float
+    rounding in the compared values)."""
     from demy_spark.topic import TopicNode, seed_centers_from_tags, walk_topic_tree
 
     t = _t(spark, sf_dir)
