@@ -10,7 +10,7 @@ DataFrame plans (no Python in the hot path):
                            exact-Jaccard verify. The scale path: cost is
                            O(docs × signature) + bucket-local joins, no
                            all-pairs comparison anywhere.
-- ``simhash_dedup``        64-bit SimHash + Charikar chunk blocking →
+- ``simhash_dedup``        60-bit SimHash + Charikar chunk blocking →
                            Hamming-distance verify.
 - ``ngram_jaccard_pairs``  exact word-shingle Jaccard over blocked pairs.
 
@@ -28,14 +28,30 @@ from pyspark.sql import functions as F
 from demy_spark.functions.textstats import fingerprint, rolling_hash_shingles, tokens_ws
 
 
-def _shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """Distinct k-word shingle hashes as (_id_, _s_) ROWS.
+def _md5_long(s: Column, start: int, length: int = 15) -> Column:
+    """Uniform hash from a hex slice of md5(s), as a non-negative long.
+
+    md5 instead of xxhash64 because BOTH engines of the correctness
+    gate compute it identically — DuckDB parses the same hex slice via
+    ``('0x' || substring(md5(x), start, len))::BIGINT`` — so oracles
+    can reproduce every downstream minhash/simhash bit. 15 hex chars =
+    60 bits (no ANSI long overflow anywhere downstream); disjoint
+    slices of one digest give independent hash functions."""
+    return F.conv(F.substring(F.md5(s), start, length), 16, 10).cast("long")
+
+
+def _shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, k: int, *, with_h2: bool = False
+) -> DataFrame:
+    """k-word shingle hashes as (_id_, _s_) ROWS (60-bit md5-derived;
+    ``with_h2`` adds an independent 31-bit ``_h2_`` from a second md5
+    slice for double-hashing schemes).
 
     Row formulation instead of the array-valued ``rolling_hash_shingles``
     because Spark's higher-order functions are interpreted per element —
     at bulk-dedup volumes that is ~50ms/doc of expression-tree walking.
     Here: split → posexplode → window ``lead`` rebuilds each shingle →
-    xxhash64, all whole-stage codegen. The explicit repartition count
+    md5, all whole-stage codegen. The explicit repartition count
     defeats AQE's small-data coalescing (the stage is compute-bound,
     not byte-bound) and the window + downstream groupBys reuse the same
     hash partitioning, so the whole dedup pipeline shuffles the corpus
@@ -48,14 +64,21 @@ def _shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFram
     )
     w = Window.partitionBy("_id_").orderBy("_pos_")
     parts = [F.col("_w_")] + [F.lead("_w_", j).over(w) for j in range(1, k)]
-    sh = t.select(
-        "_id_",
-        F.when(parts[-1].isNotNull(), F.xxhash64(F.concat_ws(" ", *parts))).alias("_s_"),
-    )
+    shingle = F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts))
+    # digest materialized once so the two hex slices don't each pay md5
+    digest = t.select("_id_", F.md5(shingle).alias("_md5_"))
+    hex_long = lambda start, length: F.conv(  # noqa: E731
+        F.substring(F.col("_md5_"), start, length), 16, 10
+    ).cast("long")
+    cols = ["_id_", hex_long(1, 15).alias("_s_")]
+    if with_h2:
+        cols.append(
+            hex_long(16, 8).bitwiseAND(F.lit(0x7FFFFFFF).cast("long")).alias("_h2_")
+        )
     # NOT deduped: min-aggregates downstream are duplicate-insensitive,
     # and set-consumers dedup inside their own agg (collect_set) —
     # skipping the distinct here removes a blocking aggregation
-    return sh.where(F.col("_s_").isNotNull())
+    return digest.select(*cols).where(F.col("_s_").isNotNull())
 
 
 def exact_dedup(
@@ -116,24 +139,20 @@ def minhash_lsh_dedup(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     rows_per_band = num_hashes // bands
-    sh_rows = _shingle_rows(df, text_col, id_col, shingle_k).persist()
+    sh_rows = _shingle_rows(df, text_col, id_col, shingle_k, with_h2=True).persist()
     # shingle sets per doc, for exact-jaccard verification of candidates
     # (groupBy reuses sh_rows' partitioning — no extra shuffle)
     base = sh_rows.groupBy("_id_").agg(F.collect_set("_s_").alias("_sh_"))
 
-    # Kirsch-Mitzenmacher double hashing: two real hashes per shingle,
-    # the num_hashes family derived as h1 + (2i+1)*h2. Cuts per-row agg
-    # work from num_hashes xxhash64 calls to one multiply-add each (the
-    # 128-column HashAggregate is too wide for whole-stage codegen, so
-    # expression cost is paid interpreted). Operands are pre-shrunk
-    # (h1 >>> 8, h2 masked to 31 bits) so ANSI mode cannot overflow.
-    hashed = sh_rows.select(
-        "_id_",
-        F.shiftrightunsigned(F.xxhash64(F.lit(0), F.col("_s_")), 8).alias("_h1_"),
-        F.xxhash64(F.lit(1), F.col("_s_"))
-        .bitwiseAND(F.lit(0x7FFFFFFF).cast("long"))
-        .alias("_h2_"),
-    )
+    # Kirsch-Mitzenmacher double hashing: two md5-slice hashes per
+    # shingle, the num_hashes family derived as h1 + (2i+1)*h2. Cuts
+    # per-row agg work from num_hashes hash calls to one multiply-add
+    # each (the 128-column HashAggregate is too wide for whole-stage
+    # codegen, so expression cost is paid interpreted). h1 is 60 bits
+    # and h2 31 bits, so h1 + 255*h2 < 2^61 — ANSI mode cannot
+    # overflow. Both slices are SQL-reproducible (see _md5_long), so
+    # the DuckDB oracle recomputes the exact band buckets.
+    hashed = sh_rows.select("_id_", F.col("_s_").alias("_h1_"), "_h2_")
     # Exact pre-reduction: every signature slot is min(h1 + c·h2) with
     # c > 0, so only PARETO-MINIMAL (h1, h2) points of a doc can attain
     # any slot's min (a dominated point loses for every positive c).
@@ -155,28 +174,35 @@ def minhash_lsh_dedup(
             for i in range(num_hashes)
         ]
     )
-    # band bucket = hash of (band index, its signature rows); the band
-    # index is part of the hash, so the bucket value alone is the key
-    buckets = F.array(
+    # band key = (band index, the band's raw signature slots) — a plain
+    # multi-column equi-join key instead of a hash combiner, so the
+    # bucket is trivially SQL-reproducible and collision-free. The
+    # shuffle carries rows_per_band longs extra per row vs. a hashed
+    # bucket — negligible against the join itself.
+    band_structs = F.array(
         *[
-            F.xxhash64(
-                F.lit(b),
-                *[F.col(f"_h{b * rows_per_band + r}_") for r in range(rows_per_band)],
+            F.struct(
+                F.lit(band).alias("_band_"),
+                *[
+                    F.col(f"_h{band * rows_per_band + r}_").alias(f"_s{r}_")
+                    for r in range(rows_per_band)
+                ],
             )
-            for b in range(bands)
+            for band in range(bands)
         ]
     )
     # persisted: the bucket self-join below would otherwise re-execute
     # the whole signature pipeline once per join side (band rows are
-    # num_bands longs per doc — far smaller than the shingle sets)
-    banded = sig.select("_id_", F.explode(buckets).alias("_bucket_")).persist()
+    # a few longs per doc — far smaller than the shingle sets)
+    banded = sig.select("_id_", F.inline(band_structs)).persist()
 
+    key = ["_band_"] + [f"_s{r}_" for r in range(rows_per_band)]
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a._bucket_") == F.col("b._bucket_"))
-            & (F.col("a._id_") < F.col("b._id_")),
+            [F.col(f"a.{c}") == F.col(f"b.{c}") for c in key]
+            + [F.col("a._id_") < F.col("b._id_")],
         )
         .select(F.col("a._id_").alias("doc_a"), F.col("b._id_").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
@@ -234,14 +260,18 @@ def simhash_dedup(
 ) -> DataFrame:
     """Near-duplicate pairs via SimHash + Charikar chunk blocking: two
     fingerprints within ``max_hamming`` ≤ 3 bits must agree on at least
-    one of 4 16-bit chunks → block on (chunk_idx, chunk_value), verify
+    one of 4 15-bit chunks → block on (chunk_idx, chunk_value), verify
     with bit_count(xor). Returns (doc_a, doc_b, hamming).
 
-    The fingerprint is computed by explode→groupBy: one hashed-token
-    row stream, 64 codegen'd conditional-sum aggs (bit i vote = 2 ×
-    popcount_i − n_tokens), then one projection reassembles the 64
-    sign bits into the bigint. Docs with zero tokens are dropped (they
-    carry no signal; the per-row ``simhash64`` gives them hash 0)."""
+    The fingerprint is 60-bit, from md5-slice token hashes (see
+    ``_md5_long``: SQL-reproducible, so the DuckDB oracle recomputes
+    the exact fingerprints, chunks, and hamming distances), computed
+    by explode→groupBy: one hashed-token row stream, 60 codegen'd
+    conditional-sum aggs (bit i vote = 2 × popcount_i − n_tokens),
+    then one projection reassembles the sign bits into the bigint.
+    Docs with zero tokens are dropped (they carry no signal; the
+    per-row ``simhash64`` gives them hash 0)."""
+    n_bits, chunk_bits = 60, 15
     toks = F.array_remove(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), "")
     ex = (
         # explicit count: beat AQE coalescing on a compute-bound stage;
@@ -250,18 +280,18 @@ def simhash_dedup(
         df.select(id_col, text_col)
         .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
         .select(F.col(id_col).alias("_id_"), F.explode(toks).alias("_w_"))
-        .select("_id_", F.xxhash64("_w_").alias("_h_"))
+        .select("_id_", _md5_long(F.col("_w_"), 1).alias("_h_"))
     )
     one = F.lit(1).cast("long")
     votes = ex.groupBy("_id_").agg(
         F.count(F.lit(1)).alias("_n_"),
         *[
             F.sum(F.shiftright("_h_", i).bitwiseAND(one)).alias(f"_b{i}_")
-            for i in range(64)
+            for i in range(n_bits)
         ],
     )
     sim = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         # majority vote: bit set iff 2*popcount_i > n_tokens
         sim = sim.bitwiseOR(
             F.when(
@@ -276,8 +306,8 @@ def simhash_dedup(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("_sim_"), i * 16).bitwiseAND(
-                        F.lit(0xFFFF).cast("long")
+                    F.shiftright(F.col("_sim_"), i * chunk_bits).bitwiseAND(
+                        F.lit((1 << chunk_bits) - 1).cast("long")
                     )
                     for i in range(4)
                 ]

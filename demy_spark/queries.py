@@ -509,6 +509,17 @@ def q16_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKS_SQL = "list_filter(string_split(trim(lower(text)), ' '), x -> x <> '')"
 
+# distinct word-trigram shingles of a document, as strings
+_SHINGLES_SQL = (
+    f"list_distinct([array_to_string(({_TOKS_SQL})[i:i+2], ' ') "
+    f"FOR i IN range(1, len({_TOKS_SQL}) - 1)])"
+)
+
+# the SQL twin of operators/dedup._md5_long: a 60-bit (or shorter)
+# non-negative integer from a hex slice of md5(expr)
+def _md5_long_sql(expr: str, start: int, length: int = 15) -> str:
+    return f"('0x' || substring(md5({expr}), {start}, {length}))::BIGINT"
+
 
 @register(
     "q17_doc_stats",
@@ -904,10 +915,48 @@ def q25_lexicon_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("q26_minhash_dedup", None, headline=True)
+@register(
+    "q26_minhash_dedup",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shl
+      FROM documents WHERE len({_TOKS_SQL}) >= 3),
+    h AS (
+      SELECT doc_id,
+             {_md5_long_sql('s', 1)} AS h1,
+             {_md5_long_sql('s', 16, 8)} & 2147483647 AS h2
+      FROM (SELECT doc_id, unnest(shl) AS s FROM docs)),
+    slots AS (
+      SELECT doc_id, i.i, min(h1 + (2 * i.i + 1) * h2) AS slot
+      FROM h, (SELECT unnest(range(128)) AS i) i
+      GROUP BY 1, 2),
+    bands AS (
+      SELECT doc_id, i // 4 AS band, list(slot ORDER BY i) AS key
+      FROM slots GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    jac AS (
+      SELECT cand.doc_a, cand.doc_b,
+             round(CAST(len(list_intersect(da.shl, db.shl)) AS DOUBLE)
+                   / len(list_distinct(list_concat(da.shl, db.shl))), 6)
+                 AS jaccard
+      FROM cand
+      JOIN docs da ON cand.doc_a = da.doc_id
+      JOIN docs db ON cand.doc_b = db.doc_id)
+    SELECT doc_a, doc_b, jaccard + 0.0 AS jaccard
+    FROM jac WHERE jaccard >= 0.5
+    """,
+    headline=True,
+)
 def q26_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs over documents (exact-Jaccard
-    verified, so no false positives; banding bounds recall only)."""
+    verified, so no false positives; banding bounds recall only). The
+    md5-slice hash family (see operators/dedup._md5_long) lets the
+    DuckDB oracle recompute the 128-slot signatures and band buckets
+    bit-for-bit — the LSH approximation itself is verified, not just
+    the final pairs."""
     from demy_spark.operators.dedup import minhash_lsh_dedup
 
     t = _t(spark, sf_dir)
@@ -916,9 +965,38 @@ def q26_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q27_simhash_dedup", None)
+@register(
+    "q27_simhash_dedup",
+    f"""
+    WITH th AS (
+      SELECT doc_id, {_md5_long_sql('w', 1)} AS h
+      FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents)),
+    votes AS (
+      SELECT doc_id, b.b, sum((h >> b.b) & 1) AS ones, count(*) AS n
+      FROM th, (SELECT unnest(range(60)) AS b) b
+      GROUP BY 1, 2),
+    sim AS (
+      SELECT doc_id,
+             sum(CASE WHEN ones * 2 > n THEN (1::BIGINT << b) ELSE 0 END) AS s
+      FROM votes GROUP BY 1),
+    chunks AS (
+      SELECT doc_id, s, c.c, (s >> (c.c * 15)) & 32767 AS ck
+      FROM sim, (SELECT unnest(range(4)) AS c) c),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.s AS sa, b.s AS sb
+      FROM chunks a JOIN chunks b
+        ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INTEGER AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+    """,
+)
 def q27_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Charikar chunk blocking, hamming ≤ 6)."""
+    """SimHash near-dup pairs (Charikar chunk blocking, hamming ≤ 6).
+    The 60-bit fingerprint is built from md5-slice token hashes, so
+    the DuckDB oracle recomputes fingerprints, chunk blocks, and
+    hamming distances exactly — including which pairs the blocking
+    recalls."""
     from demy_spark.operators.dedup import simhash_dedup
 
     t = _t(spark, sf_dir)
@@ -1036,12 +1114,6 @@ def q29_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         num_planes=4,
     ).select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rk")
-
-
-_SHINGLES_SQL = (
-    f"list_distinct([array_to_string(({_TOKS_SQL})[i:i+2], ' ') "
-    f"FOR i IN range(1, len({_TOKS_SQL}) - 1)])"
-)
 
 
 @register(
