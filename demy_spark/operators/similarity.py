@@ -1,16 +1,22 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
 - ``cosine_topk``: brute-force exact top-k — the correctness baseline.
   Queries are broadcast (a query set is dictionary-sized by contract);
   the corpus side streams through one scan, score is a codegen'd
   zip_with/aggregate, top-k is a rank window on the query id.
-- ``lsh_cosine_topk``: random-hyperplane LSH bucketing — the 100 TB
+- ``lsh_cosine_topk``: random-hyperplane LSH bucketing — a 100 TB
   path. Deterministic planes are derived per (plane, dim) from a
   seeded hash folded into the plan (no driver-side numpy state, no
   broadcast variable), so the same seed gives the same buckets on any
   cluster. Probing compares only same-bucket candidates; multi-probe
   (flipping the weakest plane bits) trades recall for cost.
+- ``ivf_cosine_topk``: inverted-file index (IVF-flat) — the other
+  100 TB path. A small coarse quantizer (Lloyd from deterministic
+  seeds, fixed iteration count) partitions the corpus into inverted
+  lists; a query scans only its ``nprobe`` nearest lists, so the
+  candidate fraction is ~nprobe/n_lists of the corpus, and the lists
+  themselves are the natural partitioning key for co-located rerank.
 
 The reference's vector ops (linalg/implicits.scala cosine/similarity)
 are covered by functions/vectors.py; these operators add the search
@@ -124,6 +130,125 @@ def lsh_cosine_topk(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = pairs.select(
+        "query_id", "neighbor_id", cosine_similarity("_qv_", "_cv_").alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def ivf_build(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    n_lists: int = 8,
+    train_iters: int = 3,
+) -> tuple[list[list[float]], DataFrame]:
+    """Train an IVF coarse quantizer and assign the corpus to lists.
+
+    Seeds are the per-``id % n_lists`` element-wise means — fully
+    deterministic, no RNG — followed by exactly ``train_iters`` Lloyd
+    rounds (``tol=0`` disables early convergence), so the quantizer is
+    a pure function of the corpus and SQL-reproducible (the q53 oracle
+    unrolls the rounds as CTEs). Returns (centroids, assignments) with
+    assignments = (id, cluster, sim).
+
+    Centroids are dictionary-sized (n_lists × dim floats): collected
+    to the driver per round and broadcast back — never corpus-scale
+    state."""
+    from demy_spark.topic import seeded_kmeans
+
+    dims = corpus.select(
+        (F.col(id_col) % n_lists).alias("_g_"),
+        F.posexplode(vec_col).alias("_d_", "_x_"),
+    )
+    rows = dims.groupBy("_g_", "_d_").agg(F.avg("_x_").alias("_m_")).collect()
+    by_g: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_g.setdefault(r["_g_"], {})[r["_d_"]] = r["_m_"]
+    dim = max(max(d) for d in by_g.values()) + 1
+    seeds = [
+        [by_g.get(g, {}).get(i, 0.0) for i in range(dim)] for g in range(n_lists)
+    ]
+    assigned, centers, _ = seeded_kmeans(
+        corpus, id_col, vec_col, seeds, max_iters=train_iters, tol=0.0
+    )
+    return centers, assigned
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int = 10,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    train_iters: int = 3,
+    index: tuple[list[list[float]], DataFrame] | None = None,
+    query_vec_col: str | None = None,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k via an inverted-file index: each query probes
+    its ``nprobe`` nearest centroids (cosine, ties → lowest list id)
+    and reranks only those lists' vectors exactly.
+
+    Pass ``index=ivf_build(...)`` to reuse a trained quantizer across
+    query batches (the build is one corpus scan per Lloyd round; the
+    probe side is then centroid-table-sized work per query plus a
+    candidate join bounded by ~nprobe/n_lists of the corpus)."""
+    from demy_spark.topic import _centers_df
+
+    centers, assigned = (
+        index
+        if index is not None
+        else ivf_build(
+            corpus, vec_col, id_col, n_lists=n_lists, train_iters=train_iters
+        )
+    )
+    spark = corpus.sparkSession
+    qv = query_vec_col or vec_col
+    qi = query_id_col or id_col
+    cent = _centers_df(spark, centers)
+    norm_c = cent.groupBy("_c_").agg(F.sqrt(F.sum(F.col("_w_") ** 2)).alias("_nc_"))
+
+    q = queries.select(F.col(qi).alias("query_id"), F.col(qv).alias("_qv_"))
+    qdims = q.select("query_id", F.posexplode("_qv_").alias("_d_", "_x_"))
+    qnorm = qdims.groupBy("query_id").agg(
+        F.sqrt(F.sum(F.col("_x_") ** 2)).alias("_nx_")
+    )
+    qdots = (
+        qdims.join(F.broadcast(cent), "_d_")
+        .groupBy("query_id", "_c_")
+        .agg(F.sum(F.col("_x_") * F.col("_w_")).alias("_dot_"))
+        .join(F.broadcast(norm_c), "_c_")
+        .join(qnorm, "query_id")
+        .select(
+            "query_id",
+            "_c_",
+            (
+                F.col("_dot_") / F.nullif(F.col("_nx_") * F.col("_nc_"), F.lit(0.0))
+            ).alias("_csim_"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("_csim_"), F.asc("_c_"))
+    probe = (
+        qdots.withColumn("_rk_", F.row_number().over(wp))
+        .where(F.col("_rk_") <= nprobe)
+        .select("query_id", F.col("_c_").alias("cluster"))
+    )
+
+    lists = assigned.select(
+        F.col(id_col).alias("neighbor_id"), "cluster"
+    ).join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv_")),
+        "neighbor_id",
+    )
+    cand = lists.join(F.broadcast(probe), "cluster").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.join(F.broadcast(q), "query_id").select(
         "query_id", "neighbor_id", cosine_similarity("_qv_", "_cv_").alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")

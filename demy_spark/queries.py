@@ -1802,6 +1802,78 @@ def q43_topic_tree_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("topic").agg(F.count(F.lit(1)).alias("n")).orderBy("topic")
 
 
+_Q53_SQL = (
+    """
+    WITH dims AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               unnest(embedding::DOUBLE[]) AS x
+        FROM embeddings
+    ),
+    vnorm AS (SELECT vec_id, sqrt(sum(x * x)) AS nx FROM dims GROUP BY 1),
+    cent0 AS (SELECT vec_id % 8 AS c, d, avg(x) AS m FROM dims GROUP BY 1, 2),"""
+    + _kmeans_round_sql(1, "cent0")
+    + _kmeans_round_sql(2, "cent1")
+    + _kmeans_round_sql(3, "cent2")
+    + _kmeans_round_sql(4, "cent3")
+    + """
+    probe AS (
+        SELECT query_id, c FROM (
+            SELECT d4.vec_id AS query_id, d4.c,
+                   row_number() OVER (PARTITION BY d4.vec_id
+                       ORDER BY d4.dot / nullif(v.nx * cn.nc, 0) DESC, d4.c ASC
+                   ) AS rk
+            FROM dot4 d4
+            JOIN vnorm v ON d4.vec_id = v.vec_id
+            JOIN cnorm4 cn ON d4.c = cn.c
+            WHERE d4.vec_id < 5
+        ) WHERE rk <= 2),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probe p JOIN assign4 a ON a.c = p.c AND a.vec_id <> p.query_id),
+    sims AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               list_cosine_similarity(qa.embedding::DOUBLE[],
+                                      qb.embedding::DOUBLE[]) AS sim
+        FROM cand
+        JOIN embeddings qa ON cand.query_id = qa.vec_id
+        JOIN embeddings qb ON cand.neighbor_id = qb.vec_id),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rk
+        FROM sims)
+    SELECT query_id, neighbor_id, round(sim, 4) + 0.0 AS sim, rk::INTEGER AS rk
+    FROM ranked WHERE rk <= 5
+    """
+)
+
+
+@register("q53_ivf_ann_topk", _Q53_SQL)
+def q53_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate nearest neighbors: deterministic coarse
+    quantizer (per-``vec_id % 8`` seed means + exactly 3 Lloyd rounds)
+    → inverted lists → each query probes its 2 nearest lists → exact
+    cosine rerank. The DuckDB oracle unrolls the quantizer training as
+    a CTE chain (q42's machinery), then reproduces the probe and the
+    rerank — the whole ANN approximation is verified end to end."""
+    from demy_spark.operators.similarity import ivf_cosine_topk
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return ivf_cosine_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        "embedding",
+        "vec_id",
+        k=5,
+        n_lists=8,
+        nprobe=2,
+        train_iters=3,
+    ).select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rk")
+
+
 # ---------------------------------------------------------------------------
 # Entity dictionary matching + co-occurrence refinement
 # (text/EntityCalculator.scala, text/WordCoocurrenceRefiner.scala).

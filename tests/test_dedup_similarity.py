@@ -13,7 +13,12 @@ from demy_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_dedup,
 )
-from demy_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from demy_spark.operators.similarity import (
+    cosine_topk,
+    ivf_build,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 
 BASE = (
     "the quick brown fox jumps over the lazy dog while the cat sleeps "
@@ -115,6 +120,30 @@ def test_lsh_topk_same_bucket_recall(spark):
     # with 2 planes (4 buckets), the near-identical vector must land
     # in the same bucket as the query and rank first
     assert rows and rows[0]["neighbor_id"] == 1
+
+
+def test_ivf_topk_probes_nearest_lists(spark):
+    vecs = _vecs(spark)
+    out = ivf_cosine_topk(
+        vecs, vecs.where(F.col("vec_id") == 0), "embedding", "vec_id",
+        k=2, n_lists=3, nprobe=2, train_iters=2,
+    )
+    rows = sorted(out.collect(), key=lambda r: r["rk"])
+    # the near-identical vector must be recalled and rank first
+    assert rows and rows[0]["neighbor_id"] == 1 and rows[0]["sim"] > 0.99
+
+
+def test_ivf_build_reusable_index(spark):
+    vecs = _vecs(spark)
+    index = ivf_build(vecs, "embedding", "vec_id", n_lists=2, train_iters=1)
+    centers, assigned = index
+    assert len(centers) == 2 and assigned.count() == 6
+    out = ivf_cosine_topk(
+        vecs, vecs.where(F.col("vec_id") == 2), "embedding", "vec_id",
+        k=1, nprobe=1, index=index,
+    )
+    rows = out.collect()
+    assert rows and rows[0]["neighbor_id"] == 3  # nearest stays in-list
 
 
 def test_embedding_cosine_pairs(spark):
