@@ -33,9 +33,13 @@ def main() -> None:
     spark = get_spark("demy_spark_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
     names = sorted(_q.headline_queries())
-    # warm-up pass: JVM + codegen + parquet footer caches
-    for name in names:
-        force(_q.REGISTRY[name].fn(spark, sf_dir))
+    # two warm-up passes: JVM + codegen + parquet footer caches; one
+    # pass is not enough — C2 JIT compilation of generated code is
+    # still in flight during the next run (measured ~40% inflation on
+    # the join-heavy queries with a single pass)
+    for _ in range(2):
+        for name in names:
+            force(_q.REGISTRY[name].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:

@@ -130,11 +130,12 @@ def minhash_lsh_dedup(
     self-join are verified with EXACT shingle-set Jaccard, so the
     output has no false positives; banding only bounds recall.
 
-    Plan shape (scale path): shingle once → explode → 128 codegen'd
-    ``min(xxhash64(seed, shingle))`` aggs with map-side partial
-    aggregation (the shuffle carries ≤ num_hashes longs per doc, not
-    the shingle sets) → band buckets → bucket self-join → verify
-    jaccard by joining shingle sets back only for candidate pairs.
+    Plan shape (scale path): shingle once → explode → broadcast the
+    seed range and min per (doc, seed) — a narrow codegen'd agg with
+    map-side partial aggregation (the shuffle carries ≤ num_hashes
+    longs per doc, not the shingle sets) → band slot-arrays as join
+    keys → bucket self-join → verify jaccard by joining shingle sets
+    back only for candidate pairs.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
@@ -145,13 +146,12 @@ def minhash_lsh_dedup(
     base = sh_rows.groupBy("_id_").agg(F.collect_set("_s_").alias("_sh_"))
 
     # Kirsch-Mitzenmacher double hashing: two md5-slice hashes per
-    # shingle, the num_hashes family derived as h1 + (2i+1)*h2. Cuts
-    # per-row agg work from num_hashes hash calls to one multiply-add
-    # each (the 128-column HashAggregate is too wide for whole-stage
-    # codegen, so expression cost is paid interpreted). h1 is 60 bits
-    # and h2 31 bits, so h1 + 255*h2 < 2^61 — ANSI mode cannot
-    # overflow. Both slices are SQL-reproducible (see _md5_long), so
-    # the DuckDB oracle recomputes the exact band buckets.
+    # shingle, the num_hashes family derived as h1 + (2i+1)*h2 — one
+    # multiply-add per (shingle, seed) instead of num_hashes real
+    # hashes. h1 is 60 bits and h2 31 bits, so h1 + 255*h2 < 2^61 —
+    # ANSI mode cannot overflow. Both slices are SQL-reproducible
+    # (see _md5_long), so the DuckDB oracle recomputes the exact band
+    # buckets.
     hashed = sh_rows.select("_id_", F.col("_s_").alias("_h1_"), "_h2_")
     # Exact pre-reduction: every signature slot is min(h1 + c·h2) with
     # c > 0, so only PARETO-MINIMAL (h1, h2) points of a doc can attain
@@ -168,41 +168,43 @@ def minhash_lsh_dedup(
     pareto = hashed.withColumn("_pm_", F.min("_h2_").over(wp)).where(
         F.col("_pm_").isNull() | (F.col("_h2_") < F.col("_pm_"))
     )
-    sig = pareto.groupBy("_id_").agg(
-        *[
-            F.min(F.col("_h1_") + F.lit(2 * i + 1) * F.col("_h2_")).alias(f"_h{i}_")
-            for i in range(num_hashes)
-        ]
-    )
-    # band key = (band index, the band's raw signature slots) — a plain
-    # multi-column equi-join key instead of a hash combiner, so the
-    # bucket is trivially SQL-reproducible and collision-free. The
-    # shuffle carries rows_per_band longs extra per row vs. a hashed
-    # bucket — negligible against the join itself.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("_band_"),
-                *[
-                    F.col(f"_h{band * rows_per_band + r}_").alias(f"_s{r}_")
-                    for r in range(rows_per_band)
-                ],
-            )
-            for band in range(bands)
-        ]
+    # Signature as NARROW rows, not a num_hashes-wide aggregate: a
+    # num_hashes-column HashAggregate falls out of whole-stage codegen
+    # (>100 buffer fields) and runs interpreted — measured 5× slower
+    # than this shape at sf0.1. Instead broadcast-join the seed range,
+    # min per (doc, seed) — a 3-column codegen'd agg with map-side
+    # partial aggregation — then fold each band's slots into a sorted
+    # (seed, slot) array that IS the band key: collision-free, no hash
+    # combiner, trivially SQL-reproducible (the oracle joins on the
+    # same slot lists).
+    seeds = df.sparkSession.range(num_hashes).select(F.col("id").alias("_i_"))
+    slots = (
+        pareto.join(F.broadcast(seeds))
+        .groupBy("_id_", "_i_")
+        .agg(
+            F.min(
+                F.col("_h1_") + (2 * F.col("_i_") + 1) * F.col("_h2_")
+            ).alias("_slot_")
+        )
     )
     # persisted: the bucket self-join below would otherwise re-execute
     # the whole signature pipeline once per join side (band rows are
     # a few longs per doc — far smaller than the shingle sets)
-    banded = sig.select("_id_", F.inline(band_structs)).persist()
+    banded = (
+        slots.groupBy(
+            "_id_", (F.col("_i_") / rows_per_band).cast("int").alias("_band_")
+        )
+        .agg(F.sort_array(F.collect_list(F.struct("_i_", "_slot_"))).alias("_key_"))
+        .persist()
+    )
 
-    key = ["_band_"] + [f"_s{r}_" for r in range(rows_per_band)]
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
-            [F.col(f"a.{c}") == F.col(f"b.{c}") for c in key]
-            + [F.col("a._id_") < F.col("b._id_")],
+            (F.col("a._band_") == F.col("b._band_"))
+            & (F.col("a._key_") == F.col("b._key_"))
+            & (F.col("a._id_") < F.col("b._id_")),
         )
         .select(F.col("a._id_").alias("doc_a"), F.col("b._id_").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])

@@ -109,8 +109,18 @@ class FuzzyIndex:
 
     Parity: the reference's Lucene index build
     (index/implicits.scala:125-183, SparkLuceneWriter.scala:16-54). The
-    index is three DataFrames — postings (token→doc,tf), doc stats,
-    token dfs — persistable to parquet and reusable across lookups.
+    index is three base DataFrames — postings (token→doc,tf), doc
+    stats, token dfs — persistable to parquet and reusable across
+    lookups, plus two DENORMALIZED probe frames derived from them:
+
+    - ``scored_postings``: postings ⋈ token dfs ⋈ doc stats ⋈ corpus
+      scalars — every input of the BM25-style score on one row, so a
+      probe is a single equi-join instead of a 4-frame join chain
+      (locally that is 3 fewer broadcast-exchange jobs per lookup; on
+      a cluster it is the standard search-engine denormalization that
+      keeps the hot path to one shuffle).
+    - ``vocab``: token dfs + corpus scalars, for the symmetric-delete
+      fuzzy candidate generator.
     """
 
     def __init__(
@@ -134,9 +144,25 @@ class FuzzyIndex:
         self.token_stats = self.postings.groupBy("_tok_").agg(
             F.countDistinct(RID).alias("_df_")
         )
+        self._denormalize()
+
+    def _denormalize(self) -> None:
+        """Derive the probe frames. Corpus scalars ride along as a
+        broadcast 1-row frame — no blocking driver job, the index
+        stays fully lazy."""
+        stats = F.broadcast(
+            self.doc_stats.agg(
+                F.count("*").cast("double").alias("_ndocs_"),
+                F.coalesce(F.avg("_dl_"), F.lit(1.0)).alias("_avgdl_"),
+            )
+        )
+        self.vocab = self.token_stats.crossJoin(stats)
+        self.scored_postings = self.postings.join(self.vocab, "_tok_").join(
+            self.doc_stats, RID
+        )
 
     def persist(self) -> "FuzzyIndex":
-        for df in (self.right, self.postings, self.doc_stats, self.token_stats):
+        for df in (self.right, self.scored_postings, self.vocab):
             df.cache()
         return self
 
@@ -153,6 +179,7 @@ class FuzzyIndex:
         obj.postings = spark.read.parquet(f"{path}/postings")
         obj.doc_stats = spark.read.parquet(f"{path}/doc_stats")
         obj.token_stats = spark.read.parquet(f"{path}/token_stats")
+        obj._denormalize()
         return obj
 
 
@@ -243,44 +270,30 @@ def fuzzy_lookup(
         F.lit(boost_acronyms) & F.col("_rawtok_").rlike(r"^([A-Z]{2})\1$"),
     ).drop("_rawtok_")
 
-    postings = index.postings
-    token_stats = index.token_stats
+    # denormalized probe frames: every score input on one posting row
+    # (see FuzzyIndex._denormalize) — the hot path is ONE equi-join
+    sp = index.scored_postings
+    vocab = index.vocab
     if max_df is not None:
-        token_stats = token_stats.where(F.col("_df_") <= max_df)
-        postings = postings.join(token_stats.select("_tok_"), "_tok_", "left_semi")
+        sp = sp.where(F.col("_df_") <= max_df)
+        vocab = vocab.where(F.col("_df_") <= max_df)
 
-    # corpus scalars folded into the plan as a broadcast 1-row frame —
-    # no blocking driver job at plan-build time (the lookup stays fully
-    # lazy), and the idf/tfn expressions read them as columns
-    stats = F.broadcast(
-        index.doc_stats.agg(
-            F.count("*").cast("double").alias("_ndocs_"),
-            F.coalesce(F.avg("_dl_"), F.lit(1.0)).alias("_avgdl_"),
-        )
-    )
-    token_stats = token_stats.crossJoin(stats)
     idf = F.log(
         1.0 + (F.col("_ndocs_") - F.col("_df_") + 0.5) / (F.col("_df_") + 0.5)
     )
+    tfn = (F.col("_tf_") * (K1 + 1)) / (
+        F.col("_tf_") + K1 * (1 - B + B * F.col("_dl_") / F.col("_avgdl_"))
+    )
 
     # --- candidates: exact token equi-join ----------------------------
-    exact = (
-        qtoks.join(postings, qtoks["_qtok_"] == postings["_tok_"])
-        .join(token_stats, "_tok_")
-        .select(
-            QID,
-            "_pos_",
-            RID,
-            "_tf_",
-            "_w_",
-            "_avgdl_",
-            idf.alias("_idf_"),
-            F.when(
-                F.col("_is_acro_") & F.lit(max_lev_distance > 0), ACRONYM_BOOST
-            )
-            .otherwise(EXACT_BOOST)
-            .alias("_boost_"),
-        )
+    exact_boost = F.when(
+        F.col("_is_acro_") & F.lit(max_lev_distance > 0), ACRONYM_BOOST
+    ).otherwise(EXACT_BOOST)
+    exact = qtoks.join(sp, qtoks["_qtok_"] == sp["_tok_"]).select(
+        QID,
+        "_pos_",
+        RID,
+        (F.col("_w_") * exact_boost * idf * tfn).alias("_c_"),
     )
     candidates = exact
 
@@ -291,17 +304,13 @@ def fuzzy_lookup(
         q_vars = q_vocab.select(
             "_qtok_", F.explode(_delete_variants(F.col("_qtok_"), d)).alias("_var_")
         )
-        r_vars = token_stats.select(
-            "_tok_",
-            "_df_",
-            "_ndocs_",
-            "_avgdl_",
-            F.explode(_delete_variants(F.col("_tok_"), d)).alias("_var_"),
+        r_vars = vocab.select(
+            "_tok_", F.explode(_delete_variants(F.col("_tok_"), d)).alias("_var_")
         )
         pairs = (
             q_vars.join(r_vars, "_var_")
             .where(F.col("_qtok_") != F.col("_tok_"))
-            .select("_qtok_", "_tok_", "_df_", "_ndocs_", "_avgdl_")
+            .select("_qtok_", "_tok_")
             .distinct()
             .where(F.levenshtein("_qtok_", "_tok_") <= d)
             .withColumn(
@@ -310,34 +319,18 @@ def fuzzy_lookup(
         )
         fuzzy = (
             qtoks.join(pairs, "_qtok_")
-            .join(postings, "_tok_")
+            .join(sp, "_tok_")
             .select(
                 QID,
                 "_pos_",
                 RID,
-                "_tf_",
-                "_w_",
-                "_avgdl_",
-                idf.alias("_idf_"),
-                F.col("_sim_").alias("_boost_"),
+                (F.col("_w_") * F.col("_sim_") * idf * tfn).alias("_c_"),
             )
         )
         candidates = exact.unionByName(fuzzy)
 
     # --- per-token best contribution, then per-(query,doc) score -------
-    contrib = (
-        candidates.join(index.doc_stats, RID)
-        .withColumn(
-            "_tfn_",
-            (F.col("_tf_") * (K1 + 1))
-            / (F.col("_tf_") + K1 * (1 - B + B * F.col("_dl_") / F.col("_avgdl_"))),
-        )
-        .withColumn(
-            "_c_", F.col("_w_") * F.col("_boost_") * F.col("_idf_") * F.col("_tfn_")
-        )
-        .groupBy(QID, "_pos_", RID)
-        .agg(F.max("_c_").alias("_c_"))
-    )
+    contrib = candidates.groupBy(QID, "_pos_", RID).agg(F.max("_c_").alias("_c_"))
 
     if strategy == "predict":
         # PredictStrategy (index/PredictStrategy.scala:31-105): probe a
