@@ -496,3 +496,34 @@ def fuzzy_lookup_array(
         )
     )
     return left_id.join(grouped, ARR_ID, "left").drop(ARR_ID)
+
+
+def fuzzy_lookup_cols(
+    left: DataFrame,
+    right: DataFrame,
+    query_cols: Sequence[str],
+    text_col: str,
+    *,
+    result_suffix: str = "_match_",
+    **options,
+) -> DataFrame:
+    """Multiple simultaneous query columns (luceneLookup's
+    ``Seq[Column]`` query form, index/implicits.scala:15-57,220): each
+    named column is looked up independently against the SAME index and
+    comes back as its own struct column ``<col><result_suffix>`` with
+    the right payload + ``_score_``/``_tags_``/``_startIndex_``/
+    ``_endIndex_`` fields.
+
+    Plan: pack the columns into one array → ``fuzzy_lookup_array``
+    (one shared index build, one probe plan for all columns) → unpack
+    by position. The per-column match structs stay independent, as in
+    the reference."""
+    arr = F.array(*[F.col(c).cast("string") for c in query_cols])
+    TMP = "_qcols_"
+    out = fuzzy_lookup_array(
+        left.withColumn(TMP, arr), right, TMP, text_col,
+        result_col="_colres_", **options,
+    )
+    for i, c in enumerate(query_cols):
+        out = out.withColumn(f"{c}{result_suffix}", F.col("_colres_")[i])
+    return out.drop(TMP, "_colres_")

@@ -217,3 +217,24 @@ def test_tie_break_cols_deterministic(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["code"] == 3
+
+
+def test_fuzzy_lookup_cols_independent_matches(spark):
+    from demy_spark.operators.fuzzy_lookup import fuzzy_lookup_cols
+
+    left = spark.createDataFrame(
+        [(1, "chicago", "illinois"), (2, "houston", "texas")],
+        ["id", "city_q", "state_q"],
+    )
+    right = spark.createDataFrame(
+        [("chicago", 10), ("illinois", 20), ("houston", 30), ("texas", 40)],
+        ["text", "code"],
+    )
+    out = fuzzy_lookup_cols(
+        left, right, ["city_q", "state_q"], "text", max_lev_distance=0
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["city_q_match_"]["code"] == 10
+    assert by_id[1]["state_q_match_"]["code"] == 20
+    assert by_id[2]["city_q_match_"]["code"] == 30
+    assert by_id[2]["state_q_match_"]["code"] == 40

@@ -93,3 +93,32 @@ def test_capture_to_partitioned_parquet(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 3
     assert back.where("_hour_ = 10").count() == 2
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    import os
+
+    from demy_spark.streaming.windows import dedup_stream, run_stream_to_memory
+
+    t0 = datetime.datetime(2026, 1, 3, 8, 0, 0)
+    rows = [(1, t0, 1.0), (2, t0 + datetime.timedelta(minutes=1), 2.0)]
+    src = os.path.join(str(tmp_path), "in")
+    # the same rows land twice (two files → two micro-batches), as an
+    # at-least-once source would redeliver them
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    deduped = dedup_stream(stream, ["user_id"], ts_col="ts")
+    got = run_stream_to_memory(deduped, name="dedup_out")
+    assert sorted(r["user_id"] for r in got.collect()) == [1, 2]
+
+
+def test_dedup_stream_batch_twin(spark):
+    t0 = datetime.datetime(2026, 1, 3, 8, 0, 0)
+    from demy_spark.streaming.windows import dedup_stream
+
+    df = spark.createDataFrame([(1, t0, 1.0), (1, t0, 1.0), (2, t0, 2.0)], SCHEMA)
+    assert dedup_stream(df, ["user_id"]).count() == 2
