@@ -94,24 +94,164 @@ def extract_byte_features(df: DataFrame, payload_col: str = "payload") -> DataFr
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """STUB — image decode requires Pillow/opencv, not present in this
-    environment. The production implementation is a mapInPandas with
-    the same batch shape as extract_byte_features returning
-    (media_id, height, width, channels, pixels array<float>)."""
-    raise NotImplementedError(
-        "image decode needs a codec library (Pillow/opencv); not available "
-        "in this environment — use extract_byte_features for the tested path"
-    )
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes | None, h: int, w: int, c: int = 3) -> list[float]:
+    """DETERMINISTIC FAKE decoder (this container has no codec libs):
+    pixels in [0,1] derived from a sha256 keystream over the payload —
+    stable across runs/executors, shaped exactly like a real decode.
+    Swap for Pillow/opencv in production; nothing else changes."""
+    n = h * w * c
+    out: list[float] = []
+    counter = 0
+    seed = hashlib.sha256(payload or b"").digest()
+    while len(out) < n:
+        block = hashlib.sha256(seed + counter.to_bytes(4, "big")).digest()
+        out.extend(b / 255.0 for b in block)
+        counter += 1
+    return out[:n]
+
+
+def decode_image(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    channels: int = 3,
+    default_hw: tuple[int, int] = (8, 8),
+    decoder=None,
+) -> DataFrame:
+    """Decode media payloads to flat pixel arrays (media_id, height,
+    width, channels, pixels array<float>, row-major HWC).
+
+    Arrow-batched ``mapInPandas``; height/width come from the typed
+    ``meta`` struct when present (``default_hw`` otherwise). The
+    ``decoder(payload, h, w, c) -> list[float]`` defaults to the
+    clearly-marked deterministic fake ``_fake_decode`` — the codec
+    libraries aren't in this container — so the schema, batching and
+    downstream ops (resize, feature extraction) are real and tested;
+    pass a Pillow/opencv-backed decoder in production."""
+    dec = decoder or _fake_decode
+    dh, dw = default_hw
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = pdf["meta"] if "meta" in pdf.columns else None
+            hs, ws, px = [], [], []
+            for i in range(len(pdf)):
+                m = meta.iloc[i] if meta is not None else None
+                h = int(m["height"]) if m is not None and m["height"] else dh
+                w = int(m["width"]) if m is not None and m["width"] else dw
+                hs.append(h)
+                ws.append(w)
+                px.append(dec(pdf[payload_col].iloc[i], h, w, channels))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "height": hs,
+                    "width": ws,
+                    "channels": channels,
+                    "pixels": px,
+                }
+            )
+
+    return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def resize_image(
+    decoded: DataFrame, out_h: int, out_w: int, *, pixels_col: str = "pixels"
+) -> DataFrame:
+    """Nearest-neighbor resize of decoded pixel arrays to (out_h,
+    out_w) — REAL math (numpy fancy-indexing per Arrow batch), no codec
+    needed, so the full decode → resize → train-tensor path is
+    exercised end to end. Output schema matches DECODED_SCHEMA with the
+    new dimensions."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = []
+            for i in range(len(pdf)):
+                h, w, c = int(pdf["height"].iloc[i]), int(pdf["width"].iloc[i]), int(
+                    pdf["channels"].iloc[i]
+                )
+                img = np.asarray(pdf[pixels_col].iloc[i], dtype=np.float32).reshape(
+                    h, w, c
+                )
+                ri = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                ci = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                res.append(img[ri][:, ci].ravel().tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "height": out_h,
+                    "width": out_w,
+                    "channels": pdf["channels"],
+                    "pixels": res,
+                }
+            )
+
+    return decoded.mapInPandas(batches, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
 
 
 def sample_video_frames(
-    df: DataFrame, payload_col: str = "payload", every_ms: int = 1000
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    every_ms: int = 1000,
+    frame_size: int = 256,
 ) -> DataFrame:
-    """STUB — frame sampling requires ffmpeg bindings (see decode_image)."""
-    raise NotImplementedError(
-        "video frame sampling needs ffmpeg bindings; not available here"
-    )
+    """Sample frames from video payloads at ``every_ms`` intervals —
+    a fan-out (1 → N rows) mapInPandas, the plan shape a real ffmpeg
+    sampler has. Without codec libs the payload is treated as
+    fixed-size frame chunks against the meta duration (DETERMINISTIC
+    FAKE, clearly marked); swap the chunker for ffmpeg bindings in
+    production — the schema, batch fan-out and timestamps stay."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, tss, frames = [], [], [], []
+            for i in range(len(pdf)):
+                payload = pdf[payload_col].iloc[i] or b""
+                meta = pdf["meta"].iloc[i] if "meta" in pdf.columns else None
+                duration = (
+                    int(meta["duration_ms"]) if meta is not None and meta["duration_ms"] else 0
+                )
+                n_frames = max(duration // every_ms, 1) if payload else 0
+                for k in range(n_frames):
+                    off = (k * frame_size) % max(len(payload), 1)
+                    ids.append(pdf["media_id"].iloc[i])
+                    idxs.append(k)
+                    tss.append(k * every_ms)
+                    frames.append(bytes(payload[off : off + frame_size]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame_bytes": frames,
+                }
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
 
 
 def synth_media_table(spark, n: int = 64) -> DataFrame:

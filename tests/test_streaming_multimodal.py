@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from demy_spark.io import load_table
@@ -52,10 +51,44 @@ def test_byte_features(spark):
     assert again == {k: v["sha1"] for k, v in rows.items()}
 
 
-def test_decode_stub_raises(spark):
-    media = synth_media_table(spark, n=2)
-    with pytest.raises(NotImplementedError):
-        decode_image(media)
+def test_decode_resize_pipeline(spark):
+    from demy_spark.operators.multimodal import resize_image
+
+    media = synth_media_table(spark, n=4).select("media_id", "payload")
+    decoded = decode_image(media)  # no meta → default 8x8x3
+    rows = {r["media_id"]: r for r in decoded.collect()}
+    assert len(rows) == 4
+    assert all(
+        (r["height"], r["width"], r["channels"]) == (8, 8, 3)
+        and len(r["pixels"]) == 8 * 8 * 3
+        and all(0.0 <= p <= 1.0 for p in r["pixels"])
+        for r in rows.values()
+    )
+    # deterministic fake: same payload → same pixels
+    again = {r["media_id"]: r["pixels"] for r in decode_image(media).collect()}
+    assert again == {k: v["pixels"] for k, v in rows.items()}
+
+    small = {r["media_id"]: r for r in resize_image(decoded, 4, 2).collect()}
+    assert all(
+        (r["height"], r["width"], len(r["pixels"])) == (4, 2, 4 * 2 * 3)
+        for r in small.values()
+    )
+    # nearest-neighbor: output pixel (0,0,c) is input pixel (0,0,c)
+    assert small[0]["pixels"][:3] == rows[0]["pixels"][:3]
+
+
+def test_sample_video_frames_fanout(spark):
+    from demy_spark.operators.multimodal import sample_video_frames
+
+    media = synth_media_table(spark, n=12)
+    frames = sample_video_frames(media, every_ms=1000)
+    got = frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    by_id = {r["media_id"]: r["n"] for r in got}
+    # synth duration is 1000*(i % 90) ms → i frames (min 1)
+    assert by_id[5] == 5 and by_id[1] == 1
+    one = frames.where(F.col("media_id") == 5).orderBy("frame_idx").collect()
+    assert [r["ts_ms"] for r in one] == [0, 1000, 2000, 3000, 4000]
+    assert all(len(r["frame_bytes"]) > 0 for r in one)
 
 
 def test_media_dedup_by_sha1(spark):
