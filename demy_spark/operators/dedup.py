@@ -285,23 +285,43 @@ def simhash_dedup(
         .select("_id_", _md5_long(F.col("_w_"), 1).alias("_h_"))
     )
     one = F.lit(1).cast("long")
+    # SWAR-packed vote counters: 3 bit-counters per long in 21-bit
+    # lanes → 20 sum aggs instead of 60, keeping the HashAggregate
+    # inside whole-stage codegen (>100 buffer fields would fall out and
+    # run interpreted — the same trap the minhash signature hit). Lane
+    # headroom: max per-row addend < 2^42, so docs up to 2^20 tokens
+    # cannot overflow a long or bleed across lanes.
+    lanes = 3
+    n_accs = n_bits // lanes  # 20
+
+    def packed(j: int) -> Column:
+        acc = F.shiftright("_h_", j * lanes).bitwiseAND(one)
+        for lane in range(1, lanes):
+            acc = acc + F.shiftleft(
+                F.shiftright("_h_", j * lanes + lane).bitwiseAND(one), 21 * lane
+            )
+        return acc
+
     votes = ex.groupBy("_id_").agg(
         F.count(F.lit(1)).alias("_n_"),
-        *[
-            F.sum(F.shiftright("_h_", i).bitwiseAND(one)).alias(f"_b{i}_")
-            for i in range(n_bits)
-        ],
+        *[F.sum(packed(j)).alias(f"_a{j}_") for j in range(n_accs)],
     )
+    lane_mask = F.lit((1 << 21) - 1).cast("long")
     sim = F.lit(0).cast("long")
     for i in range(n_bits):
+        ones_i = F.shiftright(f"_a{i // lanes}_", 21 * (i % lanes)).bitwiseAND(
+            lane_mask
+        )
         # majority vote: bit set iff 2*popcount_i > n_tokens
         sim = sim.bitwiseOR(
-            F.when(
-                F.col(f"_b{i}_") * 2 > F.col("_n_"),
-                F.shiftleft(one, i),
-            ).otherwise(F.lit(0).cast("long"))
+            F.when(ones_i * 2 > F.col("_n_"), F.shiftleft(one, i)).otherwise(
+                F.lit(0).cast("long")
+            )
         )
     base = votes.select("_id_", sim.alias("_sim_"))
+    # persisted: the chunk self-join below would otherwise re-execute
+    # the whole fingerprint pipeline once per join side (chunk rows are
+    # 3 longs per doc × 4)
     chunked = base.select(
         "_id_",
         "_sim_",
@@ -315,7 +335,7 @@ def simhash_dedup(
                 ]
             )
         ).alias("_chunk_", "_ckey_"),
-    )
+    ).persist()
     a, b = chunked.alias("a"), chunked.alias("b")
     pairs = (
         a.join(
@@ -352,10 +372,12 @@ def ngram_jaccard_pairs(
     shingle hash (= MinHash with one hash function): any pair with
     Jaccard ≥ ~0.5 shares its min shingle with probability ≥ Jaccard.
     Returns (doc_a, doc_b, jaccard)."""
+    # persisted: consumed twice by the self-join below
     base = (
         _shingle_rows(df, text_col, id_col, shingle_k)
         .groupBy("_id_")
         .agg(F.collect_set("_s_").alias("_sh_"), F.min("_s_").alias("_block_"))
+        .persist()
     )
     a, b = base.alias("a"), base.alias("b")
     inter = F.size(F.array_intersect("a._sh_", "b._sh_")).cast("double")
@@ -390,10 +412,16 @@ def embedding_cosine_pairs(
     from demy_spark.functions.vectors import cosine_similarity
     from demy_spark.operators.similarity import hyperplane_bucket
 
-    base = df.select(
-        F.col(id_col).alias("_id_"),
-        F.col(vec_col).alias("_v_"),
-    ).withColumn("_bucket_", hyperplane_bucket(F.col("_v_"), num_planes, seed))
+    # persisted: the bucket computation (num_planes interpreted
+    # aggregate lambdas per row) is consumed twice by the self-join
+    base = (
+        df.select(
+            F.col(id_col).alias("_id_"),
+            F.col(vec_col).alias("_v_"),
+        )
+        .withColumn("_bucket_", hyperplane_bucket(F.col("_v_"), num_planes, seed))
+        .persist()
+    )
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(

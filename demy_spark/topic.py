@@ -13,11 +13,14 @@ Parity targets:
 - ``Node.walk`` routing (topic/Node.scala:92-126): a document descends
   the tree to the child with the best similarity at each level.
 
-Scale notes: the assign step is posexplode(dims) → broadcast-join the
-exploded centers on dim → one keyed sum-of-products agg → window
-argmax. Everything whole-stage codegen; no per-row vector lambdas; the
-shuffle carries (id, cluster, partial dot) rows. Center update is one
-more keyed avg; only k×dim aggregated floats ever reach the driver.
+Scale notes: the assign step defaults to an Arrow-batched numpy
+matmul against the broadcast k×dim center matrix — the O(n·d·k) flops
+run as one BLAS call per batch with no shuffle at all (SURVEY §2.10's
+prescribed mapping). A pure-DataFrame formulation (posexplode dims →
+broadcast-join exploded centers → keyed sum-of-products → window
+argmax, method="sql") computes the identical assignment and is what
+the DuckDB oracles mirror term by term. Center update is one keyed
+avg; only k×dim aggregated floats ever reach the driver.
 """
 
 from __future__ import annotations
@@ -42,11 +45,72 @@ def _centers_df(spark, centers: list[list[float]]) -> DataFrame:
 
 
 def assign_to_centers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centers: list[list[float]],
+    *,
+    method: str = "numpy",
+) -> DataFrame:
+    """Nearest center per row by cosine (ties → lowest cluster id;
+    zero-norm centers never win; all-null similarities → cluster 0
+    with null sim). Returns (id, cluster, sim).
+
+    method="numpy" (default): one BLAS matmul per Arrow batch against
+    the closure-captured k×dim center matrix — O(n·d·k) flops stay
+    vectorized instead of materializing n·d·k joined rows (the SQL
+    join shape measured ~5× slower training IVF at 20k vecs × 64d ×
+    32 centers). method="sql" keeps the pure-DataFrame formulation
+    (posexplode dims → broadcast-join exploded centers → keyed
+    sum-of-products → argmax window) — same assignment, and the shape
+    the DuckDB oracles mirror term by term."""
+    if method == "sql":
+        return _assign_to_centers_sql(df, id_col, vec_col, centers)
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.asarray(centers, dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            dots = X @ C.T
+            denom = np.outer(np.linalg.norm(X, axis=1), Cn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom > 0.0, dots / denom, np.nan)
+            key = np.where(np.isnan(sims), -np.inf, sims)
+            best = key.argmax(axis=1)  # first max → lowest cluster on ties
+            best_sim = sims[np.arange(len(X)), best]
+            best[np.isnan(sims).all(axis=1)] = 0
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": best.astype("int32"),
+                    # nullable Float64: NaN (zero-norm) → true null,
+                    # matching the SQL path's nullif
+                    "sim": pd.Series(best_sim, dtype="Float64"),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(batches, out_schema)
+
+
+def _assign_to_centers_sql(
     df: DataFrame, id_col: str, vec_col: str, centers: list[list[float]]
 ) -> DataFrame:
-    """Nearest center per row by cosine (ties → lowest cluster id).
-    Returns (id, cluster, sim). Plan: exploded dot products against the
-    broadcast center table + argmax window — no per-row lambdas."""
     spark = df.sparkSession
     dims = _explode_dims(df, id_col, vec_col)
     cent = _centers_df(spark, centers)
@@ -84,20 +148,48 @@ def _update_centers(
     df: DataFrame, id_col: str, vec_col: str, assigned: DataFrame, k: int, dim: int
 ) -> list[list[float]]:
     """Element-wise mean per cluster; empty clusters keep a zero vector
-    (the reference re-seeds them from orphan tags; callers can too)."""
-    dims = _explode_dims(df, id_col, vec_col)
-    joined = dims.join(
-        assigned.select(F.col(id_col).alias("_id_"), "cluster"), "_id_"
+    (the reference re-seeds them from orphan tags; callers can too).
+
+    Per-Arrow-batch numpy partial sums; only (≤ partitions × k) partial
+    rows of k×dim floats reach the driver — never the vectors. The
+    previous posexplode → groupBy(cluster, dim) shape shuffled n·d
+    rows per iteration for the same k×dim result."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    joined = df.select(id_col, vec_col).join(
+        assigned.select(id_col, "cluster"), id_col
     )
-    rows = (
-        joined.groupBy("cluster", "_d_")
-        .agg(F.avg("_x_").alias("_m_"))
-        .collect()
+    schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("psum", T.ArrayType(T.DoubleType())),
+            T.StructField("pn", T.LongType()),
+        ]
     )
-    centers = [[0.0] * dim for _ in range(k)]
-    for r in rows:
-        centers[r["cluster"]][r["_d_"]] = r["_m_"]
-    return centers
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            cl = pdf["cluster"].to_numpy()
+            rows = [
+                (int(c), X[cl == c].sum(axis=0).tolist(), int((cl == c).sum()))
+                for c in np.unique(cl)
+            ]
+            yield pd.DataFrame(rows, columns=["cluster", "psum", "pn"])
+
+    sums = np.zeros((k, dim))
+    counts = np.zeros(k, dtype=np.int64)
+    for r in joined.mapInPandas(batches, schema).collect():
+        sums[r["cluster"]] += np.asarray(r["psum"])
+        counts[r["cluster"]] += r["pn"]
+    return [
+        (sums[c] / counts[c]).tolist() if counts[c] else [0.0] * dim
+        for c in range(k)
+    ]
 
 
 def seed_centers_from_tags(
