@@ -1327,6 +1327,87 @@ def q34_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q54_binary_metrics",
+    """
+    WITH scored AS (
+      SELECT 0.6 * ((o_orderkey * 2654435761) % 4294967296) / 4294967296.0
+               + 0.4 * (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS score,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    binned AS (
+      SELECT CAST(least(floor(score * 20), 19) AS INTEGER) AS bin,
+             sum(y) AS pos, count(*) AS n
+      FROM scored GROUP BY 1),
+    cum AS (
+      SELECT bin,
+             sum(pos) OVER w AS tp,
+             sum(n) OVER w - sum(pos) OVER w AS fp,
+             sum(pos) OVER () - sum(pos) OVER w AS fn,
+             (sum(n) OVER () - sum(pos) OVER ())
+               - (sum(n) OVER w - sum(pos) OVER w) AS tn
+      FROM binned WINDOW w AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)),
+    pts AS (
+      SELECT bin / 20.0 AS threshold,
+             tp / nullif(tp + fn, 0) AS tpr,
+             fp / nullif(fp + tn, 0) AS fpr,
+             tp::DOUBLE AS a, fp::DOUBLE AS b, fn::DOUBLE AS c, tn::DOUBLE AS d,
+             round(coalesce(
+                 2.0 * (tp / nullif(tp + fp, 0)) * (tp / nullif(tp + fn, 0))
+                 / nullif(tp / nullif(tp + fp, 0) + tp / nullif(tp + fn, 0), 0),
+                 0), 6) AS f1
+      FROM cum),
+    segs AS (
+      SELECT (fpr - coalesce(lag(fpr) OVER (ORDER BY threshold DESC), 0.0))
+             * (tpr + coalesce(lag(tpr) OVER (ORDER BY threshold DESC), 0.0)) / 2.0
+               AS seg
+      FROM pts),
+    auc AS (SELECT round(sum(seg), 6) AS auc FROM segs),
+    best AS (
+      SELECT threshold AS best_threshold, f1 AS best_f1,
+             round((a+b+c+d) * (a*d - b*c) * (a*d - b*c)
+                   / nullif((a+b)*(c+d)*(a+c)*(b+d), 0), 4) AS chi2
+      FROM pts ORDER BY f1 DESC, threshold ASC LIMIT 1)
+    SELECT auc.auc + 0.0 AS auc, best_threshold, best_f1 + 0.0 AS best_f1,
+           chi2 + 0.0 AS chi2
+    FROM auc, best
+    """,
+)
+def q54_binary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BinaryOptimalEvaluator's metric bundle (BinaryOptimalEvaluator.
+    scala:35-224, evaluation/BinaryMetrics.scala:8-38): areaUnderROC by
+    trapezoid over the binned sweep + the chi-square statistic at the
+    best-f1 threshold. The p-value (erfc, no SQL equivalent) is exposed
+    via tuning.binary_metrics; the oracle verifies AUC and the chi2
+    statistic."""
+    from demy_spark.tuning import chi_square_2x2, roc_auc_from_sweep, threshold_sweep
+
+    t = _t(spark, sf_dir)
+    y = (F.col("o_orderstatus") == "F").cast("int")
+    scored = t["orders"].select(
+        (
+            0.6
+            * F.pmod(F.col("o_orderkey").cast("long") * 2654435761, 4294967296)
+            / 4294967296.0
+            + 0.4 * y
+        ).alias("score"),
+        y.alias("y"),
+    )
+    sweep = threshold_sweep(scored, "score", "y", bins=20).persist()
+    auc = roc_auc_from_sweep(sweep)
+    w = Window.orderBy(F.desc("f1"), F.asc("threshold"))
+    best = (
+        sweep.withColumn("_rk_", F.row_number().over(w))
+        .where(F.col("_rk_") == 1)
+        .select(
+            F.col("threshold").alias("best_threshold"),
+            F.col("f1").alias("best_f1"),
+            F.round(chi_square_2x2("tp", "fp", "fn", "tn"), 4).alias("chi2"),
+        )
+    )
+    return auc.crossJoin(best)
+
+
+@register(
     "q35_oof_mean_model",
     """
     WITH folds AS (

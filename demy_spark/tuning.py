@@ -197,3 +197,75 @@ def best_threshold(
     if not rows:  # constraints unsatisfiable → fall back to best effort
         rows = sweep.orderBy(F.desc(optimize)).limit(1).collect()
     return rows[0].asDict()
+
+
+def roc_auc_from_sweep(sweep: DataFrame) -> DataFrame:
+    """Area under the ROC curve by trapezoid over the sweep's bins
+    (evaluation/BinaryMetrics.scala:8-38 areaUnderROC at bin
+    resolution). Traverses thresholds descending — (fpr, tpr) walks
+    (0,0) → (1,1); the lowest non-empty bin is always (1,1) because
+    the counts are cumulative. Returns a 1-row frame (auc). The lag
+    window runs over ≤bins rows — constant-size at any data scale."""
+    pts = sweep.select(
+        "threshold",
+        (F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))).alias("_tpr_"),
+        (F.col("fp") / F.nullif(F.col("fp") + F.col("tn"), F.lit(0))).alias("_fpr_"),
+    )
+    w = Window.orderBy(F.desc("threshold"))
+    seg = pts.select(
+        (
+            (F.col("_fpr_") - F.coalesce(F.lag("_fpr_").over(w), F.lit(0.0)))
+            * (F.col("_tpr_") + F.coalesce(F.lag("_tpr_").over(w), F.lit(0.0)))
+            / 2.0
+        ).alias("_a_")
+    )
+    return seg.agg(F.round(F.sum("_a_"), 6).alias("auc"))
+
+
+def chi_square_2x2(tp, fp, fn, tn) -> Column:
+    """Pearson chi-square statistic of the 2×2 confusion table
+    (the reference logs ChiSquare over prediction×label,
+    BinaryOptimalEvaluator.scala:200-224). Double arithmetic — the
+    integer form n·(ad−bc)² overflows a long on ~10k-row tables."""
+    a, b, c, d = [
+        (F.col(x) if isinstance(x, str) else x).cast("double")
+        for x in (tp, fp, fn, tn)
+    ]
+    n = a + b + c + d
+    num = n * (a * d - b * c) * (a * d - b * c)
+    den = F.nullif((a + b) * (c + d) * (a + c) * (b + d), F.lit(0.0))
+    return num / den
+
+
+def chi_square_p(stat: float) -> float:
+    """Two-sided p-value for a 1-dof chi-square statistic:
+    p = erfc(sqrt(x/2)). Driver-side scalar (no SQL erfc)."""
+    import math
+
+    return math.erfc(math.sqrt(max(stat, 0.0) / 2.0))
+
+
+def binary_metrics(
+    df: DataFrame, score_col: str, label_col: str, *, bins: int = 100
+) -> dict:
+    """The reference's BinaryOptimalEvaluator metric bundle: best-f1
+    threshold row + areaUnderROC + chi-square (statistic and p-value)
+    at the best threshold. One constant-size sweep feeds everything."""
+    sweep = threshold_sweep(df, score_col, label_col, bins=bins).persist()
+    try:
+        best = best_threshold(sweep)
+        auc = roc_auc_from_sweep(sweep).collect()[0]["auc"]
+        stat_row = (
+            sweep.where(F.col("threshold") == best["threshold"])
+            .select(chi_square_2x2("tp", "fp", "fn", "tn").alias("_x_"))
+            .collect()
+        )
+        chi2 = stat_row[0]["_x_"] if stat_row else None
+        return {
+            **best,
+            "auc": auc,
+            "chi2": chi2,
+            "p_value": chi_square_p(chi2) if chi2 is not None else None,
+        }
+    finally:
+        sweep.unpersist()

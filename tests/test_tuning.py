@@ -111,3 +111,20 @@ def test_best_threshold_modes(spark):
     assert best["threshold"] == pytest.approx(0.6)
     high_p = best_threshold(sweep, optimize="recall", min_precision=1.0)
     assert high_p["precision"] == 1.0
+
+
+def test_binary_metrics_bundle(spark):
+    from demy_spark.tuning import binary_metrics
+
+    # perfectly separable → AUC 1, huge chi2, tiny p
+    rows = [(0.1, 0), (0.2, 0), (0.3, 0), (0.7, 1), (0.8, 1), (0.9, 1)]
+    df = spark.createDataFrame(rows, ["score", "y"])
+    m = binary_metrics(df, "score", "y", bins=10)
+    assert m["f1"] == 1.0
+    assert m["auc"] == 1.0
+    assert m["chi2"] == pytest.approx(6.0)  # n * 1 for a perfect 3/3 split
+    assert 0 < m["p_value"] < 0.05
+
+    # anti-correlated scores → AUC 0
+    flipped = spark.createDataFrame([(1 - s, y) for s, y in rows], ["score", "y"])
+    assert binary_metrics(flipped, "score", "y", bins=10)["auc"] == 0.0
