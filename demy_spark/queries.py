@@ -2457,6 +2457,173 @@ def q52_word_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Temporal operators (operators/temporal.py): as-of join, range join,
+# multi-grain rollup — Spark-native extensions past the reference's
+# hand-rolled hourly capture (twitter/Execute.scala:58-98).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q55_asof_join",
+    """
+    WITH m AS (
+      SELECT e.event_id, e.user_id, e.ts, max(o.o_orderdate) AS asof_ts
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      GROUP BY 1, 2, 3),
+    pick AS (
+      SELECT m.event_id, m.user_id, m.ts, m.asof_ts,
+             max(o.o_orderkey) AS last_orderkey
+      FROM m JOIN orders o
+        ON o.o_custkey = m.user_id AND o.o_orderdate = m.asof_ts
+      GROUP BY 1, 2, 3, 4)
+    SELECT p.event_id, p.user_id, p.last_orderkey,
+           round(o.o_totalprice, 2) + 0.0 AS last_order_price,
+           CAST(floor(date_diff('second', p.asof_ts, p.ts) / 86400.0) AS BIGINT)
+             AS order_age_days
+    FROM pick p JOIN orders o ON o.o_orderkey = p.last_orderkey
+    """,
+)
+def q55_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event picks the user's latest order at
+    or before the event time. The engine path is union + carry-forward
+    window (ONE shuffle on user key, output never wider than
+    |events|+|orders|); the oracle recomputes it as the naive
+    join→argmax, which the operator exists to avoid at scale."""
+    from demy_spark.operators.temporal import asof_join
+
+    t = _t(spark, sf_dir)
+    ev = t["events"].select("event_id", F.col("user_id"), "ts")
+    orders = t["orders"].select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    j = asof_join(
+        ev,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        (F.round("o_totalprice", 2) + F.lit(0.0)).alias("last_order_price"),
+        F.floor(
+            (F.col("ts").cast("long") - F.col("matched_ts").cast("long")) / 86400.0
+        )
+        .cast("long")
+        .alias("order_age_days"),
+    )
+
+
+@register(
+    "q56_range_join",
+    """
+    SELECT r.event_id AS incident_id, count(*) AS n_events,
+           round(sum(l.value), 2) + 0.0 AS total_value
+    FROM events r JOIN events l
+      ON l.user_id = r.user_id
+     AND l.ts >= r.ts AND l.ts < r.ts + INTERVAL 1 HOUR
+     AND l.event_id <> r.event_id
+    WHERE r.event_type = 'error'
+    GROUP BY 1
+    """,
+)
+def q56_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join: every error event opens a 1-hour incident
+    window; count the same user's other events inside it. Co-keyed on
+    user_id so the range predicate is a residual on one shuffled join —
+    no interval explosion (the keyless bucket-grid path is
+    range_join(on=None), exercised in tests/test_temporal.py)."""
+    from demy_spark.operators.temporal import range_join
+
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    points = ev.select(
+        "user_id", F.col("event_id").alias("e_id"), F.col("ts").alias("e_ts"), "value"
+    )
+    incidents = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    j = range_join(
+        points,
+        incidents,
+        left_point="e_ts",
+        right_start="w_start",
+        right_end="w_end",
+        on="user_id",
+    ).where(F.col("e_id") != F.col("incident_id"))
+    return j.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("total_value"),
+    )
+
+
+@register(
+    "q57_time_rollup",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             count(*) AS n, sum(value) AS tv
+      FROM events GROUP BY 1, 2),
+    daily AS (
+      SELECT date_trunc('day', bucket) AS bucket, event_type,
+             sum(n) AS n, sum(tv) AS tv
+      FROM hourly GROUP BY 1, 2),
+    hspan AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+              FROM hourly GROUP BY 1),
+    hgrid AS (SELECT event_type,
+                     unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+              FROM hspan),
+    dspan AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+              FROM daily GROUP BY 1),
+    dgrid AS (SELECT event_type,
+                     unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+              FROM dspan)
+    SELECT 'hour' AS grain, g.bucket, g.event_type,
+           coalesce(h.n, 0) AS n,
+           round(coalesce(h.tv, 0), 2) + 0.0 AS total_value
+    FROM hgrid g LEFT JOIN hourly h USING (event_type, bucket)
+    UNION ALL
+    SELECT 'day' AS grain, g.bucket, g.event_type,
+           coalesce(d.n, 0) AS n,
+           round(coalesce(d.tv, 0), 2) + 0.0 AS total_value
+    FROM dgrid g LEFT JOIN daily d USING (event_type, bucket)
+    """,
+)
+def q57_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour + day grains with
+    gap fill. The raw events scan happens ONCE (hourly partials are
+    persisted); the day grain re-aggregates the hourly partials
+    (sum-of-sums), so each coarser grain costs a shuffle of an
+    already-small frame — the TimescaleDB rollup shape."""
+    from demy_spark.operators.temporal import time_rollup
+
+    t = _t(spark, sf_dir)
+    out = time_rollup(
+        t["events"],
+        ts="ts",
+        grains=["hour", "day"],
+        group_by=["event_type"],
+        metrics={"n": F.count(F.lit(1)), "total_value": F.sum("value")},
+        fill_gaps=True,
+    )
+    return out.select(
+        "grain",
+        "bucket",
+        "event_type",
+        "n",
+        (F.round("total_value", 2) + F.lit(0.0)).alias("total_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
