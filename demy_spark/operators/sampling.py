@@ -1,0 +1,88 @@
+"""Deterministic sampling for training-data pipelines: stratified
+rate sampling and bottom-k (hash-reservoir) fixed-size sampling.
+
+Both use the Knuth multiplicative hash ``(key * 2654435761) mod 2^32``
+(integer keys; reproduces bit-exactly in any SQL engine — the same
+family backs tuning.fold_of), so a sample is a PURE FUNCTION of the
+key: re-running the pipeline, or running it on another engine, selects
+the same rows. That is what makes sampled training corpora auditable.
+
+The reference's sampling is nondeterministic ``rand()``
+(topic/TopicTree.scala:337-338, tuning/RandomSplit.scala:30-33); the
+seeded-hash re-expression is the same trade ``genetic.sample_vectors``
+makes.
+
+Scale shape: rate sampling is a stateless filter (no shuffle at all —
+it composes with scan pushdown); bottom-k is one per-stratum window
+top-k (single shuffle on the stratum key, WindowGroupLimit prunes
+per-partition before the shuffle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761
+M32 = 4294967296
+
+
+def knuth_unit(key: Column, *, salt: int = 0) -> Column:
+    """Uniform [0,1) value from an integer key: Knuth multiplicative
+    hash scaled to the unit interval. ``salt`` derives independent
+    sampling decisions from the same key (salt is added pre-multiply,
+    so each salt is a different affine lattice)."""
+    return F.pmod((key.cast("long") + salt) * KNUTH, F.lit(M32)) / F.lit(float(M32))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    rates: Mapping[str, float],
+    *,
+    default_rate: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Keep each row iff knuth_unit(key) < rates[stratum] — per-stratum
+    Bernoulli sampling that is deterministic in the key. Rows whose
+    stratum is not in ``rates`` sample at ``default_rate``.
+
+    A pure narrow filter: no shuffle, pushes below column pruning, and
+    the rate map broadcasts as a literal CASE expression (fine for
+    hundreds of strata; use a broadcast-join rate table beyond that).
+    """
+    u = knuth_unit(F.col(key), salt=salt)
+    rate = F.lit(float(default_rate))
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum) == s, F.lit(float(r))).otherwise(rate)
+    return df.where(u < rate)
+
+
+def bottom_k_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    k: int,
+    *,
+    salt: int = 0,
+) -> DataFrame:
+    """Fixed-size uniform sample WITHOUT replacement per stratum: the k
+    rows with the smallest hash values — the classic bottom-k /
+    KMV construction. Deterministic in the key set: adding rows can
+    only displace the largest kept hashes, so samples are stable under
+    appends and mergeable across partitions (union → bottom-k again).
+
+    One shuffle on the stratum; WindowGroupLimit keeps only k rows per
+    map partition before it.
+    """
+    w = Window.partitionBy(stratum).orderBy(
+        knuth_unit(F.col(key), salt=salt).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("_rk_", F.row_number().over(w))
+        .where(F.col("_rk_") <= k)
+        .drop("_rk_")
+    )

@@ -1,0 +1,160 @@
+"""Approximate sketches, hand-rolled so they are DETERMINISTIC and
+bit-reproducible in plain SQL (the DuckDB correctness oracle recomputes
+the same registers/buckets): HyperLogLog distinct counting and a
+count-min sketch for heavy hitters.
+
+Spark's built-ins (``approx_count_distinct``, ``count_min_sketch``)
+use engine-private hash seeds, so an external oracle can never verify
+them value-for-value. These operators trade those for the md5-slice
+hash family (operators/dedup.py:31) + Kirsch-Mitzenmacher seed
+derivation — the same estimates fall out of any engine that can md5.
+
+Scale shape: both sketches are one narrow shuffle over the raw keys
+followed by constant-size (m or d*w rows) frames; the estimate math
+runs on the constant-size frame. At 100 TB the register/bucket tables
+are still 256 / 4096 rows.
+
+No reference counterpart (the reference counts exactly,
+e.g. feature/GroupBy.scala:10-117); this is a north-star extension.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _md5_long(s: Column, start: int, length: int = 15) -> Column:
+    """Same construction as operators/dedup._md5_long (md5 hex slice →
+    non-negative long) so SQL oracles reproduce it exactly."""
+    return F.conv(F.substring(F.md5(s), start, length), 16, 10).cast("long")
+
+
+def hll_alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame,
+    key: str | Column,
+    group_by: Sequence[str] = (),
+    *,
+    p: int = 8,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group: m=2**p registers.
+
+    hash = 60-bit md5 slice; bucket = low p bits; rho = leading-zero
+    rank of the remaining 60-p bits. Registers aggregate as max(rho)
+    (one shuffle, map-side partial max); the harmonic-mean estimate and
+    the small-range linear-counting correction run over the m-row
+    register frame. Empty registers contribute 2^0 each — accounted
+    arithmetically (m - registers_present) instead of materializing a
+    register grid.
+
+    Returns one row per group: ``est_distinct`` (double, 2dp).
+    """
+    m = 1 << p
+    bits = 60 - p
+    gcols = list(group_by)
+    k = F.col(key) if isinstance(key, str) else key
+    h = _md5_long(k.cast("string"), 1, 15)
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(bits + 1)).otherwise(
+        F.lit(bits) - F.length(F.bin(w)) + 1
+    )
+    regs = (
+        df.select(*gcols, (h.bitwiseAND(m - 1)).alias("_bkt_"), rho.alias("_rho_"))
+        .groupBy(*gcols, "_bkt_")
+        .agg(F.max("_rho_").alias("_r_"))
+    )
+    alpha = hll_alpha(m)
+    agg = regs.groupBy(*gcols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("_r_"))).alias("_s_"),
+        F.count(F.lit(1)).alias("_present_"),
+    )
+    s_total = F.col("_s_") + (m - F.col("_present_"))
+    e_raw = F.lit(alpha * m * m) / s_total
+    v = F.lit(m) - F.col("_present_")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(e_raw)
+    return agg.select(*gcols, F.round(est, 2).alias("est_distinct"))
+
+
+def countmin_heavy_hitters(
+    df: DataFrame,
+    key: str | Column,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    top_k: int = 20,
+) -> DataFrame:
+    """Heavy hitters via a count-min sketch: ``depth`` hash rows of
+    ``width`` counters; a key's estimate is the MIN of its counters, an
+    upper bound on its true frequency (collisions only inflate).
+
+    Seeds derive Kirsch-Mitzenmacher style — g_i = (h1 + i*h2) mod
+    width from two independent md5 slices — so one md5 per key serves
+    every row of the sketch. Plan: exact per-key tf (one shuffle; the
+    sketch-only path would skip this, but the keys are needed to NAME
+    the heavy hitters), explode to d counter updates per key, aggregate
+    the d*width counter table, broadcast-join it back to the keys, min
+    over rows, global top-k. All integer arithmetic — the oracle
+    reproduces every counter exactly.
+
+    Returns ``top_k`` rows: key, est (sketch upper bound), tf (exact),
+    overcount = est - tf.
+    """
+    k = (F.col(key) if isinstance(key, str) else key).alias("_k_")
+    tf = df.select(k).groupBy("_k_").agg(F.count(F.lit(1)).alias("_tf_"))
+    hashed = tf.select(
+        "_k_",
+        "_tf_",
+        _md5_long(F.col("_k_").cast("string"), 1, 15).alias("_h1_"),
+        _md5_long(F.col("_k_").cast("string"), 16, 8)
+        .bitwiseAND(0x7FFFFFFF)
+        .alias("_h2_"),
+    )
+    rows = (
+        hashed.select(
+            "_k_",
+            "_tf_",
+            "_h1_",
+            "_h2_",
+            F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("_i_"),
+        )
+        .withColumn(
+            "_bkt_", F.pmod(F.col("_h1_") + F.col("_i_") * F.col("_h2_"), F.lit(width))
+        )
+        .drop("_h1_", "_h2_")
+    )
+    counters = rows.groupBy("_i_", "_bkt_").agg(F.sum("_tf_").alias("_c_"))
+    est = (
+        rows.join(F.broadcast(counters), on=["_i_", "_bkt_"])
+        .groupBy("_k_", "_tf_")
+        .agg(F.min("_c_").alias("_est_"))
+    )
+    return (
+        est.orderBy(F.desc("_est_"), F.asc("_k_"))
+        .limit(top_k)
+        .select(
+            F.col("_k_").alias("key"),
+            F.col("_est_").alias("est"),
+            F.col("_tf_").alias("tf"),
+            (F.col("_est_") - F.col("_tf_")).alias("overcount"),
+        )
+    )
+
+
+def hll_error_bound(p: int) -> float:
+    """Standard error of the HLL estimate: 1.04 / sqrt(2**p)."""
+    return 1.04 / math.sqrt(1 << p)

@@ -2624,6 +2624,175 @@ def q57_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Sketches + deterministic sampling (operators/sketches.py, sampling.py):
+# approximate operators whose hash formulas are SQL-reproducible, so even
+# the APPROXIMATE answers are oracle-verified value-for-value.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q58_hll_distinct",
+    """
+    WITH h AS (
+      SELECT l_returnflag,
+             ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+               AS hash
+      FROM lineitem),
+    rho AS (
+      SELECT l_returnflag, hash & 255 AS bkt,
+             CASE WHEN (hash >> 8) = 0 THEN 53
+                  ELSE 52 - length(bin(hash >> 8)) + 1 END AS rho
+      FROM h),
+    regs AS (
+      SELECT l_returnflag, bkt, max(rho) AS r FROM rho GROUP BY 1, 2),
+    agg AS (
+      SELECT l_returnflag, sum(pow(2.0, -r)) AS s, count(*) AS present
+      FROM regs GROUP BY 1),
+    est AS (
+      SELECT l_returnflag,
+             (0.7213 / (1 + 1.079 / 256)) * 65536.0 / (s + (256 - present))
+               AS e_raw,
+             256 - present AS v
+      FROM agg)
+    SELECT l_returnflag,
+           round(CASE WHEN e_raw <= 640.0 AND v > 0
+                      THEN 256.0 * ln(256.0 / v) ELSE e_raw END, 2) + 0.0
+             AS est_distinct
+    FROM est
+    """,
+)
+def q58_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled HyperLogLog (p=8) distinct orders per returnflag.
+    Spark's approx_count_distinct is unverifiable externally (private
+    seeds); this sketch's md5-slice registers are recomputed register-
+    for-register by the oracle — an APPROXIMATE answer with an EXACT
+    correctness check. One narrow shuffle; the estimate math runs on
+    256 rows per group regardless of data size."""
+    from demy_spark.operators.sketches import hll_distinct
+
+    t = _t(spark, sf_dir)
+    out = hll_distinct(t["lineitem"], "l_orderkey", ["l_returnflag"], p=8)
+    return out.select(
+        "l_returnflag", (F.col("est_distinct") + F.lit(0.0)).alias("est_distinct")
+    )
+
+
+@register(
+    "q59_heavy_hitters",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS_SQL}) AS t FROM documents),
+    tf AS (SELECT t, count(*) AS tf FROM toks GROUP BY 1),
+    hashed AS (
+      SELECT t, tf,
+             ('0x' || substring(md5(t), 1, 15))::BIGINT AS h1,
+             ('0x' || substring(md5(t), 16, 8))::BIGINT & 2147483647 AS h2
+      FROM tf),
+    cmrows AS (
+      SELECT t, tf, i, (h1 + i * h2) % 1024 AS bkt
+      FROM hashed, (SELECT unnest([0, 1, 2, 3]) AS i)),
+    counters AS (SELECT i, bkt, sum(tf) AS c FROM cmrows GROUP BY 1, 2),
+    est AS (
+      SELECT t, tf, min(c) AS est
+      FROM cmrows JOIN counters USING (i, bkt) GROUP BY 1, 2)
+    SELECT t AS key, CAST(est AS BIGINT) AS est, CAST(tf AS BIGINT) AS tf,
+           CAST(est - tf AS BIGINT) AS overcount
+    FROM est ORDER BY est DESC, key ASC LIMIT 20
+    """,
+)
+def q59_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens via a 4x1024 count-min sketch
+    (Kirsch-Mitzenmacher seeds from two md5 slices). All-integer
+    arithmetic: the oracle rebuilds every counter exactly, so the
+    sketch's overcounts themselves are verified. The counter table is
+    4096 rows at any corpus size."""
+    from demy_spark.operators.sketches import countmin_heavy_hitters
+
+    t = _t(spark, sf_dir)
+    toks = t["documents"].select(
+        F.explode(
+            F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+        ).alias("tok")
+    )
+    return countmin_heavy_hitters(toks, "tok", depth=4, width=1024, top_k=20)
+
+
+@register(
+    "q60_stratified_sample",
+    """
+    WITH rated AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 0.2 WHEN 'zh' THEN 0.3
+                       WHEN 'es' THEN 0.5 WHEN 'de' THEN 0.5
+                       WHEN 'fr' THEN 0.5 ELSE 0.0 END AS rate
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang FROM rated
+      WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < rate),
+    tot AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
+    samp AS (
+      SELECT lang, count(*) AS n_sampled, sum(doc_id) AS checksum
+      FROM s GROUP BY 1)
+    SELECT t.lang, t.n_total, samp.n_sampled,
+           round(samp.n_sampled / t.n_total, 4) + 0.0 AS realized_rate,
+           CAST(samp.checksum AS BIGINT) AS checksum
+    FROM tot t JOIN samp USING (lang)
+    """,
+)
+def q60_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language Bernoulli downsampling (Knuth-hash
+    unit interval < per-stratum rate) — the corpus-balancing step of a
+    training-data pipeline, reproducible row-for-row on any engine.
+    The sample filter is a pure narrow predicate (zero shuffles);
+    only this summary aggregates."""
+    from demy_spark.operators.sampling import stratified_sample
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    rates = {"en": 0.2, "zh": 0.3, "es": 0.5, "de": 0.5, "fr": 0.5}
+    s = stratified_sample(docs, "doc_id", "lang", rates)
+    tot = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    samp = s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"), F.sum("doc_id").alias("checksum")
+    )
+    return tot.join(samp, on="lang").select(
+        "lang",
+        "n_total",
+        "n_sampled",
+        (F.round(F.col("n_sampled") / F.col("n_total"), 4) + F.lit(0.0)).alias(
+            "realized_rate"
+        ),
+        F.col("checksum").cast("long").alias("checksum"),
+    )
+
+
+@register(
+    "q61_bottom_k_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ((doc_id * 2654435761) % 4294967296) / 4294967296.0,
+                        doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, lang FROM ranked WHERE rk <= 15
+    """,
+)
+def q61_bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample per stratum: the 15 smallest-hash docs
+    per language (bottom-k / KMV). Stable under appends and mergeable
+    across partitions — the property that lets a 1000-executor job
+    sample per-partition and merge. WindowGroupLimit caps each map
+    partition at k rows before the single stratum shuffle."""
+    from demy_spark.operators.sampling import bottom_k_sample
+
+    t = _t(spark, sf_dir)
+    return bottom_k_sample(t["documents"], "doc_id", "lang", 15).select(
+        "doc_id", "lang"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -1,0 +1,87 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from demy_spark.operators.sampling import bottom_k_sample, stratified_sample
+from demy_spark.operators.sketches import (
+    countmin_heavy_hitters,
+    hll_distinct,
+    hll_error_bound,
+)
+
+
+def test_hll_accuracy_and_determinism(spark):
+    n = 5000
+    df = spark.range(n).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") * 7 + 13).alias("k")
+    )
+    est = {r["g"]: r["est_distinct"] for r in hll_distinct(df, "k", ["g"]).collect()}
+    for g in (0, 1):
+        exact = n / 2
+        assert est[g] == pytest.approx(exact, rel=4 * hll_error_bound(8))
+    again = {r["g"]: r["est_distinct"] for r in hll_distinct(df, "k", ["g"]).collect()}
+    assert est == again  # pure function of the key set
+
+
+def test_hll_small_range_linear_counting(spark):
+    df = spark.range(10).select(F.col("id").alias("k"))
+    est = hll_distinct(df, "k").collect()[0]["est_distinct"]
+    assert est == pytest.approx(10, abs=1.5)  # linear-counting regime is tight
+
+
+def test_countmin_upper_bound_and_top1(spark):
+    rows = [("common",)] * 500 + [(f"rare{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, ["tok"])
+    out = countmin_heavy_hitters(df, "tok", depth=4, width=64, top_k=5).collect()
+    assert out[0]["key"] == "common" and out[0]["tf"] == 500
+    for r in out:
+        assert r["est"] >= r["tf"] and r["overcount"] >= 0  # one-sided error
+
+
+def test_countmin_exact_when_no_collisions(spark):
+    df = spark.createDataFrame([(f"t{i}",) for i in range(8) for _ in range(i + 1)], ["tok"])
+    out = countmin_heavy_hitters(df, "tok", depth=4, width=4096, top_k=8).collect()
+    assert all(r["overcount"] == 0 for r in out)  # 8 keys, 4096 buckets
+    assert [r["tf"] for r in out] == [8, 7, 6, 5, 4, 3, 2, 1]
+
+
+def test_stratified_sample_rates_and_salt(spark):
+    df = spark.range(10000).select(
+        F.col("id").alias("k"), (F.col("id") % 2 == 0).cast("string").alias("s")
+    )
+    out = stratified_sample(df, "k", "s", {"true": 0.3, "false": 0.7})
+    by = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert by["true"] == pytest.approx(1500, rel=0.1)
+    assert by["false"] == pytest.approx(3500, rel=0.1)
+    # deterministic: same key set both runs
+    a = {r["k"] for r in out.collect()}
+    b = {r["k"] for r in stratified_sample(df, "k", "s", {"true": 0.3, "false": 0.7}).collect()}
+    assert a == b
+    # a different salt draws a different (but similar-sized) sample
+    c = {r["k"] for r in stratified_sample(df, "k", "s", {"true": 0.3, "false": 0.7}, salt=1).collect()}
+    assert c != a and len(c) == pytest.approx(len(a), rel=0.15)
+
+
+def test_stratified_default_rate_drops_unknown_strata(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "s"])
+    assert stratified_sample(df, "k", "s", {"x": 1.0}).collect()[0]["s"] == "x"
+
+
+def test_bottom_k_fixed_size_and_mergeable(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("s")
+    )
+    out = bottom_k_sample(df, "k", "s", 10)
+    sizes = out.groupBy("s").count().collect()
+    assert all(r["count"] == 10 for r in sizes)
+    # mergeability: bottom-k of per-half bottom-k == bottom-k of the whole
+    a, b = df.where(F.col("k") < 1000), df.where(F.col("k") >= 1000)
+    merged = bottom_k_sample(
+        bottom_k_sample(a, "k", "s", 10).unionByName(bottom_k_sample(b, "k", "s", 10)),
+        "k",
+        "s",
+        10,
+    )
+    whole = {tuple(r) for r in out.collect()}
+    assert {tuple(r) for r in merged.collect()} == whole
