@@ -2793,6 +2793,80 @@ def q61_bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Skew mitigation (operators/skew.py): the oracle verifies that the
+# salted plans produce EXACTLY the plain join/agg results.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q62_skew_join",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_events,
+           round(sum(e.value), 2) + 0.0 AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1
+    """,
+)
+def q62_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid skew-aware join: the hot user_ids are salted across 4
+    reducers (right side replicated only for those keys), the tail
+    joins plainly, and the union aggregates. Output is provably the
+    plain join — which is exactly what the oracle checks."""
+    from demy_spark.operators.skew import skew_aware_join
+
+    t = _t(spark, sf_dir)
+    ev = t["events"].select("user_id", "value")
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = skew_aware_join(ev, cust, "user_id", hot=list(range(8)), salts=4)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("total_value"),
+    )
+
+
+@register(
+    "q63_salted_agg",
+    """
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 2) + 0.0 AS total_value,
+           count(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY 1
+    """,
+)
+def q63_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over event_type — 5 values, the
+    textbook skewed group key. Phase 1 reduces each hot key on 32
+    salted reducers (including the collect_set buffer, which Spark's
+    map-side partial agg can NOT combine early when it grows wide);
+    phase 2 merges 5x32 partial rows. The oracle is the direct
+    single-phase aggregation."""
+    from demy_spark.operators.skew import salted_agg
+
+    t = _t(spark, sf_dir)
+    out = salted_agg(
+        t["events"].select("event_type", "value", "user_id"),
+        "event_type",
+        {
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "total_value": (F.sum("value"), F.sum("total_value")),
+            "distinct_users": (
+                F.collect_set("user_id"),
+                F.size(F.array_distinct(F.flatten(F.collect_list("distinct_users")))),
+            ),
+        },
+        salts=32,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        (F.round("total_value", 2) + F.lit(0.0)).alias("total_value"),
+        F.col("distinct_users").cast("long").alias("distinct_users"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
