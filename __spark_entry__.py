@@ -2,10 +2,11 @@
 
 ``entry(spark)`` runs the flagship star-join query at sf0.001;
 ``queries()``/``oracle_sql()`` expose the full operator inventory from
-demy_spark.queries — 50 queries, 36 DuckDB-oracle-backed; custom
-operators (fuzzy lookup scoring, LSH dedup, iterative fits, pandas-UDF
-decodes) fall back to rows-only checks. COVERAGE.md maps each SURVEY §2
-inventory row to its query and test.
+demy_spark.queries — 63 queries, 60 DuckDB-oracle-backed; only the
+genuinely non-SQL-expressible operators (LinearSVC one-vs-rest fits,
+beam-search POS tagging, the genetic categorizer) fall back to
+rows-only checks. COVERAGE.md maps each SURVEY §2 inventory row to its
+query and test.
 """
 
 from __future__ import annotations

@@ -53,6 +53,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("sha1", T.StringType()),
+        T.StructField("sha256", T.StringType()),
         T.StructField("sniffed_mime", T.StringType()),
         T.StructField("entropy_proxy", T.DoubleType()),
     ]
@@ -83,6 +84,9 @@ def extract_byte_features(df: DataFrame, payload_col: str = "payload") -> DataFr
                     "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)),
                     "sha1": payloads.map(
                         lambda b: hashlib.sha1(b or b"").hexdigest()
+                    ),
+                    "sha256": payloads.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
                     ),
                     "sniffed_mime": payloads.map(_sniff),
                     "entropy_proxy": payloads.map(

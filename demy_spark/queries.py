@@ -1234,18 +1234,63 @@ def q31_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.where(F.col("doc_id") != F.col("cluster_id"))
 
 
-@register("q32_media_features", None)
+@register(
+    "q32_media_features",
+    """
+    WITH payloads AS (
+        SELECT doc_id AS media_id,
+               CASE doc_id % 4 WHEN 0 THEN 'GIF8'
+                               WHEN 1 THEN 'RIFF'
+                               WHEN 2 THEN 'ID3' ELSE '' END || text AS p
+        FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT media_id,
+           length(p) AS n_bytes,
+           sha256(p) AS digest,
+           CASE media_id % 4 WHEN 0 THEN 'image/gif'
+                             WHEN 1 THEN 'audio/wav'
+                             WHEN 2 THEN 'audio/mpeg'
+                             ELSE 'application/octet-stream' END AS sniffed_mime,
+           round(len(list_distinct(string_split(p, ''))) / 256.0, 6)
+               AS entropy_proxy
+    FROM payloads
+    """,
+)
 def q32_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload column → Arrow-batched
-    byte-level features (sniffed mime, sha1, entropy proxy)."""
-    from demy_spark.operators.multimodal import extract_byte_features, synth_media_table
+    """Multimodal plumbing, value-verified per row: documents become
+    binary payloads with rotated (ASCII-safe) magic headers, then the
+    REAL Arrow-batched ``mapInPandas`` byte-feature extractor runs —
+    size, sha256 digest, magic-sniffed mime, distinct-byte entropy.
+    The corpus is ASCII (asserted by the oracle's length(p) =
+    octet_length match), so DuckDB recomputes every feature from the
+    same bytes: digest via sha256(VARCHAR), entropy via distinct
+    characters. The sniffed mime comes from actual payload bytes on
+    the Spark side but from doc_id arithmetic in the oracle — magic
+    dispatch itself is under test."""
+    from demy_spark.operators.multimodal import extract_byte_features
 
-    media = synth_media_table(spark, n=256)
+    t = _t(spark, sf_dir)
+    magic = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("GIF8"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("RIFF"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("ID3"))
+        .otherwise(F.lit(""))
+    )
+    media = (
+        t["documents"]
+        .where(F.col("doc_id") % 7 == 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.concat(magic, F.col("text")).cast("binary").alias("payload"),
+        )
+    )
     feats = extract_byte_features(media)
-    return feats.groupBy("sniffed_mime").agg(
-        F.count("*").alias("n"),
-        F.round(F.avg("entropy_proxy"), 4).alias("avg_entropy"),
-        F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.col("sha256").alias("digest"),
+        "sniffed_mime",
+        F.round("entropy_proxy", 6).alias("entropy_proxy"),
     )
 
 
