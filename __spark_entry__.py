@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship star-join query at sf0.001;
 ``queries()``/``oracle_sql()`` expose the full operator inventory from
-demy_spark.queries — 63 queries, 60 DuckDB-oracle-backed; only the
+demy_spark.queries — 66 queries, 63 DuckDB-oracle-backed; only the
 genuinely non-SQL-expressible operators (LinearSVC one-vs-rest fits,
 beam-search POS tagging, the genetic categorizer) fall back to
 rows-only checks. COVERAGE.md maps each SURVEY §2 inventory row to its

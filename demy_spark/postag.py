@@ -111,3 +111,75 @@ def pos_tag(
     """Tag a token-array column; appends ``out_col`` array<string>."""
     tagger = make_pos_tagger(df.sparkSession, lexicon, transitions, beam_size=beam_size)
     return df.withColumn(out_col, tagger(F.col(tokens_col)))
+
+
+def greedy_decision_table(
+    lexicon: dict[str, dict[str, float]],
+    transitions: dict[tuple[str, str], float],
+    *,
+    default_transition: float = 0.01,
+) -> dict[str, str]:
+    """Precompute the greedy decode as a (prev_tag, word) → tag table.
+
+    With beam width 1 the running score is common to every option at a
+    step, so the choice depends ONLY on the previous tag and the
+    current word: argmax over emission × transition, ties to the
+    lexicographically smallest tag. The whole decode collapses to a
+    dictionary-sized lookup table — which is what lets the decode run
+    JVM-side (and lets a SQL oracle replay it exactly)."""
+    tags = sorted({t for opts in lexicon.values() for t in opts})
+    table: dict[str, str] = {}
+    for prev in tags + [UNKNOWN_TAG, "^"]:
+        for word, options in lexicon.items():
+            best = min(
+                options.items(),
+                key=lambda kv: (
+                    -(kv[1] * transitions.get((prev, kv[0]), default_transition)),
+                    kv[0],
+                ),
+            )
+            table[f"{prev}|{word}"] = best[0]
+    return table
+
+
+def pos_tag_greedy(
+    df: DataFrame,
+    tokens_col: str,
+    lexicon: dict[str, dict[str, float]],
+    transitions: dict[tuple[str, str], float],
+    *,
+    out_col: str = "tags",
+    default_transition: float = 0.01,
+) -> DataFrame:
+    """Greedy (beam=1) POS tagging with NO Python in the hot path.
+
+    The decision table becomes a map literal and the sequential decode
+    an ``F.aggregate`` fold over the token array — whole-stage codegen
+    executes the walk, vs. the beam tagger's Arrow round-trip. Unknown
+    words tag as UNK (``try_element_at`` keeps ANSI mode safe). Scale
+    shape: zero shuffle, zero UDF; the table is O(|tags|·|lexicon|)
+    literals in the plan."""
+    table = greedy_decision_table(
+        lexicon, transitions, default_transition=default_transition
+    )
+    mapping = F.create_map(
+        *[F.lit(x) for kv in sorted(table.items()) for x in kv]
+    )
+    def step(acc: Column, tok: Column) -> Column:
+        chosen = F.coalesce(
+            F.try_element_at(mapping, F.concat(acc["prev"], F.lit("|"), tok)),
+            F.lit(UNKNOWN_TAG),
+        )
+        return F.struct(
+            chosen.alias("prev"),
+            F.concat(acc["tags"], F.array(chosen)).alias("tags"),
+        )
+
+    init = F.struct(
+        F.lit("^").alias("prev"),
+        F.expr("array()").cast("array<string>").alias("tags"),
+    )
+    return df.withColumn(
+        out_col,
+        F.aggregate(F.col(tokens_col), init, step, lambda acc: acc["tags"]),
+    )

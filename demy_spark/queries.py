@@ -12,6 +12,7 @@ the hash; counts/keys stay exact.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -2127,6 +2128,90 @@ def q46_pos_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q66_pos_tag_greedy",
+    """
+    WITH RECURSIVE
+    lex(word, tag, emit) AS (VALUES
+      ('join','OP',0.8),('join','NOUN',0.2),('scan','OP',0.7),('scan','NOUN',0.3),
+      ('filter','OP',0.6),('filter','NOUN',0.4),('table','NOUN',1.0),
+      ('query','NOUN',0.7),('query','VERB',0.3),('fast','ADJ',1.0),
+      ('slow','ADJ',1.0),('a','DET',1.0),('the','DET',1.0)),
+    trans(prev, tag, w) AS (VALUES
+      ('^','DET',0.4),('DET','NOUN',0.8),('ADJ','NOUN',0.7),
+      ('NOUN','OP',0.5),('OP','NOUN',0.5)),
+    prevs(p) AS (SELECT DISTINCT tag FROM lex UNION SELECT 'UNK' UNION SELECT '^'),
+    choice AS (
+      SELECT prev, word, tag FROM (
+        SELECT pv.p AS prev, l.word, l.tag,
+               row_number() OVER (PARTITION BY pv.p, l.word
+                                  ORDER BY l.emit * coalesce(t.w, 0.01) DESC, l.tag) AS rk
+        FROM prevs pv CROSS JOIN lex l
+        LEFT JOIN trans t ON t.prev = pv.p AND t.tag = l.tag)
+      WHERE rk = 1),
+    raw AS (
+      SELECT doc_id, unnest(arr) AS tok, unnest(generate_series(1, len(arr))) AS pos0
+      FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS arr
+            FROM documents WHERE doc_id % 5 = 0) d),
+    toks AS (
+      SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos0) AS pos
+      FROM raw WHERE tok <> ''),
+    state(doc_id, pos, tag) AS (
+      SELECT t.doc_id, t.pos, coalesce(c.tag, 'UNK')
+      FROM toks t LEFT JOIN choice c ON c.prev = '^' AND c.word = t.tok
+      WHERE t.pos = 1
+      UNION ALL
+      SELECT s.doc_id, t.pos, coalesce(c.tag, 'UNK')
+      FROM state s
+      JOIN toks t ON t.doc_id = s.doc_id AND t.pos = s.pos + 1
+      LEFT JOIN choice c ON c.prev = s.tag AND c.word = t.tok)
+    SELECT tag, count(*) AS n FROM state GROUP BY tag
+    """,
+)
+def q66_pos_tag_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy POS decode, fully value-verified: with beam width 1 the
+    per-token choice depends only on (prev_tag, word), so the decode
+    becomes a broadcast decision map folded over the token array with
+    ``F.aggregate`` — whole-stage codegen runs the walk, no UDF, no
+    shuffle until the tag rollup. The DuckDB oracle rebuilds the same
+    decision table and replays the walk as a recursive CTE. (q46 keeps
+    the full beam-search tagger; this is its SQL-checkable core.)"""
+    from demy_spark.postag import pos_tag_greedy
+
+    t = _t(spark, sf_dir)
+    lexicon = {
+        "join": {"OP": 0.8, "NOUN": 0.2},
+        "scan": {"OP": 0.7, "NOUN": 0.3},
+        "filter": {"OP": 0.6, "NOUN": 0.4},
+        "table": {"NOUN": 1.0},
+        "query": {"NOUN": 0.7, "VERB": 0.3},
+        "fast": {"ADJ": 1.0},
+        "slow": {"ADJ": 1.0},
+        "a": {"DET": 1.0},
+        "the": {"DET": 1.0},
+    }
+    transitions = {
+        ("^", "DET"): 0.4,
+        ("DET", "NOUN"): 0.8,
+        ("ADJ", "NOUN"): 0.7,
+        ("NOUN", "OP"): 0.5,
+        ("OP", "NOUN"): 0.5,
+    }
+    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    docs = (
+        t["documents"]
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", toks.alias("toks"))
+    )
+    tagged = pos_tag_greedy(docs, "toks", lexicon, transitions)
+    return (
+        tagged.select(F.explode("tags").alias("tag"))
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @register("q47_genetic_prototypes", None)
 def q47_genetic_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Genetic prototype selection (topic/TopicTree.scala:210-356):
@@ -2909,6 +2994,107 @@ def q63_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.round("total_value", 2) + F.lit(0.0)).alias("total_value"),
         F.col("distinct_users").cast("long").alias("distinct_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Storage layout (operators/layout.py): bucketed co-located joins,
+# hive-partition pruning, compaction. The write is part of the query so
+# the oracle verifies the layout round-trips values exactly.
+# ---------------------------------------------------------------------------
+
+
+def _layout_scratch(sf_dir: str, kind: str) -> str:
+    """Per-sf scratch location under the system tempdir (layout queries
+    write a physical layout, then query it)."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"demy_layout_{kind}_{tag}")
+
+
+@register(
+    "q64_bucketed_join",
+    """
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q64_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketed tables. orders and
+    customer are persisted bucketed+sorted on the join key, then
+    sort-merge-joined with ZERO Exchange below the join (test_layout
+    audits the plan; the reference re-shuffles on every run —
+    SURVEY §4 notes it never used bucketing). At 100 TB this converts
+    the recurring fact-join shuffle into a one-time write cost."""
+    from demy_spark.operators import layout
+
+    db = f"demy_layout_db_{os.path.basename(_layout_scratch(sf_dir, 'db'))[-8:]}"
+    layout.ensure_database(spark, db, _layout_scratch(sf_dir, "db"))
+    t = _t(spark, sf_dir)
+    layout.write_bucketed(
+        t["orders"].select("o_custkey", "o_totalprice"),
+        f"{db}.orders_b",
+        bucket_cols=["o_custkey"],
+        num_buckets=8,
+        sort_cols=["o_custkey"],
+    )
+    layout.write_bucketed(
+        t["customer"].select("c_custkey", "c_mktsegment"),
+        f"{db}.customer_b",
+        bucket_cols=["c_custkey"],
+        num_buckets=8,
+        sort_cols=["c_custkey"],
+    )
+    joined = layout.colocated_join(
+        spark,
+        f"{db}.orders_b",
+        f"{db}.customer_b",
+        lambda l, r: l["o_custkey"] == r["c_custkey"],
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    ).withColumnRenamed("c_mktsegment", "segment")
+
+
+@register(
+    "q65_partition_prune",
+    """
+    SELECT o_orderpriority AS priority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+)
+def q65_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + directory pruning: orders is written
+    `o_orderpriority=.../` partitioned, and the IN predicate prunes the
+    scan to 2 of 5 directories BEFORE any row is read (test_layout
+    asserts inputFiles ⊂ matching dirs). The 100 TB pattern: date- or
+    category-partitioned facts make selective scans proportional to
+    the selected partitions, not the table."""
+    from demy_spark.operators import layout
+
+    path = _layout_scratch(sf_dir, "part")
+    t = _t(spark, sf_dir)
+    layout.write_partitioned(
+        t["orders"].select("o_totalprice", "o_orderpriority"),
+        path,
+        ["o_orderpriority"],
+    )
+    pruned = spark.read.parquet(path).where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return pruned.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
 
 

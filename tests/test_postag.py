@@ -58,3 +58,27 @@ def test_pos_tag_dataframe_and_df_lexicon(spark):
     got = {r["id"]: r["tags"] for r in out.collect()}
     assert got[1] == ["DET", "NOUN", "VERB"]
     assert got[2] == ["PRON", "AUX", "VERB"]
+
+
+def test_greedy_matches_beam_width_one(spark):
+    from demy_spark.postag import pos_tag_greedy
+
+    df = spark.createDataFrame(
+        [
+            (1, ["the", "can", "rusts"]),
+            (2, ["i", "can", "fly"]),
+            (3, ["the", "xyzzy", "can"]),
+            (4, []),
+        ],
+        "id long, toks array<string>",
+    )
+    greedy = {
+        r["id"]: r["tags"] for r in pos_tag_greedy(df, "toks", LEXICON, TRANSITIONS).collect()
+    }
+    beam1 = {
+        r["id"]: r["tags"]
+        for r in pos_tag(df, "toks", LEXICON, TRANSITIONS, beam_size=1).collect()
+    }
+    assert greedy == beam1
+    assert greedy[4] == []
+    assert greedy[3][1] == "UNK"
