@@ -48,6 +48,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
         )
+    # Spark 4.1 infers tz-less parquet timestamps as TIMESTAMP_NTZ, which
+    # rejects epoch arithmetic (CAST(ts AS BIGINT)). With the session
+    # pinned to UTC the instant is identical, so normalize to TIMESTAMP.
+    from pyspark.sql.types import TimestampNTZType
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -17,16 +17,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (see io.load_table)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _event_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,15 +48,28 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The fixture's ts physical type varies (nanos in some generations,
+    # micros in others); nanos must be read as long (Spark has no nanos
+    # timestamp) and rescaled, micros read natively then normalized to
+    # TIMESTAMP (the session is pinned to UTC, so the instant is identical).
+    import pyarrow.parquet as pq
+
+    ts_is_nanos = str(pq.read_schema(src).field("ts").type) == "timestamp[ns]"
+    if ts_is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = _event_schema(T.LongType())
+    else:
+        schema = _event_schema(T.TimestampNTZType())
     stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    return stream.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    if ts_is_nanos:
+        return stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_event_aggregate(
