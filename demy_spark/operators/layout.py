@@ -212,3 +212,119 @@ def compact_parquet(
     n_files = max(1, math.ceil(_dir_bytes(src_path) / (target_file_mb * 1024 * 1024)))
     df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
     return len([f for f in os.listdir(dst_path) if f.endswith(".parquet")])
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (multi-column data skipping)
+# ---------------------------------------------------------------------------
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    bits: int = 8,
+    key_col: str = "_z_",
+) -> DataFrame:
+    """Append an interleaved-bit Z-order key over ``cols``.
+
+    Each column is linearly binned into ``2**bits`` buckets between its
+    min and max (one tiny agg, broadcast back — no driver collect, no
+    global sort), then the bucket bits are interleaved LSB-first so
+    rows close in EVERY dimension get close keys. Hive partitioning
+    prunes on one column; sorting by a Z key tightens per-file min/max
+    footer stats on ALL interleaved columns at once, so predicates on
+    any of them skip files (the Delta/Iceberg OPTIMIZE ZORDER idea,
+    here as a plain parquet rewrite).
+
+    Linear binning (not quantile) keeps the formula deterministic and
+    SQL-reproducible (queries.q68 recomputes it in DuckDB bit-for-bit);
+    heavy skew in a column degrades its bit spread, in which case
+    pre-transform the column (e.g. log) before z-ordering.
+    """
+    from pyspark.sql import functions as F
+
+    if not 1 <= bits <= 16 or len(cols) < 2:
+        raise ValueError("need >=2 cols and 1<=bits<=16")
+    n = 1 << bits
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"_max_{c}")]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+
+    z = F.lit(0).cast("long")
+    width = len(cols)
+    for j, c in enumerate(cols):
+        rng = F.col(f"_max_{c}") - F.col(f"_min_{c}") + F.lit(1e-9)
+        bucket = F.least(
+            F.floor((F.col(c).cast("double") - F.col(f"_min_{c}")) * n / rng),
+            F.lit(n - 1),
+        ).cast("long")
+        # bit i of this column lands at position i*width + (width-1-j):
+        # LSB-first interleave, first column in the high lane.
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
+                i * width + (width - 1 - j),
+            )
+    drop = [f"_{m}_{c}" for c in cols for m in ("min", "max")]
+    return out.withColumn(key_col, z).drop(*drop)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    *,
+    bits: int = 8,
+    num_files: int = 8,
+) -> None:
+    """Rewrite ``df`` z-ordered on ``cols`` into ``num_files`` parquet
+    files: range-partition by the Z key (sampled boundaries — no global
+    sort), sort within each file, drop the key. At 100 TB this is the
+    periodic clustering job; size ``num_files`` to the target file size
+    like compact_parquet."""
+    keyed = zorder_key(df, cols, bits=bits)
+    (
+        keyed.repartitionByRange(num_files, "_z_")
+        .sortWithinPartitions("_z_")
+        .drop("_z_")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_column_spans(path: str, cols: Sequence[str]) -> dict[str, float]:
+    """Mean normalized per-file [min, max] span of each column, from
+    parquet footer stats (0 = perfectly clustered, 1 = every file spans
+    the whole range) — the measurable payoff of zorder_write: engines
+    skip a file when the predicate misses its span."""
+    import pyarrow.parquet as pq
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    spans: dict[str, list[float]] = {c: [] for c in cols}
+    glob_min: dict[str, float] = {}
+    glob_max: dict[str, float] = {}
+    per_file: dict[str, list[tuple[float, float]]] = {c: [] for c in cols}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for c in cols:
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            per_file[c].append((float(lo), float(hi)))
+            glob_min[c] = min(glob_min.get(c, float(lo)), float(lo))
+            glob_max[c] = max(glob_max.get(c, float(hi)), float(hi))
+    for c in cols:
+        rng = (glob_max[c] - glob_min[c]) or 1.0
+        spans[c] = [(hi - lo) / rng for lo, hi in per_file[c]]
+    return {c: sum(v) / len(v) for c, v in spans.items()}

@@ -3098,6 +3098,52 @@ def q65_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q67_event_followup",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           count(*)                         AS n_pairs,
+           count(DISTINCT c.event_id)       AS n_clicks_followed,
+           round(sum(p.value), 2)           AS followed_value
+    FROM clicks c
+    JOIN purchases p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    """,
+)
+def q67_event_followup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval correlation — the batch twin of the
+    watermarked stream-stream join (streaming.joins.interval_join; the
+    reference correlates events only in scheduled batch re-scans,
+    twitter/Execute.scala:58-98 + Airflow). Co-keyed equi-join on
+    user_id with the interval as residual predicate: ONE shuffle, state
+    bounded by watermark + interval width when run as a stream."""
+    from demy_spark.streaming.joins import interval_join
+
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    pairs = interval_join(
+        clicks,
+        purchases,
+        on="user_id",
+        lower="0 seconds",
+        upper="30 minutes",
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("event_id").alias("n_clicks_followed"),
+        F.round(F.sum("r_value"), 2).alias("followed_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
