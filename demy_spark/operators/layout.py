@@ -246,6 +246,14 @@ def zorder_key(
 
     if not 1 <= bits <= 16 or len(cols) < 2:
         raise ValueError("need >=2 cols and 1<=bits<=16")
+    if bits * len(cols) > 63:
+        # shiftleft wraps its amount mod 64 on the JVM, and bit 63 is the
+        # sign bit — either silently corrupts the curve. Fail loudly.
+        raise ValueError(
+            f"bits*len(cols) = {bits * len(cols)} exceeds 63: the interleaved "
+            f"key must fit a signed long; use bits<={63 // len(cols)} for "
+            f"{len(cols)} columns"
+        )
     n = 1 << bits
     aggs = []
     for c in cols:
@@ -319,12 +327,25 @@ def file_column_spans(path: str, cols: Sequence[str]) -> dict[str, float]:
             lo, hi = None, None
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx[c]).statistics
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-            per_file[c].append((float(lo), float(hi)))
-            glob_min[c] = min(glob_min.get(c, float(lo)), float(lo))
-            glob_max[c] = max(glob_max.get(c, float(hi)), float(hi))
+                # Stats can be absent (older writers, disabled stats) and
+                # non-numeric (string/binary/timestamp) — skip both rather
+                # than crash; a file with no usable stats contributes no span.
+                if st is None or not st.has_min_max:
+                    continue
+                try:
+                    mn, mx = float(st.min), float(st.max)
+                except (TypeError, ValueError):
+                    continue
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            if lo is None:
+                continue
+            per_file[c].append((lo, hi))
+            glob_min[c] = min(glob_min.get(c, lo), lo)
+            glob_max[c] = max(glob_max.get(c, hi), hi)
     for c in cols:
+        if not per_file[c]:
+            continue
         rng = (glob_max[c] - glob_min[c]) or 1.0
         spans[c] = [(hi - lo) / rng for lo, hi in per_file[c]]
-    return {c: sum(v) / len(v) for c, v in spans.items()}
+    return {c: sum(v) / len(v) for c, v in spans.items() if v}

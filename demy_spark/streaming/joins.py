@@ -67,9 +67,9 @@ def interval_join(
     r = right
     renames = {}
     for c in right.columns:
-        if c in keys:
-            continue
-        newc = right_prefix + c
+        # Keys get an unambiguous temp name too, so the post-join coalesce
+        # and drop never hit duplicate-name resolution.
+        newc = f"__rk_{c}" if c in keys else right_prefix + c
         if newc in left.columns:
             raise ValueError(f"prefixed column {newc} collides with left side")
         renames[c] = newc
@@ -81,16 +81,20 @@ def interval_join(
     cond = F.col(rts) >= lo if lower_inclusive else F.col(rts) > lo
     cond = cond & (F.col(rts) <= hi if upper_inclusive else F.col(rts) < hi)
 
-    if streaming:
-        # Streaming joins need the key equality and the time bound in ONE
-        # join condition so the state store can evict by event time.
-        key_cond = None
-        for k in keys:
-            eq = left[k] == r[k]
-            key_cond = eq if key_cond is None else (key_cond & eq)
-        joined = left.join(r, key_cond & cond, how)
-        # Keep one copy of the key columns (the left side's).
-        for k in keys:
-            joined = joined.drop(r[k])
-        return joined
-    return left.join(r, on=keys, how=how).where(cond)
+    # Both batch and streaming put the interval predicate INSIDE the join
+    # condition: streaming needs it there for state eviction, and batch
+    # needs it there so non-inner `how` keeps unmatched rows (a post-join
+    # .where() would silently drop null-extended rows, degrading outer
+    # joins to inner semantics).
+    key_cond = None
+    for k in keys:
+        eq = F.col(k) == F.col(f"__rk_{k}")
+        key_cond = eq if key_cond is None else (key_cond & eq)
+    joined = left.join(r, key_cond & cond, how)
+    # Collapse to one key column per key. For right/full joins the left key
+    # is null on right-only rows, so coalesce both sides first.
+    for k in keys:
+        if how in ("right", "right_outer", "full", "full_outer", "outer"):
+            joined = joined.withColumn(k, F.coalesce(F.col(k), F.col(f"__rk_{k}")))
+        joined = joined.drop(f"__rk_{k}")
+    return joined

@@ -49,15 +49,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(src, link)
 
     # The fixture's ts physical type varies (nanos in some generations,
-    # micros in others); nanos must be read as long (Spark has no nanos
-    # timestamp) and rescaled, micros read natively then normalized to
-    # TIMESTAMP (the session is pinned to UTC, so the instant is identical).
+    # micros in others; tz-aware in neither so far, but probe attributes,
+    # not the str() spelling, so a tz-aware fixture routes correctly);
+    # nanos must be read as long (Spark has no nanos timestamp) and
+    # rescaled, micros read natively then normalized to TIMESTAMP. Pin the
+    # session to UTC here — not just in load_tables — so the NTZ→timestamp
+    # cast never shifts instants in a non-UTC driver session.
     import pyarrow.parquet as pq
 
-    ts_is_nanos = str(pq.read_schema(src).field("ts").type) == "timestamp[ns]"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_type = pq.read_schema(src).field("ts").type
+    ts_is_nanos = getattr(ts_type, "unit", None) == "ns"
+    ts_is_tz = getattr(ts_type, "tz", None) is not None
     if ts_is_nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = _event_schema(T.LongType())
+    elif ts_is_tz:
+        # tz-aware micros: Spark reads as TIMESTAMP (instant) directly.
+        schema = _event_schema(T.TimestampType())
     else:
         schema = _event_schema(T.TimestampNTZType())
     stream = (

@@ -102,3 +102,20 @@ def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
     assert n_src == 16
     assert n_dst < n_src
     assert spark.read.parquet(dst).count() == orders.count()
+
+
+def test_zorder_bits_overflow_rejected(spark, sf_dir):
+    """bits*len(cols) must fit a signed long: shiftleft wraps mod 64 on
+    the JVM, which would silently corrupt the interleaved key."""
+    from demy_spark.operators.layout import zorder_key
+
+    df = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).select(
+        "p_retailprice", "p_size", "p_partkey"
+    )
+    cols5 = ["p_retailprice", "p_size", "p_partkey", "p_retailprice", "p_size"]
+    with pytest.raises(ValueError, match="63"):
+        zorder_key(df, cols5, bits=16)  # 80 bit positions
+    with pytest.raises(ValueError, match="63"):
+        zorder_key(df, cols5[:4], bits=16)  # 64: sign bit breaks ordering
+    # 48 positions fits — must not raise
+    zorder_key(df, ["p_retailprice", "p_size", "p_partkey"], bits=16)

@@ -70,3 +70,27 @@ def test_stream_batch_mix_rejected(spark, sf_dir):
     batch = load_tables(spark, sf_dir)["events"]
     with pytest.raises(ValueError, match="both sides"):
         interval_join(stream, batch, on="user_id")
+
+
+def test_batch_outer_keeps_unmatched(spark, sf_dir):
+    """Left-outer batch interval join must keep clicks with no purchase
+    in-window (null right columns), not silently degrade to inner —
+    the interval predicate lives inside the join condition."""
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    inner = interval_join(clicks, purchases, on="user_id", upper="30 minutes")
+    left = interval_join(
+        clicks, purchases, on="user_id", upper="30 minutes", how="left"
+    )
+    n_clicks = clicks.count()
+    matched_clicks = inner.select("event_id").distinct().count()
+    assert matched_clicks < n_clicks, "fixture should leave some clicks unmatched"
+    # every click appears; unmatched ones exactly once with null right ts
+    assert left.select("event_id").distinct().count() == n_clicks
+    unmatched = left.where(F.col("r_ts").isNull())
+    assert unmatched.count() == n_clicks - matched_clicks
+    # inner rows are identical to the left join's matched rows
+    assert left.where(F.col("r_ts").isNotNull()).count() == inner.count()
