@@ -146,6 +146,51 @@ def point_in_bbox_join(
     )
 
 
+def point_in_polygon_raycast(
+    df: DataFrame,
+    *,
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+    x_col: str = "x",
+    y_col: str = "y",
+    out_col: str = "contains",
+) -> DataFrame:
+    """Exact point-in-polygon WITHOUT shapely: even-odd ray casting
+    over vertex-array columns (``array<double>`` xs/ys, one entry per
+    ring vertex, last edge wraps to the first vertex).
+
+    This is the dependency-free exact path for the reference's IRIS
+    assignment (AddressLocalizator.scala:32-36, GeoManager.scala:
+    261-270): polygons travel as plain vertex arrays beside the WKB
+    blob, the crossing count is one codegen'd ``F.aggregate`` fold per
+    row — no UDF, no Python, and DuckDB can replay it bit-for-bit
+    (queries.q72_point_in_polygon). Compose after point_in_bbox_join's
+    rectangular prefilter so at scale the fold runs only on bbox
+    candidates. A point exactly on an edge follows the even-odd
+    convention (not guaranteed inside); keep test points off edges.
+    """
+    px, py = F.col(x_col), F.col(y_col)
+    xs, ys = F.col(xs_col), F.col(ys_col)
+    n = F.size(xs)
+
+    def crosses(i):
+        # edge from vertex i to vertex (i+1) mod n, 1-based element_at
+        x1 = F.element_at(xs, i + 1)
+        y1 = F.element_at(ys, i + 1)
+        x2 = F.element_at(xs, (i + 1) % n + 1)
+        y2 = F.element_at(ys, (i + 1) % n + 1)
+        straddles = (y1 > py) != (y2 > py)
+        # double division: y1==y2 edges are filtered by `straddles`, and
+        # doubles never raise under ANSI (inf/nan fall out of the compare)
+        x_at = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        return F.when(straddles & (px < x_at), 1).otherwise(0)
+
+    crossings = F.aggregate(
+        F.sequence(F.lit(0), n - 1), F.lit(0), lambda acc, i: acc + crosses(i)
+    )
+    return df.withColumn(out_col, crossings % 2 == 1)
+
+
 def point_in_polygon_verify(
     df: DataFrame,
     *,

@@ -3145,6 +3145,447 @@ def q68_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select("p_partkey", F.col("_z_").cast("long").alias("z"))
 
 
+def _q71_step_sql(s: int) -> str:
+    """One affectPoint update step (ClusteringNode.scala:389-406,
+    w = 1.0): pScores bump FIRST (the updated value feeds the blend),
+    then the touched topword's running-average center, then the touched
+    child-center's error/hit stats."""
+    return f"""
+    a{s} AS (SELECT ip, ic, score FROM assign WHERE step = {s}),
+    ps{s} AS (
+        SELECT p.ip,
+               p.p + CASE WHEN p.ip = a.ip THEN a.score ELSE 0.0 END AS p
+        FROM ps{s - 1} p CROSS JOIN a{s} a),
+    vc{s} AS (
+        SELECT v.ip, v.d,
+               CASE WHEN v.ip = a.ip
+                    THEN v.m * (p.p / (p.p + 1.0)) + b.x * (1.0 / (p.p + 1.0))
+                    ELSE v.m END AS m
+        FROM vc{s - 1} v
+        CROSS JOIN a{s} a
+        JOIN ps{s} p ON p.ip = v.ip
+        LEFT JOIN (SELECT d, x FROM bt WHERE step = {s}) b ON b.d = v.d),
+    ce{s} AS (
+        SELECT c.ic,
+               CASE WHEN c.ic = a.ic
+                    THEN c.e * (c.h / (c.h + 1.0))
+                         + (1.0 - a.score) * (1.0 / (c.h + 1.0))
+                    ELSE c.e END AS e,
+               CASE WHEN c.ic = a.ic THEN c.h + 1.0 ELSE c.h END AS h
+        FROM ce{s - 1} c CROSS JOIN a{s} a),"""
+
+
+_Q71_STEPS = 8
+
+_Q71_SQL = (
+    """
+    WITH tw AS (
+        SELECT vec_id AS ip,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               unnest(embedding::DOUBLE[]) AS x
+        FROM embeddings WHERE vec_id < 4),
+    twn AS (SELECT ip, sqrt(sum(x * x)) AS n FROM tw GROUP BY 1),
+    bt AS (
+        SELECT vec_id - 3 AS step,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               unnest(embedding::DOUBLE[]) AS x
+        FROM embeddings WHERE vec_id BETWEEN 4 AND 11),
+    btn AS (SELECT step, sqrt(sum(x * x)) AS n FROM bt GROUP BY 1),
+    dotp AS (
+        SELECT b.step, t.ip, sum(b.x * t.x) AS dp
+        FROM bt b JOIN tw t ON b.d = t.d GROUP BY 1, 2),
+    assign AS (
+        SELECT step, ip, ip % 2 AS ic, score FROM (
+            SELECT dp.step, dp.ip,
+                   (dp.dp / (bn.n * tn.n) + 1.0) / 2.0 AS score,
+                   row_number() OVER (PARTITION BY dp.step
+                                      ORDER BY dp.dp / (bn.n * tn.n) DESC,
+                                               dp.ip ASC) AS rk
+            FROM dotp dp
+            JOIN btn bn ON bn.step = dp.step
+            JOIN twn tn ON tn.ip = dp.ip)
+        WHERE rk = 1),
+    ps0 AS (SELECT ip, 0.0 AS p FROM twn),
+    vc0 AS (SELECT ip, d, 0.0 AS m FROM tw),
+    ce0 AS (SELECT * FROM (VALUES (0, 0.0, 0.0), (1, 0.0, 0.0)) t(ic, e, h)),"""
+    + "".join(_q71_step_sql(s) for s in range(1, _Q71_STEPS + 1))
+    + f"""
+    vcn AS (SELECT ip, sqrt(sum(m * m)) AS vn FROM vc{_Q71_STEPS} GROUP BY 1),
+    gapdot AS (
+        SELECT v.ip, sum(v.m * t.x) AS dp
+        FROM vc{_Q71_STEPS} v JOIN tw t ON t.ip = v.ip AND t.d = v.d
+        GROUP BY 1),
+    nodem AS (
+        SELECT 1.0 - sum(e * h) / sum(h) AS cluster_score,
+               1.0 - (sum(abs(tot / 2.0 - h)) / 2.0) / (tot - tot / 2.0)
+                   AS cluster_balance
+        FROM ce{_Q71_STEPS}, (SELECT sum(h) AS tot FROM ce{_Q71_STEPS}) t
+        GROUP BY tot)
+    SELECT CAST(p.ip AS INTEGER) AS i_point,
+           CAST(p.ip % 2 AS INTEGER) AS i_center,
+           round(p.p, 4) + 0.0 AS p_score,
+           round(CASE WHEN p.p > 0
+                      THEN 1.0 - (coalesce(g.dp / nullif(v.vn * tn.n, 0), 0.0)
+                                  + 1.0) / 2.0
+                      ELSE 0.0 END, 4) + 0.0 AS p_gap,
+           round(v.vn, 4) + 0.0 AS v_center_norm,
+           round(c.e, 4) + 0.0 AS c_error,
+           round(c.h, 4) + 0.0 AS c_hits,
+           round(n.cluster_score, 4) + 0.0 AS cluster_score,
+           round(n.cluster_balance, 4) + 0.0 AS cluster_balance
+    FROM ps{_Q71_STEPS} p
+    JOIN vcn v ON v.ip = p.ip
+    JOIN twn tn ON tn.ip = p.ip
+    JOIN ce{_Q71_STEPS} c ON c.ic = p.ip % 2
+    LEFT JOIN gapdot g ON g.ip = p.ip
+    CROSS JOIN nodem n
+    """
+)
+
+
+@register("q71_online_centers", _Q71_SQL)
+def q71_online_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClusteringNode online running-average updates
+    (topic/ClusteringNode.scala:378-407 via topic.online_center_updates):
+    4 fixed topwords (embeddings 0-3, centers = ip % 2), an 8-point
+    mini-batch (embeddings 4-11) folded through the exact affectPoint
+    equations, plus the GAP/error/balance node metrics (:204-212). The
+    DuckDB oracle replays the assignment AND all 8 sequential update
+    steps as unrolled CTEs (the q42 pattern). Scale shape: assignment
+    is the distributed explode/broadcast-join/argmax plan; only the
+    bounded batch reaches the driver fold."""
+    from demy_spark.topic import online_center_updates
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    topwords = [
+        [float(x) for x in r["v"]]
+        for r in sorted(
+            emb.where(F.col("vec_id") < 4).collect(), key=lambda r: r["vec_id"]
+        )
+    ]
+    batch = emb.where(F.col("vec_id").between(4, 11))
+    out = online_center_updates(
+        batch, "vec_id", "v", topwords, n_centers=2, batch_size=8
+    )
+    rounded = [
+        "p_score",
+        "p_gap",
+        "v_center_norm",
+        "c_error",
+        "c_hits",
+        "cluster_score",
+        "cluster_balance",
+    ]
+    return out.select(
+        "i_point",
+        "i_center",
+        *[(F.round(c, 4) + F.lit(0.0)).alias(c) for c in rounded],
+    )
+
+
+@register(
+    "q72_point_in_polygon",
+    """
+    WITH poly AS (
+        SELECT n_nationkey AS poly_id,
+               (n_nationkey % 5) * 10 + 2.0 AS cx,
+               (n_nationkey // 5) * 10 + 2.0 AS cy
+        FROM nation),
+    verts AS (
+        SELECT poly_id,
+               [cx + 3.5, cx, cx - 3.5, cx] AS xs,
+               [cy, cy + 3.5, cy, cy - 3.5] AS ys
+        FROM poly),
+    pts AS (
+        SELECT c_custkey AS pt_id,
+               (c_custkey % 47) + 0.25 AS px,
+               (c_custkey % 29) + 0.25 AS py
+        FROM customer),
+    edges AS (
+        SELECT poly_id, xs[i] AS x1, ys[i] AS y1,
+               xs[i % len(xs) + 1] AS x2, ys[i % len(ys) + 1] AS y2
+        FROM (SELECT poly_id, xs, ys,
+                     unnest(generate_series(1, len(xs))) AS i
+              FROM verts) v),
+    crossings AS (
+        SELECT p.pt_id, e.poly_id,
+               count(*) FILTER (
+                   WHERE ((e.y1 > p.py) <> (e.y2 > p.py))
+                     AND p.px < (e.x2 - e.x1) * (p.py - e.y1)
+                                / (e.y2 - e.y1) + e.x1) AS k
+        FROM pts p CROSS JOIN poly pl
+        JOIN edges e ON e.poly_id = pl.poly_id
+        WHERE p.px >= pl.cx - 3.5 AND p.px < pl.cx + 3.5
+          AND p.py >= pl.cy - 3.5 AND p.py < pl.cy + 3.5
+        GROUP BY 1, 2)
+    SELECT poly_id, count(*) AS n_inside
+    FROM crossings WHERE k % 2 = 1
+    GROUP BY poly_id
+    """,
+)
+def q72_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact point-in-polygon with NO shapely (geo.point_in_polygon_
+    raycast): diamond polygons derived from nation, points from
+    customer keys, bbox-prefilter join (broadcast polygon side) then an
+    even-odd ray-cast as one codegen'd F.aggregate fold — the
+    dependency-free exact path for the reference's IRIS assignment
+    (AddressLocalizator.scala:32-36). DuckDB replays the identical
+    crossing count, making this the first oracle-green PIP row."""
+    from demy_spark.geo import point_in_bbox_join, point_in_polygon_raycast
+
+    t = _t(spark, sf_dir)
+    cx = (F.col("n_nationkey") % 5) * 10 + F.lit(2.0)
+    cy = F.floor(F.col("n_nationkey") / 5) * 10 + F.lit(2.0)
+    polys = t["nation"].select(
+        F.col("n_nationkey").alias("poly_id"),
+        F.array(cx + 3.5, cx, cx - 3.5, cx).alias("xs"),
+        F.array(cy, cy + 3.5, cy, cy - 3.5).alias("ys"),
+        (cx - 3.5).alias("x_min"),
+        (cx + 3.5).alias("x_max"),
+        (cy - 3.5).alias("y_min"),
+        (cy + 3.5).alias("y_max"),
+    )
+    pts = t["customer"].select(
+        F.col("c_custkey").alias("pt_id"),
+        ((F.col("c_custkey") % 47) + F.lit(0.25)).alias("px"),
+        ((F.col("c_custkey") % 29) + F.lit(0.25)).alias("py"),
+    )
+    cand = point_in_bbox_join(pts, polys, x_col="px", y_col="py")
+    exact = point_in_polygon_raycast(
+        cand, xs_col="xs", ys_col="ys", x_col="px", y_col="py"
+    )
+    return (
+        exact.where(F.col("contains"))
+        .groupBy("poly_id")
+        .agg(F.count(F.lit(1)).alias("n_inside"))
+    )
+
+
+def _q73_obj(a: str, b: str) -> str:
+    """Platt cross-entropy term (TermlLikelyhoodEvaluator.scala:321-326),
+    numerically split on the sign of f·A+B exactly like the reference."""
+    fab = f"(deci * ({a}) + ({b}))"
+    return (
+        f"sum(CASE WHEN {fab} >= 0 "
+        f"THEN t * {fab} + ln(1.0 + exp(-{fab})) "
+        f"ELSE (t - 1.0) * {fab} + ln(1.0 + exp({fab})) END)"
+    )
+
+
+def _q73_step_sql(s: int) -> str:
+    """One damped-Newton step with Armijo backtracking: gradient/Hessian
+    aggregates at (a,b), direction via the 2×2 solve, then 34 candidate
+    stepsizes 2^-k (k=0..33, the reference's minstep=1e-10 ladder); the
+    smallest k passing the sufficient-decrease test wins, none → (a,b)
+    unchanged (scala:346-396)."""
+    return f"""
+    pq{s} AS (
+        SELECT deci AS fi, t,
+               CASE WHEN fab >= 0 THEN exp(-fab) / (1.0 + exp(-fab))
+                    ELSE 1.0 / (1.0 + exp(fab)) END AS p,
+               CASE WHEN fab >= 0 THEN 1.0 / (1.0 + exp(-fab))
+                    ELSE exp(fab) / (1.0 + exp(fab)) END AS q
+        FROM (SELECT deci, t, deci * a + b AS fab FROM targ, st{s - 1}) z),
+    grad{s} AS (
+        SELECT sum(fi * fi * p * q) + 1e-12 AS h11,
+               sum(p * q) + 1e-12 AS h22,
+               sum(fi * p * q) AS h21,
+               sum(fi * (t - p)) AS g1,
+               sum(t - p) AS g2
+        FROM pq{s}),
+    dir{s} AS (
+        SELECT -(h22 * g1 - h21 * g2) / (h11 * h22 - h21 * h21) AS da,
+               -(-h21 * g1 + h11 * g2) / (h11 * h22 - h21 * h21) AS db,
+               g1 * (-(h22 * g1 - h21 * g2) / (h11 * h22 - h21 * h21))
+               + g2 * (-(-h21 * g1 + h11 * g2) / (h11 * h22 - h21 * h21)) AS gd
+        FROM grad{s}),
+    ls{s} AS (
+        SELECT k, a + pow(0.5, k) * da AS newa, b + pow(0.5, k) * db AS newb,
+               {_q73_obj("a + pow(0.5, k) * da", "b + pow(0.5, k) * db")} AS newf
+        FROM targ, st{s - 1}, dir{s},
+             (SELECT unnest(generate_series(0, 33)) AS k) ks
+        GROUP BY k, a, b, da, db),
+    acc{s} AS (
+        SELECT min(k) AS kk
+        FROM ls{s}, f{s - 1}, dir{s}
+        WHERE newf < fval + 1e-4 * pow(0.5, k) * gd),
+    st{s} AS (
+        SELECT coalesce(w.newa, st.a) AS a, coalesce(w.newb, st.b) AS b
+        FROM st{s - 1} st
+        LEFT JOIN (SELECT newa, newb FROM ls{s}, acc{s} WHERE k = kk) w ON true),
+    f{s} AS (
+        SELECT coalesce(w.newf, f.fval) AS fval
+        FROM f{s - 1} f
+        LEFT JOIN (SELECT newf FROM ls{s}, acc{s} WHERE k = kk) w ON true),"""
+
+
+_Q73_SQL = (
+    """
+    WITH samp AS (
+        SELECT o_totalprice / 200000.0 - 0.5 AS deci,
+               CASE WHEN (o_totalprice < 100000.0) <> (o_orderkey % 7 = 0)
+                    THEN 1 ELSE 0 END AS label
+        FROM orders ORDER BY o_orderkey LIMIT 200),
+    prior AS (
+        SELECT sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS p1,
+               sum(CASE WHEN label = 1 THEN 0 ELSE 1 END) AS p0
+        FROM samp),
+    targ AS (
+        SELECT deci,
+               CASE WHEN label = 1 THEN (p1 + 1.0) / (p1 + 2.0)
+                    ELSE 1.0 / (p0 + 2.0) END AS t
+        FROM samp, prior),
+    st0 AS (SELECT 0.0 AS a, ln((p0 + 1.0) / (p1 + 1.0)) AS b FROM prior),
+    f0 AS (SELECT """
+    + _q73_obj("a", "b")
+    + """ AS fval FROM targ, st0),"""
+    + _q73_step_sql(1)
+    + _q73_step_sql(2)
+    + """
+    scored AS (
+        SELECT CASE WHEN st2.a > 1e-20
+                    THEN 1.0 / (1.0 + exp(st2.a * s.deci + st2.b))
+                    ELSE 0.5 + atan(s.deci) / pi() END AS proba,
+               s.label
+        FROM samp s, st2)
+    SELECT round(st2.a, 6) + 0.0 AS platt_a,
+           round(st2.b, 6) + 0.0 AS platt_b,
+           (SELECT round(avg(proba), 6) + 0.0 FROM scored) AS avg_proba,
+           (SELECT round(avg(proba) FILTER (WHERE label = 1), 6) + 0.0
+            FROM scored) AS avg_proba_pos,
+           (SELECT CAST(p1 AS BIGINT) FROM prior) AS n_pos
+    FROM st2
+    """
+)
+
+
+@register("q73_platt_calibration", _Q73_SQL)
+def q73_platt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt A/B calibration (TermlLikelyhoodEvaluator.scala:288-400
+    via functions.calibration.platt_fit): 200 frozen margins from
+    orders, two deterministic damped-Newton steps (fixed-step replay
+    mode), calibrated probability column. The DuckDB oracle unrolls
+    both Newton steps — gradient/Hessian aggregates, the 2×2 solve,
+    and the full 34-rung Armijo backtracking ladder. The reference
+    itself collects all decision values to the driver before fitting
+    (:214-219); here only the bounded calibration sample is collected."""
+    from demy_spark.functions.calibration import platt_fit, platt_probability
+
+    t = _t(spark, sf_dir)
+    samp = (
+        t["orders"]
+        .orderBy("o_orderkey")
+        .limit(200)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") / 200000.0 - 0.5).alias("deci"),
+            (
+                (F.col("o_totalprice") < 100000.0)
+                != (F.col("o_orderkey") % 7 == 0)
+            )
+            .cast("int")
+            .alias("label"),
+        )
+    )
+    rows = sorted(samp.collect(), key=lambda r: r["o_orderkey"])
+    A, B = platt_fit(
+        [r["deci"] for r in rows], [r["label"] for r in rows], n_steps=2
+    )
+    n_pos = sum(1 for r in rows if r["label"] == 1)
+    scored = samp.select(
+        platt_probability(F.col("deci"), A, B).alias("proba"), "label"
+    )
+    return scored.agg(
+        (F.lit(round(A, 6)) + F.lit(0.0)).alias("platt_a"),
+        (F.lit(round(B, 6)) + F.lit(0.0)).alias("platt_b"),
+        (F.round(F.avg("proba"), 6) + F.lit(0.0)).alias("avg_proba"),
+        (
+            F.round(F.avg(F.when(F.col("label") == 1, F.col("proba"))), 6)
+            + F.lit(0.0)
+        ).alias("avg_proba_pos"),
+        F.lit(n_pos).cast("bigint").alias("n_pos"),
+    )
+
+
+# Frozen linear-scorer weights for q70 (deterministic, embedded as literals
+# on both sides — the "weights as a fixture" that makes span detection
+# SQL-expressible; the fit that would produce them is q38's LinearSVC).
+_Q70_W = [round(__import__("math").sin(d + 1), 6) for d in range(64)]
+
+_Q70_SQL = f"""
+    WITH wt AS (
+        SELECT generate_subscripts(arr, 1) - 1 AS d, unnest(arr) AS wv
+        FROM (SELECT CAST([{", ".join(str(x) for x in _Q70_W)}] AS DOUBLE[]) AS arr)),
+    dims AS (
+        SELECT vec_id // 25 AS doc_id, vec_id % 25 AS pos,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               unnest(embedding::DOUBLE[]) AS x
+        FROM embeddings),
+    tok AS (
+        SELECT doc_id, pos, sum(x * wv) AS tm
+        FROM dims JOIN wt USING (d) GROUP BY 1, 2),
+    cum AS (
+        SELECT doc_id, pos,
+               sum(tm) OVER (PARTITION BY doc_id ORDER BY pos) AS c,
+               sum(tm) OVER (PARTITION BY doc_id ORDER BY pos) - tm AS cp
+        FROM tok),
+    spans AS (
+        SELECT e.doc_id, s.pos AS i, e.pos AS j, e.c - s.cp AS m
+        FROM cum e JOIN cum s
+          ON s.doc_id = e.doc_id AND s.pos BETWEEN e.pos - 4 AND e.pos),
+    best AS (
+        SELECT doc_id, i, j, m,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY m DESC, i ASC, j ASC) AS rk
+        FROM spans)
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS span_start,
+           CAST(j AS INTEGER) AS span_end,
+           round(m, 4) + 0.0 AS margin,
+           round(0.5 + atan(m) / pi(), 4) + 0.0 AS score
+    FROM best WHERE rk = 1
+"""
+
+
+@register("q70_span_detect", _Q70_SQL)
+def q70_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-span detection (ClassifierNode.scala:99-166 via
+    operators.spans): embeddings grouped into 25-token documents, the
+    length-≤5 span maximizing a frozen linear scorer found with ONE
+    running-min window pass (prefix-summed per-token dots), not a
+    per-row Python scan. The DuckDB oracle enumerates every span of
+    length ≤5 and takes the identical argmax (ties → earliest start,
+    then end). Margin→score calibration is monotonic, so the margin
+    argmax is the score argmax."""
+    from demy_spark.operators.spans import detect_best_span
+
+    t = _t(spark, sf_dir)
+    tokens = t["embeddings"].select(
+        (F.col("vec_id") / 25).cast("long").alias("doc_id"),
+        (F.col("vec_id") % 25).cast("int").alias("pos"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    best = detect_best_span(
+        tokens,
+        doc_col="doc_id",
+        pos_col="pos",
+        vec_col="vec",
+        weights=_Q70_W,
+        bias=0.0,
+        window_size=5,
+    )
+    return best.select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.round("margin", 4) + F.lit(0.0)).alias("margin"),
+        (F.round("score", 4) + F.lit(0.0)).alias("score"),
+    )
+
+
 def _q69_level_sql(i: int, base_id: int) -> str:
     """One hierarchy level: cosine-distance matrix over centers l{i},
     greedy nearest-pair matching replayed as a recursive CTE (state =

@@ -1,0 +1,224 @@
+"""Shapefile (.shp/.dbf) ingestion to a Spark DataFrame.
+
+Re-expresses the reference's GeoTools-backed shapefile → parquet
+conversion (geo/src/main/scala/GeoManager.scala:40-245): read the
+geometry file and its dBase attribute table, emit one row per feature
+with typed attribute columns, the geometry serialized as WKB binary
+(the reference serializes JTS geometry to binary the same way,
+``GeoManager.scala:55``), the per-feature bounding box as four double
+columns (``:183-203``), and — beyond the reference — the outer-ring
+vertex arrays (xs/ys) so geo.point_in_polygon_raycast can run exact
+point-in-polygon with no native geometry library.
+
+Pure-Python parsers from the public file-format specifications (ESRI
+shapefile whitepaper; dBase III header layout) — no GeoTools, no
+pyshp, no shapely. Parsing is driver-side (shapefiles are dimension
+tables: the reference's IRIS polygons are ~50k features), then
+``spark.createDataFrame`` hands Spark a plain relational table; at
+100 TB the POINT side is the big table and this polygon side is the
+broadcast dim, so driver-side parse is the right placement.
+Coordinate reprojection (the reference's WGS84 transform,
+``GeoManager.scala:120-180``) is out of scope: coordinates pass
+through in the source CRS.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class ShapeRecord:
+    number: int
+    shape_type: int
+    xs: list[float]  # outer ring / all points, x
+    ys: list[float]
+    rings: list[list[tuple[float, float]]]  # polygon rings (or 1 part)
+    bbox: tuple[float, float, float, float]  # x_min, y_min, x_max, y_max
+
+
+def _parse_shp(data: bytes) -> list[ShapeRecord]:
+    """Parse a .shp byte string (spec: 100-byte header, then records of
+    8-byte big-endian headers + little-endian shape payloads)."""
+    if len(data) < 100:
+        raise ValueError("not a shapefile: shorter than the 100-byte header")
+    (file_code,) = struct.unpack(">i", data[0:4])
+    if file_code != 9994:
+        raise ValueError(f"not a shapefile: file code {file_code} != 9994")
+    out: list[ShapeRecord] = []
+    off = 100
+    while off + 8 <= len(data):
+        rec_no, content_words = struct.unpack(">ii", data[off : off + 8])
+        off += 8
+        end = off + content_words * 2
+        (stype,) = struct.unpack("<i", data[off : off + 4])
+        if stype == 0:  # null shape
+            out.append(ShapeRecord(rec_no, 0, [], [], [], (0.0, 0.0, 0.0, 0.0)))
+        elif stype == 1:  # point
+            x, y = struct.unpack("<dd", data[off + 4 : off + 20])
+            out.append(ShapeRecord(rec_no, 1, [x], [y], [[(x, y)]], (x, y, x, y)))
+        elif stype in (3, 5):  # polyline / polygon share the layout
+            bx0, by0, bx1, by1 = struct.unpack("<dddd", data[off + 4 : off + 36])
+            n_parts, n_points = struct.unpack("<ii", data[off + 36 : off + 44])
+            parts = list(
+                struct.unpack(
+                    f"<{n_parts}i", data[off + 44 : off + 44 + 4 * n_parts]
+                )
+            )
+            pts_off = off + 44 + 4 * n_parts
+            flat = struct.unpack(
+                f"<{2 * n_points}d", data[pts_off : pts_off + 16 * n_points]
+            )
+            pts = [(flat[2 * i], flat[2 * i + 1]) for i in range(n_points)]
+            bounds = parts + [n_points]
+            rings = [pts[bounds[i] : bounds[i + 1]] for i in range(n_parts)]
+            outer = rings[0] if rings else []
+            out.append(
+                ShapeRecord(
+                    rec_no,
+                    stype,
+                    [p[0] for p in outer],
+                    [p[1] for p in outer],
+                    rings,
+                    (bx0, by0, bx1, by1),
+                )
+            )
+        else:
+            raise NotImplementedError(f"shape type {stype} not supported")
+        off = end
+    return out
+
+
+def _parse_dbf(data: bytes) -> tuple[list[str], list[list[object]]]:
+    """Parse a dBase III .dbf byte string → (field names, rows). Field
+    types: C → str, N/F → int/float, L → bool, D → 'YYYYMMDD' str."""
+    n_records, header_size, record_size = struct.unpack("<IHH", data[4:12])
+    fields: list[tuple[str, str, int]] = []
+    off = 32
+    while off < header_size - 1 and data[off] != 0x0D:
+        raw = data[off : off + 32]
+        name = raw[0:11].split(b"\x00", 1)[0].decode("ascii", "replace")
+        ftype = chr(raw[11])
+        length = raw[16]
+        fields.append((name, ftype, length))
+        off += 32
+    rows: list[list[object]] = []
+    off = header_size
+    for _ in range(n_records):
+        rec = data[off : off + record_size]
+        off += record_size
+        if not rec or rec[0:1] == b"*":  # deleted record
+            continue
+        vals: list[object] = []
+        pos = 1
+        for name, ftype, length in fields:
+            cell = rec[pos : pos + length].decode("ascii", "replace").strip()
+            pos += length
+            if ftype in ("N", "F"):
+                if cell == "":
+                    vals.append(None)
+                elif "." in cell or ftype == "F":
+                    vals.append(float(cell))
+                else:
+                    vals.append(int(cell))
+            elif ftype == "L":
+                vals.append(
+                    True if cell in "YyTt" else False if cell in "NnFf" else None
+                )
+            else:
+                vals.append(cell or None)
+        rows.append(vals)
+    return [f[0] for f in fields], rows
+
+
+def _wkb(rec: ShapeRecord) -> bytes:
+    """Minimal little-endian WKB: Point for type 1, Polygon for type 5
+    (rings closed on write if the source left them open), LineString
+    for type 3 single-part."""
+    if rec.shape_type == 1:
+        return struct.pack("<bIdd", 1, 1, rec.xs[0], rec.ys[0])
+    if rec.shape_type == 3 and len(rec.rings) == 1:
+        pts = rec.rings[0]
+        return struct.pack("<bII", 1, 2, len(pts)) + b"".join(
+            struct.pack("<dd", x, y) for x, y in pts
+        )
+    rings = []
+    for ring in rec.rings:
+        if ring and ring[0] != ring[-1]:
+            ring = ring + [ring[0]]
+        rings.append(ring)
+    body = struct.pack("<bII", 1, 3, len(rings))
+    for ring in rings:
+        body += struct.pack("<I", len(ring)) + b"".join(
+            struct.pack("<dd", x, y) for x, y in ring
+        )
+    return body
+
+
+def read_shapefile(
+    spark: SparkSession,
+    shp_path: str,
+    dbf_path: str | None = None,
+) -> DataFrame:
+    """Read ``.shp`` (+ optional sidecar ``.dbf``) into a DataFrame:
+    one row per feature with dbf attribute columns, ``geometry`` (WKB
+    binary), ``x_min/y_min/x_max/y_max`` bbox doubles (the prefilter
+    columns point_in_bbox_join consumes), and ``xs``/``ys`` outer-ring
+    vertex arrays (the exact-PIP input for point_in_polygon_raycast)."""
+    from pyspark.sql import types as T
+
+    with open(shp_path, "rb") as f:
+        shapes = _parse_shp(f.read())
+    if dbf_path is None:
+        cand = shp_path[:-4] + ".dbf" if shp_path.endswith(".shp") else None
+        import os
+
+        dbf_path = cand if cand and os.path.exists(cand) else None
+    if dbf_path:
+        names, attrs = _parse_dbf(open(dbf_path, "rb").read())
+        if len(attrs) != len(shapes):
+            raise ValueError(
+                f".dbf has {len(attrs)} records but .shp has {len(shapes)}"
+            )
+    else:
+        names, attrs = [], [[] for _ in shapes]
+
+    def _field(name: str, example) -> T.StructField:
+        if isinstance(example, bool):
+            return T.StructField(name, T.BooleanType())
+        if isinstance(example, int):
+            return T.StructField(name, T.LongType())
+        if isinstance(example, float):
+            return T.StructField(name, T.DoubleType())
+        return T.StructField(name, T.StringType())
+
+    first = attrs[0] if attrs else []
+    schema = T.StructType(
+        [_field(n, v) for n, v in zip(names, first)]
+        + [
+            T.StructField("geometry", T.BinaryType()),
+            T.StructField("x_min", T.DoubleType()),
+            T.StructField("y_min", T.DoubleType()),
+            T.StructField("x_max", T.DoubleType()),
+            T.StructField("y_max", T.DoubleType()),
+            T.StructField("xs", T.ArrayType(T.DoubleType())),
+            T.StructField("ys", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    rows = [
+        tuple(a)
+        + (
+            bytearray(_wkb(s)),
+            s.bbox[0],
+            s.bbox[1],
+            s.bbox[2],
+            s.bbox[3],
+            s.xs,
+            s.ys,
+        )
+        for a, s in zip(attrs, shapes)
+    ]
+    return spark.createDataFrame(rows, schema)

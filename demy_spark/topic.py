@@ -243,6 +243,134 @@ def seeded_kmeans(
         base.unpersist()
 
 
+def online_center_updates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    topwords: list[list[float]],
+    *,
+    n_centers: int = 2,
+    batch_size: int = 32,
+    weight: float = 1.0,
+) -> DataFrame:
+    """ClusteringNode's online statistics (``affectPoint``,
+    topic/ClusteringNode.scala:378-407) as a deterministic mini-batch
+    operator over FIXED topwords (fit=false — topword mutation via
+    ``tryAsPoint`` is the semi-supervised edit loop, out of scope here).
+
+    Two phases, Spark-shaped:
+    1. distributed assignment: each vector's best topword by
+       similarityScore = (cos+1)/2 (``:340-353``) — the same
+       explode/broadcast-join/argmax plan as
+       ``assign_to_centers(method="sql")``; ties break to the LOWEST
+       topword index (deterministic; the reference iterates an
+       unordered Scala Map, so its tie order is unspecified);
+    2. an ordered fold of the running-average update equations over the
+       first ``batch_size`` rows by ``id_col``. The reference streams
+       every row through driver-side tree state; bounding the batch
+       keeps driver state dictionary-sized while reproducing the exact
+       equations — the 100 TB path runs phase 1 distributed on the full
+       table and folds only a bounded calibration batch.
+
+    Update equations (``:389-406``), w = weight, per point with
+    topword ip / center ic = ip % n_centers and score s:
+      p[ip] += s·w                      (FIRST — the updated value
+      vC[ip] = vC[ip]·(p[ip]/(p[ip]+w))  feeds the center blend)
+               + v·(w/(p[ip]+w))
+      pGAP[ip] = 1 − simScore(vC[ip], points[ip])
+      cErr[ic] = cErr[ic]·(h/(h+w)) + (1−s)·(w/(h+w)),  h = cHits[ic]
+      cHits[ic] = h + w
+    Node metrics (``:204-212``): clusterScore = 1 − Σ cErr·cHits / Σ
+    cHits; clusterBalance = 1 − (Σ|avg−h|/2)/(Σh − avg).
+
+    Returns one row per topword: (i_point, i_center, p_score, p_gap,
+    v_center_norm, c_error, c_hits, cluster_score, cluster_balance).
+    Oracle: queries.q71_online_centers unrolls the fold step by step in
+    DuckDB.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    P = np.asarray(topwords, dtype=np.float64)
+    k, dim = P.shape
+    Pn = np.linalg.norm(P, axis=1)
+
+    batch = df.select(id_col, vec_col).orderBy(id_col).limit(batch_size)
+    assigned = _assign_to_centers_sql(batch, id_col, vec_col, topwords)
+    rows = sorted(
+        batch.join(assigned, id_col).collect(), key=lambda r: r[id_col]
+    )
+
+    p = np.zeros(k)
+    vC = np.zeros((k, dim))
+    cErr = np.zeros(n_centers)
+    cHits = np.zeros(n_centers)
+    w = float(weight)
+    for r in rows:
+        ip = int(r["cluster"])
+        ic = ip % n_centers
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        cos = r["sim"]
+        s = 0.5 if cos is None else (float(cos) + 1.0) / 2.0
+        p[ip] += s * w
+        pp = p[ip]
+        vC[ip] = vC[ip] * (pp / (pp + w)) + v * (w / (pp + w))
+        h = cHits[ic]
+        cErr[ic] = cErr[ic] * (h / (h + w)) + (1.0 - s) * (w / (h + w))
+        cHits[ic] = h + w
+
+    tot = float(cHits.sum())
+    cluster_score = 0.0 if tot == 0 else 1.0 - float((cErr * cHits).sum()) / tot
+    if tot == 0:
+        balance = 0.0
+    else:
+        avg = tot / n_centers
+        excedent = float(np.abs(avg - cHits).sum()) / 2.0
+        max_excedent = tot - avg
+        balance = 1.0 if max_excedent == 0 else 1.0 - excedent / max_excedent
+
+    out = []
+    for ip in range(k):
+        ic = ip % n_centers
+        if p[ip] > 0:
+            nv = float(np.linalg.norm(vC[ip]))
+            cos = (
+                float(np.dot(vC[ip], P[ip])) / (nv * float(Pn[ip]))
+                if nv > 0 and Pn[ip] > 0
+                else 0.0
+            )
+            gap = 1.0 - (cos + 1.0) / 2.0
+        else:
+            gap = 0.0
+        out.append(
+            (
+                ip,
+                ic,
+                float(p[ip]),
+                gap,
+                float(np.linalg.norm(vC[ip])),
+                float(cErr[ic]),
+                float(cHits[ic]),
+                cluster_score,
+                balance,
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("i_point", T.IntegerType()),
+            T.StructField("i_center", T.IntegerType()),
+            T.StructField("p_score", T.DoubleType()),
+            T.StructField("p_gap", T.DoubleType()),
+            T.StructField("v_center_norm", T.DoubleType()),
+            T.StructField("c_error", T.DoubleType()),
+            T.StructField("c_hits", T.DoubleType()),
+            T.StructField("cluster_score", T.DoubleType()),
+            T.StructField("cluster_balance", T.DoubleType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out, schema)
+
+
 def analogy_direction(
     pairs: DataFrame, a_col: str, b_col: str
 ) -> list[float]:

@@ -78,3 +78,40 @@ def test_point_in_bbox_join(spark):
 
 def test_point_in_polygon_verify_requires_shapely(spark):
     pytest.importorskip("shapely", reason="shapely not bundled")
+
+
+def test_raycast_concave_polygon(spark):
+    from demy_spark.geo import point_in_polygon_raycast
+
+    # concave "C" shape: notch on the right side
+    xs = [0.0, 4.0, 4.0, 1.0, 1.0, 4.0, 4.0, 0.0]
+    ys = [0.0, 0.0, 1.0, 1.0, 3.0, 3.0, 4.0, 4.0]
+    pts = [
+        (0, 0.5, 2.0, True),   # inside the spine
+        (1, 2.5, 2.0, False),  # inside the notch (outside polygon)
+        (2, 2.5, 0.5, True),   # lower arm
+        (3, 2.5, 3.5, True),   # upper arm
+        (4, 5.0, 2.0, False),  # right of everything
+        (5, -1.0, 2.0, False), # left of everything (ray crosses twice)
+    ]
+    df = spark.createDataFrame(
+        [(i, x, y, xs, ys) for i, x, y, _ in pts],
+        "pt_id int, x double, y double, xs array<double>, ys array<double>",
+    )
+    got = {
+        r["pt_id"]: r["contains"]
+        for r in point_in_polygon_raycast(df).collect()
+    }
+    for i, _, _, want in pts:
+        assert got[i] == want, f"point {i}"
+
+
+def test_raycast_stays_in_codegen(spark):
+    from demy_spark.geo import point_in_polygon_raycast
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0, [0.0, 2.0, 1.0], [0.0, 0.0, 2.0])],
+        "x double, y double, xs array<double>, ys array<double>",
+    )
+    plan = point_in_polygon_raycast(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

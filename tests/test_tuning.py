@@ -128,3 +128,37 @@ def test_binary_metrics_bundle(spark):
     # anti-correlated scores → AUC 0
     flipped = spark.createDataFrame([(1 - s, y) for s, y in rows], ["score", "y"])
     assert binary_metrics(flipped, "score", "y", bins=10)["auc"] == 0.0
+
+
+def test_platt_fit_recovers_sigmoid():
+    """Adaptive-mode Platt fit recovers the generating sigmoid's
+    parameters from sampled labels (scala getA_B semantics)."""
+    import math
+    import random
+
+    from demy_spark.functions.calibration import platt_fit
+
+    rnd = random.Random(5)
+    a_true, b_true = -2.0, 0.3
+    decis = [rnd.uniform(-3, 3) for _ in range(2000)]
+    labels = [
+        1 if rnd.random() < 1.0 / (1.0 + math.exp(a_true * d + b_true)) else 0
+        for d in decis
+    ]
+    a, b = platt_fit(decis, labels)
+    assert abs(a - a_true) < 0.4
+    assert abs(b - b_true) < 0.3
+
+
+def test_platt_fixed_steps_deterministic():
+    from demy_spark.functions.calibration import platt_fit
+
+    decis = [(-1) ** i * (i / 10.0) for i in range(40)]
+    labels = [1 if i % 3 == 0 else 0 for i in range(40)]
+    assert platt_fit(decis, labels, n_steps=2) == platt_fit(
+        decis, labels, n_steps=2
+    )
+    # more steps move toward the adaptive-mode optimum
+    a_full, b_full = platt_fit(decis, labels)
+    a_8, b_8 = platt_fit(decis, labels, n_steps=8)
+    assert abs(a_8 - a_full) < 0.1
