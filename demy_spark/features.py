@@ -83,6 +83,66 @@ def fit_word2vec(
     )
 
 
+def prepare_tokens(
+    tokens,
+    *,
+    truncate_at: int = 0,
+    accent_sensitive: bool = True,
+    case_sensitive: bool = False,
+):
+    """Word2VecApplier's query-side token normalization
+    (``applyCaseAccentsAndLimit``, text/Word2VecApplier.scala:154-160):
+    truncate each token to ``truncate_at`` chars FIRST, then lowercase
+    (unless case-sensitive), then accent-simplify (unless accent-
+    sensitive) — order matters and is preserved. The unsupported
+    combination accent-insensitive + case-sensitive raises, exactly
+    like the reference (:155). Pure ``F.transform`` over the token
+    array — codegen, no UDF."""
+    from pyspark.sql import Column
+
+    from demy_spark.functions.text import simplify_text
+
+    if not accent_sensitive and case_sensitive:
+        raise ValueError(
+            "accent-insensitive + case-sensitive is not supported "
+            "(Word2VecApplier.scala:155)"
+        )
+    col = tokens if isinstance(tokens, Column) else F.col(tokens)
+
+    def prep(x):
+        t = F.substring(x, 1, truncate_at) if truncate_at > 0 else x
+        if not case_sensitive:
+            t = F.lower(t)
+        if not accent_sensitive:
+            t = simplify_text(t)
+        return t
+
+    return F.transform(col, prep)
+
+
+def load_embeddings_text(
+    spark, path: str, *, element_type: str = "double"
+) -> DataFrame:
+    """Text-format embedding table (Word2VecApplier.scala:94-98):
+    each line is ``word v1 v2 ...``; lines with fewer than 3
+    space-separated fields are dropped (the reference's ``size>2``
+    filter). Returns (word, vector) with vector ``array<element_type>``.
+    Scales as a plain distributed text scan — no driver parse."""
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), " ")
+    return (
+        lines.select(parts.alias("_p_"))
+        .where(F.size("_p_") > 2)
+        .select(
+            F.element_at("_p_", 1).alias("word"),
+            F.transform(
+                F.slice("_p_", 2, F.size("_p_") - 1),
+                lambda s: s.cast(element_type),
+            ).alias("vector"),
+        )
+    )
+
+
 def apply_embeddings(
     df: DataFrame,
     id_col: str,

@@ -91,6 +91,103 @@ def sample_vectors(
     return [list(map(float, r["_v_"])) for r in rows]
 
 
+def evolve_prototypes_replay(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 3,
+    pop_size: int = 6,
+    generations: int = 3,
+    mutation_rate: float = 0.25,
+    draws: list[float],
+    pool_size: int = 64,
+) -> tuple[list[list[float]], float, list[float]]:
+    """Deterministic-replay variant of ``evolve_prototypes`` — the
+    oracle-checkable form of VectorGeneticCategorizer (topic/
+    TopicTree.scala:210-356).
+
+    Differences from the free-running variant, each chosen so DuckDB
+    can replay the evolution exactly (queries.q47_genetic_prototypes):
+    - randomness comes from ``draws``, a pre-generated uniform [0,1)
+      sequence consumed on a FIXED schedule (mutation draws are
+      consumed whether or not the mutation fires), so every stochastic
+      choice is a pure function of the seed — a fixture, like q70's
+      frozen classifier weights;
+    - the candidate pool is the first ``pool_size`` vectors under the
+      arithmetic shuffle ORDER BY (id*48271) % 65537, id (SQL-
+      replayable, unlike a hash function private to Spark);
+    - population state is tracked as POOL INDICES; crossover/mutation
+      move indices, so only fitness needs vectors;
+    - fitness is rounded to 9dp before ranking on both engines, so
+      identical-composition candidates (possible after crossover) tie
+      exactly and fall back to the stable by-index order instead of
+      diverging on 1e-16 aggregation noise.
+
+    Draw schedule: pop_size·k pool picks, then per generation per
+    child: parent-a, parent-b (without replacement), k gene coin-flips,
+    mutation gate, mutation position, mutation pool pick.
+    """
+    it = iter(draws)
+
+    def u() -> float:
+        return next(it)
+
+    w = Window.orderBy((F.col("_id_") * 48271) % 65537, F.col("_id_"))
+    rows = (
+        df.select(F.col(vec_col).alias("_v_"), F.col(id_col).alias("_id_"))
+        .withColumn("_rk_", F.row_number().over(w))
+        .where(F.col("_rk_") <= pool_size)
+        .orderBy("_rk_")
+        .collect()
+    )
+    pool = [list(map(float, r["_v_"])) for r in rows]
+    npool = len(pool)
+    if npool < k:
+        raise ValueError(f"corpus smaller than k={k}")
+
+    pop_idx = [
+        [int(u() * npool) for _ in range(k)] for _ in range(pop_size)
+    ]
+    elite_n = max(2, pop_size // 2)
+    base = df.select(id_col, vec_col).persist()
+    history: list[float] = []
+
+    def fitnesses() -> list[float]:
+        vecs = [[pool[i] for i in s] for s in pop_idx]
+        return [
+            round(f, 9)
+            for f in score_population(base, id_col, vec_col, vecs)
+        ]
+
+    try:
+        for _ in range(generations):
+            fitness = fitnesses()
+            order = sorted(range(pop_size), key=lambda i: (-fitness[i], i))
+            history.append(fitness[order[0]])
+            elite = [pop_idx[i] for i in order[:elite_n]]
+            children = []
+            for _ in range(pop_size - elite_n):
+                da = int(u() * elite_n)
+                db0 = int(u() * (elite_n - 1))
+                db = db0 + 1 if db0 >= da else db0
+                child = [
+                    elite[da][j] if u() < 0.5 else elite[db][j]
+                    for j in range(k)
+                ]
+                gate, posd, poold = u(), u(), u()
+                if gate < mutation_rate:
+                    child[int(posd * k)] = int(poold * npool)
+                children.append(child)
+            pop_idx = elite + children
+        fitness = fitnesses()
+        best = max(range(pop_size), key=lambda i: fitness[i])
+        history.append(fitness[best])
+        return [pool[i] for i in pop_idx[best]], fitness[best], history
+    finally:
+        base.unpersist()
+
+
 def evolve_prototypes(
     df: DataFrame,
     id_col: str,

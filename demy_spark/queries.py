@@ -2091,11 +2091,76 @@ def q45_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rk", F.col("rk").cast("int"))
 
 
-@register("q46_pos_tag", None)
+_Q46_SQL = """
+    WITH RECURSIVE
+    lex(word, tag, emit) AS (VALUES
+      ('join','OP',0.8),('join','NOUN',0.2),('scan','OP',0.7),('scan','NOUN',0.3),
+      ('filter','OP',0.6),('filter','NOUN',0.4),('table','NOUN',1.0),
+      ('query','NOUN',0.7),('query','VERB',0.3),('fast','ADJ',1.0),
+      ('slow','ADJ',1.0),('a','DET',1.0),('the','DET',1.0)),
+    trans(prev, tag, w) AS (VALUES
+      ('^','DET',0.4),('DET','NOUN',0.8),('ADJ','NOUN',0.7),
+      ('NOUN','OP',0.5),('OP','NOUN',0.5)),
+    tmap AS (SELECT map(list(prev || '|' || tag),
+                        list(CAST(w AS DOUBLE))) AS tm FROM trans),
+    raw AS (
+      SELECT doc_id, unnest(arr) AS tok,
+             unnest(generate_series(1, len(arr))) AS pos0
+      FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS arr
+            FROM documents WHERE doc_id < 200) d),
+    toks0 AS (
+      SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos0) AS pos
+      FROM raw WHERE tok <> ''),
+    opts AS (
+      SELECT t.doc_id, t.pos,
+             coalesce(l.ol, [{'tag': 'UNK', 'emit': CAST(1.0 AS DOUBLE)}]) AS ol
+      FROM toks0 t
+      LEFT JOIN (SELECT word, list({'tag': tag, 'emit': CAST(emit AS DOUBLE)}) AS ol
+                 FROM lex GROUP BY word) l
+        ON l.word = t.tok),
+    ndocs AS (SELECT doc_id, max(pos) AS n FROM opts GROUP BY 1),
+    -- beam state: list of (ns = -score, tags), kept sorted ascending so
+    -- natural struct order == (score desc, tags asc) — exactly
+    -- beam_tag_tokens' sort key — and sliced to the beam width of 4
+    rec(doc_id, pos, beams) AS (
+      SELECT doc_id, 0,
+             [{'ns': CAST(0.0 AS DOUBLE), 'tags': CAST([] AS VARCHAR[])}]
+      FROM ndocs
+      UNION ALL
+      SELECT r.doc_id, r.pos + 1,
+             list_slice(
+               list_sort(
+                 flatten(list_transform(r.beams, be ->
+                   list_transform(o.ol, op ->
+                     {'ns': be.ns - ln(op.emit)
+                            - ln(coalesce(
+                                tm[coalesce(be.tags[len(be.tags)], '^')
+                                   || '|' || op.tag][1], 0.01)),
+                      'tags': list_append(be.tags, op.tag)})))),
+               1, 4)
+      FROM rec r
+      JOIN opts o ON o.doc_id = r.doc_id AND o.pos = r.pos + 1
+      CROSS JOIN tmap),
+    final AS (
+      SELECT r.doc_id, r.beams[1].tags AS tags
+      FROM rec r JOIN ndocs n ON n.doc_id = r.doc_id AND r.pos = n.n)
+    SELECT tag, count(*) AS n
+    FROM (SELECT unnest(tags) AS tag FROM final)
+    GROUP BY tag ORDER BY tag
+"""
+
+
+@register("q46_pos_tag", _Q46_SQL)
 def q46_pos_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beam-search POS tagging (text/GramTag.scala:83-344, search/
-    PTree.scala:6-68): broadcast lexicon + Arrow-batched pandas UDF.
-    Tag-frequency rollup output; rows-only (sequential decode)."""
+    PTree.scala:6-68): broadcast lexicon + Arrow-batched pandas UDF,
+    beam width 4. NOW fully oracle-backed: the DuckDB oracle carries
+    the beam — a sorted list of (−score, tags) structs — through a
+    recursive CTE, expanding with the same lexicon/transition scores
+    (log-additive, default transition 0.01) and the same
+    (score desc, tags asc) tie-break, then slicing to width 4; final
+    answer = best surviving beam, rolled up by tag."""
     from demy_spark.postag import pos_tag
 
     t = _t(spark, sf_dir)
@@ -2118,7 +2183,11 @@ def q46_pos_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("OP", "NOUN"): 0.5,
     }
     toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
-    docs = t["documents"].select("doc_id", toks.alias("toks")).limit(200)
+    docs = (
+        t["documents"]
+        .where(F.col("doc_id") < 200)  # deterministic (limit() is not)
+        .select("doc_id", toks.alias("toks"))
+    )
     tagged = pos_tag(docs, "toks", lexicon, transitions)
     return (
         tagged.select(F.explode("tags").alias("tag"))
@@ -2212,25 +2281,159 @@ def q66_pos_tag_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q47_genetic_prototypes", None)
+# --- q47: deterministic-replay GA -----------------------------------------
+# The draw sequence is a pure function of the seed — a fixture, like q70's
+# frozen weights — so every stochastic choice (initial population, parents,
+# gene flips, mutations) is a compile-time constant here; only fitness,
+# ranking, and elite selection depend on data and are replayed in SQL.
+_Q47_K, _Q47_POP, _Q47_ELITE, _Q47_GENS, _Q47_POOL = 3, 6, 3, 3, 64
+
+
+def _q47_plan():
+    import random
+
+    rng = random.Random(7)
+    draws = [rng.random() for _ in range(_Q47_POP * _Q47_K + _Q47_GENS * 3 * 8)]
+    it = iter(draws)
+    init = [
+        [int(next(it) * _Q47_POOL) for _ in range(_Q47_K)]
+        for _ in range(_Q47_POP)
+    ]
+    gens = []
+    for _ in range(_Q47_GENS):
+        childs = []
+        for _ in range(_Q47_POP - _Q47_ELITE):
+            da = int(next(it) * _Q47_ELITE)
+            db0 = int(next(it) * (_Q47_ELITE - 1))
+            db = db0 + 1 if db0 >= da else db0
+            flags = [next(it) < 0.5 for _ in range(_Q47_K)]
+            gate, posd, poold = next(it), next(it), next(it)
+            childs.append(
+                (da, db, flags, gate < 0.25, int(posd * _Q47_K),
+                 int(poold * _Q47_POOL))
+            )
+        gens.append(childs)
+    return draws, init, gens
+
+
+_Q47_DRAWS, _Q47_INIT, _Q47_GENS_PLAN = _q47_plan()
+
+
+def _q47_gen_sql(g: int) -> str:
+    children = []
+    for c, (da, db, flags, mutated, pos, pick) in enumerate(_Q47_GENS_PLAN[g]):
+        for j in range(_Q47_K):
+            if mutated and pos == j:
+                gene = str(pick)
+            else:
+                parent = da if flags[j] else db
+                gene = (
+                    f"(SELECT pi FROM elite{g} WHERE es = {parent} AND j = {j})"
+                )
+            children.append(
+                f"SELECT {_Q47_ELITE + c} AS s, {j} AS j, {gene} AS pi"
+            )
+    union_children = "\n          UNION ALL ".join(children)
+    return f"""
+    fit{g} AS MATERIALIZED (
+        SELECT s, round(avg(m), 9) AS fit
+        FROM (SELECT sims.doc, p.s, max(sims.sim) AS m
+              FROM pop{g} p JOIN sims ON sims.pi = p.pi
+              GROUP BY 1, 2)
+        GROUP BY s),
+    rnk{g} AS MATERIALIZED (
+        SELECT s, fit,
+               row_number() OVER (ORDER BY fit DESC, s ASC) - 1 AS r
+        FROM fit{g}),
+    elite{g} AS MATERIALIZED (
+        SELECT r.r AS es, p.j, p.pi
+        FROM pop{g} p JOIN rnk{g} r USING (s) WHERE r.r < {_Q47_ELITE}),
+    pop{g + 1} AS MATERIALIZED (
+        SELECT es AS s, j, pi FROM elite{g}
+        UNION ALL {union_children}),"""
+
+
+_Q47_SQL = (
+    """
+    WITH pool AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY (vec_id * 48271) % 65537,
+                                  vec_id) - 1 AS pi
+        FROM embeddings QUALIFY pi < """
+    + str(_Q47_POOL)
+    + """),
+    dims AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+               unnest(embedding::DOUBLE[]) AS x
+        FROM embeddings),
+    vn AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM dims GROUP BY 1),
+    pdims AS (SELECT p.pi, d.d, d.x FROM pool p JOIN dims d USING (vec_id)),
+    pn AS (SELECT pi, sqrt(sum(x * x)) AS n FROM pdims GROUP BY 1),
+    sims AS MATERIALIZED (
+        SELECT dd.doc, dd.pi, dd.dot / nullif(v.n * pn.n, 0) AS sim
+        FROM (SELECT d.vec_id AS doc, pd.pi, sum(d.x * pd.x) AS dot
+              FROM dims d JOIN pdims pd ON pd.d = d.d
+              GROUP BY 1, 2) dd
+        JOIN vn v ON v.vec_id = dd.doc
+        JOIN pn ON pn.pi = dd.pi),
+    pop0(s, j, pi) AS (VALUES """
+    + ", ".join(
+        f"({s}, {j}, {pi})"
+        for s, genes in enumerate(_Q47_INIT)
+        for j, pi in enumerate(genes)
+    )
+    + "),"
+    + "".join(_q47_gen_sql(g) for g in range(_Q47_GENS))
+    + f"""
+    fit{_Q47_GENS} AS MATERIALIZED (
+        SELECT s, round(avg(m), 9) AS fit
+        FROM (SELECT sims.doc, p.s, max(sims.sim) AS m
+              FROM pop{_Q47_GENS} p JOIN sims ON sims.pi = p.pi
+              GROUP BY 1, 2)
+        GROUP BY s),
+    rnk{_Q47_GENS} AS MATERIALIZED (
+        SELECT s, fit,
+               row_number() OVER (ORDER BY fit DESC, s ASC) - 1 AS r
+        FROM fit{_Q47_GENS})
+    """
+    + " UNION ALL ".join(
+        f"SELECT {g} AS generation, "
+        f"round((SELECT fit FROM rnk{g} WHERE r = 0), 6) + 0.0 "
+        f"AS best_fitness, {_Q47_K} AS k"
+        for g in range(_Q47_GENS + 1)
+    )
+)
+
+
+@register("q47_genetic_prototypes", _Q47_SQL)
 def q47_genetic_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Genetic prototype selection (topic/TopicTree.scala:210-356):
-    whole population scored in one Spark job per generation."""
-    from demy_spark.genetic import evolve_prototypes
+    """Genetic prototype selection (topic/TopicTree.scala:210-356,
+    432-530) in deterministic-replay form: population = pool indices,
+    seed-derived draw fixture, fitness = one Spark job per generation
+    (genetic.score_population's broadcast explode/argmax plan). NOW
+    fully oracle-backed: every draw-derived choice is a compile-time
+    constant in the generated SQL, and DuckDB replays the data-
+    dependent parts — per-set fitness, 9dp-rounded ranking, elite
+    selection, and the child gene lookups — generation by generation."""
+    from demy_spark.genetic import evolve_prototypes_replay
 
     t = _t(spark, sf_dir)
     emb = t["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    best, fit, history = evolve_prototypes(
-        emb, "vec_id", "v", k=3, pop_size=6, generations=3, seed=7
+    best, fit, history = evolve_prototypes_replay(
+        emb,
+        "vec_id",
+        "v",
+        k=_Q47_K,
+        pop_size=_Q47_POP,
+        generations=_Q47_GENS,
+        draws=_Q47_DRAWS,
+        pool_size=_Q47_POOL,
     )
     return spark.createDataFrame(
-        [
-            (g, round(score, 6), len(best))
-            for g, score in enumerate(history)
-        ],
-        ["generation", "best_fitness", "k"],
+        [(g, round(score, 6) + 0.0, len(best)) for g, score in enumerate(history)],
+        "generation int, best_fitness double, k int",
     )
 
 
