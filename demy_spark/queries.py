@@ -380,7 +380,8 @@ def q11_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_events_hourly",
     """
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
-           count(*) AS n, round(sum(value), 2) AS total_value
+           count(*) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -389,12 +390,20 @@ def q11_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q12_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming hourly tumbling window (the
     reference's hand-rolled hourly flush, twitter/Execute.scala:58-98).
-    streaming/windows.py runs the same agg under readStream+watermark."""
+    streaming/windows.py runs the same agg under readStream+watermark.
+
+    Money sums are done in exact integer cents (round(value*100) as
+    bigint) so the result is independent of partial-aggregation order —
+    a double sum near a rounding boundary can differ run-to-run."""
     t = _t(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
     return (
         t["events"]
         .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents) / 100.0).alias("total_value"),
+        )
     )
 
 
@@ -2857,7 +2866,7 @@ def q55_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q56_range_join",
     """
     SELECT r.event_id AS incident_id, count(*) AS n_events,
-           round(sum(l.value), 2) + 0.0 AS total_value
+           sum(CAST(round(l.value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events r JOIN events l
       ON l.user_id = r.user_id
      AND l.ts >= r.ts AND l.ts < r.ts + INTERVAL 1 HOUR
@@ -2893,9 +2902,10 @@ def q56_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_end="w_end",
         on="user_id",
     ).where(F.col("e_id") != F.col("incident_id"))
+    cents = F.round(F.col("value") * 100).cast("bigint")
     return j.groupBy("incident_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("total_value"),
+        (F.sum(cents) / 100.0).alias("total_value"),
     )
 
 
@@ -2904,7 +2914,8 @@ def q56_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS bucket, event_type,
-             count(*) AS n, sum(value) AS tv
+             count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) AS tv
       FROM events GROUP BY 1, 2),
     daily AS (
       SELECT date_trunc('day', bucket) AS bucket, event_type,
@@ -2921,13 +2932,13 @@ def q56_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                      unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
               FROM dspan)
     SELECT 'hour' AS grain, g.bucket, g.event_type,
-           coalesce(h.n, 0) AS n,
-           round(coalesce(h.tv, 0), 2) + 0.0 AS total_value
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n,
+           coalesce(h.tv, 0) / 100.0 AS total_value
     FROM hgrid g LEFT JOIN hourly h USING (event_type, bucket)
     UNION ALL
     SELECT 'day' AS grain, g.bucket, g.event_type,
-           coalesce(d.n, 0) AS n,
-           round(coalesce(d.tv, 0), 2) + 0.0 AS total_value
+           CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+           coalesce(d.tv, 0) / 100.0 AS total_value
     FROM dgrid g LEFT JOIN daily d USING (event_type, bucket)
     """,
 )
@@ -2936,16 +2947,22 @@ def q57_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap fill. The raw events scan happens ONCE (hourly partials are
     persisted); the day grain re-aggregates the hourly partials
     (sum-of-sums), so each coarser grain costs a shuffle of an
-    already-small frame — the TimescaleDB rollup shape."""
+    already-small frame — the TimescaleDB rollup shape.
+
+    Money is summed as exact integer cents so the rollup is
+    deterministic: a double sum's partial-aggregation order varies
+    run-to-run, and a total near a .005 boundary can round either way
+    (the round-2 driver caught exactly that)."""
     from demy_spark.operators.temporal import time_rollup
 
     t = _t(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
     out = time_rollup(
         t["events"],
         ts="ts",
         grains=["hour", "day"],
         group_by=["event_type"],
-        metrics={"n": F.count(F.lit(1)), "total_value": F.sum("value")},
+        metrics={"n": F.count(F.lit(1)), "total_value": F.sum(cents)},
         fill_gaps=True,
     )
     return out.select(
@@ -2953,7 +2970,7 @@ def q57_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "event_type",
         "n",
-        (F.round("total_value", 2) + F.lit(0.0)).alias("total_value"),
+        (F.col("total_value") / 100.0).alias("total_value"),
     )
 
 
@@ -3136,7 +3153,7 @@ def q61_bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q62_skew_join",
     """
     SELECT c.c_mktsegment, count(*) AS n_events,
-           round(sum(e.value), 2) + 0.0 AS total_value
+           sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY 1
     """,
@@ -3154,9 +3171,10 @@ def q62_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     j = skew_aware_join(ev, cust, "user_id", hot=list(range(8)), salts=4)
+    cents = F.round(F.col("value") * 100).cast("bigint")
     return j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("total_value"),
+        (F.sum(cents) / 100.0).alias("total_value"),
     )
 
 
@@ -3164,7 +3182,7 @@ def q62_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q63_salted_agg",
     """
     SELECT event_type, count(*) AS n,
-           round(sum(value), 2) + 0.0 AS total_value,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value,
            count(DISTINCT user_id) AS distinct_users
     FROM events GROUP BY 1
     """,
@@ -3179,12 +3197,13 @@ def q63_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.skew import salted_agg
 
     t = _t(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
     out = salted_agg(
         t["events"].select("event_type", "value", "user_id"),
         "event_type",
         {
             "n": (F.count(F.lit(1)), F.sum("n")),
-            "total_value": (F.sum("value"), F.sum("total_value")),
+            "total_value": (F.sum(cents), F.sum("total_value")),
             "distinct_users": (
                 F.collect_set("user_id"),
                 F.size(F.array_distinct(F.flatten(F.collect_list("distinct_users")))),
@@ -3195,7 +3214,7 @@ def q63_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type",
         "n",
-        (F.round("total_value", 2) + F.lit(0.0)).alias("total_value"),
+        (F.col("total_value") / 100.0).alias("total_value"),
         F.col("distinct_users").cast("long").alias("distinct_users"),
     )
 
@@ -3921,7 +3940,7 @@ def q69_center_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.user_id,
            count(*)                         AS n_pairs,
            count(DISTINCT c.event_id)       AS n_clicks_followed,
-           round(sum(p.value), 2)           AS followed_value
+           sum(CAST(round(p.value * 100) AS BIGINT)) / 100.0 AS followed_value
     FROM clicks c
     JOIN purchases p
       ON p.user_id = c.user_id
@@ -3950,10 +3969,11 @@ def q67_event_followup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower="0 seconds",
         upper="30 minutes",
     )
+    cents = F.round(F.col("r_value") * 100).cast("bigint")
     return pairs.groupBy("user_id").agg(
         F.count("*").alias("n_pairs"),
         F.countDistinct("event_id").alias("n_clicks_followed"),
-        F.round(F.sum("r_value"), 2).alias("followed_value"),
+        (F.sum(cents) / 100.0).alias("followed_value"),
     )
 
 
