@@ -47,6 +47,16 @@ def main() -> None:
         force(_q.REGISTRY[name].fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # scale-stress probes OUTSIDE the baseline-comparable headline
+    # total: candidate-volume regressions surface here first
+    extras = {"fuzzy_probe_10x": _q.bench_fuzzy_probe_10x}
+    extra_timings: dict[str, float] = {}
+    for name, fn in extras.items():
+        force(fn(spark, sf_dir))  # warm-up
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        extra_timings[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -56,6 +66,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

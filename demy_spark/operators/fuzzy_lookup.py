@@ -39,8 +39,10 @@ Scale notes (100 TB design):
   reuseExistingIndex semantics).
 - Candidate generation is an equi-join on token — never a cross join.
   Ubiquitous tokens explode candidates: ``max_df`` prunes them from
-  candidate generation (they carry ~zero idf anyway); AQE skew-join
-  splitting covers the rest.
+  candidate generation BY DEFAULT (relative cap 0.5·N with a 256-doc
+  floor — see MAX_DF/MAX_DF_FLOOR; they carry ~zero idf anyway), the
+  pruned posting count is reported via ``df.observe`` observable
+  metrics, and AQE skew-join splitting covers the rest.
 - Fuzzy matching uses SymSpell-style deletion neighborhoods: distinct
   query vocab and index vocab each expand to ≤ 1+n+n² delete-variants
   and equi-join on the variant — no vocab × vocab cross product; true
@@ -52,6 +54,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -64,6 +67,43 @@ ACRONYM_BOOST = 15.0
 
 QID = "_qid_"
 RID = "_rid_"
+
+# Relative document-frequency cap applied BY DEFAULT to candidate
+# generation: tokens present in more than MAX_DF fraction of the index
+# docs are pruned (they carry ~zero idf but dominate the candidate
+# join's fan-out — a ubiquitous token on a skewed corpus is the one
+# remaining way this operator can explode at scale; cost-control parity
+# with the reference's greedy expansion, index/NgramStrategy.scala:113-195).
+MAX_DF = 0.5
+# Absolute floor on the cap: an index with fewer docs than this never
+# prunes (df <= MAX_DF_FLOOR is always kept). A token with 256 postings
+# cannot explode anything, and dictionary-sized indexes keep exact
+# whole-corpus scoring semantics.
+MAX_DF_FLOOR = 256
+
+# unique-per-call names for the CollectMetrics (df.observe) node
+_OBS_IDS = itertools.count()
+
+
+def _max_df_keep(max_df: int | float | None) -> Column | None:
+    """Candidate-keep predicate over ``_df_``/``_ndocs_``, or None.
+
+    float in (0, 1]: relative cap ``df <= max(MAX_DF_FLOOR,
+    ceil(max_df * ndocs))``. int: absolute cap. None: no pruning.
+    """
+    if max_df is None:
+        return None
+    if isinstance(max_df, bool):
+        raise TypeError("max_df must be int, float or None")
+    if isinstance(max_df, float):
+        if not 0.0 < max_df <= 1.0:
+            raise ValueError(f"relative max_df must be in (0, 1], got {max_df}")
+        cap = F.greatest(
+            F.lit(float(MAX_DF_FLOOR)),
+            F.ceil(F.lit(max_df) * F.col("_ndocs_")).cast("double"),
+        )
+        return F.col("_df_") <= cap
+    return F.col("_df_") <= F.lit(int(max_df))
 
 
 def _tokenize(col: Column, pattern: str) -> Column:
@@ -200,7 +240,7 @@ def fuzzy_lookup(
     strategy: str = "standard",
     n_ngrams: int = 3,
     top_k: int = 1,
-    max_df: int | None = None,
+    max_df: int | float | None = MAX_DF,
     tie_break_cols: Sequence[str] = (),
     index: FuzzyIndex | None = None,
 ) -> DataFrame:
@@ -221,6 +261,14 @@ def fuzzy_lookup(
 
     Pass a prebuilt ``index`` to reuse a materialized FuzzyIndex
     (reference reuseExistingIndex=true).
+
+    ``max_df`` caps candidate generation per token (default: relative
+    ``MAX_DF`` = 0.5 of index docs, floored at ``MAX_DF_FLOOR`` = 256
+    docs so small dictionary indexes never prune). Pass an int for an
+    absolute document-frequency cap or None to disable. Each run emits
+    ``postings_pruned_by_max_df`` / ``postings_kept`` observable
+    metrics (visible via QueryExecutionListener or
+    ``df.observe``-aware harnesses).
 
     ``tie_break_cols``: right-table columns that order equal-score
     candidates (ascending) before the internal row id. Score ties are
@@ -274,9 +322,19 @@ def fuzzy_lookup(
     # (see FuzzyIndex._denormalize) — the hot path is ONE equi-join
     sp = index.scored_postings
     vocab = index.vocab
-    if max_df is not None:
-        sp = sp.where(F.col("_df_") <= max_df)
-        vocab = vocab.where(F.col("_df_") <= max_df)
+    keep = _max_df_keep(max_df)
+    if keep is not None:
+        # CollectMetrics sits above the unpruned postings, so every run
+        # reports how many candidate postings the df cap removed
+        # (accumulator parity: Word2VecApplier.scala:76-79 counts its
+        # dropped words the same way). Filters are not pushed through
+        # an observe node, so the metric sees all rows.
+        sp = sp.observe(
+            f"fuzzy_lookup_{next(_OBS_IDS)}",
+            F.sum(F.when(~keep, 1).otherwise(0)).alias("postings_pruned_by_max_df"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("postings_kept"),
+        ).where(keep)
+        vocab = vocab.where(keep)
 
     idf = F.log(
         1.0 + (F.col("_ndocs_") - F.col("_df_") + 0.5) / (F.col("_df_") + 0.5)

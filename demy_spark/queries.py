@@ -883,6 +883,44 @@ def q24_fuzzy_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bench_fuzzy_probe_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (NOT registered): q24's fuzzy lookup with 10× the
+    probe volume — every document probes the phrase dictionary instead
+    of the 1-in-10 sample. Candidate-volume regressions (e.g. losing
+    the default max_df bound) surface here long before they would in
+    q24; bench.py reports it as an extra entry outside the
+    baseline-comparable headline total."""
+    from demy_spark.operators.fuzzy_lookup import fuzzy_lookup
+
+    t = _t(spark, sf_dir)
+    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    dictionary = (
+        t["documents"]
+        .where((F.col("doc_id") % 97 == 0) & (F.size(toks) >= 3))
+        .select(
+            F.concat_ws(" ", F.slice(toks, 1, 3)).alias("phrase"),
+            F.col("doc_id").alias("entity_id"),
+        )
+        .groupBy("phrase")
+        .agg(F.min("entity_id").alias("entity_id"))
+    )
+    probes = t["documents"].select("doc_id", "text")
+    out = fuzzy_lookup(
+        probes,
+        dictionary,
+        "text",
+        "phrase",
+        max_lev_distance=0,
+        strategy="ngram",
+        n_ngrams=3,
+        min_score=1.0,
+        tie_break_cols=("entity_id",),
+    )
+    return out.where(F.col("phrase").isNotNull()).select(
+        "doc_id", "phrase", "entity_id"
+    )
+
+
 @register(
     "q25_lexicon_lookup",
     f"""

@@ -238,3 +238,54 @@ def test_fuzzy_lookup_cols_independent_matches(spark):
     assert by_id[1]["state_q_match_"]["code"] == 20
     assert by_id[2]["city_q_match_"]["code"] == 30
     assert by_id[2]["state_q_match_"]["code"] == 40
+
+
+def test_max_df_default_prunes_ubiquitous_tokens(spark):
+    """Default relative max_df: on an index larger than MAX_DF_FLOOR, a
+    token present in >50% of docs is pruned from candidate generation;
+    rarer tokens still match. max_df=None restores unbounded scoring."""
+    n = 300  # > MAX_DF_FLOOR so the relative cap is active
+    right = spark.range(n).select(
+        F.concat(
+            F.lit("common "),  # df = n -> pruned under the default
+            F.when(F.col("id") == 7, F.lit("needle")).otherwise(
+                F.concat(F.lit("filler"), F.col("id"))
+            ),
+        ).alias("text"),
+        F.col("id").alias("val"),
+    )
+    left = spark.createDataFrame([("common needle",), ("common",)], ["query"])
+
+    out = fuzzy_lookup(left, right, "query", "text", max_lev_distance=0)
+    got = {r["query"]: (r["text"], r["val"]) for r in out.collect()}
+    # "needle" (df=1) still matches; the ubiquitous token contributes
+    # nothing, so the all-common query has no candidates at all
+    assert got["common needle"] == ("common needle", 7)
+    assert got["common"] == (None, None)
+
+    unbounded = fuzzy_lookup(
+        left, right, "query", "text", max_lev_distance=0, max_df=None
+    )
+    got_u = {r["query"]: r["text"] for r in unbounded.collect()}
+    assert got_u["common"] is not None  # opt-out restores old behavior
+
+
+def test_max_df_floor_protects_small_indexes(spark):
+    """An index far below MAX_DF_FLOOR never prunes — whole-corpus
+    scoring semantics are unchanged for dictionary-sized right sides."""
+    left = spark.createDataFrame([("the cat",)], ["query"])
+    right = spark.createDataFrame(
+        [("the cat sat",), ("the dog sat",), ("the bird flew",)], ["text"]
+    )
+    # "the" has df/N = 1.0 > 0.5 but N=3 << 256: kept
+    out = fuzzy_lookup(left, right, "query", "text", max_lev_distance=0)
+    assert _lookup_pairs(out) == [("the cat", "the cat sat")]
+
+
+def test_max_df_rejects_bad_relative(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([("x",)], ["query"])
+    right = spark.createDataFrame([("x",)], ["text"])
+    with _pytest.raises(ValueError):
+        fuzzy_lookup(left, right, "query", "text", max_df=1.5)
