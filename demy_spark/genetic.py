@@ -80,12 +80,15 @@ def sample_vectors(
 ) -> list[list[float]]:
     """Deterministic vector sample: top-n by a seeded hash ordering (the
     reference's orderBy(rand).take, TopicTree.scala:337-338, made
-    reproducible)."""
-    w = Window.orderBy(F.xxhash64(F.col("_id_"), F.lit(seed)))
+    reproducible).
+
+    orderBy+limit compiles to TakeOrderedAndProject — a distributed
+    per-partition top-n merged on the driver — not the single-partition
+    sort a global row_number window would force."""
     rows = (
         df.select(F.col(vec_col).alias("_v_"), F.col(id_col).alias("_id_"))
-        .withColumn("_rk_", F.row_number().over(w))
-        .where(F.col("_rk_") <= n)
+        .orderBy(F.xxhash64(F.col("_id_"), F.lit(seed)))
+        .limit(n)
         .collect()
     )
     return [list(map(float, r["_v_"])) for r in rows]
@@ -133,18 +136,21 @@ def evolve_prototypes_replay(
     def u() -> float:
         return next(it)
 
-    w = Window.orderBy((F.col("_id_") * 48271) % 65537, F.col("_id_"))
     rows = (
         df.select(F.col(vec_col).alias("_v_"), F.col(id_col).alias("_id_"))
-        .withColumn("_rk_", F.row_number().over(w))
-        .where(F.col("_rk_") <= pool_size)
-        .orderBy("_rk_")
+        .orderBy((F.col("_id_") * 48271) % 65537, F.col("_id_"))
+        .limit(pool_size)
         .collect()
     )
     pool = [list(map(float, r["_v_"])) for r in rows]
     npool = len(pool)
-    if npool < k:
-        raise ValueError(f"corpus smaller than k={k}")
+    if npool != pool_size:
+        # the SQL replay scales draw indices by the CONSTANT pool_size;
+        # a short pool would silently diverge from the oracle, so fail
+        # loudly instead
+        raise ValueError(
+            f"replay needs exactly pool_size={pool_size} vectors, got {npool}"
+        )
 
     pop_idx = [
         [int(u() * npool) for _ in range(k)] for _ in range(pop_size)

@@ -125,8 +125,14 @@ def _parse_dbf(data: bytes) -> tuple[list[str], list[list[object]]]:
                 else:
                     vals.append(int(cell))
             elif ftype == "L":
+                # tuple membership, not substring: an empty (unset)
+                # cell must parse as None, and '' is "in" any string
                 vals.append(
-                    True if cell in "YyTt" else False if cell in "NnFf" else None
+                    True
+                    if cell in ("Y", "y", "T", "t")
+                    else False
+                    if cell in ("N", "n", "F", "f")
+                    else None
                 )
             else:
                 vals.append(cell or None)

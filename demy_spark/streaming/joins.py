@@ -92,9 +92,12 @@ def interval_join(
         key_cond = eq if key_cond is None else (key_cond & eq)
     joined = left.join(r, key_cond & cond, how)
     # Collapse to one key column per key. For right/full joins the left key
-    # is null on right-only rows, so coalesce both sides first.
+    # is null on right-only rows, so coalesce both sides first. Spark
+    # accepts 'rightouter'/'fullouter' alias spellings too — normalize
+    # before the membership test so no accepted input skips the coalesce.
+    how_norm = how.replace("_", "").lower()
     for k in keys:
-        if how in ("right", "right_outer", "full", "full_outer", "outer"):
+        if how_norm in ("right", "rightouter", "full", "fullouter", "outer"):
             joined = joined.withColumn(k, F.coalesce(F.col(k), F.col(f"__rk_{k}")))
         joined = joined.drop(f"__rk_{k}")
     return joined
