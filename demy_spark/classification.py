@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 
 from demy_spark.functions.calibration import raw_prediction_to_score
 
-__all__ = ["raw_prediction_to_score", "fit_one_vs_rest", "predict_one_vs_rest"]
+__all__ = [
+    "raw_prediction_to_score",
+    "fit_one_vs_rest",
+    "predict_one_vs_rest",
+    "predict_one_vs_rest_frozen",
+]
 
 
 def _fit_component(df: DataFrame, features_col: str, label_idx: int, seed: int):
@@ -90,4 +95,44 @@ def predict_one_vs_rest(
     scores = F.array(*[F.col(c) for c in score_cols])
     out = out.withColumn(out_col, scores).drop(*score_cols)
     best = F.array_position(out_col, F.array_max(out_col)) - 1
+    return out.withColumn("predicted_label", best.cast("int"))
+
+
+def predict_one_vs_rest_frozen(
+    df: DataFrame,
+    features_col: str,
+    weights: list[list[float]],
+    intercepts: list[float],
+    *,
+    out_col: str = "scores",
+    margin_decimals: int | None = None,
+) -> DataFrame:
+    """Serving-path transform of DiscreteVectorClassifier
+    (classification/DiscreteVectorClassifier.scala:19-150 +
+    evaluation/RawPrediction2Score.scala:24-35) from FROZEN per-label
+    weight vectors: margin_l = w_l·x + b_l computed in-plan
+    (zip_with/aggregate, whole-stage codegen — no MLlib model objects,
+    the shape you deploy on a cluster that only serves), atan-blended
+    to a [0,1] score array, argmax label (first index wins ties).
+
+    ``margin_decimals`` rounds each margin before the blend so two
+    engines summing in different orders agree exactly — the
+    deterministic-replay knob the DuckDB oracle relies on.
+    """
+    from demy_spark.functions.calibration import margin_to_score
+
+    x = F.col(features_col).cast("array<double>")
+    scores = []
+    for w, b in zip(weights, intercepts):
+        wcol = F.array(*[F.lit(float(v)) for v in w])
+        m = F.aggregate(
+            F.zip_with(x, wcol, lambda a, c: a * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ) + F.lit(float(b))
+        if margin_decimals is not None:
+            m = F.round(m, margin_decimals)
+        scores.append(margin_to_score(m))
+    out = df.withColumn(out_col, F.array(*scores))
+    best = F.array_position(F.col(out_col), F.array_max(out_col)) - 1
     return out.withColumn("predicted_label", best.cast("int"))

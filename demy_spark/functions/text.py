@@ -207,3 +207,128 @@ def split_sentences(
     """Sentence split → array<string>; pair with ``F.posexplode`` to get
     (phrase_id, sentence) rows like the reference's explode mode."""
     return make_sentence_splitter(min_phrase_size, max_phrase_size)(_as_col(c))
+
+
+# --- Word.splitDoc: typed Word records with offsets + phrase ids --------
+
+_WORD_RECORD_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("word", T.StringType()),
+            T.StructField("simplified", T.StringType()),
+            T.StructField("is_word", T.BooleanType()),
+            T.StructField("index", T.IntegerType()),
+            T.StructField("phrase_id", T.IntegerType()),
+        ]
+    )
+)
+
+_ACCENT_MAP = dict(zip(_ACCENT_SRC, _ACCENT_DST))
+
+
+def _simplify_char(c: str, nxt: str) -> str:
+    """Word.simplifyText's per-char mapping (text/Word.scala:34-55):
+    lowercase, accent fold, -/' → space, l/d followed by ' → space."""
+    lc = c.lower()
+    if lc in _ACCENT_MAP:
+        return _ACCENT_MAP[lc]
+    if lc in ("-", "'"):
+        return " "
+    if lc in ("l", "d") and nxt == "'":
+        return " "
+    return lc
+
+
+def _split_doc_py(
+    text: str | None,
+    links_as_separators: bool = True,
+    split_phrases: bool = True,
+) -> list[dict]:
+    """Word.splitDoc (text/Word.scala:91-109): length-preserving
+    simplify + non-letter blanking segments the doc into maximal
+    word / non-word runs; each record carries the ORIGINAL text slice,
+    the simplified slice, its sequential index and a phrase id that
+    increments after any token containing [\\r\\n.;!?]."""
+    import re
+
+    orig = text or ""
+    if links_as_separators:
+        pat = re.compile(URL_REGEX)
+        s = pat.sub(lambda m: " " * len(m.group(0)), orig)
+    else:
+        s = orig
+    simpli = "".join(
+        _simplify_char(c, s[i + 1].lower() if i + 1 < len(s) else "X")
+        for i, c in enumerate(s)
+    )
+    final = "".join(ch if ch.isalpha() else " " for ch in simpli)
+
+    import itertools
+
+    sep = re.compile(r"[\r\n.;!?]")
+    out: list[dict] = []
+    phrase = 0
+    idx = 0
+    for is_space, grp in itertools.groupby(
+        enumerate(final), key=lambda p: p[1] == " "
+    ):
+        g = list(grp)
+        start, end = g[0][0], g[-1][0]
+        w = orig[start : end + 1]
+        out.append(
+            {
+                "word": w,
+                "simplified": final[start : end + 1],
+                "is_word": not is_space,
+                "index": idx,
+                "phrase_id": phrase,
+            }
+        )
+        idx += 1
+        if split_phrases and sep.search(w):
+            phrase += 1
+    return out
+
+
+def make_doc_splitter(
+    links_as_separators: bool = True, split_phrases: bool = True
+):
+    """Factory for the splitDoc pandas UDF → array<struct<word,
+    simplified, is_word, index, phrase_id>> (Word.scala:91-109)."""
+
+    @F.pandas_udf(_WORD_RECORD_SCHEMA)
+    def _split(series: pd.Series) -> pd.Series:
+        return series.map(
+            lambda t: _split_doc_py(t, links_as_separators, split_phrases)
+        )
+
+    return _split
+
+
+def split_doc_records(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    links_as_separators: bool = True,
+    split_phrases: bool = True,
+):
+    """Word.splitDoc as a DataFrame op: one row per Word record —
+    (id_col, word, simplified, is_word, index, phrase_id). Vectorized
+    pandas UDF + explode; the per-doc record array never crosses the
+    driver (the reference materializes Seq[Word] datasets the same
+    shape, text/Word.scala:91-109)."""
+    arr = make_doc_splitter(links_as_separators, split_phrases)(
+        _as_col(text_col)
+    )
+    return (
+        df.select(F.col(id_col), F.explode(arr).alias("_w_"))
+        .select(
+            id_col,
+            F.col("_w_.word").alias("word"),
+            F.col("_w_.simplified").alias("simplified"),
+            F.col("_w_.is_word").alias("is_word"),
+            F.col("_w_.index").alias("index"),
+            F.col("_w_.phrase_id").alias("phrase_id"),
+        )
+    )

@@ -164,6 +164,57 @@ def _wkb(rec: ShapeRecord) -> bytes:
     return body
 
 
+def build_shp_bytes(polygons: list[list[list[tuple[float, float]]]]) -> bytes:
+    """Serialize polygons (list of features; each feature = list of
+    rings; each ring = [(x, y), ...]) to .shp bytes per the public ESRI
+    spec — the writer twin of ``_parse_shp``, used to synthesize
+    deterministic fixtures (tests, q75) without any geo library."""
+    records = []
+    for i, rings in enumerate(polygons):
+        pts = [p for ring in rings for p in ring]
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        payload = struct.pack("<i", 5)
+        payload += struct.pack("<dddd", min(xs), min(ys), max(xs), max(ys))
+        payload += struct.pack("<ii", len(rings), len(pts))
+        start = 0
+        for ring in rings:
+            payload += struct.pack("<i", start)
+            start += len(ring)
+        for x, y in pts:
+            payload += struct.pack("<dd", x, y)
+        records.append(struct.pack(">ii", i + 1, len(payload) // 2) + payload)
+    content = b"".join(records)
+    header = struct.pack(">i", 9994) + b"\x00" * 20
+    header += struct.pack(">i", (100 + len(content)) // 2)
+    header += struct.pack("<ii", 1000, 5)
+    header += struct.pack("<dddd", 0.0, 0.0, 0.0, 0.0) + b"\x00" * 32
+    return header + content
+
+
+def build_dbf_bytes(
+    fields: list[tuple[str, str, int]], rows: list[list[str]]
+) -> bytes:
+    """Serialize attribute rows (all cells pre-formatted as strings;
+    empty string = unset) to dBase III .dbf bytes — the writer twin of
+    ``_parse_dbf``."""
+    record_size = 1 + sum(f[2] for f in fields)
+    header_size = 32 + 32 * len(fields) + 1
+    out = b"\x03" + b"\x00" * 3
+    out += struct.pack("<IHH", len(rows), header_size, record_size)
+    out += b"\x00" * 20
+    for name, ftype, length in fields:
+        out += name.encode().ljust(11, b"\x00") + ftype.encode()
+        out += b"\x00" * 4 + bytes([length, 0]) + b"\x00" * 14
+    out += b"\x0d"
+    for row in rows:
+        out += b" " + b"".join(
+            cell.encode().ljust(length)[:length]
+            for cell, (_, _, length) in zip(row, fields)
+        )
+    return out
+
+
 def read_shapefile(
     spark: SparkSession,
     shp_path: str,

@@ -371,6 +371,165 @@ def online_center_updates(
     return df.sparkSession.createDataFrame(out, schema)
 
 
+def grow_topic_tree(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    topwords: list[list[float]],
+    *,
+    n_centers: int = 2,
+    child_split_size: float = 50.0,
+    weight: float = 1.0,
+    sim_decimals: int = 6,
+    max_depth: int = 8,
+) -> DataFrame:
+    """ClusteringNode child spawning (topic/ClusteringNode.scala:18-628):
+    grow the topic tree by recursively splitting nodes at
+    ``childSplitSize`` — the piece q71's online statistics compose into.
+
+    Reference semantics re-expressed (``score``:320-331 +
+    ``fillChildren``:572-597): a node spawns one child per class center
+    when (a) the mass routed through it ``sum(pScores) > childSplitSize``
+    and (b) every parent center's hit count also exceeds
+    ``childSplitSize`` (root has no parent); child ``ic`` inherits the
+    parent topwords at local index ≡ ic (mod n_centers) and the rows
+    the parent routed to center ic; recursion stops when a node has
+    ≤ n_centers topwords (nothing left to split), the threshold fails,
+    or ``max_depth`` is hit.
+
+    Spark shape: BOTH spawn inputs are order-independent sums, so the
+    whole decision runs distributed — per-row topword similarities
+    ((cos+1)/2, rounded to ``sim_decimals`` so replay engines agree)
+    are computed ONCE against the literal topword matrix and persisted;
+    each level is an argmax window over the node's topword subset plus
+    a per-node aggregate; only dictionary-sized (node × center) rows
+    ever reach the driver. The reference streams rows through mutable
+    tree state instead — same decisions, driver-free data path here.
+
+    Returns one row per materialized node: (node, depth, n_topwords,
+    n_rows, pscore_sum, spawned).
+    """
+    spark = df.sparkSession
+    k = len(topwords)
+    tw = F.array(
+        *[F.array(*[F.lit(float(x)) for x in w]) for w in topwords]
+    )
+    base = df.select(
+        F.col(id_col).alias("_id_"),
+        F.col(vec_col).cast("array<double>").alias("_v_"),
+    )
+    ex = base.select("_id_", "_v_", F.posexplode(tw).alias("_ip_", "_w_"))
+    dot = F.aggregate(
+        F.zip_with("_v_", "_w_", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / F.nullif(norm(F.col("_v_")) * norm(F.col("_w_")), F.lit(0.0))
+    sims = ex.select(
+        "_id_",
+        "_ip_",
+        F.round((F.coalesce(cos, F.lit(0.0)) + 1.0) / 2.0, sim_decimals).alias(
+            "_s_"
+        ),
+    ).persist()
+
+    results: list[tuple] = []
+    persisted: list[DataFrame] = []
+    # frontier: node path -> (global topword indices, rows frame of _id_)
+    frontier: list[tuple[str, list[int], DataFrame, bool]] = [
+        ("root", list(range(k)), base.select("_id_"), True)
+    ]
+    depth = 0
+    try:
+        while frontier and depth <= max_depth:
+            nxt: list[tuple[str, list[int], DataFrame, bool]] = []
+            for node, indices, rows, parent_ok in frontier:
+                mdf = F.broadcast(
+                    spark.createDataFrame(
+                        [(ip, j) for j, ip in enumerate(indices)],
+                        "_ip_ int, _j_ int",
+                    )
+                )
+                w_rank = Window.partitionBy("_id_").orderBy(
+                    F.desc("_s_"), F.asc("_ip_")
+                )
+                best = (
+                    rows.join(sims, "_id_")
+                    .join(mdf, "_ip_")
+                    .withColumn("_rk_", F.row_number().over(w_rank))
+                    .where(F.col("_rk_") == 1)
+                    .select(
+                        "_id_",
+                        (F.col("_j_") % n_centers).alias("_ic_"),
+                        "_s_",
+                    )
+                    .persist()
+                )
+                persisted.append(best)
+                stats = best.groupBy("_ic_").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("_s_").alias("ps"),
+                )
+                srows = stats.collect()  # ≤ n_centers rows
+                n_rows = sum(r["n"] for r in srows)
+                # pScores accumulate s·w per row, so their sum is w·Σs
+                pscore_sum = round(
+                    weight * sum(r["ps"] or 0.0 for r in srows), 6
+                )
+                c_hits = {r["_ic_"]: r["n"] * weight for r in srows}
+                spawn = (
+                    len(indices) > n_centers
+                    and depth < max_depth
+                    and pscore_sum > child_split_size
+                    and parent_ok
+                )
+                results.append(
+                    (node, depth, len(indices), n_rows, pscore_sum, spawn)
+                )
+                if spawn:
+                    # children may themselves spawn only if EVERY center
+                    # of this node cleared the threshold (score:326)
+                    child_ok = all(
+                        c_hits.get(ic, 0.0) > child_split_size
+                        for ic in range(n_centers)
+                    )
+                    for ic in range(n_centers):
+                        child_idx = [
+                            ip
+                            for j, ip in enumerate(indices)
+                            if j % n_centers == ic
+                        ]
+                        child_rows = best.where(F.col("_ic_") == ic).select(
+                            "_id_"
+                        )
+                        nxt.append(
+                            (f"{node}/{ic}", child_idx, child_rows, child_ok)
+                        )
+            frontier = nxt
+            depth += 1
+    finally:
+        sims.unpersist()
+        for p in persisted:
+            p.unpersist()
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("node", T.StringType()),
+            T.StructField("depth", T.IntegerType()),
+            T.StructField("n_topwords", T.IntegerType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("pscore_sum", T.DoubleType()),
+            T.StructField("spawned", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(results, schema)
+
+
 def analogy_direction(
     pairs: DataFrame, a_col: str, b_col: str
 ) -> list[float]:

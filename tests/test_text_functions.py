@@ -109,3 +109,39 @@ def test_word2vec_fit_roundtrip(spark):
     rows = {r["word"]: r["vector"] for r in vecs.collect()}
     assert set(rows) == {"spark", "query", "engine", "fast"}
     assert all(len(v) == 8 for v in rows.values())
+
+
+def test_split_doc_records_golden(spark):
+    """Word.splitDoc golden: interleaved word/non-word runs, original
+    slices preserved (URL kept in the orig slice though blanked for
+    segmentation), phrase ids increment AFTER separator tokens."""
+    from demy_spark.functions.text import split_doc_records
+
+    df = spark.createDataFrame(
+        [(1, "L'Été; voir http://x.co/a ok")], "doc_id int, s string"
+    )
+    rows = [
+        tuple(r)
+        for r in split_doc_records(df, "doc_id", "s")
+        .orderBy("index")
+        .select("word", "simplified", "is_word", "index", "phrase_id")
+        .collect()
+    ]
+    assert rows == [
+        ("L'", "  ", False, 0, 0),
+        ("Été", "ete", True, 1, 0),
+        # the separator token itself stays in phrase 0...
+        ("; ", "  ", False, 2, 0),
+        # ...and the URL is blanked for segmentation but kept in word,
+        # so its '.' advances the phrase for the tokens AFTER it
+        ("voir", "voir", True, 3, 1),
+        (" http://x.co/a ", "               ", False, 4, 1),
+        ("ok", "ok", True, 5, 2),
+    ]
+
+
+def test_split_doc_empty_and_null(spark):
+    from demy_spark.functions.text import split_doc_records
+
+    df = spark.createDataFrame([(1, None), (2, "")], "doc_id int, s string")
+    assert split_doc_records(df, "doc_id", "s").count() == 0

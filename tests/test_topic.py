@@ -100,3 +100,55 @@ def test_analogy_direction_and_score(spark):
     out = {r["id"]: r["analogy_score"] for r in analogy_score(probes, "x", "y", d).collect()}
     assert out[1] == 1.0
     assert out[2] == 0.0
+
+
+def test_grow_topic_tree_splits_and_stops(spark):
+    """Root spawns past childSplitSize; children with n_topwords ==
+    n_centers cannot split further (ClusteringNode.score:320-331)."""
+    from demy_spark.topic import grow_topic_tree
+
+    tws = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]]
+    rows = [(i, [1.0, 0.0]) for i in range(3)] + [
+        (i, [0.0, 1.0]) for i in range(3, 6)
+    ]
+    df = spark.createDataFrame(rows, "vid long, v array<double>")
+    out = {
+        r["node"]: r
+        for r in grow_topic_tree(
+            df, "vid", "v", tws, n_centers=2, child_split_size=2.0
+        ).collect()
+    }
+    assert out["root"]["spawned"] and out["root"]["pscore_sum"] == 6.0
+    assert set(out) == {"root", "root/0", "root/1"}
+    # child 0 owns topwords {0, 2}; the (1,0) rows route there with s=1
+    assert out["root/0"]["n_rows"] == 3 and out["root/0"]["pscore_sum"] == 3.0
+    assert not out["root/0"]["spawned"]  # 2 topwords == n_centers: leaf
+
+
+def test_grow_topic_tree_parent_hits_gate(spark):
+    """Children only spawn when EVERY parent center cleared the
+    threshold (parent.cHits.forall(_ > childSplitSize), score:326)."""
+    from demy_spark.topic import grow_topic_tree
+    import math
+
+    tws = [
+        [math.cos(a * math.pi / 4), math.sin(a * math.pi / 4)]
+        for a in range(8)
+    ]
+    rows = [(i, [1.0, 0.0]) for i in range(5)] + [
+        (5, [math.cos(math.pi / 4), math.sin(math.pi / 4)])
+    ]
+    df = spark.createDataFrame(rows, "vid long, v array<double>")
+    out = {
+        r["node"]: r
+        for r in grow_topic_tree(
+            df, "vid", "v", tws, n_centers=2, child_split_size=4.5
+        ).collect()
+    }
+    assert out["root"]["spawned"]  # 6.0 > 4.5
+    # center 1 got only 1 hit <= 4.5, so NO child may spawn — even
+    # root/0 whose own mass (5.0) clears the threshold
+    assert out["root/0"]["pscore_sum"] == 5.0
+    assert not out["root/0"]["spawned"]
+    assert not out["root/1"]["spawned"]
+    assert set(out) == {"root", "root/0", "root/1"}
