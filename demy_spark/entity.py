@@ -126,6 +126,75 @@ def cooccurring_tokens(
     )
 
 
+def refine_entities(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    entities: DataFrame,
+    *,
+    rounds: int = 2,
+    accept_top_k: int = 2,
+    min_count: int = 2,
+    min_similarity: float = 1.0,
+    stop_tokens: list[str] | None = None,
+    entity_col: str = "entity",
+    synonym_col: str = "synonym",
+) -> DataFrame:
+    """Multi-round entity-dictionary refinement — the iterative loop
+    around ``match_entities`` + ``cooccurring_tokens`` that the
+    reference drives from its annotation UI (EntityCalculator.scala:
+    16-249: match, propose, human accept/reject, repeat).
+
+    The human decision is replaced by a deterministic auto-accept
+    policy: each round accepts the top ``accept_top_k`` co-occurrence
+    proposals per entity with ``n_docs ≥ min_count`` (already-known
+    synonyms never re-enter). Every round is a fixed DataFrame plan;
+    the dictionary stays a (persisted) dictionary-sized DataFrame that
+    broadcasts into the match join — nothing data-sized reaches the
+    driver, and the loop count is the human-loop round count (a
+    handful by construction).
+
+    Returns the refined dictionary: (entity, synonym, round_added)
+    with round_added = 0 for seeds.
+    """
+    d = (
+        entities.select(
+            F.col(entity_col).alias("entity"),
+            F.lower(F.col(synonym_col)).alias("synonym"),
+        )
+        .withColumn("round_added", F.lit(0))
+        .persist()
+    )
+    for r in range(1, rounds + 1):
+        matches = match_entities(
+            docs,
+            text_col,
+            id_col,
+            d,
+            min_similarity=min_similarity,
+        )
+        props = cooccurring_tokens(
+            docs,
+            text_col,
+            id_col,
+            matches,
+            top_k=accept_top_k,
+            min_count=min_count,
+            stop_tokens=stop_tokens,
+        )
+        accepted = (
+            props.select("entity", F.col("candidate").alias("synonym"))
+            .join(
+                d.select("entity", "synonym"),
+                ["entity", "synonym"],
+                "left_anti",
+            )
+            .withColumn("round_added", F.lit(r))
+        )
+        d = d.unionByName(accepted).persist()
+    return d
+
+
 def score_word_categories(
     docs: DataFrame,
     text_col: str,

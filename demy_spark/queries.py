@@ -4086,6 +4086,89 @@ def q77_split_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_doc_records(docs, "doc_id", "s")
 
 
+@register(
+    "q78_entity_refine",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split(trim(lower(text)), ' '),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    d0 AS (
+      SELECT * FROM (VALUES ('e_spark', 'spark', 0), ('e_query', 'query', 0),
+                            ('e_table', 'table', 0))
+               AS t(entity, synonym, round_added)),
+    ed1 AS (SELECT DISTINCT t.doc_id, d.entity
+            FROM toks t JOIN d0 d ON t.tok = d.synonym),
+    mt1 AS (SELECT DISTINCT d.entity, t.tok
+            FROM toks t JOIN d0 d ON t.tok = d.synonym),
+    c1 AS (
+      SELECT e.entity, t.tok, count(DISTINCT t.doc_id) AS n_docs
+      FROM ed1 e JOIN toks t USING (doc_id)
+      WHERE NOT EXISTS (SELECT 1 FROM mt1 x
+                        WHERE x.entity = e.entity AND x.tok = t.tok)
+      GROUP BY 1, 2 HAVING count(DISTINCT t.doc_id) >= 100),
+    a1 AS (
+      SELECT entity, tok AS synonym, 1 AS round_added
+      FROM (SELECT entity, tok,
+                   row_number() OVER (PARTITION BY entity
+                                      ORDER BY n_docs DESC, tok) AS rk
+            FROM c1) r
+      WHERE rk <= 2
+        AND NOT EXISTS (SELECT 1 FROM d0 x
+                        WHERE x.entity = r.entity AND x.synonym = r.tok)),
+    d1 AS (SELECT * FROM d0 UNION ALL SELECT * FROM a1),
+    ed2 AS (SELECT DISTINCT t.doc_id, d.entity
+            FROM toks t JOIN d1 d ON t.tok = d.synonym),
+    mt2 AS (SELECT DISTINCT d.entity, t.tok
+            FROM toks t JOIN d1 d ON t.tok = d.synonym),
+    c2 AS (
+      SELECT e.entity, t.tok, count(DISTINCT t.doc_id) AS n_docs
+      FROM ed2 e JOIN toks t USING (doc_id)
+      WHERE NOT EXISTS (SELECT 1 FROM mt2 x
+                        WHERE x.entity = e.entity AND x.tok = t.tok)
+      GROUP BY 1, 2 HAVING count(DISTINCT t.doc_id) >= 100),
+    a2 AS (
+      SELECT entity, tok AS synonym, 2 AS round_added
+      FROM (SELECT entity, tok,
+                   row_number() OVER (PARTITION BY entity
+                                      ORDER BY n_docs DESC, tok) AS rk
+            FROM c2) r
+      WHERE rk <= 2
+        AND NOT EXISTS (SELECT 1 FROM d1 x
+                        WHERE x.entity = r.entity AND x.synonym = r.tok)),
+    d2 AS (SELECT * FROM d1 UNION ALL SELECT * FROM a2)
+    SELECT entity, synonym, CAST(round_added AS INTEGER) AS round_added
+    FROM d2
+    """,
+)
+def q78_entity_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative entity-dictionary refinement (EntityCalculator.scala:
+    16-249's multi-round loop via entity.refine_entities): two rounds
+    of match → co-occurrence proposal → deterministic auto-accept
+    (top-2 per entity, ≥100 shared docs) growing a 3-seed dictionary
+    over the documents table. The oracle unrolls both rounds —
+    closing the last 'missing' item from the round-2 verdict (the
+    reference's accept decision is UI-driven; the policy here is the
+    deterministic stand-in)."""
+    from demy_spark.entity import refine_entities
+
+    t = _t(spark, sf_dir)
+    seeds = spark.createDataFrame(
+        [("e_spark", "spark"), ("e_query", "query"), ("e_table", "table")],
+        ["entity", "synonym"],
+    )
+    return refine_entities(
+        t["documents"],
+        "text",
+        "doc_id",
+        seeds,
+        rounds=2,
+        accept_top_k=2,
+        min_count=100,
+    )
+
+
 # q76: frozen 8×64 topword matrix (deterministic literals on both sides).
 _Q76_W = [
     [round(__import__("math").cos((ip + 1) + 0.37 * (d + 1)), 6) for d in range(64)]
@@ -4441,6 +4524,7 @@ _DRIVER_PRIORITY = [
     "q75_shapefile_flatten",
     "q76_tree_spawn",
     "q77_split_doc",
+    "q78_entity_refine",
     "q38_one_vs_rest",
     # --- tier 1: determinized money sums (q57 was the red row)
     "q57_time_rollup",
@@ -4491,7 +4575,8 @@ _DRIVER_PRIORITY = [
     "q70_span_detect",
     "q71_online_centers",
     "q72_point_in_polygon",
-    "q73_platt_calibration",
+    # q73_platt_calibration rotates back in next round (r2-green, its
+    # tier-3 slot went to the new q78)
 ]
 
 

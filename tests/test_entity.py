@@ -52,3 +52,31 @@ def test_cooccurring_tokens_ranks_and_excludes_matches(spark):
     assert ("join_ops", "a") in got and got[("join_ops", "a")] == 2
     assert ("join_ops", "join") not in got  # matched token excluded
     assert ("join_ops", "merge") not in got
+
+
+def test_refine_entities_two_rounds(spark):
+    """Round 1 accepts the strongest co-occurring tokens; round 2
+    proposes relative to the GROWN dictionary; known synonyms are never
+    re-accepted (EntityCalculator's iterative loop with the
+    deterministic auto-accept policy)."""
+    from demy_spark.entity import refine_entities
+
+    docs = spark.createDataFrame(
+        [
+            (1, "acme corp ltd"),
+            (2, "acme corp ltd"),
+            (3, "acme corp paris"),
+            (4, "corp paris metro"),
+            (5, "other words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    seeds = spark.createDataFrame([("e1", "acme")], ["entity", "synonym"])
+    out = refine_entities(
+        docs, "text", "doc_id", seeds, rounds=2, accept_top_k=1, min_count=2
+    )
+    rows = {(r["synonym"]): r["round_added"] for r in out.collect()}
+    # round 1: corp co-occurs with acme in 3 docs (ltd only 2) -> corp
+    assert rows == {"acme": 0, "corp": 1, "ltd": 2}
+    # round 2 proposes vs the grown dict {acme, corp}: candidate docs
+    # now include doc 4; ltd(2) beats paris(2) on the token tie-break
