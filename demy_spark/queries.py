@@ -4169,6 +4169,154 @@ def q78_entity_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q79_pipeline_grid",
+    """
+    WITH params AS (
+      SELECT * FROM (VALUES (0, 10.0), (1, 25.0), (2, 40.0)) AS t(version, qty)),
+    rev AS (
+      SELECT p.version, p.qty,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) / 100.0 AS total
+      FROM params p JOIN lineitem l ON l.l_quantity < p.qty
+      GROUP BY 1, 2)
+    SELECT version, qty, round(total, 2) + 0.0 AS total_revenue,
+           (version = (SELECT version FROM rev
+                       ORDER BY total DESC, version LIMIT 1)) AS is_best
+    FROM rev
+    """,
+)
+def q79_pipeline_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model/Step/Plan orchestration end-to-end (Model.scala:17-257,
+    ModelPlan.scala:5-46 via orchestrator.Model/Plan/grid_search): a
+    two-step pipeline (filter → revenue agg) runs once per Plan.switch
+    version; the revenue step renames through a parquet-hostile column
+    name (' items') and snapshots, exercising the checkpoint column
+    escaping (util.scala:60-77); grid_search picks the best version.
+    Money sums are exact cents; the oracle replays every version's
+    aggregation and the argmax. Moves the orchestration row from
+    test-only to driver-checked."""
+    import tempfile
+
+    from demy_spark.orchestrator import Model, Plan, Step, grid_search
+
+    t = _t(spark, sf_dir)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+
+    def flt(df, qty=50.0):
+        return df.where(F.col("l_quantity") < qty)
+
+    def rev(df):
+        return df.groupBy("l_returnflag").agg(
+            (F.sum(cents) / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    model = Model(
+        "grid_demo",
+        [
+            Step("filter", flt, inputs=["#lineitem"]),
+            Step(
+                "revenue",
+                rev,
+                inputs=["$filter"],
+                rename={"n": "n items"},  # escaped on snapshot write
+                snapshot=True,
+            ),
+        ],
+        snapshot_dir=tempfile.mkdtemp(prefix="demy_q79_"),
+    )
+    plan = Plan().switch("filter", "qty", [10.0, 25.0, 40.0])
+    res = grid_search(
+        model,
+        spark,
+        {"lineitem": t["lineitem"]},
+        plan,
+        evaluate=lambda df: float(
+            df.agg(F.sum("revenue")).collect()[0][0] or 0.0
+        ),
+    )
+    qtys = {str(i): q for i, q in enumerate([10.0, 25.0, 40.0])}
+    rows = [
+        (
+            int(s["version"]),
+            qtys[s["version"]],
+            round(s["score"], 2) + 0.0,
+            s["version"] == res["best_version"],
+        )
+        for s in res["scores"]
+    ]
+    return spark.createDataFrame(
+        rows, "version int, qty double, total_revenue double, is_best boolean"
+    )
+
+
+@register(
+    "q80_source_scan",
+    """
+    SELECT 'text' AS source, CAST(n_nationkey AS BIGINT) AS nkey,
+           n_name AS name
+    FROM nation
+    UNION ALL
+    SELECT 'csv', CAST(n_nationkey AS BIGINT), n_name FROM nation
+    UNION ALL
+    SELECT 'json', CAST(n_nationkey AS BIGINT), n_name FROM nation
+    """,
+)
+def q80_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text / CSV(';') / JSON source scans (text/Corpus.scala:27,
+    twitter/Execute.scala:30, net2demy/Execute.scala:62 via
+    demy_spark.io.read_text/read_csv/read_json): a deterministic
+    fixture derived from the nation table is written in all three
+    formats and read back through the engine's readers; the oracle is
+    the identity over nation — value-checking each scan path's
+    round-trip. Moves three §2.1 rows from test-only to
+    driver-checked."""
+    import json as _json
+    import os
+    import tempfile
+
+    from demy_spark.io import read_csv, read_json, read_text_corpus
+
+    t = _t(spark, sf_dir)
+    rows = sorted(
+        t["nation"].select("n_nationkey", "n_name").collect(),
+        key=lambda r: r["n_nationkey"],
+    )
+    d = tempfile.mkdtemp(prefix="demy_q80_")
+    with open(os.path.join(d, "n.txt"), "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(f"{r['n_nationkey']}|{r['n_name']}\n")
+    with open(os.path.join(d, "n.csv"), "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(f"{r['n_nationkey']};{r['n_name']}\n")
+    with open(os.path.join(d, "n.json"), "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(
+                _json.dumps({"nkey": r["n_nationkey"], "name": r["n_name"]})
+                + "\n"
+            )
+
+    txt = read_text_corpus(spark, os.path.join(d, "n.txt")).select(
+        F.lit("text").alias("source"),
+        F.split("line", r"\|")[0].cast("bigint").alias("nkey"),
+        F.split("line", r"\|")[1].alias("name"),
+    )
+    csv = read_csv(spark, os.path.join(d, "n.csv")).select(
+        F.lit("csv").alias("source"),
+        F.col("_c0").cast("bigint").alias("nkey"),
+        F.col("_c1").alias("name"),
+    )
+    js = read_json(spark, os.path.join(d, "n.json")).select(
+        F.lit("json").alias("source"),
+        F.col("nkey").cast("bigint").alias("nkey"),
+        F.col("name").alias("name"),
+    )
+    return txt.unionByName(csv).unionByName(js)
+
+
 # q76: frozen 8×64 topword matrix (deterministic literals on both sides).
 _Q76_W = [
     [round(__import__("math").cos((ip + 1) + 0.37 * (d + 1)), 6) for d in range(64)]
@@ -4525,6 +4673,8 @@ _DRIVER_PRIORITY = [
     "q76_tree_spawn",
     "q77_split_doc",
     "q78_entity_refine",
+    "q79_pipeline_grid",
+    "q80_source_scan",
     "q38_one_vs_rest",
     # --- tier 1: determinized money sums (q57 was the red row)
     "q57_time_rollup",
@@ -4573,10 +4723,9 @@ _DRIVER_PRIORITY = [
     "q68_zorder_key",
     "q69_center_hierarchy",
     "q70_span_detect",
-    "q71_online_centers",
-    "q72_point_in_polygon",
-    # q73_platt_calibration rotates back in next round (r2-green, its
-    # tier-3 slot went to the new q78)
+    # q71_online_centers / q72_point_in_polygon / q73_platt_calibration
+    # rotate back in next round (all r2-green; their tier-3 slots went
+    # to the new q78/q79/q80)
 ]
 
 
