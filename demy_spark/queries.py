@@ -4317,6 +4317,221 @@ def q80_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.unionByName(csv).unionByName(js)
 
 
+@register(
+    "q81_phonetic_simplify",
+    """
+    WITH synth AS (
+      SELECT n_nationkey,
+             'L''Hôquet d''Automne; Vazzky-Qualss Œuf ' || n_name AS s
+      FROM nation)
+    SELECT n_nationkey,
+           translate(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(lower(s), 'l''', '', 'g'),
+               'd''', '', 'g'), 'qu', 'c', 'g'),
+               'l{2,}', 'l', 'g'), 's{2,}', 's', 'g'),
+             'àáâãäåæèéêëœìíîïðñòóôõöøùúûüçzvwkgq-',
+             'aaaaaaaeeeeeiiiioooooooouuuussbbcjc ') AS phonetic
+    FROM synth
+    """,
+)
+def q81_phonetic_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo phonetic folding (geo/TextTools.scala:10-35 via
+    functions.text.phonetic_simplify): elision removal, qu→c, ll/ss
+    collapse, z→s v/w→b k→c g→j q→c ç→s and accent folds as one
+    codegen'd regexp/translate chain — oracle-checked char-for-char
+    like q48's simplify (the ordering of the chain is the contract:
+    qu→c must run before the single-letter translate)."""
+    from demy_spark.functions.text import phonetic_simplify
+
+    t = _t(spark, sf_dir)
+    s = F.concat(
+        F.lit("L'Hôquet d'Automne; Vazzky-Qualss Œuf "), F.col("n_name")
+    )
+    return t["nation"].select(
+        "n_nationkey", phonetic_simplify(s).alias("phonetic")
+    )
+
+
+_Q82_DIR = [round(__import__("math").sin(0.5 * (d + 1)), 6) for d in range(64)]
+
+_Q82_SQL = f"""
+    WITH dv AS (
+        SELECT generate_subscripts(arr, 1) - 1 AS d, unnest(arr) AS w
+        FROM (SELECT CAST([{", ".join(str(x) for x in _Q82_DIR)}]
+                          AS DOUBLE[]) AS arr)),
+    pairs AS (
+        SELECT a.vec_id, a.embedding AS x, b.embedding AS y
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 100),
+    dims AS (
+        SELECT vec_id, generate_subscripts(x, 1) - 1 AS d,
+               unnest(x::DOUBLE[]) AS xv, unnest(y::DOUBLE[]) AS yv
+        FROM pairs),
+    acc AS (
+        SELECT p.vec_id,
+               sum((yv - xv) * w) AS dotp,
+               sqrt(sum((yv - xv) * (yv - xv))) AS nd,
+               sqrt(sum(w * w)) AS nw
+        FROM dims p JOIN dv USING (d) GROUP BY 1)
+    SELECT vec_id,
+           round((CASE WHEN nd > 0 AND nw > 0 THEN dotp / (nd * nw)
+                       ELSE 0.0 END + 1.0) / 2.0, 6) + 0.0 AS analogy_score
+    FROM acc
+"""
+
+
+@register("q82_analogy_score", _Q82_SQL)
+def q82_analogy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnalogyNode's averaged-analogy scoring (topic/AnalogyNode.scala:
+    107-115 via topic.analogy_score): how well each (x → x+100) pair of
+    embeddings follows a frozen direction vector —
+    similarityScore((y−x)·dir) with the difference taken in float64 on
+    both engines (the float32 fixture is cast up BEFORE subtracting, so
+    the 6dp rounding cannot straddle an f32-vs-f64 boundary)."""
+    from demy_spark.topic import analogy_score
+
+    t = _t(spark, sf_dir)
+    e = t["embeddings"]
+    a = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    b = e.select(
+        (F.col("vec_id") - 100).alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("y"),
+    )
+    pairs = a.join(b, "vec_id")
+    return analogy_score(pairs, "x", "y", _Q82_DIR).select(
+        "vec_id", "analogy_score"
+    )
+
+
+@register(
+    "q83_fuzzy_predict",
+    """
+    WITH dtoks AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    dict AS (
+        SELECT array_to_string(toks[1:3], ' ') AS phrase, min(doc_id) AS entity_id
+        FROM dtoks WHERE doc_id % 97 = 0 AND len(toks) >= 3
+        GROUP BY 1
+    ),
+    postings AS (
+        SELECT phrase, entity_id, tok, count(*) AS tf
+        FROM (SELECT phrase, entity_id,
+                     unnest(string_split(phrase, ' ')) AS tok FROM dict)
+        GROUP BY 1, 2, 3
+    ),
+    dls AS (SELECT phrase, len(string_split(phrase, ' ')) AS dl FROM dict),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls),
+    dfs AS (SELECT tok, count(DISTINCT phrase) AS df FROM postings GROUP BY 1),
+    qtoks AS (
+        SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+               unnest(toks) AS tok, len(toks) AS ntoks
+        FROM dtoks WHERE doc_id % 10 = 0
+    ),
+    qw AS (SELECT *, 1.0 + (doc_id + pos) % 3 AS w FROM qtoks),
+    peaks AS (
+        SELECT doc_id, pos AS peak
+        FROM (SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY w DESC, pos) AS rk
+              FROM qw) WHERE rk = 1
+    ),
+    contrib AS (
+        SELECT q.doc_id, q.pos, p.phrase, p.entity_id, q.ntoks,
+               q.w * 4.0
+                 * ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                 * (p.tf * 2.2)
+                 / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS c
+        FROM qw q
+        JOIN postings p ON q.tok = p.tok
+        JOIN dfs f ON p.tok = f.tok
+        JOIN dls l ON p.phrase = l.phrase
+        CROSS JOIN stats s
+    ),
+    windowed AS (
+        SELECT c.doc_id, c.phrase, c.entity_id,
+               sum(c.c) AS score,
+               greatest(any_value(k.peak) - 1, 0) AS start_index,
+               least(greatest(any_value(k.peak) - 1, 0) + 3,
+                     any_value(c.ntoks)) AS end_index
+        FROM contrib c JOIN peaks k USING (doc_id)
+        WHERE c.pos BETWEEN k.peak - 1 AND k.peak + 1
+        GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, entity_id) AS rk
+        FROM windowed WHERE score >= 1.0
+    )
+    SELECT doc_id, phrase, entity_id,
+           CAST(start_index AS INTEGER) AS start_index,
+           CAST(end_index AS INTEGER) AS end_index,
+           round(score, 2) + 0.0 AS score
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q83_fuzzy_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PredictStrategy path of the flagship lookup (index/
+    PredictStrategy.scala:31-105): only the 3-token window centered on
+    each query's term-weight peak scores; weights are the deterministic
+    1 + (doc_id + pos) mod 3 ramp, so the peak is the first position
+    hitting the max weight. The oracle recomputes peak location, the
+    windowed BM25-style contributions, and the clamped span bounds —
+    the strategy's first value-level driver row (q24/q51 cover
+    ngram/standard)."""
+    from demy_spark.operators.fuzzy_lookup import fuzzy_lookup
+
+    t = _t(spark, sf_dir)
+    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    dictionary = (
+        t["documents"]
+        .where((F.col("doc_id") % 97 == 0) & (F.size(toks) >= 3))
+        .select(
+            F.concat_ws(" ", F.slice(toks, 1, 3)).alias("phrase"),
+            F.col("doc_id").alias("entity_id"),
+        )
+        .groupBy("phrase")
+        .agg(F.min("entity_id").alias("entity_id"))
+    )
+    probes = (
+        t["documents"]
+        .where(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            "text",
+            F.transform(
+                toks, lambda x, i: 1.0 + (F.col("doc_id") + i) % 3
+            ).alias("weights"),
+        )
+    )
+    out = fuzzy_lookup(
+        probes,
+        dictionary,
+        "text",
+        "phrase",
+        max_lev_distance=0,
+        strategy="predict",
+        n_ngrams=3,
+        min_score=1.0,
+        term_weights_col="weights",
+        tie_break_cols=("entity_id",),
+    )
+    return out.where(F.col("phrase").isNotNull()).select(
+        "doc_id",
+        "phrase",
+        "entity_id",
+        F.col("_startIndex_").cast("int").alias("start_index"),
+        F.col("_endIndex_").cast("int").alias("end_index"),
+        (F.round(F.col("_score_").cast("double"), 2) + F.lit(0.0)).alias(
+            "score"
+        ),
+    )
+
+
 # q76: frozen 8×64 topword matrix (deterministic literals on both sides).
 _Q76_W = [
     [round(__import__("math").cos((ip + 1) + 0.37 * (d + 1)), 6) for d in range(64)]
@@ -4675,6 +4890,9 @@ _DRIVER_PRIORITY = [
     "q78_entity_refine",
     "q79_pipeline_grid",
     "q80_source_scan",
+    "q81_phonetic_simplify",
+    "q82_analogy_score",
+    "q83_fuzzy_predict",
     "q38_one_vs_rest",
     # --- tier 1: determinized money sums (q57 was the red row)
     "q57_time_rollup",
@@ -4720,12 +4938,8 @@ _DRIVER_PRIORITY = [
     "q61_bottom_k_sample",
     "q64_bucketed_join",
     "q65_partition_prune",
-    "q68_zorder_key",
-    "q69_center_hierarchy",
-    "q70_span_detect",
-    # q71_online_centers / q72_point_in_polygon / q73_platt_calibration
-    # rotate back in next round (all r2-green; their tier-3 slots went
-    # to the new q78/q79/q80)
+    # q68-q73 rotate back in next round (all r2-green; their tier-3
+    # slots went to the new q78-q83)
 ]
 
 
