@@ -1,0 +1,86 @@
+"""Physical-plan regression tests: the scale-critical plan shapes the
+100 TB design depends on (broadcast small dims, parquet filter
+pushdown, distributed top-k, map-side partial aggregation, no
+cartesian products) must survive refactors. String-level checks on the
+executed plan — coarse on purpose, so Spark version changes in
+operator naming don't produce false alarms.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from demy_spark import queries as Q
+
+# queries whose builder functions are pure plan constructors (no
+# driver-side collect during build) — cheap to plan at sf0.001
+PLANNABLE = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders",
+    "q12_events_hourly",
+    "q18_exact_dedup",
+    "q23_cosine_topk",
+    "q24_fuzzy_lookup",
+    "q26_minhash_dedup",
+    "q55_asof_join",
+    "q56_range_join",
+    "q57_time_rollup",
+    "q62_skew_join",
+    "q63_salted_agg",
+    "q67_event_followup",
+]
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name in PLANNABLE:
+        df = Q.REGISTRY[name].fn(spark, sf_dir)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+@pytest.mark.parametrize("name", PLANNABLE)
+def test_no_cartesian_product(name, plans):
+    assert "CartesianProduct" not in plans[name]
+
+
+@pytest.mark.parametrize("name", PLANNABLE)
+def test_no_single_partition_data_window(name, plans):
+    """A window over SinglePartition means all data on one reducer —
+    the scale-killer operators/topk.py exists to avoid."""
+    assert not re.search(r"Window .*, SinglePartition", plans[name])
+
+
+def test_small_dims_broadcast(plans):
+    # nation/customer dimension joins must not shuffle the fact side
+    assert "BroadcastHashJoin" in plans["q02_revenue_by_nation"]
+    assert "BroadcastHashJoin" in plans["q03_top_orders"]
+
+
+def test_filter_pushdown_reaches_parquet(plans):
+    for name in ("q02_revenue_by_nation", "q03_top_orders"):
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plans[name])
+        assert any(p.strip() for p in pushed), f"{name}: no pushed filters"
+
+
+def test_topk_is_take_ordered(plans):
+    # orderBy+limit must compile to distributed TakeOrderedAndProject,
+    # not a global sort
+    assert "TakeOrderedAndProject" in plans["q03_top_orders"]
+
+
+def test_aggregations_have_partial_phase(plans):
+    # map-side combine before the shuffle (partial_sum / partial_count)
+    for name in ("q01_pricing_summary", "q12_events_hourly"):
+        assert "partial_" in plans[name], f"{name}: no partial aggregation"
+
+
+def test_exact_dedup_single_shuffle(plans):
+    # one hash shuffle on the fingerprint; AQE may append reads but no
+    # second hashpartitioning exchange is acceptable
+    n = plans["q18_exact_dedup"].count("Exchange hashpartitioning")
+    assert n <= 1, f"exact dedup shuffled {n} times"
