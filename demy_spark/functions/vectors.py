@@ -73,3 +73,28 @@ def vec_agg_mean(a: Column | str) -> Column:
     summed = vec_agg_sum(a)
     n = F.count(_as_col(a))
     return F.transform(summed, lambda x: x / n)
+
+
+def sparse_merge(a: Column | str, b: Column | str) -> Column:
+    """Union-of-indices sum of two sparse vectors held as map<k, v>
+    columns — the reference's SemanticVector merge iterator
+    (linalg/implicits.scala:105-152) as one codegen'd ``map_zip_with``:
+    keys present on either side survive, overlapping keys add."""
+    return F.map_zip_with(
+        _as_col(a),
+        _as_col(b),
+        lambda k, v1, v2: F.coalesce(v1, F.lit(0)) + F.coalesce(v2, F.lit(0)),
+    )
+
+
+def sparse_dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two sparse map<k, v> vectors: fold a's entries,
+    looking each key up in b (missing → 0) — no densification."""
+    bc = _as_col(b)
+    return F.aggregate(
+        F.map_entries(_as_col(a)),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + e["value"].cast("double")
+        * F.coalesce(F.element_at(bc, e["key"]), F.lit(0)).cast("double"),
+    )

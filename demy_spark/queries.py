@@ -4532,6 +4532,109 @@ def q83_fuzzy_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q84_tweet_clean",
+    r"""
+    SELECT n_nationkey,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(
+               'RT @user' || CAST(n_nationkey AS VARCHAR)
+                 || ': Gagnant :) #souriant voir https://t.co/x' || n_name
+                 || ' via @media fin',
+               '(?i)(https?|ftp|gopher|telnet|file)://[\w\d:#@%/;$()~_?\+\-=\\\.&]*',
+               ' link ', 'g'),
+             '(^|[^a-zA-Z0-9-_.])@(\w+)\b', '\1 user ', 'g'),
+             '\bRT\b|\bvia\b', ' ', 'g'),
+             '#', '', 'g'),
+             ':\)', ' happy ', 'g') AS cleaned
+    FROM nation
+    """,
+)
+def q84_tweet_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TweetCleaner (text/TweetCleaner.scala:28-47 via
+    functions.text.clean_tweet): URL → link, @mention → user, RT/via
+    dropped, # stripped, literal emoji-sentiment substitution — one
+    synthetic tweet per nation. The engine's mention rule uses a
+    lookbehind (Java regex); RE2 has none, so the oracle consumes the
+    preceding char in a capture group and re-inserts it — verified
+    equivalent on this fixture (mentions are never adjacent)."""
+    from demy_spark.functions.text import clean_tweet
+
+    t = _t(spark, sf_dir)
+    s = F.concat(
+        F.lit("RT @user"),
+        F.col("n_nationkey").cast("string"),
+        F.lit(": Gagnant :) #souriant voir https://t.co/x"),
+        F.col("n_name"),
+        F.lit(" via @media fin"),
+    )
+    return t["nation"].select(
+        "n_nationkey",
+        clean_tweet(s, sentiment_map=[(":)", "happy")]).alias("cleaned"),
+    )
+
+
+@register(
+    "q85_sparse_merge",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_quantity) AS BIGINT) AS q
+      FROM lineitem WHERE l_orderkey % 50 = 0),
+    g1 AS (SELECT l_orderkey, CAST(l_linenumber % 3 AS INTEGER) AS dim,
+                  sum(q) AS v
+           FROM li GROUP BY 1, 2),
+    g2 AS (SELECT l_orderkey, CAST(l_linenumber % 4 AS INTEGER) AS dim,
+                  sum(q) AS v
+           FROM li GROUP BY 1, 2)
+    SELECT coalesce(g1.l_orderkey, g2.l_orderkey) AS l_orderkey,
+           coalesce(g1.dim, g2.dim) AS dim,
+           CAST(coalesce(g1.v, 0) + coalesce(g2.v, 0) AS BIGINT) AS value
+    FROM g1 FULL OUTER JOIN g2
+      ON g1.l_orderkey = g2.l_orderkey AND g1.dim = g2.dim
+    """,
+)
+def q85_sparse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemanticVector sparse merge (linalg/implicits.scala:105-152 via
+    functions.vectors.sparse_merge): two sparse map<dim,qty> vectors
+    per order (line numbers bucketed mod 3 and mod 4) merge by
+    union-of-indices sum inside one map_zip_with — no densification,
+    no UDF. The exploded (order, dim, value) rows are oracle-checked
+    against the equivalent full-outer-join sum."""
+    from demy_spark.functions.vectors import sparse_merge
+
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].where(F.col("l_orderkey") % 50 == 0).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("ln"),
+        F.round("l_quantity").cast("bigint").alias("q"),
+    )
+
+    def side(mod: int):
+        return (
+            li.groupBy("l_orderkey", (F.col("ln") % mod).alias("k"))
+            .agg(F.sum("q").alias("v"))
+            .groupBy("l_orderkey")
+            .agg(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("k", "v")))
+                ).alias(f"m{mod}")
+            )
+        )
+
+    merged = (
+        side(3)
+        .join(side(4), "l_orderkey")
+        .select(
+            "l_orderkey",
+            F.explode(sparse_merge("m3", "m4")).alias("dim", "value"),
+        )
+    )
+    return merged.select(
+        "l_orderkey", "dim", F.col("value").cast("bigint").alias("value")
+    )
+
+
 # q76: frozen 8×64 topword matrix (deterministic literals on both sides).
 _Q76_W = [
     [round(__import__("math").cos((ip + 1) + 0.37 * (d + 1)), 6) for d in range(64)]
@@ -4893,6 +4996,8 @@ _DRIVER_PRIORITY = [
     "q81_phonetic_simplify",
     "q82_analogy_score",
     "q83_fuzzy_predict",
+    "q84_tweet_clean",
+    "q85_sparse_merge",
     "q38_one_vs_rest",
     # --- tier 1: determinized money sums (q57 was the red row)
     "q57_time_rollup",
@@ -4936,10 +5041,8 @@ _DRIVER_PRIORITY = [
     "q59_heavy_hitters",
     "q60_stratified_sample",
     "q61_bottom_k_sample",
-    "q64_bucketed_join",
-    "q65_partition_prune",
-    # q68-q73 rotate back in next round (all r2-green; their tier-3
-    # slots went to the new q78-q83)
+    # q64-q73 rotate back in next round (all r2-green; their tier-3
+    # slots went to the new q78-q85)
 ]
 
 

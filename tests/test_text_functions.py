@@ -145,3 +145,21 @@ def test_split_doc_empty_and_null(spark):
 
     df = spark.createDataFrame([(1, None), (2, "")], "doc_id int, s string")
     assert split_doc_records(df, "doc_id", "s").count() == 0
+
+
+def test_sparse_merge_and_dot(spark):
+    """SemanticVector map kernels: union-of-indices sum; dot without
+    densification (linalg/implicits.scala:105-152)."""
+    from demy_spark.functions.vectors import sparse_dot, sparse_merge
+
+    df = spark.createDataFrame(
+        [(1,)], "id int"
+    ).select(
+        F.create_map(F.lit(0), F.lit(2), F.lit(3), F.lit(5)).alias("a"),
+        F.create_map(F.lit(3), F.lit(7), F.lit(9), F.lit(1)).alias("b"),
+    )
+    row = df.select(
+        sparse_merge("a", "b").alias("m"), sparse_dot("a", "b").alias("d")
+    ).collect()[0]
+    assert dict(row["m"]) == {0: 2, 3: 12, 9: 1}
+    assert row["d"] == 35.0  # only the shared key 3 contributes: 5*7
