@@ -371,6 +371,117 @@ def online_center_updates(
     return df.sparkSession.createDataFrame(out, schema)
 
 
+def online_fit_updates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    topwords: list[list[float]],
+    *,
+    n_centers: int = 2,
+    batch_size: int = 32,
+    weight: float = 1.0,
+) -> DataFrame:
+    """ClusteringNode's fit=true path — ``affectPoint`` WITH the
+    ``tryAsPoint`` topword mutation (topic/ClusteringNode.scala:
+    378-448, option 3): folding the bounded batch in id order, each
+    vector (a) routes to its best current topword by similarityScore
+    — the topword set MUTATES during the fold, so assignment lives
+    inside it, exactly the reference's sequential semantics; (b) may
+    REPLACE that topword first: it does iff it lowers the topword's
+    GAP (``1 − simScore(vCenter, v) < pGAP``) and is not "too close"
+    (more similar to the node's running center than to the routed
+    class's summed topwords); then (c) applies the q71 running-average
+    update equations. Ties in routing break to the lowest topword
+    index (the reference iterates an unordered Map; its order is
+    unspecified).
+
+    The batch is bounded (driver state stays k×dim — the reference
+    streams ALL rows through driver-side tree state); the
+    transform-side 100 TB path remains the distributed fixed-topword
+    assignment of ``online_center_updates``.
+
+    Returns one row per topword: (i_point, i_center, p_score, p_gap,
+    c_error, c_hits, n_replacements, point_norm).
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    P = np.asarray(topwords, dtype=np.float64).copy()
+    k, dim = P.shape
+    rows = sorted(
+        df.select(id_col, vec_col).orderBy(id_col).limit(batch_size).collect(),
+        key=lambda r: r[id_col],
+    )
+
+    def simscore(a: np.ndarray, b: np.ndarray) -> float:
+        na, nb = float(np.linalg.norm(a)), float(np.linalg.norm(b))
+        cos = float(np.dot(a, b)) / (na * nb) if na > 0 and nb > 0 else 0.0
+        return (cos + 1.0) / 2.0
+
+    p = np.zeros(k)
+    vC = np.zeros((k, dim))
+    pGAP = np.zeros(k)
+    cErr = np.zeros(n_centers)
+    cHits = np.zeros(n_centers)
+    center = np.zeros(dim)
+    n_repl = np.zeros(k, dtype=np.int64)
+    w = float(weight)
+
+    for r in rows:
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        sims = [simscore(v, P[i]) for i in range(k)]
+        ip = int(np.argmax(sims))  # ties -> lowest index
+        ic = ip % n_centers
+        s = sims[ip]
+        # affectPoint order (scala:389-406): pScores FIRST, then the
+        # mutation attempt against the PRE-UPDATE vCenters/pGAP
+        p[ip] += s * w
+        new_gap = 1.0 - simscore(vC[ip], v)
+        class_points = sum(
+            (P[i] for i in range(k) if i % n_centers == ic),
+            np.zeros(dim),
+        )
+        too_close = simscore(center, v) > simscore(class_points, v)
+        if new_gap - pGAP[ip] < 0 and not too_close:
+            P[ip] = v
+            n_repl[ip] += 1
+        pp = p[ip]
+        vC[ip] = vC[ip] * (pp / (pp + w)) + v * (w / (pp + w))
+        tot = float(p.sum())
+        center = (vC * p[:, None]).sum(axis=0) / tot if tot > 0 else center
+        pGAP[ip] = 1.0 - simscore(vC[ip], P[ip])
+        h = cHits[ic]
+        cErr[ic] = cErr[ic] * (h / (h + w)) + (1.0 - s) * (w / (h + w))
+        cHits[ic] = h + w
+
+    out = [
+        (
+            ip,
+            ip % n_centers,
+            float(p[ip]),
+            float(pGAP[ip]),
+            float(cErr[ip % n_centers]),
+            float(cHits[ip % n_centers]),
+            int(n_repl[ip]),
+            float(np.linalg.norm(P[ip])),
+        )
+        for ip in range(k)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("i_point", T.IntegerType()),
+            T.StructField("i_center", T.IntegerType()),
+            T.StructField("p_score", T.DoubleType()),
+            T.StructField("p_gap", T.DoubleType()),
+            T.StructField("c_error", T.DoubleType()),
+            T.StructField("c_hits", T.DoubleType()),
+            T.StructField("n_replacements", T.IntegerType()),
+            T.StructField("point_norm", T.DoubleType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out, schema)
+
+
 def grow_topic_tree(
     df: DataFrame,
     id_col: str,

@@ -152,3 +152,46 @@ def test_grow_topic_tree_parent_hits_gate(spark):
     assert not out["root/0"]["spawned"]
     assert not out["root/1"]["spawned"]
     assert set(out) == {"root", "root/0", "root/1"}
+
+
+def test_online_fit_replaces_topword(spark):
+    """tryAsPoint (ClusteringNode.scala:415-448 option 3): a vector
+    replaces its topword when it lowers the topword's GAP and is not
+    closer to the node center than to its class's summed topwords.
+    Hand-traced: r3 repeats r1's direction, so vCenter[0] points
+    exactly at it (newGAP=0 < pGAP=0.1), and r2 drags the node's
+    running center toward (-1,0) so r3 is closer to its class topword
+    than to the center -> not tooClose -> replacement fires."""
+    import pytest
+
+    from demy_spark.topic import online_fit_updates
+
+    rows = [(1, [0.8, 0.6]), (2, [-1.0, -0.02]), (3, [0.8, 0.6])]
+    df = spark.createDataFrame(rows, "vid long, v array<double>")
+    out = {
+        r["i_point"]: r
+        for r in online_fit_updates(
+            df, "vid", "v", [[1.0, 0.0], [0.0, 1.0]], n_centers=2
+        ).collect()
+    }
+    assert out[0]["n_replacements"] == 1
+    assert out[1]["n_replacements"] == 0
+    # the replacing vector (0.8, 0.6) has unit norm
+    assert abs(out[0]["point_norm"] - 1.0) < 1e-9
+    # r1 and r3 both scored 0.9 against the original topword (1,0)
+    assert out[0]["p_score"] == pytest.approx(1.8)
+    assert out[0]["p_gap"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_online_fit_initial_zero_center_blocks_replacement(spark):
+    """With zero vCenters, newGAP is 0.5 (zero-norm -> orthogonal
+    convention) and pGAP starts at 0, so the very first vector can
+    never replace a topword — matching the reference's behavior of
+    mutating only after statistics accumulate."""
+    from demy_spark.topic import online_fit_updates
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vid long, v array<double>")
+    out = online_fit_updates(
+        df, "vid", "v", [[1.0, 0.0], [0.0, 1.0]], n_centers=2
+    ).collect()
+    assert all(r["n_replacements"] == 0 for r in out)
