@@ -94,3 +94,23 @@ def test_batch_outer_keeps_unmatched(spark, sf_dir):
     assert unmatched.count() == n_clicks - matched_clicks
     # inner rows are identical to the left join's matched rows
     assert left.where(F.col("r_ts").isNotNull()).count() == inner.count()
+
+
+def test_right_outer_alias_spelling_keeps_keys(spark, sf_dir):
+    """Spark accepts 'rightouter' as a spelling of 'right_outer'; the
+    key coalesce must fire for every accepted spelling or right-only
+    rows silently lose their join key (round-2 ADVICE finding)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    for how in ("right_outer", "rightouter"):
+        j = interval_join(
+            clicks, purchases, on="user_id", upper="30 minutes", how=how
+        )
+        # every output row keeps a non-null user_id — right-only rows
+        # get theirs from the coalesced right key
+        assert j.where(F.col("user_id").isNull()).count() == 0, how
