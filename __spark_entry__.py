@@ -2,11 +2,11 @@
 
 ``entry(spark)`` runs the flagship star-join query at sf0.001;
 ``queries()``/``oracle_sql()`` expose the full operator inventory from
-demy_spark.queries — 66 queries, 63 DuckDB-oracle-backed; only the
-genuinely non-SQL-expressible operators (LinearSVC one-vs-rest fits,
-beam-search POS tagging, the genetic categorizer) fall back to
-rows-only checks. COVERAGE.md maps each SURVEY §2 inventory row to its
-query and test.
+demy_spark.queries — 85 queries, ALL DuckDB-oracle-backed (zero
+rows-only: formerly non-SQL operators are verified through seeded /
+frozen-weights replay — q38 one-vs-rest serving, q46/q66 POS decode,
+q47 genetic replay, q73 Platt, q76 tree spawning). COVERAGE.md maps
+each SURVEY §2 inventory row to its query and test.
 """
 
 from __future__ import annotations
