@@ -228,8 +228,15 @@ _ACCENT_MAP = dict(zip(_ACCENT_SRC, _ACCENT_DST))
 
 def _simplify_char(c: str, nxt: str) -> str:
     """Word.simplifyText's per-char mapping (text/Word.scala:34-55):
-    lowercase, accent fold, -/' → space, l/d followed by ' → space."""
+    lowercase, accent fold, -/' → space, l/d followed by ' → space.
+
+    Offset preservation is the contract: when Unicode lowercasing would
+    EXPAND a char (e.g. 'İ' → 'i' + combining dot), the original char
+    is kept instead — the reference inherits that expansion and would
+    silently shift every downstream offset."""
     lc = c.lower()
+    if len(lc) != 1:
+        lc = c
     if lc in _ACCENT_MAP:
         return _ACCENT_MAP[lc]
     if lc in ("-", "'"):

@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the pure-Python text kernels —
+invariants that hold for ANY input, not just golden fixtures. The
+reference has no property tests at all (SURVEY §5); these pin the
+contracts its offset-sensitive consumers rely on.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from demy_spark.functions.text import _simplify_char, _split_doc_py
+
+# printable-ish text incl. accents, elisions, URLs-ish fragments
+TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "N", "P", "Z"), max_codepoint=0x2FF
+    ),
+    max_size=200,
+)
+
+
+@given(TEXT)
+@settings(max_examples=300, deadline=None)
+def test_split_doc_partitions_the_text(s):
+    """The interleaved word/non-word records partition the ORIGINAL
+    string exactly: concatenating slices in index order reproduces it,
+    simplified slices are length-preserving, indexes are sequential,
+    and phrase ids grow by at most 1 per token."""
+    recs = _split_doc_py(s, links_as_separators=False)
+    assert "".join(r["word"] for r in recs) == s
+    for r in recs:
+        assert len(r["simplified"]) == len(r["word"])
+    assert [r["index"] for r in recs] == list(range(len(recs)))
+    pids = [r["phrase_id"] for r in recs]
+    assert all(0 <= b - a <= 1 for a, b in zip(pids, pids[1:]))
+    assert not pids or pids[0] == 0
+    # word/non-word runs must alternate
+    flags = [r["is_word"] for r in recs]
+    assert all(a != b for a, b in zip(flags, flags[1:]))
+
+
+@given(TEXT)
+@settings(max_examples=300, deadline=None)
+def test_split_doc_word_runs_are_letters(s):
+    """Every is_word record's simplified slice is pure letters; every
+    non-word simplified slice is pure spaces."""
+    for r in _split_doc_py(s, links_as_separators=False):
+        if r["is_word"]:
+            assert r["simplified"].isalpha(), r
+        else:
+            assert set(r["simplified"]) <= {" "}, r
+
+
+@given(st.characters(max_codepoint=0x2FF), st.characters(max_codepoint=0x2FF))
+@settings(max_examples=500, deadline=None)
+def test_simplify_char_is_single_char_and_stable(c, nxt):
+    """The per-char simplify map always yields exactly one char (offset
+    preservation depends on it) and is idempotent on its own output
+    when the lookahead is not an apostrophe."""
+    out = _simplify_char(c, nxt.lower())
+    assert len(out) == 1
+    again = _simplify_char(out, "X")
+    assert again == out or out.lower() != out  # lowercase fixpoint
+
+
+def test_delete_variants_batch_properties(spark):
+    """SymSpell blocking invariants over a seeded random vocabulary:
+    every emitted variant is within max_deletes character deletions of
+    its token (levenshtein bound), the token itself is always included,
+    and the set is duplicate-free."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from demy_spark.operators.fuzzy_lookup import _delete_variants
+
+    rng = random.Random(42)
+    words = [
+        "".join(rng.choice("abcdef") for _ in range(rng.randint(1, 8)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], ["tok"])
+    out = df.select(
+        "tok",
+        F.explode(_delete_variants(F.col("tok"), 2)).alias("var"),
+        F.size(_delete_variants(F.col("tok"), 2)).alias("n_vars"),
+        F.size(
+            F.array_distinct(_delete_variants(F.col("tok"), 2))
+        ).alias("n_distinct"),
+    ).withColumn("lev", F.levenshtein("tok", "var"))
+    bad = out.where(
+        (F.col("lev") > 2)
+        | (F.length("var") < F.length("tok") - 2)
+        | (F.col("n_vars") != F.col("n_distinct"))
+    )
+    assert bad.count() == 0
+    has_self = out.where(F.col("var") == F.col("tok")).select("tok").distinct()
+    assert has_self.count() == len(set(words))
