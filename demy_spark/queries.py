@@ -1983,11 +1983,20 @@ def q42_seeded_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q43_topic_tree_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-tree routing (topic/Node.scala:92-126): two-level tree
-    built from label centroids; one assign pass per level. The DuckDB
-    oracle recomputes the centroids and both cosine-argmax routing
-    levels from first principles (integer counts out — no float
-    rounding in the compared values)."""
-    from demy_spark.topic import TopicNode, seed_centers_from_tags, walk_topic_tree
+    built from label centroids; one assign pass per level. The tree is
+    round-tripped through the reference's NodeParams artifact shape
+    (flat index-linked JSON + VectorIndex-style centers map,
+    NodeParams.scala:41-63) before walking, so the artifact loader sits
+    on the verified path. The DuckDB oracle recomputes the centroids
+    and both cosine-argmax routing levels from first principles
+    (integer counts out — no float rounding in the compared values)."""
+    from demy_spark.topic import (
+        TopicNode,
+        seed_centers_from_tags,
+        topic_tree_from_params,
+        topic_tree_to_params,
+        walk_topic_tree,
+    )
 
     t = _t(spark, sf_dir)
     emb = t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -2011,7 +2020,12 @@ def q43_topic_tree_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for g in range(2)
         ],
     )
-    out = walk_topic_tree(emb, "vec_id", "v", root)
+    center_index = {f"group{g}": mean(centers[g * 5 : (g + 1) * 5]) for g in range(2)}
+    center_index.update({f"label{i}": centers[i] for i in range(10)})
+    rehydrated = topic_tree_from_params(
+        topic_tree_to_params(root), centers=center_index
+    )
+    out = walk_topic_tree(emb, "vec_id", "v", rehydrated)
     return out.groupBy("topic").agg(F.count(F.lit(1)).alias("n")).orderBy("topic")
 
 

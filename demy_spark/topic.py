@@ -685,6 +685,73 @@ class TopicNode:
     children: list["TopicNode"] = field(default_factory=list)
 
 
+def topic_tree_to_params(
+    root: "TopicNode", *, algo: str = "clustering"
+) -> list[dict]:
+    """Serialize a topic tree to the reference's NodeParams JSON shape
+    (topic/NodeParams.scala:41-63, Node.scala:217-246): a FLAT list of
+    camelCase node dicts, children referenced by list index, preorder.
+    Vectors are NOT serialized — the reference keeps them in a separate
+    VectorIndex keyed by node tokens; pair with
+    ``topic_tree_from_params(centers=...)`` to rehydrate."""
+    out: list[dict] = []
+
+    def visit(node: "TopicNode") -> int:
+        idx = len(out)
+        out.append(
+            {
+                "name": node.name,
+                "tagId": None,
+                "color": None,
+                "annotations": [],
+                "algo": algo,
+                "strLinks": {},
+                "strClassPath": {},
+                "names": {},
+                "filterMode": "noFilter",
+                "filterValue": [],
+                "maxTopWords": None,
+                "windowSize": None,
+                "classCenters": None,
+                "cError": None,
+                "childSplitSize": None,
+                "children": [],
+                "hits": 0.0,
+                "metrics": {},
+            }
+        )
+        out[idx]["children"] = [visit(c) for c in node.children]
+        return idx
+
+    visit(root)
+    return out
+
+
+def topic_tree_from_params(
+    params: list[dict],
+    *,
+    centers: dict[str, list[float]] | None = None,
+    root_index: int = 0,
+) -> "TopicNode":
+    """Build a TopicNode tree from a NodeParams-shaped flat list (the
+    reference's JSON artifact format — index-linked children, camelCase
+    fields). ``centers`` plays the VectorIndex role: node name →
+    vector; nodes absent from it keep ``center=None`` (routing treats
+    the root that way already). Unknown extra fields are ignored, so
+    artifacts written by the reference load as-is."""
+    centers = centers or {}
+
+    def build(i: int) -> "TopicNode":
+        p = params[i]
+        return TopicNode(
+            name=p["name"],
+            center=centers.get(p["name"]),
+            children=[build(int(c)) for c in p.get("children", [])],
+        )
+
+    return build(root_index)
+
+
 def walk_topic_tree(
     df: DataFrame, id_col: str, vec_col: str, root: TopicNode
 ) -> DataFrame:

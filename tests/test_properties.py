@@ -97,3 +97,36 @@ def test_delete_variants_batch_properties(spark):
     assert bad.count() == 0
     has_self = out.where(F.col("var") == F.col("tok")).select("tok").distinct()
     assert has_self.count() == len(set(words))
+
+
+def test_sql_and_python_simplify_agree(spark):
+    """The codegen'd translate/regexp simplify chain (q48's path) and
+    the per-char Python map (q77's splitDoc path) implement the same
+    Word.simplifyText — they must agree char-for-char on inputs where
+    lowercasing is 1:1."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from demy_spark.functions.text import _simplify_char, simplify_text
+
+    rng = random.Random(7)
+    alphabet = "abcdELÀ 'l-d'éœçøñ;q.u"
+    strings = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(s,) for s in strings], ["s"])
+    got = {
+        r["s"]: r["out"]
+        for r in df.select("s", simplify_text("s").alias("out")).collect()
+    }
+
+    def py_simplify(s: str) -> str:
+        return "".join(
+            _simplify_char(c, s[i + 1].lower() if i + 1 < len(s) else "X")
+            for i, c in enumerate(s)
+        )
+
+    for s in strings:
+        assert got[s] == py_simplify(s), repr(s)

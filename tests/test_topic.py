@@ -195,3 +195,58 @@ def test_online_fit_initial_zero_center_blocks_replacement(spark):
         df, "vid", "v", [[1.0, 0.0], [0.0, 1.0]], n_centers=2
     ).collect()
     assert all(r["n_replacements"] == 0 for r in out)
+
+
+def test_node_params_roundtrip_and_reference_shape():
+    """NodeParams artifact compatibility (NodeParams.scala:41-63):
+    serialize to the flat index-linked camelCase list, rehydrate with a
+    VectorIndex-style centers map, and load a reference-shaped dict
+    carrying extra fields without complaint."""
+    import json
+
+    from demy_spark.topic import (
+        TopicNode,
+        topic_tree_from_params,
+        topic_tree_to_params,
+    )
+
+    tree = TopicNode(
+        "root",
+        None,
+        [
+            TopicNode("health", [1.0, 0.0], [TopicNode("flu", [0.9, 0.1], [])]),
+            TopicNode("sport", [0.0, 1.0], []),
+        ],
+    )
+    params = topic_tree_to_params(tree)
+    assert [p["name"] for p in params] == ["root", "health", "flu", "sport"]
+    assert params[0]["children"] == [1, 3] and params[1]["children"] == [2]
+    # every field of the reference's case class is present, camelCase
+    assert {"strLinks", "filterMode", "childSplitSize", "hits"} <= set(params[0])
+    json.dumps(params)  # JSON-serializable as-is
+
+    back = topic_tree_from_params(
+        params,
+        centers={"health": [1.0, 0.0], "sport": [0.0, 1.0], "flu": [0.9, 0.1]},
+    )
+    assert back.name == "root" and back.center is None
+    assert [c.name for c in back.children] == ["health", "sport"]
+    assert back.children[0].children[0].center == [0.9, 0.1]
+
+    # reference-written artifacts carry fields we don't model — ignored
+    ref_shaped = [
+        {
+            "name": "root",
+            "algo": "clustering",
+            "children": [1],
+            "strLinks": {"0": [1, 2]},
+            "filterMode": "allIn",
+            "hits": 120.0,
+            "rocCurve": {},
+            "purity": {"Gender": 0.5},
+        },
+        {"name": "leaf", "algo": "supervised", "children": []},
+    ]
+    t2 = topic_tree_from_params(ref_shaped, centers={"leaf": [0.5, 0.5]})
+    assert t2.children[0].name == "leaf"
+    assert t2.children[0].center == [0.5, 0.5]
