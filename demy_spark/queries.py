@@ -1851,7 +1851,8 @@ def q41_locality_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Topic: seeded k-means + tree routing (text/PhraseClustering.scala,
-# topic/Node.scala) — iterative, so rows-only checks.
+# topic/Node.scala) — iterative, but oracle-checked by unrolling a
+# fixed number of Lloyd rounds as CTE chains.
 # ---------------------------------------------------------------------------
 
 
