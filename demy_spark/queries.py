@@ -58,12 +58,15 @@ def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0        AS sum_base_price,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0                                     AS sum_disc_price,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 100 + 0.5) AS BIGINT)) / 100.0                        AS sum_charge,
            round(avg(l_quantity), 2)                                        AS avg_qty,
-           round(avg(l_extendedprice), 2)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
+           round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 / 100.0 / count(*), 2)                                     AS avg_price,
+           round(sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))
+                 / 10000.0 / count(*), 4)                                   AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -73,21 +76,36 @@ def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped scan→filter→hash-agg. One shuffle (partial aggs
-    map-side); the shipdate filter pushes to the parquet scan."""
+    map-side — integer partials, so the combine stays map-side); the
+    shipdate filter pushes to the parquet scan. Money sums/averages run
+    in exact integer cents so the result is independent of partial-
+    aggregation order (quantity sums are integer-valued doubles and
+    already exact)."""
     li = _t(spark, sf_dir)["lineitem"]
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    price_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    disc_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+     + 0.5).cast("bigint")
+    charge_c = F.floor(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+     + 0.5).cast("bigint")
+    dismil = F.floor(F.col("l_discount") * 10000 + 0.5).cast("bigint")
+    n = F.count("*")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            (F.sum(price_c) / 100.0).alias("sum_base_price"),
+            (F.sum(disc_c) / 100.0).alias("sum_disc_price"),
+            (F.sum(charge_c) / 100.0).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.round(F.sum(price_c) / 100.0 / n, 2).alias("avg_price"),
+            F.round(F.sum(dismil) / 10000.0 / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -96,7 +114,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q02_revenue_by_nation",
     """
     SELECT n.n_name AS nation, r.r_name AS region,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue,
            count(DISTINCT o.o_orderkey) AS n_orders
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -115,12 +133,13 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup needs no countDistinct expand. Dims broadcast; the orders
     join is AQE-broadcast at small SF and co-keyed at scale."""
     t = _t(spark, sf_dir)
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+     + 0.5).cast("bigint")
     rev_per_order = (
         t["lineitem"]
         .groupBy(F.col("l_orderkey"))
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev_")
-        )
+        .agg(F.sum(cents).alias("_rev_c_"))
     )
     return (
         rev_per_order.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
@@ -129,7 +148,7 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
-            F.round(F.sum("_rev_"), 2).alias("revenue"),
+            (F.sum("_rev_c_") / 100.0).alias("revenue"),
             F.count("o_orderkey").alias("n_orders"),
         )
     )
@@ -139,7 +158,7 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_top_orders",
     """
     SELECT o.o_orderkey AS orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue,
            o.o_orderdate AS orderdate, o.o_orderpriority AS priority
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -155,8 +174,14 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-shaped: selective dim filter → join → agg → global
-    top-k. Spark runs the LIMIT as TakeOrderedAndProject (no full sort)."""
+    top-k. Spark runs the LIMIT as TakeOrderedAndProject (no full
+    sort). Revenue sums exact integer cents — the top-10 RANKS on this
+    value, so a float sum near a boundary could otherwise change which
+    orders qualify between runs."""
     t = _t(spark, sf_dir)
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+     + 0.5).cast("bigint")
     return (
         t["customer"]
         .where(F.col("c_mktsegment") == "BUILDING")
@@ -169,11 +194,7 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("orderdate"),
             F.col("o_orderpriority").alias("priority"),
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg((F.sum(cents) / 100.0).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("orderkey"))
         .limit(10)
         .select("orderkey", "revenue", "orderdate", "priority")
@@ -228,7 +249,8 @@ def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q06_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS promo_revenue,
+    SELECT sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT))
+             / 100.0 AS promo_revenue,
            count(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -247,9 +269,14 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.03, 0.07))
             & (F.col("l_quantity") < 25)
         ).agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "promo_revenue"
-            ),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+                        "bigint"
+                    )
+                )
+                / 100.0
+            ).alias("promo_revenue"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -337,7 +364,8 @@ def q09_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_cube_orders",
     """
     SELECT o_orderstatus AS status, o_orderpriority AS priority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -350,7 +378,12 @@ def q10_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").alias("status"),
             F.col("o_orderpriority").alias("priority"),
         )
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")) / 100.0
+            ).alias("total"),
+        )
     )
 
 
@@ -381,7 +414,7 @@ def q11_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
            count(*) AS n,
-           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -396,7 +429,7 @@ def q12_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint) so the result is independent of partial-aggregation order —
     a double sum near a rounding boundary can differ run-to-run."""
     t = _t(spark, sf_dir)
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
     return (
         t["events"]
         .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
@@ -2958,7 +2991,7 @@ def q55_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q56_range_join",
     """
     SELECT r.event_id AS incident_id, count(*) AS n_events,
-           sum(CAST(round(l.value * 100) AS BIGINT)) / 100.0 AS total_value
+           sum(CAST(floor(l.value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
     FROM events r JOIN events l
       ON l.user_id = r.user_id
      AND l.ts >= r.ts AND l.ts < r.ts + INTERVAL 1 HOUR
@@ -2994,7 +3027,7 @@ def q56_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_end="w_end",
         on="user_id",
     ).where(F.col("e_id") != F.col("incident_id"))
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
     return j.groupBy("incident_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.sum(cents) / 100.0).alias("total_value"),
@@ -3007,7 +3040,7 @@ def q56_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS bucket, event_type,
              count(*) AS n,
-             sum(CAST(round(value * 100) AS BIGINT)) AS tv
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS tv
       FROM events GROUP BY 1, 2),
     daily AS (
       SELECT date_trunc('day', bucket) AS bucket, event_type,
@@ -3048,7 +3081,7 @@ def q57_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.temporal import time_rollup
 
     t = _t(spark, sf_dir)
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
     out = time_rollup(
         t["events"],
         ts="ts",
@@ -3245,7 +3278,7 @@ def q61_bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q62_skew_join",
     """
     SELECT c.c_mktsegment, count(*) AS n_events,
-           sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS total_value
+           sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY 1
     """,
@@ -3263,7 +3296,7 @@ def q62_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     j = skew_aware_join(ev, cust, "user_id", hot=list(range(8)), salts=4)
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
     return j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.sum(cents) / 100.0).alias("total_value"),
@@ -3274,7 +3307,7 @@ def q62_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q63_salted_agg",
     """
     SELECT event_type, count(*) AS n,
-           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value,
            count(DISTINCT user_id) AS distinct_users
     FROM events GROUP BY 1
     """,
@@ -3289,7 +3322,7 @@ def q63_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.skew import salted_agg
 
     t = _t(spark, sf_dir)
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
     out = salted_agg(
         t["events"].select("event_type", "value", "user_id"),
         "event_type",
@@ -3333,7 +3366,8 @@ def _layout_scratch(sf_dir: str, kind: str) -> str:
     """
     SELECT c.c_mktsegment AS segment,
            count(*) AS n_orders,
-           round(sum(o.o_totalprice), 2) AS total_price
+           sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+             AS total_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -3372,7 +3406,9 @@ def q64_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")) / 100.0
+        ).alias("total_price"),
     ).withColumnRenamed("c_mktsegment", "segment")
 
 
@@ -3381,7 +3417,8 @@ def q64_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority AS priority,
            count(*) AS n,
-           round(sum(o_totalprice), 2) AS total_price
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+             AS total_price
     FROM orders
     WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
     GROUP BY o_orderpriority
@@ -3408,7 +3445,9 @@ def q65_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pruned.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")) / 100.0
+        ).alias("total_price"),
     )
 
 
@@ -4191,8 +4230,7 @@ def q78_entity_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM (VALUES (0, 10.0), (1, 25.0), (2, 40.0)) AS t(version, qty)),
     rev AS (
       SELECT p.version, p.qty,
-             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
-                      AS BIGINT)) / 100.0 AS total
+             sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS total
       FROM params p JOIN lineitem l ON l.l_quantity < p.qty
       GROUP BY 1, 2)
     SELECT version, qty, round(total, 2) + 0.0 AS total_revenue,
@@ -4216,9 +4254,9 @@ def q79_pipeline_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.orchestrator import Model, Plan, Step, grid_search
 
     t = _t(spark, sf_dir)
-    cents = F.round(
+    cents = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("bigint")
+     + 0.5).cast("bigint")
 
     def flt(df, qty=50.0):
         return df.where(F.col("l_quantity") < qty)
@@ -4594,7 +4632,7 @@ def q84_tweet_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH li AS (
       SELECT l_orderkey, l_linenumber,
-             CAST(round(l_quantity) AS BIGINT) AS q
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS q
       FROM lineitem WHERE l_orderkey % 50 = 0),
     g1 AS (SELECT l_orderkey, CAST(l_linenumber % 3 AS INTEGER) AS dim,
                   sum(q) AS v
@@ -4622,7 +4660,7 @@ def q85_sparse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].where(F.col("l_orderkey") % 50 == 0).select(
         "l_orderkey",
         F.col("l_linenumber").cast("int").alias("ln"),
-        F.round("l_quantity").cast("bigint").alias("q"),
+        F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("q"),
     )
 
     def side(mod: int):
@@ -4952,7 +4990,7 @@ def q69_center_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.user_id,
            count(*)                         AS n_pairs,
            count(DISTINCT c.event_id)       AS n_clicks_followed,
-           sum(CAST(round(p.value * 100) AS BIGINT)) / 100.0 AS followed_value
+           sum(CAST(floor(p.value * 100 + 0.5) AS BIGINT)) / 100.0 AS followed_value
     FROM clicks c
     JOIN purchases p
       ON p.user_id = c.user_id
@@ -4981,7 +5019,7 @@ def q67_event_followup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower="0 seconds",
         upper="30 minutes",
     )
-    cents = F.round(F.col("r_value") * 100).cast("bigint")
+    cents = F.floor(F.col("r_value") * 100 + 0.5).cast("bigint")
     return pairs.groupBy("user_id").agg(
         F.count("*").alias("n_pairs"),
         F.countDistinct("event_id").alias("n_clicks_followed"),
@@ -5035,11 +5073,12 @@ _DRIVER_PRIORITY = [
     "q30_ngram_jaccard",
     "q31_dup_clusters",
     "q32_media_features",
-    "q33_hash_folds",
     "q34_threshold_sweep",
     "q35_oof_mean_model",
-    "q36_multi_hot",
     "q37_embed_apply",
+    # q33_hash_folds / q36_multi_hot stay on their r1 rows one more
+    # round (trivial built-in wrappers, unchanged since r1) — their
+    # slots go to the cents-determinized q64/q65, whose code changed
     "q39_admin_flatten",
     "q40_parse_address",
     "q41_locality_match",
@@ -5050,14 +5089,18 @@ _DRIVER_PRIORITY = [
     "q53_ivf_ann_topk",
     "q54_binary_metrics",
     "q66_pos_tag_greedy",
-    # --- tier 3: r2-green round-robin tail
-    "q55_asof_join",
-    "q58_hll_distinct",
-    "q59_heavy_hitters",
-    "q60_stratified_sample",
-    "q61_bottom_k_sample",
-    # q64-q73 rotate back in next round (all r2-green; their tier-3
-    # slots went to the new q78-q85)
+    # --- tier 3: the remaining cents-determinized money queries (their
+    # sums and oracles changed this round, so they must earn fresh rows)
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders",
+    "q06_forecast_revenue",
+    "q10_cube_orders",
+    "q64_bucketed_join",
+    "q65_partition_prune",
+    # q55, q58-q61, q68-q73 rotate back in next round (all r2-green and
+    # unchanged; their tier-3 slots went to the new q78-q85 and the
+    # determinized money queries)
 ]
 
 
