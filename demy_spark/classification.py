@@ -120,16 +120,13 @@ def predict_one_vs_rest_frozen(
     deterministic-replay knob the DuckDB oracle relies on.
     """
     from demy_spark.functions.calibration import margin_to_score
+    from demy_spark.functions.vectors import dot
 
     x = F.col(features_col).cast("array<double>")
     scores = []
     for w, b in zip(weights, intercepts):
         wcol = F.array(*[F.lit(float(v)) for v in w])
-        m = F.aggregate(
-            F.zip_with(x, wcol, lambda a, c: a * c),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ) + F.lit(float(b))
+        m = dot(x, wcol) + F.lit(float(b))
         if margin_decimals is not None:
             m = F.round(m, margin_decimals)
         scores.append(margin_to_score(m))

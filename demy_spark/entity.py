@@ -191,7 +191,8 @@ def refine_entities(
             )
             .withColumn("round_added", F.lit(r))
         )
-        d = d.unionByName(accepted).persist()
+        prev, d = d, d.unionByName(accepted).persist()
+        prev.unpersist()
     return d
 
 

@@ -67,14 +67,19 @@ def strip_urls(c: Column | str, replacement: str = " ") -> Column:
     return F.regexp_replace(_as_col(c), URL_REGEX, replacement)
 
 
-@F.pandas_udf(T.StringType())
-def _blank_urls_udf(s: pd.Series) -> pd.Series:
+def _blank_urls_py(t: str | None) -> str | None:
+    """Replace each URL with same-length whitespace (offset-preserving)
+    — the one shared implementation behind blank_urls() and splitDoc."""
     import re
 
-    pat = re.compile(URL_REGEX)
-    return s.map(
-        lambda t: None if t is None else pat.sub(lambda m: " " * len(m.group(0)), t)
-    )
+    if t is None:
+        return None
+    return re.sub(URL_REGEX, lambda m: " " * len(m.group(0)), t)
+
+
+@F.pandas_udf(T.StringType())
+def _blank_urls_udf(s: pd.Series) -> pd.Series:
+    return s.map(_blank_urls_py)
 
 
 def blank_urls(c: Column | str) -> Column:
@@ -259,11 +264,7 @@ def _split_doc_py(
     import re
 
     orig = text or ""
-    if links_as_separators:
-        pat = re.compile(URL_REGEX)
-        s = pat.sub(lambda m: " " * len(m.group(0)), orig)
-    else:
-        s = orig
+    s = _blank_urls_py(orig) if links_as_separators else orig
     simpli = "".join(
         _simplify_char(c, s[i + 1].lower() if i + 1 < len(s) else "X")
         for i, c in enumerate(s)

@@ -271,9 +271,10 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).agg(
             (
                 F.sum(
-                    F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
-                        "bigint"
-                    )
+                    F.floor(
+                        F.col("l_extendedprice") * F.col("l_discount") * 100
+                        + 0.5
+                    ).cast("bigint")
                 )
                 / 100.0
             ).alias("promo_revenue"),
@@ -3992,7 +3993,6 @@ def q75_shapefile_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     Polygon side is driver-built by design: shapefiles are broadcast
     dimension tables (IRIS ~50k polygons), the 100 TB side is points."""
     import os
-    import tempfile
 
     from demy_spark.shapefile import (
         build_dbf_bytes,
@@ -4019,7 +4019,8 @@ def q75_shapefile_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         polys.append([ring])
         big = "T" if k % 3 == 0 else "F" if k % 3 == 1 else ""
         rows.append([str(k), r["n_name"], big])
-    d = tempfile.mkdtemp(prefix="demy_q75_")
+    d = _layout_scratch(sf_dir, "q75")
+    os.makedirs(d, exist_ok=True)
     shp = os.path.join(d, "zones.shp")
     with open(shp, "wb") as f:
         f.write(build_shp_bytes(polys))
@@ -4249,8 +4250,6 @@ def q79_pipeline_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Money sums are exact cents; the oracle replays every version's
     aggregation and the argmax. Moves the orchestration row from
     test-only to driver-checked."""
-    import tempfile
-
     from demy_spark.orchestrator import Model, Plan, Step, grid_search
 
     t = _t(spark, sf_dir)
@@ -4279,7 +4278,8 @@ def q79_pipeline_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 snapshot=True,
             ),
         ],
-        snapshot_dir=tempfile.mkdtemp(prefix="demy_q79_"),
+        snapshot_dir=_layout_scratch(sf_dir, "q79"),
+        reuse_snapshots=False,
     )
     plan = Plan().switch("filter", "qty", [10.0, 25.0, 40.0])
     res = grid_search(
@@ -4329,7 +4329,6 @@ def q80_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-checked."""
     import json as _json
     import os
-    import tempfile
 
     from demy_spark.io import read_csv, read_json, read_text_corpus
 
@@ -4338,7 +4337,8 @@ def q80_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["nation"].select("n_nationkey", "n_name").collect(),
         key=lambda r: r["n_nationkey"],
     )
-    d = tempfile.mkdtemp(prefix="demy_q80_")
+    d = _layout_scratch(sf_dir, "q80")
+    os.makedirs(d, exist_ok=True)
     with open(os.path.join(d, "n.txt"), "w", encoding="utf-8") as f:
         for r in rows:
             f.write(f"{r['n_nationkey']}|{r['n_name']}\n")
@@ -4721,8 +4721,12 @@ _Q76_SQL = f"""
                                         ORDER BY s DESC, ip) AS rk
               FROM sims) WHERE rk = 1),
     agg0 AS (SELECT count(*) AS n, round(sum(s), 6) AS ps FROM b0),
-    hits0 AS (SELECT min(cnt) AS minh
-              FROM (SELECT ic, count(*) AS cnt FROM b0 GROUP BY 1)),
+    -- dense over BOTH centers: a center with zero routed rows counts
+    -- as 0 hits (the engine gates on c_hits.get(ic, 0) the same way)
+    hits0 AS (SELECT min(coalesce(cnt, 0)) AS minh
+              FROM (VALUES (0), (1)) c(ic)
+              LEFT JOIN (SELECT ic, count(*) AS cnt FROM b0 GROUP BY 1) h
+              USING (ic)),
     b1 AS (
         SELECT vec_id, a, ip, s, ((ip - a) // 2) % 2 AS ic
         FROM (SELECT b0.vec_id, b0.ic AS a, s2.ip, s2.s,
@@ -4732,7 +4736,12 @@ _Q76_SQL = f"""
                                    AND s2.ip % 2 = b0.ic
               WHERE (SELECT ps FROM agg0) > {_Q76_SPLIT})
         WHERE rk = 1),
-    agg1 AS (SELECT a, count(*) AS n, round(sum(s), 6) AS ps FROM b1 GROUP BY 1),
+    agg1 AS (
+        SELECT base.a, coalesce(g.n, 0) AS n, coalesce(g.ps, 0.0) AS ps
+        FROM (SELECT a FROM (VALUES (0), (1)) t(a)
+              WHERE (SELECT ps FROM agg0) > {_Q76_SPLIT}) base
+        LEFT JOIN (SELECT a, count(*) AS n, round(sum(s), 6) AS ps
+                   FROM b1 GROUP BY 1) g USING (a)),
     sp1 AS (SELECT a, n, ps,
                    (ps > {_Q76_SPLIT}
                     AND (SELECT minh FROM hits0) > {_Q76_SPLIT}) AS sp
@@ -4746,8 +4755,12 @@ _Q76_SQL = f"""
               JOIN sims s2 ON s2.vec_id = b1.vec_id AND s2.ip % 2 = b1.a
                            AND ((s2.ip - b1.a) // 2) % 2 = b1.ic)
         WHERE rk = 1),
-    agg2 AS (SELECT a, b, count(*) AS n, round(sum(s), 6) AS ps
-             FROM b2 GROUP BY 1, 2)
+    agg2 AS (
+        SELECT s1.a, c.b, coalesce(g.n, 0) AS n, coalesce(g.ps, 0.0) AS ps
+        FROM sp1 s1 CROSS JOIN (VALUES (0), (1)) c(b)
+        LEFT JOIN (SELECT a, b, count(*) AS n, round(sum(s), 6) AS ps
+                   FROM b2 GROUP BY 1, 2) g ON g.a = s1.a AND g.b = c.b
+        WHERE s1.sp)
     SELECT 'root' AS node, 0 AS depth, 8 AS n_topwords, n AS n_rows,
            ps AS pscore_sum, (ps > {_Q76_SPLIT}) AS spawned
     FROM agg0

@@ -243,7 +243,10 @@ def read_shapefile(
     else:
         names, attrs = [], [[] for _ in shapes]
 
-    def _field(name: str, example) -> T.StructField:
+    def _field(name: str, values: list) -> T.StructField:
+        # infer from the first NON-NULL cell — the first record may
+        # legitimately hold an unset (None) numeric or logical cell
+        example = next((v for v in values if v is not None), None)
         if isinstance(example, bool):
             return T.StructField(name, T.BooleanType())
         if isinstance(example, int):
@@ -252,9 +255,11 @@ def read_shapefile(
             return T.StructField(name, T.DoubleType())
         return T.StructField(name, T.StringType())
 
-    first = attrs[0] if attrs else []
     schema = T.StructType(
-        [_field(n, v) for n, v in zip(names, first)]
+        [
+            _field(n, [row[i] for row in attrs])
+            for i, n in enumerate(names)
+        ]
         + [
             T.StructField("geometry", T.BinaryType()),
             T.StructField("x_min", T.DoubleType()),

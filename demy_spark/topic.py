@@ -529,22 +529,14 @@ def grow_topic_tree(
         F.col(id_col).alias("_id_"),
         F.col(vec_col).cast("array<double>").alias("_v_"),
     )
+    from demy_spark.functions.vectors import cosine_similarity
+
     ex = base.select("_id_", "_v_", F.posexplode(tw).alias("_ip_", "_w_"))
-    dot = F.aggregate(
-        F.zip_with("_v_", "_w_", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cos = dot / F.nullif(norm(F.col("_v_")) * norm(F.col("_w_")), F.lit(0.0))
+    cos = cosine_similarity(F.col("_v_"), F.col("_w_"))
     sims = ex.select(
         "_id_",
         "_ip_",
-        F.round((F.coalesce(cos, F.lit(0.0)) + 1.0) / 2.0, sim_decimals).alias(
-            "_s_"
-        ),
+        F.round((cos + 1.0) / 2.0, sim_decimals).alias("_s_"),
     ).persist()
 
     results: list[tuple] = []

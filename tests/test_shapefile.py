@@ -142,3 +142,22 @@ def test_raycast_over_shapefile(spark, tmp_path):
     cand = point_in_bbox_join(pts, polys)
     hit = point_in_polygon_raycast(cand).where("contains").select("pt_id").collect()
     assert sorted(r["pt_id"] for r in hit) == [0, 1]  # pt 2 in bbox but outside triangle
+
+
+def test_first_record_unset_cells_infer_from_later_rows(spark, tmp_path):
+    """Schema inference must skip leading NULL cells: a .dbf whose
+    FIRST record leaves its logical/numeric cells blank previously
+    inferred StringType and crashed on the first non-null bool/int."""
+    from demy_spark.shapefile import build_dbf_bytes, build_shp_bytes, read_shapefile
+
+    shp = tmp_path / "z.shp"
+    shp.write_bytes(build_shp_bytes([[SQUARE], [SQUARE]]))
+    (tmp_path / "z.dbf").write_bytes(
+        build_dbf_bytes(
+            [("NAME", "C", 5), ("BIG", "L", 1), ("POP", "N", 6)],
+            [["a", "", ""], ["b", "T", "42"]],
+        )
+    )
+    rows = {r["NAME"]: r for r in read_shapefile(spark, str(shp)).collect()}
+    assert rows["a"]["BIG"] is None and rows["a"]["POP"] is None
+    assert rows["b"]["BIG"] is True and rows["b"]["POP"] == 42
