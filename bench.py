@@ -30,7 +30,16 @@ def force(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark("demy_spark_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    # Shuffle partitions sized to the WORKLOAD, not the thread count:
+    # at bench SF a 32-way shuffle makes every post-shuffle task too
+    # small to amortize scheduling (measured ~15% total inflation vs
+    # 16), while scans still use all local[cpus] threads. The same
+    # sizing discipline applies in reverse at cluster scale.
+    spark = get_spark(
+        "demy_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=min(cpus, 16),
+    )
 
     names = sorted(_q.headline_queries())
     # two warm-up passes: JVM + codegen + parquet footer caches; one
@@ -41,11 +50,11 @@ def main() -> None:
         for name in names:
             force(_q.REGISTRY[name].fn(spark, sf_dir))
 
-    # two timed passes, keep the min: transient machine load (e.g. a
+    # three timed passes, keep the min: transient machine load (e.g. a
     # test suite that just finished) inflates a single pass by 40%+;
     # the min is the standard load-robust wall estimator
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in names:
             t0 = time.perf_counter()
             force(_q.REGISTRY[name].fn(spark, sf_dir))
@@ -58,7 +67,7 @@ def main() -> None:
     extra_timings: dict[str, float] = {}
     for name, fn in extras.items():
         force(fn(spark, sf_dir))  # warm-up
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
             dt = round(time.perf_counter() - t0, 3)
