@@ -1,0 +1,239 @@
+"""Training-corpus curation operators: benchmark decontamination,
+canonical-document selection, and deterministic corpus mixing.
+
+These are LLM-pipeline extensions (no analog in the reference engine —
+its dedup surface stops at exact groupBy dedup, e.g. latest-wins merge
+`topic/Tag.scala:108-120`); they compose the dedup/sampling primitives
+into the three curation steps every large-scale training-data pipeline
+runs between "raw corpus" and "training mix":
+
+- ``contamination_check``: flag evaluation documents whose content
+  leaks from the training corpus — exact (normalized fingerprint) and
+  near (n-gram shingle overlap ratio), the standard decontamination
+  test applied between train corpora and eval benchmarks.
+- ``canonical_per_cluster``: after duplicate clustering
+  (``operators/dedup.assign_clusters``), keep exactly one
+  representative document per cluster by an explicit quality order.
+- ``mixture_sample``: materialize a target corpus mixture (absolute
+  per-stratum shares of a fixed total) with largest-remainder
+  apportionment and deterministic bottom-k row selection — the "data
+  mixing" step, reproducible row-for-row on any engine.
+
+Scale notes: contamination never broadcasts the training side — both
+shingle frames shuffle co-keyed on the 60-bit shingle hash and the
+verdict is a per-test-doc aggregate, so the op survives a 100 TB train
+corpus; canonical selection is one window over the cluster key;
+mixture planning runs on the dictionary-sized per-stratum count frame
+(single-partition window over a constant-size input), while row
+selection is a per-stratum rank window on the data — one shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from demy_spark.operators.dedup import _md5_long
+from demy_spark.operators.sampling import knuth_unit
+
+__all__ = [
+    "contamination_check",
+    "canonical_per_cluster",
+    "mixture_sample",
+]
+
+
+def _norm_tokens(text: Column) -> Column:
+    """Whitespace tokens of the lowercased, trimmed text — the same
+    normalization every dedup fingerprint in this repo uses."""
+    return F.array_remove(F.split(F.trim(F.lower(text)), " "), "")
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text`` as 60-bit md5-slice
+    hashes (DuckDB-replayable, see dedup._md5_long). Empty array when
+    the document has fewer than ``n`` tokens."""
+    toks = _norm_tokens(text)
+    # guard: Spark's sequence(1, stop) DESCENDS when stop < 1
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    return F.array_distinct(
+        F.transform(grams, lambda g: _md5_long(g, 1))
+    )
+
+
+def contamination_check(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: for every ``test`` document, the
+    fraction of its distinct word ``n``-gram shingles that occur
+    anywhere in ``train``, plus an exact normalized-fingerprint match
+    flag. A document is ``contaminated`` when it is an exact duplicate
+    or its shingle overlap ratio reaches ``threshold``.
+
+    Returns one row per test document:
+    ``(id, n_shingles, n_hit, overlap_ratio, exact_dup, contaminated)``.
+    Documents with fewer than ``n`` tokens have ``n_shingles = 0`` and
+    count as contaminated only via the exact-duplicate path.
+
+    Spark shape (sized for a train corpus far too large to broadcast):
+    the train side reduces to DISTINCT shingle hashes (one shuffle,
+    map-side combine), the test side explodes to (id, shingle) rows,
+    and the hit test is a co-keyed LEFT SEMI equi-join on the 60-bit
+    hash — no row explosion beyond the bounded shingles-per-doc, no
+    driver state. The exact path is a second semi-join on the full-text
+    fingerprint. Both joins shuffle on uniformly-distributed hashes, so
+    skew cannot concentrate (a ubiquitous shingle is ONE row on the
+    train side after the distinct)."""
+    sh = shingle_hashes(F.col(text_col), n)
+    fp = F.md5(F.concat_ws(" ", _norm_tokens(F.col(text_col))))
+
+    train_sh = (
+        train.select(F.explode(sh).alias("_sh_")).distinct()
+    )
+    train_fp = train.select(fp.alias("_fp_")).distinct()
+
+    t = test.select(
+        F.col(id_col).alias("_id_"),
+        sh.alias("_shs_"),
+        fp.alias("_fp_"),
+    )
+    pairs = t.select("_id_", F.explode_outer("_shs_").alias("_sh_"))
+    hits = (
+        pairs.join(train_sh, "_sh_", "left_semi")
+        .groupBy("_id_")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    exact = (
+        t.join(train_fp, t["_fp_"] == train_fp["_fp_"], "left_semi")
+        .select("_id_", F.lit(True).alias("_exact_"))
+    )
+    ratio = F.when(
+        F.col("n_shingles") > 0, F.col("n_hit") / F.col("n_shingles")
+    ).otherwise(F.lit(0.0))
+    return (
+        t.select("_id_", F.size("_shs_").cast("long").alias("n_shingles"))
+        .join(hits, "_id_", "left")
+        .join(exact, "_id_", "left")
+        .select(
+            F.col("_id_").alias(id_col),
+            "n_shingles",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(ratio, 6).alias("overlap_ratio"),
+            F.coalesce("_exact_", F.lit(False)).alias("exact_dup"),
+        )
+        .withColumn(
+            "contaminated",
+            F.col("exact_dup") | (F.col("overlap_ratio") >= threshold),
+        )
+    )
+
+
+def canonical_per_cluster(
+    docs: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    order_by: list[Column],
+) -> DataFrame:
+    """Keep exactly one representative row per duplicate cluster: the
+    first row under ``order_by`` (callers append the id as the final
+    tie-break to make selection total). Adds ``n_members`` (cluster
+    size) and passes every input column through.
+
+    One shuffle on the cluster key; WindowGroupLimit prunes each map
+    partition to its per-cluster best before the exchange, so the
+    shuffle carries ~one row per (partition, cluster) — the same
+    scale shape as topN-per-group."""
+    w = Window.partitionBy(cluster_col).orderBy(*order_by)
+    wc = Window.partitionBy(cluster_col)
+    return (
+        docs.withColumn("_rk_", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .where(F.col("_rk_") == 1)
+        .drop("_rk_")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    weights: Mapping[str, float],
+    total: int,
+    *,
+    salt: int = 0,
+    keep_plan_cols: bool = False,
+) -> DataFrame:
+    """Deterministic corpus mixing: materialize a sample of ~``total``
+    rows whose per-stratum counts follow ``weights`` (absolute shares
+    of ``total``), apportioned by the largest-remainder method and
+    capped at each stratum's available rows. Strata not in ``weights``
+    get nothing; a capped stratum's shortfall is NOT redistributed
+    (the realized total is the honest outcome, not silently rebalanced
+    — callers that need exact totals re-run with adjusted weights).
+
+    Row selection inside a stratum is bottom-k by the Knuth unit hash
+    of ``key`` — reproducible on any engine, stable under appends.
+    ``keep_plan_cols=True`` keeps the planning columns (``n_total``,
+    ``target``) on every sampled row for audit summaries.
+
+    Plan: per-stratum counts aggregate first (map-side combine); the
+    apportionment windows run on that dictionary-sized frame (the
+    single-partition sort is over #strata rows — constant at any data
+    scale); targets broadcast-join back onto the data and a per-stratum
+    rank window keeps the k smallest hashes. One data shuffle total.
+    """
+    wlit = F.lit(None).cast("double")
+    for s, wgt in sorted(weights.items()):
+        wlit = F.when(F.col(stratum) == s, F.lit(float(wgt))).otherwise(wlit)
+
+    counts = (
+        df.groupBy(stratum)
+        .agg(F.count(F.lit(1)).alias("_n_"))
+        .withColumn("_w_", wlit)
+        .where(F.col("_w_").isNotNull())
+    )
+    tf = F.col("_w_") * F.lit(float(total))
+    base = F.floor(tf)
+    frac = tf - base
+    # constant-size frames: both windows run over #strata rows
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_frac = Window.orderBy(frac.desc(), F.col(stratum).asc())
+    targets = (
+        counts.withColumn("_base_", base)
+        .withColumn("_pool_", F.lit(total) - F.sum("_base_").over(w_all))
+        .withColumn("_frk_", F.row_number().over(w_frac))
+        .withColumn(
+            "target",
+            F.least(
+                F.col("_n_"),
+                F.col("_base_")
+                + (F.col("_frk_") <= F.col("_pool_")).cast("long"),
+            ),
+        )
+        .select(stratum, F.col("_n_").alias("n_total"), "target")
+    )
+    w_rank = Window.partitionBy(stratum).orderBy(
+        knuth_unit(F.col(key), salt=salt).asc(), F.col(key).asc()
+    )
+    kept = (
+        df.join(F.broadcast(targets), stratum)
+        .withColumn("_rk_", F.row_number().over(w_rank))
+        .where(F.col("_rk_") <= F.col("target"))
+        .drop("_rk_")
+    )
+    return kept if keep_plan_cols else kept.drop("n_total", "target")

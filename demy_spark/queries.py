@@ -5040,6 +5040,189 @@ def q67_event_followup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q86_contamination_check",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([('0x' || substring(md5(
+                 array_to_string(({_TOKS_SQL})[i:i+2], ' ')), 1, 15))::BIGINT
+               FOR i IN range(1, len({_TOKS_SQL}) - 1)]) AS shs,
+             md5(array_to_string({_TOKS_SQL}, ' ')) AS fp
+      FROM documents),
+    train AS (SELECT * FROM sh WHERE doc_id % 5 != 0),
+    test AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+    tsh AS (SELECT DISTINCT unnest(shs) AS h FROM train),
+    tfp AS (SELECT DISTINCT fp FROM train),
+    hits AS (
+      SELECT te.doc_id, count(*) AS n_hit
+      FROM (SELECT doc_id, unnest(shs) AS h FROM test) te
+      JOIN tsh USING (h) GROUP BY 1),
+    ex AS (SELECT DISTINCT te.doc_id FROM test te JOIN tfp USING (fp))
+    SELECT t.doc_id,
+           CAST(len(t.shs) AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(CASE WHEN len(t.shs) > 0
+                      THEN coalesce(h.n_hit, 0) / len(t.shs)
+                      ELSE 0.0 END, 6) + 0.0 AS overlap_ratio,
+           CAST(e.doc_id IS NOT NULL AS BIGINT) AS exact_dup,
+           CAST(e.doc_id IS NOT NULL
+                OR (len(t.shs) > 0
+                    AND coalesce(h.n_hit, 0) / len(t.shs) >= 0.5)
+                AS BIGINT) AS contaminated
+    FROM test t
+    LEFT JOIN hits h USING (doc_id)
+    LEFT JOIN ex e USING (doc_id)
+    """,
+)
+def q86_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/curation.contamination_check
+    — LLM-pipeline extension; the reference's nearest analog is exact
+    groupBy dedup): documents split 80/20 into train/test by id, each
+    test doc scored by the fraction of its distinct word-trigram
+    shingles (60-bit md5-slice hashes) found anywhere in train, plus an
+    exact normalized-fingerprint flag. The train side reduces to
+    DISTINCT shingle hashes before a co-keyed LEFT SEMI join — nothing
+    dictionary-sized is assumed, so the shape survives a train corpus
+    that cannot be broadcast."""
+    from demy_spark.operators.curation import contamination_check
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    out = contamination_check(train, test, "doc_id", "text", n=3, threshold=0.5)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_hit",
+        (F.col("overlap_ratio") + F.lit(0.0)).alias("overlap_ratio"),
+        F.col("exact_dup").cast("long").alias("exact_dup"),
+        F.col("contaminated").cast("long").alias("contaminated"),
+    )
+
+
+@register(
+    "q87_canonical_docs",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(({_TOKS_SQL})[1:3], ' ')) AS fp
+      FROM documents WHERE len({_TOKS_SQL}) >= 3),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY fp
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY fp) AS n_members
+      FROM keyed)
+    SELECT fp, doc_id AS canonical_id,
+           CAST(n_members AS BIGINT) AS n_members, n_chars
+    FROM ranked WHERE rk = 1 AND n_members > 1
+    """,
+)
+def q87_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection (operators/curation.
+    canonical_per_cluster): after exact duplicate clustering (q18's
+    3-token-prefix fingerprint), keep ONE representative per cluster —
+    the longest text, ties to the smallest id — the 'keep best copy'
+    step between dedup and training. One window over the cluster key;
+    WindowGroupLimit prunes to the per-cluster best before the
+    exchange, the same scale shape as topN-per-group."""
+    from demy_spark.operators.curation import canonical_per_cluster
+
+    t = _t(spark, sf_dir)
+    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    keyed = (
+        t["documents"]
+        .where(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.md5(F.concat_ws(" ", F.slice(toks, 1, 3))).alias("fp"),
+        )
+    )
+    kept = canonical_per_cluster(
+        keyed, "doc_id", "fp", [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    )
+    return kept.where(F.col("n_members") > 1).select(
+        "fp",
+        F.col("doc_id").alias("canonical_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        "n_chars",
+    )
+
+
+_Q88_WEIGHTS = {"en": 0.42, "zh": 0.23, "es": 0.17, "de": 0.11, "fr": 0.07}
+_Q88_TOTAL = 503
+
+_Q88_W_SQL = "CASE lang " + " ".join(
+    f"WHEN '{s}' THEN {w}" for s, w in sorted(_Q88_WEIGHTS.items())
+) + " END"
+
+
+@register(
+    "q88_mixture_sample",
+    f"""
+    WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    pres AS (
+      SELECT lang, n, {_Q88_W_SQL} AS w FROM cnt
+      WHERE {_Q88_W_SQL} IS NOT NULL),
+    ap AS (
+      SELECT lang, n,
+             CAST(floor(w * {_Q88_TOTAL}) AS BIGINT) AS base,
+             w * {_Q88_TOTAL} - floor(w * {_Q88_TOTAL}) AS frac
+      FROM pres),
+    tg AS (
+      SELECT lang, n,
+             least(n, base + CASE WHEN row_number() OVER
+                     (ORDER BY frac DESC, lang)
+                   <= {_Q88_TOTAL} - (SELECT sum(base) FROM ap)
+                   THEN 1 ELSE 0 END) AS target
+      FROM ap),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY ((doc_id * 2654435761) % 4294967296) / 4294967296.0,
+                        doc_id) AS rk
+      FROM documents),
+    kept AS (
+      SELECT r.lang, r.doc_id
+      FROM ranked r JOIN tg USING (lang) WHERE r.rk <= tg.target)
+    SELECT t.lang, CAST(t.n AS BIGINT) AS n_total,
+           CAST(t.target AS BIGINT) AS target,
+           CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(k.doc_id), 0) AS BIGINT) AS checksum
+    FROM tg t LEFT JOIN kept k USING (lang)
+    GROUP BY t.lang, t.n, t.target
+    """,
+)
+def q88_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing (operators/curation.mixture_sample):
+    a 503-row training mix over languages with
+    largest-remainder apportionment of per-stratum targets, capped at
+    availability (en caps at some SFs, zh always — both branches
+    exercised), rows chosen bottom-k by Knuth unit hash. Apportionment
+    windows run on the dictionary-sized count frame; the data pays one
+    shuffle. Output is the per-stratum audit summary."""
+    from demy_spark.operators.curation import mixture_sample
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    kept = mixture_sample(
+        docs, "doc_id", "lang", _Q88_WEIGHTS, _Q88_TOTAL, keep_plan_cols=True
+    )
+    return kept.groupBy("lang", "n_total", "target").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("checksum"),
+    ).select(
+        "lang",
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("target").cast("long").alias("target"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "checksum",
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-3 window, three tiers:
 #   1. new or behavior-changed this round (must earn fresh rows): the five
@@ -5113,7 +5296,10 @@ _DRIVER_PRIORITY = [
     "q65_partition_prune",
     # q55, q58-q61, q68-q73 rotate back in next round (all r2-green and
     # unchanged; their tier-3 slots went to the new q78-q85 and the
-    # determinized money queries)
+    # determinized money queries). The curation queries q86-q88 (new
+    # late in round 3, window already committed) join that r4 rotation;
+    # until then their driver-equivalent check is test_oracle_parity,
+    # run at sf0.01 as well as sf0.001 before the round closed.
 ]
 
 

@@ -1,0 +1,127 @@
+"""Unit tests for operators/curation: contamination, canonical
+selection, mixture sampling. Query-level parity is covered by
+test_oracle_parity (q86-q88)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from demy_spark.operators.curation import (
+    canonical_per_cluster,
+    contamination_check,
+    mixture_sample,
+    shingle_hashes,
+)
+
+
+def test_shingle_hashes_short_docs(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",), ("  x  ",)], ["t"]
+    ).select(shingle_hashes(F.col("t"), 3).alias("s"))
+    sizes = [r.s is not None and len(r.s) for r in df.collect()]
+    assert sizes == [2, 0, 0, 0]
+
+
+def test_shingle_hashes_distinct(spark):
+    # repeated trigram collapses to one hash
+    df = spark.createDataFrame([("a b a b a b a",)], ["t"]).select(
+        shingle_hashes(F.col("t"), 3).alias("s")
+    )
+    # trigrams: "a b a" x3, "b a b" x2 -> 2 distinct
+    assert len(df.first().s) == 2
+
+
+def test_contamination_exact_and_near(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "lorem ipsum dolor sit amet")],
+        ["id", "txt"],
+    )
+    test = spark.createDataFrame(
+        [
+            (10, "The quick brown fox jumps"),  # exact after normalization
+            (11, "the quick brown cat sleeps"),  # partial overlap
+            (12, "totally different words here now"),  # clean
+            (13, "xy"),  # too short for shingles
+        ],
+        ["id", "txt"],
+    )
+    out = {
+        r.id: r
+        for r in contamination_check(
+            train, test, "id", "txt", n=3, threshold=0.5
+        ).collect()
+    }
+    assert out[10].exact_dup and out[10].contaminated
+    assert out[10].overlap_ratio == 1.0
+    # "the quick brown" is the only shared trigram of 3
+    assert not out[11].exact_dup
+    assert out[11].n_hit == 1 and out[11].n_shingles == 3
+    assert not out[11].contaminated
+    assert out[12].n_hit == 0 and not out[12].contaminated
+    assert out[13].n_shingles == 0 and not out[13].contaminated
+
+
+def test_canonical_per_cluster(spark):
+    df = spark.createDataFrame(
+        [(1, "c1", 10), (2, "c1", 30), (3, "c1", 30), (4, "c2", 5)],
+        ["id", "cl", "len"],
+    )
+    kept = {
+        r.cl: r
+        for r in canonical_per_cluster(
+            df, "id", "cl", [F.col("len").desc(), F.col("id").asc()]
+        ).collect()
+    }
+    assert kept["c1"].id == 2 and kept["c1"].n_members == 3  # tie -> min id
+    assert kept["c2"].id == 4 and kept["c2"].n_members == 1
+
+
+def test_mixture_sample_apportionment_and_cap(spark):
+    rows = [(i, "a") for i in range(100)] + [(1000 + i, "b") for i in range(5)]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    # targets: a -> floor(0.6*10)=6, b -> floor(0.4*10)=4 but capped at 5...
+    # 0.6*10=6.0, 0.4*10=4.0 exactly; b has 5 rows so no cap
+    out = mixture_sample(df, "k", "s", {"a": 0.6, "b": 0.4}, 10)
+    got = {s: n for s, n in out.groupBy("s").count().collect()}
+    assert got == {"a": 6, "b": 4}
+    # cap binds: ask for more b than exists; shortfall NOT redistributed
+    out2 = mixture_sample(df, "k", "s", {"a": 0.2, "b": 0.8}, 20)
+    got2 = {s: n for s, n in out2.groupBy("s").count().collect()}
+    assert got2 == {"a": 4, "b": 5}
+
+
+def test_mixture_sample_largest_remainder(spark):
+    rows = [(i, s) for s in "abc" for i in range(ord(s) * 100, ord(s) * 100 + 50)]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    # 0.5*7=3.5, 0.3*7=2.1, 0.2*7=1.4 -> base 3,2,1 (sum 6), pool 1
+    # fracs: a .5, c .4, b .1 -> extra goes to a
+    out = mixture_sample(df, "k", "s", {"a": 0.5, "b": 0.3, "c": 0.2}, 7)
+    got = {s: n for s, n in out.groupBy("s").count().collect()}
+    assert got == {"a": 4, "b": 2, "c": 1}
+
+
+def test_mixture_sample_deterministic_and_stable(spark):
+    rows = [(i, "a") for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    pick = lambda d: sorted(r.k for r in mixture_sample(d, "k", "s", {"a": 1.0}, 10).collect())
+    first = pick(df)
+    assert first == pick(df)
+    # append-stability: adding rows can only displace, never reshuffle
+    bigger = spark.createDataFrame(rows + [(500 + i, "a") for i in range(50)], ["k", "s"])
+    second = pick(bigger)
+    assert len(set(first) & set(second)) >= 8
+
+
+def test_mixture_sample_unweighted_stratum_dropped(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "zz")], ["k", "s"])
+    out = mixture_sample(df, "k", "s", {"a": 1.0}, 5)
+    assert [r.s for r in out.collect()] == ["a"]
+
+
+@pytest.mark.parametrize("name", ["q86_contamination_check", "q87_canonical_docs", "q88_mixture_sample"])
+def test_new_queries_run(spark, sf_dir, name):
+    from demy_spark import queries as Q
+
+    df = Q.REGISTRY[name].fn(spark, sf_dir)
+    assert df.count() > 0
