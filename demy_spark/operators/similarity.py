@@ -17,6 +17,14 @@ Three paths:
   lists; a query scans only its ``nprobe`` nearest lists, so the
   candidate fraction is ~nprobe/n_lists of the corpus, and the lists
   themselves are the natural partitioning key for co-located rerank.
+- ``pq_build``/``pq_adc_topk``: product quantization — the MEMORY
+  scale path. Vectors compress to ``m`` small codes (64 float dims →
+  m bytes), and queries score candidates from an m×ksub lookup table
+  of subspace distances (asymmetric distance computation) instead of
+  touching raw vectors. Codebooks are trained fully in-plan (no
+  driver state) from deterministic seeds, so codes are reproducible
+  on any engine. Composes with IVF (classic IVF-PQ): restrict the
+  ADC scan to the probed lists' codes.
 
 The reference's vector ops (linalg/implicits.scala cosine/similarity)
 are covered by functions/vectors.py; these operators add the search
@@ -252,4 +260,166 @@ def ivf_cosine_topk(
         "query_id", "neighbor_id", cosine_similarity("_qv_", "_cv_").alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def _subdims(df: DataFrame, id_col: str, vec_col: str, dsub: int) -> DataFrame:
+    """(id, sub, dl, x): vector dims split into contiguous subspaces of
+    width ``dsub``; ``dl`` is the dim index local to its subspace."""
+    return df.select(
+        F.col(id_col).alias("_id_"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("_d_", "_x_"),
+    ).select(
+        "_id_",
+        (F.col("_d_") / dsub).cast("int").alias("_sub_"),
+        F.pmod("_d_", F.lit(dsub)).alias("_dl_"),
+        "_x_",
+    )
+
+
+def _l2_argmin(points: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each (id, sub) to its L2-nearest centroid (ties → lowest
+    code). ``points``: (_id_, _sub_, _dl_, _x_); ``cents``:
+    (_sub_, _c_, _dl_, _m_, dictionary-sized → broadcast)."""
+    d2 = (
+        points.join(F.broadcast(cents), ["_sub_", "_dl_"])
+        .groupBy("_id_", "_sub_", "_c_")
+        .agg(F.sum((F.col("_x_") - F.col("_m_")) ** 2).alias("_d2_"))
+    )
+    w = Window.partitionBy("_id_", "_sub_").orderBy(
+        F.col("_d2_").asc(), F.col("_c_").asc()
+    )
+    return (
+        d2.withColumn("_rk_", F.row_number().over(w))
+        .where(F.col("_rk_") == 1)
+        .select("_id_", "_sub_", "_c_")
+    )
+
+
+def pq_build(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    m: int = 4,
+    ksub: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace PQ codebooks and encode the corpus.
+
+    The vector splits into ``m`` contiguous subspaces; each gets a
+    ``ksub``-centroid codebook: seeds are the element-wise means of the
+    ``id % ksub`` groups (deterministic, no RNG), refined by exactly
+    ONE Lloyd round (assign by L2, re-average; a cluster losing all
+    members drops out and its code is simply never emitted), then the
+    corpus encodes against the refined codebook. Everything is
+    DataFrame ops — codebooks never touch the driver, and the whole
+    build is SQL-reproducible (the q89 oracle replays seeds → round →
+    encode verbatim).
+
+    Returns ``(codebook, codes)``: codebook (sub, code, dl, mval) is
+    dictionary-sized (m × ksub × dsub rows); codes (id, sub, code) is
+    the compressed corpus — m small ints per vector, the artifact that
+    makes a 100 TB corpus scannable from a fraction of the footprint.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    dsub = dim // m
+    pts = _subdims(corpus, id_col, vec_col, dsub)
+    cent0 = (
+        pts.withColumn("_c_", F.pmod("_id_", F.lit(ksub)))
+        .groupBy("_sub_", "_c_", "_dl_")
+        .agg(F.avg("_x_").alias("_m_"))
+    )
+    assign0 = _l2_argmin(pts, cent0)
+    cent1 = (
+        pts.join(assign0, ["_id_", "_sub_"])
+        .groupBy("_sub_", "_c_", "_dl_")
+        .agg(F.avg("_x_").alias("_m_"))
+    )
+    codes = _l2_argmin(pts, cent1).select(
+        F.col("_id_").alias(id_col),
+        F.col("_sub_").alias("sub"),
+        F.col("_c_").alias("code"),
+    )
+    codebook = cent1.select(
+        F.col("_sub_").alias("sub"),
+        F.col("_c_").alias("code"),
+        F.col("_dl_").alias("dl"),
+        F.col("_m_").alias("mval"),
+    )
+    return codebook, codes
+
+
+def pq_adc_topk(
+    codebook: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    dist_decimals: int = 6,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation: per query
+    build the (sub, code) → squared-subdistance lookup table (LUT, an
+    m×ksub grid — constant-sized), then score every encoded vector as
+    the sum of its ``m`` table entries. No raw corpus vectors are read
+    — only the codes table, the PQ scan-cost story.
+
+    ``candidates`` (query_id, neighbor_id) restricts scoring to the
+    given pairs — pass the IVF probe expansion (probed lists joined to
+    list membership) to get IVF-PQ: the ADC scan touches only
+    ~nprobe/n_lists of the codes instead of all of them.
+
+    Ranking uses the distance ROUNDED to ``dist_decimals`` with the
+    neighbor id as tie-break: distinct vectors sharing a code tuple
+    have IDENTICAL true distances, so a raw float order would be
+    engine-dependent in the last bit. Returns (query_id, neighbor_id,
+    adist, rk), ascending distance.
+
+    The LUT side is queries × m × ksub rows (broadcast); the scan is
+    one equi-join on (sub, code) plus a (query, neighbor) sum — at
+    cluster scale, compose with IVF probe lists to bound the scanned
+    codes (IVF-PQ) rather than scanning every code."""
+    dsub_row = codebook.groupBy().agg(
+        (F.max("dl") + 1).alias("_w_"), (F.max("sub") + 1).alias("_m_")
+    ).first()
+    dsub = dsub_row["_w_"]
+    q = _subdims(queries, id_col, vec_col, dsub)
+    lut = (
+        q.join(
+            F.broadcast(
+                codebook.select(
+                    F.col("sub").alias("_sub_"),
+                    F.col("code").alias("_c_"),
+                    F.col("dl").alias("_dl_"),
+                    "mval",
+                )
+            ),
+            ["_sub_", "_dl_"],
+        )
+        .groupBy("_id_", "_sub_", "_c_")
+        .agg(F.sum((F.col("_x_") - F.col("mval")) ** 2).alias("_d2_"))
+        .select(
+            F.col("_id_").alias("query_id"),
+            F.col("_sub_").alias("sub"),
+            F.col("_c_").alias("code"),
+            "_d2_",
+        )
+    )
+    scanned = codes.withColumnRenamed(id_col, "neighbor_id")
+    if candidates is not None:
+        scanned = scanned.join(
+            candidates.select("query_id", "neighbor_id"), "neighbor_id"
+        ).join(F.broadcast(lut), ["sub", "code", "query_id"])
+    else:
+        scanned = scanned.join(F.broadcast(lut), ["sub", "code"])
+    scored = (
+        scanned.groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("_d2_"), dist_decimals).alias("adist"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

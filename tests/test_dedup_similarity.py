@@ -154,3 +154,85 @@ def test_embedding_cosine_pairs(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
     assert (0, 1) in got
     assert (0, 5) not in got  # opposite vectors never pass the verify
+
+
+def test_pq_build_codes_shape(spark):
+    from demy_spark.operators.similarity import pq_adc_topk, pq_build
+
+    vecs = _vecs(spark)
+    codebook, codes = pq_build(vecs, "embedding", "vec_id", m=2, ksub=2)
+    # every vector gets exactly one code per subspace
+    per_vec = {r["vec_id"]: r["n"] for r in
+               codes.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_vec == {i: 2 for i in range(6)}
+    # codebook is dictionary-sized: <= m * ksub * dsub rows
+    assert codebook.count() <= 2 * 2 * 2
+    # build is deterministic
+    c2, k2 = pq_build(vecs, "embedding", "vec_id", m=2, ksub=2)
+    assert sorted(map(tuple, codes.collect())) == sorted(map(tuple, k2.collect()))
+
+
+def test_pq_adc_recalls_near_neighbor(spark):
+    from demy_spark.operators.similarity import pq_adc_topk, pq_build
+
+    vecs = _vecs(spark)
+    codebook, codes = pq_build(vecs, "embedding", "vec_id", m=2, ksub=3)
+    out = pq_adc_topk(
+        codebook, codes, vecs.where(F.col("vec_id") == 0),
+        "embedding", "vec_id", k=2,
+    )
+    rows = sorted(out.collect(), key=lambda r: r["rk"])
+    assert rows and rows[0]["neighbor_id"] == 1  # the planted near-dup of 0
+    assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in rows)
+    # distances ascend with rank
+    assert rows == sorted(rows, key=lambda r: (r["adist"], r["neighbor_id"]))
+
+
+def test_pq_code_ties_rank_deterministically(spark):
+    from demy_spark.operators.similarity import pq_adc_topk, pq_build
+
+    # two identical corpus vectors share a code tuple -> exact ADC tie;
+    # the rank must break by neighbor id, not float luck
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in (7, 8)] + [
+        (0, [0.9, 0.1, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    codebook, codes = pq_build(vecs, "embedding", "vec_id", m=2, ksub=2)
+    out = pq_adc_topk(
+        codebook, codes, vecs.where(F.col("vec_id") == 0),
+        "embedding", "vec_id", k=3,
+    )
+    got = [(r["neighbor_id"], r["adist"]) for r in
+           sorted(out.collect(), key=lambda r: r["rk"])]
+    seven = dict(got)
+    assert seven[7] == seven[8]  # identical codes -> identical rounded adist
+    assert [n for n, _ in got if n in (7, 8)] == [7, 8]  # id tie-break order
+
+
+def test_ivfpq_composition_bounds_scan(spark):
+    from demy_spark.operators.similarity import (
+        ivf_build,
+        pq_adc_topk,
+        pq_build,
+    )
+
+    vecs = _vecs(spark)
+    centers, assigned = ivf_build(vecs, "embedding", "vec_id", n_lists=2, train_iters=1)
+    codebook, codes = pq_build(vecs, "embedding", "vec_id", m=2, ksub=3)
+    # probe expansion: each query scans only its own list's members
+    q0 = assigned.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "cluster"
+    )
+    cand = q0.join(
+        assigned.select(F.col("vec_id").alias("neighbor_id"), "cluster"), "cluster"
+    ).select("query_id", "neighbor_id")
+    out = pq_adc_topk(
+        codebook, codes, vecs.where(F.col("vec_id") == 0),
+        "embedding", "vec_id", k=5, candidates=cand,
+    )
+    rows = sorted(out.collect(), key=lambda r: r["rk"])
+    assert rows and rows[0]["neighbor_id"] == 1  # near-dup recalled in-list
+    # the scan really was bounded: nothing outside the probed list scored
+    in_list = {r["neighbor_id"] for r in cand.collect()}
+    assert {r["neighbor_id"] for r in rows} <= in_list < set(range(6))
