@@ -158,3 +158,85 @@ def countmin_heavy_hitters(
 def hll_error_bound(p: int) -> float:
     """Standard error of the HLL estimate: 1.04 / sqrt(2**p)."""
     return 1.04 / math.sqrt(1 << p)
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    col: str,
+    *,
+    bins: int = 64,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Fixed-bin histogram of a numeric column: one narrow aggregation
+    to ≤ ``bins`` rows. Values outside [lo, hi) clamp into the edge
+    bins. MERGEABLE (histograms from corpus shards union + re-sum) and
+    engine-reproducible — bin edges come from literals, so any SQL
+    engine recomputes identical bins, unlike sampling-based
+    ``approx_percentile``.
+
+    Bounds are caller-supplied by design: at 100 TB the [lo, hi) range
+    is a domain contract (or a prior cheap min/max pass), not something
+    to re-derive per run. Returns (bin, n)."""
+    width = (hi - lo) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(col) - lo) / width).cast("long")
+        ),
+    )
+    return df.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: Sequence[float],
+    *,
+    bins: int = 64,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Interpolated quantiles from an equi-width histogram: for each
+    ``q``, the continuous rank r = q·N lands in the first bin whose
+    cumulative count reaches it, and the value interpolates linearly
+    inside that bin (uniform intra-bin assumption — the classic
+    histogram quantile estimator; error ≤ one bin width).
+
+    All windows here run on the constant-size histogram frame (≤ bins
+    rows — the q34 single-partition precedent), never on data. The
+    arithmetic is exact-integer cumulative counts plus literal-derived
+    doubles, so the q90 oracle reproduces every output bit.
+
+    Returns (q, qvalue, bin, n_total)."""
+    spark = hist.sparkSession
+    width = (hi - lo) / bins
+    qdf = spark.createDataFrame([(float(q),) for q in qs], ["q"])
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = (
+        hist.withColumn("_cum_", F.sum("n").over(w_cum))
+        .withColumn("_cumb_", F.col("_cum_") - F.col("n"))
+        .withColumn("_N_", F.sum("n").over(w_all))
+    )
+    r = F.col("q") * F.col("_N_")
+    w_first = Window.partitionBy("q").orderBy("bin")
+    return (
+        qdf.crossJoin(c)
+        .where(F.col("_cum_") >= r)
+        .withColumn("_rk_", F.row_number().over(w_first))
+        .where(F.col("_rk_") == 1)
+        .select(
+            "q",
+            (
+                F.lit(lo)
+                + F.col("bin") * width
+                + (r - F.col("_cumb_")) / F.col("n") * width
+            ).alias("qvalue"),
+            "bin",
+            F.col("_N_").alias("n_total"),
+        )
+    )

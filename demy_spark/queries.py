@@ -5306,6 +5306,63 @@ def q89_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q90_histogram_quantiles",
+    """
+    WITH hist AS (
+      SELECT least(63, greatest(0, CAST(floor(n_chars / 10.0) AS BIGINT))) AS bin,
+             count(*) AS n
+      FROM documents GROUP BY 1),
+    c AS (
+      SELECT bin, n,
+             sum(n) OVER (ORDER BY bin) AS cum,
+             sum(n) OVER (ORDER BY bin) - n AS cumb,
+             sum(n) OVER () AS ntot
+      FROM hist),
+    -- the list literal infers DECIMAL; cast so q*ntot runs in DOUBLE
+    -- exactly like Spark (decimal 0.1*500 is exact, double is not)
+    qs AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS q),
+    hit AS (
+      SELECT q, bin, n, cumb, ntot,
+             row_number() OVER (PARTITION BY q ORDER BY bin) AS rk
+      FROM qs JOIN c ON c.cum >= q * c.ntot)
+    SELECT q + 0.0 AS q,
+           round(bin * 10.0 + (q * ntot - cumb) / n * 10.0, 6) + 0.0 AS qvalue,
+           CAST(bin AS BIGINT) AS bin,
+           CAST(ntot AS BIGINT) AS n_total
+    FROM hit WHERE rk = 1
+    """,
+)
+def q90_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-distribution stats from a mergeable single-pass
+    sketch (operators/sketches.equi_width_histogram +
+    histogram_quantiles): 64 fixed bins over n_chars, quantiles
+    interpolated from exact integer bin counts. Unlike
+    ``approx_percentile`` (engine-private sampling), every output bit
+    is reproducible by any SQL engine — the oracle recomputes bins,
+    cumulative counts and the interpolation verbatim. The histogram is
+    the only data-scale aggregation; quantile math runs on the ≤64-row
+    frame."""
+    from demy_spark.operators.sketches import (
+        equi_width_histogram,
+        histogram_quantiles,
+    )
+
+    t = _t(spark, sf_dir)
+    hist = equi_width_histogram(
+        t["documents"], "n_chars", bins=64, lo=0.0, hi=640.0
+    )
+    out = histogram_quantiles(
+        hist, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], bins=64, lo=0.0, hi=640.0
+    )
+    return out.select(
+        (F.col("q") + F.lit(0.0)).alias("q"),
+        (F.round("qvalue", 6) + F.lit(0.0)).alias("qvalue"),
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n_total").cast("long").alias("n_total"),
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-3 window, three tiers:
 #   1. new or behavior-changed this round (must earn fresh rows): the five

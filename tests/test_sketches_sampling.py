@@ -85,3 +85,48 @@ def test_bottom_k_fixed_size_and_mergeable(spark):
     )
     whole = {tuple(r) for r in out.collect()}
     assert {tuple(r) for r in merged.collect()} == whole
+
+
+def test_equi_width_histogram_bins_and_clamp(spark):
+    from demy_spark.operators.sketches import equi_width_histogram
+
+    df = spark.createDataFrame(
+        [(v,) for v in [-5.0, 0.0, 9.9, 10.0, 95.0, 100.0, 250.0]], ["x"]
+    )
+    hist = {r["bin"]: r["n"] for r in
+            equi_width_histogram(df, "x", bins=10, lo=0.0, hi=100.0).collect()}
+    # -5 clamps into bin 0; 100 and 250 clamp into bin 9
+    assert hist == {0: 3, 1: 1, 9: 3}
+
+
+def test_histogram_quantiles_interpolation(spark):
+    from demy_spark.operators.sketches import (
+        equi_width_histogram,
+        histogram_quantiles,
+    )
+
+    # 100 uniform values 0..99 -> quantiles ~ q*100 within one bin width
+    df = spark.createDataFrame([(float(v),) for v in range(100)], ["x"])
+    hist = equi_width_histogram(df, "x", bins=10, lo=0.0, hi=100.0)
+    out = {r["q"]: r for r in
+           histogram_quantiles(hist, [0.5, 0.9], bins=10, lo=0.0, hi=100.0).collect()}
+    assert out[0.5]["n_total"] == 100
+    assert abs(out[0.5]["qvalue"] - 50.0) <= 10.0
+    assert abs(out[0.9]["qvalue"] - 90.0) <= 10.0
+    # exact under the uniform intra-bin assumption: r=50 lands at the
+    # boundary of bin 4 (cum 50) -> right edge
+    assert out[0.5]["qvalue"] == 50.0
+
+
+def test_histogram_is_mergeable(spark):
+    from demy_spark.operators.sketches import equi_width_histogram
+
+    df = spark.createDataFrame([(float(v),) for v in range(100)], ["x"])
+    a, b = df.where("x < 37"), df.where("x >= 37")
+    merged = (
+        equi_width_histogram(a, "x", bins=10, lo=0.0, hi=100.0)
+        .unionByName(equi_width_histogram(b, "x", bins=10, lo=0.0, hi=100.0))
+        .groupBy("bin").sum("n")
+    )
+    whole = equi_width_histogram(df, "x", bins=10, lo=0.0, hi=100.0)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
