@@ -67,6 +67,28 @@ def strip_urls(c: Column | str, replacement: str = " ") -> Column:
     return F.regexp_replace(_as_col(c), URL_REGEX, replacement)
 
 
+# PII patterns deliberately avoid lookaround/backreferences so Java
+# regex (Spark) and RE2-style engines (DuckDB oracles) match the same
+# spans — leftmost-first vs leftmost-longest agree on these shapes.
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_REGEX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_REGEX = r"\+?\d[\d -]{7,}\d"
+
+
+def redact_pii(c: Column | str) -> Column:
+    """Scrub emails, IPv4 addresses and phone-shaped digit runs to
+    typed placeholders — the pre-training privacy pass every corpus
+    pipeline runs. Order matters and is part of the contract: emails
+    first (their local parts may contain digit runs), then IPs (dotted
+    digits are not phone-shaped but redact before the greedy phone
+    pattern on principle), then phones. Pure ``regexp_replace`` chain
+    — JVM-side, codegen-friendly, and replayable by any regex-capable
+    SQL engine (the q91 oracle runs the identical chain)."""
+    out = F.regexp_replace(_as_col(c), EMAIL_REGEX, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_REGEX, "<IP>")
+    return F.regexp_replace(out, PHONE_REGEX, "<PHONE>")
+
+
 def _blank_urls_py(t: str | None) -> str | None:
     """Replace each URL with same-length whitespace (offset-preserving)
     — the one shared implementation behind blank_urls() and splitDoc."""

@@ -123,3 +123,64 @@ def rolling_hash_shingles(c: Column | str, k: int = 3) -> Column:
             idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k)))
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+
+
+def dup_ngram_fraction(c: Column | str, n: int = 2) -> Column:
+    """Fraction of word n-gram OCCURRENCES that are repeats of an
+    earlier n-gram in the same document: 1 - distinct/total. The
+    within-document repetition signal of the published corpus-quality
+    rule sets (high values flag boilerplate/template spam). 0.0 when
+    the document has fewer than ``n`` tokens. Pure per-row expression
+    — no shuffle, no UDF."""
+    toks = tokens_ws(c)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        1.0 - F.size(F.array_distinct(grams)) / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def gopher_rules(
+    c: Column | str,
+    *,
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_wl: float = 2.0,
+    max_mean_wl: float = 12.0,
+    max_dup2: float = 0.3,
+    lang: str = "en",
+) -> Column:
+    """Document-quality rule bundle in the style of the published
+    corpus-filtering heuristics: a struct of per-rule booleans plus the
+    conjunction, computed entirely as per-row expressions so the filter
+    is a narrow predicate at any scale.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_mean_wl, max_mean_wl]; duplicate 2-gram fraction ≤ max_dup2;
+    at least one profile stopword (gibberish guard)."""
+    toks = tokens_ws(c)
+    n_tok = F.size(toks)
+    mean_wl = F.when(
+        n_tok > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).cast("double")
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    dup2 = dup_ngram_fraction(c, 2)
+    sw_hits = F.size(F.filter(toks, lambda x: x.isin(*LANG_PROFILES[lang])))
+    ok_words = (n_tok >= min_words) & (n_tok <= max_words)
+    ok_wl = (mean_wl >= min_mean_wl) & (mean_wl <= max_mean_wl)
+    ok_dup = dup2 <= max_dup2
+    ok_sw = sw_hits > 0
+    return F.struct(
+        ok_words.alias("ok_words"),
+        ok_wl.alias("ok_mean_word_len"),
+        ok_dup.alias("ok_dup2"),
+        ok_sw.alias("has_stopword"),
+        (ok_words & ok_wl & ok_dup & ok_sw).alias("keep"),
+    )

@@ -5363,6 +5363,128 @@ def q90_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q91_pii_redaction",
+    r"""
+    WITH built AS (
+      SELECT c_custkey,
+             'Contact user' || CAST(c_custkey % 97 AS VARCHAR)
+             || ' at +' || CAST(100 + c_custkey % 900 AS VARCHAR)
+             || ' ' || CAST(1000000 + c_custkey % 9000000 AS VARCHAR)
+             || ' or user' || CAST(c_custkey % 97 AS VARCHAR)
+             || '@example.com; node 10.' || CAST(c_custkey % 256 AS VARCHAR)
+             || '.0.' || CAST(c_custkey % 100 AS VARCHAR)
+             || ' logged.' AS txt
+      FROM customer WHERE c_custkey % 20 = 0)
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(txt,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS redacted
+    FROM built
+    """,
+)
+def q91_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/text.redact_pii) — the pre-training
+    privacy pass: emails, IPv4 addresses and phone-shaped digit runs
+    replaced by typed placeholders via a pure JVM-side regexp chain (a
+    narrow per-row expression at any scale). The fixture synthesizes
+    the PII deterministically from customer keys so both engines build
+    and redact the identical strings."""
+    from demy_spark.functions.text import redact_pii
+
+    t = _t(spark, sf_dir)
+    c = F.col("c_custkey")
+    s = lambda e: e.cast("string")  # noqa: E731
+    txt = F.concat(
+        F.lit("Contact user"), s(c % 97),
+        F.lit(" at +"), s(c % 900 + 100),
+        F.lit(" "), s(c % 9000000 + 1000000),
+        F.lit(" or user"), s(c % 97),
+        F.lit("@example.com; node 10."), s(c % 256),
+        F.lit(".0."), s(c % 100),
+        F.lit(" logged."),
+    )
+    return (
+        t["customer"]
+        .where(c % 20 == 0)
+        .select("c_custkey", redact_pii(txt).alias("redacted"))
+    )
+
+
+@register(
+    "q92_gopher_rules",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    g AS (
+      SELECT doc_id, t, len(t) AS n_tok,
+             [array_to_string(t[i:i+1], ' ')
+              FOR i IN range(1, len(t))] AS bigrams
+      FROM s),
+    m AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN n_tok > 0
+                  THEN list_sum(list_transform(t, x -> length(x))) / n_tok
+                  ELSE 0.0 END AS mean_wl,
+             CASE WHEN len(bigrams) > 0
+                  THEN 1.0 - len(list_distinct(bigrams)) / len(bigrams)
+                  ELSE 0.0 END AS dup2,
+             len(list_filter(t,
+                 x -> x IN ('the','of','and','to','in','is','that','it','for','was')))
+                 AS sw_hits
+      FROM g)
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           round(mean_wl, 4) + 0.0 AS mean_wl,
+           round(dup2, 4) + 0.0 AS dup2,
+           CAST(n_tok >= 10 AND n_tok <= 100000 AS BIGINT) AS ok_words,
+           CAST(mean_wl >= 2.0 AND mean_wl <= 12.0 AS BIGINT) AS ok_mean_word_len,
+           CAST(dup2 <= 0.3 AS BIGINT) AS ok_dup2,
+           CAST(sw_hits > 0 AS BIGINT) AS has_stopword,
+           CAST(n_tok >= 10 AND n_tok <= 100000
+                AND mean_wl >= 2.0 AND mean_wl <= 12.0
+                AND dup2 <= 0.3 AND sw_hits > 0 AS BIGINT) AS keep
+    FROM m
+    """,
+)
+def q92_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-quality rule filtering in the style of the published
+    corpus heuristics (functions/textstats.gopher_rules +
+    dup_ngram_fraction): word-count bounds, mean-word-length sanity,
+    within-doc duplicate-bigram fraction, stopword gibberish guard —
+    all narrow per-row expressions, so the keep/drop decision is a
+    pushdown-friendly predicate at 100 TB."""
+    from demy_spark.functions import textstats
+
+    t = _t(spark, sf_dir)
+    low = F.lower(F.col("text"))  # _TOKS_SQL lowercases; keep parity
+    toks = textstats.tokens_ws(low)
+    n_tok = F.size(toks)
+    mean_wl = F.when(
+        n_tok > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).cast("double")
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    dup2 = textstats.dup_ngram_fraction(low, 2)
+    rules = textstats.gopher_rules(low)
+    return t["documents"].select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tok"),
+        (F.round(mean_wl, 4) + F.lit(0.0)).alias("mean_wl"),
+        (F.round(dup2, 4) + F.lit(0.0)).alias("dup2"),
+        rules["ok_words"].cast("long").alias("ok_words"),
+        rules["ok_mean_word_len"].cast("long").alias("ok_mean_word_len"),
+        rules["ok_dup2"].cast("long").alias("ok_dup2"),
+        rules["has_stopword"].cast("long").alias("has_stopword"),
+        rules["keep"].cast("long").alias("keep"),
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-3 window, three tiers:
 #   1. new or behavior-changed this round (must earn fresh rows): the five

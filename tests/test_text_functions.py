@@ -163,3 +163,60 @@ def test_sparse_merge_and_dot(spark):
     ).collect()[0]
     assert dict(row["m"]) == {0: 2, 3: 12, 9: 1}
     assert row["d"] == 35.0  # only the shared key 3 contributes: 5*7
+
+
+def test_redact_pii(spark):
+    from demy_spark.functions.text import redact_pii
+
+    rows = [
+        ("mail me at jane.doe+x@corp.example.org please",
+         "mail me at <EMAIL> please"),
+        ("call +331 5550 1234 now", "call <PHONE> now"),
+        ("host 192.168.001.250 up", "host <IP> up"),
+        ("a1@b.co and 10.0.0.1 and +12 34567890",
+         "<EMAIL> and <IP> and <PHONE>"),
+        ("no pii here just words", "no pii here just words"),
+        ("short digits 12345 stay", "short digits 12345 stay"),
+    ]
+    df = spark.createDataFrame(rows, ["t", "want"]).select(
+        "want", redact_pii("t").alias("got")
+    )
+    for r in df.collect():
+        assert r["got"] == r["want"], r
+
+
+def test_dup_ngram_fraction(spark):
+    import pyspark.sql.functions as F
+
+    from demy_spark.functions.textstats import dup_ngram_fraction
+
+    rows = [
+        ("a b a b a b", 3 / 5),   # bigrams: ab ba ab ba ab -> 2 distinct of 5
+        ("a b c d", 0.0),
+        ("a", 0.0),
+        ("", 0.0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], ["t"]).select(
+        F.round(dup_ngram_fraction("t", 2), 6).alias("f")
+    )
+    got = [r["f"] for r in df.collect()]
+    assert got == [round(w, 6) for _, w in rows]
+
+
+def test_gopher_rules_flags(spark):
+    import pyspark.sql.functions as F
+
+    from demy_spark.functions.textstats import gopher_rules
+
+    good = "the quick brown fox jumps over it and runs far away today"
+    short = "the end"
+    gibberish = "zxqwv bnmpl kjhgf dsapo iuytr qwert zxcvb plmok njibh uhygv"
+    spammy = ("the deal " * 20).strip()
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, gibberish), (4, spammy)], ["id", "t"]
+    ).select("id", gopher_rules("t").alias("r"))
+    r = {x["id"]: x["r"] for x in df.collect()}
+    assert r[1]["keep"]
+    assert not r[2]["ok_words"] and not r[2]["keep"]
+    assert not r[3]["has_stopword"] and not r[3]["keep"]
+    assert not r[4]["ok_dup2"] and not r[4]["keep"]
