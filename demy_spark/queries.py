@@ -5485,6 +5485,128 @@ def q92_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q93_W_SQL = "CASE lang " + " ".join(
+    f"WHEN '{s}' THEN {w}" for s, w in sorted(_Q88_WEIGHTS.items())
+) + " END"
+
+
+@register(
+    "q93_curation_pipeline",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang, n_chars, {_TOKS_SQL} AS t FROM documents),
+    m AS (
+      SELECT doc_id, lang, n_chars, len(t) AS n_tok,
+             CASE WHEN len(t) >= 2 THEN 1.0 - len(list_distinct(
+                 [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]))
+                 / (len(t) - 1) ELSE 0.0 END AS dup2,
+             CASE WHEN len(t) >= 3
+                  THEN md5(array_to_string(t[1:3], ' ')) END AS fp
+      FROM s),
+    q AS (SELECT * FROM m WHERE n_tok >= 20 AND dup2 <= 0.1),
+    can AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang, row_number() OVER (
+            PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rk
+        FROM q) WHERE rk = 1),
+    cnt AS (SELECT lang, count(*) AS n FROM can GROUP BY 1),
+    pres AS (
+      SELECT lang, n, {_Q93_W_SQL} AS w FROM cnt
+      WHERE {_Q93_W_SQL} IS NOT NULL),
+    ap AS (
+      SELECT lang, n,
+             CAST(floor(w * 200) AS BIGINT) AS base,
+             w * 200 - floor(w * 200) AS frac
+      FROM pres),
+    tg AS (
+      SELECT lang, n,
+             least(n, base + CASE WHEN row_number() OVER
+                     (ORDER BY frac DESC, lang)
+                   <= 200 - (SELECT sum(base) FROM ap)
+                   THEN 1 ELSE 0 END) AS target
+      FROM ap),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY ((doc_id * 2654435761) % 4294967296) / 4294967296.0,
+                        doc_id) AS rk
+      FROM can),
+    kept AS (
+      SELECT r.lang, r.doc_id
+      FROM ranked r JOIN tg USING (lang) WHERE r.rk <= tg.target)
+    SELECT t.lang, CAST(t.n AS BIGINT) AS n_candidates,
+           CAST(t.target AS BIGINT) AS target,
+           CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(k.doc_id), 0) AS BIGINT) AS checksum
+    FROM tg t LEFT JOIN kept k USING (lang)
+    GROUP BY t.lang, t.n, t.target
+    """,
+)
+def q93_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE orchestrated Model — the
+    composition a real training-data run executes: quality filter
+    (token floor + duplicate-bigram cap) → canonical doc per exact-dup
+    cluster → deterministic language mixture → per-stratum audit. Each
+    stage is a Step wired through the orchestrator (Model.scala:17-257
+    semantics), so snapshots/reuse apply between stages; the oracle
+    replays the whole chain in one SQL statement. Every stage is a
+    narrow filter, a keyed window, or a broadcast-planned sample — the
+    pipeline inherits each operator's scale shape unchanged."""
+    from demy_spark.functions import textstats
+    from demy_spark.operators.curation import (
+        canonical_per_cluster,
+        mixture_sample,
+    )
+    from demy_spark.orchestrator import Model, Step
+
+    t = _t(spark, sf_dir)
+    low = F.lower(F.col("text"))
+
+    def quality(df):
+        toks = textstats.tokens_ws(low)
+        dup2 = textstats.dup_ngram_fraction(low, 2)
+        return df.where((F.size(toks) >= 20) & (dup2 <= 0.1)).select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.md5(F.concat_ws(" ", F.slice(toks, 1, 3))).alias("fp"),
+        )
+
+    def canonical(df):
+        return canonical_per_cluster(
+            df, "doc_id", "fp", [F.col("n_chars").desc(), F.col("doc_id").asc()]
+        ).select("doc_id", "lang")
+
+    def mix(df):
+        return mixture_sample(
+            df, "doc_id", "lang", _Q88_WEIGHTS, 200, keep_plan_cols=True
+        )
+
+    def stats(df):
+        return df.groupBy("lang", "n_total", "target").agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("checksum"),
+        )
+
+    model = Model(
+        "curation",
+        [
+            Step("quality", quality, inputs=["#documents"]),
+            Step("canonical", canonical, inputs=["$quality"]),
+            Step("mix", mix, inputs=["$canonical"]),
+            Step("stats", stats, inputs=["$mix"]),
+        ],
+    )
+    out = model.run(spark, {"documents": t["documents"]})["stats"]
+    return out.select(
+        "lang",
+        F.col("n_total").cast("long").alias("n_candidates"),
+        F.col("target").cast("long").alias("target"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "checksum",
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-3 window, three tiers:
 #   1. new or behavior-changed this round (must earn fresh rows): the five
