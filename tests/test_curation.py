@@ -125,3 +125,28 @@ def test_new_queries_run(spark, sf_dir, name):
 
     df = Q.REGISTRY[name].fn(spark, sf_dir)
     assert df.count() > 0
+
+
+def test_mixture_sample_invariants_across_configs(spark):
+    """Apportionment invariants for a spread of weights/totals: kept
+    counts hit min(target, available) exactly, never exceed the grand
+    total, and the kept rows are a subset of the input."""
+    rows = [(s * 1000 + i, c) for s, c in enumerate("abcd") for i in range((s + 1) * 7)]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    avail = {"a": 7, "b": 14, "c": 21, "d": 28}
+    configs = [
+        ({"a": 0.25, "b": 0.25, "c": 0.25, "d": 0.25}, 40),
+        ({"a": 0.7, "b": 0.1, "c": 0.1, "d": 0.1}, 30),   # a caps
+        ({"a": 0.33, "b": 0.33, "c": 0.34}, 10),           # d unweighted
+        ({"a": 0.5, "b": 0.5}, 100),                       # both cap
+        ({"a": 1.0}, 3),
+    ]
+    for weights, total in configs:
+        out = mixture_sample(df, "k", "s", weights, total, keep_plan_cols=True)
+        got = out.groupBy("s", "target").count().collect()
+        kept_keys = {r.k for r in out.select("k").collect()}
+        assert kept_keys <= {k for k, _ in rows}
+        for r in got:
+            assert r.s in weights
+            assert r["count"] == min(r["target"], avail[r.s])
+        assert sum(r["count"] for r in got) <= total
