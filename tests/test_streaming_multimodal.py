@@ -97,3 +97,41 @@ def test_media_dedup_by_sha1(spark):
     feats = extract_byte_features(dup)
     groups = feats.groupBy("sha1").agg(F.count("*").alias("n"))
     assert groups.where(F.col("n") > 1).count() == 4
+
+
+def test_streaming_curation_matches_batch(spark, sf_dir):
+    """The per-row curation passes (quality rules, PII redaction) are
+    stateless expressions, so they compose with readStream unchanged —
+    the streaming twin of the q92/q91 batch semantics."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from demy_spark.functions.text import redact_pii
+    from demy_spark.functions.textstats import gopher_rules
+    from demy_spark.io import load_table
+
+    batch = load_table(spark, sf_dir, "documents")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "demy_docstream_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    stream = spark.readStream.schema(batch.schema).parquet(stage)
+    assert stream.isStreaming
+
+    def curate(df):
+        low = F.lower(F.col("text"))
+        r = gopher_rules(low, min_words=20, max_dup2=0.1)
+        return df.where(r["ok_words"] & r["ok_dup2"]).select(
+            "doc_id", redact_pii(low).alias("clean")
+        )
+
+    got = run_stream_to_memory(curate(stream), "curation_stream")
+    s = {(r["doc_id"], r["clean"]) for r in got.collect()}
+    b = {(r["doc_id"], r["clean"]) for r in curate(batch).collect()}
+    assert s == b and len(s) > 0
