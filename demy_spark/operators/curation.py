@@ -42,12 +42,16 @@ __all__ = [
     "contamination_check",
     "canonical_per_cluster",
     "mixture_sample",
+    "mixture_targets",
 ]
 
 
 def _norm_tokens(text: Column) -> Column:
-    """Whitespace tokens of the lowercased, trimmed text — the same
-    normalization every dedup fingerprint in this repo uses."""
+    """Single-space tokens of the lowercased, trimmed text — the exact
+    normalization the DuckDB oracles replay (`string_split(trim(
+    lower(text)), ' ')`). Deliberately NOT `textstats.tokens_ws`
+    (which splits on \\s+): the oracle contract is the single-space
+    split, and the two differ on tab/newline-separated tokens."""
     return F.array_remove(F.split(F.trim(F.lower(text)), " "), "")
 
 
@@ -120,8 +124,11 @@ def contamination_check(
         t.join(train_fp, t["_fp_"] == train_fp["_fp_"], "left_semi")
         .select("_id_", F.lit(True).alias("_exact_"))
     )
+    # coalesce BEFORE the ratio: a zero-hit doc's left join leaves
+    # n_hit NULL, and NULL/n would poison ratio AND contaminated
+    hit = F.coalesce("n_hit", F.lit(0)).cast("long")
     ratio = F.when(
-        F.col("n_shingles") > 0, F.col("n_hit") / F.col("n_shingles")
+        F.col("n_shingles") > 0, hit / F.col("n_shingles")
     ).otherwise(F.lit(0.0))
     return (
         t.select("_id_", F.size("_shs_").cast("long").alias("n_shingles"))
@@ -130,7 +137,7 @@ def contamination_check(
         .select(
             F.col("_id_").alias(id_col),
             "n_shingles",
-            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            hit.alias("n_hit"),
             F.round(ratio, 6).alias("overlap_ratio"),
             F.coalesce("_exact_", F.lit(False)).alias("exact_dup"),
         )
@@ -152,18 +159,23 @@ def canonical_per_cluster(
     tie-break to make selection total). Adds ``n_members`` (cluster
     size) and passes every input column through.
 
-    One shuffle on the cluster key; WindowGroupLimit prunes each map
-    partition to its per-cluster best before the exchange, so the
-    shuffle carries ~one row per (partition, cluster) — the same
-    scale shape as topN-per-group."""
+    The rank filter sits DIRECTLY above the row_number window so
+    WindowGroupLimit prunes each map partition to its per-cluster best
+    before the exchange (the topN-per-group scale shape); the cluster
+    size comes from a separate map-side-combined count aggregate joined
+    back on the cluster key, NOT from a count-over-partition window —
+    that variant wedges a full-partition window between filter and
+    rank, defeats the pruning, and shuffles every member row."""
     w = Window.partitionBy(cluster_col).orderBy(*order_by)
-    wc = Window.partitionBy(cluster_col)
-    return (
+    counts = docs.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    top = (
         docs.withColumn("_rk_", F.row_number().over(w))
-        .withColumn("n_members", F.count(F.lit(1)).over(wc))
         .where(F.col("_rk_") == 1)
         .drop("_rk_")
     )
+    return top.join(counts, cluster_col)
 
 
 def mixture_sample(
@@ -195,6 +207,31 @@ def mixture_sample(
     scale); targets broadcast-join back onto the data and a per-stratum
     rank window keeps the k smallest hashes. One data shuffle total.
     """
+    targets = mixture_targets(df, stratum, weights, total)
+    w_rank = Window.partitionBy(stratum).orderBy(
+        knuth_unit(F.col(key), salt=salt).asc(), F.col(key).asc()
+    )
+    kept = (
+        df.join(F.broadcast(targets), stratum)
+        .withColumn("_rk_", F.row_number().over(w_rank))
+        .where(F.col("_rk_") <= F.col("target"))
+        .drop("_rk_")
+    )
+    return kept if keep_plan_cols else kept.drop("n_total", "target")
+
+
+def mixture_targets(
+    df: DataFrame,
+    stratum: str,
+    weights: Mapping[str, float],
+    total: int,
+) -> DataFrame:
+    """The apportionment plan behind ``mixture_sample``: per weighted
+    stratum, its available count and largest-remainder target (capped
+    at availability). Exposed separately so audit summaries can report
+    EVERY planned stratum — including target-0 strata that keep no
+    rows, which an aggregate over the kept rows alone would omit.
+    Dictionary-sized output; the windows run over #strata rows."""
     wlit = F.lit(None).cast("double")
     for s, wgt in sorted(weights.items()):
         wlit = F.when(F.col(stratum) == s, F.lit(float(wgt))).otherwise(wlit)
@@ -213,7 +250,7 @@ def mixture_sample(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     w_frac = Window.orderBy(frac.desc(), F.col(stratum).asc())
-    targets = (
+    return (
         counts.withColumn("_base_", base)
         .withColumn("_pool_", F.lit(total) - F.sum("_base_").over(w_all))
         .withColumn("_frk_", F.row_number().over(w_frac))
@@ -227,13 +264,3 @@ def mixture_sample(
         )
         .select(stratum, F.col("_n_").alias("n_total"), "target")
     )
-    w_rank = Window.partitionBy(stratum).orderBy(
-        knuth_unit(F.col(key), salt=salt).asc(), F.col(key).asc()
-    )
-    kept = (
-        df.join(F.broadcast(targets), stratum)
-        .withColumn("_rk_", F.row_number().over(w_rank))
-        .where(F.col("_rk_") <= F.col("target"))
-        .drop("_rk_")
-    )
-    return kept if keep_plan_cols else kept.drop("n_total", "target")

@@ -280,11 +280,20 @@ def _subdims(df: DataFrame, id_col: str, vec_col: str, dsub: int) -> DataFrame:
 def _l2_argmin(points: DataFrame, cents: DataFrame) -> DataFrame:
     """Assign each (id, sub) to its L2-nearest centroid (ties → lowest
     code). ``points``: (_id_, _sub_, _dl_, _x_); ``cents``:
-    (_sub_, _c_, _dl_, _m_, dictionary-sized → broadcast)."""
+    (_sub_, _c_, _dl_, _m_, dictionary-sized → broadcast).
+
+    Distances are ROUNDED to 9dp before the argmin: the squared-sum
+    accumulates doubles in partition-dependent order, and an unrounded
+    argmin between near-equidistant centroids could flip between runs
+    or against the SQL oracle replay (which rounds identically)."""
     d2 = (
         points.join(F.broadcast(cents), ["_sub_", "_dl_"])
         .groupBy("_id_", "_sub_", "_c_")
-        .agg(F.sum((F.col("_x_") - F.col("_m_")) ** 2).alias("_d2_"))
+        .agg(
+            F.round(
+                F.sum((F.col("_x_") - F.col("_m_")) ** 2), 9
+            ).alias("_d2_")
+        )
     )
     w = Window.partitionBy("_id_", "_sub_").orderBy(
         F.col("_d2_").asc(), F.col("_c_").asc()
@@ -321,7 +330,14 @@ def pq_build(
     the compressed corpus — m small ints per vector, the artifact that
     makes a 100 TB corpus scannable from a fraction of the footprint.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("pq_build: corpus is empty or first vector is NULL")
+    dim = len(head[0])
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_build: dim {dim} not divisible by m={m} subspaces"
+        )
     dsub = dim // m
     pts = _subdims(corpus, id_col, vec_col, dsub)
     cent0 = (
@@ -381,10 +397,7 @@ def pq_adc_topk(
     one equi-join on (sub, code) plus a (query, neighbor) sum — at
     cluster scale, compose with IVF probe lists to bound the scanned
     codes (IVF-PQ) rather than scanning every code."""
-    dsub_row = codebook.groupBy().agg(
-        (F.max("dl") + 1).alias("_w_"), (F.max("sub") + 1).alias("_m_")
-    ).first()
-    dsub = dsub_row["_w_"]
+    dsub = codebook.groupBy().agg((F.max("dl") + 1).alias("_w_")).first()["_w_"]
     q = _subdims(queries, id_col, vec_col, dsub)
     lut = (
         q.join(
@@ -399,7 +412,11 @@ def pq_adc_topk(
             ["_sub_", "_dl_"],
         )
         .groupBy("_id_", "_sub_", "_c_")
-        .agg(F.sum((F.col("_x_") - F.col("mval")) ** 2).alias("_d2_"))
+        .agg(
+            F.round(
+                F.sum((F.col("_x_") - F.col("mval")) ** 2), 9
+            ).alias("_d2_")
+        )
         .select(
             F.col("_id_").alias("query_id"),
             F.col("_sub_").alias("sub"),

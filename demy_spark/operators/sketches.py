@@ -185,7 +185,13 @@ def equi_width_histogram(
             F.lit(0), F.floor((F.col(col) - lo) / width).cast("long")
         ),
     )
-    return df.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("n"))
+    # NULLs must be excluded explicitly: greatest() SKIPS nulls, so an
+    # unfiltered NULL value would silently clamp into bin 0
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def histogram_quantiles(

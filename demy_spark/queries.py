@@ -5204,22 +5204,25 @@ def q88_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised), rows chosen bottom-k by Knuth unit hash. Apportionment
     windows run on the dictionary-sized count frame; the data pays one
     shuffle. Output is the per-stratum audit summary."""
-    from demy_spark.operators.curation import mixture_sample
+    from demy_spark.operators.curation import mixture_sample, mixture_targets
 
     t = _t(spark, sf_dir)
     docs = t["documents"]
-    kept = mixture_sample(
-        docs, "doc_id", "lang", _Q88_WEIGHTS, _Q88_TOTAL, keep_plan_cols=True
+    kept = mixture_sample(docs, "doc_id", "lang", _Q88_WEIGHTS, _Q88_TOTAL)
+    # audit from the TARGETS side so a target-0 stratum still reports
+    # its row (an aggregate over kept rows alone would omit it — the
+    # oracle's tg LEFT JOIN kept shape)
+    targets = mixture_targets(docs, "lang", _Q88_WEIGHTS, _Q88_TOTAL)
+    summary = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("_nk_"),
+        F.sum("doc_id").alias("_ck_"),
     )
-    return kept.groupBy("lang", "n_total", "target").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum("doc_id").cast("long").alias("checksum"),
-    ).select(
+    return targets.join(summary, "lang", "left").select(
         "lang",
         F.col("n_total").cast("long").alias("n_total"),
         F.col("target").cast("long").alias("target"),
-        F.col("n_kept").cast("long").alias("n_kept"),
-        "checksum",
+        F.coalesce("_nk_", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("_ck_", F.lit(0)).cast("long").alias("checksum"),
     )
 
 
@@ -5236,7 +5239,7 @@ def q88_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sd GROUP BY 1, 2, 3),
     d0 AS (
         SELECT sd.vec_id, sd.sub, c0.c,
-               sum((sd.x - c0.m) * (sd.x - c0.m)) AS d2
+               round(sum((sd.x - c0.m) * (sd.x - c0.m)), 9) AS d2
         FROM sd JOIN cent0 c0 ON sd.sub = c0.sub AND sd.dl = c0.dl
         GROUP BY 1, 2, 3),
     a0 AS (
@@ -5250,7 +5253,7 @@ def q88_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3),
     d1 AS (
         SELECT sd.vec_id, sd.sub, c1.c,
-               sum((sd.x - c1.m) * (sd.x - c1.m)) AS d2
+               round(sum((sd.x - c1.m) * (sd.x - c1.m)), 9) AS d2
         FROM sd JOIN cent1 c1 ON sd.sub = c1.sub AND sd.dl = c1.dl
         GROUP BY 1, 2, 3),
     codes AS (
@@ -5260,7 +5263,7 @@ def q88_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM d1) WHERE rk = 1),
     qlut AS (
         SELECT sd.vec_id AS query_id, sd.sub, c1.c AS code,
-               sum((sd.x - c1.m) * (sd.x - c1.m)) AS d2
+               round(sum((sd.x - c1.m) * (sd.x - c1.m)), 9) AS d2
         FROM sd JOIN cent1 c1 ON sd.sub = c1.sub AND sd.dl = c1.dl
         WHERE sd.vec_id < 5
         GROUP BY 1, 2, 3),
@@ -5485,11 +5488,6 @@ def q92_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q93_W_SQL = "CASE lang " + " ".join(
-    f"WHEN '{s}' THEN {w}" for s, w in sorted(_Q88_WEIGHTS.items())
-) + " END"
-
-
 @register(
     "q93_curation_pipeline",
     f"""
@@ -5511,8 +5509,8 @@ _Q93_W_SQL = "CASE lang " + " ".join(
         FROM q) WHERE rk = 1),
     cnt AS (SELECT lang, count(*) AS n FROM can GROUP BY 1),
     pres AS (
-      SELECT lang, n, {_Q93_W_SQL} AS w FROM cnt
-      WHERE {_Q93_W_SQL} IS NOT NULL),
+      SELECT lang, n, {_Q88_W_SQL} AS w FROM cnt
+      WHERE {_Q88_W_SQL} IS NOT NULL),
     ap AS (
       SELECT lang, n,
              CAST(floor(w * 200) AS BIGINT) AS base,
@@ -5556,6 +5554,7 @@ def q93_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.curation import (
         canonical_per_cluster,
         mixture_sample,
+        mixture_targets,
     )
     from demy_spark.orchestrator import Model, Step
 
@@ -5578,14 +5577,23 @@ def q93_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("doc_id", "lang")
 
     def mix(df):
-        return mixture_sample(
-            df, "doc_id", "lang", _Q88_WEIGHTS, 200, keep_plan_cols=True
-        )
+        return mixture_sample(df, "doc_id", "lang", _Q88_WEIGHTS, 200)
 
-    def stats(df):
-        return df.groupBy("lang", "n_total", "target").agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.sum("doc_id").cast("long").alias("checksum"),
+    def stats(candidates, kept):
+        # audit from the apportionment plan, not the kept rows: a
+        # target-0 stratum keeps nothing and would vanish from an
+        # aggregate over kept alone (the oracle's tg LEFT JOIN shape)
+        targets = mixture_targets(candidates, "lang", _Q88_WEIGHTS, 200)
+        summary = kept.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("_nk_"),
+            F.sum("doc_id").alias("_ck_"),
+        )
+        return targets.join(summary, "lang", "left").select(
+            "lang",
+            "n_total",
+            "target",
+            F.coalesce("_nk_", F.lit(0)).alias("n_kept"),
+            F.coalesce("_ck_", F.lit(0)).alias("checksum"),
         )
 
     model = Model(
@@ -5594,7 +5602,7 @@ def q93_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             Step("quality", quality, inputs=["#documents"]),
             Step("canonical", canonical, inputs=["$quality"]),
             Step("mix", mix, inputs=["$canonical"]),
-            Step("stats", stats, inputs=["$mix"]),
+            Step("stats", stats, inputs=["$canonical", "$mix"]),
         ],
     )
     out = model.run(spark, {"documents": t["documents"]})["stats"]

@@ -58,8 +58,11 @@ def test_contamination_exact_and_near(spark):
     assert not out[11].exact_dup
     assert out[11].n_hit == 1 and out[11].n_shingles == 3
     assert not out[11].contaminated
-    assert out[12].n_hit == 0 and not out[12].contaminated
-    assert out[13].n_shingles == 0 and not out[13].contaminated
+    # zero-hit docs must yield REAL zeros/Falses, not NULLs from the
+    # left join (a NULL contaminated silently passes `not x` checks)
+    assert out[12].n_hit == 0 and out[12].overlap_ratio == 0.0
+    assert out[12].contaminated is False
+    assert out[13].n_shingles == 0 and out[13].contaminated is False
 
 
 def test_canonical_per_cluster(spark):

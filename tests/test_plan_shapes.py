@@ -102,6 +102,10 @@ def test_canonical_window_is_partitioned(plans):
     assert not re.search(
         r"Window .*, SinglePartition", plans["q87_canonical_docs"]
     )
+    # and the rank filter must prune per map partition before the
+    # exchange (regressed once: a count-over-partition window between
+    # filter and rank silently blocked this)
+    assert "WindowGroupLimit" in plans["q87_canonical_docs"]
 
 
 def test_mixture_targets_join_broadcasts(spark, sf_dir):
