@@ -5615,6 +5615,63 @@ def q93_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q94_sequence_pack",
+    f"""
+    WITH d AS (
+      SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
+      FROM documents),
+    h AS (
+      SELECT doc_id, n_tok,
+             (doc_id * 2654435761) % 4294967296 AS u,
+             ((doc_id * 2654435761) % 4294967296) % 8 AS bucket
+      FROM d),
+    c AS (
+      SELECT doc_id, n_tok, bucket,
+             sum(n_tok) OVER (PARTITION BY bucket ORDER BY u, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h),
+    p AS (
+      SELECT bucket, (cum - n_tok) // 256 AS pack, doc_id, n_tok
+      FROM c)
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(pack AS BIGINT) AS pack,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           round(least(sum(n_tok) / 256, 1.0), 6) + 0.0 AS fill_ratio,
+           CAST(sum(doc_id) AS BIGINT) AS checksum
+    FROM p GROUP BY 1, 2
+    """,
+)
+def q94_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.greedy_pack +
+    pack_occupancy): documents laid out into 256-token training
+    sequences, concat-and-chunk semantics, 8 deterministic hash
+    buckets packed independently (the global order that would
+    serialize on one reducer never exists). All-integer prefix sums —
+    the oracle replays the full layout bit-for-bit. Output is the
+    per-(bucket, pack) occupancy audit plus start-doc checksums."""
+    from demy_spark.operators.packing import greedy_pack, pack_occupancy
+
+    t = _t(spark, sf_dir)
+    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    docs = t["documents"].select(
+        "doc_id", F.size(toks).cast("long").alias("n_tok")
+    )
+    packed = greedy_pack(docs, "doc_id", "n_tok", cap=256, buckets=8)
+    occ = pack_occupancy(packed, cap=256)
+    checks = packed.groupBy("bucket", "pack").agg(
+        F.sum("doc_id").cast("long").alias("checksum")
+    )
+    return occ.join(checks, ["bucket", "pack"]).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("pack").cast("long").alias("pack"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("fill_ratio") + F.lit(0.0)).alias("fill_ratio"),
+        "checksum",
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-3 window, three tiers:
 #   1. new or behavior-changed this round (must earn fresh rows): the five

@@ -130,3 +130,52 @@ def test_histogram_is_mergeable(spark):
     )
     whole = equi_width_histogram(df, "x", bins=10, lo=0.0, hi=100.0)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_greedy_pack_layout(spark):
+    from demy_spark.operators.packing import greedy_pack, pack_occupancy
+
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(i, 30 + (i % 5) * 10) for i in range(40)], ["id", "n"]
+    )
+    packed = greedy_pack(docs, "id", "n", cap=100, buckets=4)
+    rows = packed.collect()
+    assert len(rows) == 40  # every doc gets coordinates
+    for r in rows:
+        assert 0 <= r["bucket"] < 4
+        assert 0 <= r["offset"] < 100
+        assert r["pack"] >= 0
+    # per-bucket layout is gapless: sorted by (pack, offset), each doc
+    # starts exactly where the previous one's tokens ended (mod cap)
+    from collections import defaultdict
+    by_bucket = defaultdict(list)
+    for r in rows:
+        by_bucket[r["bucket"]].append(r)
+    for b, rs in by_bucket.items():
+        rs.sort(key=lambda r: (r["pack"], r["offset"]))
+        pos = 0
+        for r in rs:
+            assert r["pack"] * 100 + r["offset"] == pos, (b, r)
+            pos += r["n_tokens"]
+    # deterministic
+    again = greedy_pack(docs, "id", "n", cap=100, buckets=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # occupancy audit covers every pack that has a starting doc
+    occ = pack_occupancy(packed, cap=100)
+    assert occ.agg(F.sum("n_docs")).first()[0] == 40
+    assert all(0 < r["fill_ratio"] <= 1.0 for r in occ.collect())
+
+
+def test_greedy_pack_long_doc_spans_packs(spark):
+    from demy_spark.operators.packing import greedy_pack
+
+    docs = spark.createDataFrame([(1, 250), (2, 30)], ["id", "n"])
+    packed = {r["id"]: r for r in
+              greedy_pack(docs, "id", "n", cap=100, buckets=1).collect()}
+    first = min(packed.values(), key=lambda r: (r["pack"], r["offset"]))
+    assert first["offset"] == 0 and first["pack"] == 0
+    # the second doc starts where the 250/30-token stream continues
+    other = [r for r in packed.values() if r["id"] != first["id"]][0]
+    assert other["pack"] * 100 + other["offset"] == first["n_tokens"]
