@@ -62,8 +62,15 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     # scale-stress probes OUTSIDE the baseline-comparable headline
-    # total: candidate-volume regressions surface here first
-    extras = {"fuzzy_probe_10x": _q.bench_fuzzy_probe_10x}
+    # total: candidate-volume regressions surface here first; the
+    # curation/PQ/packing entries time the round-3 pipeline operators
+    extras = {
+        "fuzzy_probe_10x": _q.bench_fuzzy_probe_10x,
+        "contamination": _q.REGISTRY["q86_contamination_check"].fn,
+        "pq_ann": _q.REGISTRY["q89_pq_ann_topk"].fn,
+        "sequence_pack": _q.REGISTRY["q94_sequence_pack"].fn,
+        "curation_pipeline": _q.REGISTRY["q93_curation_pipeline"].fn,
+    }
     extra_timings: dict[str, float] = {}
     for name, fn in extras.items():
         force(fn(spark, sf_dir))  # warm-up

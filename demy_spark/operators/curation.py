@@ -109,11 +109,14 @@ def contamination_check(
     )
     train_fp = train.select(fp.alias("_fp_")).distinct()
 
+    # the test-side shingle/fingerprint frame feeds three consumers
+    # (shingle pairs, the exact semi-join, the final select) — persist
+    # it so the tokenize+hash pipeline runs once, not three times
     t = test.select(
         F.col(id_col).alias("_id_"),
         sh.alias("_shs_"),
         fp.alias("_fp_"),
-    )
+    ).persist()
     pairs = t.select("_id_", F.explode_outer("_shs_").alias("_sh_"))
     hits = (
         pairs.join(train_sh, "_sh_", "left_semi")

@@ -5600,7 +5600,10 @@ def q93_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "curation",
         [
             Step("quality", quality, inputs=["#documents"]),
-            Step("canonical", canonical, inputs=["$quality"]),
+            # canonical feeds THREE consumers (mix's apportionment,
+            # mix's rank window, the stats audit) — cache it or the
+            # quality+canonical chain re-executes per consumer
+            Step("canonical", canonical, inputs=["$quality"], cache=True),
             Step("mix", mix, inputs=["$canonical"]),
             Step("stats", stats, inputs=["$canonical", "$mix"]),
         ],
@@ -5669,6 +5672,112 @@ def q94_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         (F.col("fill_ratio") + F.lit(0.0)).alias("fill_ratio"),
         "checksum",
+    )
+
+
+@register(
+    "q95_ann_recall",
+    """
+    WITH dims AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+               unnest(embedding::DOUBLE[]) AS x
+        FROM embeddings),
+    sd AS (SELECT vec_id, d // 16 AS sub, d % 16 AS dl, x FROM dims),
+    cent0 AS (
+        SELECT sub, vec_id % 8 AS c, dl, avg(x) AS m
+        FROM sd GROUP BY 1, 2, 3),
+    d0 AS (
+        SELECT sd.vec_id, sd.sub, c0.c,
+               round(sum((sd.x - c0.m) * (sd.x - c0.m)), 9) AS d2
+        FROM sd JOIN cent0 c0 ON sd.sub = c0.sub AND sd.dl = c0.dl
+        GROUP BY 1, 2, 3),
+    a0 AS (
+        SELECT vec_id, sub, c FROM (
+            SELECT vec_id, sub, c, row_number() OVER (
+                PARTITION BY vec_id, sub ORDER BY d2, c) AS rk
+            FROM d0) WHERE rk = 1),
+    cent1 AS (
+        SELECT sd.sub, a0.c, sd.dl, avg(sd.x) AS m
+        FROM sd JOIN a0 ON sd.vec_id = a0.vec_id AND sd.sub = a0.sub
+        GROUP BY 1, 2, 3),
+    d1 AS (
+        SELECT sd.vec_id, sd.sub, c1.c,
+               round(sum((sd.x - c1.m) * (sd.x - c1.m)), 9) AS d2
+        FROM sd JOIN cent1 c1 ON sd.sub = c1.sub AND sd.dl = c1.dl
+        GROUP BY 1, 2, 3),
+    codes AS (
+        SELECT vec_id, sub, c AS code FROM (
+            SELECT vec_id, sub, c, row_number() OVER (
+                PARTITION BY vec_id, sub ORDER BY d2, c) AS rk
+            FROM d1) WHERE rk = 1),
+    qlut AS (
+        SELECT sd.vec_id AS query_id, sd.sub, c1.c AS code,
+               round(sum((sd.x - c1.m) * (sd.x - c1.m)), 9) AS d2
+        FROM sd JOIN cent1 c1 ON sd.sub = c1.sub AND sd.dl = c1.dl
+        WHERE sd.vec_id < 5
+        GROUP BY 1, 2, 3),
+    pq AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, codes.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY round(sum(q.d2), 6), codes.vec_id) AS rk
+            FROM codes JOIN qlut q
+              ON codes.sub = q.sub AND codes.code = q.code
+            WHERE codes.vec_id != q.query_id
+            GROUP BY 1, 2
+        ) WHERE rk <= 5),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY qa.vec_id
+                       ORDER BY list_cosine_similarity(qa.embedding::DOUBLE[],
+                           qb.embedding::DOUBLE[]) DESC, qb.vec_id) AS rk
+            FROM embeddings qa JOIN embeddings qb
+              ON qa.vec_id < 5 AND qb.vec_id != qa.vec_id
+        ) WHERE rk <= 5)
+    SELECT e.query_id,
+           CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(p.neighbor_id) / 5.0, 4) + 0.0 AS recall
+    FROM exact e LEFT JOIN pq p
+      ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q95_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation — recall@5 of the PQ/ADC path (q89)
+    against the exact brute-force baseline (q23's operator), per query.
+    This is the tuning loop a user runs when choosing m/ksub/nprobe:
+    both rankings and the intersection are recomputed verbatim by the
+    oracle, so the APPROXIMATION QUALITY itself is value-verified, not
+    just the mechanics."""
+    from demy_spark.operators.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+        pq_build,
+    )
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    queries_df = emb.where(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries_df, "embedding", "vec_id", k=5)
+    codebook, codes = pq_build(emb, "embedding", "vec_id", m=4, ksub=8)
+    approx = pq_adc_topk(codebook, codes, queries_df, "embedding", "vec_id", k=5)
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            approx.select(
+                F.col("query_id").alias("_qq_"),
+                F.col("neighbor_id").alias("_pn_"),
+            ),
+            (F.col("query_id") == F.col("_qq_"))
+            & (F.col("neighbor_id") == F.col("_pn_")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("_pn_").cast("long").alias("n_hits"),
+            (F.round(F.count("_pn_") / 5.0, 4) + F.lit(0.0)).alias("recall"),
+        )
     )
 
 
