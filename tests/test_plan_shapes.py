@@ -36,6 +36,8 @@ PLANNABLE = [
     # — covered by test_mixture_targets_join_broadcasts below)
     "q86_contamination_check",
     "q87_canonical_docs",
+    # packing: per-bucket prefix-sum windows, never a global window
+    "q94_sequence_pack",
 ]
 
 
