@@ -462,10 +462,19 @@ def fuzzy_lookup(
                 .groupBy(QID, RID, "_win_")
                 .agg(F.sum("_c_").alias("_s_"))
             )
-        # best window per (query, doc); ties → earliest window
+        # best window per (query, doc); ties → earliest window. The
+        # window sum is rounded to 6dp BEFORE the argmax so equal-sum
+        # windows tie exactly (raw float sums are order-dependent)
         scored = (
             per_window.groupBy(QID, RID)
-            .agg(F.max(F.struct(F.col("_s_"), (-F.col("_win_")).alias("_nw_"))).alias("_m_"))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.round(F.col("_s_"), 6).alias("_s_"),
+                        (-F.col("_win_")).alias("_nw_"),
+                    )
+                ).alias("_m_")
+            )
             .select(
                 QID,
                 RID,
@@ -490,7 +499,12 @@ def fuzzy_lookup(
             .drop("_popval_")
         )
 
-    order = [F.col("_score_").desc()]
+    # rank on the 6dp-ROUNDED score: candidates with equal true scores
+    # (common once the dictionary is large) accumulate their idf sums
+    # in engine/partition-dependent order, and a raw-float ordering
+    # would pick different winners per run — the tie-break columns
+    # must actually engage on ties (oracles rank the same way)
+    order = [F.round(F.col("_score_"), 6).desc()]
     tb_names: list[str] = []
     if tie_break_cols:
         tb_names = [f"_tb{i}_" for i in range(len(tie_break_cols))]

@@ -62,6 +62,21 @@ def hll_distinct(
 
     Returns one row per group: ``est_distinct`` (double, 2dp).
     """
+    regs = hll_registers(df, key, group_by, p=p)
+    return hll_estimate_from_registers(regs, group_by, p=p)
+
+
+def hll_registers(
+    df: DataFrame,
+    key: str | Column,
+    group_by: Sequence[str] = (),
+    *,
+    p: int = 8,
+) -> DataFrame:
+    """The HLL register frame (group cols, _bkt_, _r_): max(rho) per
+    bucket. Max-mergeable — union register frames from shards (or
+    micro-batches: this stage is a plain streaming-compatible
+    aggregation) and re-max to combine sketches."""
     m = 1 << p
     bits = 60 - p
     gcols = list(group_by)
@@ -71,11 +86,23 @@ def hll_distinct(
     rho = F.when(w == 0, F.lit(bits + 1)).otherwise(
         F.lit(bits) - F.length(F.bin(w)) + 1
     )
-    regs = (
+    return (
         df.select(*gcols, (h.bitwiseAND(m - 1)).alias("_bkt_"), rho.alias("_rho_"))
         .groupBy(*gcols, "_bkt_")
         .agg(F.max("_rho_").alias("_r_"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_by: Sequence[str] = (),
+    *,
+    p: int = 8,
+) -> DataFrame:
+    """Harmonic-mean estimate + linear-counting correction over a
+    register frame from ``hll_registers`` (constant-size per group)."""
+    m = 1 << p
+    gcols = list(group_by)
     alpha = hll_alpha(m)
     agg = regs.groupBy(*gcols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("_r_"))).alias("_s_"),

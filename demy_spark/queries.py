@@ -853,15 +853,15 @@ def q23_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM wins GROUP BY 1, 2, 3, 4
     ),
     best_win AS (
-        SELECT doc_id, phrase, entity_id, win, s,
+        SELECT doc_id, phrase, entity_id, win, round(s, 6) AS s,
                row_number() OVER (PARTITION BY doc_id, phrase
-                                  ORDER BY s DESC, win ASC) AS rk
+                                  ORDER BY round(s, 6) DESC, win ASC) AS rk
         FROM win_scores
     ),
     ranked AS (
         SELECT doc_id, phrase, entity_id, win, s,
                row_number() OVER (PARTITION BY doc_id
-                                  ORDER BY s DESC, entity_id ASC) AS rk2
+                                  ORDER BY round(s, 6) DESC, entity_id ASC) AS rk2
         FROM best_win WHERE rk = 1 AND s >= 1.0
     )
     SELECT r.doc_id, r.phrase, r.entity_id,
@@ -2709,11 +2709,11 @@ def q49_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
         SELECT *, row_number() OVER (PARTITION BY doc_id
-                                     ORDER BY score DESC, entity_id) AS rk
+                                     ORDER BY round(score, 6) DESC, entity_id) AS rk
         FROM scored WHERE score >= 0.1
     )
     SELECT doc_id, typo_phrase, phrase, entity_id,
-           round(score, 2) + 0.0 AS score
+           round(CAST(CAST(score AS REAL) AS DOUBLE), 2) + 0.0 AS score
     FROM ranked WHERE rk = 1
     """,
 )
@@ -2812,10 +2812,10 @@ def q50_fuzzy_typos(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
         SELECT *, row_number() OVER (PARTITION BY doc_id
-                                     ORDER BY score DESC, entity_id) AS rk
+                                     ORDER BY round(score, 6) DESC, entity_id) AS rk
         FROM scored WHERE score >= 1.0
     )
-    SELECT doc_id, phrase, entity_id, round(score, 2) + 0.0 AS score
+    SELECT doc_id, phrase, entity_id, round(CAST(CAST(score AS REAL) AS DOUBLE), 2) + 0.0 AS score
     FROM ranked WHERE rk = 1
     """,
 )
@@ -4517,13 +4517,13 @@ def q82_analogy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
         SELECT *, row_number() OVER (PARTITION BY doc_id
-                                     ORDER BY score DESC, entity_id) AS rk
+                                     ORDER BY round(score, 6) DESC, entity_id) AS rk
         FROM windowed WHERE score >= 1.0
     )
     SELECT doc_id, phrase, entity_id,
            CAST(start_index AS INTEGER) AS start_index,
            CAST(end_index AS INTEGER) AS end_index,
-           round(score, 2) + 0.0 AS score
+           round(CAST(CAST(score AS REAL) AS DOUBLE), 2) + 0.0 AS score
     FROM ranked WHERE rk = 1
     """,
 )

@@ -122,3 +122,36 @@ def test_dedup_stream_batch_twin(spark):
 
     df = spark.createDataFrame([(1, t0, 1.0), (1, t0, 1.0), (2, t0, 2.0)], SCHEMA)
     assert dedup_stream(df, ["user_id"]).count() == 2
+
+
+def test_streaming_hll_registers_match_batch(spark, sf_dir):
+    """The HLL register stage is a plain streaming aggregation (max per
+    bucket), so distinct-count sketches build incrementally over a
+    stream; the estimate applied to the streamed registers equals the
+    batch hll_distinct exactly — the mergeable-sketch property, live."""
+    import pyspark.sql.functions as F
+
+    from demy_spark.io import load_table
+    from demy_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from demy_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    regs = hll_registers(stream, "user_id", ["event_type"], p=6)
+    got = run_stream_to_memory(regs, "hll_regs", output_mode="complete")
+    est_s = {
+        r["event_type"]: r["est_distinct"]
+        for r in hll_estimate_from_registers(got, ["event_type"], p=6).collect()
+    }
+    batch = load_table(spark, sf_dir, "events")
+    est_b = {
+        r["event_type"]: r["est_distinct"]
+        for r in hll_distinct(batch, "user_id", ["event_type"], p=6).collect()
+    }
+    assert est_s == est_b and len(est_s) >= 2
