@@ -5854,10 +5854,12 @@ _DRIVER_PRIORITY = [
     "q65_partition_prune",
     # q55, q58-q61, q68-q73 rotate back in next round (all r2-green and
     # unchanged; their tier-3 slots went to the new q78-q85 and the
-    # determinized money queries). The curation queries q86-q88 (new
-    # late in round 3, window already committed) join that r4 rotation;
-    # until then their driver-equivalent check is test_oracle_parity,
-    # run at sf0.01 as well as sf0.001 before the round closed.
+    # determinized money queries). The late-round-3 extensions q86-q95
+    # (curation, PQ/IVF-PQ, histogram quantiles, PII, gopher rules,
+    # pipeline, packing, ANN recall) join that r4 rotation; until then
+    # their driver-equivalent check is the verify-skill simulation,
+    # green at sf0.01 (local[8] AND local[32]) and the full parity
+    # suite green at sf0.001/0.01/0.1 before the round closed.
 ]
 
 
