@@ -104,10 +104,12 @@ def contamination_check(
     sh = shingle_hashes(F.col(text_col), n)
     fp = F.md5(F.concat_ws(" ", _norm_tokens(F.col(text_col))))
 
-    train_sh = (
-        train.select(F.explode(sh).alias("_sh_")).distinct()
-    )
-    train_fp = train.select(fp.alias("_fp_")).distinct()
+    # one tokenize+hash pass over the train corpus serves BOTH the
+    # shingle set and the fingerprint set (persisted; two separate
+    # scans would re-run the normalization twice over 100 TB)
+    tr = train.select(sh.alias("_shs_"), fp.alias("_fp_")).persist()
+    train_sh = tr.select(F.explode("_shs_").alias("_sh_")).distinct()
+    train_fp = tr.select("_fp_").distinct()
 
     # the test-side shingle/fingerprint frame feeds three consumers
     # (shingle pairs, the exact semi-join, the final select) — persist
