@@ -339,6 +339,10 @@ def pq_build(
             f"pq_build: dim {dim} not divisible by m={m} subspaces"
         )
     dsub = dim // m
+    # pts feeds four consumers but is deliberately NOT persisted: the
+    # posexplode is a cheap narrow pipeline over the scan, while
+    # caching it materializes a dim-fold row explosion — measured
+    # slower locally, and a non-starter memory footprint at scale
     pts = _subdims(corpus, id_col, vec_col, dsub)
     cent0 = (
         pts.withColumn("_c_", F.pmod("_id_", F.lit(ksub)))
