@@ -5781,6 +5781,126 @@ def q95_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Sub-document dedup (operators/subdoc): cross-document repeated-line
+# removal and duplicated-substring span detection.
+# ---------------------------------------------------------------------------
+
+# 6-token chunk "lines": the documents fixture is single-line token
+# soup, so both engines synthesize identical newline-delimited lines
+# before the operator runs (1-based starts 1, 7, 13, ...).
+_Q96_LINES_SQL = (
+    f"[array_to_string(({_TOKS_SQL})[i:i+5], ' ') "
+    f"FOR i IN range(1, len({_TOKS_SQL}) + 1, 6)]"
+)
+
+
+@register(
+    "q96_line_dedup",
+    f"""
+    WITH chunks AS (
+      SELECT doc_id, {_Q96_LINES_SQL} AS lns FROM documents),
+    lines AS (
+      SELECT doc_id, generate_subscripts(lns, 1) AS ln, unnest(lns) AS line
+      FROM chunks),
+    keyed AS (
+      SELECT doc_id, ln, line,
+             {_md5_long_sql("trim(lower(line))", 1)} AS h
+      FROM lines WHERE trim(line) <> ''),
+    boiler AS (SELECT h FROM keyed GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+    marked AS (
+      SELECT k.doc_id, k.ln, k.line, (b.h IS NOT NULL) AS rm
+      FROM keyed k LEFT JOIN boiler b ON k.h = b.h)
+    SELECT doc_id,
+           coalesce(array_to_string(list(line ORDER BY ln) FILTER (NOT rm),
+                                    chr(10)), '') AS text_clean,
+           CAST(count(*) AS BIGINT)                         AS n_lines,
+           CAST(count(*) FILTER (rm) AS BIGINT)             AS n_removed,
+           CAST(coalesce(sum(length(line)) FILTER (rm), 0) AS BIGINT)
+             AS chars_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def q96_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate line removal (operators/subdoc.line_dedup
+    — LLM-pipeline extension; the reference dedups whole records only,
+    `topic/Tag.scala:108-120`): documents are chunked into 6-token
+    lines, each normalized line hashed to 60 bits, and every line
+    appearing in MORE THAN ONE distinct document is stripped from all
+    of them. Frequency reduces to (hash, df) before a co-keyed
+    semi-join — nothing corpus-scale broadcast — and reassembly sorts
+    (line_no, line) structs, so collect order never leaks."""
+    from demy_spark.operators.subdoc import line_dedup
+
+    t = _t(spark, sf_dir)
+    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(6))
+    docs_nl = t["documents"].select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 6))),
+        ).alias("text"),
+    )
+    out = line_dedup(docs_nl, "doc_id", "text", max_docs=1)
+    return out.select(
+        "doc_id",
+        "text_clean",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.col("chars_removed").cast("long").alias("chars_removed"),
+    )
+
+
+@register(
+    "q97_duplicated_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    ghash AS (
+      SELECT doc_id,
+             [{_md5_long_sql("array_to_string(tk[i:i+4], ' ')", 1)}
+              FOR i IN range(1, len(tk) - 3)] AS ghs
+      FROM t WHERE len(tk) >= 5),
+    grams AS (
+      SELECT doc_id, generate_subscripts(ghs, 1) - 1 AS p, unnest(ghs) AS h
+      FROM ghash),
+    hot AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+    covered AS (
+      SELECT DISTINCT g.doc_id, g.p + d AS pos
+      FROM grams g JOIN hot USING (h), unnest(range(0, 5)) AS u(d)),
+    islands AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM covered)
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS span_tokens
+    FROM islands GROUP BY doc_id, grp
+    """,
+)
+def q97_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring span detection (operators/subdoc.
+    duplicated_spans — LLM-pipeline extension modeled on exact
+    substring dedup a la Lee et al.; no reference analog): every token
+    5-gram is hashed, grams whose corpus-wide occurrence count is >= 2
+    (within-document repeats included) mark the positions they cover,
+    and maximal covered runs merge into (start, end) spans via the
+    pos - row_number island trick — one window per document, never
+    global. The oracle rebuilds hashes, hot grams, coverage and
+    islands verbatim."""
+    from demy_spark.operators.subdoc import duplicated_spans
+
+    t = _t(spark, sf_dir)
+    out = duplicated_spans(t["documents"], "doc_id", "text", k=5, min_count=2)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-3 window, three tiers:
 #   1. new or behavior-changed this round (must earn fresh rows): the five
