@@ -481,3 +481,74 @@ def assign_clusters(
     return labels.select(
         F.col("_x_").alias(id_col), F.col("_lbl_").alias("cluster_id")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    n_lists: int = 8,
+    train_iters: int = 3,
+    tau: float = 0.95,
+) -> DataFrame:
+    """Semantic deduplication (after SemDeDup, Abbas et al. 2023):
+    cluster the embedding space with the deterministic IVF coarse
+    quantizer (``similarity.ivf_build`` — seeded per ``id % n_lists``,
+    fixed Lloyd rounds, SQL-reproducible), then within each cluster
+    drop every vector whose cosine similarity to a LOWER-id cluster
+    member reaches ``tau``. Returns one row per input vector:
+    (``id_col``, ``cluster``, ``keep``).
+
+    This is the missing rung between exact/minhash text dedup and
+    ``embedding_cosine_pairs``: LSH blocking finds near-identical
+    pairs, while SemDeDup's cluster-then-prune removes SEMANTIC
+    redundancy at a tunable radius — the published recipe for
+    pretraining-corpus thinning.
+
+    Scale shape: the pairwise stage is confined within clusters
+    (Σ c² work, the published algorithm's own bound — ``n_lists``
+    scales with the corpus to hold cluster sizes flat), the
+    clustered frame is persisted so the self-join does not re-run
+    assignment per side, and the dominated-id set reduces through a
+    distinct BEFORE the final left-anti-style join. Centroids are the
+    only driver state (n_lists × dim floats, ivf_build's contract).
+    """
+    from demy_spark.functions.vectors import cosine_similarity
+    from demy_spark.operators.similarity import ivf_build
+
+    _, assigned = ivf_build(
+        corpus, vec_col, id_col, n_lists=n_lists, train_iters=train_iters
+    )
+    base = (
+        corpus.select(
+            F.col(id_col).alias("_id_"),
+            F.col(vec_col).cast("array<double>").alias("_v_"),
+        )
+        .join(
+            assigned.select(
+                F.col(id_col).alias("_id_"), F.col("cluster").alias("_c_")
+            ),
+            "_id_",
+        )
+        .persist()
+    )
+    a = base.select(
+        F.col("_id_").alias("_ia_"), F.col("_v_").alias("_va_"), "_c_"
+    )
+    b = base.select(
+        F.col("_id_").alias("_ib_"), F.col("_v_").alias("_vb_"), "_c_"
+    )
+    dominated = (
+        a.join(b, "_c_")
+        .where(F.col("_ia_") < F.col("_ib_"))
+        .where(cosine_similarity("_va_", "_vb_") >= F.lit(float(tau)))
+        .select(F.col("_ib_").alias("_id_"))
+        .distinct()
+        .withColumn("_rm_", F.lit(True))
+    )
+    return base.join(dominated, "_id_", "left").select(
+        F.col("_id_").alias(id_col),
+        F.col("_c_").alias("cluster"),
+        F.col("_rm_").isNull().alias("keep"),
+    )

@@ -1,0 +1,242 @@
+"""Data-selection operators: n-gram LM quality scoring and
+DSIR-style importance weighting.
+
+LLM-pipeline extensions (no analog in the reference engine — its
+quality surface is rule-based, SURVEY §2.8): the two standard
+model-free ways a pretraining pipeline ranks raw documents before
+mixing:
+
+- ``bigram_lm_scores``: CCNet-style quality scoring — train an
+  add-k-smoothed bigram language model on a held-in corpus, score
+  every candidate document by its average negative log-likelihood
+  (low = fluent/in-domain, high = noise). The distributed twin of
+  scoring with a KenLM model, expressed entirely as counts + joins.
+- ``dsir_scores``: hashed-feature importance weights (after DSIR,
+  Xie et al. 2023): bucket every token into ``n_buckets`` hashed
+  features, estimate smoothed bucket distributions on a small target
+  corpus and on the raw corpus, and score each raw document by its
+  mean log-likelihood ratio — documents distributionally closest to
+  the target rank highest; selection is a deterministic top-k.
+
+Determinism at scale (both operators feed the DuckDB oracle gate):
+every per-token log term is quantized to integer MICRO-NATS
+(``floor(x * 1e6)`` as BIGINT) before any aggregation, so document
+scores are integer sums — invariant to Spark's partial-aggregation
+order — and only the final per-document average returns to double.
+(A raw ``sum(double)`` of log terms can round differently run-to-run;
+same failure mode as the round-2 q57 money sums, same fix.)
+
+Scale notes (100 TB shapes):
+- Count frames reduce BEFORE every join: the bigram/unigram/bucket
+  tables are (hash, count) aggregates of the train side, joined back
+  co-keyed on uniform 60-bit md5-slice hashes — the train corpus is
+  never broadcast and never re-scanned per probe.
+- Corpus-wide scalars (vocab size, token totals) are 1-row frames
+  cross-joined in-plan — no driver round-trip, no collect.
+- The DSIR bucket table is ``n_buckets`` rows regardless of corpus
+  size (that is the point of hashed features) — Spark's planner may
+  broadcast it, which is exactly right.
+- Selection is ``orderBy().limit()`` — TakeOrderedAndProject, a
+  distributed per-partition top-n, never a single-partition global
+  sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from demy_spark.operators.dedup import _md5_long
+
+__all__ = ["bigram_lm_scores", "dsir_scores"]
+
+_MICRO = 1_000_000
+
+
+def _tokens(text_col: str):
+    """Single-space tokens of the trimmed, lowercased text — the
+    normalization the DuckDB oracles replay (curation._norm_tokens)."""
+    return F.array_remove(F.split(F.trim(F.lower(F.col(text_col))), " "), "")
+
+
+def _micro_nats(x) -> F.Column:
+    return F.floor(x * F.lit(float(_MICRO))).cast("long")
+
+
+def bigram_lm_scores(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Average negative log-likelihood of each ``score`` document
+    under an add-k bigram LM fit on ``train``.
+
+    ``P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k * (V + 1))`` with ``V``
+    the train vocabulary size (the +1 reserves smoothed mass for
+    unseen words — any token absent from train contributes its
+    ``c = 0`` smoothed term rather than exploding). Documents with
+    fewer than 2 tokens are dropped (they have no bigram transitions).
+
+    Output: ``id_col``, ``n_bigrams``, ``nll_micro`` (integer
+    micro-nat total — the deterministic aggregate), ``avg_nll``
+    (double, micro-nat total / n / 1e6).
+    """
+    tr_toks = train.select(F.explode(_tokens(text_col)).alias("_w_"))
+    uni = tr_toks.groupBy("_w_").agg(F.count(F.lit(1)).alias("_c1_"))
+    vocab_n = uni.agg(F.count(F.lit(1)).alias("_v_"))
+
+    def bigram_rows(df: DataFrame, with_id: bool) -> DataFrame:
+        # adjacent (w1, w2) pairs, in token order; NULL (-> explode
+        # drops the row) when the document has no transition
+        pairs = F.expr(
+            "CASE WHEN size(_tk_) >= 2 THEN "
+            "zip_with(slice(_tk_, 1, size(_tk_) - 1), "
+            "slice(_tk_, 2, size(_tk_) - 1), (a, b) -> struct(a, b)) END"
+        )
+        base = df.select(
+            *([F.col(id_col).alias("_id_")] if with_id else []),
+            _tokens(text_col).alias("_tk_"),
+        ).select(
+            *(["_id_"] if with_id else []),
+            F.explode(pairs).alias("_bg_"),
+        )
+        return base.select(
+            *(["_id_"] if with_id else []),
+            F.col("_bg_.a").alias("_w1_"),
+            F.col("_bg_.b").alias("_w2_"),
+        )
+
+    bi = (
+        bigram_rows(train, with_id=False)
+        .groupBy("_w1_", "_w2_")
+        .agg(F.count(F.lit(1)).alias("_c2_"))
+        # co-keyed join key: one uniform 60-bit hash instead of a
+        # two-string shuffle key
+        .select(
+            _md5_long(F.concat_ws(" ", "_w1_", "_w2_"), 1).alias("_h2_"), "_c2_"
+        )
+    )
+    probe = bigram_rows(score, with_id=True).select(
+        "_id_",
+        _md5_long(F.concat_ws(" ", "_w1_", "_w2_"), 1).alias("_h2_"),
+        F.col("_w1_"),
+    )
+    k = F.lit(float(add_k))
+    scored = (
+        probe.join(bi, "_h2_", "left")
+        .join(uni.withColumnRenamed("_w_", "_w1_"), "_w1_", "left")
+        .crossJoin(vocab_n)
+        .select(
+            "_id_",
+            _micro_nats(
+                -F.log(
+                    (F.coalesce(F.col("_c2_"), F.lit(0)) + k)
+                    / (
+                        F.coalesce(F.col("_c1_"), F.lit(0))
+                        + k * (F.col("_v_") + F.lit(1))
+                    )
+                )
+            ).alias("_nll_"),
+        )
+    )
+    return (
+        scored.groupBy("_id_")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_nll_").alias("nll_micro"),
+        )
+        .select(
+            F.col("_id_").alias(id_col),
+            "n_bigrams",
+            "nll_micro",
+            (
+                F.col("nll_micro")
+                / F.col("n_bigrams")
+                / F.lit(float(_MICRO))
+            ).alias("avg_nll"),
+        )
+    )
+
+
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_buckets: int = 1024,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-document importance score: mean log-likelihood ratio of the
+    document's hashed token buckets under the target vs raw bucket
+    distributions (both add-k smoothed over ``n_buckets``).
+
+    ``llr(b) = ln(((ct(b)+k)/(Nt+k*B)) / ((cr(b)+k)/(Nr+k*B)))``,
+    quantized to integer micro-nats per token. Empty documents are
+    dropped. Output: ``id_col``, ``n_tokens``, ``llr_micro`` (integer
+    total), ``avg_llr`` (double) — select the training subset with
+    ``scored.orderBy(F.desc("avg_llr"), id_col).limit(n)``.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+
+    def buckets(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col).alias("_id_")] if with_id else []
+        return df.select(
+            *cols,
+            F.explode(_tokens(text_col)).alias("_w_"),
+        ).select(
+            *(["_id_"] if with_id else []),
+            F.pmod(_md5_long(F.col("_w_"), 1), F.lit(n_buckets)).alias("_b_"),
+        )
+
+    k = F.lit(float(add_k))
+    b_lit = F.lit(float(n_buckets))
+    ct = buckets(target, with_id=False).groupBy("_b_").agg(
+        F.count(F.lit(1)).alias("_ct_")
+    )
+    cr = buckets(raw, with_id=False).groupBy("_b_").agg(
+        F.count(F.lit(1)).alias("_cr_")
+    )
+    nt = ct.agg(F.sum("_ct_").alias("_nt_"))
+    nr = cr.agg(F.sum("_cr_").alias("_nr_"))
+    # n_buckets-row frame of integer micro-nat log ratios: constant
+    # size at any corpus scale, so the probe join broadcasts
+    llr = (
+        ct.join(cr, "_b_", "full")
+        .crossJoin(nt)
+        .crossJoin(nr)
+        .select(
+            "_b_",
+            _micro_nats(
+                F.log(
+                    (F.coalesce(F.col("_ct_"), F.lit(0)) + k)
+                    / (F.col("_nt_") + k * b_lit)
+                )
+                - F.log(
+                    (F.coalesce(F.col("_cr_"), F.lit(0)) + k)
+                    / (F.col("_nr_") + k * b_lit)
+                )
+            ).alias("_llr_"),
+        )
+    )
+    return (
+        buckets(raw, with_id=True)
+        .join(F.broadcast(llr), "_b_", "left")
+        .groupBy("_id_")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_llr_").alias("llr_micro"),
+        )
+        .select(
+            F.col("_id_").alias(id_col),
+            "n_tokens",
+            "llr_micro",
+            (
+                F.col("llr_micro") / F.col("n_tokens") / F.lit(float(_MICRO))
+            ).alias("avg_llr"),
+        )
+    )

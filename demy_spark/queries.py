@@ -5901,6 +5901,210 @@ def q97_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Data selection (operators/selection): bigram-LM quality scoring and
+# DSIR-style importance weighting. Every log term is quantized to
+# integer micro-nats BEFORE aggregation (floor(x*1e6)::BIGINT), so the
+# per-document scores are order-independent integer sums on both
+# engines — the q57 money-sum lesson applied to log-likelihoods.
+# ---------------------------------------------------------------------------
+
+_Q98_PAIRS_SQL = "[tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]"
+
+
+@register(
+    "q98_lm_quality",
+    f"""
+    WITH tr AS (SELECT {_TOKS_SQL} AS tk FROM documents WHERE doc_id % 5 <> 0),
+    sc AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents WHERE doc_id % 5 = 0),
+    uni AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY 1),
+    voc AS (SELECT count(*) AS v FROM uni),
+    bi AS (
+      SELECT {_md5_long_sql("bg", 1)} AS h2, count(*) AS c2
+      FROM (SELECT unnest({_Q98_PAIRS_SQL}) AS bg FROM tr) GROUP BY 1),
+    probe AS (
+      SELECT doc_id, bg,
+             string_split(bg, ' ')[1] AS w1,
+             {_md5_long_sql("bg", 1)} AS h2
+      FROM (SELECT doc_id, unnest({_Q98_PAIRS_SQL}) AS bg FROM sc)),
+    terms AS (
+      SELECT p.doc_id,
+             CAST(floor(-ln((coalesce(bi.c2, 0) + 0.5)
+                            / (coalesce(uni.c1, 0) + 0.5 * (voc.v + 1)))
+                        * 1000000) AS BIGINT) AS nll
+      FROM probe p
+      LEFT JOIN bi ON p.h2 = bi.h2
+      LEFT JOIN uni ON p.w1 = uni.w, voc)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(nll) AS BIGINT) AS nll_micro,
+           round(sum(nll) / count(*) / 1000000, 6) + 0.0 AS avg_nll
+    FROM terms GROUP BY doc_id
+    """,
+)
+def q98_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (operators/selection.bigram_lm_scores
+    — LLM-pipeline extension; the distributed twin of KenLM-style
+    perplexity filtering, expressed as counts + co-keyed joins): an
+    add-0.5 bigram LM is fit on the 80% train split and every held-out
+    document is scored by average negative log-likelihood. Counts
+    reduce before the joins, corpus scalars ride a 1-row cross join,
+    and each log term is floored to integer micro-nats so the document
+    sum is aggregation-order-independent — the oracle replays hash,
+    smoothing and quantization bit-for-bit."""
+    from demy_spark.operators.selection import bigram_lm_scores
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    score = docs.where(F.col("doc_id") % 5 == 0)
+    out = bigram_lm_scores(train, score, "doc_id", "text", add_k=0.5)
+    return out.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("nll_micro").cast("long").alias("nll_micro"),
+        (F.round(F.col("nll_micro") / F.col("n_bigrams") / 1000000, 6) + F.lit(0.0)).alias(
+            "avg_nll"
+        ),
+    )
+
+
+_Q99_BUCKETS = 1024
+
+
+@register(
+    "q99_dsir_select",
+    f"""
+    WITH tgt AS (
+      SELECT {_md5_long_sql("w", 1)} % {_Q99_BUCKETS} AS b
+      FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents
+            WHERE source = 'src0')),
+    raw AS (
+      SELECT doc_id, {_md5_long_sql("w", 1)} % {_Q99_BUCKETS} AS b
+      FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents)),
+    ct AS (SELECT b, count(*) AS ct FROM tgt GROUP BY 1),
+    cr AS (SELECT b, count(*) AS cr FROM raw GROUP BY 1),
+    nt AS (SELECT sum(ct) AS nt FROM ct),
+    nr AS (SELECT sum(cr) AS nr FROM cr),
+    llr AS (
+      SELECT coalesce(ct.b, cr.b) AS b,
+             CAST(floor((ln((coalesce(ct.ct, 0) + 0.5)
+                            / (nt.nt + 0.5 * {_Q99_BUCKETS}))
+                         - ln((coalesce(cr.cr, 0) + 0.5)
+                              / (nr.nr + 0.5 * {_Q99_BUCKETS})))
+                        * 1000000) AS BIGINT) AS llr
+      FROM ct FULL JOIN cr ON ct.b = cr.b, nt, nr),
+    scored AS (
+      SELECT r.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(l.llr) AS BIGINT) AS llr_micro
+      FROM raw r JOIN llr l ON r.b = l.b GROUP BY 1)
+    SELECT doc_id, n_tokens, llr_micro,
+           round(llr_micro / n_tokens / 1000000, 6) + 0.0 AS avg_llr
+    FROM scored
+    ORDER BY llr_micro * 1.0 / n_tokens DESC, doc_id
+    LIMIT 60
+    """,
+)
+def q99_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (operators/selection.dsir_scores —
+    LLM-pipeline extension after Xie et al. 2023): token buckets
+    hashed to 1024 features, target distribution estimated on the
+    'src0' slice, raw distribution on the whole corpus, and each
+    document scored by its mean per-token log-likelihood ratio in
+    integer micro-nats. The llr table is n_buckets rows at ANY corpus
+    scale (explicitly broadcast); selection is orderBy().limit() —
+    TakeOrderedAndProject, not a global sort. Top-60 by mean llr,
+    ties to the smallest doc_id."""
+    from demy_spark.operators.selection import dsir_scores
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    target = docs.where(F.col("source") == "src0")
+    out = dsir_scores(docs, target, "doc_id", "text", n_buckets=_Q99_BUCKETS)
+    return (
+        out.orderBy(
+            (F.col("llr_micro") * 1.0 / F.col("n_tokens")).desc(), "doc_id"
+        )
+        .limit(60)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("llr_micro").cast("long").alias("llr_micro"),
+            (
+                F.round(F.col("llr_micro") / F.col("n_tokens") / 1000000, 6)
+                + F.lit(0.0)
+            ).alias("avg_llr"),
+        )
+    )
+
+
+_Q100_SQL = (
+    """
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    dims AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               unnest(embedding::DOUBLE[]) AS x
+        FROM corpus
+    ),
+    vnorm AS (SELECT vec_id, sqrt(sum(x * x)) AS nx FROM dims GROUP BY 1),
+    cent0 AS (SELECT vec_id % 4 AS c, d, avg(x) AS m FROM dims GROUP BY 1, 2),"""
+    + _kmeans_round_sql(1, "cent0")
+    + _kmeans_round_sql(2, "cent1")
+    + _kmeans_round_sql(3, "cent2")
+    + _kmeans_round_sql(4, "cent3")
+    + """
+    rm AS (
+        SELECT DISTINCT hi.vec_id AS rm_id
+        FROM assign4 lo
+        JOIN assign4 hi ON lo.c = hi.c AND lo.vec_id < hi.vec_id
+        JOIN corpus ca ON ca.vec_id = lo.vec_id
+        JOIN corpus cb ON cb.vec_id = hi.vec_id
+        WHERE list_cosine_similarity(ca.embedding::DOUBLE[],
+                                     cb.embedding::DOUBLE[]) >= 0.95)
+    SELECT a.vec_id, CAST(a.c AS BIGINT) AS cluster,
+           CAST((rm.rm_id IS NULL) AS BIGINT) AS keep
+    FROM assign4 a LEFT JOIN rm ON a.vec_id = rm.rm_id
+    """
+)
+
+
+@register("q100_semdedup", _Q100_SQL)
+def q100_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.semdedup — LLM-pipeline extension
+    after Abbas et al. 2023): embeddings plus exact clones of every
+    5th vector are clustered by the deterministic IVF quantizer (seeds
+    per id % 4, 3 fixed Lloyd rounds — the same quantizer the q53
+    oracle unrolls), then every vector with a lower-id cluster member
+    at cosine >= 0.95 is dropped. The pairwise stage never leaves a
+    cluster (the published algorithm's own complexity bound); the
+    oracle replays quantizer, assignment, and the in-cluster
+    domination test verbatim."""
+    from demy_spark.operators.dedup import semdedup
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    corpus = emb.select("vec_id", "embedding").unionAll(
+        emb.where(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    out = semdedup(corpus, "embedding", "vec_id", n_lists=4, train_iters=3, tau=0.95)
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("keep").cast("long").alias("keep"),
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-3 window, three tiers:
 #   1. new or behavior-changed this round (must earn fresh rows): the five

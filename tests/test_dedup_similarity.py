@@ -236,3 +236,38 @@ def test_ivfpq_composition_bounds_scan(spark):
     # the scan really was bounded: nothing outside the probed list scored
     in_list = {r["neighbor_id"] for r in cand.collect()}
     assert {r["neighbor_id"] for r in rows} <= in_list < set(range(6))
+
+
+def test_semdedup_removes_higher_id_clones(spark):
+    from demy_spark.operators.dedup import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [1.0, 0.001, 0.0]),   # near-clone of 0
+        (3, [0.0, -1.0, 0.0]),
+        (4, [1.0, 0.0, 0.0]),     # exact clone of 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in semdedup(df, "embedding", "vec_id", n_lists=2, tau=0.99).collect()
+    }
+    assert len(out) == 5
+    # clones of 0 are dominated by the lower id; 0 itself survives
+    assert out[0][1] is True
+    assert out[4][1] is False
+    assert out[2][1] is False  # cos(0,2) ~ 0.9999995 >= 0.99
+    # members of other clusters untouched
+    assert out[1][1] is True and out[3][1] is True
+    # dominated vectors share the dominator's cluster
+    assert out[4][0] == out[0][0]
+
+
+def test_semdedup_tau_bounds_removal(spark):
+    from demy_spark.operators.dedup import semdedup
+
+    rows = [(i, [float(i + 1), 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    strict = semdedup(df, "embedding", "vec_id", n_lists=2, tau=1.01)
+    assert all(r["keep"] for r in strict.collect())

@@ -1,0 +1,76 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from demy_spark.operators.selection import bigram_lm_scores, dsir_scores
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bigram_lm_known_counts(spark):
+    # train: c(a b)=2, c(b a)=1, c(a)=3, c(b)=2, V=2
+    train = _docs(spark, [(1, "a b a b a")])
+    score = _docs(spark, [(10, "a b"), (11, "z z")])
+    out = {
+        r["doc_id"]: r
+        for r in bigram_lm_scores(train, score, "doc_id", "text", add_k=0.5).collect()
+    }
+    p_ab = (2 + 0.5) / (3 + 0.5 * 3)  # c(a b)+k / c(a)+k(V+1)
+    assert out[10]["n_bigrams"] == 1
+    assert out[10]["nll_micro"] == math.floor(-math.log(p_ab) * 1e6)
+    # fully unseen bigram over an unseen unigram: c2=0, c1=0
+    p_zz = 0.5 / (0.5 * 3)
+    assert out[11]["nll_micro"] == math.floor(-math.log(p_zz) * 1e6)
+    assert out[11]["avg_nll"] > out[10]["avg_nll"]
+
+
+def test_bigram_lm_drops_single_token_docs(spark):
+    train = _docs(spark, [(1, "a b c")])
+    score = _docs(spark, [(10, "solo"), (11, "a b")])
+    ids = {r["doc_id"] for r in bigram_lm_scores(train, score, "doc_id", "text").collect()}
+    assert ids == {11}
+
+
+def test_bigram_lm_score_is_integer_sum(spark):
+    # the document score equals the sum of its per-bigram micro-nat
+    # integers: repeat the same bigram 3x -> exactly 3x the single term
+    train = _docs(spark, [(1, "x y x y")])
+    one = _docs(spark, [(10, "x y")])
+    three = _docs(spark, [(10, "x y x y x y x y")])
+    # "x y x y x y x y": transitions x>y (4), y>x (3)
+    s1 = bigram_lm_scores(train, one, "doc_id", "text").collect()[0]
+    s3 = bigram_lm_scores(train, three, "doc_id", "text").collect()[0]
+    assert s3["n_bigrams"] == 7
+    assert s3["nll_micro"] % 1 == 0 and s1["nll_micro"] % 1 == 0
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    target = _docs(spark, [(100, "alpha beta alpha beta alpha")])
+    raw = _docs(
+        spark,
+        [
+            (1, "alpha beta alpha"),
+            (2, "gamma delta epsilon"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_scores(raw, target, "doc_id", "text", n_buckets=64).collect()
+    }
+    assert out[1]["avg_llr"] > out[2]["avg_llr"]
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 3
+
+
+def test_dsir_selection_is_deterministic_topk(spark):
+    target = _docs(spark, [(100, "t t t")])
+    raw = _docs(spark, [(i, "t u v") for i in range(20)])
+    scored = dsir_scores(raw, target, "doc_id", "text", n_buckets=64)
+    top = scored.orderBy(
+        (F.col("llr_micro") * 1.0 / F.col("n_tokens")).desc(), "doc_id"
+    ).limit(5)
+    # identical scores everywhere -> tie-break selects smallest ids
+    assert [r["doc_id"] for r in top.collect()] == [0, 1, 2, 3, 4]
