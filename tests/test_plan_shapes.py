@@ -38,6 +38,12 @@ PLANNABLE = [
     "q87_canonical_docs",
     # packing: per-bucket prefix-sum windows, never a global window
     "q94_sequence_pack",
+    # sub-document dedup + data selection (q100 excluded: ivf_build
+    # runs driver-side Lloyd rounds during construction)
+    "q96_line_dedup",
+    "q97_duplicated_spans",
+    "q98_lm_quality",
+    "q99_dsir_select",
 ]
 
 
@@ -130,3 +136,19 @@ def test_mixture_targets_join_broadcasts(spark, sf_dir):
     assert re.search(r"Window \[row_number\(\).*partitionBy=\[lang", plan) or (
         "hashpartitioning(lang" in plan
     )
+
+
+def test_dsir_selection_is_take_ordered(plans):
+    # top-k selection must be distributed TakeOrderedAndProject
+    assert "TakeOrderedAndProject" in plans["q99_dsir_select"]
+
+
+def test_dsir_llr_join_broadcasts(plans):
+    # the n_buckets-row llr table is constant-size at any corpus
+    # scale and must broadcast onto the token stream
+    assert "BroadcastHashJoin" in plans["q99_dsir_select"]
+
+
+def test_span_windows_are_per_document(plans):
+    # both the gram window and the island window partition by doc
+    assert re.search(r"Window .*_id_", plans["q97_duplicated_spans"])
