@@ -70,6 +70,12 @@ def main() -> None:
         "pq_ann": _q.REGISTRY["q89_pq_ann_topk"].fn,
         "sequence_pack": _q.REGISTRY["q94_sequence_pack"].fn,
         "curation_pipeline": _q.REGISTRY["q93_curation_pipeline"].fn,
+        # round-3 late additions: sub-document dedup, LM scoring, the
+        # clustered semantic dedup, and the delta-batch index probe
+        "line_dedup": _q.REGISTRY["q96_line_dedup"].fn,
+        "lm_quality": _q.REGISTRY["q98_lm_quality"].fn,
+        "semdedup": _q.REGISTRY["q100_semdedup"].fn,
+        "incremental_probe": _q.REGISTRY["q101_incremental_dedup"].fn,
     }
     extra_timings: dict[str, float] = {}
     for name, fn in extras.items():

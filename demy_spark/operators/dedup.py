@@ -139,6 +139,38 @@ def minhash_lsh_dedup(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
+    banded, base = _minhash_bands(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
+    )
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band_") == F.col("b._band_"))
+            & (F.col("a._key_") == F.col("b._key_"))
+            & (F.col("a._id_") < F.col("b._id_")),
+        )
+        .select(F.col("a._id_").alias("doc_a"), F.col("b._id_").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return _jaccard_verify(cand, base, base, jaccard_threshold)
+
+
+def _minhash_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared MinHash signature pipeline: returns (banded, base)
+    where ``banded`` = (_id_, _band_, _key_) — persisted, since every
+    caller joins it at least twice — and ``base`` = (_id_, _sh_)
+    distinct shingle sets for exact-Jaccard verification.
+    """
     rows_per_band = num_hashes // bands
     sh_rows = _shingle_rows(df, text_col, id_col, shingle_k, with_h2=True).persist()
     # shingle sets per doc, for exact-jaccard verification of candidates
@@ -197,29 +229,115 @@ def minhash_lsh_dedup(
         .agg(F.sort_array(F.collect_list(F.struct("_i_", "_slot_"))).alias("_key_"))
         .persist()
     )
+    return banded, base
 
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a._band_") == F.col("b._band_"))
-            & (F.col("a._key_") == F.col("b._key_"))
-            & (F.col("a._id_") < F.col("b._id_")),
-        )
-        .select(F.col("a._id_").alias("doc_a"), F.col("b._id_").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
 
+def _jaccard_verify(
+    cand: DataFrame, base_a: DataFrame, base_b: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact shingle-set Jaccard over candidate (doc_a, doc_b) pairs —
+    shingle sets join back ONLY for candidates."""
     pairs = (
-        cand.join(base.select(F.col("_id_").alias("doc_a"), F.col("_sh_").alias("_sha_")), "doc_a")
-        .join(base.select(F.col("_id_").alias("doc_b"), F.col("_sh_").alias("_shb_")), "doc_b")
+        cand.join(
+            base_a.select(F.col("_id_").alias("doc_a"), F.col("_sh_").alias("_sha_")),
+            "doc_a",
+        )
+        .join(
+            base_b.select(F.col("_id_").alias("doc_b"), F.col("_sh_").alias("_shb_")),
+            "doc_b",
+        )
     )
     inter = F.size(F.array_intersect("_sha_", "_shb_")).cast("double")
     union = F.size(F.array_union("_sha_", "_shb_")).cast("double")
     return (
         pairs.withColumn("jaccard", F.round(inter / union, 6))
-        .where(F.col("jaccard") >= jaccard_threshold)
+        .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize a reusable MinHash LSH index over a corpus:
+    returns ``(bands, shingles)`` with public columns —
+    bands = (``id_col``, band, key), shingles = (``id_col``, shingles).
+
+    This is the incremental-dedup shape a production pipeline needs:
+    the 100 TB corpus is signed ONCE, both frames written to parquet
+    (a few longs per doc per band — orders of magnitude smaller than
+    the text), and every new batch probes against the stored index via
+    ``minhash_probe`` without ever re-reading the corpus text. Probe
+    parameters must match the index build's (same hash family, same
+    banding), which is why both halves live next to each other here.
+    """
+    banded, base = _minhash_bands(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
+    )
+    return (
+        banded.select(
+            F.col("_id_").alias(id_col),
+            F.col("_band_").alias("band"),
+            F.col("_key_").alias("key"),
+        ),
+        base.select(F.col("_id_").alias(id_col), F.col("_sh_").alias("shingles")),
+    )
+
+
+def minhash_probe(
+    index_bands: DataFrame,
+    index_shingles: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Probe a new batch of documents against a stored MinHash index
+    (``minhash_index`` output, typically read back from parquet).
+    Returns (batch_id, index_id, jaccard) — every batch document
+    near-duplicate to an already-indexed document.
+
+    Scale shape: the batch is signed with the identical hash family,
+    then joined to the index co-keyed on (band, key) — an equi-join
+    between band tables, NOT a self-join over the union, so the
+    incremental cost is O(batch) + bucket collisions, independent of
+    corpus size. Exact-Jaccard verification joins the stored shingle
+    sets back only for candidate pairs.
+    """
+    b_banded, b_base = _minhash_bands(
+        batch, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
+    )
+    ib = index_bands.select(
+        F.col(id_col).alias("_iid_"),
+        F.col("band").alias("_band_"),
+        F.col("key").alias("_key_"),
+    )
+    cand = (
+        b_banded.join(ib, ["_band_", "_key_"])
+        # a batch doc can also collide with itself if it was already
+        # indexed — the caller decides identity; we only exclude exact
+        # id equality
+        .where(F.col("_id_") != F.col("_iid_"))
+        .select(F.col("_id_").alias("doc_a"), F.col("_iid_").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    i_base = index_shingles.select(
+        F.col(id_col).alias("_id_"), F.col("shingles").alias("_sh_")
+    )
+    return _jaccard_verify(cand, b_base, i_base, jaccard_threshold).select(
+        F.col("doc_a").alias("batch_id"),
+        F.col("doc_b").alias("index_id"),
+        "jaccard",
     )
 
 
@@ -514,7 +632,7 @@ def semdedup(
     distinct BEFORE the final left-anti-style join. Centroids are the
     only driver state (n_lists × dim floats, ivf_build's contract).
     """
-    from demy_spark.functions.vectors import cosine_similarity
+    from demy_spark.functions.vectors import dot, l2_norm
     from demy_spark.operators.similarity import ivf_build
 
     _, assigned = ivf_build(
@@ -525,6 +643,11 @@ def semdedup(
             F.col(id_col).alias("_id_"),
             F.col(vec_col).cast("array<double>").alias("_v_"),
         )
+        # the per-vector norm is computed ONCE here, not per pair: the
+        # pairwise stage then pays one dot-product fold per pair
+        # instead of three (dot + both norms) — same doubles, the
+        # sqrt(sum(x^2)) per vector is bit-identical either way
+        .withColumn("_n_", l2_norm("_v_"))
         .join(
             assigned.select(
                 F.col(id_col).alias("_id_"), F.col("cluster").alias("_c_")
@@ -534,15 +657,25 @@ def semdedup(
         .persist()
     )
     a = base.select(
-        F.col("_id_").alias("_ia_"), F.col("_v_").alias("_va_"), "_c_"
+        F.col("_id_").alias("_ia_"),
+        F.col("_v_").alias("_va_"),
+        F.col("_n_").alias("_na_"),
+        "_c_",
     )
     b = base.select(
-        F.col("_id_").alias("_ib_"), F.col("_v_").alias("_vb_"), "_c_"
+        F.col("_id_").alias("_ib_"),
+        F.col("_v_").alias("_vb_"),
+        F.col("_n_").alias("_nb_"),
+        "_c_",
     )
+    cos = F.when(
+        (F.col("_na_") > 0) & (F.col("_nb_") > 0),
+        dot("_va_", "_vb_") / (F.col("_na_") * F.col("_nb_")),
+    ).otherwise(F.lit(0.0))
     dominated = (
         a.join(b, "_c_")
         .where(F.col("_ia_") < F.col("_ib_"))
-        .where(cosine_similarity("_va_", "_vb_") >= F.lit(float(tau)))
+        .where(cos >= F.lit(float(tau)))
         .select(F.col("_ib_").alias("_id_"))
         .distinct()
         .withColumn("_rm_", F.lit(True))

