@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from demy_spark.operators.dedup import _md5_long
 
-__all__ = ["line_dedup", "duplicated_spans"]
+__all__ = ["line_dedup", "duplicated_spans", "strip_duplicated_spans"]
 
 
 def line_dedup(
@@ -145,6 +145,30 @@ def duplicated_spans(
     Output: one row per span — ``id_col``, ``span_start``,
     ``span_end`` (inclusive), ``span_tokens``.
     """
+    covered = _covered_positions(docs, id_col, text_col, k=k, min_count=min_count)
+    wi = Window.partitionBy("_id_").orderBy("_cov_")
+    islands = covered.withColumn(
+        "_grp_", F.col("_cov_") - F.row_number().over(wi)
+    )
+    return (
+        islands.groupBy("_id_", "_grp_")
+        .agg(
+            F.min("_cov_").alias("span_start"),
+            F.max("_cov_").alias("span_end"),
+            F.count(F.lit(1)).alias("span_tokens"),
+        )
+        .select(
+            F.col("_id_").alias(id_col), "span_start", "span_end", "span_tokens"
+        )
+    )
+
+
+def _covered_positions(
+    docs: DataFrame, id_col: str, text_col: str, *, k: int, min_count: int
+) -> DataFrame:
+    """(_id_, _cov_) distinct token positions covered by corpus-repeated
+    k-grams — the shared discovery stage of ``duplicated_spans`` and
+    ``strip_duplicated_spans``."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     toks = F.array_remove(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), "")
@@ -166,7 +190,7 @@ def duplicated_spans(
         .where(F.col("_n_") >= min_count)
         .select("_h_")
     )
-    covered = (
+    return (
         grams.join(hot, "_h_", "left_semi")
         .select(
             "_id_",
@@ -176,18 +200,68 @@ def duplicated_spans(
         )
         .distinct()
     )
-    wi = Window.partitionBy("_id_").orderBy("_cov_")
-    islands = covered.withColumn(
-        "_grp_", F.col("_cov_") - F.row_number().over(wi)
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cut the duplicated spans out of every document — the apply step
+    of exact-substring dedup (Lee et al.): tokens covered by a
+    corpus-repeated ``k``-gram are removed and the survivors re-joined
+    with single spaces in original order.
+
+    Every input document survives in the output (possibly with empty
+    ``text_clean``). Output: ``id_col``, ``text_clean``, ``n_tokens``
+    (pre-strip), ``tokens_removed``.
+
+    Scale shape: coverage discovery is ``_covered_positions`` (one
+    gram-count shuffle + a co-keyed semi-join, fan-out bounded by
+    ``k``); the strip itself marks tokens with ONE co-keyed left join
+    on (doc, position) and reassembles through the same
+    ``array_sort(collect_list(struct))`` trick as ``line_dedup`` —
+    order-independent under any partial-aggregation schedule, no
+    per-document window.
+    """
+    toks = F.array_remove(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), "")
+    t = docs.select(
+        F.col(id_col).alias("_id_"), F.posexplode(toks).alias("_pos_", "_w_")
     )
+    covered = _covered_positions(
+        docs, id_col, text_col, k=k, min_count=min_count
+    ).withColumn("_rm_", F.lit(True))
+    marked = t.join(
+        covered,
+        (t["_id_"] == covered["_id_"]) & (t["_pos_"] == covered["_cov_"]),
+        "left",
+    ).select(
+        t["_id_"].alias("_id_"),
+        "_pos_",
+        "_w_",
+        F.coalesce(F.col("_rm_"), F.lit(False)).alias("_rm_"),
+    )
+    kept_struct = F.when(~F.col("_rm_"), F.struct(F.col("_pos_"), F.col("_w_")))
     return (
-        islands.groupBy("_id_", "_grp_")
+        marked.groupBy("_id_")
         .agg(
-            F.min("_cov_").alias("span_start"),
-            F.max("_cov_").alias("span_end"),
-            F.count(F.lit(1)).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("_rm_")).alias("tokens_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.getField("_w_"),
+                ),
+            ).alias("text_clean"),
         )
         .select(
-            F.col("_id_").alias(id_col), "span_start", "span_end", "span_tokens"
+            F.col("_id_").alias(id_col),
+            "text_clean",
+            "n_tokens",
+            "tokens_removed",
         )
     )

@@ -6168,6 +6168,57 @@ def q101_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q102_strip_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    toks AS (
+      SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos, unnest(tk) AS w
+      FROM t),
+    ghash AS (
+      SELECT doc_id,
+             [{_md5_long_sql("array_to_string(tk[i:i+4], ' ')", 1)}
+              FOR i IN range(1, len(tk) - 3)] AS ghs
+      FROM t WHERE len(tk) >= 5),
+    grams AS (
+      SELECT doc_id, generate_subscripts(ghs, 1) - 1 AS p, unnest(ghs) AS h
+      FROM ghash),
+    hot AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+    covered AS (
+      SELECT DISTINCT g.doc_id, g.p + d AS pos
+      FROM grams g JOIN hot USING (h), unnest(range(0, 5)) AS u(d)),
+    marked AS (
+      SELECT tk.doc_id, tk.pos, tk.w, (c.pos IS NOT NULL) AS rm
+      FROM toks tk LEFT JOIN covered c
+        ON tk.doc_id = c.doc_id AND tk.pos = c.pos)
+    SELECT doc_id,
+           coalesce(array_to_string(list(w ORDER BY pos) FILTER (NOT rm), ' '),
+                    '') AS text_clean,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (rm) AS BIGINT) AS tokens_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def q102_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, apply step (operators/subdoc.
+    strip_duplicated_spans — completes q97's detection with the cut,
+    the full Lee-et-al recipe): tokens covered by corpus-repeated
+    5-grams are removed and survivors re-joined in original order.
+    One gram-count shuffle, a co-keyed semi-join, a (doc, pos) left
+    join for the mark, and an order-independent struct-sort
+    reassembly — no per-document window in the strip path."""
+    from demy_spark.operators.subdoc import strip_duplicated_spans
+
+    t = _t(spark, sf_dir)
+    out = strip_duplicated_spans(t["documents"], "doc_id", "text", k=5, min_count=2)
+    return out.select(
+        "doc_id",
+        "text_clean",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("tokens_removed").cast("long").alias("tokens_removed"),
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-3 window (final): every slot goes to a query with NO
 # driver row at its current code —
@@ -6178,8 +6229,8 @@ def q101_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      determinized money queries, the fuzzy trio under the default
 #      max_df bound, q47 after the TakeOrdered sampling change, and
 #      q26 after the _minhash_bands refactor;
-#   3. the 3 remaining slots round-robin the r1-stale tier (q27, q42,
-#      q54); the other r1/r2-green, code-unchanged queries rotate in
+#   3. the remaining slots round-robin the r1-stale tier (q27, q42);
+#      the other r1/r2-green, code-unchanged queries rotate in
 #      r4 — their standing check this round is the verify-skill driver
 #      simulation (100/100 MATCH at sf0.01) plus the sf0.001 parity
 #      suite in tests/.
@@ -6214,6 +6265,7 @@ _DRIVER_PRIORITY = [
     "q99_dsir_select",
     "q100_semdedup",
     "q101_incremental_dedup",
+    "q102_strip_spans",
     # --- tier 2: behavior changed since the last green row
     "q57_time_rollup",
     "q12_events_hourly",
@@ -6236,7 +6288,6 @@ _DRIVER_PRIORITY = [
     # --- tier 3: r1-stale round-robin (rest rotate in r4)
     "q27_simhash_dedup",
     "q42_seeded_kmeans",
-    "q54_binary_metrics",
 ]
 
 

@@ -1,0 +1,69 @@
+"""Streaming near-duplicate gate: probe each micro-batch of incoming
+documents against a static MinHash index.
+
+The streaming twin of ``operators/dedup.minhash_probe`` (no reference
+analog — its streaming surface is the hourly capture flush,
+`twitter/Execute.scala:58-98`): the production "crawl firehose →
+dedup gate → clean corpus" shape. The index frames are the
+``minhash_index`` output read from parquet — static, signed once —
+and every micro-batch pays only its own signature plus a band
+equi-join, exactly the incremental-cost contract of the batch probe.
+
+``foreachBatch`` is the right tool here, not a stream-stream join:
+the probe pipeline contains windows and multi-stage aggregations that
+Structured Streaming cannot run incrementally, but each micro-batch
+is a finite frame the full batch operator handles verbatim — one
+code path, zero semantic drift between the streaming gate and the
+batch backfill.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+from demy_spark.operators.dedup import minhash_probe
+
+__all__ = ["streaming_near_dup_probe"]
+
+
+def streaming_near_dup_probe(
+    docs_stream: DataFrame,
+    index_bands: DataFrame,
+    index_shingles: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    on_batch: Callable[[DataFrame, int], None],
+):
+    """Start an availableNow stream that runs ``minhash_probe`` over
+    every micro-batch and hands (pairs_df, epoch_id) to ``on_batch``
+    (write to parquet, publish metrics, drop matched ids — caller's
+    choice). Returns the started StreamingQuery; callers own
+    ``awaitTermination``/``processAllAvailable``.
+    """
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        pairs = minhash_probe(
+            index_bands,
+            index_shingles,
+            batch_df,
+            text_col,
+            id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            jaccard_threshold=jaccard_threshold,
+        )
+        on_batch(pairs, epoch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .trigger(availableNow=True)
+        .start()
+    )

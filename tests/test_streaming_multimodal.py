@@ -135,3 +135,44 @@ def test_streaming_curation_matches_batch(spark, sf_dir):
     s = {(r["doc_id"], r["clean"]) for r in got.collect()}
     b = {(r["doc_id"], r["clean"]) for r in curate(batch).collect()}
     assert s == b and len(s) > 0
+
+
+def test_streaming_near_dup_probe_matches_batch(spark, sf_dir, tmp_path):
+    from demy_spark.operators.dedup import minhash_index, minhash_probe
+    from demy_spark.streaming.probe import streaming_near_dup_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx_docs = docs.where("doc_id % 5 != 0")
+    bands_df, shingles_df = minhash_index(idx_docs, "text", "doc_id")
+    bands_df, shingles_df = bands_df.persist(), shingles_df.persist()
+
+    stream_dir = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    assert stream.isStreaming
+
+    got: set = set()
+    q = streaming_near_dup_probe(
+        stream,
+        bands_df,
+        shingles_df,
+        "text",
+        "doc_id",
+        jaccard_threshold=0.5,
+        on_batch=lambda pairs, _e: got.update(
+            (r["batch_id"], r["index_id"], r["jaccard"]) for r in pairs.collect()
+        ),
+    )
+    q.awaitTermination(120)
+
+    want = {
+        (r["batch_id"], r["index_id"], r["jaccard"])
+        for r in minhash_probe(
+            bands_df, shingles_df, docs, "text", "doc_id", jaccard_threshold=0.5
+        ).collect()
+    }
+    assert got == want and got

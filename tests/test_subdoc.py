@@ -80,3 +80,35 @@ def test_duplicated_spans_within_doc_repeat_counts(spark):
 def test_duplicated_spans_short_docs_empty(spark):
     docs = _docs(spark, [(1, "a b c"), (2, "a b c")])
     assert duplicated_spans(docs, "doc_id", "text", k=5).count() == 0
+
+
+def test_strip_spans_cuts_covered_tokens(spark):
+    shared = "one two three four five six"
+    docs = _docs(
+        spark,
+        [
+            (1, f"{shared} tail words here only once"),
+            (2, f"prefix {shared}"),
+        ],
+    )
+    from demy_spark.operators.subdoc import strip_duplicated_spans
+
+    out = {
+        r["doc_id"]: r
+        for r in strip_duplicated_spans(docs, "doc_id", "text", k=5).collect()
+    }
+    assert out[1]["text_clean"] == "tail words here only once"
+    assert out[1]["n_tokens"] == 11 and out[1]["tokens_removed"] == 6
+    assert out[2]["text_clean"] == "prefix"
+    assert out[2]["tokens_removed"] == 6
+
+
+def test_strip_spans_keeps_clean_docs_intact(spark):
+    from demy_spark.operators.subdoc import strip_duplicated_spans
+
+    docs = _docs(spark, [(1, "Totally Unique Words Here"), (2, "other stuff")])
+    out = {r["doc_id"]: r for r in strip_duplicated_spans(docs, "doc_id", "text").collect()}
+    # normalization lowercases, but nothing is removed
+    assert out[1]["text_clean"] == "totally unique words here"
+    assert out[1]["tokens_removed"] == 0
+    assert len(out) == 2
