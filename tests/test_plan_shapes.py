@@ -44,6 +44,7 @@ PLANNABLE = [
     "q97_duplicated_spans",
     "q98_lm_quality",
     "q99_dsir_select",
+    "q102_strip_spans",
 ]
 
 
