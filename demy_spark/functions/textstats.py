@@ -36,6 +36,17 @@ def tokens_ws(c: Column | str) -> Column:
     return F.array_remove(F.split(F.trim(_as_col(c)), _WORD_SPLIT), "")
 
 
+def norm_tokens(c: Column | str) -> Column:
+    """Single-space tokens of the trimmed, lowercased text — THE
+    oracle-contract normalization (`string_split(trim(lower(text)),
+    ' ')` on the DuckDB side). Deliberately NOT ``tokens_ws`` (which
+    splits on \\s+): the two differ on tab/newline-separated tokens,
+    and every operator whose values feed a DuckDB oracle must use this
+    one so both engines tokenize identically on ANY input, not just
+    the single-spaced fixtures."""
+    return F.array_remove(F.split(F.trim(F.lower(_as_col(c))), " "), "")
+
+
 def token_count(c: Column | str) -> Column:
     """Whitespace token count (long)."""
     return F.size(tokens_ws(c)).cast("long")

@@ -47,12 +47,12 @@ __all__ = [
 
 
 def _norm_tokens(text: Column) -> Column:
-    """Single-space tokens of the lowercased, trimmed text — the exact
-    normalization the DuckDB oracles replay (`string_split(trim(
-    lower(text)), ' ')`). Deliberately NOT `textstats.tokens_ws`
-    (which splits on \\s+): the oracle contract is the single-space
-    split, and the two differ on tab/newline-separated tokens."""
-    return F.array_remove(F.split(F.trim(F.lower(text)), " "), "")
+    """Back-compat alias of ``functions.textstats.norm_tokens`` — the
+    single-space oracle-contract tokenization now lives there so every
+    oracle-backed operator shares ONE definition."""
+    from demy_spark.functions.textstats import norm_tokens
+
+    return norm_tokens(text)
 
 
 def shingle_hashes(text: Column, n: int = 3) -> Column:

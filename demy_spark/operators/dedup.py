@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from demy_spark.functions.textstats import fingerprint, rolling_hash_shingles, tokens_ws
+from demy_spark.functions.textstats import (
+    fingerprint,
+    norm_tokens,
+    rolling_hash_shingles,
+    tokens_ws,
+)
 
 
 def _md5_long(s: Column, start: int, length: int = 15) -> Column:
@@ -57,7 +62,10 @@ def _shingle_rows(
     hash partitioning, so the whole dedup pipeline shuffles the corpus
     exactly once."""
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    toks = F.array_remove(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), "")
+    # single-space split (textstats.norm_tokens contract), NOT \s+:
+    # the dedup oracles tokenize with string_split(trim(lower), ' '),
+    # and shingle hashes must match bit-for-bit on ANY input
+    toks = norm_tokens(F.col(text_col))
     t = (
         df.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col).alias("_id_"), F.posexplode(toks).alias("_pos_", "_w_"))
@@ -140,7 +148,13 @@ def minhash_lsh_dedup(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     banded, base = _minhash_bands(
-        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        persist=True,
     )
 
     a, b = banded.alias("a"), banded.alias("b")
@@ -165,14 +179,24 @@ def _minhash_bands(
     num_hashes: int,
     bands: int,
     shingle_k: int,
+    persist: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The shared MinHash signature pipeline: returns (banded, base)
-    where ``banded`` = (_id_, _band_, _key_) — persisted, since every
-    caller joins it at least twice — and ``base`` = (_id_, _sh_)
-    distinct shingle sets for exact-Jaccard verification.
+    where ``banded`` = (_id_, _band_, _key_) and ``base`` = (_id_,
+    _sh_) distinct shingle sets for exact-Jaccard verification.
+
+    ``persist=True`` caches both frames — right for
+    ``minhash_lsh_dedup``, whose bucket SELF-join reads ``banded``
+    once per side. Callers that consume each frame once per action
+    (``minhash_index`` writes them out; ``minhash_probe`` runs from a
+    streaming foreachBatch where an unreleased cache leaks per
+    micro-batch) leave it False and accept one extra scan of their
+    own (batch-sized) input instead.
     """
     rows_per_band = num_hashes // bands
-    sh_rows = _shingle_rows(df, text_col, id_col, shingle_k, with_h2=True).persist()
+    sh_rows = _shingle_rows(df, text_col, id_col, shingle_k, with_h2=True)
+    if persist:
+        sh_rows = sh_rows.persist()
     # shingle sets per doc, for exact-jaccard verification of candidates
     # (groupBy reuses sh_rows' partitioning — no extra shuffle)
     base = sh_rows.groupBy("_id_").agg(F.collect_set("_s_").alias("_sh_"))
@@ -219,16 +243,15 @@ def _minhash_bands(
             ).alias("_slot_")
         )
     )
-    # persisted: the bucket self-join below would otherwise re-execute
-    # the whole signature pipeline once per join side (band rows are
-    # a few longs per doc — far smaller than the shingle sets)
-    banded = (
-        slots.groupBy(
-            "_id_", (F.col("_i_") / rows_per_band).cast("int").alias("_band_")
-        )
-        .agg(F.sort_array(F.collect_list(F.struct("_i_", "_slot_"))).alias("_key_"))
-        .persist()
-    )
+    # persist=True: the dedup bucket self-join would otherwise
+    # re-execute the whole signature pipeline once per join side
+    # (band rows are a few longs per doc — far smaller than the
+    # shingle sets)
+    banded = slots.groupBy(
+        "_id_", (F.col("_i_") / rows_per_band).cast("int").alias("_band_")
+    ).agg(F.sort_array(F.collect_list(F.struct("_i_", "_slot_"))).alias("_key_"))
+    if persist:
+        banded = banded.persist()
     return banded, base
 
 

@@ -46,17 +46,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from demy_spark.functions.textstats import norm_tokens as _tokens
 from demy_spark.operators.dedup import _md5_long
 
 __all__ = ["bigram_lm_scores", "dsir_scores"]
 
 _MICRO = 1_000_000
-
-
-def _tokens(text_col: str):
-    """Single-space tokens of the trimmed, lowercased text — the
-    normalization the DuckDB oracles replay (curation._norm_tokens)."""
-    return F.array_remove(F.split(F.trim(F.lower(F.col(text_col))), " "), "")
 
 
 def _micro_nats(x) -> F.Column:
@@ -85,7 +80,14 @@ def bigram_lm_scores(
     (double, micro-nat total / n / 1e6).
     """
     tr_toks = train.select(F.explode(_tokens(text_col)).alias("_w_"))
-    uni = tr_toks.groupBy("_w_").agg(F.count(F.lit(1)).alias("_c1_"))
+    # unigram counts keyed by the same 60-bit hash the bigram join
+    # uses: a narrow fixed-width shuffle key (and the oracle joins on
+    # the identical md5 slice, so even hash collisions agree)
+    uni = (
+        tr_toks.groupBy("_w_")
+        .agg(F.count(F.lit(1)).alias("_c1_"))
+        .select(_md5_long(F.col("_w_"), 1).alias("_hw_"), "_c1_")
+    )
     vocab_n = uni.agg(F.count(F.lit(1)).alias("_v_"))
 
     def bigram_rows(df: DataFrame, with_id: bool) -> DataFrame:
@@ -122,12 +124,12 @@ def bigram_lm_scores(
     probe = bigram_rows(score, with_id=True).select(
         "_id_",
         _md5_long(F.concat_ws(" ", "_w1_", "_w2_"), 1).alias("_h2_"),
-        F.col("_w1_"),
+        _md5_long(F.col("_w1_"), 1).alias("_hw_"),
     )
     k = F.lit(float(add_k))
     scored = (
         probe.join(bi, "_h2_", "left")
-        .join(uni.withColumnRenamed("_w_", "_w1_"), "_w1_", "left")
+        .join(uni, "_hw_", "left")
         .crossJoin(vocab_n)
         .select(
             "_id_",
@@ -198,9 +200,11 @@ def dsir_scores(
     ct = buckets(target, with_id=False).groupBy("_b_").agg(
         F.count(F.lit(1)).alias("_ct_")
     )
-    cr = buckets(raw, with_id=False).groupBy("_b_").agg(
-        F.count(F.lit(1)).alias("_cr_")
-    )
+    # ONE tokenize+hash pass over the raw corpus feeds both the cr
+    # counts and the per-doc probe below (persisted: two DAG branches
+    # — without it the dominant corpus scan runs twice per action)
+    raw_keyed = buckets(raw, with_id=True).persist()
+    cr = raw_keyed.groupBy("_b_").agg(F.count(F.lit(1)).alias("_cr_"))
     nt = ct.agg(F.sum("_ct_").alias("_nt_"))
     nr = cr.agg(F.sum("_cr_").alias("_nr_"))
     # n_buckets-row frame of integer micro-nat log ratios: constant
@@ -224,7 +228,7 @@ def dsir_scores(
         )
     )
     return (
-        buckets(raw, with_id=True)
+        raw_keyed
         .join(F.broadcast(llr), "_b_", "left")
         .groupBy("_id_")
         .agg(

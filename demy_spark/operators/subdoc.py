@@ -42,6 +42,7 @@ import re
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from demy_spark.functions.textstats import norm_tokens
 from demy_spark.operators.dedup import _md5_long
 
 __all__ = ["line_dedup", "duplicated_spans", "strip_duplicated_spans"]
@@ -56,8 +57,10 @@ def line_dedup(
     max_docs: int = 1,
 ) -> DataFrame:
     """Remove lines that appear in more than ``max_docs`` distinct
-    documents; returns one row per input document with the cleaned
-    text and removal counters.
+    documents; returns one row per document that has at least one
+    non-blank line (documents consisting solely of blank lines carry
+    no content and drop out with them), with the cleaned text and
+    removal counters.
 
     A "line" is a ``delim``-separated segment; its identity is the
     trimmed, lowercased form (hashed to 60 bits for the shuffle key).
@@ -135,8 +138,8 @@ def duplicated_spans(
     """Maximal per-document token spans covered by ``k``-grams whose
     total occurrence count across the corpus reaches ``min_count``.
 
-    Tokens are the whitespace-split, lowercased words; positions are
-    0-based. A repeated gram at position ``p`` covers positions
+    Tokens are the single-space-split, lowercased words (the
+    ``textstats.norm_tokens`` oracle contract); positions are 0-based. A repeated gram at position ``p`` covers positions
     ``[p, p+k-1]``; overlapping / adjacent covered positions merge
     into one span. Within-document repeats count toward
     ``min_count`` (matching exact-substring dedup semantics, where a
@@ -145,7 +148,9 @@ def duplicated_spans(
     Output: one row per span — ``id_col``, ``span_start``,
     ``span_end`` (inclusive), ``span_tokens``.
     """
-    covered = _covered_positions(docs, id_col, text_col, k=k, min_count=min_count)
+    covered = _covered_positions(
+        _token_rows(docs, id_col, text_col), k=k, min_count=min_count
+    )
     wi = Window.partitionBy("_id_").orderBy("_cov_")
     islands = covered.withColumn(
         "_grp_", F.col("_cov_") - F.row_number().over(wi)
@@ -163,18 +168,25 @@ def duplicated_spans(
     )
 
 
+def _token_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id_, _pos_, _w_) exploded tokens under the single-space
+    oracle-contract normalization (textstats.norm_tokens)."""
+    return docs.select(
+        F.col(id_col).alias("_id_"),
+        F.posexplode(norm_tokens(F.col(text_col))).alias("_pos_", "_w_"),
+    )
+
+
 def _covered_positions(
-    docs: DataFrame, id_col: str, text_col: str, *, k: int, min_count: int
+    t: DataFrame, *, k: int, min_count: int
 ) -> DataFrame:
     """(_id_, _cov_) distinct token positions covered by corpus-repeated
-    k-grams — the shared discovery stage of ``duplicated_spans`` and
-    ``strip_duplicated_spans``."""
+    k-grams, from a ``_token_rows`` frame — the shared discovery stage
+    of ``duplicated_spans`` and ``strip_duplicated_spans`` (the latter
+    passes the same frame to its strip join, so the corpus tokenizes
+    once)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    toks = F.array_remove(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), "")
-    t = docs.select(
-        F.col(id_col).alias("_id_"), F.posexplode(toks).alias("_pos_", "_w_")
-    )
     w = Window.partitionBy("_id_").orderBy("_pos_")
     parts = [F.col("_w_")] + [F.lead("_w_", j).over(w) for j in range(1, k)]
     grams = t.select(
@@ -215,9 +227,11 @@ def strip_duplicated_spans(
     corpus-repeated ``k``-gram are removed and the survivors re-joined
     with single spaces in original order.
 
-    Every input document survives in the output (possibly with empty
-    ``text_clean``). Output: ``id_col``, ``text_clean``, ``n_tokens``
-    (pre-strip), ``tokens_removed``.
+    Every document with at least one token survives in the output,
+    even when the strip removes everything (empty ``text_clean``);
+    token-less documents drop out with their tokens. Output:
+    ``id_col``, ``text_clean``, ``n_tokens`` (pre-strip),
+    ``tokens_removed``.
 
     Scale shape: coverage discovery is ``_covered_positions`` (one
     gram-count shuffle + a co-keyed semi-join, fan-out bounded by
@@ -227,19 +241,22 @@ def strip_duplicated_spans(
     order-independent under any partial-aggregation schedule, no
     per-document window.
     """
-    toks = F.array_remove(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), "")
-    t = docs.select(
-        F.col(id_col).alias("_id_"), F.posexplode(toks).alias("_pos_", "_w_")
+    # one tokenize+explode scan feeds BOTH the coverage discovery and
+    # the strip join (persisted: two DAG branches consume it)
+    t = _token_rows(docs, id_col, text_col).persist()
+    # renamed output columns: covered derives from t, so keeping _id_
+    # would make the join a self-join with ambiguous attributes
+    covered = _covered_positions(t, k=k, min_count=min_count).select(
+        F.col("_id_").alias("_cid_"),
+        F.col("_cov_").alias("_cpos_"),
+        F.lit(True).alias("_rm_"),
     )
-    covered = _covered_positions(
-        docs, id_col, text_col, k=k, min_count=min_count
-    ).withColumn("_rm_", F.lit(True))
     marked = t.join(
         covered,
-        (t["_id_"] == covered["_id_"]) & (t["_pos_"] == covered["_cov_"]),
+        (F.col("_id_") == F.col("_cid_")) & (F.col("_pos_") == F.col("_cpos_")),
         "left",
     ).select(
-        t["_id_"].alias("_id_"),
+        "_id_",
         "_pos_",
         "_w_",
         F.coalesce(F.col("_rm_"), F.lit(False)).alias("_rm_"),

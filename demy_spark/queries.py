@@ -5918,15 +5918,15 @@ _Q98_PAIRS_SQL = "[tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]"
     WITH tr AS (SELECT {_TOKS_SQL} AS tk FROM documents WHERE doc_id % 5 <> 0),
     sc AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents WHERE doc_id % 5 = 0),
     uni AS (
-      SELECT w, count(*) AS c1
-      FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY 1),
+      SELECT {_md5_long_sql("w", 1)} AS hw, count(*) AS c1
+      FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY w),
     voc AS (SELECT count(*) AS v FROM uni),
     bi AS (
       SELECT {_md5_long_sql("bg", 1)} AS h2, count(*) AS c2
       FROM (SELECT unnest({_Q98_PAIRS_SQL}) AS bg FROM tr) GROUP BY 1),
     probe AS (
       SELECT doc_id, bg,
-             string_split(bg, ' ')[1] AS w1,
+             {_md5_long_sql("string_split(bg, ' ')[1]", 1)} AS hw,
              {_md5_long_sql("bg", 1)} AS h2
       FROM (SELECT doc_id, unnest({_Q98_PAIRS_SQL}) AS bg FROM sc)),
     terms AS (
@@ -5936,7 +5936,7 @@ _Q98_PAIRS_SQL = "[tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]"
                         * 1000000) AS BIGINT) AS nll
       FROM probe p
       LEFT JOIN bi ON p.h2 = bi.h2
-      LEFT JOIN uni ON p.w1 = uni.w, voc)
+      LEFT JOIN uni ON p.hw = uni.hw, voc)
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
            CAST(sum(nll) AS BIGINT) AS nll_micro,
@@ -6063,13 +6063,20 @@ _Q100_SQL = (
     + _kmeans_round_sql(4, "cent3")
     + """
     rm AS (
+        -- zero-norm guard mirrors semdedup's cos=0 contract (a bare
+        -- list_cosine_similarity returns NaN there, and DuckDB sorts
+        -- NaN above every number, which would flip keep)
         SELECT DISTINCT hi.vec_id AS rm_id
         FROM assign4 lo
         JOIN assign4 hi ON lo.c = hi.c AND lo.vec_id < hi.vec_id
         JOIN corpus ca ON ca.vec_id = lo.vec_id
         JOIN corpus cb ON cb.vec_id = hi.vec_id
-        WHERE list_cosine_similarity(ca.embedding::DOUBLE[],
-                                     cb.embedding::DOUBLE[]) >= 0.95)
+        JOIN vnorm na ON na.vec_id = lo.vec_id
+        JOIN vnorm nb ON nb.vec_id = hi.vec_id
+        WHERE (CASE WHEN na.nx > 0 AND nb.nx > 0
+               THEN list_cosine_similarity(ca.embedding::DOUBLE[],
+                                           cb.embedding::DOUBLE[])
+               ELSE 0 END) >= 0.95)
     SELECT a.vec_id, CAST(a.c AS BIGINT) AS cluster,
            CAST((rm.rm_id IS NULL) AS BIGINT) AS keep
     FROM assign4 a LEFT JOIN rm ON a.vec_id = rm.rm_id
@@ -6222,7 +6229,7 @@ def q102_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-3 window (final): every slot goes to a query with NO
 # driver row at its current code —
-#   1. never-rowed registrations (q74-q101: the round-3 additions,
+#   1. never-rowed registrations (q74-q102: the round-3 additions,
 #      including the late curation/PQ/packing block and the subdoc/
 #      selection/semdedup/incremental-dedup block);
 #   2. behavior changed since the last green row: the cents-
@@ -6232,7 +6239,8 @@ def q102_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   3. the remaining slots round-robin the r1-stale tier (q27, q42);
 #      the other r1/r2-green, code-unchanged queries rotate in
 #      r4 — their standing check this round is the verify-skill driver
-#      simulation (100/100 MATCH at sf0.01) plus the sf0.001 parity
+#      simulation (re-run green at sf0.01 each time the registry grew
+#      — final 102/102 MATCH) plus the sf0.001 parity
 #      suite in tests/.
 _DRIVER_PRIORITY = [
     # --- tier 1: never-rowed (registered this round)
