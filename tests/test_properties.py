@@ -130,3 +130,82 @@ def test_sql_and_python_simplify_agree(spark):
 
     for s in strings:
         assert got[s] == py_simplify(s), repr(s)
+
+
+def test_norm_tokens_matches_duckdb_contract(spark):
+    """textstats.norm_tokens must tokenize EXACTLY like the oracle-side
+    `string_split(trim(lower(text)), ' ')` on adversarial whitespace —
+    tabs, newlines, runs of spaces, unicode — not just the single-
+    spaced fixtures. Every oracle-backed text operator rides on this."""
+    import duckdb
+
+    from demy_spark.functions.textstats import norm_tokens
+
+    texts = [
+        "plain old text",
+        "  leading and trailing  ",
+        "tab\tseparated\ttokens",
+        "newline\nseparated\nlines",
+        "mixed \t \n whitespace   runs",
+        "UPPER Case MiXeD",
+        "",
+        "   ",
+        "\t\n",
+        "accents éèà ünïcode",
+        "a  b   c    d",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", norm_tokens("t").alias("toks")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            "SELECT list_filter(string_split(trim(lower(?)), ' '), x -> x <> '')",
+            [t],
+        ).fetchone()[0]
+        assert got[i] == want, (i, texts[i], got[i], want)
+
+
+def test_strip_spans_consistent_with_span_detection(spark):
+    """The apply step and the detect step must agree on every corpus:
+    per-document tokens_removed == the summed span_tokens, and the
+    cleaned text retokenizes to exactly n_tokens - tokens_removed."""
+    from demy_spark.functions.textstats import norm_tokens
+    from demy_spark.operators.subdoc import duplicated_spans, strip_duplicated_spans
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spans = {
+        r["doc_id"]: r["total"]
+        for r in duplicated_spans(docs, "doc_id", "text", k=5)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("total"))
+        .collect()
+    }
+    stripped = strip_duplicated_spans(docs, "doc_id", "text", k=5)
+    rows = stripped.select(
+        "doc_id",
+        "n_tokens",
+        "tokens_removed",
+        F.size(norm_tokens("text_clean")).alias("n_clean"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["tokens_removed"] == spans.get(r["doc_id"], 0)
+        assert r["n_clean"] == r["n_tokens"] - r["tokens_removed"]
+
+
+def test_line_dedup_is_identity_below_threshold(spark):
+    """With max_docs >= #docs nothing can exceed the frequency bound,
+    so every document must round-trip unchanged (modulo the blank-line
+    drop the contract documents)."""
+    from demy_spark.operators.subdoc import line_dedup
+
+    rows = [(1, "alpha\nbeta\ngamma"), (2, "alpha\nbeta"), (3, "alpha")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(docs, "doc_id", "text", max_docs=3).collect()}
+    for i, text in rows:
+        assert out[i]["text_clean"] == text
+        assert out[i]["n_removed"] == 0
