@@ -43,6 +43,7 @@ __all__ = [
     "canonical_per_cluster",
     "mixture_sample",
     "mixture_targets",
+    "source_overlap_matrix",
 ]
 
 
@@ -268,4 +269,70 @@ def mixture_targets(
             ),
         )
         .select(stratum, F.col("_n_").alias("n_total"), "target")
+    )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    text_col: str,
+    group_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise content-overlap matrix between document groups
+    (sources, dumps, snapshots): for every group pair, the number of
+    shared distinct word ``n``-gram shingles and the Jaccard of the
+    two shingle sets — the corpus "datasheet" a pipeline consults
+    before mixing sources (and the aggregate view of what
+    ``contamination_check`` tests one document at a time).
+
+    Returns (group_a, group_b, shared, n_a, n_b, jaccard) with
+    group_a < group_b; pairs sharing nothing are omitted.
+
+    Scale shape: the corpus reduces to DISTINCT (group, shingle-hash)
+    rows first (one shuffle, map-side combine) — every downstream
+    frame is bounded by that reduction. The pair counts come from a
+    self-join co-keyed on the uniform 60-bit hash whose fan-out per
+    shingle is bounded by the number of groups containing it (G² in
+    the worst case, with G dictionary-sized by contract); per-group
+    totals are a G-row aggregate joined back broadcast-sized.
+    """
+    gs = (
+        docs.select(
+            F.col(group_col).alias("_g_"),
+            F.explode(shingle_hashes(F.col(text_col), n)).alias("_sh_"),
+        )
+        .distinct()
+        .persist()
+    )
+    totals = gs.groupBy("_g_").agg(F.count(F.lit(1)).alias("_n_"))
+    a = gs.select(F.col("_g_").alias("_ga_"), "_sh_")
+    b = gs.select(F.col("_g_").alias("_gb_"), "_sh_")
+    shared = (
+        a.join(b, "_sh_")
+        .where(F.col("_ga_") < F.col("_gb_"))
+        .groupBy("_ga_", "_gb_")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(totals.select(F.col("_g_").alias("_ga_"), F.col("_n_").alias("n_a"))),
+            "_ga_",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("_g_").alias("_gb_"), F.col("_n_").alias("n_b"))),
+            "_gb_",
+        )
+        .select(
+            F.col("_ga_").alias("group_a"),
+            F.col("_gb_").alias("group_b"),
+            "shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
     )

@@ -6226,6 +6226,47 @@ def q102_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q103_source_overlap",
+    f"""
+    WITH gs AS (
+      SELECT DISTINCT source AS g, {_md5_long_sql('s', 1)} AS sh
+      FROM (SELECT source, unnest({_SHINGLES_SQL}) AS s FROM documents)),
+    tot AS (SELECT g, count(*) AS n FROM gs GROUP BY 1),
+    pairs AS (
+      SELECT a.g AS ga, b.g AS gb, count(*) AS shared
+      FROM gs a JOIN gs b ON a.sh = b.sh AND a.g < b.g GROUP BY 1, 2)
+    SELECT ga AS group_a, gb AS group_b,
+           CAST(shared AS BIGINT) AS shared,
+           CAST(ta.n AS BIGINT) AS n_a,
+           CAST(tb.n AS BIGINT) AS n_b,
+           round(shared / (ta.n + tb.n - shared), 6) + 0.0 AS jaccard
+    FROM pairs JOIN tot ta ON pairs.ga = ta.g JOIN tot tb ON pairs.gb = tb.g
+    """,
+)
+def q103_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-overlap contamination matrix (operators/curation.
+    source_overlap_matrix — LLM-pipeline extension; the aggregate view
+    of q86's per-document decontamination): pairwise shared distinct
+    word-trigram shingles and Jaccard between every pair of the 20
+    sources — the corpus datasheet consulted before mixing. The corpus
+    reduces to DISTINCT (source, shingle) rows before the co-keyed
+    self-join, whose per-shingle fan-out is bounded by the number of
+    sources; per-source totals join back broadcast."""
+    from demy_spark.operators.curation import source_overlap_matrix
+
+    t = _t(spark, sf_dir)
+    out = source_overlap_matrix(t["documents"], "text", "source", n=3)
+    return out.select(
+        "group_a",
+        "group_b",
+        F.col("shared").cast("long").alias("shared"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (F.col("jaccard") + F.lit(0.0)).alias("jaccard"),
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-3 window (final): every slot goes to a query with NO
 # driver row at its current code —
@@ -6236,8 +6277,8 @@ def q102_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      determinized money queries, the fuzzy trio under the default
 #      max_df bound, q47 after the TakeOrdered sampling change, and
 #      q26 after the _minhash_bands refactor;
-#   3. the remaining slots round-robin the r1-stale tier (q27, q42);
-#      the other r1/r2-green, code-unchanged queries rotate in
+#   3. the remaining slot round-robins the r1-stale tier (q27); the
+#      other r1/r2-green, code-unchanged queries rotate in
 #      r4 — their standing check this round is the verify-skill driver
 #      simulation (re-run green at sf0.01 each time the registry grew
 #      — final 102/102 MATCH) plus the sf0.001 parity
@@ -6274,6 +6315,7 @@ _DRIVER_PRIORITY = [
     "q100_semdedup",
     "q101_incremental_dedup",
     "q102_strip_spans",
+    "q103_source_overlap",
     # --- tier 2: behavior changed since the last green row
     "q57_time_rollup",
     "q12_events_hourly",
@@ -6295,7 +6337,6 @@ _DRIVER_PRIORITY = [
     "q26_minhash_dedup",
     # --- tier 3: r1-stale round-robin (rest rotate in r4)
     "q27_simhash_dedup",
-    "q42_seeded_kmeans",
 ]
 
 

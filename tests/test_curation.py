@@ -153,3 +153,24 @@ def test_mixture_sample_invariants_across_configs(spark):
             assert r.s in weights
             assert r["count"] == min(r["target"], avail[r.s])
         assert sum(r["count"] for r in got) <= total
+
+
+def test_source_overlap_matrix_counts(spark):
+    from demy_spark.operators.curation import source_overlap_matrix
+
+    rows = [
+        (1, "srcA", "a b c d"),      # trigrams: abc, bcd
+        (2, "srcA", "a b c"),        # abc (dup within group collapses)
+        (3, "srcB", "a b c x"),      # abc, bcx
+        (4, "srcC", "q r s t"),      # qrs, rst — disjoint
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in source_overlap_matrix(docs, "text", "source").collect()
+    }
+    ab = out[("srcA", "srcB")]
+    assert ab["shared"] == 1 and ab["n_a"] == 2 and ab["n_b"] == 2
+    assert abs(ab["jaccard"] - 1 / 3) < 1e-6
+    # disjoint pairs are omitted entirely
+    assert ("srcA", "srcC") not in out and ("srcB", "srcC") not in out
