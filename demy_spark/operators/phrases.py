@@ -1,0 +1,145 @@
+"""Iterative phrase-pair merging (word2phrase-style collocation
+mining): repeatedly merge the corpus-wide most frequent adjacent token
+pair into a single phrase token.
+
+The canonical preprocessing step in the word2vec lineage (the
+reference trains Word2Vec — `mllib/src/main/scala/text/Word2VecApplier.scala`
+— on whitespace tokens; phrase merging is how `new york` becomes the
+single token `new@@york` before training). It is also the word-level
+skeleton of BPE tokenizer training: count adjacent pairs, merge the
+argmax, repeat.
+
+Design (both engines of the oracle gate replay it bit-for-bit):
+- Everything stays in-plan — the per-iteration argmax is a 1-row
+  ``orderBy(count desc, pair asc).limit(1)`` frame cross-joined onto
+  the token stream, NOT a driver-side collect, so ``iterations``
+  chains one growing lazy plan.
+- Merges apply left-to-right without overlap. For a self-adjacent
+  pair (w,w) inside a run of equal tokens, the classic convention is
+  to merge greedily from the run's start — position parity inside the
+  matched-run island decides (for w1 != w2, two adjacent positions
+  can never both match, so islands are singletons and the parity rule
+  keeps everything — one uniform code path).
+- After each merge the row domain is re-compacted with a per-document
+  row_number, which both engines compute identically.
+
+Scale notes: per iteration — one pair-count aggregation (map-side
+combined, shuffle carries (pair, count) rows), a TakeOrdered argmax,
+and per-document windows over the token stream; no driver state, no
+global window, no array materialization of the corpus. Cost is
+O(iterations × corpus tokens); real tokenizer training runs a bounded
+iteration count by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from demy_spark.functions.textstats import norm_tokens
+
+__all__ = ["phrase_merges"]
+
+
+def phrase_merges(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    iterations: int = 3,
+    joiner: str = "@@",
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``iterations`` greedy pair merges over the corpus.
+
+    Returns ``(merges, tokens)``:
+    - ``merges`` — one row per iteration: (iteration, w1, w2,
+      pair_count, tokens_after); ties on pair_count break to the
+      lexicographically smallest (w1, w2).
+    - ``tokens`` — the final token stream (``id_col``, pos, token)
+      with merged phrases joined by ``joiner``.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    t = docs.select(
+        F.col(id_col).alias("_id_"),
+        F.posexplode(norm_tokens(F.col(text_col))).alias("_p_", "_w_"),
+    )
+    merge_rows: list[DataFrame] = []
+    wdoc = Window.partitionBy("_id_").orderBy("_p_")
+    for it in range(1, iterations + 1):
+        paired = t.withColumn("_wn_", F.lead("_w_").over(wdoc))
+        counts = (
+            paired.where(F.col("_wn_").isNotNull())
+            .groupBy("_w_", "_wn_")
+            .agg(F.count(F.lit(1)).alias("_cnt_"))
+        )
+        best = (
+            counts.orderBy(
+                F.col("_cnt_").desc(), F.col("_w_").asc(), F.col("_wn_").asc()
+            )
+            .limit(1)
+            .select(
+                F.col("_w_").alias("_w1_"),
+                F.col("_wn_").alias("_w2_"),
+                F.col("_cnt_").alias("_bcnt_"),
+            )
+        )
+        cand = paired.join(F.broadcast(best)).withColumn(
+            "_m_",
+            # isNotNull FIRST: the doc-final token has a NULL lead and
+            # null & true would poison the keep/gone chain downstream
+            F.col("_wn_").isNotNull()
+            & (F.col("_w_") == F.col("_w1_"))
+            & (F.col("_wn_") == F.col("_w2_")),
+        )
+        # left-to-right non-overlap: inside each island of consecutive
+        # matched positions, keep every other match starting from the
+        # island head (only self-adjacent pairs form islands > 1)
+        wm = Window.partitionBy("_id_", "_m_").orderBy("_p_")
+        cand = cand.withColumn(
+            "_isl_", F.when(F.col("_m_"), F.col("_p_") - F.row_number().over(wm))
+        )
+        wi = Window.partitionBy("_id_", "_isl_")
+        cand = cand.withColumn(
+            "_keep_",
+            F.col("_m_")
+            & (((F.col("_p_") - F.min("_p_").over(wi)) % 2) == 0),
+        )
+        # a position is dropped when the PREVIOUS position merged it
+        cand = cand.withColumn("_gone_", F.lag("_keep_", 1, False).over(wdoc))
+        emitted = cand.where(~F.col("_gone_")).select(
+            "_id_",
+            "_p_",
+            F.when(
+                F.col("_keep_"),
+                F.concat_ws(joiner, F.col("_w_"), F.col("_wn_")),
+            )
+            .otherwise(F.col("_w_"))
+            .alias("_w_"),
+        )
+        # re-compact positions so the next iteration's lead() sees
+        # adjacency across the merge (row domain, same as the oracle)
+        t = emitted.select(
+            "_id_",
+            (F.row_number().over(wdoc) - 1).alias("_p_"),
+            "_w_",
+        )
+        after = t.agg(F.count(F.lit(1)).alias("tokens_after"))
+        merge_rows.append(
+            best.crossJoin(after).select(
+                F.lit(it).alias("iteration"),
+                F.col("_w1_").alias("w1"),
+                F.col("_w2_").alias("w2"),
+                F.col("_bcnt_").alias("pair_count"),
+                "tokens_after",
+            )
+        )
+    merges = merge_rows[0]
+    for m in merge_rows[1:]:
+        merges = merges.unionAll(m)
+    tokens = t.select(
+        F.col("_id_").alias(id_col),
+        F.col("_p_").alias("pos"),
+        F.col("_w_").alias("token"),
+    )
+    return merges, tokens

@@ -6267,6 +6267,99 @@ def q103_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _merge_round_sql(i: int) -> str:
+    """One phrase-merge round as CTE fragments (operators/phrases
+    twin): pair counts over t{i-1}, argmax pair, parity-island
+    non-overlap merge, re-compacted t{i}."""
+    prev = f"t{i - 1}"
+    return f"""
+    paired{i} AS (
+        SELECT *, lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS wn
+        FROM {prev}),
+    best{i} AS (
+        SELECT w AS w1, wn AS w2, count(*) AS cnt
+        FROM paired{i} WHERE wn IS NOT NULL
+        GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 1),
+    cand{i} AS (
+        SELECT c.doc_id, c.p, c.w, c.wn,
+               (c.wn IS NOT NULL AND c.w = b.w1 AND c.wn = b.w2) AS m
+        FROM paired{i} c, best{i} b),
+    isl{i} AS (
+        SELECT *, CASE WHEN m THEN p - row_number()
+                 OVER (PARTITION BY doc_id, m ORDER BY p) END AS isl
+        FROM cand{i}),
+    keepf{i} AS (
+        SELECT *, m AND ((p - min(p) OVER (PARTITION BY doc_id, isl)) % 2 = 0)
+                 AS keep
+        FROM isl{i}),
+    gone{i} AS (
+        SELECT *, coalesce(lag(keep) OVER (PARTITION BY doc_id ORDER BY p),
+                           false) AS gone
+        FROM keepf{i}),
+    emit{i} AS (
+        SELECT doc_id, p,
+               CASE WHEN keep THEN w || '@@' || wn ELSE w END AS w
+        FROM gone{i} WHERE NOT gone),
+    t{i} AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS p, w
+        FROM emit{i}),
+    after{i} AS (SELECT count(*) AS tokens_after FROM t{i}),"""
+
+
+_Q104_SQL = (
+    f"""
+    WITH t0 AS (
+      SELECT doc_id, generate_subscripts(tk, 1) - 1 AS p, unnest(tk) AS w
+      FROM (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents)),"""
+    + _merge_round_sql(1)
+    + _merge_round_sql(2)
+    + _merge_round_sql(3)
+    + """
+    m AS (
+      SELECT 1 AS iteration, w1, w2, CAST(cnt AS BIGINT) AS pair_count,
+             (SELECT CAST(tokens_after AS BIGINT) FROM after1) AS tokens_after
+      FROM best1
+      UNION ALL
+      SELECT 2, w1, w2, CAST(cnt AS BIGINT),
+             (SELECT CAST(tokens_after AS BIGINT) FROM after2) FROM best2
+      UNION ALL
+      SELECT 3, w1, w2, CAST(cnt AS BIGINT),
+             (SELECT CAST(tokens_after AS BIGINT) FROM after3) FROM best3)
+    SELECT CAST(iteration AS BIGINT) AS iteration, w1, w2, pair_count,
+           tokens_after
+    FROM m
+    """
+)
+
+
+@register("q104_phrase_merges", _Q104_SQL)
+def q104_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative phrase-pair merging (operators/phrases.phrase_merges
+    — word2phrase-style collocation mining, the preprocessing the
+    reference's Word2Vec surface trains on, and the word-level
+    skeleton of BPE tokenizer training): 3 greedy rounds of
+    merge-the-most-frequent-adjacent-pair over the corpus, everything
+    in-plan (argmax is a 1-row TakeOrdered frame cross-joined back,
+    never a driver collect; non-overlap via parity-island windows per
+    document). The oracle unrolls all 3 rounds as CTEs and reproduces
+    pair counts, tie-breaks, merge placement and the re-compacted
+    token stream bit-for-bit."""
+    from demy_spark.operators.phrases import phrase_merges
+
+    t = _t(spark, sf_dir)
+    merges, _tokens = phrase_merges(
+        t["documents"], "doc_id", "text", iterations=3
+    )
+    return merges.select(
+        F.col("iteration").cast("long").alias("iteration"),
+        "w1",
+        "w2",
+        F.col("pair_count").cast("long").alias("pair_count"),
+        F.col("tokens_after").cast("long").alias("tokens_after"),
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-3 window (final): every slot goes to a query with NO
 # driver row at its current code —
@@ -6277,11 +6370,11 @@ def q103_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      determinized money queries, the fuzzy trio under the default
 #      max_df bound, q47 after the TakeOrdered sampling change, and
 #      q26 after the _minhash_bands refactor;
-#   3. the remaining slot round-robins the r1-stale tier (q27); the
+#   3. every remaining slot is taken by never-rowed registrations; the
 #      other r1/r2-green, code-unchanged queries rotate in
 #      r4 — their standing check this round is the verify-skill driver
 #      simulation (re-run green at sf0.01 each time the registry grew
-#      — final 102/102 MATCH) plus the sf0.001 parity
+#      — final 104/104 MATCH) plus the sf0.001 parity
 #      suite in tests/.
 _DRIVER_PRIORITY = [
     # --- tier 1: never-rowed (registered this round)
@@ -6316,6 +6409,7 @@ _DRIVER_PRIORITY = [
     "q101_incremental_dedup",
     "q102_strip_spans",
     "q103_source_overlap",
+    "q104_phrase_merges",
     # --- tier 2: behavior changed since the last green row
     "q57_time_rollup",
     "q12_events_hourly",
@@ -6335,8 +6429,6 @@ _DRIVER_PRIORITY = [
     "q51_fuzzy_standard",
     "q47_genetic_prototypes",
     "q26_minhash_dedup",
-    # --- tier 3: r1-stale round-robin (rest rotate in r4)
-    "q27_simhash_dedup",
 ]
 
 

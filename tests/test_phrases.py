@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+from demy_spark.operators.phrases import phrase_merges
+
+
+def _run(spark, rows, iterations=3):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, tokens = phrase_merges(docs, "doc_id", "text", iterations=iterations)
+    m = [
+        (r["iteration"], r["w1"], r["w2"], r["pair_count"], r["tokens_after"])
+        for r in merges.orderBy("iteration").collect()
+    ]
+    t = {
+        d: [
+            r["token"]
+            for r in sorted(rows_t, key=lambda r: r["pos"])
+        ]
+        for d, rows_t in _group(tokens.collect())
+    }
+    return m, t
+
+
+def _group(rows):
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r["doc_id"], []).append(r)
+    return out.items()
+
+
+def test_phrase_merges_greedy_argmax_chain(spark):
+    m, t = _run(
+        spark,
+        [
+            (1, "new york is big new york is old"),
+            (2, "in new york new york wins"),
+        ],
+    )
+    # round 1: (new, york) x4; round 2: (new@@york, is) x2 —
+    # merged tokens participate in later rounds
+    assert m[0][:4] == (1, "new", "york", 4)
+    assert m[1][:4] == (2, "new@@york", "is", 2)
+    assert t[1][0] == "new@@york@@is"
+    assert t[2][1] == "new@@york"
+
+
+def test_phrase_merges_self_adjacent_run_parity(spark):
+    # "a a a a a": pairs (a,a) x4; greedy left-to-right merges at
+    # positions 0 and 2, leaving the odd tail unmerged
+    m, t = _run(spark, [(1, "a a a a a")], iterations=1)
+    assert m[0][:4] == (1, "a", "a", 4)
+    assert t[1] == ["a@@a", "a@@a", "a"]
+
+
+def test_phrase_merges_tie_breaks_lexicographic(spark):
+    # (b c) and (a b)? craft equal counts: "b c" x2 and "x y" x2 —
+    # tie on count 2 -> lexicographically smallest pair wins
+    m, _ = _run(spark, [(1, "b c d b c"), (2, "x y z x y")], iterations=1)
+    assert m[0][1:3] == ("b", "c")
+
+
+def test_phrase_merges_token_count_bookkeeping(spark):
+    m, t = _run(spark, [(1, "p q p q")], iterations=1)
+    # 4 tokens, 2 merges -> 2 tokens after
+    assert m[0][3] == 2 and m[0][4] == 2
+    assert t[1] == ["p@@q", "p@@q"]
