@@ -118,12 +118,16 @@ def phrase_merges(
             .alias("_w_"),
         )
         # re-compact positions so the next iteration's lead() sees
-        # adjacency across the merge (row domain, same as the oracle)
+        # adjacency across the merge (row domain, same as the oracle);
+        # localCheckpoint truncates the per-round lineage — without it
+        # the merges/tokens_after union branches re-execute every
+        # earlier round's window chain once per branch (measured 2.5×
+        # wall at 10× data), and the plan depth grows per iteration
         t = emitted.select(
             "_id_",
             (F.row_number().over(wdoc) - 1).alias("_p_"),
             "_w_",
-        )
+        ).localCheckpoint(eager=False)
         after = t.agg(F.count(F.lit(1)).alias("tokens_after"))
         merge_rows.append(
             best.crossJoin(after).select(
