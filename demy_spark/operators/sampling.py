@@ -86,3 +86,34 @@ def bottom_k_sample(
         .where(F.col("_rk_") <= k)
         .drop("_rk_")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight: Column | str,
+    n: int,
+    *,
+    salt: int = 0,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES): each row draws u = knuth_unit(key, salt) and scores
+    ``u ** (1/w)``; the ``n`` highest scores are the sample. Inclusion
+    probability is proportional to weight, yet the draw is a PURE
+    FUNCTION of (key, salt) — re-runs and other engines select the
+    same rows, the property that makes a weighted training mixture
+    auditable. Rows with weight <= 0 are excluded (zero mass).
+
+    Adds ``_es_key_`` (the selection score) to the output. Selection
+    compiles to TakeOrderedAndProject (distributed per-partition
+    top-n, no global sort); ties break on the id key.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = knuth_unit(F.col(key), salt=salt)
+    score = F.pow(u, F.lit(1.0) / w.cast("double"))
+    return (
+        df.where(w > 0)
+        .withColumn("_es_key_", score)
+        .orderBy(F.col("_es_key_").desc(), F.col(key).asc())
+        .limit(n)
+    )

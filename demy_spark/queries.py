@@ -6360,10 +6360,43 @@ def q104_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q105_weighted_sample",
+    """
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             pow(((doc_id * 2654435761) % 4294967296) / 4294967296.0,
+                 1.0 / n_chars) AS es_key
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, n_chars, round(es_key, 6) + 0.0 AS es_key
+    FROM scored
+    ORDER BY scored.es_key DESC, doc_id
+    LIMIT 80
+    """,
+)
+def q105_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators/sampling.
+    weighted_sample — Efraimidis-Spirakis A-ES on the deterministic
+    Knuth-hash unit draw; the reference samples with nondeterministic
+    rand(), `tuning/RandomSplit.scala:30-33`): inclusion probability
+    proportional to n_chars, selection a pure function of doc_id, so
+    the oracle re-draws the identical 80 rows. Compiles to
+    TakeOrderedAndProject — distributed top-n, no global sort."""
+    from demy_spark.operators.sampling import weighted_sample
+
+    t = _t(spark, sf_dir)
+    out = weighted_sample(t["documents"], "doc_id", "n_chars", 80)
+    return out.select(
+        "doc_id",
+        "n_chars",
+        (F.round(F.col("_es_key_"), 6) + F.lit(0.0)).alias("es_key"),
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-3 window (final): every slot goes to a query with NO
 # driver row at its current code —
-#   1. never-rowed registrations (q74-q102: the round-3 additions,
+#   1. never-rowed registrations (q74-q105: the round-3 additions,
 #      including the late curation/PQ/packing block and the subdoc/
 #      selection/semdedup/incremental-dedup block);
 #   2. behavior changed since the last green row: the cents-
@@ -6374,7 +6407,7 @@ def q104_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      other r1/r2-green, code-unchanged queries rotate in
 #      r4 — their standing check this round is the verify-skill driver
 #      simulation (re-run green at sf0.01 each time the registry grew
-#      — final 104/104 MATCH) plus the sf0.001 parity
+#      — final 105/105 MATCH) plus the sf0.001 parity
 #      suite in tests/.
 _DRIVER_PRIORITY = [
     # --- tier 1: never-rowed (registered this round)
@@ -6410,6 +6443,7 @@ _DRIVER_PRIORITY = [
     "q102_strip_spans",
     "q103_source_overlap",
     "q104_phrase_merges",
+    "q105_weighted_sample",
     # --- tier 2: behavior changed since the last green row
     "q57_time_rollup",
     "q12_events_hourly",
@@ -6421,7 +6455,9 @@ _DRIVER_PRIORITY = [
     "q02_revenue_by_nation",
     "q03_top_orders",
     "q06_forecast_revenue",
-    "q10_cube_orders",
+    # q10_cube_orders cedes its slot to q105: its cents-sum pattern is
+    # the same one q01/q02/q03/q57/q64/q65 re-verify this round, and it
+    # stays green in the sf0.01 driver simulation
     "q64_bucketed_join",
     "q65_partition_prune",
     "q24_fuzzy_lookup",

@@ -179,3 +179,27 @@ def test_greedy_pack_long_doc_spans_packs(spark):
     # the second doc starts where the 250/30-token stream continues
     other = [r for r in packed.values() if r["id"] != first["id"]][0]
     assert other["pack"] * 100 + other["offset"] == first["n_tokens"]
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from demy_spark.operators.sampling import weighted_sample
+
+    # ids start at 1: knuth_unit(0) == 0.0 exactly, and a zero draw
+    # scores 0 regardless of weight (legitimate A-ES behavior)
+    rows = [(i, 1000000 if i <= 5 else 1) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    picked = {r["id"] for r in weighted_sample(df, "id", "w", 10).collect()}
+    # the 5 overwhelmingly heavy rows are essentially certain picks
+    assert {1, 2, 3, 4, 5} <= picked and len(picked) == 10
+
+
+def test_weighted_sample_is_deterministic_and_excludes_nonpositive(spark):
+    from demy_spark.operators.sampling import weighted_sample
+
+    rows = [(i, (i % 7) - 1) for i in range(100)]  # weights -1..5
+    df = spark.createDataFrame(rows, "id long, w long")
+    a = [r["id"] for r in weighted_sample(df, "id", "w", 15).collect()]
+    b = [r["id"] for r in weighted_sample(df, "id", "w", 15).collect()]
+    assert a == b and len(a) == 15
+    zero_or_neg = {i for i, w in rows if w <= 0}
+    assert not (set(a) & zero_or_neg)
