@@ -54,7 +54,9 @@ def phrase_merges(
     Returns ``(merges, tokens)``:
     - ``merges`` — one row per iteration: (iteration, w1, w2,
       pair_count, tokens_after); ties on pair_count break to the
-      lexicographically smallest (w1, w2).
+      lexicographically smallest (w1, w2). A round that finds no
+      adjacent pair anywhere (pair-exhausted corpus) emits an
+      all-NULL merge row and leaves the stream unchanged.
     - ``tokens`` — the final token stream (``id_col``, pos, token)
       with merged phrases joined by ``joiner``.
     """
@@ -73,22 +75,38 @@ def phrase_merges(
             .groupBy("_w_", "_wn_")
             .agg(F.count(F.lit(1)).alias("_cnt_"))
         )
+        # the all-NULL sentinel guarantees best is ALWAYS one row: when
+        # a round finds no adjacent pair at all (pair-exhausted corpus,
+        # iterations set higher than the data supports) the sentinel
+        # wins, matches nothing, and the round is a no-op — without it
+        # the cross join with an EMPTY argmax frame would annihilate
+        # the whole token stream
+        sentinel = t.sparkSession.range(1).select(
+            F.lit(None).cast("string").alias("_w1_"),
+            F.lit(None).cast("string").alias("_w2_"),
+            F.lit(None).cast("long").alias("_bcnt_"),
+        )
         best = (
-            counts.orderBy(
-                F.col("_cnt_").desc(), F.col("_w_").asc(), F.col("_wn_").asc()
-            )
-            .limit(1)
-            .select(
+            counts.select(
                 F.col("_w_").alias("_w1_"),
                 F.col("_wn_").alias("_w2_"),
                 F.col("_cnt_").alias("_bcnt_"),
             )
+            .unionAll(sentinel)
+            .orderBy(
+                F.col("_bcnt_").desc_nulls_last(),
+                F.col("_w1_").asc(),
+                F.col("_w2_").asc(),
+            )
+            .limit(1)
         )
         cand = paired.join(F.broadcast(best)).withColumn(
             "_m_",
-            # isNotNull FIRST: the doc-final token has a NULL lead and
-            # null & true would poison the keep/gone chain downstream
-            F.col("_wn_").isNotNull()
+            # isNotNull FIRST (false & NULL = false): the doc-final
+            # token has a NULL lead, and the sentinel round has NULL
+            # _w1_ — either would otherwise poison the keep/gone chain
+            F.col("_w1_").isNotNull()
+            & F.col("_wn_").isNotNull()
             & (F.col("_w_") == F.col("_w1_"))
             & (F.col("_wn_") == F.col("_w2_")),
         )

@@ -95,6 +95,7 @@ def weighted_sample(
     n: int,
     *,
     salt: int = 0,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis-Spirakis
     A-ES): each row draws u = knuth_unit(key, salt) and scores
@@ -107,10 +108,20 @@ def weighted_sample(
     Adds ``_es_key_`` (the selection score) to the output. Selection
     compiles to TakeOrderedAndProject (distributed per-partition
     top-n, no global sort); ties break on the id key.
+
+    ``quantize`` floors the score to an integer in units of
+    ``1/quantize`` (e.g. ``10**9`` for nano-units) BEFORE ordering —
+    the cross-engine determinism mode: ``pow`` with a fractional
+    exponent is not bit-identical between libm implementations, so an
+    oracle-compared selection must rank on the quantized integer
+    (boundary-flip probability drops from 1-ulp-anywhere to
+    ~ulp×quantize per row) with the id tie-break absorbing collisions.
     """
     w = F.col(weight) if isinstance(weight, str) else weight
     u = knuth_unit(F.col(key), salt=salt)
     score = F.pow(u, F.lit(1.0) / w.cast("double"))
+    if quantize is not None:
+        score = F.floor(score * F.lit(float(quantize))).cast("long")
     return (
         df.where(w > 0)
         .withColumn("_es_key_", score)

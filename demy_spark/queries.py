@@ -6277,12 +6277,18 @@ def _merge_round_sql(i: int) -> str:
         SELECT *, lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS wn
         FROM {prev}),
     best{i} AS (
-        SELECT w AS w1, wn AS w2, count(*) AS cnt
-        FROM paired{i} WHERE wn IS NOT NULL
-        GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 1),
+        -- the all-NULL sentinel mirrors phrases.phrase_merges: a
+        -- pair-exhausted round keeps best at one no-op row instead of
+        -- annihilating the cross join
+        SELECT * FROM (
+            SELECT w AS w1, wn AS w2, count(*) AS cnt
+            FROM paired{i} WHERE wn IS NOT NULL GROUP BY 1, 2
+            UNION ALL SELECT NULL, NULL, NULL)
+        ORDER BY cnt DESC NULLS LAST, w1, w2 LIMIT 1),
     cand{i} AS (
         SELECT c.doc_id, c.p, c.w, c.wn,
-               (c.wn IS NOT NULL AND c.w = b.w1 AND c.wn = b.w2) AS m
+               (b.w1 IS NOT NULL AND c.wn IS NOT NULL
+                AND c.w = b.w1 AND c.wn = b.w2) AS m
         FROM paired{i} c, best{i} b),
     isl{i} AS (
         SELECT *, CASE WHEN m THEN p - row_number()
@@ -6365,12 +6371,14 @@ def q104_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH scored AS (
       SELECT doc_id, n_chars,
-             pow(((doc_id * 2654435761) % 4294967296) / 4294967296.0,
-                 1.0 / n_chars) AS es_key
+             CAST(floor(pow(((doc_id * 2654435761) % 4294967296)
+                            / 4294967296.0,
+                            1.0 / n_chars) * 1000000000) AS BIGINT)
+               AS es_nano
       FROM documents WHERE n_chars > 0)
-    SELECT doc_id, n_chars, round(es_key, 6) + 0.0 AS es_key
+    SELECT doc_id, n_chars, es_nano
     FROM scored
-    ORDER BY scored.es_key DESC, doc_id
+    ORDER BY es_nano DESC, doc_id
     LIMIT 80
     """,
 )
@@ -6380,16 +6388,22 @@ def q105_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Knuth-hash unit draw; the reference samples with nondeterministic
     rand(), `tuning/RandomSplit.scala:30-33`): inclusion probability
     proportional to n_chars, selection a pure function of doc_id, so
-    the oracle re-draws the identical 80 rows. Compiles to
-    TakeOrderedAndProject — distributed top-n, no global sort."""
+    the oracle re-draws the identical 80 rows. Ranks on the
+    nano-quantized INTEGER score (quantize=1e9): fractional-exponent
+    pow is not bit-identical across libm implementations, and the
+    selection boundary must not ride on a 1-ulp float (the SKILL.md
+    quantize-before-compare rule). Compiles to TakeOrderedAndProject
+    — distributed top-n, no global sort."""
     from demy_spark.operators.sampling import weighted_sample
 
     t = _t(spark, sf_dir)
-    out = weighted_sample(t["documents"], "doc_id", "n_chars", 80)
+    out = weighted_sample(
+        t["documents"], "doc_id", "n_chars", 80, quantize=10**9
+    )
     return out.select(
         "doc_id",
         "n_chars",
-        (F.round(F.col("_es_key_"), 6) + F.lit(0.0)).alias("es_key"),
+        F.col("_es_key_").cast("long").alias("es_nano"),
     )
 
 

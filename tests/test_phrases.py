@@ -63,3 +63,14 @@ def test_phrase_merges_token_count_bookkeeping(spark):
     # 4 tokens, 2 merges -> 2 tokens after
     assert m[0][3] == 2 and m[0][4] == 2
     assert t[1] == ["p@@q", "p@@q"]
+
+
+def test_phrase_merges_pair_exhaustion_is_noop(spark):
+    # 2 tokens -> round 1 merges them; rounds 2-3 find NO pair and
+    # must leave the stream intact (regression: the empty argmax
+    # frame used to annihilate every token row)
+    m, t = _run(spark, [(1, "a b")], iterations=3)
+    assert t[1] == ["a@@b"]
+    assert m[0][:4] == (1, "a", "b", 1)
+    assert m[1][1] is None and m[1][2] is None and m[1][4] == 1
+    assert m[2][1] is None and m[2][4] == 1

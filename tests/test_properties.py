@@ -168,7 +168,7 @@ def test_norm_tokens_matches_duckdb_contract(spark):
         assert got[i] == want, (i, texts[i], got[i], want)
 
 
-def test_strip_spans_consistent_with_span_detection(spark):
+def test_strip_spans_consistent_with_span_detection(spark, sf_dir):
     """The apply step and the detect step must agree on every corpus:
     per-document tokens_removed == the summed span_tokens, and the
     cleaned text retokenizes to exactly n_tokens - tokens_removed."""
@@ -176,7 +176,7 @@ def test_strip_spans_consistent_with_span_detection(spark):
     from demy_spark.operators.subdoc import duplicated_spans, strip_duplicated_spans
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     spans = {
         r["doc_id"]: r["total"]
         for r in duplicated_spans(docs, "doc_id", "text", k=5)
