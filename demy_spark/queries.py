@@ -6407,10 +6407,61 @@ def q105_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q106_distinctive_terms",
+    f"""
+    WITH toks AS (
+      SELECT source AS g, unnest({_TOKS_SQL}) AS w FROM documents),
+    cgw AS (SELECT g, w, count(*) AS cgw FROM toks GROUP BY 1, 2),
+    cw AS (SELECT w, sum(cgw) AS cw FROM cgw GROUP BY 1),
+    ng AS (SELECT g, sum(cgw) AS ng FROM cgw GROUP BY 1),
+    nt AS (SELECT sum(ng) AS n FROM ng),
+    scored AS (
+      SELECT cgw.g, cgw.w, cgw.cgw,
+             CAST(floor(
+               (ln((cgw.cgw + 0.01 * cw.cw)
+                   / (ng.ng + 0.01 * nt.n - cgw.cgw - 0.01 * cw.cw))
+                - ln(((cw.cw - cgw.cgw) + 0.01 * cw.cw)
+                     / (nt.n - ng.ng + 0.01 * nt.n
+                        - (cw.cw - cgw.cgw) - 0.01 * cw.cw)))
+               / sqrt(1.0 / (cgw.cgw + 0.01 * cw.cw)
+                      + 1.0 / ((cw.cw - cgw.cgw) + 0.01 * cw.cw))
+               * 1000000.0) AS BIGINT) AS z_micro
+      FROM cgw JOIN cw USING (w) JOIN ng USING (g), nt),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY g
+                                   ORDER BY z_micro DESC, w) AS rk
+      FROM scored)
+    SELECT g AS source, w AS word, CAST(cgw AS BIGINT) AS n_word, z_micro
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def q106_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary (operators/selection.
+    distinctive_terms — log-odds ratio with the informed Dirichlet
+    prior, Monroe et al. "Fightin' Words"; the corpus-datasheet
+    complement of q103's overlap matrix): top-10 terms per source by
+    z-scored log-odds vs the rest of the corpus. Ranking rides on
+    micro-nat INTEGERS (the SKILL.md quantize rule — a rank boundary
+    must not ride on 1-ulp libm ln/sqrt differences); the rank window
+    runs on the corpus-REDUCED (group, word) count frame, never the
+    token stream."""
+    from demy_spark.operators.selection import distinctive_terms
+
+    t = _t(spark, sf_dir)
+    out = distinctive_terms(t["documents"], "text", "source", k=10, alpha=0.01)
+    return out.select(
+        "source",
+        "word",
+        F.col("n_word").cast("long").alias("n_word"),
+        "z_micro",
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-3 window (final): every slot goes to a query with NO
 # driver row at its current code —
-#   1. never-rowed registrations (q74-q105: the round-3 additions,
+#   1. never-rowed registrations (q74-q106: the round-3 additions,
 #      including the late curation/PQ/packing block and the subdoc/
 #      selection/semdedup/incremental-dedup block);
 #   2. behavior changed since the last green row: the cents-
@@ -6421,7 +6472,7 @@ def q105_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      other r1/r2-green, code-unchanged queries rotate in
 #      r4 — their standing check this round is the verify-skill driver
 #      simulation (re-run green at sf0.01 each time the registry grew
-#      — final 105/105 MATCH) plus the sf0.001 parity
+#      — final 106/106 MATCH) plus the sf0.001 parity
 #      suite in tests/.
 _DRIVER_PRIORITY = [
     # --- tier 1: never-rowed (registered this round)
@@ -6458,6 +6509,7 @@ _DRIVER_PRIORITY = [
     "q103_source_overlap",
     "q104_phrase_merges",
     "q105_weighted_sample",
+    "q106_distinctive_terms",
     # --- tier 2: behavior changed since the last green row
     "q57_time_rollup",
     "q12_events_hourly",
@@ -6468,10 +6520,10 @@ _DRIVER_PRIORITY = [
     "q01_pricing_summary",
     "q02_revenue_by_nation",
     "q03_top_orders",
-    "q06_forecast_revenue",
-    # q10_cube_orders cedes its slot to q105: its cents-sum pattern is
-    # the same one q01/q02/q03/q57/q64/q65 re-verify this round, and it
-    # stays green in the sf0.01 driver simulation
+    # q06_forecast_revenue and q10_cube_orders cede their slots to
+    # q105/q106: their cents-sum pattern is the same one
+    # q01/q02/q03/q57/q64/q65 re-verify this round, and both stay
+    # green in the sf0.01 driver simulation
     "q64_bucketed_join",
     "q65_partition_prune",
     "q24_fuzzy_lookup",

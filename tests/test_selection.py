@@ -74,3 +74,24 @@ def test_dsir_selection_is_deterministic_topk(spark):
     ).limit(5)
     # identical scores everywhere -> tie-break selects smallest ids
     assert [r["doc_id"] for r in top.collect()] == [0, 1, 2, 3, 4]
+
+
+def test_distinctive_terms_surfaces_group_exclusive_words(spark):
+    from demy_spark.operators.selection import distinctive_terms
+
+    rows = (
+        [(i, "tech", "code spark data shared") for i in range(10)]
+        + [(i + 10, "news", "vote press data shared") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = distinctive_terms(docs, "text", "source", k=2)
+    top = {}
+    for r in out.collect():
+        top.setdefault(r["source"], []).append((r["z_micro"], r["word"]))
+    tech_words = {w for _, w in top["tech"]}
+    news_words = {w for _, w in top["news"]}
+    # exclusive words dominate; shared vocabulary never ranks first
+    assert tech_words <= {"code", "spark"}
+    assert news_words <= {"vote", "press"}
+    # z-scores are positive for distinctive words
+    assert all(z > 0 for z, _ in top["tech"] + top["news"])
