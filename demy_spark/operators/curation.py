@@ -44,6 +44,7 @@ __all__ = [
     "mixture_sample",
     "mixture_targets",
     "source_overlap_matrix",
+    "snapshot_diff",
 ]
 
 
@@ -335,4 +336,40 @@ def source_overlap_matrix(
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Dataset-versioning diff between two corpus snapshots: one row
+    per document id present in either snapshot, with ``status`` in
+    ('added', 'removed', 'changed', 'unchanged') — membership by id,
+    change detection by the normalized-text fingerprint (the same
+    md5-of-norm-tokens identity ``contamination_check``'s exact path
+    and ``dedup.exact_dedup`` use, so whitespace-only edits count as
+    unchanged).
+
+    The audit every incremental pipeline runs between crawls: what
+    entered, what left, what silently changed — and the row spine for
+    incremental processing (feed status='added'/'changed' ids to
+    ``dedup.minhash_probe`` instead of re-running the full corpus).
+
+    Scale shape: each side reduces to (id, fingerprint) before ONE
+    co-keyed full-outer join on the id — no text leaves the scan
+    stage, nothing is broadcast, nothing is collected.
+    """
+    fp = F.md5(F.concat_ws(" ", _norm_tokens(F.col(text_col))))
+    of = old.select(F.col(id_col).alias("_id_"), fp.alias("_ofp_"))
+    nf = new.select(F.col(id_col).alias("_id_"), fp.alias("_nfp_"))
+    return of.join(nf, "_id_", "full").select(
+        F.col("_id_").alias(id_col),
+        F.when(F.col("_ofp_").isNull(), F.lit("added"))
+        .when(F.col("_nfp_").isNull(), F.lit("removed"))
+        .when(F.col("_ofp_") != F.col("_nfp_"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
     )

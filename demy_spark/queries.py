@@ -6458,10 +6458,65 @@ def q106_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q107_snapshot_diff",
+    f"""
+    WITH oldd AS (
+      SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fp
+      FROM documents WHERE doc_id % 7 <> 0),
+    newd AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_append({_TOKS_SQL},
+                           CASE WHEN doc_id % 5 = 0 THEN 'edited' END)
+               , ' ')) AS fp
+      FROM documents WHERE doc_id % 11 <> 0),
+    diff AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.fp IS NULL THEN 'added'
+                  WHEN n.fp IS NULL THEN 'removed'
+                  WHEN o.fp <> n.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM oldd o FULL JOIN newd n ON o.doc_id = n.doc_id)
+    SELECT status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM diff GROUP BY status
+    """,
+)
+def q107_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/curation.snapshot_diff — the
+    dataset-versioning audit between crawls, and the row spine of
+    incremental processing: feed added/changed to q101's index probe
+    instead of re-running the corpus): two synthetic snapshots of
+    documents (old drops every 7th id; new drops every 11th and edits
+    every 5th by appending a token), fingerprint-compared through ONE
+    co-keyed full-outer join — no text past the scan, nothing
+    broadcast. The oracle rebuilds both snapshots and the
+    status assignment; output is per-status count + id checksum."""
+    from demy_spark.operators.curation import snapshot_diff
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    old = docs.where(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat_ws(" ", F.col("text"), F.lit("edited"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = snapshot_diff(old, new, "doc_id", "text")
+    return out.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-3 window (final): every slot goes to a query with NO
 # driver row at its current code —
-#   1. never-rowed registrations (q74-q106: the round-3 additions,
+#   1. never-rowed registrations (q74-q107: the round-3 additions,
 #      including the late curation/PQ/packing block and the subdoc/
 #      selection/semdedup/incremental-dedup block);
 #   2. behavior changed since the last green row: the cents-
@@ -6472,7 +6527,7 @@ def q106_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      other r1/r2-green, code-unchanged queries rotate in
 #      r4 — their standing check this round is the verify-skill driver
 #      simulation (re-run green at sf0.01 each time the registry grew
-#      — final 106/106 MATCH) plus the sf0.001 parity
+#      — final 107/107 MATCH) plus the sf0.001 parity
 #      suite in tests/.
 _DRIVER_PRIORITY = [
     # --- tier 1: never-rowed (registered this round)
@@ -6510,13 +6565,15 @@ _DRIVER_PRIORITY = [
     "q104_phrase_merges",
     "q105_weighted_sample",
     "q106_distinctive_terms",
+    "q107_snapshot_diff",
     # --- tier 2: behavior changed since the last green row
     "q57_time_rollup",
     "q12_events_hourly",
     "q56_range_join",
     "q62_skew_join",
     "q63_salted_agg",
-    "q67_event_followup",
+    # q67_event_followup cedes its slot to q107 (same cents pattern as
+    # q12/q56/q62/q63, green in the sf0.01 simulation)
     "q01_pricing_summary",
     "q02_revenue_by_nation",
     "q03_top_orders",

@@ -174,3 +174,19 @@ def test_source_overlap_matrix_counts(spark):
     assert abs(ab["jaccard"] - 1 / 3) < 1e-6
     # disjoint pairs are omitted entirely
     assert ("srcA", "srcC") not in out and ("srcB", "srcC") not in out
+
+
+def test_snapshot_diff_statuses(spark):
+    from demy_spark.operators.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "keep me"), (3, "gone soon")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha  BETA "), (2, "keep me now"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new, "doc_id", "text").collect()}
+    # doc 1: only whitespace/case changes -> normalized fingerprint equal
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
