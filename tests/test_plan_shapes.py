@@ -45,6 +45,10 @@ PLANNABLE = [
     "q98_lm_quality",
     "q99_dsir_select",
     "q102_strip_spans",
+    "q103_source_overlap",
+    "q105_weighted_sample",
+    "q106_distinctive_terms",
+    "q107_snapshot_diff",
 ]
 
 
@@ -153,3 +157,22 @@ def test_dsir_llr_join_broadcasts(plans):
 def test_span_windows_are_per_document(plans):
     # both the gram window and the island window partition by doc
     assert re.search(r"Window .*_id_", plans["q97_duplicated_spans"])
+
+
+def test_weighted_sample_is_take_ordered(plans):
+    assert "TakeOrderedAndProject" in plans["q105_weighted_sample"]
+
+
+def test_distinctive_terms_rank_window_partitioned(plans):
+    # the per-group rank runs on the reduced (group, word) counts and
+    # must partition by group — never a global sort
+    assert not re.search(
+        r"Window .*, SinglePartition", plans["q106_distinctive_terms"]
+    )
+
+
+def test_snapshot_diff_single_cokeyed_join(plans):
+    # one full-outer join on the id; no broadcast of a corpus side,
+    # no cartesian
+    assert "CartesianProduct" not in plans["q107_snapshot_diff"]
+    assert plans["q107_snapshot_diff"].count("SortMergeJoin FullOuter") <= 1
