@@ -45,6 +45,7 @@ __all__ = [
     "mixture_targets",
     "source_overlap_matrix",
     "snapshot_diff",
+    "norm_fingerprint",
 ]
 
 
@@ -55,6 +56,14 @@ def _norm_tokens(text: Column) -> Column:
     from demy_spark.functions.textstats import norm_tokens
 
     return norm_tokens(text)
+
+
+def norm_fingerprint(text: Column) -> Column:
+    """md5 of the single-space-normalized token stream — the exact-
+    duplicate identity shared by ``contamination_check``'s exact path
+    and ``snapshot_diff`` (kept in ONE place because the
+    incremental-processing recipe depends on the two agreeing)."""
+    return F.md5(F.concat_ws(" ", _norm_tokens(text)))
 
 
 def shingle_hashes(text: Column, n: int = 3) -> Column:
@@ -104,7 +113,7 @@ def contamination_check(
     skew cannot concentrate (a ubiquitous shingle is ONE row on the
     train side after the distinct)."""
     sh = shingle_hashes(F.col(text_col), n)
-    fp = F.md5(F.concat_ws(" ", _norm_tokens(F.col(text_col))))
+    fp = norm_fingerprint(F.col(text_col))
 
     # one tokenize+hash pass over the train corpus serves BOTH the
     # shingle set and the fingerprint set (persisted; two separate
@@ -348,10 +357,12 @@ def snapshot_diff(
     """Dataset-versioning diff between two corpus snapshots: one row
     per document id present in either snapshot, with ``status`` in
     ('added', 'removed', 'changed', 'unchanged') — membership by id,
-    change detection by the normalized-text fingerprint (the same
-    md5-of-norm-tokens identity ``contamination_check``'s exact path
-    and ``dedup.exact_dedup`` use, so whitespace-only edits count as
-    unchanged).
+    change detection by ``norm_fingerprint`` (the identity
+    ``contamination_check``'s exact path shares; single-space runs,
+    leading/trailing space and case differences count as unchanged —
+    NOT the broader \s+ collapse ``dedup.exact_dedup`` uses).
+    Snapshot ids must be unique per side (they are the snapshot key);
+    duplicate ids fan out through the join.
 
     The audit every incremental pipeline runs between crawls: what
     entered, what left, what silently changed — and the row spine for
@@ -362,7 +373,7 @@ def snapshot_diff(
     co-keyed full-outer join on the id — no text leaves the scan
     stage, nothing is broadcast, nothing is collected.
     """
-    fp = F.md5(F.concat_ws(" ", _norm_tokens(F.col(text_col))))
+    fp = norm_fingerprint(F.col(text_col))
     of = old.select(F.col(id_col).alias("_id_"), fp.alias("_ofp_"))
     nf = new.select(F.col(id_col).alias("_id_"), fp.alias("_nfp_"))
     return of.join(nf, "_id_", "full").select(

@@ -320,7 +320,7 @@ def distinctive_terms(
         "_g_",
         "_w_",
         "_cgw_",
-        F.floor(d / F.sqrt(var) * F.lit(1000000.0)).cast("long").alias("z_micro"),
+        _micro_nats(d / F.sqrt(var)).alias("z_micro"),
     )
     w = Window.partitionBy("_g_").orderBy(
         F.col("z_micro").desc(), F.col("_w_").asc()
