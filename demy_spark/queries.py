@@ -6513,10 +6513,83 @@ def q107_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q108_record_linkage",
+    """
+    WITH probe AS (
+      SELECT c_custkey + 1000000 AS probe_id, c_nationkey,
+             CASE c_custkey % 3
+               WHEN 0 THEN translate(c_name, '0', 'O')
+               WHEN 1 THEN substring(c_name, 1, length(c_name) - 2)
+               ELSE c_name END AS c_name,
+             c_mktsegment
+      FROM customer),
+    pairs AS (
+      SELECT p.probe_id, c.c_custkey,
+             CAST(floor((CASE WHEN greatest(length(c.c_name),
+                                            length(p.c_name)) = 0 THEN 1.0
+                         ELSE 1.0 - levenshtein(c.c_name, p.c_name)
+                              / greatest(length(c.c_name), length(p.c_name))
+                         END) * 0.7 * 1000000) AS BIGINT)
+             + CAST(floor((CASE WHEN greatest(length(c.c_mktsegment),
+                                              length(p.c_mktsegment)) = 0
+                           THEN 1.0
+                           ELSE 1.0 - levenshtein(c.c_mktsegment,
+                                                  p.c_mktsegment)
+                                / greatest(length(c.c_mktsegment),
+                                           length(p.c_mktsegment))
+                           END) * 0.3 * 1000000) AS BIGINT) AS score_micro
+      FROM probe p JOIN customer c ON p.c_nationkey = c.c_nationkey),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                 ORDER BY score_micro DESC, c_custkey) AS rk
+      FROM pairs WHERE score_micro >= 500000)
+    SELECT probe_id, c_custkey, score_micro FROM ranked WHERE rk = 1
+    """,
+)
+def q108_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage (operators/linkage.record_linkage — the
+    scale-generalized form of the reference's address best-match,
+    `geo/AddressLocalizator.scala:29-36`): customers linked against a
+    deterministically corrupted clone of themselves (digit swap / tail
+    truncation by id class), blocked on nation, scored 0.7*name +
+    0.3*segment normalized-Levenshtein, argmax per probe with >= 0.5
+    threshold. Every similarity is integer-Levenshtein arithmetic
+    quantized to micro-units before ranking — no libm anywhere, so
+    both engines rank identically. Candidates exist only within
+    blocks; the argmax is a WindowGroupLimit-prunable rank window."""
+    from demy_spark.operators.linkage import record_linkage
+
+    t = _t(spark, sf_dir)
+    cust = t["customer"]
+    probe = cust.select(
+        (F.col("c_custkey") + 1000000).alias("probe_id"),
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.translate("c_name", "0", "O"))
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.expr("substring(c_name, 1, length(c_name) - 2)"),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        "c_mktsegment",
+    )
+    out = record_linkage(
+        cust,
+        probe,
+        "c_custkey",
+        "probe_id",
+        "c_nationkey",
+        [("c_name", 0.7), ("c_mktsegment", 0.3)],
+        min_score=0.5,
+    )
+    return out.select("probe_id", "c_custkey", "score_micro")
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-3 window (final): every slot goes to a query with NO
 # driver row at its current code —
-#   1. never-rowed registrations (q74-q107: the round-3 additions,
+#   1. never-rowed registrations (q74-q108: the round-3 additions,
 #      including the late curation/PQ/packing block and the subdoc/
 #      selection/semdedup/incremental-dedup block);
 #   2. behavior changed since the last green row: the cents-
@@ -6527,7 +6600,7 @@ def q107_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      other r1/r2-green, code-unchanged queries rotate in
 #      r4 — their standing check this round is the verify-skill driver
 #      simulation (re-run green at sf0.01 each time the registry grew
-#      — final 107/107 MATCH) plus the sf0.001 parity
+#      — final 108/108 MATCH) plus the sf0.001 parity
 #      suite in tests/.
 _DRIVER_PRIORITY = [
     # --- tier 1: never-rowed (registered this round)
@@ -6566,6 +6639,7 @@ _DRIVER_PRIORITY = [
     "q105_weighted_sample",
     "q106_distinctive_terms",
     "q107_snapshot_diff",
+    "q108_record_linkage",
     # --- tier 2: behavior changed since the last green row
     "q57_time_rollup",
     "q12_events_hourly",
@@ -6584,7 +6658,9 @@ _DRIVER_PRIORITY = [
     "q64_bucketed_join",
     "q65_partition_prune",
     "q24_fuzzy_lookup",
-    "q50_fuzzy_typos",
+    # q50_fuzzy_typos cedes its slot to q108: the max_df default change
+    # it shares with q24/q51 is re-rowed through both of those, and q50
+    # stays green in the sf0.01 simulation
     "q51_fuzzy_standard",
     "q47_genetic_prototypes",
     "q26_minhash_dedup",

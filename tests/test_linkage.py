@@ -1,0 +1,68 @@
+from __future__ import annotations
+
+from demy_spark.operators.linkage import record_linkage
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "B1", "john smith", "acme corp"),
+            (2, "B1", "jane doe", "globex"),
+            (3, "B2", "john smith", "acme corp"),
+        ],
+        "id long, blk string, name string, firm string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "B1", "jon smith", "acme corp"),   # typo'd 1
+            (11, "B1", "jane d", "globex inc"),     # truncated 2
+            (12, "B2", "zzzzzz", "qqqqqq"),         # matches nothing well
+        ],
+        "rid long, blk string, name string, firm string",
+    )
+    return left, right
+
+
+def test_record_linkage_best_match_within_block(spark):
+    left, right = _frames(spark)
+    out = {
+        r["rid"]: (r["id"], r["score_micro"])
+        for r in record_linkage(
+            left, right, "id", "rid", "blk",
+            [("name", 0.7), ("firm", 0.3)], min_score=0.5,
+        ).collect()
+    }
+    assert out[10][0] == 1          # typo still links to john in B1
+    assert out[11][0] == 2
+    # blocking: rid 10 can never link to id 3 (same fields, block B2)
+    assert 12 not in out            # below threshold -> no row
+    assert out[10][1] > out[11][1]  # closer match scores higher
+
+
+def test_record_linkage_tie_breaks_to_smallest_left_id(spark):
+    left = spark.createDataFrame(
+        [(5, "B", "same"), (4, "B", "same")], "id long, blk string, name string"
+    )
+    right = spark.createDataFrame(
+        [(9, "B", "same")], "rid long, blk string, name string"
+    )
+    out = record_linkage(
+        left, right, "id", "rid", "blk", [("name", 1.0)]
+    ).collect()
+    assert len(out) == 1 and out[0]["id"] == 4
+    assert out[0]["score_micro"] == 1_000_000
+
+
+def test_record_linkage_null_field_scores_zero(spark):
+    left = spark.createDataFrame(
+        [(1, "B", None, "acme")], "id long, blk string, name string, firm string"
+    )
+    right = spark.createDataFrame(
+        [(9, "B", "anything", "acme")],
+        "rid long, blk string, name string, firm string",
+    )
+    out = record_linkage(
+        left, right, "id", "rid", "blk", [("name", 0.7), ("firm", 0.3)]
+    ).collect()
+    # name contributes 0 (no evidence), firm matches fully
+    assert out[0]["score_micro"] == 300_000
