@@ -6586,10 +6586,63 @@ def q108_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("probe_id", "c_custkey", "score_micro")
 
 
+@register(
+    "q109_sorted_neighborhood",
+    """
+    WITH pos AS (
+      SELECT c_custkey AS id, c_name AS k,
+             row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS p
+      FROM customer),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.k AS ka, b.k AS kb
+      FROM pos a JOIN pos b ON b.p > a.p AND b.p <= a.p + 5)
+    SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS BIGINT) AS lev
+    FROM pairs WHERE levenshtein(ka, kb) <= 2
+    """,
+)
+def q109_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (operators/linkage.
+    sorted_neighborhood_pairs — the classic equality-free linkage
+    blocking): customers ranked by name via the two-phase range trick
+    (repartitionByRange + per-partition row_number + partition-offset
+    cumsum over a #partitions-sized frame — never a single-partition
+    data window), every pair within 5 positions generated through a
+    position-bucket self-join (fan-out <= 2*window per row), then
+    filtered to Levenshtein <= 2. The oracle computes the same total
+    order with one global window — affordable there, a scale-killer
+    here, which is exactly what the two-phase shape avoids."""
+    from demy_spark.operators.linkage import sorted_neighborhood_pairs
+
+    t = _t(spark, sf_dir)
+    cust = t["customer"]
+    pairs = sorted_neighborhood_pairs(cust, "c_custkey", "c_name", window=5)
+    names = cust.select(F.col("c_custkey"), F.col("c_name"))
+    return (
+        pairs.join(
+            names.select(
+                F.col("c_custkey").alias("id_a"), F.col("c_name").alias("_ka_")
+            ),
+            "id_a",
+        )
+        .join(
+            names.select(
+                F.col("c_custkey").alias("id_b"), F.col("c_name").alias("_kb_")
+            ),
+            "id_b",
+        )
+        .where(F.levenshtein("_ka_", "_kb_") <= 2)
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_ka_", "_kb_").cast("long").alias("lev"),
+        )
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-3 window (final): every slot goes to a query with NO
 # driver row at its current code —
-#   1. never-rowed registrations (q74-q108: the round-3 additions,
+#   1. never-rowed registrations (q74-q109: the round-3 additions,
 #      including the late curation/PQ/packing block and the subdoc/
 #      selection/semdedup/incremental-dedup block);
 #   2. behavior changed since the last green row: the cents-
@@ -6600,7 +6653,7 @@ def q108_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      other r1/r2-green, code-unchanged queries rotate in
 #      r4 — their standing check this round is the verify-skill driver
 #      simulation (re-run green at sf0.01 each time the registry grew
-#      — final 108/108 MATCH) plus the sf0.001 parity
+#      — final 109/109 MATCH) plus the sf0.001 parity
 #      suite in tests/.
 _DRIVER_PRIORITY = [
     # --- tier 1: never-rowed (registered this round)
@@ -6640,6 +6693,7 @@ _DRIVER_PRIORITY = [
     "q106_distinctive_terms",
     "q107_snapshot_diff",
     "q108_record_linkage",
+    "q109_sorted_neighborhood",
     # --- tier 2: behavior changed since the last green row
     "q57_time_rollup",
     "q12_events_hourly",
@@ -6656,7 +6710,8 @@ _DRIVER_PRIORITY = [
     # q01/q02/q03/q57/q64/q65 re-verify this round, and both stay
     # green in the sf0.01 driver simulation
     "q64_bucketed_join",
-    "q65_partition_prune",
+    # q65_partition_prune cedes its slot to q109 (its change was the
+    # same cents determinization q64 re-rows; green in the simulation)
     "q24_fuzzy_lookup",
     # q50_fuzzy_typos cedes its slot to q108: the max_df default change
     # it shares with q24/q51 is re-rowed through both of those, and q50

@@ -66,3 +66,33 @@ def test_record_linkage_null_field_scores_zero(spark):
     ).collect()
     # name contributes 0 (no evidence), firm matches fully
     assert out[0]["score_micro"] == 300_000
+
+
+def test_sorted_neighborhood_exact_pair_set(spark):
+    from demy_spark.operators.linkage import sorted_neighborhood_pairs
+
+    # keys sort as k00..k19; window 3 -> pairs with rank gap 1..3
+    rows = [(i, f"k{i:02d}") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(df, "id", "k", window=3).collect()
+    }
+    want = {(a, b) for a in range(20) for b in range(20) if 0 < b - a <= 3}
+    assert got == want
+
+
+def test_sorted_neighborhood_orders_by_key_not_id(spark):
+    from demy_spark.operators.linkage import sorted_neighborhood_pairs
+
+    # reversed key order: neighbors in KEY space, not id space
+    rows = [(i, f"k{99 - i:02d}") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    out = sorted_neighborhood_pairs(df, "id", "k", window=1).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    # key-adjacent = id-adjacent here, but pos follows the KEY order:
+    # id 9 has key k90 (lowest) -> pos 0
+    pos = {r["id_a"]: r["pos_a"] for r in out}
+    assert pos[9] == 0
+    # pairs are POSITION-ordered: id 9 (lowest key) precedes id 8
+    assert got == {(a + 1, a) for a in range(9)}
