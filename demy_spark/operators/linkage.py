@@ -54,27 +54,58 @@ def record_linkage(
     right: DataFrame,
     id_left: str,
     id_right: str,
-    block_col: str,
+    block_col: str | None,
     fields: Sequence[tuple[str, float]],
     *,
     min_score: float = 0.0,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Best ``left`` match per ``right`` record.
 
     ``fields`` is a sequence of (column, weight) pairs present in both
     frames; the pair score is the sum of quantized per-field
     similarities (micro-units of the summed weights). Returns one row
-    per right record that has any in-block candidate scoring >=
-    ``min_score`` (in weight units): (``id_right``, ``id_left``,
-    score_micro). Ties break to the smallest left id.
+    per right record that has any candidate scoring >= ``min_score``
+    (in weight units): (``id_right``, ``id_left``, score_micro). Ties
+    break to the smallest left id.
+
+    Candidate generation — pick ONE:
+    - ``block_col``: equality blocking. Pair volume is
+      sum-of-block-sizes-squared, so the block key MUST stay
+      fine-grained as data grows: a key whose block sizes scale with
+      the corpus is the classic quadratic linkage trap (measured: 25
+      nation blocks over 150k records = ~900M Levenshtein pairs,
+      ~8 min on local[32] — vs 2.5s for sorted-neighborhood blocking
+      on the same data).
+    - ``candidates``: a precomputed (``id_left``, ``id_right``) frame
+      — e.g. ``sorted_neighborhood_pairs`` output renamed, a MinHash
+      band join, or any blocking whose volume you control. Scoring
+      joins the field columns back co-keyed on the ids.
     """
-    lcols = [F.col(block_col).alias("_blk_"), F.col(id_left).alias("_il_")] + [
-        F.col(c).alias(f"_l_{c}_") for c, _ in fields
-    ]
-    rcols = [F.col(block_col).alias("_blk_"), F.col(id_right).alias("_ir_")] + [
-        F.col(c).alias(f"_r_{c}_") for c, _ in fields
-    ]
-    pairs = right.select(*rcols).join(left.select(*lcols), "_blk_")
+    if (block_col is None) == (candidates is None):
+        raise ValueError("provide exactly one of block_col or candidates")
+    lcols_f = [F.col(c).alias(f"_l_{c}_") for c, _ in fields]
+    rcols_f = [F.col(c).alias(f"_r_{c}_") for c, _ in fields]
+    if candidates is not None:
+        pairs = (
+            candidates.select(
+                F.col(id_left).alias("_il_"), F.col(id_right).alias("_ir_")
+            )
+            .join(
+                left.select(F.col(id_left).alias("_il_"), *lcols_f), "_il_"
+            )
+            .join(
+                right.select(F.col(id_right).alias("_ir_"), *rcols_f), "_ir_"
+            )
+        )
+    else:
+        lcols = [
+            F.col(block_col).alias("_blk_"), F.col(id_left).alias("_il_")
+        ] + lcols_f
+        rcols = [
+            F.col(block_col).alias("_blk_"), F.col(id_right).alias("_ir_")
+        ] + rcols_f
+        pairs = right.select(*rcols).join(left.select(*lcols), "_blk_")
     score = None
     for c, w in fields:
         term = field_similarity_micro(

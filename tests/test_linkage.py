@@ -96,3 +96,35 @@ def test_sorted_neighborhood_orders_by_key_not_id(spark):
     assert pos[9] == 0
     # pairs are POSITION-ordered: id 9 (lowest key) precedes id 8
     assert got == {(a + 1, a) for a in range(9)}
+
+
+def test_record_linkage_candidates_mode_matches_block_mode(spark):
+    from demy_spark.operators.linkage import record_linkage
+
+    left, right = _frames(spark)
+    blocked = record_linkage(
+        left, right, "id", "rid", "blk",
+        [("name", 0.7), ("firm", 0.3)], min_score=0.5,
+    ).collect()
+    # equivalent candidate set: the in-block cross product
+    cands = (
+        right.selectExpr("rid", "blk")
+        .join(left.selectExpr("id", "blk"), "blk")
+        .select("id", "rid")
+    )
+    via_cands = record_linkage(
+        left, right, "id", "rid", None,
+        [("name", 0.7), ("firm", 0.3)], min_score=0.5, candidates=cands,
+    ).collect()
+    key = lambda r: (r["rid"], r["id"], r["score_micro"])  # noqa: E731
+    assert sorted(map(key, blocked)) == sorted(map(key, via_cands))
+
+
+def test_record_linkage_requires_exactly_one_blocking(spark):
+    import pytest
+
+    from demy_spark.operators.linkage import record_linkage
+
+    left, right = _frames(spark)
+    with pytest.raises(ValueError):
+        record_linkage(left, right, "id", "rid", None, [("name", 1.0)])
