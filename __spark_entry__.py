@@ -2,14 +2,14 @@
 
 ``entry(spark)`` runs the flagship star-join query at sf0.001;
 ``queries()``/``oracle_sql()`` expose the full operator inventory from
-demy_spark.queries — 109 queries, ALL DuckDB-oracle-backed (zero
+demy_spark.queries — 110 queries, ALL DuckDB-oracle-backed (zero
 rows-only: formerly non-SQL operators are verified through seeded /
 frozen-weights replay — q38 one-vs-rest serving, q46/q66 POS decode,
 q47 genetic replay, q73 Platt, q76 tree spawning). The round-3 driver
 window (first 50 of queries()) covers every never-rowed registration
-q74-q109 plus the behavior-changed queries; the code-unchanged rest
+q74-q110 plus the behavior-changed queries; the code-unchanged rest
 hold their r1/r2 rows and were re-checked via the verify skill's
-driver simulation at sf0.01 (109/109 MATCH) and the sf0.001 parity
+driver simulation at sf0.01 (110/110 MATCH) and the sf0.001 parity
 suite. COVERAGE.md maps each SURVEY §2 inventory row to its query and
 test."""
 

@@ -6639,10 +6639,111 @@ def q109_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q110_incremental_pipeline",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' edited'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 11 <> 0),
+    old_fp AS (
+      SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fp
+      FROM documents WHERE doc_id % 7 <> 0),
+    new_fp AS (
+      SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fp
+      FROM base),
+    st AS (
+      SELECT n.doc_id,
+             CASE WHEN o.fp IS NULL THEN 'added'
+                  WHEN o.fp <> n.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM new_fp n LEFT JOIN old_fp o ON n.doc_id = o.doc_id),
+    docs AS (
+      SELECT b.doc_id, {_SHINGLES_SQL} AS shl, st.status
+      FROM base b JOIN st ON b.doc_id = st.doc_id
+      WHERE len({_TOKS_SQL}) >= 3),
+    h AS (
+      SELECT doc_id,
+             {_md5_long_sql('s', 1)} AS h1,
+             {_md5_long_sql('s', 16, 8)} & 2147483647 AS h2
+      FROM (SELECT doc_id, unnest(shl) AS s FROM docs)),
+    slots AS (
+      SELECT doc_id, i.i, min(h1 + (2 * i.i + 1) * h2) AS slot
+      FROM h, (SELECT unnest(range(128)) AS i) i
+      GROUP BY 1, 2),
+    bands AS (
+      SELECT doc_id, i // 4 AS band, list(slot ORDER BY i) AS key
+      FROM slots GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS index_id
+      FROM bands a
+      JOIN docs da ON a.doc_id = da.doc_id AND da.status = 'unchanged'
+      JOIN bands b ON a.band = b.band AND a.key = b.key
+      JOIN docs db ON b.doc_id = db.doc_id AND db.status IN ('added', 'changed')
+      WHERE a.doc_id <> b.doc_id),
+    jac AS (
+      SELECT cand.batch_id, cand.index_id,
+             round(CAST(len(list_intersect(da.shl, db.shl)) AS DOUBLE)
+                   / len(list_distinct(list_concat(da.shl, db.shl))), 6)
+                 AS jaccard
+      FROM cand
+      JOIN docs da ON cand.batch_id = da.doc_id
+      JOIN docs db ON cand.index_id = db.doc_id)
+    SELECT batch_id, index_id, jaccard + 0.0 AS jaccard
+    FROM jac WHERE jaccard >= 0.5
+    """,
+)
+def q110_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end INCREMENTAL curation (the delta twin of q93's batch
+    pipeline, composing q107 + q101): snapshot_diff classifies the new
+    crawl against the previous snapshot, ONLY the added/changed
+    documents are signed and probed against the MinHash index of the
+    unchanged corpus — the production shape where per-crawl cost is
+    O(delta), never O(corpus). Output: near-duplicate (batch, index)
+    pairs the gate would drop before training. The oracle replays
+    diff, status routing, signatures, band join and exact-Jaccard
+    verification in one statement."""
+    from demy_spark.operators.curation import snapshot_diff
+    from demy_spark.operators.dedup import minhash_index, minhash_probe
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    old = docs.where(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat_ws(" ", F.col("text"), F.lit("edited")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    # status routing: removed ids don't exist in base, so the diff
+    # restricted to base is added/changed/unchanged exactly
+    diff = snapshot_diff(old, base, "doc_id", "text")
+    index_docs = base.join(
+        diff.where(F.col("status") == "unchanged").select("doc_id"), "doc_id"
+    )
+    delta_docs = base.join(
+        diff.where(F.col("status").isin("added", "changed")).select("doc_id"),
+        "doc_id",
+    )
+    bands_df, shingles_df = minhash_index(index_docs, "text", "doc_id")
+    return minhash_probe(
+        bands_df,
+        shingles_df,
+        delta_docs,
+        "text",
+        "doc_id",
+        jaccard_threshold=0.5,
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-3 window (final): every slot goes to a query with NO
 # driver row at its current code —
-#   1. never-rowed registrations (q74-q109: the round-3 additions,
+#   1. never-rowed registrations (q74-q110: the round-3 additions,
 #      including the late curation/PQ/packing block and the subdoc/
 #      selection/semdedup/incremental-dedup block);
 #   2. behavior changed since the last green row: the cents-
@@ -6653,7 +6754,7 @@ def q109_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      other r1/r2-green, code-unchanged queries rotate in
 #      r4 — their standing check this round is the verify-skill driver
 #      simulation (re-run green at sf0.01 each time the registry grew
-#      — final 109/109 MATCH) plus the sf0.001 parity
+#      — final 110/110 MATCH) plus the sf0.001 parity
 #      suite in tests/.
 _DRIVER_PRIORITY = [
     # --- tier 1: never-rowed (registered this round)
@@ -6694,12 +6795,14 @@ _DRIVER_PRIORITY = [
     "q107_snapshot_diff",
     "q108_record_linkage",
     "q109_sorted_neighborhood",
+    "q110_incremental_pipeline",
     # --- tier 2: behavior changed since the last green row
     "q57_time_rollup",
     "q12_events_hourly",
     "q56_range_join",
     "q62_skew_join",
-    "q63_salted_agg",
+    # q63_salted_agg cedes its slot to q110 (same cents pattern as
+    # q12/q56/q62 which re-row; green in the sf0.01 simulation)
     # q67_event_followup cedes its slot to q107 (same cents pattern as
     # q12/q56/q62/q63, green in the sf0.01 simulation)
     "q01_pricing_summary",
