@@ -360,7 +360,8 @@ def snapshot_diff(
     change detection by ``norm_fingerprint`` (the identity
     ``contamination_check``'s exact path shares; single-space runs,
     leading/trailing space and case differences count as unchanged —
-    NOT the broader \s+ collapse ``dedup.exact_dedup`` uses).
+    NOT the broader whitespace-regex collapse ``dedup.exact_dedup``
+    uses).
     Snapshot ids must be unique per side (they are the snapshot key);
     duplicate ids fan out through the join.
 
