@@ -84,6 +84,8 @@ def record_linkage(
     """
     if (block_col is None) == (candidates is None):
         raise ValueError("provide exactly one of block_col or candidates")
+    if not fields:
+        raise ValueError("fields must name at least one (column, weight) pair")
     lcols_f = [F.col(c).alias(f"_l_{c}_") for c, _ in fields]
     rcols_f = [F.col(c).alias(f"_r_{c}_") for c, _ in fields]
     if candidates is not None:
@@ -113,7 +115,8 @@ def record_linkage(
         )
         score = term if score is None else score + term
     scored = pairs.select("_ir_", "_il_", score.alias("score_micro")).where(
-        F.col("score_micro") >= int(min_score * _MICRO)
+        # round, not truncate: int(0.7e6) is 699999 under IEEE doubles
+        F.col("score_micro") >= int(round(min_score * _MICRO))
     )
     w_rank = Window.partitionBy("_ir_").orderBy(
         F.col("score_micro").desc(), F.col("_il_").asc()
@@ -146,51 +149,23 @@ def sorted_neighborhood_pairs(
     pairs to a scorer (``field_similarity_micro``) for the match
     decision.
 
-    Scale shape: the global rank is the two-phase range trick, NOT a
-    single-partition window — ``repartitionByRange`` on the sort key,
-    per-partition ``row_number``, then partition-offset cumsum (the
-    offsets window runs over #partitions rows — constant-size at any
-    data scale, same pattern as ``topk.add_id(dense=True)``). The
-    position is a pure function of the (sort_col, id) total order, so
-    it is identical however the range boundaries fall. Candidates come
-    from a co-keyed self-join on position buckets of width ``window``
-    (each row joins its own and the next bucket), fan-out bounded by
-    2*window per row.
+    Scale shape: the global rank is ``topk.order_positions`` — the
+    two-phase range trick (range-partition, per-partition row_number,
+    partition-offset cumsum over a #partitions-sized frame), never a
+    single-partition data window; the position is a pure function of
+    the (sort_col, id) total order. Candidates come from a co-keyed
+    self-join on position buckets of width ``window`` (each row joins
+    its own and the next bucket), fan-out bounded by 2*window per
+    row. The position frame is persisted for its three join branches
+    and released by the ContextCleaner with the result's lifetime.
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    part = (
-        df.select(F.col(id_col).alias("_id_"), F.col(sort_col).alias("_k_"))
-        .repartitionByRange(n_parts, F.col("_k_").asc(), F.col("_id_").asc())
-        .withColumn("_pid_", F.spark_partition_id())
-        .withColumn(
-            "_rn_",
-            F.row_number().over(
-                Window.partitionBy("_pid_").orderBy(
-                    F.col("_k_").asc(), F.col("_id_").asc()
-                )
-            ),
-        )
-    )
-    offsets = (
-        part.groupBy("_pid_")
-        .agg(F.count(F.lit(1)).alias("_cnt_"))
-        .withColumn(
-            "_off_",
-            F.coalesce(
-                F.sum("_cnt_").over(
-                    Window.orderBy("_pid_").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("_pid_", "_off_")
-    )
-    pos = part.join(F.broadcast(offsets), "_pid_").select(
-        "_id_", "_k_", (F.col("_off_") + F.col("_rn_") - 1).alias("_pos_")
+    from demy_spark.operators.topk import order_positions
+
+    pos = order_positions(
+        df.select(F.col(id_col).alias("_id_"), F.col(sort_col).alias("_k_")),
+        [F.col("_k_").asc(), F.col("_id_").asc()],
     ).persist()
     a = pos.select(
         F.col("_id_").alias("id_a"),

@@ -94,3 +94,58 @@ def add_id(
         .withColumn(id_col, (F.col("_rn_") - 1 + F.col("_off_")).cast("long"))
         .drop("_pid_", "_rn_", "_off_")
     )
+
+
+def order_positions(
+    df: DataFrame,
+    order_cols: list,
+    pos_col: str = "_pos_",
+) -> DataFrame:
+    """Contiguous 0..n-1 positions under the TOTAL order given by
+    ``order_cols`` (callers include a unique tie-break column) — the
+    ordered generalization of ``add_id(dense=True)``: range-partition
+    on the order, per-partition row_number, partition-offset cumsum
+    (a #partitions-sized single-partition window — constant at any
+    data scale), broadcast join back.
+
+    The range-partitioned frame is EAGERLY pinned with ``persist`` +
+    ``count`` before the offsets and rank branches read it: range
+    boundaries come from sampling, and if the two branches ever
+    re-executed the exchange independently (e.g. exchange reuse
+    disabled) they could sample DIFFERENT bounds and silently corrupt
+    positions. One materialization = one set of bounds, by
+    construction. The cached frame is released by Spark's
+    ContextCleaner when the result goes out of scope.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid_", F.spark_partition_id())
+        .persist()
+    )
+    part.count()
+    ranked = part.withColumn(
+        "_rn_",
+        F.row_number().over(Window.partitionBy("_pid_").orderBy(*order_cols)),
+    )
+    offsets = (
+        part.groupBy("_pid_")
+        .agg(F.count(F.lit(1)).alias("_cnt_"))
+        .withColumn(
+            "_off_",
+            F.coalesce(
+                F.sum("_cnt_").over(
+                    Window.orderBy("_pid_").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid_", "_off_")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_pid_")
+        .withColumn(pos_col, (F.col("_off_") + F.col("_rn_") - 1).cast("long"))
+        .drop("_pid_", "_rn_", "_off_")
+    )

@@ -49,6 +49,11 @@ PLANNABLE = [
     "q105_weighted_sample",
     "q106_distinctive_terms",
     "q107_snapshot_diff",
+    # linkage family (q109's builder runs one eager count to pin the
+    # range boundaries — still cheap to plan at sf0.001)
+    "q108_record_linkage",
+    "q109_sorted_neighborhood",
+    "q110_incremental_pipeline",
 ]
 
 
