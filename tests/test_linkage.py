@@ -128,3 +128,25 @@ def test_record_linkage_requires_exactly_one_blocking(spark):
     left, right = _frames(spark)
     with pytest.raises(ValueError):
         record_linkage(left, right, "id", "rid", None, [("name", 1.0)])
+
+
+def test_order_positions_equals_global_row_number(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from demy_spark.operators.topk import order_positions
+
+    # adversarial: duplicate keys, skewed distribution, shuffled input
+    rows = [(i, f"k{(i * 7) % 13:02d}") for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, k string").repartition(16)
+    got = {
+        r["id"]: r["_pos_"]
+        for r in order_positions(df, [F.col("k").asc(), F.col("id").asc()]).collect()
+    }
+    want = {
+        r["id"]: r["p"]
+        for r in df.withColumn(
+            "p", F.row_number().over(Window.orderBy("k", "id")) - 1
+        ).collect()
+    }
+    assert got == want
