@@ -624,14 +624,22 @@ def assign_clusters(
     )
 
 
+def derived_n_lists(count: int, target_cluster_size: int = 2048) -> int:
+    """Quantizer width that holds expected IVF cluster sizes flat:
+    ceil(count / target_cluster_size), floored at 8. Used by
+    ``semdedup`` when the caller does not pin ``n_lists``."""
+    return max(8, -(-count // max(1, target_cluster_size)))
+
+
 def semdedup(
     corpus: DataFrame,
     vec_col: str,
     id_col: str,
     *,
-    n_lists: int = 8,
+    n_lists: int | None = None,
     train_iters: int = 3,
     tau: float = 0.95,
+    target_cluster_size: int = 2048,
 ) -> DataFrame:
     """Semantic deduplication (after SemDeDup, Abbas et al. 2023):
     cluster the embedding space with the deterministic IVF coarse
@@ -648,16 +656,29 @@ def semdedup(
     pretraining-corpus thinning.
 
     Scale shape: the pairwise stage is confined within clusters
-    (Σ c² work, the published algorithm's own bound — ``n_lists``
-    scales with the corpus to hold cluster sizes flat), the
-    clustered frame is persisted so the self-join does not re-run
-    assignment per side, and the dominated-id set reduces through a
-    distinct BEFORE the final left-anti-style join. Centroids are the
-    only driver state (n_lists × dim floats, ivf_build's contract).
+    (Σ c² work, the published algorithm's own bound). With
+    ``n_lists=None`` (the default) the quantizer width is derived
+    from the corpus itself — ``max(8, ceil(count /
+    target_cluster_size))``, one count job — so expected cluster
+    sizes stay flat at ANY corpus scale without caller care; pass an
+    explicit ``n_lists`` only when the oracle/replay needs a pinned
+    quantizer. The clustered frame is persisted so the self-join does
+    not re-run assignment per side, and the dominated-id set reduces
+    through a distinct BEFORE the final left-anti-style join.
+    Centroids are the only driver state (n_lists × dim floats,
+    ivf_build's contract).
+
+    The domination test compares in integer micro-units —
+    ``floor(cos * 1e6) >= round(tau * 1e6)`` — so a replay engine
+    whose cosine differs by a few ulps (e.g. DuckDB
+    ``list_cosine_similarity`` vs the dot/(|a||b|) fold here) makes
+    the same keep decision everywhere except an exact micro-boundary.
     """
     from demy_spark.functions.vectors import dot, l2_norm
     from demy_spark.operators.similarity import ivf_build
 
+    if n_lists is None:
+        n_lists = derived_n_lists(corpus.count(), target_cluster_size)
     _, assigned = ivf_build(
         corpus, vec_col, id_col, n_lists=n_lists, train_iters=train_iters
     )
@@ -695,10 +716,11 @@ def semdedup(
         (F.col("_na_") > 0) & (F.col("_nb_") > 0),
         dot("_va_", "_vb_") / (F.col("_na_") * F.col("_nb_")),
     ).otherwise(F.lit(0.0))
+    tau_micro = int(round(float(tau) * 1_000_000))
     dominated = (
         a.join(b, "_c_")
         .where(F.col("_ia_") < F.col("_ib_"))
-        .where(cos >= F.lit(float(tau)))
+        .where(F.floor(cos * 1_000_000) >= F.lit(tau_micro))
         .select(F.col("_ib_").alias("_id_"))
         .distinct()
         .withColumn("_rm_", F.lit(True))

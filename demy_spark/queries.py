@@ -6073,10 +6073,10 @@ _Q100_SQL = (
         JOIN corpus cb ON cb.vec_id = hi.vec_id
         JOIN vnorm na ON na.vec_id = lo.vec_id
         JOIN vnorm nb ON nb.vec_id = hi.vec_id
-        WHERE (CASE WHEN na.nx > 0 AND nb.nx > 0
+        WHERE floor((CASE WHEN na.nx > 0 AND nb.nx > 0
                THEN list_cosine_similarity(ca.embedding::DOUBLE[],
                                            cb.embedding::DOUBLE[])
-               ELSE 0 END) >= 0.95)
+               ELSE 0 END) * 1000000) >= 950000)
     SELECT a.vec_id, CAST(a.c AS BIGINT) AS cluster,
            CAST((rm.rm_id IS NULL) AS BIGINT) AS keep
     FROM assign4 a LEFT JOIN rm ON a.vec_id = rm.rm_id
@@ -6091,10 +6091,15 @@ def q100_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     5th vector are clustered by the deterministic IVF quantizer (seeds
     per id % 8, 3 fixed Lloyd rounds — the same quantizer the q53
     oracle unrolls), then every vector with a lower-id cluster member
-    at cosine >= 0.95 is dropped. The pairwise stage never leaves a
-    cluster (the published algorithm's own complexity bound); the
-    oracle replays quantizer, assignment, and the in-cluster
-    domination test verbatim."""
+    at cosine >= 0.95 is dropped — compared in integer micro-units on
+    BOTH engines (floor(cos*1e6) >= 950000), so the few-ulp gap
+    between Spark's dot/(|a||b|) fold and DuckDB's
+    list_cosine_similarity cannot flip a keep decision. The pairwise
+    stage never leaves a cluster (the published algorithm's own
+    complexity bound); the oracle replays quantizer, assignment, and
+    the in-cluster domination test verbatim. n_lists is pinned to 8
+    here so the oracle CTEs stay a fixed unroll; production callers
+    omit it and get the corpus-derived default."""
     from demy_spark.operators.dedup import semdedup
 
     t = _t(spark, sf_dir)
@@ -6524,8 +6529,22 @@ def q107_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE c_name END AS c_name,
              c_mktsegment
       FROM customer),
+    combined AS (
+      SELECT c_custkey AS rid, c_name AS name FROM customer
+      UNION ALL
+      SELECT probe_id AS rid, c_name AS name FROM probe),
+    pos AS (
+      SELECT rid, row_number() OVER (ORDER BY name, rid) - 1 AS p
+      FROM combined),
+    cand AS (
+      SELECT CASE WHEN a.rid < 1000000 THEN a.rid ELSE b.rid END
+                 AS c_custkey,
+             CASE WHEN a.rid >= 1000000 THEN a.rid ELSE b.rid END
+                 AS probe_id
+      FROM pos a JOIN pos b ON b.p > a.p AND b.p <= a.p + 10
+      WHERE (a.rid < 1000000) <> (b.rid < 1000000)),
     pairs AS (
-      SELECT p.probe_id, c.c_custkey,
+      SELECT cand.probe_id, cand.c_custkey,
              CAST(floor((CASE WHEN greatest(length(c.c_name),
                                             length(p.c_name)) = 0 THEN 1.0
                          ELSE 1.0 - levenshtein(c.c_name, p.c_name)
@@ -6539,7 +6558,9 @@ def q107_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 / greatest(length(c.c_mktsegment),
                                            length(p.c_mktsegment))
                            END) * 0.3 * 1000000) AS BIGINT) AS score_micro
-      FROM probe p JOIN customer c ON p.c_nationkey = c.c_nationkey),
+      FROM cand
+      JOIN customer c ON cand.c_custkey = c.c_custkey
+      JOIN probe p ON cand.probe_id = p.probe_id),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY probe_id
                  ORDER BY score_micro DESC, c_custkey) AS rk
@@ -6548,17 +6569,30 @@ def q107_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q108_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked record linkage (operators/linkage.record_linkage — the
+    """Record linkage on sorted-neighborhood blocking (operators/
+    linkage.record_linkage + sorted_neighborhood_pairs — the
     scale-generalized form of the reference's address best-match,
     `geo/AddressLocalizator.scala:29-36`): customers linked against a
     deterministically corrupted clone of themselves (digit swap / tail
-    truncation by id class), blocked on nation, scored 0.7*name +
+    truncation by id class). Candidates come from ONE sorted
+    neighborhood over the union of both sides ranked by name (window
+    10, cross-source pairs only) — pair volume is linear in the data
+    (<= 2*window per row) instead of the quadratic equality-block
+    trap (the old nation-key demo: block sizes grow with the corpus;
+    measured ~8 min vs 2.5 s at 10x). Scoring is 0.7*name +
     0.3*segment normalized-Levenshtein, argmax per probe with >= 0.5
-    threshold. Every similarity is integer-Levenshtein arithmetic
+    threshold; every similarity is integer-Levenshtein arithmetic
     quantized to micro-units before ranking — no libm anywhere, so
-    both engines rank identically. Candidates exist only within
-    blocks; the argmax is a WindowGroupLimit-prunable rank window."""
-    from demy_spark.operators.linkage import record_linkage
+    both engines rank identically. Probes whose corruption destroys
+    the sort prefix (the digit-swap class) fall out of the window and
+    return no match — the documented recall trade of SNM blocking.
+    The oracle replays the same neighborhood with one global window
+    (affordable there; the Spark side uses the two-phase
+    order_positions rank)."""
+    from demy_spark.operators.linkage import (
+        record_linkage,
+        sorted_neighborhood_pairs,
+    )
 
     t = _t(spark, sf_dir)
     cust = t["customer"]
@@ -6574,14 +6608,31 @@ def q108_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("c_name"),
         "c_mktsegment",
     )
+    combined = cust.select(
+        F.col("c_custkey").alias("rid"), F.col("c_name").alias("name")
+    ).unionAll(
+        probe.select(F.col("probe_id").alias("rid"), F.col("c_name").alias("name"))
+    )
+    snm = sorted_neighborhood_pairs(combined, "rid", "name", window=10)
+    cand = snm.where(
+        (F.col("id_a") < 1000000) != (F.col("id_b") < 1000000)
+    ).select(
+        F.when(F.col("id_a") < 1000000, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("c_custkey"),
+        F.when(F.col("id_a") >= 1000000, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("probe_id"),
+    )
     out = record_linkage(
         cust,
         probe,
         "c_custkey",
         "probe_id",
-        "c_nationkey",
+        None,
         [("c_name", 0.7), ("c_mktsegment", 0.3)],
         min_score=0.5,
+        candidates=cand,
     )
     return out.select("probe_id", "c_custkey", "score_micro")
 

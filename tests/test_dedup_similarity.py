@@ -273,6 +273,28 @@ def test_semdedup_tau_bounds_removal(spark):
     assert all(r["keep"] for r in strict.collect())
 
 
+def test_semdedup_default_n_lists_scales_with_corpus(spark):
+    """With n_lists=None the quantizer width derives from the corpus
+    (ceil(count / target_cluster_size), floor 8) so expected cluster
+    sizes stay flat — the Σc² pairwise bound holds without caller
+    care."""
+    from demy_spark.operators.dedup import derived_n_lists, semdedup
+
+    assert derived_n_lists(40, 5) == 8
+    assert derived_n_lists(41, 5) == 9
+    assert derived_n_lists(100, 2048) == 8          # floor
+    assert derived_n_lists(10_000_000, 2048) == 4883  # grows with corpus
+    assert derived_n_lists(0, 2048) == 8
+
+    rows = [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(41)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(df, "embedding", "vec_id", tau=1.01, target_cluster_size=5)
+    # derived 9 lists: cluster ids live in [0, 9) and every row returns
+    assert out.count() == 41
+    mx = out.agg(F.max("cluster")).first()[0]
+    assert 0 <= mx <= 8
+
+
 def test_minhash_probe_matches_full_dedup_cross_pairs(spark, tmp_path):
     from demy_spark.operators.dedup import (
         minhash_index,
