@@ -324,11 +324,22 @@ def minhash_probe(
     bands: int = 32,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
+    include_intra_batch: bool = False,
 ) -> DataFrame:
     """Probe a new batch of documents against a stored MinHash index
     (``minhash_index`` output, typically read back from parquet).
     Returns (batch_id, index_id, jaccard) — every batch document
     near-duplicate to an already-indexed document.
+
+    By default only BATCH-vs-INDEX pairs are reported: two near-
+    duplicate documents arriving in the SAME batch both pass a gate
+    built on this output. For gate use-cases set
+    ``include_intra_batch=True`` — the batch's own band table is
+    additionally self-joined (O(batch²) worst case, but band-blocked
+    like everything else) and intra-batch pairs are emitted as
+    (batch_id=higher id, index_id=lower id), so a keep-lowest-id gate
+    admits exactly one of each intra-batch clone group. Alternatively,
+    fold accepted batch docs back into the index between epochs.
 
     Scale shape: the batch is signed with the identical hash family,
     then joined to the index co-keyed on (band, key) — an equi-join
@@ -357,11 +368,30 @@ def minhash_probe(
     i_base = index_shingles.select(
         F.col(id_col).alias("_id_"), F.col("shingles").alias("_sh_")
     )
-    return _jaccard_verify(cand, b_base, i_base, jaccard_threshold).select(
+    out = _jaccard_verify(cand, b_base, i_base, jaccard_threshold).select(
         F.col("doc_a").alias("batch_id"),
         F.col("doc_b").alias("index_id"),
         "jaccard",
     )
+    if include_intra_batch:
+        bb = b_banded.select(
+            F.col("_id_").alias("_iid_"), "_band_", "_key_"
+        )
+        intra_cand = (
+            b_banded.join(bb, ["_band_", "_key_"])
+            # higher id probes lower id — keep-lowest-id gate semantics
+            .where(F.col("_id_") > F.col("_iid_"))
+            .select(F.col("_id_").alias("doc_a"), F.col("_iid_").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        out = out.unionAll(
+            _jaccard_verify(intra_cand, b_base, b_base, jaccard_threshold).select(
+                F.col("doc_a").alias("batch_id"),
+                F.col("doc_b").alias("index_id"),
+                "jaccard",
+            )
+        )
+    return out
 
 
 def simhash64(text: Column | str) -> Column:

@@ -48,6 +48,7 @@ def phrase_merges(
     *,
     iterations: int = 3,
     joiner: str = "@@",
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run ``iterations`` greedy pair merges over the corpus.
 
@@ -59,9 +60,20 @@ def phrase_merges(
       all-NULL merge row and leaves the stream unchanged.
     - ``tokens`` — the final token stream (``id_col``, pos, token)
       with merged phrases joined by ``joiner``.
+
+    Lineage per round is truncated with ``localCheckpoint`` by
+    default — fast (executor-local blocks), but UNRECOVERABLE on
+    executor loss: a lost executor fails the job instead of
+    recomputing. Fine for short interactive runs; for long
+    many-iteration production runs pass ``checkpoint_dir`` (an
+    HDFS-compatible path) and each round uses a RELIABLE
+    ``checkpoint`` instead — slower (one distributed write per
+    round) but survives executor loss.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if checkpoint_dir is not None:
+        docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     t = docs.select(
         F.col(id_col).alias("_id_"),
         F.posexplode(norm_tokens(F.col(text_col))).alias("_p_", "_w_"),
@@ -145,7 +157,12 @@ def phrase_merges(
             "_id_",
             (F.row_number().over(wdoc) - 1).alias("_p_"),
             "_w_",
-        ).localCheckpoint(eager=False)
+        )
+        t = (
+            t.checkpoint(eager=False)
+            if checkpoint_dir is not None
+            else t.localCheckpoint(eager=False)
+        )
         after = t.agg(F.count(F.lit(1)).alias("tokens_after"))
         merge_rows.append(
             best.crossJoin(after).select(

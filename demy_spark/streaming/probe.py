@@ -39,6 +39,7 @@ def streaming_near_dup_probe(
     bands: int = 32,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
+    include_intra_batch: bool = False,
     on_batch: Callable[[DataFrame, int], None],
 ):
     """Start an availableNow stream that runs ``minhash_probe`` over
@@ -46,6 +47,13 @@ def streaming_near_dup_probe(
     (write to parquet, publish metrics, drop matched ids — caller's
     choice). Returns the started StreamingQuery; callers own
     ``awaitTermination``/``processAllAvailable``.
+
+    With the default ``include_intra_batch=False``, two near-dup
+    documents arriving in the SAME micro-batch both pass the gate
+    (only batch-vs-index pairs are reported). Gate deployments should
+    either set ``include_intra_batch=True`` (intra-batch pairs emit
+    as (higher, lower) so keep-lowest-id admits one per clone group)
+    or fold accepted docs back into the index between epochs.
     """
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -59,6 +67,7 @@ def streaming_near_dup_probe(
             bands=bands,
             shingle_k=shingle_k,
             jaccard_threshold=jaccard_threshold,
+            include_intra_batch=include_intra_batch,
         )
         on_batch(pairs, epoch_id)
 

@@ -333,3 +333,31 @@ def test_minhash_probe_matches_full_dedup_cross_pairs(spark, tmp_path):
             bid, iid = (a, b) if a % 4 == 0 else (b, a)
             want.add((bid, iid, r["jaccard"]))
     assert got_pairs == want and got_pairs
+
+
+def test_minhash_probe_intra_batch_option(spark):
+    """Default probe reports only batch-vs-index pairs — two near-dups
+    in the same batch both slip past a gate. include_intra_batch=True
+    additionally emits intra-batch pairs as (higher, lower) so a
+    keep-lowest-id gate admits exactly one per clone group."""
+    from demy_spark.operators.dedup import minhash_index, minhash_probe
+
+    idx_docs = spark.createDataFrame(
+        [(1, "totally unrelated indexed corpus text about databases")],
+        "doc_id long, text string",
+    )
+    base = "spark shuffle partition broadcast join window aggregate codegen"
+    batch = spark.createDataFrame(
+        [(100, f"{base} alpha"), (104, f"{base} alpha"), (200, "lone rows here now")],
+        "doc_id long, text string",
+    )
+    bands_df, shingles_df = minhash_index(idx_docs, "text", "doc_id")
+
+    args = (bands_df, shingles_df, batch, "text", "doc_id")
+    default = minhash_probe(*args, jaccard_threshold=0.5)
+    assert default.count() == 0  # blind to the 100/104 clone pair
+
+    intra = minhash_probe(*args, jaccard_threshold=0.5, include_intra_batch=True)
+    rows = {(r["batch_id"], r["index_id"]): r["jaccard"] for r in intra.collect()}
+    assert set(rows) == {(104, 100)}  # higher id reported against lower
+    assert rows[(104, 100)] == 1.0

@@ -27,6 +27,24 @@ def _group(rows):
     return out.items()
 
 
+def test_phrase_merges_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches per-round lineage truncation from
+    executor-local blocks to a reliable checkpoint that survives
+    executor loss — results identical either way."""
+    rows = [(1, "new york is big new york is old")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, tokens = phrase_merges(
+        docs, "doc_id", "text", iterations=2, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    got = [(r["w1"], r["w2"]) for r in merges.orderBy("iteration").collect()]
+    assert got == [("new", "york"), ("new@@york", "is")]
+    assert tokens.count() == 4
+    # the reliable checkpoint actually wrote to the requested dir
+    import os
+
+    assert any(os.scandir(tmp_path / "ckpt"))
+
+
 def test_phrase_merges_greedy_argmax_chain(spark):
     m, t = _run(
         spark,
