@@ -64,10 +64,20 @@ def fit_word2vec(
     dim: int = 300,
     min_count: int = 10,
     seed: int = 42,
+    num_partitions: int = 1,
+    max_iter: int = 1,
 ) -> DataFrame:
     """Train Word2Vec (reference defaults: 300 dims, minCount 10,
     Corpus.scala:36-42); returns the (word, vector) table with the
-    vector as array<float> — the join side for ``apply_embeddings``."""
+    vector as array<float> — the join side for ``apply_embeddings``.
+
+    Determinism contract: with the default ``num_partitions=1`` and
+    ``max_iter=1`` the fit is a pure function of (corpus, seed) —
+    gradient updates apply in one fixed order, so refits are
+    bit-identical (pinned by the seeded golden test). Raising
+    ``num_partitions`` for corpus-scale training trades that away:
+    partitions train concurrently and merge, so vectors vary
+    run-to-run (Hogwild-style, the standard large-corpus trade)."""
     from pyspark.ml.feature import Word2Vec
     from pyspark.ml.functions import vector_to_array
 
@@ -75,6 +85,8 @@ def fit_word2vec(
         vectorSize=dim,
         minCount=min_count,
         seed=seed,
+        numPartitions=num_partitions,
+        maxIter=max_iter,
         inputCol=tokens_col,
         outputCol="_w2v_",
     ).fit(df)

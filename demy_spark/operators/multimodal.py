@@ -4,11 +4,13 @@ columns with typed metadata.
 A 100 TB training-data pipeline carries media as ``binary`` payloads
 next to structured metadata; decode/feature-extraction runs as
 Arrow-batched ``mapInPandas`` so bytes never round-trip through Python
-row objects. The media codec libraries (Pillow/ffmpeg/librosa) are NOT
-in this environment, so the actual decode step is stubbed behind
-``NotImplementedError`` with a deterministic byte-level feature path
-(magic sniffing, sizes, digests) that keeps the Spark-side plumbing —
-schema, batching, partitioning — real and tested.
+row objects. Image decode auto-detects Pillow at runtime
+(``pillow_available()``): when present, ``decode_image`` decodes real
+JPEG/PNG bytes; when absent (this container), it falls back to a
+clearly-marked deterministic fake keystream with the identical
+schema/batch shape, so the Spark-side plumbing — schema, batching,
+partitioning — is real and tested either way. Video/audio codecs
+(ffmpeg/librosa) remain faked the same way.
 """
 
 from __future__ import annotations
@@ -125,6 +127,45 @@ def _fake_decode(payload: bytes | None, h: int, w: int, c: int = 3) -> list[floa
     return out[:n]
 
 
+def pillow_available() -> bool:
+    """True when Pillow is importable in this interpreter — decides
+    whether ``decode_image`` decodes real bytes or the deterministic
+    fake. Checked on the DRIVER; executors share the environment in
+    every supported deployment (same image/venv)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _pillow_decode(payload: bytes | None, h: int, w: int, c: int = 3) -> list[float]:
+    """REAL image decode via Pillow: parse the payload bytes, convert
+    to the requested channel count (L/RGB/RGBA), nearest-resize to the
+    requested (h, w) when the encoded size differs, scale to [0,1]
+    row-major HWC floats. Raises on undecodable bytes — a production
+    pipeline wants the error surfaced (route through a try/filter
+    stage upstream to quarantine corrupt media)."""
+    from io import BytesIO
+
+    import numpy as np
+    from PIL import Image
+
+    mode = {1: "L", 3: "RGB", 4: "RGBA"}[c]
+    img = Image.open(BytesIO(payload or b"")).convert(mode)
+    if img.size != (w, h):
+        img = img.resize((w, h), Image.NEAREST)
+    return (np.asarray(img, dtype=np.float32) / 255.0).ravel().tolist()
+
+
+def default_image_decoder():
+    """Pillow-backed decode when the library is present, else the
+    deterministic fake — the operator is production-real the moment
+    the dependency exists, with no code change."""
+    return _pillow_decode if pillow_available() else _fake_decode
+
+
 def decode_image(
     df: DataFrame,
     payload_col: str = "payload",
@@ -138,12 +179,14 @@ def decode_image(
 
     Arrow-batched ``mapInPandas``; height/width come from the typed
     ``meta`` struct when present (``default_hw`` otherwise). The
-    ``decoder(payload, h, w, c) -> list[float]`` defaults to the
-    clearly-marked deterministic fake ``_fake_decode`` — the codec
-    libraries aren't in this container — so the schema, batching and
-    downstream ops (resize, feature extraction) are real and tested;
-    pass a Pillow/opencv-backed decoder in production."""
-    dec = decoder or _fake_decode
+    ``decoder(payload, h, w, c) -> list[float]`` defaults to
+    ``default_image_decoder()``: REAL Pillow decode when the library
+    is importable, else the clearly-marked deterministic fake
+    ``_fake_decode`` — so the schema, batching and downstream ops
+    (resize, feature extraction) are identical and tested either way.
+    Pass an explicit decoder (opencv, the fake for reproducible CI)
+    to override detection."""
+    dec = decoder or default_image_decoder()
     dh, dw = default_hw
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -7,6 +7,7 @@ contracts its offset-sensitive consumers rely on.
 from __future__ import annotations
 
 from hypothesis import given, settings
+from pyspark.sql import functions as F
 from hypothesis import strategies as st
 
 from demy_spark.functions.text import _simplify_char, _split_doc_py
@@ -195,6 +196,117 @@ def test_strip_spans_consistent_with_span_detection(spark, sf_dir):
     for r in rows:
         assert r["tokens_removed"] == spans.get(r["doc_id"], 0)
         assert r["n_clean"] == r["n_tokens"] - r["tokens_removed"]
+
+
+# ---------------------------------------------------------------------------
+# Oracle-contract fuzzing: the three conventions every DuckDB-gated
+# operator rides on (memory: oracle-contract; SKILL.md Gotchas) are
+# load-bearing for all 110 oracles. Each test hands a hypothesis-
+# generated corpus to BOTH engines in one batch per example (a Spark
+# job per string would be minutes, not seconds).
+# ---------------------------------------------------------------------------
+
+# whitespace-heavy unicode incl. control chars (tabs/newlines are Cc)
+_CONTRACT_TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "N", "P", "Z", "Cc"), max_codepoint=0x2FF
+    ),
+    max_size=60,
+)
+
+
+@given(st.lists(_CONTRACT_TEXT, min_size=1, max_size=25))
+@settings(max_examples=8, deadline=None)
+def test_norm_tokens_contract_fuzz(spark, corpus):
+    """Fuzzed twin of the fixed-case contract test: norm_tokens must
+    equal DuckDB `string_split(trim(lower(x)), ' ')` (empties removed)
+    on ARBITRARY unicode/whitespace text, not just curated cases."""
+    import duckdb
+
+    from demy_spark.functions.textstats import norm_tokens
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", norm_tokens("t").alias("toks")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(corpus):
+        want = con.execute(
+            "SELECT list_filter(string_split(trim(lower(?)), ' '), x -> x <> '')",
+            [t],
+        ).fetchone()[0]
+        assert got[i] == want, (repr(t), got[i], want)
+
+
+@given(
+    st.lists(_CONTRACT_TEXT, min_size=1, max_size=25),
+    st.integers(min_value=1, max_value=18),
+    st.integers(min_value=1, max_value=15),
+)
+@settings(max_examples=8, deadline=None)
+def test_md5_long_contract_fuzz(spark, corpus, start, length):
+    """dedup._md5_long and queries._md5_long_sql must produce the same
+    long for ANY string and ANY hex slice (start 1-18, len<=15 keeps
+    it under 60 bits) — every minhash/simhash oracle bit rides on it."""
+    import duckdb
+
+    from demy_spark.operators.dedup import _md5_long
+    from demy_spark.queries import _md5_long_sql
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["h"]
+        for r in df.select(
+            "i", _md5_long(F.col("t"), start, length).alias("h")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(corpus):
+        want = con.execute(
+            f"SELECT {_md5_long_sql('?', start, length)}", [t]
+        ).fetchone()[0]
+        assert got[i] == want, (repr(t), start, length, got[i], want)
+
+
+@given(
+    st.lists(
+        st.floats(
+            allow_nan=False,
+            allow_infinity=False,
+            width=64,
+            min_value=-1e9,
+            max_value=1e9,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_micro_quantization_contract_fuzz(spark, xs):
+    """Integer quantization (`floor(x * 1e6)` as BIGINT — micro-cents/
+    micro-nats) must agree bit-for-bit between Spark and DuckDB for any
+    finite double in the plausible value range, so quantize-before-
+    compare/sum decisions can never flip between engines."""
+    import duckdb
+
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i long, x double")
+    got = {
+        r["i"]: r["q"]
+        for r in df.select(
+            "i", F.floor(F.col("x") * 1_000_000).cast("long").alias("q")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, x in enumerate(xs):
+        want = con.execute(
+            "SELECT CAST(floor(? * 1000000) AS BIGINT)", [x]
+        ).fetchone()[0]
+        assert got[i] == want, (x.hex(), got[i], want)
 
 
 def test_line_dedup_is_identity_below_threshold(spark):

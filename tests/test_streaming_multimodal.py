@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from demy_spark.io import load_table
 from demy_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
     decode_image,
     extract_byte_features,
     synth_media_table,
@@ -52,10 +53,12 @@ def test_byte_features(spark):
 
 
 def test_decode_resize_pipeline(spark):
-    from demy_spark.operators.multimodal import resize_image
+    from demy_spark.operators.multimodal import _fake_decode, resize_image
 
     media = synth_media_table(spark, n=4).select("media_id", "payload")
-    decoded = decode_image(media)  # no meta → default 8x8x3
+    # pin the fake: synth payloads are not real images, and the default
+    # decoder auto-upgrades to Pillow when it is installed
+    decoded = decode_image(media, decoder=_fake_decode)  # no meta → 8x8x3
     rows = {r["media_id"]: r for r in decoded.collect()}
     assert len(rows) == 4
     assert all(
@@ -65,7 +68,10 @@ def test_decode_resize_pipeline(spark):
         for r in rows.values()
     )
     # deterministic fake: same payload → same pixels
-    again = {r["media_id"]: r["pixels"] for r in decode_image(media).collect()}
+    again = {
+        r["media_id"]: r["pixels"]
+        for r in decode_image(media, decoder=_fake_decode).collect()
+    }
     assert again == {k: v["pixels"] for k, v in rows.items()}
 
     small = {r["media_id"]: r for r in resize_image(decoded, 4, 2).collect()}
@@ -75,6 +81,48 @@ def test_decode_resize_pipeline(spark):
     )
     # nearest-neighbor: output pixel (0,0,c) is input pixel (0,0,c)
     assert small[0]["pixels"][:3] == rows[0]["pixels"][:3]
+
+
+def test_default_decoder_tracks_pillow_availability():
+    from demy_spark.operators.multimodal import (
+        _fake_decode,
+        _pillow_decode,
+        default_image_decoder,
+        pillow_available,
+    )
+
+    expected = _pillow_decode if pillow_available() else _fake_decode
+    assert default_image_decoder() is expected
+
+
+def test_pillow_decode_golden(spark):
+    """Availability-gated golden: with Pillow present, decode_image's
+    default path decodes REAL PNG bytes to known pixel values."""
+    import pytest
+
+    from demy_spark.operators.multimodal import pillow_available
+
+    if not pillow_available():
+        pytest.skip("Pillow not installed — fake-decoder fallback covered above")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    # 2x2 RGB: red, green / blue, white
+    arr = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), ("image/png", 2, 2, 0))], MEDIA_SCHEMA
+    )
+    out = decode_image(media, default_hw=(2, 2)).collect()[0]
+    assert (out["height"], out["width"], out["channels"]) == (2, 2, 3)
+    got = [round(p, 6) for p in out["pixels"]]
+    assert got == [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0]
 
 
 def test_sample_video_frames_fanout(spark):

@@ -111,6 +111,63 @@ def test_word2vec_fit_roundtrip(spark):
     assert all(len(v) == 8 for v in rows.values())
 
 
+def test_word2vec_seeded_fit_is_reproducible(spark):
+    """Seeded-fit golden: with numPartitions=1 and maxIter=1 (the
+    defaults) the fit is a pure function of (corpus, seed) — two
+    independent fits produce bit-identical vectors and identical
+    nearest-synonym rankings; a different seed produces different
+    vectors over the same vocabulary."""
+    from demy_spark.features import fit_word2vec
+    from demy_spark.functions.vectors import cosine_similarity
+
+    corpus = [
+        (["spark", "query", "engine", "runs", "fast"],),
+        (["query", "engine", "plans", "joins"],),
+        (["spark", "runs", "distributed", "joins"],),
+    ] * 8
+    docs = spark.createDataFrame(corpus, ["toks"])
+
+    def fit(seed):
+        return {
+            r["word"]: tuple(r["vector"])
+            for r in fit_word2vec(
+                docs, "toks", dim=6, min_count=1, seed=seed
+            ).collect()
+        }
+
+    a, b = fit(7), fit(7)
+    assert a == b  # bit-identical refit
+    other = fit(99)
+    assert set(other) == set(a) and other != a  # seed actually matters
+
+    # synonym ranking from the fitted table is likewise reproducible
+    vecs = fit_word2vec(docs, "toks", dim=6, min_count=1, seed=7)
+    q = vecs.where(F.col("word") == "spark").select(
+        F.col("vector").alias("_q_")
+    )
+    ranked = [
+        r["word"]
+        for r in vecs.where(F.col("word") != "spark")
+        .crossJoin(F.broadcast(q))
+        .select("word", cosine_similarity("vector", "_q_").alias("sim"))
+        .orderBy(F.col("sim").desc(), "word")
+        .collect()
+    ]
+    vecs2 = fit_word2vec(docs, "toks", dim=6, min_count=1, seed=7)
+    q2 = vecs2.where(F.col("word") == "spark").select(
+        F.col("vector").alias("_q_")
+    )
+    ranked2 = [
+        r["word"]
+        for r in vecs2.where(F.col("word") != "spark")
+        .crossJoin(F.broadcast(q2))
+        .select("word", cosine_similarity("vector", "_q_").alias("sim"))
+        .orderBy(F.col("sim").desc(), "word")
+        .collect()
+    ]
+    assert ranked == ranked2 and len(ranked) == 7
+
+
 def test_split_doc_records_golden(spark):
     """Word.splitDoc golden: interleaved word/non-word runs, original
     slices preserved (URL kept in the orig slice though blanked for
