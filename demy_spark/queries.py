@@ -6792,87 +6792,78 @@ def q110_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
-# order. Round-3 window (final): every slot goes to a query with NO
-# driver row at its current code —
-#   1. never-rowed registrations (q74-q110: the round-3 additions,
-#      including the late curation/PQ/packing block and the subdoc/
-#      selection/semdedup/incremental-dedup block);
-#   2. behavior changed since the last green row: the cents-
-#      determinized money queries, the fuzzy trio under the default
-#      max_df bound, q47 after the TakeOrdered sampling change, and
-#      q26 after the _minhash_bands refactor;
-#   3. every remaining slot is taken by never-rowed registrations; the
-#      other r1/r2-green, code-unchanged queries rotate in
-#      r4 — their standing check this round is the verify-skill driver
-#      simulation (re-run green at sf0.01 each time the registry grew
-#      — final 110/110 MATCH) plus the sf0.001 parity
-#      suite in tests/.
+# order. Round-4 window: rotation round — no new registrations, so the
+# slots pay down artifact staleness (VERDICT r3 "What's missing" #1):
+#   1. behavior changed this round: q100 (micro-quantized tau compare)
+#      and q108 (re-registered on sorted-neighborhood candidates — the
+#      production blocking, closing VERDICT task 2);
+#   2. all 21 queries whose latest green row was CORRECTNESS_r01
+#      (q27-q37, q39-q45, q53, q54, q66) — the artifact must never be
+#      >2 rounds stale;
+#   3. 27 of the 39 queries resting on r2 rows — oldest-first paydown.
+# The 12 r2-resting deferrals to round 5 each have a same-family
+# sibling IN this window exercising the shared code path, plus the
+# sf0.01 verify-skill simulation and the sf0.001 parity suite:
+#   q04 (semi-join; q05 anti-join rotates)   q07 (group topN; q14)
+#   q09 (rollup; q10 cube)                   q13 (sessionize; q12 r3)
+#   q16 (distinct; q18 fingerprints)         q17 (token stats; q19-q21)
+#   q48 (simplify; q49 + q81 r3)             q55 (as-of; q56 r3)
+#   q58 (HLL; q59 sketches)                  q60 (stratified; q61)
+#   q68 (z-order projection; q64/q65)        q72 (geo; q40/q41 rotate)
 _DRIVER_PRIORITY = [
-    # --- tier 1: never-rowed (registered this round)
-    "q74_embed_options",
-    "q75_shapefile_flatten",
-    "q76_tree_spawn",
-    "q77_split_doc",
-    "q78_entity_refine",
-    "q79_pipeline_grid",
-    "q80_source_scan",
-    "q81_phonetic_simplify",
-    "q82_analogy_score",
-    "q83_fuzzy_predict",
-    "q84_tweet_clean",
-    "q85_sparse_merge",
-    "q38_one_vs_rest",
-    "q86_contamination_check",
-    "q87_canonical_docs",
-    "q88_mixture_sample",
-    "q89_pq_ann_topk",
-    "q90_histogram_quantiles",
-    "q91_pii_redaction",
-    "q92_gopher_rules",
-    "q93_curation_pipeline",
-    "q94_sequence_pack",
-    "q95_ann_recall",
-    "q96_line_dedup",
-    "q97_duplicated_spans",
-    "q98_lm_quality",
-    "q99_dsir_select",
+    # --- tier 1: behavior changed this round
     "q100_semdedup",
-    "q101_incremental_dedup",
-    "q102_strip_spans",
-    "q103_source_overlap",
-    "q104_phrase_merges",
-    "q105_weighted_sample",
-    "q106_distinctive_terms",
-    "q107_snapshot_diff",
     "q108_record_linkage",
-    "q109_sorted_neighborhood",
-    "q110_incremental_pipeline",
-    # --- tier 2: behavior changed since the last green row
-    "q57_time_rollup",
-    "q12_events_hourly",
-    "q56_range_join",
-    "q62_skew_join",
-    # q63_salted_agg cedes its slot to q110 (same cents pattern as
-    # q12/q56/q62 which re-row; green in the sf0.01 simulation)
-    # q67_event_followup cedes its slot to q107 (same cents pattern as
-    # q12/q56/q62/q63, green in the sf0.01 simulation)
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_top_orders",
-    # q06_forecast_revenue and q10_cube_orders cede their slots to
-    # q105/q106: their cents-sum pattern is the same one
-    # q01/q02/q03/q57/q64/q65 re-verify this round, and both stay
-    # green in the sf0.01 driver simulation
-    "q64_bucketed_join",
-    # q65_partition_prune cedes its slot to q109 (its change was the
-    # same cents determinization q64 re-rows; green in the simulation)
-    "q24_fuzzy_lookup",
-    # q50_fuzzy_typos cedes its slot to q108: the max_df default change
-    # it shares with q24/q51 is re-rowed through both of those, and q50
-    # stays green in the sf0.01 simulation
-    "q51_fuzzy_standard",
-    "q47_genetic_prototypes",
-    "q26_minhash_dedup",
+    # --- tier 2: latest row is CORRECTNESS_r01 (21 queries)
+    "q27_simhash_dedup",
+    "q28_embedding_dedup",
+    "q29_lsh_ann_topk",
+    "q30_ngram_jaccard",
+    "q31_dup_clusters",
+    "q32_media_features",
+    "q33_hash_folds",
+    "q34_threshold_sweep",
+    "q35_oof_mean_model",
+    "q36_multi_hot",
+    "q37_embed_apply",
+    "q39_admin_flatten",
+    "q40_parse_address",
+    "q41_locality_match",
+    "q42_seeded_kmeans",
+    "q43_topic_tree_walk",
+    "q44_entity_match",
+    "q45_entity_cooccurrence",
+    "q53_ivf_ann_topk",
+    "q54_binary_metrics",
+    "q66_pos_tag_greedy",
+    # --- tier 3: oldest r2 rows (27 of 39; deferrals documented above)
+    "q05_customers_without_orders",
+    "q06_forecast_revenue",
+    "q08_running_revenue",
+    "q10_cube_orders",
+    "q11_repeat_customers",
+    "q14_top_parts_per_brand",
+    "q15_acctbal_folds",
+    "q18_exact_dedup",
+    "q19_token_topk",
+    "q20_language_id",
+    "q21_quality_score",
+    "q22_label_centroids",
+    "q23_cosine_topk",
+    "q25_lexicon_lookup",
+    "q46_pos_tag",
+    "q49_sentence_split",
+    "q50_fuzzy_typos",
+    "q52_word_categories",
+    "q59_heavy_hitters",
+    "q61_bottom_k_sample",
+    "q63_salted_agg",
+    "q65_partition_prune",
+    "q67_event_followup",
+    "q69_center_hierarchy",
+    "q70_span_detect",
+    "q71_online_centers",
+    "q73_platt_calibration",
 ]
 
 
