@@ -76,6 +76,10 @@ def main() -> None:
         "lm_quality": _q.REGISTRY["q98_lm_quality"].fn,
         "semdedup": _q.REGISTRY["q100_semdedup"].fn,
         "incremental_probe": _q.REGISTRY["q101_incremental_dedup"].fn,
+        # round-4 additions: chunking (pure-map scan shape) and kNN
+        # label propagation (brute-force vote baseline)
+        "chunking": _q.REGISTRY["q111_chunk_documents"].fn,
+        "knn_classify": _q.REGISTRY["q114_knn_classify"].fn,
     }
     extra_timings: dict[str, float] = {}
     for name, fn in extras.items():

@@ -36,6 +36,14 @@ def tokens_ws(c: Column | str) -> Column:
     return F.array_remove(F.split(F.trim(_as_col(c)), _WORD_SPLIT), "")
 
 
+# DuckDB's default trim() strips the Unicode Zs space separators —
+# empirically 0x20, 0xA0, 0x1680, 0x2000-0x200A, 0x202F, 0x205F,
+# 0x3000, and NOT \t or \n. Spark's F.trim strips ASCII 0x20 only, so
+# the contract trim is expressed as edge regexp_replaces over the same
+# set (found by the hypothesis contract fuzz: '\xa0' diverged).
+_DUCKDB_TRIM_CLASS = "[\u0020\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000]+"
+
+
 def norm_tokens(c: Column | str) -> Column:
     """Single-space tokens of the trimmed, lowercased text — THE
     oracle-contract normalization (`string_split(trim(lower(text)),
@@ -43,8 +51,15 @@ def norm_tokens(c: Column | str) -> Column:
     splits on \\s+): the two differ on tab/newline-separated tokens,
     and every operator whose values feed a DuckDB oracle must use this
     one so both engines tokenize identically on ANY input, not just
-    the single-spaced fixtures."""
-    return F.array_remove(F.split(F.trim(F.lower(_as_col(c))), " "), "")
+    the single-spaced fixtures. The trim replicates DuckDB's exact
+    edge-strip set (Unicode Zs), not Spark's ASCII-space ``F.trim``."""
+    lowered = F.lower(_as_col(c))
+    trimmed = F.regexp_replace(
+        F.regexp_replace(lowered, "^" + _DUCKDB_TRIM_CLASS, ""),
+        _DUCKDB_TRIM_CLASS + "$",
+        "",
+    )
+    return F.array_remove(F.split(trimmed, " "), "")
 
 
 def token_count(c: Column | str) -> Column:

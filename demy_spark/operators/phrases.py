@@ -38,7 +38,57 @@ from pyspark.sql import functions as F
 
 from demy_spark.functions.textstats import norm_tokens
 
-__all__ = ["phrase_merges"]
+__all__ = ["apply_merges", "phrase_merges"]
+
+
+def _merge_pass(cand: DataFrame, joiner: str, wdoc: Window) -> DataFrame:
+    """One left-to-right non-overlapping merge application. ``cand``
+    carries (_id_, _p_, _w_, _wn_, _w1_, _w2_) — the token stream with
+    its lead token and the pair to merge (NULL pair = no-op round).
+    Returns the re-compacted stream (_id_, _p_, _w_). Shared by the
+    training loop (argmax pair) and ``apply_merges`` (given pair) so
+    the two can never drift."""
+    cand = cand.withColumn(
+        "_m_",
+        # isNotNull FIRST (false & NULL = false): the doc-final
+        # token has a NULL lead, and a sentinel/no-op round has NULL
+        # _w1_ — either would otherwise poison the keep/gone chain
+        F.col("_w1_").isNotNull()
+        & F.col("_wn_").isNotNull()
+        & (F.col("_w_") == F.col("_w1_"))
+        & (F.col("_wn_") == F.col("_w2_")),
+    )
+    # left-to-right non-overlap: inside each island of consecutive
+    # matched positions, keep every other match starting from the
+    # island head (only self-adjacent pairs form islands > 1)
+    wm = Window.partitionBy("_id_", "_m_").orderBy("_p_")
+    cand = cand.withColumn(
+        "_isl_", F.when(F.col("_m_"), F.col("_p_") - F.row_number().over(wm))
+    )
+    wi = Window.partitionBy("_id_", "_isl_")
+    cand = cand.withColumn(
+        "_keep_",
+        F.col("_m_") & (((F.col("_p_") - F.min("_p_").over(wi)) % 2) == 0),
+    )
+    # a position is dropped when the PREVIOUS position merged it
+    cand = cand.withColumn("_gone_", F.lag("_keep_", 1, False).over(wdoc))
+    emitted = cand.where(~F.col("_gone_")).select(
+        "_id_",
+        "_p_",
+        F.when(
+            F.col("_keep_"),
+            F.concat_ws(joiner, F.col("_w_"), F.col("_wn_")),
+        )
+        .otherwise(F.col("_w_"))
+        .alias("_w_"),
+    )
+    # re-compact positions so the next round's lead() sees adjacency
+    # across the merge (row domain, same as the oracle)
+    return emitted.select(
+        "_id_",
+        (F.row_number().over(wdoc) - 1).alias("_p_"),
+        "_w_",
+    )
 
 
 def phrase_merges(
@@ -112,52 +162,11 @@ def phrase_merges(
             )
             .limit(1)
         )
-        cand = paired.join(F.broadcast(best)).withColumn(
-            "_m_",
-            # isNotNull FIRST (false & NULL = false): the doc-final
-            # token has a NULL lead, and the sentinel round has NULL
-            # _w1_ — either would otherwise poison the keep/gone chain
-            F.col("_w1_").isNotNull()
-            & F.col("_wn_").isNotNull()
-            & (F.col("_w_") == F.col("_w1_"))
-            & (F.col("_wn_") == F.col("_w2_")),
-        )
-        # left-to-right non-overlap: inside each island of consecutive
-        # matched positions, keep every other match starting from the
-        # island head (only self-adjacent pairs form islands > 1)
-        wm = Window.partitionBy("_id_", "_m_").orderBy("_p_")
-        cand = cand.withColumn(
-            "_isl_", F.when(F.col("_m_"), F.col("_p_") - F.row_number().over(wm))
-        )
-        wi = Window.partitionBy("_id_", "_isl_")
-        cand = cand.withColumn(
-            "_keep_",
-            F.col("_m_")
-            & (((F.col("_p_") - F.min("_p_").over(wi)) % 2) == 0),
-        )
-        # a position is dropped when the PREVIOUS position merged it
-        cand = cand.withColumn("_gone_", F.lag("_keep_", 1, False).over(wdoc))
-        emitted = cand.where(~F.col("_gone_")).select(
-            "_id_",
-            "_p_",
-            F.when(
-                F.col("_keep_"),
-                F.concat_ws(joiner, F.col("_w_"), F.col("_wn_")),
-            )
-            .otherwise(F.col("_w_"))
-            .alias("_w_"),
-        )
-        # re-compact positions so the next iteration's lead() sees
-        # adjacency across the merge (row domain, same as the oracle);
         # localCheckpoint truncates the per-round lineage — without it
         # the merges/tokens_after union branches re-execute every
         # earlier round's window chain once per branch (measured 2.5×
         # wall at 10× data), and the plan depth grows per iteration
-        t = emitted.select(
-            "_id_",
-            (F.row_number().over(wdoc) - 1).alias("_p_"),
-            "_w_",
-        )
+        t = _merge_pass(paired.join(F.broadcast(best)), joiner, wdoc)
         t = (
             t.checkpoint(eager=False)
             if checkpoint_dir is not None
@@ -182,3 +191,51 @@ def phrase_merges(
         F.col("_w_").alias("token"),
     )
     return merges, tokens
+
+
+def apply_merges(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    *,
+    joiner: str = "@@",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Apply a LEARNED merge list to a corpus — the serving half of
+    the word2phrase/BPE pair: ``phrase_merges`` trains the ranked
+    pair list once on the big corpus; this applies it to any stream
+    (new crawls, inference-time text) in rank order, one
+    left-to-right non-overlapping pass per merge, exactly the
+    tokenizer-apply convention. Merged tokens participate in later
+    merges (("a","b") then ("a@@b","c") chains).
+
+    Returns the rewritten token stream (``id_col``, pos, token).
+    ``merges`` is driver-side but tokenizer-sized by contract (BPE
+    vocabularies are 10k-100k pairs; each pair becomes two literals
+    in the plan — for very long lists, batch the calls). Same
+    per-round lineage-truncation contract as ``phrase_merges``
+    (``checkpoint_dir`` for reliable checkpoints on long runs).
+    """
+    if checkpoint_dir is not None:
+        docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    t = docs.select(
+        F.col(id_col).alias("_id_"),
+        F.posexplode(norm_tokens(F.col(text_col))).alias("_p_", "_w_"),
+    )
+    wdoc = Window.partitionBy("_id_").orderBy("_p_")
+    for w1, w2 in merges:
+        paired = t.withColumn("_wn_", F.lead("_w_").over(wdoc)).withColumns(
+            {"_w1_": F.lit(w1), "_w2_": F.lit(w2)}
+        )
+        t = _merge_pass(paired, joiner, wdoc)
+        t = (
+            t.checkpoint(eager=False)
+            if checkpoint_dir is not None
+            else t.localCheckpoint(eager=False)
+        )
+    return t.select(
+        F.col("_id_").alias(id_col),
+        F.col("_p_").alias("pos"),
+        F.col("_w_").alias("token"),
+    )

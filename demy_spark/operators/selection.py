@@ -49,7 +49,12 @@ from pyspark.sql import functions as F
 from demy_spark.functions.textstats import norm_tokens as _tokens
 from demy_spark.operators.dedup import _md5_long
 
-__all__ = ["bigram_lm_scores", "dsir_scores", "distinctive_terms"]
+__all__ = [
+    "bigram_lm_scores",
+    "dsir_scores",
+    "distinctive_terms",
+    "tfidf_top_terms",
+]
 
 _MICRO = 1_000_000
 
@@ -333,5 +338,69 @@ def distinctive_terms(
             F.col("_w_").alias("word"),
             F.col("_cgw_").alias("n_word"),
             "z_micro",
+        )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` keywords per DOCUMENT by TF-IDF — the per-document
+    twin of ``distinctive_terms``' per-group view (keyword extraction
+    for dataset datasheets, retrieval indexing, topic labeling).
+
+    Smoothed idf = ln((N + 1) / (df + 1)) + 1 (sklearn's convention —
+    never negative, never div-by-zero); score = tf * idf. Ranking
+    rides on the MICRO-INTEGER ``score_micro`` = tf *
+    floor(idf * 1e6) — tf is an exact integer, so quantizing idf once
+    per term keeps the whole rank integer (the SKILL.md
+    quantize-before-compare rule; the multiply stays well under a
+    long). Ties break to the lexicographically first term.
+
+    Output: (``id_col``, term, tf, score_micro). Scale shape: the
+    corpus reduces to (doc, term, tf) counts in one shuffle with
+    map-side combine; document frequencies are a second reduction of
+    THAT frame (never the raw token stream) joined back co-keyed on
+    the term; the corpus doc count is a 1-row frame cross-joined
+    in-plan; top-k per doc is a WindowGroupLimit-prunable rank
+    window."""
+    tf = (
+        docs.select(F.col(id_col).alias("_id_"), F.explode(_tokens(text_col)).alias("_w_"))
+        .groupBy("_id_", "_w_")
+        .agg(F.count(F.lit(1)).alias("_tf_"))
+    )
+    df_t = tf.groupBy("_w_").agg(F.count(F.lit(1)).alias("_df_"))
+    n_docs = docs.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).alias("_n_")
+    )
+    idf_micro = F.floor(
+        (F.log((F.col("_n_") + 1.0) / (F.col("_df_") + 1.0)) + 1.0)
+        * F.lit(float(_MICRO))
+    ).cast("long")
+    scored = (
+        tf.join(df_t, "_w_")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_id_",
+            "_w_",
+            "_tf_",
+            (F.col("_tf_") * idf_micro).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("_id_").orderBy(
+        F.col("score_micro").desc(), F.col("_w_").asc()
+    )
+    return (
+        scored.withColumn("_rk_", F.row_number().over(w))
+        .where(F.col("_rk_") <= k)
+        .select(
+            F.col("_id_").alias(id_col),
+            F.col("_w_").alias("term"),
+            F.col("_tf_").alias("tf"),
+            "score_micro",
         )
     )

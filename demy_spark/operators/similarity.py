@@ -444,3 +444,93 @@ def pq_adc_topk(
         F.col("adist").asc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    *,
+    k: int = 5,
+    query_vec_col: str | None = None,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """k-nearest-neighbor classification over an embedding corpus: the
+    majority ``label_col`` among each query's ``k`` nearest neighbors
+    by cosine. The standard zero-training baseline a curation
+    pipeline runs off the SAME ANN machinery it already has — label
+    propagation for quality/domain/topic tags from a small labeled
+    seed set to the whole corpus.
+
+    Determinism (oracle-gate ready): neighbors rank on the MICRO-
+    INTEGER floor(cos * 1e6) (ties to the smallest neighbor id), and
+    the vote argmax breaks ties by (votes desc, best sim_micro desc,
+    label asc) — no double ever decides a boundary. Zero-norm vectors
+    score 0 (``cosine_similarity``'s contract; DuckDB NaN would sort
+    ABOVE every number and flip ranks).
+
+    Returns (query_id, pred_label, votes, best_sim_micro). This is
+    the exact-baseline shape (queries broadcast against one corpus
+    scan, same contract as ``cosine_topk``); at corpus-side scale
+    compose the same vote with ``ivf_cosine_topk``/``pq_adc_topk``
+    candidates instead.
+    """
+    from demy_spark.functions.vectors import dot, l2_norm
+
+    qv = query_vec_col or vec_col
+    qi = query_id_col or id_col
+    # norms hoisted per VECTOR, not per pair: the query norm is
+    # computed once before the broadcast and the corpus norm once per
+    # scan row, so the pairwise stage pays exactly one dot-product
+    # fold per pair instead of three (semdedup's measured 22.6→3.5 s
+    # fix, same shape; the doubles are bit-identical either way)
+    q = queries.select(
+        F.col(qi).alias("query_id"),
+        F.col(qv).alias("_qv_"),
+    ).withColumn("_qn_", l2_norm("_qv_"))
+    c = corpus.select(
+        F.col(id_col).alias("_nid_"),
+        F.col(vec_col).alias("_cv_"),
+        F.col(label_col).alias("_lbl_"),
+    ).withColumn("_cn_", l2_norm("_cv_"))
+    cos = F.when(
+        (F.col("_cn_") > 0) & (F.col("_qn_") > 0),
+        dot("_cv_", "_qv_") / (F.col("_cn_") * F.col("_qn_")),
+    ).otherwise(F.lit(0.0))
+    scored = c.join(
+        F.broadcast(q), F.col("_nid_") != F.col("query_id")
+    ).select(
+        "query_id",
+        "_nid_",
+        "_lbl_",
+        F.floor(cos * 1_000_000).cast("long").alias("_sim_"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim_").desc(), F.col("_nid_").asc()
+    )
+    votes = (
+        scored.withColumn("_rk_", F.row_number().over(w))
+        .where(F.col("_rk_") <= k)
+        .groupBy("query_id", "_lbl_")
+        .agg(
+            F.count(F.lit(1)).alias("votes"),
+            F.max("_sim_").alias("best_sim_micro"),
+        )
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(),
+        F.col("best_sim_micro").desc(),
+        F.col("_lbl_").asc(),
+    )
+    return (
+        votes.withColumn("_vr_", F.row_number().over(wv))
+        .where(F.col("_vr_") == 1)
+        .select(
+            "query_id",
+            F.col("_lbl_").alias("pred_label"),
+            F.col("votes").cast("long").alias("votes"),
+            "best_sim_micro",
+        )
+    )

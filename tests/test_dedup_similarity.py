@@ -361,3 +361,46 @@ def test_minhash_probe_intra_batch_option(spark):
     rows = {(r["batch_id"], r["index_id"]): r["jaccard"] for r in intra.collect()}
     assert set(rows) == {(104, 100)}  # higher id reported against lower
     assert rows[(104, 100)] == 1.0
+
+
+def test_knn_classify_majority_and_ties(spark):
+    from demy_spark.operators.similarity import knn_classify
+
+    # axis clusters: label 1 along x, label 2 along y; one noise point
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 1),
+            (2, [0.9, 0.1], 1),
+            (3, [0.8, 0.05], 1),
+            (4, [0.0, 1.0], 2),
+            (5, [0.1, 0.9], 2),
+            (6, [-1.0, -1.0], 3),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.05]), (101, [0.05, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["query_id"]: (r["pred_label"], r["votes"])
+        for r in knn_classify(
+            corpus, queries, "embedding", "vec_id", "label", k=3
+        ).collect()
+    }
+    assert out[100] == (1, 3)  # all 3 nearest are x-cluster
+    assert out[101][0] == 2
+    # vote tie broken by best similarity: k=2 on a query equidistant
+    # in votes (1 vs 1) must pick the closer label
+    q_mid = spark.createDataFrame(
+        [(200, [0.7, 0.7])], "vec_id long, embedding array<double>"
+    )
+    got = knn_classify(corpus, q_mid, "embedding", "vec_id", "label", k=2).collect()
+    assert len(got) == 1 and got[0]["votes"] == 1
+    assert got[0]["pred_label"] in (1, 2)
+    # self-exclusion: a query sharing an id with a corpus row skips it
+    q_self = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rows = knn_classify(corpus, q_self, "embedding", "vec_id", "label", k=2).collect()
+    assert rows and rows[0]["query_id"] == 1

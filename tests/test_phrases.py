@@ -1,6 +1,40 @@
 from __future__ import annotations
 
-from demy_spark.operators.phrases import phrase_merges
+from demy_spark.operators.phrases import apply_merges, phrase_merges
+
+
+def test_apply_merges_replays_training(spark):
+    """Applying the merge list phrase_merges learned reproduces the
+    trained token stream exactly — the train/apply pair can't drift
+    (they share _merge_pass)."""
+    rows = [
+        (1, "new york is big new york is old"),
+        (2, "in new york new york wins"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, trained = phrase_merges(docs, "doc_id", "text", iterations=2)
+    pairs = [
+        (r["w1"], r["w2"])
+        for r in merges.orderBy("iteration").collect()
+        if r["w1"] is not None
+    ]
+    applied = apply_merges(docs, "doc_id", "text", pairs)
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert key(applied) == key(trained)
+
+
+def test_apply_merges_chains_and_noops(spark):
+    docs = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+    out = apply_merges(
+        docs, "doc_id", "text", [("a", "b"), ("a@@b", "c"), ("zz", "qq")]
+    )
+    toks = [r["token"] for r in out.orderBy("pos").collect()]
+    assert toks == ["a@@b@@c", "a@@b"]  # chained merge; unknown pair no-ops
+    # empty merge list is the identity
+    same = apply_merges(docs, "doc_id", "text", [])
+    assert [r["token"] for r in same.orderBy("pos").collect()] == [
+        "a", "b", "c", "a", "b",
+    ]
 
 
 def _run(spark, rows, iterations=3):

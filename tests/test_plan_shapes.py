@@ -54,6 +54,11 @@ PLANNABLE = [
     "q108_record_linkage",
     "q109_sorted_neighborhood",
     "q110_incremental_pipeline",
+    # round-4 additions (q113 excluded: per-merge localCheckpoint
+    # rounds execute during construction, like q100's Lloyd rounds)
+    "q111_chunk_documents",
+    "q112_tfidf_terms",
+    "q114_knn_classify",
 ]
 
 

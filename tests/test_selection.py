@@ -95,3 +95,30 @@ def test_distinctive_terms_surfaces_group_exclusive_words(spark):
     assert news_words <= {"vote", "press"}
     # z-scores are positive for distinctive words
     assert all(z > 0 for z, _ in top["tech"] + top["news"])
+
+
+def test_tfidf_top_terms_ranks_rare_over_common(spark):
+    import math
+
+    from demy_spark.operators.selection import tfidf_top_terms
+
+    rows = [
+        (1, "shared shared unique1 unique1 unique1"),
+        (2, "shared unique2"),
+        (3, "shared other"),
+        (4, "shared other"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in tfidf_top_terms(docs, "doc_id", "text", k=2).collect():
+        out.setdefault(r["doc_id"], []).append((r["term"], r["tf"], r["score_micro"]))
+    # doc 1: unique1 (tf 3, df 1) beats shared (tf 2, df 4)
+    assert [t for t, _, _ in out[1]] == ["unique1", "shared"]
+    # score is tf * floor((ln((N+1)/(df+1)) + 1) * 1e6) exactly
+    idf_u1 = math.floor((math.log(5 / 2) + 1) * 1_000_000)
+    assert out[1][0] == ("unique1", 3, 3 * idf_u1)
+    # every doc returns at most k rows and at least its distinct terms
+    assert all(len(v) <= 2 for v in out.values()) and set(out) == {1, 2, 3, 4}
+    # ties (same tf, same df) break lexicographically: doc 3/4 rank
+    # 'other' before 'shared'? other has df 2 < shared df 4 -> higher idf
+    assert [t for t, _, _ in out[3]] == ["other", "shared"]
