@@ -206,13 +206,41 @@ def test_strip_spans_consistent_with_span_detection(spark, sf_dir):
 # job per string would be minutes, not seconds).
 # ---------------------------------------------------------------------------
 
-# whitespace-heavy unicode incl. control chars (tabs/newlines are Cc)
+# whitespace-heavy unicode incl. control chars (tabs/newlines are Cc).
+# U+0130 (İ) is excluded: it is a KNOWN lower() divergence between the
+# engines (Java/ICU gives 'i'+combining-dot, DuckDB utf8proc gives
+# 'i') — an exhaustive scan of 0x20-0x2FFF found exactly two such
+# codepoints (0x130, 0x2C2F); test_known_lowercase_divergences pins
+# them. Fixture text is ASCII, so no oracle rides on them.
 _CONTRACT_TEXT = st.text(
     alphabet=st.characters(
-        codec="utf-8", categories=("L", "N", "P", "Z", "Cc"), max_codepoint=0x2FF
+        codec="utf-8",
+        categories=("L", "N", "P", "Z", "Cc"),
+        max_codepoint=0x2FF,
+        exclude_characters="İ",
     ),
     max_size=60,
 )
+
+
+def test_known_lowercase_divergences(spark):
+    """The ONLY lower() disagreements between Spark (Java/ICU) and
+    DuckDB (utf8proc) in 0x20-0x2FFF, found by exhaustive scan: İ
+    (U+0130, Turkish dotted capital I) and Ⱟ (U+2C2F, added in a
+    Unicode version utf8proc's table predates). Pinned so an engine
+    upgrade that changes the set is noticed — if this test fails,
+    re-run the scan and update the fuzz exclusion list above."""
+    import duckdb
+
+    df = spark.createDataFrame([(0, "İ"), (1, "Ⱟ")], "i long, c string")
+    got = {r["i"]: r["l"] for r in df.select("i", F.lower("c").alias("l")).collect()}
+    con = duckdb.connect()
+    duck = {
+        i: con.execute("SELECT lower(?)", [c]).fetchone()[0]
+        for i, c in [(0, "İ"), (1, "Ⱟ")]
+    }
+    assert got[0] == "i̇" and duck[0] == "i"
+    assert got[1] == "ⱟ" and duck[1] == "Ⱟ"
 
 
 @given(st.lists(_CONTRACT_TEXT, min_size=1, max_size=25))
