@@ -58,3 +58,39 @@ def test_chunk_rejects_bad_params(spark):
         chunk_documents(docs, "doc_id", "text", chunk_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(docs, "doc_id", "text", stride=0)
+
+
+def test_chunking_composes_into_streaming(spark, sf_dir, tmp_path):
+    """chunk_documents is a stateless projection, so it drops into
+    Structured Streaming unchanged — the crawl-firehose → chunker →
+    training-shard shape. Streaming output must equal the batch run
+    over the same files."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from demy_spark.streaming.windows import run_stream_to_memory
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    stage = tmp_path / "docs_stream"
+    stage.mkdir()
+    os.symlink(src, stage / "documents.parquet")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(stage))
+    assert stream.isStreaming
+    out = chunk_documents(stream, "doc_id", "text", chunk_tokens=16, stride=12)
+    got = run_stream_to_memory(out, "chunk_stream")
+    batch = chunk_documents(
+        spark.read.parquet(src), "doc_id", "text", chunk_tokens=16, stride=12
+    )
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    g, b = key(got), key(batch)
+    assert g == b and len(g) > 0
