@@ -22,10 +22,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from demy_spark.functions.textstats import norm_tokens
+
 
 def explode_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, pos, token) rows, lowercased whitespace tokens."""
-    toks = F.array_remove(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), "")
+    """(id, pos, token) rows, lowercased single-space-contract tokens
+    (textstats.norm_tokens — the q44/q45/q52/q78 oracles tokenize with
+    string_split(trim(lower), ' '); a \\s+ split diverges on
+    tab/newline input)."""
+    toks = norm_tokens(F.col(text_col))
     return df.select(
         F.col(id_col).alias("_id_"), F.posexplode(toks).alias("_pos_", "_tok_")
     )
@@ -227,9 +232,7 @@ def score_word_categories(
     toks = docs.select(
         F.col(group_col).alias("_grp_"),
         F.col(tag_col).alias("_tag_"),
-        F.explode(
-            F.array_remove(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), "")
-        ).alias("_tok_"),
+        F.explode(norm_tokens(F.col(text_col))).alias("_tok_"),
     )
     if exclude_tokens:
         toks = toks.where(~F.col("_tok_").isin(list(exclude_tokens)))

@@ -32,7 +32,10 @@ def _as_col(c: Column | str) -> Column:
 
 
 def tokens_ws(c: Column | str) -> Column:
-    """Whitespace tokens, empties removed."""
+    """Whitespace (\\s+) tokens, empties removed. NOT the oracle
+    contract — every function that feeds a DuckDB oracle tokenizes
+    with ``norm_tokens`` (single-space) instead; use this only for
+    engine-internal paths with no SQL replay."""
     return F.array_remove(F.split(F.trim(_as_col(c)), _WORD_SPLIT), "")
 
 
@@ -44,6 +47,17 @@ def tokens_ws(c: Column | str) -> Column:
 _DUCKDB_TRIM_CLASS = "[\u0020\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000]+"
 
 
+def zs_trim(c: Column | str) -> Column:
+    """Edge-trim with DuckDB's exact default trim set (Unicode Zs) —
+    use this instead of ``F.trim`` anywhere a value feeds a DuckDB
+    oracle that calls ``trim(...)``."""
+    return F.regexp_replace(
+        F.regexp_replace(_as_col(c), "^" + _DUCKDB_TRIM_CLASS, ""),
+        _DUCKDB_TRIM_CLASS + "$",
+        "",
+    )
+
+
 def norm_tokens(c: Column | str) -> Column:
     """Single-space tokens of the trimmed, lowercased text — THE
     oracle-contract normalization (`string_split(trim(lower(text)),
@@ -53,18 +67,12 @@ def norm_tokens(c: Column | str) -> Column:
     one so both engines tokenize identically on ANY input, not just
     the single-spaced fixtures. The trim replicates DuckDB's exact
     edge-strip set (Unicode Zs), not Spark's ASCII-space ``F.trim``."""
-    lowered = F.lower(_as_col(c))
-    trimmed = F.regexp_replace(
-        F.regexp_replace(lowered, "^" + _DUCKDB_TRIM_CLASS, ""),
-        _DUCKDB_TRIM_CLASS + "$",
-        "",
-    )
-    return F.array_remove(F.split(trimmed, " "), "")
+    return F.array_remove(F.split(zs_trim(F.lower(_as_col(c))), " "), "")
 
 
 def token_count(c: Column | str) -> Column:
-    """Whitespace token count (long)."""
-    return F.size(tokens_ws(c)).cast("long")
+    """Contract-token count (long; norm_tokens single-space)."""
+    return F.size(norm_tokens(c)).cast("long")
 
 
 def subword_count(c: Column | str, chars_per_token: float = 3.6) -> Column:
@@ -80,8 +88,8 @@ def subword_count(c: Column | str, chars_per_token: float = 3.6) -> Column:
 
 
 def stopword_ratio(c: Column | str, lang: str = "en") -> Column:
-    """Fraction of whitespace tokens that are profile stopwords."""
-    toks = F.transform(tokens_ws(c), lambda x: F.lower(x))
+    """Fraction of contract tokens that are profile stopwords."""
+    toks = norm_tokens(c)
     hits = F.size(
         F.filter(toks, lambda x: x.isin(*LANG_PROFILES[lang]))
     )
@@ -115,7 +123,7 @@ def language_id(c: Column | str) -> Column:
     """Pick the language whose stopword profile hits the most tokens;
     'und' when nothing hits. Expressed as a greatest-of-struct so the
     whole decision stays in one codegen stage."""
-    toks = F.transform(tokens_ws(c), lambda x: F.lower(x))
+    toks = norm_tokens(c)
     scored = F.array(
         *[
             F.struct(
@@ -138,9 +146,11 @@ def fingerprint(c: Column | str) -> Column:
 
 
 def rolling_hash_shingles(c: Column | str, k: int = 3) -> Column:
-    """k-word shingle hashes (xxhash64) — the input to MinHash and to
-    n-gram Jaccard dedup. Pure columnar: slice+hash over the token array."""
-    toks = F.transform(tokens_ws(c), lambda x: F.lower(x))
+    """k-word shingle hashes (xxhash64) — the per-row convenience form
+    of the dedup shingle pipeline (bulk dedup uses the codegen'd
+    ``dedup._shingle_rows``). Tokens are the norm_tokens single-space
+    contract, same as every dedup oracle."""
+    toks = norm_tokens(c)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(
@@ -158,7 +168,7 @@ def dup_ngram_fraction(c: Column | str, n: int = 2) -> Column:
     rule sets (high values flag boilerplate/template spam). 0.0 when
     the document has fewer than ``n`` tokens. Pure per-row expression
     — no shuffle, no UDF."""
-    toks = tokens_ws(c)
+    toks = norm_tokens(c)
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -187,8 +197,10 @@ def gopher_rules(
 
     Rules: word count in [min_words, max_words]; mean word length in
     [min_mean_wl, max_mean_wl]; duplicate 2-gram fraction ≤ max_dup2;
-    at least one profile stopword (gibberish guard)."""
-    toks = tokens_ws(c)
+    at least one profile stopword (gibberish guard). Tokens are the
+    norm_tokens single-space contract (the q92 oracle's tokenization);
+    normalize whitespace upstream for free-form input."""
+    toks = norm_tokens(c)
     n_tok = F.size(toks)
     mean_wl = F.when(
         n_tok > 0,

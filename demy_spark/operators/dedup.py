@@ -29,7 +29,6 @@ from demy_spark.functions.textstats import (
     fingerprint,
     norm_tokens,
     rolling_hash_shingles,
-    tokens_ws,
 )
 
 
@@ -401,7 +400,7 @@ def simhash64(text: Column | str) -> Column:
     Per-row convenience form (64 interpreted ``F.aggregate`` passes over
     the token array) — fine for small inputs; bulk dedup goes through
     ``simhash_dedup``'s explode→groupBy formulation instead."""
-    toks = F.transform(tokens_ws(text), lambda t: F.xxhash64(F.lower(t)))
+    toks = F.transform(norm_tokens(text), F.xxhash64)
 
     def bit_vote(i: int) -> Column:
         # NB: pyspark counts lambda parameters to bind lambda variables,
@@ -445,7 +444,11 @@ def simhash_dedup(
     Docs with zero tokens are dropped (they carry no signal; the
     per-row ``simhash64`` gives them hash 0)."""
     n_bits, chunk_bits = 60, 15
-    toks = F.array_remove(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), "")
+    # norm_tokens, NOT a \s+ split: the q27 oracle tokenizes with
+    # string_split(trim(lower), ' ') — the two only agree on ANY input
+    # under the single-space contract (same class as the round-3
+    # subdoc divergence)
+    toks = norm_tokens(F.col(text_col))
     ex = (
         # explicit count: beat AQE coalescing on a compute-bound stage;
         # hash AFTER the explode so it runs codegen'd per row, not as an

@@ -42,7 +42,7 @@ import re
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from demy_spark.functions.textstats import norm_tokens
+from demy_spark.functions.textstats import norm_tokens, zs_trim
 from demy_spark.operators.dedup import _md5_long
 
 __all__ = ["line_dedup", "duplicated_spans", "strip_duplicated_spans"]
@@ -78,8 +78,12 @@ def line_dedup(
         F.posexplode(F.split(F.col(text_col), re.escape(delim), -1)).alias(
             "_ln_", "_line_"
         ),
-    ).where(F.trim(F.col("_line_")) != "")
-    keyed = lines.withColumn("_h_", _md5_long(F.trim(F.lower(F.col("_line_"))), 1))
+    ).where(zs_trim(F.col("_line_")) != "")
+    # zs_trim, not F.trim: the q96 oracle trims with DuckDB's default
+    # trim, whose edge set is the full Unicode Zs class (incl. \xa0)
+    keyed = lines.withColumn(
+        "_h_", _md5_long(zs_trim(F.lower(F.col("_line_"))), 1)
+    )
     # line document-frequency, reduced to (hash, flag) before the join:
     # partial aggregation makes this map-side combinable, and the join
     # back is co-keyed on the same uniform 60-bit hash.

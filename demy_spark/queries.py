@@ -579,7 +579,7 @@ def _md5_long_sql(expr: str, start: int, length: int = 15) -> str:
 def q17_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenization + string scalar surface over documents."""
     t = _t(spark, sf_dir)
-    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    toks = textstats.norm_tokens(F.col("text"))
     return t["documents"].select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_actual"),
@@ -607,7 +607,7 @@ def q18_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The full-text variant is operators/dedup.exact_dedup; a 3-token
     prefix is used here so the synthetic corpus actually has groups."""
     t = _t(spark, sf_dir)
-    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    toks = textstats.norm_tokens(F.col("text"))
     keyed = (
         t["documents"]
         .where(F.size(toks) >= 3)
@@ -634,7 +634,7 @@ def q19_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary top-k: explode → count → TakeOrdered (dictionary
     build, feature/Tag2Vector.scala:63-85)."""
     t = _t(spark, sf_dir)
-    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    toks = textstats.norm_tokens(F.col("text"))
     return (
         t["documents"]
         .select(F.explode(toks).alias("tok"))
@@ -675,7 +675,7 @@ def q20_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID n-gram heuristic (stopword-profile hits, argmax with
     later-alphabet tie-break) — fully columnar."""
     t = _t(spark, sf_dir)
-    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    toks = textstats.norm_tokens(F.col("text"))
     hits = {
         lang: F.size(F.filter(toks, lambda x: x.isin(*words))).cast("long")
         for lang, words in textstats.LANG_PROFILES.items()
@@ -719,7 +719,7 @@ def q21_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring components (length sweet-spot + stopword ratio);
     the full blended score is functions/textstats.quality_score."""
     t = _t(spark, sf_dir)
-    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    toks = textstats.norm_tokens(F.col("text"))
     n_tok = F.size(toks).cast("double")
     sw = F.size(
         F.filter(toks, lambda x: x.isin(*textstats.LANG_PROFILES["en"]))
@@ -884,7 +884,7 @@ def q24_fuzzy_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.fuzzy_lookup import fuzzy_lookup
 
     t = _t(spark, sf_dir)
-    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    toks = textstats.norm_tokens(F.col("text"))
     dictionary = (
         t["documents"]
         .where((F.col("doc_id") % 97 == 0) & (F.size(toks) >= 3))
@@ -927,7 +927,7 @@ def bench_fuzzy_probe_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.fuzzy_lookup import fuzzy_lookup
 
     t = _t(spark, sf_dir)
-    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    toks = textstats.norm_tokens(F.col("text"))
     dictionary = (
         t["documents"]
         .where((F.col("doc_id") % 97 == 0) & (F.size(toks) >= 3))
@@ -975,7 +975,7 @@ def q25_lexicon_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicon is dictionary-sized by contract → broadcast, no shuffle on
     the fact side)."""
     t = _t(spark, sf_dir)
-    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    toks = textstats.norm_tokens(F.col("text"))
     lexicon = (
         t["documents"]
         .select(F.explode(toks).alias("tok"))
@@ -1219,7 +1219,7 @@ def q30_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix — the oracle-able twin of operators/dedup.ngram_jaccard_pairs
     (which blocks on min-shingle-hash; hashes aren't SQL-portable)."""
     t = _t(spark, sf_dir)
-    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    toks = textstats.norm_tokens(F.col("text"))
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - 2),
@@ -1287,7 +1287,7 @@ def q31_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _t(spark, sf_dir)
     docs = t["documents"]
-    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    toks = textstats.norm_tokens(F.col("text"))
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - 2),
@@ -1659,7 +1659,7 @@ def q37_embed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.features import apply_embeddings
 
     t = _t(spark, sf_dir)
-    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    toks = textstats.norm_tokens(F.col("text"))
     docs = t["documents"].select("doc_id", toks.alias("toks"))
     w = Window.orderBy(F.desc("c"), F.asc("w"))
     vectors = (
@@ -2317,7 +2317,7 @@ def q46_pos_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("NOUN", "OP"): 0.5,
         ("OP", "NOUN"): 0.5,
     }
-    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    toks = textstats.norm_tokens(F.col("text"))
     docs = (
         t["documents"]
         .where(F.col("doc_id") < 200)  # deterministic (limit() is not)
@@ -2402,7 +2402,7 @@ def q66_pos_tag_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("NOUN", "OP"): 0.5,
         ("OP", "NOUN"): 0.5,
     }
-    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    toks = textstats.norm_tokens(F.col("text"))
     docs = (
         t["documents"]
         .where(F.col("doc_id") % 5 == 0)
@@ -2728,7 +2728,7 @@ def q50_fuzzy_typos(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.fuzzy_lookup import fuzzy_lookup
 
     t = _t(spark, sf_dir)
-    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    toks = textstats.norm_tokens(F.col("text"))
     dictionary = (
         t["documents"]
         .where((F.col("doc_id") % 29 == 0) & (F.size(toks) >= 2))
@@ -2829,7 +2829,7 @@ def q51_fuzzy_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.fuzzy_lookup import fuzzy_lookup
 
     t = _t(spark, sf_dir)
-    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    toks = textstats.norm_tokens(F.col("text"))
     dictionary = (
         t["documents"]
         .where((F.col("doc_id") % 97 == 0) & (F.size(toks) >= 3))
@@ -3187,7 +3187,7 @@ def q59_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     toks = t["documents"].select(
         F.explode(
-            F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+            textstats.norm_tokens(F.col("text"))
         ).alias("tok")
     )
     return countmin_heavy_hitters(toks, "tok", depth=4, width=1024, top_k=20)
@@ -4539,7 +4539,7 @@ def q83_fuzzy_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.fuzzy_lookup import fuzzy_lookup
 
     t = _t(spark, sf_dir)
-    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    toks = textstats.norm_tokens(F.col("text"))
     dictionary = (
         t["documents"]
         .where((F.col("doc_id") % 97 == 0) & (F.size(toks) >= 3))
@@ -5131,7 +5131,7 @@ def q87_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.curation import canonical_per_cluster
 
     t = _t(spark, sf_dir)
-    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    toks = textstats.norm_tokens(F.col("text"))
     keyed = (
         t["documents"]
         .where(F.size(toks) >= 3)
@@ -5464,7 +5464,7 @@ def q92_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _t(spark, sf_dir)
     low = F.lower(F.col("text"))  # _TOKS_SQL lowercases; keep parity
-    toks = textstats.tokens_ws(low)
+    toks = textstats.norm_tokens(F.col("text"))
     n_tok = F.size(toks)
     mean_wl = F.when(
         n_tok > 0,
@@ -5562,7 +5562,7 @@ def q93_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     low = F.lower(F.col("text"))
 
     def quality(df):
-        toks = textstats.tokens_ws(low)
+        toks = textstats.norm_tokens(F.col("text"))
         dup2 = textstats.dup_ngram_fraction(low, 2)
         return df.where((F.size(toks) >= 20) & (dup2 <= 0.1)).select(
             "doc_id",
@@ -5656,7 +5656,7 @@ def q94_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.packing import greedy_pack, pack_occupancy
 
     t = _t(spark, sf_dir)
-    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    toks = textstats.norm_tokens(F.col("text"))
     docs = t["documents"].select(
         "doc_id", F.size(toks).cast("long").alias("n_tok")
     )
@@ -5833,7 +5833,7 @@ def q96_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.subdoc import line_dedup
 
     t = _t(spark, sf_dir)
-    toks = F.array_remove(F.split(F.trim(F.lower(F.col("text"))), " "), "")
+    toks = textstats.norm_tokens(F.col("text"))
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(6))
     docs_nl = t["documents"].select(
         "doc_id",
