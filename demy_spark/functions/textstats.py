@@ -42,20 +42,23 @@ def tokens_ws(c: Column | str) -> Column:
 # DuckDB's default trim() strips the Unicode Zs space separators —
 # empirically 0x20, 0xA0, 0x1680, 0x2000-0x200A, 0x202F, 0x205F,
 # 0x3000, and NOT \t or \n. Spark's F.trim strips ASCII 0x20 only, so
-# the contract trim is expressed as edge regexp_replaces over the same
-# set (found by the hypothesis contract fuzz: '\xa0' diverged).
-_DUCKDB_TRIM_CLASS = "[\u0020\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000]+"
+# the contract trim is F.btrim over the same character set (found by
+# the hypothesis contract fuzz: '\xa0' diverged). btrim, not a regexp
+# pair: the regexp version measured ~3x slower on line-grain paths
+# (line_dedup 1.3 -> 4.0 s at sf0.1) and is semantically identical —
+# both strip the longest edge run of set members.
+_DUCKDB_TRIM_CHARS = (
+    "\u0020\u00a0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u202f\u205f\u3000"
+)
 
 
 def zs_trim(c: Column | str) -> Column:
     """Edge-trim with DuckDB's exact default trim set (Unicode Zs) —
     use this instead of ``F.trim`` anywhere a value feeds a DuckDB
     oracle that calls ``trim(...)``."""
-    return F.regexp_replace(
-        F.regexp_replace(_as_col(c), "^" + _DUCKDB_TRIM_CLASS, ""),
-        _DUCKDB_TRIM_CLASS + "$",
-        "",
-    )
+    return F.btrim(_as_col(c), F.lit(_DUCKDB_TRIM_CHARS))
 
 
 def norm_tokens(c: Column | str) -> Column:

@@ -78,11 +78,18 @@ def line_dedup(
         F.posexplode(F.split(F.col(text_col), re.escape(delim), -1)).alias(
             "_ln_", "_line_"
         ),
-    ).where(zs_trim(F.col("_line_")) != "")
+    )
     # zs_trim, not F.trim: the q96 oracle trims with DuckDB's default
-    # trim, whose edge set is the full Unicode Zs class (incl. \xa0)
-    keyed = lines.withColumn(
-        "_h_", _md5_long(zs_trim(F.lower(F.col("_line_"))), 1)
+    # trim, whose edge set is the full Unicode Zs class (incl. \xa0).
+    # The trimmed-lowered form is materialized ONCE per line — it
+    # drives both the blank filter and the identity hash (trim
+    # emptiness is case-insensitive, so filtering on the lowered form
+    # is equivalent)
+    keyed = (
+        lines.withColumn("_t_", zs_trim(F.lower(F.col("_line_"))))
+        .where(F.col("_t_") != "")
+        .withColumn("_h_", _md5_long(F.col("_t_"), 1))
+        .drop("_t_")
     )
     # line document-frequency, reduced to (hash, flag) before the join:
     # partial aggregation makes this map-side combinable, and the join
