@@ -61,6 +61,24 @@ def zs_trim(c: Column | str) -> Column:
     return F.btrim(_as_col(c), F.lit(_DUCKDB_TRIM_CHARS))
 
 
+# ASCII whitespace as an EXPLICIT class: Java regex \\s includes \\x0B
+# while RE2 (DuckDB) \\s does not — spelling the set out keeps the
+# collapse bit-identical across engines (verified exhaustively over
+# the BMP; only \\x0B diverged under \\s).
+_ASCII_WS_CLASS = r"[ \t\n\r\f\x0B]+"
+
+
+def ws_norm_tokens(c: Column | str) -> Column:
+    """Contract tokens of the ASCII-whitespace-COLLAPSED text — the
+    tokenizer for quality heuristics over real documents: a
+    multi-line/tabbed document tokenizes on every whitespace run
+    (so stopword/length/repetition signals behave), while the result
+    is still DuckDB-replayable verbatim:
+    ``string_split(trim(lower(regexp_replace(text,
+    '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' ')``."""
+    return norm_tokens(F.regexp_replace(_as_col(c), _ASCII_WS_CLASS, " "))
+
+
 def norm_tokens(c: Column | str) -> Column:
     """Single-space tokens of the trimmed, lowercased text — THE
     oracle-contract normalization (`string_split(trim(lower(text)),
@@ -74,8 +92,8 @@ def norm_tokens(c: Column | str) -> Column:
 
 
 def token_count(c: Column | str) -> Column:
-    """Contract-token count (long; norm_tokens single-space)."""
-    return F.size(norm_tokens(c)).cast("long")
+    """Token count over real whitespace (long; ws_norm_tokens)."""
+    return F.size(ws_norm_tokens(c)).cast("long")
 
 
 def subword_count(c: Column | str, chars_per_token: float = 3.6) -> Column:
@@ -91,8 +109,9 @@ def subword_count(c: Column | str, chars_per_token: float = 3.6) -> Column:
 
 
 def stopword_ratio(c: Column | str, lang: str = "en") -> Column:
-    """Fraction of contract tokens that are profile stopwords."""
-    toks = norm_tokens(c)
+    """Fraction of tokens that are profile stopwords
+    (ws_norm_tokens — multi-line documents score correctly)."""
+    toks = ws_norm_tokens(c)
     hits = F.size(
         F.filter(toks, lambda x: x.isin(*LANG_PROFILES[lang]))
     )
@@ -125,8 +144,10 @@ def quality_score(c: Column | str, lang: str = "en") -> Column:
 def language_id(c: Column | str) -> Column:
     """Pick the language whose stopword profile hits the most tokens;
     'und' when nothing hits. Expressed as a greatest-of-struct so the
-    whole decision stays in one codegen stage."""
-    toks = norm_tokens(c)
+    whole decision stays in one codegen stage. Tokens are
+    ws_norm_tokens, so newline/tab-separated text identifies
+    correctly."""
+    toks = ws_norm_tokens(c)
     scored = F.array(
         *[
             F.struct(
@@ -170,8 +191,8 @@ def dup_ngram_fraction(c: Column | str, n: int = 2) -> Column:
     within-document repetition signal of the published corpus-quality
     rule sets (high values flag boilerplate/template spam). 0.0 when
     the document has fewer than ``n`` tokens. Pure per-row expression
-    — no shuffle, no UDF."""
-    toks = norm_tokens(c)
+    — no shuffle, no UDF. Tokens are ws_norm_tokens."""
+    toks = ws_norm_tokens(c)
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -200,10 +221,10 @@ def gopher_rules(
 
     Rules: word count in [min_words, max_words]; mean word length in
     [min_mean_wl, max_mean_wl]; duplicate 2-gram fraction ≤ max_dup2;
-    at least one profile stopword (gibberish guard). Tokens are the
-    norm_tokens single-space contract (the q92 oracle's tokenization);
-    normalize whitespace upstream for free-form input."""
-    toks = norm_tokens(c)
+    at least one profile stopword (gibberish guard). Tokens are
+    ws_norm_tokens — real multi-line documents pass the rules they
+    should pass, and the q92 oracle replays the identical collapse."""
+    toks = ws_norm_tokens(c)
     n_tok = F.size(toks)
     mean_wl = F.when(
         n_tok > 0,

@@ -49,6 +49,14 @@ def chunk_documents(
         raise ValueError(
             f"chunk_tokens and stride must be >= 1, got {chunk_tokens}, {stride}"
         )
+    if stride > chunk_tokens:
+        # a larger stride silently drops the tokens between windows,
+        # violating the every-token-covered promise above — refuse
+        # rather than lose corpus (subsample explicitly instead)
+        raise ValueError(
+            f"stride ({stride}) must be <= chunk_tokens ({chunk_tokens}): "
+            "a gap would silently drop tokens from every document"
+        )
     toks = norm_tokens(F.col(text_col))
     n = F.size(toks)
     starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(

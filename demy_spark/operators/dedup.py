@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from demy_spark.functions.textstats import (
     fingerprint,
@@ -186,11 +187,14 @@ def _minhash_bands(
 
     ``persist=True`` caches both frames — right for
     ``minhash_lsh_dedup``, whose bucket SELF-join reads ``banded``
-    once per side. Callers that consume each frame once per action
-    (``minhash_index`` writes them out; ``minhash_probe`` runs from a
-    streaming foreachBatch where an unreleased cache leaks per
-    micro-batch) leave it False and accept one extra scan of their
-    own (batch-sized) input instead.
+    once per side, and for ``minhash_probe(include_intra_batch=True)``,
+    whose self-join + second verify would otherwise re-run the whole
+    signature pipeline 4-5x per epoch (the cached frames are
+    batch-sized; the ContextCleaner reclaims them once the epoch's
+    references drop). Callers that consume each frame once per action
+    (``minhash_index`` writes them out; the default index-only probe)
+    leave it False and accept one extra scan of their own
+    (batch-sized) input instead.
     """
     rows_per_band = num_hashes // bands
     sh_rows = _shingle_rows(df, text_col, id_col, shingle_k, with_h2=True)
@@ -347,8 +351,17 @@ def minhash_probe(
     corpus size. Exact-Jaccard verification joins the stored shingle
     sets back only for candidate pairs.
     """
+    # the intra-batch branch adds a second consumer of both frames
+    # (self-join + second verify) — persist so the signature pipeline
+    # runs once, not 4-5x, per batch/epoch
     b_banded, b_base = _minhash_bands(
-        batch, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
+        batch,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        persist=include_intra_batch,
     )
     ib = index_bands.select(
         F.col(id_col).alias("_iid_"),
@@ -681,7 +694,9 @@ def semdedup(
     fixed Lloyd rounds, SQL-reproducible), then within each cluster
     drop every vector whose cosine similarity to a LOWER-id cluster
     member reaches ``tau``. Returns one row per input vector:
-    (``id_col``, ``cluster``, ``keep``).
+    (``id_col``, ``cluster``, ``keep``). Ids must be NUMERIC (the
+    quantizer seeds by ``id % n_lists``); the output carries the
+    caller's exact id type.
 
     This is the missing rung between exact/minhash text dedup and
     ``embedding_cosine_pairs``: LSH blocking finds near-identical
@@ -745,6 +760,8 @@ def semdedup(
         .persist()
     )
     tau_micro = int(round(float(tau) * 1_000_000))
+    if pairwise not in ("blas", "fold"):
+        raise ValueError(f"pairwise must be 'blas' or 'fold', got {pairwise!r}")
     if pairwise == "blas":
         # the published SemDeDup shape: one dense matmul PER CLUSTER
         # (Arrow batch in, numpy out). Whole-cluster memory is the
@@ -768,10 +785,16 @@ def semdedup(
             mask = np.triu(q >= tau_micro, k=1)  # only lower-id dominators
             return pd.DataFrame({"_id_": ids[mask.any(axis=0)]})
 
+        # the output schema carries the CALLER'S id type (string
+        # fingerprint ids are as valid as bigints — hardcoding 'long'
+        # would crash the Arrow cast for them)
+        id_type = base.schema["_id_"].dataType
         dominated = (
             base.select("_id_", "_v_", "_n_", "_c_")
             .groupby("_c_")
-            .applyInPandas(_find_dominated, "_id_ long")
+            .applyInPandas(
+                _find_dominated, T.StructType([T.StructField("_id_", id_type)])
+            )
             .withColumn("_rm_", F.lit(True))
         )
     else:

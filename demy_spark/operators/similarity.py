@@ -456,6 +456,7 @@ def knn_classify(
     k: int = 5,
     query_vec_col: str | None = None,
     query_id_col: str | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """k-nearest-neighbor classification over an embedding corpus: the
     majority ``label_col`` among each query's ``k`` nearest neighbors
@@ -463,6 +464,13 @@ def knn_classify(
     pipeline runs off the SAME ANN machinery it already has — label
     propagation for quality/domain/topic tags from a small labeled
     seed set to the whole corpus.
+
+    ``exclude_self=True`` (default) drops corpus rows whose id equals
+    the query's id — right when queries are drawn FROM the corpus
+    (leave-one-out). When query ids live in a DIFFERENT id space,
+    pass ``exclude_self=False`` or an accidental id collision silently
+    removes a legitimate neighbor (same contract note as
+    ``minhash_probe``: the caller decides identity).
 
     Determinism (oracle-gate ready): neighbors rank on the MICRO-
     INTEGER floor(cos * 1e6) (ties to the smallest neighbor id), and
@@ -499,9 +507,10 @@ def knn_classify(
         (F.col("_cn_") > 0) & (F.col("_qn_") > 0),
         dot("_cv_", "_qv_") / (F.col("_cn_") * F.col("_qn_")),
     ).otherwise(F.lit(0.0))
-    scored = c.join(
-        F.broadcast(q), F.col("_nid_") != F.col("query_id")
-    ).select(
+    pair_cond = (
+        F.col("_nid_") != F.col("query_id") if exclude_self else F.lit(True)
+    )
+    scored = c.join(F.broadcast(q), pair_cond).select(
         "query_id",
         "_nid_",
         "_lbl_",

@@ -553,6 +553,15 @@ def q16_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKS_SQL = "list_filter(string_split(trim(lower(text)), ' '), x -> x <> '')"
 
+# the quality-heuristics tokenization (textstats.ws_norm_tokens):
+# collapse ASCII whitespace runs FIRST so multi-line/tabbed documents
+# tokenize on every run — the class is explicit because Java \s and
+# RE2 \s disagree on \x0B
+_TOKS_WS_SQL = (
+    "list_filter(string_split(trim(lower(regexp_replace(text, "
+    "'[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' '), x -> x <> '')"
+)
+
 # distinct word-trigram shingles of a document, as strings
 _SHINGLES_SQL = (
     f"list_distinct([array_to_string(({_TOKS_SQL})[i:i+2], ' ') "
@@ -5422,7 +5431,7 @@ def q91_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q92_gopher_rules",
     f"""
     WITH s AS (
-      SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+      SELECT doc_id, {_TOKS_WS_SQL} AS t FROM documents),
     g AS (
       SELECT doc_id, t, len(t) AS n_tok,
              [array_to_string(t[i:i+1], ' ')
@@ -5463,8 +5472,8 @@ def q92_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.functions import textstats
 
     t = _t(spark, sf_dir)
-    low = F.lower(F.col("text"))  # _TOKS_SQL lowercases; keep parity
-    toks = textstats.norm_tokens(F.col("text"))
+    low = F.lower(F.col("text"))  # the oracle lowercases; keep parity
+    toks = textstats.ws_norm_tokens(F.col("text"))
     n_tok = F.size(toks)
     mean_wl = F.when(
         n_tok > 0,
@@ -5492,7 +5501,7 @@ def q92_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q93_curation_pipeline",
     f"""
     WITH s AS (
-      SELECT doc_id, lang, n_chars, {_TOKS_SQL} AS t FROM documents),
+      SELECT doc_id, lang, n_chars, {_TOKS_WS_SQL} AS t FROM documents),
     m AS (
       SELECT doc_id, lang, n_chars, len(t) AS n_tok,
              CASE WHEN len(t) >= 2 THEN 1.0 - len(list_distinct(
@@ -5562,7 +5571,7 @@ def q93_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     low = F.lower(F.col("text"))
 
     def quality(df):
-        toks = textstats.norm_tokens(F.col("text"))
+        toks = textstats.ws_norm_tokens(F.col("text"))
         dup2 = textstats.dup_ngram_fraction(low, 2)
         return df.where((F.size(toks) >= 20) & (dup2 <= 0.1)).select(
             "doc_id",
@@ -6099,7 +6108,16 @@ def q100_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     complexity bound); the oracle replays quantizer, assignment, and
     the in-cluster domination test verbatim. n_lists is pinned to 8
     here so the oracle CTEs stay a fixed unroll; production callers
-    omit it and get the corpus-derived default."""
+    omit it and get the corpus-derived default.
+
+    Registered on the default pairwise='blas' path DELIBERATELY: the
+    matmul's summation order differs from both the SQL fold and
+    DuckDB's list_cosine_similarity, so a keep decision could in
+    principle flip if a pair's true cosine sat within ~1 ulp of an
+    exact micro-boundary (P ~ pairs x 1e-9; none observed in any
+    fixture generation, and fold/blas agreement is unit-pinned). If a
+    future fixture ever lands on a boundary, re-register with
+    pairwise='fold' (the bit-level mirror) and keep blas for bench."""
     from demy_spark.operators.dedup import semdedup
 
     t = _t(spark, sf_dir)
@@ -7023,8 +7041,8 @@ def q114_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   2. all 21 queries whose latest green row was CORRECTNESS_r01
 #      (q27-q37, q39-q45, q53, q54, q66) — the artifact must never be
 #      >2 rounds stale;
-#   3. 23 of the 39 queries resting on r2 rows — oldest-first paydown.
-# The 16 r2-resting deferrals to round 5 each have a same-family
+#   3. 17 of the 39 queries resting on r2 rows — oldest-first paydown.
+# The 22 r2-resting deferrals to round 5 each have a same-family
 # sibling IN this window exercising the shared code path, plus the
 # sf0.01 verify-skill simulation and the sf0.001 parity suite:
 #   q04 (semi-join; q05 anti-join rotates)   q07 (group topN; q14)
@@ -7033,8 +7051,11 @@ def q114_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q48 (simplify; q49 + q81 r3)             q55 (as-of; q56 r3)
 #   q58 (HLL; q59 sketches)                  q60 (stratified; q61)
 #   q68 (z-order projection; q64/q65)        q72 (geo; q40/q41 rotate)
-#   q06 (cents sums; q08/q10 + q01-q03 r3)   q15 (folds; q33-q35 rotate)
-#   q20 (lang-id; q21 + q92 r3)              q69 (centers; q42/q71)
+#   q06 (cents sums; q10 + q01-q03 r3)      q15 (folds; q33-q35 rotate)
+#   q20 (lang-id; q21 + q92 re-rowing)       q69 (centers; q42/q71)
+#   q05 (anti-join; q04 family + sim)        q08 (window agg; q10/q14)
+#   q11 (latest-wins window; q14)            q22 (centroids; q42/q71)
+#   q59 (sketches; q61 + q90 r3)             q73 (calibration; q38 r3)
 _DRIVER_PRIORITY = [
     # --- tier 1: never-rowed new registrations + behavior changes
     "q111_chunk_documents",
@@ -7043,6 +7064,18 @@ _DRIVER_PRIORITY = [
     "q114_knn_classify",
     "q100_semdedup",
     "q108_record_linkage",
+    # tokenizer-contract sweep: oracle text changed (q92/q93 moved to
+    # the ws-collapsed _TOKS_WS_SQL) or the Spark tokenization/trim
+    # semantics changed (entity \s+ -> norm_tokens: q78; subdoc
+    # F.trim -> zs_trim: q96/q97/q102). Fixture outputs identical
+    # (full sim 114/114 both before and after), but the contract
+    # changed, so they re-earn official rows
+    "q92_gopher_rules",
+    "q93_curation_pipeline",
+    "q78_entity_refine",
+    "q96_line_dedup",
+    "q97_duplicated_spans",
+    "q102_strip_spans",
     # --- tier 2: latest row is CORRECTNESS_r01 (21 queries)
     "q27_simhash_dedup",
     "q28_embedding_dedup",
@@ -7065,30 +7098,24 @@ _DRIVER_PRIORITY = [
     "q53_ivf_ann_topk",
     "q54_binary_metrics",
     "q66_pos_tag_greedy",
-    # --- tier 3: oldest r2 rows (27 of 39; deferrals documented above)
-    "q05_customers_without_orders",
-    "q08_running_revenue",
+    # --- tier 3: oldest r2 rows (17 of 39; deferrals documented above)
     "q10_cube_orders",
-    "q11_repeat_customers",
     "q14_top_parts_per_brand",
     "q18_exact_dedup",
     "q19_token_topk",
     "q21_quality_score",
-    "q22_label_centroids",
     "q23_cosine_topk",
     "q25_lexicon_lookup",
     "q46_pos_tag",
     "q49_sentence_split",
     "q50_fuzzy_typos",
     "q52_word_categories",
-    "q59_heavy_hitters",
     "q61_bottom_k_sample",
     "q63_salted_agg",
     "q65_partition_prune",
     "q67_event_followup",
     "q70_span_detect",
     "q71_online_centers",
-    "q73_platt_calibration",
 ]
 
 

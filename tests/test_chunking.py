@@ -94,3 +94,11 @@ def test_chunking_composes_into_streaming(spark, sf_dir, tmp_path):
     key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     g, b = key(got), key(batch)
     assert g == b and len(g) > 0
+
+
+def test_chunk_rejects_gap_stride(spark):
+    """stride > chunk_tokens would silently drop the tokens between
+    windows — refused (the docstring promises full coverage)."""
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=4, stride=8)

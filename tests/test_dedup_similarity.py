@@ -425,3 +425,45 @@ def test_semdedup_blas_and_fold_agree(spark):
     # clones are actually dropped
     kept = {r[0] for r in blas if r[2]}
     assert not any(100 + i in kept and i in kept for i in range(0, 60, 5))
+
+
+def test_semdedup_blas_carries_caller_id_type(spark):
+    """The blas path's output schema derives from the caller's id
+    column — a 32-bit int id (any numeric id; ivf_build's seeding
+    needs id % n_lists, so numeric is the operator contract) must not
+    crash against a hardcoded bigint schema."""
+    import pytest
+
+    from demy_spark.operators.dedup import semdedup
+
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semdedup(df, "embedding", "vec_id", n_lists=2, tau=0.99).collect()
+    }
+    assert out == {1: True, 2: False, 3: True}
+    # the id keeps its 32-bit type end to end
+    sch = dict(semdedup(df, "embedding", "vec_id", n_lists=2).dtypes)
+    assert sch["vec_id"] == "int"
+    with pytest.raises(ValueError, match="pairwise"):
+        semdedup(df, "embedding", "vec_id", n_lists=2, pairwise="bias")
+
+
+def test_knn_classify_exclude_self_flag(spark):
+    """exclude_self=False keeps corpus rows whose id collides with a
+    query id — required when query ids live in a different id space."""
+    from demy_spark.operators.similarity import knn_classify
+
+    corpus = spark.createDataFrame(
+        [(7, [1.0, 0.0], 1), (8, [0.0, 1.0], 2)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    # query id 7 collides with corpus id 7, but is a DIFFERENT record
+    q = spark.createDataFrame([(7, [1.0, 0.05])], "vec_id long, embedding array<double>")
+    excl = knn_classify(corpus, q, "embedding", "vec_id", "label", k=1).collect()
+    incl = knn_classify(
+        corpus, q, "embedding", "vec_id", "label", k=1, exclude_self=False
+    ).collect()
+    assert excl[0]["pred_label"] == 2  # true neighbor dropped by id collision
+    assert incl[0]["pred_label"] == 1  # kept when spaces are declared distinct

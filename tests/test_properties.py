@@ -206,18 +206,21 @@ def test_strip_spans_consistent_with_span_detection(spark, sf_dir):
 # job per string would be minutes, not seconds).
 # ---------------------------------------------------------------------------
 
-# whitespace-heavy unicode incl. control chars (tabs/newlines are Cc).
-# U+0130 (İ) is excluded: it is a KNOWN lower() divergence between the
-# engines (Java/ICU gives 'i'+combining-dot, DuckDB utf8proc gives
-# 'i') — an exhaustive scan of 0x20-0x2FFF found exactly two such
-# codepoints (0x130, 0x2C2F); test_known_lowercase_divergences pins
-# them. Fixture text is ASCII, so no oracle rides on them.
+# whitespace-heavy unicode incl. control chars (tabs/newlines are Cc)
+# and the FULL Zs trim set (max_codepoint covers U+3000, the last trim
+# character, so the fuzz can actually exercise every member).
+# Excluded: the three KNOWN lower() divergences between the engines
+# (exhaustive scan of 0x20-0x30FF) — U+0130 İ (Java: 'i'+combining
+# dot, DuckDB: 'i'), U+1C89 and U+2C2F (case pairs from Unicode
+# versions utf8proc's table predates; DuckDB maps them to themselves).
+# test_known_lowercase_divergences pins the list. Fixture text is
+# ASCII, so no oracle rides on them.
 _CONTRACT_TEXT = st.text(
     alphabet=st.characters(
         codec="utf-8",
         categories=("L", "N", "P", "Z", "Cc"),
-        max_codepoint=0x2FF,
-        exclude_characters="İ",
+        max_codepoint=0x30FF,
+        exclude_characters="İ\u1c89Ⱟ",
     ),
     max_size=60,
 )
@@ -225,22 +228,24 @@ _CONTRACT_TEXT = st.text(
 
 def test_known_lowercase_divergences(spark):
     """The ONLY lower() disagreements between Spark (Java/ICU) and
-    DuckDB (utf8proc) in 0x20-0x2FFF, found by exhaustive scan: İ
-    (U+0130, Turkish dotted capital I) and Ⱟ (U+2C2F, added in a
-    Unicode version utf8proc's table predates). Pinned so an engine
-    upgrade that changes the set is noticed — if this test fails,
-    re-run the scan and update the fuzz exclusion list above."""
+    DuckDB (utf8proc) in 0x20-0x30FF, found by exhaustive scan: İ
+    (U+0130, Turkish dotted capital I), U+1C89 and Ⱟ (U+2C2F — case
+    pairs added in Unicode versions utf8proc's table predates).
+    Pinned so an engine upgrade that changes the set is noticed — if
+    this test fails, re-run the scan and update the fuzz exclusion
+    list above."""
     import duckdb
 
-    df = spark.createDataFrame([(0, "İ"), (1, "Ⱟ")], "i long, c string")
+    cases = [(0, "İ"), (1, "\u1c89"), (2, "Ⱟ")]
+    df = spark.createDataFrame(cases, "i long, c string")
     got = {r["i"]: r["l"] for r in df.select("i", F.lower("c").alias("l")).collect()}
     con = duckdb.connect()
     duck = {
-        i: con.execute("SELECT lower(?)", [c]).fetchone()[0]
-        for i, c in [(0, "İ"), (1, "Ⱟ")]
+        i: con.execute("SELECT lower(?)", [c]).fetchone()[0] for i, c in cases
     }
     assert got[0] == "i̇" and duck[0] == "i"
-    assert got[1] == "ⱟ" and duck[1] == "Ⱟ"
+    assert got[1] == "\u1c8a" and duck[1] == "\u1c89"
+    assert got[2] == "ⱟ" and duck[2] == "Ⱟ"
 
 
 @given(st.lists(_CONTRACT_TEXT, min_size=1, max_size=25))
@@ -264,6 +269,36 @@ def test_norm_tokens_contract_fuzz(spark, corpus):
     for i, t in enumerate(corpus):
         want = con.execute(
             "SELECT list_filter(string_split(trim(lower(?)), ' '), x -> x <> '')",
+            [t],
+        ).fetchone()[0]
+        assert got[i] == want, (repr(t), got[i], want)
+
+
+@given(st.lists(_CONTRACT_TEXT, min_size=1, max_size=25))
+@settings(max_examples=8, deadline=None)
+def test_ws_norm_tokens_contract_fuzz(spark, corpus):
+    """ws_norm_tokens (the quality-heuristics tokenizer: ASCII
+    whitespace runs collapsed before the single-space contract) must
+    equal its documented DuckDB replay on arbitrary input — the
+    collapse class is explicit because Java \\s and RE2 \\s disagree
+    on \\x0B."""
+    import duckdb
+
+    from demy_spark.functions.textstats import ws_norm_tokens
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", ws_norm_tokens("t").alias("toks")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(corpus):
+        want = con.execute(
+            r"SELECT list_filter(string_split(trim(lower("
+            r"regexp_replace(?, '[ \t\n\r\f\x0B]+', ' ', 'g'))), ' '),"
+            r" x -> x <> '')",
             [t],
         ).fetchone()[0]
         assert got[i] == want, (repr(t), got[i], want)

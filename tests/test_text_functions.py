@@ -277,3 +277,34 @@ def test_gopher_rules_flags(spark):
     assert not r[2]["ok_words"] and not r[2]["keep"]
     assert not r[3]["has_stopword"] and not r[3]["keep"]
     assert not r[4]["ok_dup2"] and not r[4]["keep"]
+
+
+def test_quality_heuristics_handle_multiline_documents(spark):
+    """language_id / stopword_ratio / gopher_rules tokenize on EVERY
+    whitespace run (ws_norm_tokens): a newline/tab-separated document
+    must score like its single-spaced twin, not collapse into glued
+    tokens that zero the stopword signals."""
+    from demy_spark.functions.textstats import (
+        gopher_rules,
+        language_id,
+        stopword_ratio,
+        token_count,
+    )
+
+    flat = "the cat sat on the mat and it was warm in the sun for hours"
+    multi = flat.replace(" sat ", "\nsat\t").replace(" was ", "\n\nwas ")
+    df = spark.createDataFrame([(1, flat), (2, multi)], "i long, t string")
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            language_id("t").alias("lang"),
+            stopword_ratio("t").alias("sw"),
+            token_count("t").alias("n"),
+            gopher_rules("t", min_words=5)["keep"].alias("keep"),
+        ).collect()
+    }
+    assert rows[1]["lang"] == rows[2]["lang"] == "en"
+    assert rows[1]["n"] == rows[2]["n"]
+    assert abs(rows[1]["sw"] - rows[2]["sw"]) < 1e-9
+    assert rows[1]["keep"] and rows[2]["keep"]
