@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from demy_spark.functions.textstats import norm_tokens
 
-__all__ = ["apply_merges", "phrase_merges"]
+__all__ = ["apply_merges", "bpe_train", "phrase_merges"]
 
 
 def _merge_pass(cand: DataFrame, joiner: str, wdoc: Window) -> DataFrame:
@@ -239,3 +239,115 @@ def apply_merges(
         F.col("_p_").alias("pos"),
         F.col("_w_").alias("token"),
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    merges: int = 8,
+    end_of_word: str = "</w>",
+) -> tuple[DataFrame, DataFrame]:
+    """Char-level, frequency-weighted BPE training (Sennrich et al.
+    2016) — the REAL tokenizer-training step (``phrase_merges`` is its
+    word-level skeleton): words split into characters plus an
+    end-of-word marker, and each round merges the adjacent symbol
+    pair with the highest CORPUS frequency (word-type pair count
+    weighted by word frequency; ties to the lexicographically
+    smallest pair).
+
+    Returns ``(merge_table, vocab_symbols)``:
+    - ``merge_table`` — (rank, sym1, sym2, pair_freq): the frozen
+      artifact a tokenizer ships; a pair-exhausted round emits an
+      all-NULL row (same sentinel contract as ``phrase_merges``).
+    - ``vocab_symbols`` — (word, freq, symbols array) after all
+      merges: the encode table (broadcast-join it against a token
+      stream to tokenize a corpus).
+
+    Scale shape — the property that makes BPE trainable on a 100 TB
+    corpus: the ONLY corpus-sized work is one token reduction to the
+    (word, freq) vocabulary table; every training round then operates
+    on vocabulary-sized frames (chars-per-word rows), reusing the
+    exact ``_merge_pass`` machinery of the word-level trainer (merged
+    symbols participate in later rounds; left-to-right non-overlap via
+    parity islands — self-adjacent pairs like ('a','a') in 'aaa'
+    merge greedily from the left, the reference BPE convention).
+    Per-round lineage is localCheckpoint-truncated like
+    ``phrase_merges``.
+    """
+    if merges < 1:
+        raise ValueError(f"merges must be >= 1, got {merges}")
+    vocab = (
+        docs.select(F.explode(norm_tokens(F.col(text_col))).alias("_id_"))
+        .groupBy("_id_")
+        .agg(F.count(F.lit(1)).alias("_freq_"))
+    )
+    # the word string is its own id: unique by construction, and the
+    # per-word windows partition on it directly
+    chars = F.concat(
+        # one element per char; the lookahead also matches at end of
+        # string, so drop the trailing empty it produces
+        F.array_remove(F.split(F.col("_id_"), "(?!^)"), ""),
+        F.array(F.lit(end_of_word)),
+    )
+    t = vocab.select(
+        "_id_", F.posexplode(chars).alias("_p_", "_w_")
+    ).localCheckpoint(eager=False)
+    freqs = vocab.persist()
+    wdoc = Window.partitionBy("_id_").orderBy("_p_")
+    merge_rows: list[DataFrame] = []
+    for rank in range(1, merges + 1):
+        paired = t.withColumn("_wn_", F.lead("_w_").over(wdoc))
+        counts = (
+            paired.where(F.col("_wn_").isNotNull())
+            .join(freqs, "_id_")
+            .groupBy("_w_", "_wn_")
+            .agg(F.sum("_freq_").alias("_cnt_"))
+        )
+        sentinel = t.sparkSession.range(1).select(
+            F.lit(None).cast("string").alias("_w1_"),
+            F.lit(None).cast("string").alias("_w2_"),
+            F.lit(None).cast("long").alias("_bcnt_"),
+        )
+        best = (
+            counts.select(
+                F.col("_w_").alias("_w1_"),
+                F.col("_wn_").alias("_w2_"),
+                F.col("_cnt_").alias("_bcnt_"),
+            )
+            .unionAll(sentinel)
+            .orderBy(
+                F.col("_bcnt_").desc_nulls_last(),
+                F.col("_w1_").asc(),
+                F.col("_w2_").asc(),
+            )
+            .limit(1)
+        )
+        t = _merge_pass(paired.join(F.broadcast(best)), "", wdoc)
+        t = t.localCheckpoint(eager=False)
+        merge_rows.append(
+            best.select(
+                F.lit(rank).alias("rank"),
+                F.col("_w1_").alias("sym1"),
+                F.col("_w2_").alias("sym2"),
+                F.col("_bcnt_").alias("pair_freq"),
+            )
+        )
+    merge_table = merge_rows[0]
+    for m in merge_rows[1:]:
+        merge_table = merge_table.unionAll(m)
+    vocab_symbols = (
+        t.groupBy("_id_")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p_", "_w_"))),
+                lambda s: s["_w_"],
+            ).alias("symbols")
+        )
+        .join(freqs, "_id_")
+        .select(
+            F.col("_id_").alias("word"), F.col("_freq_").alias("freq"), "symbols"
+        )
+    )
+    return merge_table, vocab_symbols

@@ -126,3 +126,53 @@ def test_phrase_merges_pair_exhaustion_is_noop(spark):
     assert m[0][:4] == (1, "a", "b", 1)
     assert m[1][1] is None and m[1][2] is None and m[1][4] == 1
     assert m[2][1] is None and m[2][4] == 1
+
+
+def test_bpe_train_textbook_example(spark):
+    """The classic Sennrich worked example: corpus weighted toward
+    'low/lower/newest/widest' merges ('e','s') then ('es','t') then
+    ('est','</w>') first — frequency-weighted by WORD counts, not word
+    types."""
+    from demy_spark.operators.phrases import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3))],
+        "doc_id long, text string",
+    )
+    merge_table, vocab = bpe_train(docs, "doc_id", "text", merges=4)
+    got = [
+        (r["rank"], r["sym1"], r["sym2"], r["pair_freq"])
+        for r in merge_table.orderBy("rank").collect()
+    ]
+    # ('e','s') in newest+widest = 9; then ('es','t') 9; ('est','</w>') 9;
+    # then ('l','o') in low+lower = 7
+    assert got == [
+        (1, "e", "s", 9),
+        (2, "es", "t", 9),
+        (3, "est", "</w>", 9),
+        (4, "l", "o", 7),
+    ]
+    syms = {r["word"]: (r["freq"], r["symbols"]) for r in vocab.collect()}
+    assert syms["newest"] == (6, ["n", "e", "w", "est</w>"])
+    assert syms["low"] == (5, ["lo", "w", "</w>"])
+    assert syms["widest"] == (3, ["w", "i", "d", "est</w>"])
+    assert syms["lower"] == (2, ["lo", "w", "e", "r", "</w>"])
+
+
+def test_bpe_train_exhaustion_and_self_pairs(spark):
+    """Pair-exhausted rounds emit NULL sentinel rows and leave symbols
+    unchanged; a self-adjacent char pair merges greedily from the
+    left (parity-island convention)."""
+    from demy_spark.operators.phrases import bpe_train
+
+    docs = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    merge_table, vocab = bpe_train(docs, "doc_id", "text", merges=5)
+    rows = [
+        (r["rank"], r["sym1"], r["sym2"]) for r in merge_table.orderBy("rank").collect()
+    ]
+    assert rows[0] == (1, "a", "a")          # aa from the left
+    syms = vocab.collect()[0]["symbols"]
+    # 'aaa</w>' -> ['aa','a','</w>'] -> merges continue until exhausted
+    assert "".join(syms) == "aaa</w>"
+    # exhausted tail rounds are all-NULL no-ops
+    assert any(r[1] is None for r in rows)
