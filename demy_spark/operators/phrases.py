@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from demy_spark.functions.textstats import norm_tokens
 
-__all__ = ["apply_merges", "bpe_train", "phrase_merges"]
+__all__ = ["apply_merges", "bpe_encode", "bpe_train", "phrase_merges"]
 
 
 def _merge_pass(cand: DataFrame, joiner: str, wdoc: Window) -> DataFrame:
@@ -351,3 +351,76 @@ def bpe_train(
         )
     )
     return merge_table, vocab_symbols
+
+
+def bpe_encode(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_symbols: DataFrame,
+    merge_list: list[tuple[str, str]] | None = None,
+    *,
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Tokenize a corpus with a TRAINED BPE model (``bpe_train``
+    output): every word joins the broadcast ``vocab_symbols`` table —
+    O(1) per occurrence, the production encode path — and
+    out-of-vocabulary words fall back to replaying ``merge_list`` (the
+    frozen merge table as (sym1, sym2) pairs in rank order) over their
+    characters, exactly what a real BPE tokenizer does for unseen
+    words. With ``merge_list=None`` OOV words stay as raw characters +
+    marker.
+
+    Returns (``id_col``, pos, word, symbols array<string>) — one row
+    per word occurrence, positions from the norm_tokens stream.
+
+    Scale shape: the vocab table is tokenizer-sized (bounded by the
+    training corpus vocabulary) and broadcast; the OOV path only ever
+    sees words ABSENT from it (an anti-join-sized residue), exploded
+    to characters and merged with the same ``_merge_pass`` rounds as
+    training — linear in OOV characters, zero cost when everything is
+    in-vocabulary.
+    """
+    words = docs.select(
+        F.col(id_col).alias("_did_"),
+        F.posexplode(norm_tokens(F.col(text_col))).alias("_p_", "_word_"),
+    )
+    vocab = F.broadcast(
+        vocab_symbols.select(F.col("word").alias("_word_"), "symbols")
+    )
+    joined = words.join(vocab, "_word_", "left")
+    hit = joined.where(F.col("symbols").isNotNull())
+    miss = joined.where(F.col("symbols").isNull()).select("_did_", "_p_", "_word_")
+    out_cols = [
+        F.col("_did_").alias(id_col),
+        F.col("_p_").alias("pos"),
+        F.col("_word_").alias("word"),
+        "symbols",
+    ]
+    if miss.isEmpty():
+        return hit.select(*out_cols)
+    # OOV fallback: distinct unseen words, char-exploded, the frozen
+    # merges replayed in rank order (identical _merge_pass semantics)
+    oov = miss.select(F.col("_word_").alias("_id_")).distinct()
+    chars = F.concat(
+        F.array_remove(F.split(F.col("_id_"), "(?!^)"), ""),
+        F.array(F.lit(end_of_word)),
+    )
+    t = oov.select("_id_", F.posexplode(chars).alias("_p_", "_w_"))
+    wdoc = Window.partitionBy("_id_").orderBy("_p_")
+    for w1, w2 in merge_list or []:
+        paired = t.withColumn("_wn_", F.lead("_w_").over(wdoc)).withColumns(
+            {"_w1_": F.lit(w1), "_w2_": F.lit(w2)}
+        )
+        t = _merge_pass(paired, "", wdoc).localCheckpoint(eager=False)
+    oov_syms = t.groupBy("_id_").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_p_", "_w_"))),
+            lambda s: s["_w_"],
+        ).alias("symbols")
+    )
+    recovered = miss.join(
+        F.broadcast(oov_syms.select(F.col("_id_").alias("_word_"), "symbols")),
+        "_word_",
+    )
+    return hit.select(*out_cols).unionByName(recovered.select(*out_cols))

@@ -176,3 +176,48 @@ def test_bpe_train_exhaustion_and_self_pairs(spark):
     assert "".join(syms) == "aaa</w>"
     # exhausted tail rounds are all-NULL no-ops
     assert any(r[1] is None for r in rows)
+
+
+def test_bpe_encode_roundtrip_and_oov(spark):
+    """Encoding the training corpus via the vocab table reproduces the
+    trained segmentation; OOV words replay the frozen merges over
+    their characters (and concat back to the original word)."""
+    from demy_spark.operators.phrases import bpe_encode, bpe_train
+
+    train = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3))],
+        "doc_id long, text string",
+    )
+    merge_table, vocab = bpe_train(train, "doc_id", "text", merges=4)
+    pairs = [
+        (r["sym1"], r["sym2"])
+        for r in merge_table.orderBy("rank").collect()
+        if r["sym1"] is not None
+    ]
+
+    # in-vocabulary: same segmentation as training
+    enc = bpe_encode(train, "doc_id", "text", vocab, pairs)
+    by_word = {r["word"]: r["symbols"] for r in enc.collect()}
+    assert by_word["newest"] == ["n", "e", "w", "est</w>"]
+    assert by_word["low"] == ["lo", "w", "</w>"]
+
+    # OOV: 'lowest' was never seen — chars + frozen merges give
+    # lo|w|est</w>, and 'slowest' -> s|lo|w|est</w>
+    probe = spark.createDataFrame(
+        [(9, "lowest slowest low")], "doc_id long, text string"
+    )
+    enc2 = {r["word"]: r["symbols"] for r in bpe_encode(
+        probe, "doc_id", "text", vocab, pairs
+    ).collect()}
+    assert enc2["lowest"] == ["lo", "w", "est</w>"]
+    assert enc2["slowest"] == ["s", "lo", "w", "est</w>"]
+    assert enc2["low"] == ["lo", "w", "</w>"]  # vocab hit
+    # every symbol stream concatenates back to word + marker
+    for w, syms in enc2.items():
+        assert "".join(syms) == w + "</w>"
+
+    # no merge list: OOV stays raw characters
+    raw = {r["word"]: r["symbols"] for r in bpe_encode(
+        probe, "doc_id", "text", vocab
+    ).collect()}
+    assert raw["lowest"] == list("lowest") + ["</w>"]
