@@ -217,14 +217,46 @@ def apply_merges(
     per-round lineage-truncation contract as ``phrase_merges``
     (``checkpoint_dir`` for reliable checkpoints on long runs).
     """
-    if checkpoint_dir is not None:
-        docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     t = docs.select(
         F.col(id_col).alias("_id_"),
         F.posexplode(norm_tokens(F.col(text_col))).alias("_p_", "_w_"),
     )
     wdoc = Window.partitionBy("_id_").orderBy("_p_")
-    for w1, w2 in merges:
+    t = _replay_merges(t, list(merges), joiner, wdoc, checkpoint_dir)
+    return t.select(
+        F.col("_id_").alias(id_col),
+        F.col("_p_").alias("pos"),
+        F.col("_w_").alias("token"),
+    )
+
+
+def _char_rows(df: DataFrame, end_of_word: str) -> DataFrame:
+    """(_id_, _p_, _w_) rows: each word string (its own id) exploded to
+    characters plus the end-of-word marker. Shared by train and the
+    encode OOV replay so the split can never drift."""
+    chars = F.concat(
+        # one element per char; the lookahead also matches at end of
+        # string, so drop the trailing empty it produces
+        F.array_remove(F.split(F.col("_id_"), "(?!^)"), ""),
+        F.array(F.lit(end_of_word)),
+    )
+    return df.select("_id_", F.posexplode(chars).alias("_p_", "_w_"))
+
+
+def _replay_merges(
+    t: DataFrame,
+    merge_list: list[tuple[str, str]],
+    joiner: str,
+    wdoc: Window,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Apply a FROZEN merge list in rank order — one _merge_pass round
+    per pair, lineage truncated per round (localCheckpoint, or a
+    reliable checkpoint when ``checkpoint_dir`` is set). Shared by
+    ``apply_merges`` (word level) and ``bpe_encode`` (char level)."""
+    if checkpoint_dir is not None:
+        t.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    for w1, w2 in merge_list:
         paired = t.withColumn("_wn_", F.lead("_w_").over(wdoc)).withColumns(
             {"_w1_": F.lit(w1), "_w2_": F.lit(w2)}
         )
@@ -234,20 +266,27 @@ def apply_merges(
             if checkpoint_dir is not None
             else t.localCheckpoint(eager=False)
         )
-    return t.select(
-        F.col("_id_").alias(id_col),
-        F.col("_p_").alias("pos"),
-        F.col("_w_").alias("token"),
+    return t
+
+
+def _assemble_symbols(t: DataFrame) -> DataFrame:
+    """(_id_, symbols): position-ordered symbol arrays from the
+    (_id_, _p_, _w_) row stream."""
+    return t.groupBy("_id_").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_p_", "_w_"))),
+            lambda s: s["_w_"],
+        ).alias("symbols")
     )
 
 
 def bpe_train(
     docs: DataFrame,
-    id_col: str,
     text_col: str,
     *,
     merges: int = 8,
     end_of_word: str = "</w>",
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Char-level, frequency-weighted BPE training (Sennrich et al.
     2016) — the REAL tokenizer-training step (``phrase_merges`` is its
@@ -273,11 +312,15 @@ def bpe_train(
     symbols participate in later rounds; left-to-right non-overlap via
     parity islands — self-adjacent pairs like ('a','a') in 'aaa'
     merge greedily from the left, the reference BPE convention).
-    Per-round lineage is localCheckpoint-truncated like
-    ``phrase_merges``.
+    Per-round lineage truncates with localCheckpoint, or a RELIABLE
+    checkpoint when ``checkpoint_dir`` is set — real tokenizer runs
+    are 10k-100k rounds, exactly the executor-loss exposure the
+    word-level twins document.
     """
     if merges < 1:
         raise ValueError(f"merges must be >= 1, got {merges}")
+    if checkpoint_dir is not None:
+        docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     vocab = (
         docs.select(F.explode(norm_tokens(F.col(text_col))).alias("_id_"))
         .groupBy("_id_")
@@ -285,15 +328,7 @@ def bpe_train(
     )
     # the word string is its own id: unique by construction, and the
     # per-word windows partition on it directly
-    chars = F.concat(
-        # one element per char; the lookahead also matches at end of
-        # string, so drop the trailing empty it produces
-        F.array_remove(F.split(F.col("_id_"), "(?!^)"), ""),
-        F.array(F.lit(end_of_word)),
-    )
-    t = vocab.select(
-        "_id_", F.posexplode(chars).alias("_p_", "_w_")
-    ).localCheckpoint(eager=False)
+    t = _char_rows(vocab, end_of_word).localCheckpoint(eager=False)
     freqs = vocab.persist()
     wdoc = Window.partitionBy("_id_").orderBy("_p_")
     merge_rows: list[DataFrame] = []
@@ -325,7 +360,11 @@ def bpe_train(
             .limit(1)
         )
         t = _merge_pass(paired.join(F.broadcast(best)), "", wdoc)
-        t = t.localCheckpoint(eager=False)
+        t = (
+            t.checkpoint(eager=False)
+            if checkpoint_dir is not None
+            else t.localCheckpoint(eager=False)
+        )
         merge_rows.append(
             best.select(
                 F.lit(rank).alias("rank"),
@@ -338,13 +377,7 @@ def bpe_train(
     for m in merge_rows[1:]:
         merge_table = merge_table.unionAll(m)
     vocab_symbols = (
-        t.groupBy("_id_")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_p_", "_w_"))),
-                lambda s: s["_w_"],
-            ).alias("symbols")
-        )
+        _assemble_symbols(t)
         .join(freqs, "_id_")
         .select(
             F.col("_id_").alias("word"), F.col("_freq_").alias("freq"), "symbols"
@@ -375,11 +408,16 @@ def bpe_encode(
     per word occurrence, positions from the norm_tokens stream.
 
     Scale shape: the vocab table is tokenizer-sized (bounded by the
-    training corpus vocabulary) and broadcast; the OOV path only ever
-    sees words ABSENT from it (an anti-join-sized residue), exploded
-    to characters and merged with the same ``_merge_pass`` rounds as
-    training — linear in OOV characters, zero cost when everything is
-    in-vocabulary.
+    training corpus vocabulary) and broadcast; the corpus-sized
+    joined frame is persisted because THREE branches consume it (hit
+    branch, OOV-word discovery, OOV recovery join — the same
+    multiple-consumer shape minhash_probe persists for); the OOV
+    replay itself only ever sees word TYPES absent from the vocab (an
+    anti-join-sized residue) exploded to characters and merged with
+    the training ``_merge_pass`` rounds via the shared
+    ``_replay_merges``. Everything stays lazy — no driver-side
+    emptiness probe; an all-in-vocabulary corpus simply yields an
+    empty OOV branch in the same plan.
     """
     words = docs.select(
         F.col(id_col).alias("_did_"),
@@ -388,7 +426,7 @@ def bpe_encode(
     vocab = F.broadcast(
         vocab_symbols.select(F.col("word").alias("_word_"), "symbols")
     )
-    joined = words.join(vocab, "_word_", "left")
+    joined = words.join(vocab, "_word_", "left").persist()
     hit = joined.where(F.col("symbols").isNotNull())
     miss = joined.where(F.col("symbols").isNull()).select("_did_", "_p_", "_word_")
     out_cols = [
@@ -397,28 +435,13 @@ def bpe_encode(
         F.col("_word_").alias("word"),
         "symbols",
     ]
-    if miss.isEmpty():
-        return hit.select(*out_cols)
-    # OOV fallback: distinct unseen words, char-exploded, the frozen
-    # merges replayed in rank order (identical _merge_pass semantics)
+    # OOV fallback: distinct unseen word TYPES, char-exploded, the
+    # frozen merges replayed in rank order (shared _replay_merges)
     oov = miss.select(F.col("_word_").alias("_id_")).distinct()
-    chars = F.concat(
-        F.array_remove(F.split(F.col("_id_"), "(?!^)"), ""),
-        F.array(F.lit(end_of_word)),
-    )
-    t = oov.select("_id_", F.posexplode(chars).alias("_p_", "_w_"))
+    t = _char_rows(oov, end_of_word)
     wdoc = Window.partitionBy("_id_").orderBy("_p_")
-    for w1, w2 in merge_list or []:
-        paired = t.withColumn("_wn_", F.lead("_w_").over(wdoc)).withColumns(
-            {"_w1_": F.lit(w1), "_w2_": F.lit(w2)}
-        )
-        t = _merge_pass(paired, "", wdoc).localCheckpoint(eager=False)
-    oov_syms = t.groupBy("_id_").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("_p_", "_w_"))),
-            lambda s: s["_w_"],
-        ).alias("symbols")
-    )
+    t = _replay_merges(t, merge_list or [], "", wdoc)
+    oov_syms = _assemble_symbols(t)
     recovered = miss.join(
         F.broadcast(oov_syms.select(F.col("_id_").alias("_word_"), "symbols")),
         "_word_",

@@ -139,7 +139,7 @@ def test_bpe_train_textbook_example(spark):
         [(1, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3))],
         "doc_id long, text string",
     )
-    merge_table, vocab = bpe_train(docs, "doc_id", "text", merges=4)
+    merge_table, vocab = bpe_train(docs, "text", merges=4)
     got = [
         (r["rank"], r["sym1"], r["sym2"], r["pair_freq"])
         for r in merge_table.orderBy("rank").collect()
@@ -166,7 +166,7 @@ def test_bpe_train_exhaustion_and_self_pairs(spark):
     from demy_spark.operators.phrases import bpe_train
 
     docs = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
-    merge_table, vocab = bpe_train(docs, "doc_id", "text", merges=5)
+    merge_table, vocab = bpe_train(docs, "text", merges=5)
     rows = [
         (r["rank"], r["sym1"], r["sym2"]) for r in merge_table.orderBy("rank").collect()
     ]
@@ -188,7 +188,7 @@ def test_bpe_encode_roundtrip_and_oov(spark):
         [(1, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3))],
         "doc_id long, text string",
     )
-    merge_table, vocab = bpe_train(train, "doc_id", "text", merges=4)
+    merge_table, vocab = bpe_train(train, "text", merges=4)
     pairs = [
         (r["sym1"], r["sym2"])
         for r in merge_table.orderBy("rank").collect()
