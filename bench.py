@@ -76,10 +76,13 @@ def main() -> None:
         "lm_quality": _q.REGISTRY["q98_lm_quality"].fn,
         "semdedup": _q.REGISTRY["q100_semdedup"].fn,
         "incremental_probe": _q.REGISTRY["q101_incremental_dedup"].fn,
-        # round-4 additions: chunking (pure-map scan shape) and kNN
-        # label propagation (brute-force vote baseline)
+        # round-4 additions: chunking (pure-map scan shape), kNN
+        # label propagation (brute-force vote baseline), and BPE
+        # training (vocabulary-sized iterative rounds — times the
+        # corpus reduction + 6 merge rounds + lineage truncation)
         "chunking": _q.REGISTRY["q111_chunk_documents"].fn,
         "knn_classify": _q.REGISTRY["q114_knn_classify"].fn,
+        "bpe_train": _q.REGISTRY["q115_bpe_train"].fn,
     }
     extra_timings: dict[str, float] = {}
     for name, fn in extras.items():

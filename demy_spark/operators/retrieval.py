@@ -1,0 +1,129 @@
+"""Inverted-index keyword retrieval: BM25-ranked top-k documents per
+query.
+
+The engine-side complement of the fuzzy text lookup join
+(`operators/fuzzy_lookup.py` builds token postings to JOIN two tables
+on similarity; reference spec `mllib/src/main/scala/text/
+TextLookup.scala`): here the postings serve ad-hoc KEYWORD QUERIES
+ranked by Okapi BM25 — the canonical retrieval scorer, and the
+standard "find the documents about X" primitive a corpus-curation
+pipeline uses for audits, targeted sampling and eval-set mining.
+
+Scale shape:
+- One map-side-combined shuffle reduces the token stream to postings
+  (doc, term, tf); per-document lengths ride a partition-only window
+  over that REDUCED frame (never the token stream).
+- The query table is broadcast (queries are human-sized); corpus-side
+  df is computed AFTER the postings are filtered to query terms, so
+  the df frame is query-term-sized by construction and joins back
+  broadcast — the full-vocabulary document-frequency table (billions
+  of terms at 100 TB) is never materialized, never broadcast.
+- Corpus statistics (N, total length) are a 1-row cross-joined frame.
+- Per-term contributions quantize to integer micro-units BEFORE the
+  per-(query, doc) sum (partial-aggregation order independence — the
+  oracle-gate convention), and the final top-k is a rank window per
+  query id that Spark prunes with WindowGroupLimit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from demy_spark.functions.textstats import norm_tokens
+
+__all__ = ["bm25_search"]
+
+
+def bm25_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    quantize: int = 10**6,
+) -> DataFrame:
+    """Rank the top ``k`` documents per query by BM25.
+
+    Scoring (the Lucene-style non-negative idf variant):
+    ``idf = ln((N - df + 0.5) / (df + 0.5) + 1)`` and
+    ``tfn = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))``;
+    each term contributes ``floor(idf * tfn * quantize)`` as an
+    INTEGER and the per-(query, doc) score is the integer sum, so the
+    result is independent of partial-aggregation order and a rank
+    boundary never rides on a 1-ulp float. Duplicate query terms count
+    once (the standard short-query convention). Ties break on
+    ascending document id.
+
+    Returns (``query_id_col``, ``id_col``, score_micro, rk) with
+    ``rk`` in 1..k per query.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = docs.select(
+        F.col(id_col).alias("_id_"),
+        F.explode(norm_tokens(F.col(text_col))).alias("_w_"),
+    )
+    postings = toks.groupBy("_id_", "_w_").agg(F.count(F.lit(1)).alias("_tf_"))
+    # document length over the REDUCED postings frame; partition-only
+    # window (no ORDER BY) so there is no running-frame re-scan
+    postings = postings.withColumn(
+        "_dl_", F.sum("_tf_").over(Window.partitionBy("_id_"))
+    )
+    stats = postings.agg(
+        F.countDistinct("_id_").alias("_n_"), F.sum("_tf_").alias("_tot_")
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("_qid_"),
+        F.explode(F.array_distinct(norm_tokens(F.col(query_text_col)))).alias(
+            "_w_"
+        ),
+    )
+    # filter postings to query terms FIRST: df is then computed over a
+    # query-term-sized frame and joins back broadcast — the only safe
+    # order at web-corpus vocabulary sizes
+    matched = postings.join(
+        F.broadcast(qterms.select("_w_").distinct()), "_w_"
+    )
+    dfreq = matched.groupBy("_w_").agg(F.count(F.lit(1)).alias("_df_"))
+    scored = (
+        matched.join(F.broadcast(dfreq), "_w_")
+        .join(F.broadcast(qterms), "_w_")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("_n_") - F.col("_df_") + 0.5) / (F.col("_df_") + 0.5) + 1.0
+    )
+    tfn = (F.col("_tf_") * (k1 + 1.0)) / (
+        F.col("_tf_")
+        + k1
+        * (
+            1.0
+            - b
+            + b * F.col("_dl_") / (F.col("_tot_") * 1.0 / F.col("_n_"))
+        )
+    )
+    term_micro = F.floor(idf * tfn * F.lit(float(quantize))).cast("long")
+    agg = (
+        scored.select("_qid_", "_id_", term_micro.alias("_tm_"))
+        .groupBy("_qid_", "_id_")
+        .agg(F.sum("_tm_").alias("score_micro"))
+    )
+    wq = Window.partitionBy("_qid_").orderBy(
+        F.col("score_micro").desc(), F.col("_id_").asc()
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= k)
+        .select(
+            F.col("_qid_").alias(query_id_col),
+            F.col("_id_").alias(id_col),
+            "score_micro",
+            "rk",
+        )
+    )

@@ -7030,11 +7030,337 @@ def q114_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_classify(emb, queries, "embedding", "vec_id", "label", k=5)
 
 
+def _bpe_round_sql(i: int, pair_src: str | None = None) -> str:
+    """One char-level BPE round as CTE fragments (operators/phrases.
+    bpe_train twin of q104's _merge_round_sql): pair counts WEIGHTED by
+    word frequency (join v), argmax with the all-NULL sentinel,
+    parity-island non-overlap merge with the EMPTY joiner (symbols
+    concatenate), re-compacted b{i}. With ``pair_src`` set (encode
+    replay), the round's pair comes from that 1-row CTE instead of
+    being recomputed — the frozen-merge-table application."""
+    prev = f"b{i - 1}" if pair_src is None else f"e{i - 1}"
+    pfx = "b" if pair_src is None else "e"
+    best = pair_src or f"best{i}"
+    best_cte = (
+        ""
+        if pair_src
+        else f"""
+    best{i} AS (
+        SELECT * FROM (
+            SELECT c.w AS w1, c.wn AS w2, sum(v.freq) AS cnt
+            FROM {pfx}p{i} c JOIN v ON c.doc_id = v.word
+            WHERE c.wn IS NOT NULL GROUP BY 1, 2
+            UNION ALL SELECT NULL, NULL, NULL)
+        ORDER BY cnt DESC NULLS LAST, w1, w2 LIMIT 1),"""
+    )
+    return f"""
+    {pfx}p{i} AS (
+        SELECT *, lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS wn
+        FROM {prev}),{best_cte}
+    {pfx}c{i} AS (
+        SELECT c.doc_id, c.p, c.w, c.wn,
+               (b.w1 IS NOT NULL AND c.wn IS NOT NULL
+                AND c.w = b.w1 AND c.wn = b.w2) AS m
+        FROM {pfx}p{i} c, {best} b),
+    {pfx}i{i} AS (
+        SELECT *, CASE WHEN m THEN p - row_number()
+                 OVER (PARTITION BY doc_id, m ORDER BY p) END AS isl
+        FROM {pfx}c{i}),
+    {pfx}k{i} AS (
+        SELECT *, m AND ((p - min(p) OVER (PARTITION BY doc_id, isl)) % 2 = 0)
+                 AS keep
+        FROM {pfx}i{i}),
+    {pfx}g{i} AS (
+        SELECT *, coalesce(lag(keep) OVER (PARTITION BY doc_id ORDER BY p),
+                           false) AS gone
+        FROM {pfx}k{i}),
+    {pfx}m{i} AS (
+        SELECT doc_id, p, CASE WHEN keep THEN w || wn ELSE w END AS w
+        FROM {pfx}g{i} WHERE NOT gone),
+    {pfx}{i} AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS p, w
+        FROM {pfx}m{i}),"""
+
+
+# char stream of the vocabulary: each word (its own id) split to
+# characters plus the end-of-word marker — phrases._char_rows' twin
+# (string_split(s, '') is the proven q77 char-split convention)
+def _bpe_b0_sql(vocab: str, pfx: str) -> str:
+    return f"""
+    {pfx}0 AS (
+      SELECT word AS doc_id, generate_subscripts(cs, 1) - 1 AS p,
+             unnest(cs) AS w
+      FROM (SELECT word, list_append(string_split(word, ''), '</w>') AS cs
+            FROM {vocab})),"""
+
+
+_Q115_ROUNDS = 6
+
+_Q115_SQL = (
+    f"""
+    WITH v AS (
+      SELECT w AS word, count(*) AS freq
+      FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents) GROUP BY 1),"""
+    + _bpe_b0_sql("v", "b")
+    + "".join(_bpe_round_sql(i) for i in range(1, _Q115_ROUNDS + 1))
+    + """
+    m AS ("""
+    + "\n      UNION ALL ".join(
+        f"SELECT {i} AS rk, w1, w2, cnt FROM best{i}"
+        for i in range(1, _Q115_ROUNDS + 1)
+    )
+    + """)
+    SELECT CAST(rk AS BIGINT) AS rank, w1 AS sym1, w2 AS sym2,
+           CAST(cnt AS BIGINT) AS pair_freq
+    FROM m
+    """
+)
+
+
+@register("q115_bpe_train", _Q115_SQL)
+def q115_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-level frequency-weighted BPE training (operators/phrases.
+    bpe_train — Sennrich et al. 2016, the REAL tokenizer-training step;
+    q104's word-level phrase merging is its skeleton, and the
+    reference's Word2Vec surface — `mllib/src/main/scala/text/
+    Word2VecApplier.scala` — consumes exactly such learned-subword
+    streams): 6 rounds of merge-the-most-frequent-adjacent-symbol-pair
+    over the corpus VOCABULARY (words split to chars + '</w>'), pair
+    counts weighted by word frequency. The only corpus-sized work is
+    the one (word, freq) reduction; every round then runs on
+    vocabulary-sized frames through the same _merge_pass machinery as
+    q104/q113. The oracle unrolls all 6 rounds — weighted counts,
+    sentinel, tie-breaks, parity-island merge placement — bit-for-bit."""
+    from demy_spark.operators.phrases import bpe_train
+
+    t = _t(spark, sf_dir)
+    merge_table, _vocab = bpe_train(t["documents"], "text", merges=_Q115_ROUNDS)
+    return merge_table.select(
+        F.col("rank").cast("long").alias("rank"),
+        "sym1",
+        "sym2",
+        F.col("pair_freq").cast("long").alias("pair_freq"),
+    )
+
+
+_Q116_ROUNDS = 4
+
+_Q116_SQL = (
+    f"""
+    WITH v AS (
+      SELECT w AS word, count(*) AS freq
+      FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents
+            WHERE doc_id % 3 = 0) GROUP BY 1),"""
+    + _bpe_b0_sql("v", "b")
+    + "".join(_bpe_round_sql(i) for i in range(1, _Q116_ROUNDS + 1))
+    + f"""
+    wt AS (
+      SELECT DISTINCT w AS word
+      FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents)),"""
+    + _bpe_b0_sql("wt", "e")
+    + "".join(
+        _bpe_round_sql(i, pair_src=f"best{i}")
+        for i in range(1, _Q116_ROUNDS + 1)
+    )
+    + f"""
+    ws AS (
+      SELECT doc_id AS word, string_agg(w, ' ' ORDER BY p) AS syms,
+             count(*) AS nsym
+      FROM e{_Q116_ROUNDS} GROUP BY 1),
+    occ AS (
+      SELECT doc_id, generate_subscripts(tk, 1) - 1 AS p, unnest(tk) AS word
+      FROM (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents))
+    SELECT occ.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(ws.nsym) AS BIGINT) AS n_symbols,
+           md5(string_agg(ws.syms, ' | ' ORDER BY occ.p)) AS stream_md5
+    FROM occ JOIN ws USING (word)
+    GROUP BY occ.doc_id
+    """
+)
+
+
+@register("q116_bpe_encode", _Q116_SQL)
+def q116_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization with a TRAINED model (operators/phrases.
+    bpe_encode — the serving half of q115, end-to-end): train 4 merges
+    on the doc_id%3==0 slice, then encode the FULL corpus — in-vocab
+    words hit the broadcast (word → symbols) table, out-of-vocabulary
+    words replay the frozen merge list over their characters via the
+    shared _replay_merges. The learned merge table is collected
+    driver-side (tokenizer-sized by contract, the q38 frozen-weights
+    convention). The oracle re-derives the merges from the slice
+    (weighted unrolled rounds) and replays them uniformly over every
+    corpus word TYPE — which equals the Spark hit+OOV union precisely
+    BECAUSE vocab symbols are themselves the replay of the learned
+    pairs, so the hash verifies the shared-machinery claim itself.
+    Output digests the full per-document symbol stream (count, symbol
+    total, md5 of the position-ordered join)."""
+    from demy_spark.operators.phrases import bpe_encode, bpe_train
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    train = docs.where(F.col("doc_id") % 3 == 0)
+    merge_table, vocab_syms = bpe_train(train, "text", merges=_Q116_ROUNDS)
+    pairs = [
+        (r["sym1"], r["sym2"])
+        for r in merge_table.orderBy("rank").collect()
+        if r["sym1"] is not None
+    ]
+    enc = bpe_encode(docs, "doc_id", "text", vocab_syms, pairs)
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.size("symbols")).cast("long").alias("n_symbols"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos"),
+                                F.array_join("symbols", " ").alias("s"),
+                            )
+                        )
+                    ),
+                    lambda s: s["s"],
+                ),
+                " | ",
+            )
+        ).alias("stream_md5"),
+    )
+
+
+# the frozen keyword queries q117 ranks — literal in BOTH engines,
+# like a deployed search/audit query set
+_Q117_QUERIES = [
+    (1, "hash join table"),
+    (2, "window agg stream"),
+    (3, "slow scan filter vector"),
+    (4, "customer order line part"),
+]
+
+_Q117_VALUES = ", ".join(f"({i}, '{s}')" for i, s in _Q117_QUERIES)
+
+_Q117_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest({_TOKS_SQL}) AS w FROM documents),
+    p AS (SELECT id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+    pd AS (SELECT *, sum(tf) OVER (PARTITION BY id) AS dl FROM p),
+    s AS (SELECT count(DISTINCT id) AS n, sum(tf) AS tot FROM p),
+    q AS (SELECT * FROM (VALUES {_Q117_VALUES}) AS t(qid, qtext)),
+    qt AS (
+      SELECT qid,
+             unnest(list_distinct(list_filter(
+               string_split(trim(lower(qtext)), ' '), x -> x <> ''))) AS w
+      FROM q),
+    mt AS (
+      SELECT pd.* FROM pd JOIN (SELECT DISTINCT w FROM qt) tw USING (w)),
+    dfq AS (SELECT w, count(*) AS df FROM mt GROUP BY 1),
+    sc AS (
+      SELECT qt.qid, mt.id,
+             CAST(floor(
+               (ln((s.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                * ((mt.tf * (1.2 + 1.0))
+                   / (mt.tf + 1.2 * (1.0 - 0.75
+                      + 0.75 * mt.dl / (s.tot * 1.0 / s.n)))))
+               * 1000000.0) AS BIGINT) AS tm
+      FROM mt JOIN dfq USING (w) JOIN qt USING (w), s),
+    agg AS (SELECT qid, id, sum(tm) AS score_micro FROM sc GROUP BY 1, 2),
+    rnk AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                 ORDER BY score_micro DESC, id) AS rk
+      FROM agg)
+    SELECT CAST(qid AS BIGINT) AS query_id, id AS doc_id,
+           CAST(score_micro AS BIGINT) AS score_micro, CAST(rk AS BIGINT) AS rk
+    FROM rnk WHERE rk <= 10
+    """
+
+
+@register("q117_bm25_search", _Q117_SQL)
+def q117_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (operators/retrieval.bm25_search — the
+    ad-hoc-query complement of the fuzzy lookup JOIN's postings index,
+    reference spec `mllib/src/main/scala/text/TextLookup.scala`; the
+    curation pipeline's "find the documents about X" audit primitive):
+    four frozen keyword queries ranked over the documents corpus,
+    Lucene-style non-negative idf, per-term contributions floored to
+    integer micro-units BEFORE the per-(query, doc) sum (rank
+    boundaries never ride a 1-ulp float), ties to ascending doc id.
+    Scale shape: postings reduce the token stream once; df is computed
+    only for query terms (never the full vocabulary) and joins back
+    broadcast; the top-k is a WindowGroupLimit-prunable rank window."""
+    from demy_spark.operators.retrieval import bm25_search
+
+    t = _t(spark, sf_dir)
+    qdf = spark.createDataFrame(_Q117_QUERIES, "query_id long, qtext string")
+    out = bm25_search(
+        t["documents"], "doc_id", "text", qdf, "query_id", "qtext", k=10
+    )
+    return out.select(
+        "query_id",
+        "doc_id",
+        "score_micro",
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+@register(
+    "q118_orc_roundtrip",
+    f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_md5
+    FROM documents GROUP BY source
+    """,
+)
+def q118_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan roundtrip (SURVEY §2.1 source/sink widening —
+    the reference reads/writes columnar snapshots through one storage
+    interface, `core/src/main/scala/Storage/Storage.scala`; Spark's
+    native ORC is the second columnar format a lakehouse deployment
+    needs beside parquet): documents is written to ORC (zlib,
+    overwrite) and read back, and the QUERY digests what came back —
+    per-source counts, id/char checksums and an order-insensitive
+    md5-of-md5s over the full text payload. The oracle computes the
+    same digest from the ORIGINAL parquet, so the gate proves the
+    sink/scan pair preserves every row and byte exactly. The write
+    lands under /tmp keyed by scale factor (deterministic path, no
+    clock); predicate/column pruning on the ORC scan is exercised in
+    tests/test_io_sources.py."""
+    t = _t(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = f"/tmp/demy_spark_orc/{tag}/documents"
+    t["documents"].write.format("orc").option("compression", "zlib").mode(
+        "overwrite"
+    ).save(path)
+    back = spark.read.format("orc").load(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("doc_id"), F.md5("text").alias("h")))
+                    ),
+                    lambda s: s["h"],
+                ),
+                "",
+            )
+        ).alias("content_md5"),
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
-# order. Round-4 window: rotation round — no new registrations, so the
-# slots pay down artifact staleness (VERDICT r3 "What's missing" #1):
-#   1. never-rowed new registrations (q111-q114: chunking, TF-IDF
-#      keywords, frozen-merge BPE apply, kNN label propagation) and
+# order. Round-4 window: rotation round — the slots pay down artifact
+# staleness (VERDICT r3 "What's missing" #1):
+#   1. never-rowed new registrations (q111-q118: chunking, TF-IDF
+#      keywords, frozen-merge BPE apply, kNN label propagation, BPE
+#      train + trained-model encode, BM25 retrieval, ORC roundtrip) and
 #      behavior changed this round: q100 (micro-quantized tau compare)
 #      and q108 (re-registered on sorted-neighborhood candidates — the
 #      production blocking, closing VERDICT task 2);
@@ -7058,6 +7384,10 @@ def q114_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q59 (sketches; q61 + q90 r3)             q73 (calibration; q38 r3)
 _DRIVER_PRIORITY = [
     # --- tier 1: never-rowed new registrations + behavior changes
+    "q115_bpe_train",
+    "q116_bpe_encode",
+    "q117_bm25_search",
+    "q118_orc_roundtrip",
     "q111_chunk_documents",
     "q112_tfidf_terms",
     "q113_bpe_apply",
@@ -7105,8 +7435,10 @@ _DRIVER_PRIORITY = [
     "q19_token_topk",
     "q21_quality_score",
     "q23_cosine_topk",
-    "q25_lexicon_lookup",
-    "q46_pos_tag",
+    # q25/q46 displaced to round 5 by the q117/q118 registrations:
+    # q25's broadcast-lexicon path re-rows via q24 (r3) and the q40/q41
+    # rotations above, q46's beam decoder shares postag.py with q66
+    # (greedy) rotating in tier 2 — both keep r2 rows meanwhile
     "q49_sentence_split",
     "q50_fuzzy_typos",
     "q52_word_categories",
@@ -7114,8 +7446,10 @@ _DRIVER_PRIORITY = [
     "q63_salted_agg",
     "q65_partition_prune",
     "q67_event_followup",
-    "q70_span_detect",
-    "q71_online_centers",
+    # q70/q71 displaced to round 5 by the q115/q116 registrations (new
+    # queries are never left unrowed a full round): q70's classifier
+    # span path re-rows via q38 (r3), q71's online-centers path via
+    # q42 (tier 2 above) — both keep r2 rows meanwhile
 ]
 
 

@@ -43,3 +43,29 @@ def test_checkpoint_escapes_bad_column_names(spark, tmp_path):
     out = checkpoint(df, path)
     assert out.columns == ["my col,with{bad}chars"]
     assert out.count() == 3
+
+
+def test_orc_roundtrip_pushdown(spark, tmp_path):
+    # ORC sink/scan preserves values and the scan prunes: the filter
+    # must reach the OrcScan as a pushed filter and the read schema
+    # must shrink to the projected columns (q118's source/sink pair)
+    src = spark.createDataFrame(
+        [(i, f"doc {i}", i % 5) for i in range(100)],
+        "doc_id long, text string, bucket long",
+    )
+    path = os.path.join(str(tmp_path), "orc")
+    src.write.format("orc").mode("overwrite").save(path)
+    back = spark.read.format("orc").load(path)
+    assert back.count() == 100
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in src.collect()
+    )
+    plan = (
+        back.where("bucket = 3")
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "bucket" in plan.split("PushedFilters")[1][:80]
+    assert "text" not in plan.split("ReadSchema")[1][:120]

@@ -1,0 +1,85 @@
+"""BM25 retrieval: hand-checked ranking semantics on a tiny corpus.
+
+The sf0.001 oracle-parity suite covers q117 end-to-end; these tests pin
+the operator's SEMANTICS on inputs small enough to reason about by
+hand: idf ordering (rare term outranks common term), length
+normalization (short doc outranks long doc at equal tf), duplicate
+query terms counting once, the k cut and the ascending-id tie-break.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from demy_spark.operators.retrieval import bm25_search
+
+
+def _search(spark, docs, queries, **kw):
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id long, qtext string")
+    out = bm25_search(ddf, "doc_id", "text", qdf, "query_id", "qtext", **kw)
+    return [tuple(r) for r in out.orderBy("query_id", "rk").collect()]
+
+
+def test_rare_term_outranks_common(spark):
+    # "zebra" appears in one doc, "the" in all — the zebra doc must win
+    docs = [
+        (1, "the cat sat"),
+        (2, "the dog ran"),
+        (3, "the zebra grazed"),
+    ]
+    rows = _search(spark, docs, [(1, "zebra the")])
+    assert rows[0][1] == 3 and rows[0][3] == 1
+
+
+def test_length_normalization(spark):
+    # same tf=1 for the query term; the shorter doc scores higher
+    docs = [
+        (1, "spark shuffles data across the cluster nodes every stage"),
+        (2, "spark joins"),
+    ]
+    rows = _search(spark, docs, [(1, "spark")])
+    assert [r[1] for r in rows] == [2, 1]
+
+
+def test_duplicate_query_terms_count_once(spark):
+    docs = [(1, "alpha beta"), (2, "alpha gamma")]
+    once = _search(spark, docs, [(1, "alpha")])
+    twice = _search(spark, docs, [(1, "alpha alpha alpha")])
+    assert [(r[1], r[2]) for r in once] == [(r[1], r[2]) for r in twice]
+
+
+def test_k_cut_and_id_tiebreak(spark):
+    # four identical docs tie exactly; k=3 keeps the three lowest ids
+    docs = [(i, "same words here") for i in (4, 2, 9, 7)]
+    rows = _search(spark, docs, [(1, "same")], k=3)
+    assert [r[1] for r in rows] == [2, 4, 7]
+    assert [r[3] for r in rows] == [1, 2, 3]
+    assert len({r[2] for r in rows}) == 1
+
+
+def test_score_matches_reference_formula(spark):
+    # one query term, hand-computed BM25 against the closed formula
+    docs = [(1, "a b c d"), (2, "a a b"), (3, "x y z")]
+    rows = _search(spark, docs, [(1, "a")])
+    n, tot = 3, 10
+    avgdl = tot / n
+    df = 2
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score(tf, dl):
+        tfn = tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        return math.floor(idf * tfn * 1000000.0)
+
+    got = {r[1]: r[2] for r in rows}
+    assert got == {1: score(1, 4), 2: score(2, 3)}
+
+
+def test_no_match_query_absent_and_bad_k(spark):
+    docs = [(1, "alpha beta")]
+    rows = _search(spark, docs, [(1, "alpha"), (2, "nomatch")])
+    assert {r[0] for r in rows} == {1}
+    with pytest.raises(ValueError):
+        _search(spark, docs, [(1, "alpha")], k=0)
