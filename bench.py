@@ -83,6 +83,7 @@ def main() -> None:
         "chunking": _q.REGISTRY["q111_chunk_documents"].fn,
         "knn_classify": _q.REGISTRY["q114_knn_classify"].fn,
         "bpe_train": _q.REGISTRY["q115_bpe_train"].fn,
+        "bm25_search": _q.REGISTRY["q117_bm25_search"].fn,
     }
     extra_timings: dict[str, float] = {}
     for name, fn in extras.items():

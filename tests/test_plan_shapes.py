@@ -54,11 +54,14 @@ PLANNABLE = [
     "q108_record_linkage",
     "q109_sorted_neighborhood",
     "q110_incremental_pipeline",
-    # round-4 additions (q113 excluded: per-merge localCheckpoint
-    # rounds execute during construction, like q100's Lloyd rounds)
+    # round-4 additions (q113/q115/q116 excluded: per-merge
+    # localCheckpoint rounds execute during construction, like q100's
+    # Lloyd rounds; q118 excluded: the ORC write executes during
+    # construction)
     "q111_chunk_documents",
     "q112_tfidf_terms",
     "q114_knn_classify",
+    "q117_bm25_search",
 ]
 
 
@@ -179,3 +182,14 @@ def test_snapshot_diff_single_cokeyed_join(plans):
     # PLANNABLE queries by the parameterized tests above)
     assert len(re.findall(r"SortMergeJoin .*FullOuter",
                           plans["q107_snapshot_diff"])) == 1
+
+
+def test_bm25_topk_is_group_limited_and_df_broadcast(plans):
+    # the per-query rank window must prune with WindowGroupLimit (a
+    # full per-query sort of all matched docs would not survive a
+    # popular term at corpus scale), and the query-term df frame must
+    # broadcast onto the postings — never shuffle them
+    p = plans["q117_bm25_search"]
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
