@@ -2,16 +2,18 @@
 
 ``entry(spark)`` runs the flagship star-join query at sf0.001;
 ``queries()``/``oracle_sql()`` expose the full operator inventory from
-demy_spark.queries — 110 queries, ALL DuckDB-oracle-backed (zero
+demy_spark.queries — 118 queries, ALL DuckDB-oracle-backed (zero
 rows-only: formerly non-SQL operators are verified through seeded /
 frozen-weights replay — q38 one-vs-rest serving, q46/q66 POS decode,
-q47 genetic replay, q73 Platt, q76 tree spawning). The round-3 driver
-window (first 50 of queries()) covers every never-rowed registration
-q74-q110 plus the behavior-changed queries; the code-unchanged rest
-hold their r1/r2 rows and were re-checked via the verify skill's
-driver simulation at sf0.01 (110/110 MATCH) and the sf0.001 parity
-suite. COVERAGE.md maps each SURVEY §2 inventory row to its query and
-test."""
+q47 genetic replay, q73 Platt, q76 tree spawning, q115/q116 BPE
+train/encode with unrolled merge rounds). The round-4 driver window
+(first 50 of queries()) covers every never-rowed registration
+q111-q118, the behavior-changed tokenizer-sweep queries, all 21
+queries whose latest row was round 1, and the oldest round-2 rows;
+the documented deferrals hold their r2 rows and were re-checked via
+the verify skill's driver simulation at sf0.01 (full-registry MATCH)
+and the sf0.001 parity suite. COVERAGE.md maps each SURVEY §2
+inventory row to its query and test."""
 
 from __future__ import annotations
 

@@ -87,6 +87,14 @@ def main() -> None:
     }
     extra_timings: dict[str, float] = {}
     for name, fn in extras.items():
+        # each invocation builds fresh in-plan persists/localCheckpoints
+        # that cannot help the NEXT invocation (new lineage every call)
+        # but do pile up executor cache pressure across the run — the
+        # measured artifact was bpe_train reading 2.6 s in-bench vs
+        # 0.42 s isolated. Clearing between extras makes every number
+        # an isolated steady-state reading, so the pins are stable and
+        # a real regression cannot hide under accumulated-state noise.
+        spark.catalog.clearCache()
         force(fn(spark, sf_dir))  # warm-up
         for _ in range(3):
             t0 = time.perf_counter()

@@ -62,6 +62,8 @@ PLANNABLE = [
     "q112_tfidf_terms",
     "q114_knn_classify",
     "q117_bm25_search",
+    "q119_group_median",
+    "q120_events_sliding",
 ]
 
 
