@@ -22,6 +22,12 @@ timeseries/training-data pipeline needs at 100 TB, built shuffle-lean:
   TimescaleDB-continuous-aggregate style: the raw table is scanned
   once, every coarser grain aggregates a frame that is orders of
   magnitude smaller.
+- ``aggregate_partials`` / ``merge_partials``: incremental rollup
+  maintenance — a stored aggregate table absorbs a delta batch by
+  merging mergeable partials (sum-of-sums, sum-of-counts, min-of-mins,
+  max-of-maxs), never re-scanning history. The aggregation twin of the
+  incremental dedup probe (``dedup.minhash_index``/``minhash_probe``):
+  each crawl/batch costs O(delta) + one rollup-sized co-keyed merge.
 """
 
 from __future__ import annotations
@@ -219,3 +225,59 @@ def time_rollup(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def aggregate_partials(
+    df: DataFrame,
+    keys: Sequence[str | Column],
+    *,
+    sums: dict[str, Column] | None = None,
+    mins: dict[str, Column] | None = None,
+    maxs: dict[str, Column] | None = None,
+    count_col: str = "n",
+) -> DataFrame:
+    """Reduce a raw frame to MERGEABLE partial aggregates per key:
+    a count plus sum/min/max metrics (each mapping name -> expression
+    over the raw frame). The output schema is the stored-rollup
+    contract ``merge_partials`` consumes — derived statistics (means,
+    rates) are computed from the merged partials at read time, never
+    stored, so they stay exact under any merge order. Quantize
+    float metrics to integers (cents, micros) in the expressions:
+    integer partials make the stored table bit-stable.
+    """
+    aggs = [F.count(F.lit(1)).alias(count_col)]
+    aggs += [m.alias(name) for name, m in (sums or {}).items()]
+    aggs += [m.alias(name) for name, m in (mins or {}).items()]
+    aggs += [m.alias(name) for name, m in (maxs or {}).items()]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_partials(
+    stored: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    *,
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    count_col: str = "n",
+) -> DataFrame:
+    """Merge a stored partial-aggregate table with a delta batch's
+    partials (both in ``aggregate_partials``'s schema): counts and sum
+    metrics add, min/max metrics take min/max — the classic mergeable-
+    aggregate algebra, so ``merge(agg(A), agg(B)) == agg(A ∪ B)``
+    exactly (integer partials) regardless of how history was batched.
+
+    Scale shape: both inputs are rollup-sized (bounded by key
+    cardinality, not corpus size); the merge is one co-keyed shuffle
+    of those small frames. History is NEVER re-scanned — this is how a
+    continuous aggregate absorbs each new crawl/day at O(delta) cost.
+    New keys appearing only in the delta (or only in the store) pass
+    through the union unchanged.
+    """
+    merged = stored.unionByName(delta)
+    aggs = [F.sum(count_col).alias(count_col)]
+    aggs += [F.sum(c).alias(c) for c in sum_cols]
+    aggs += [F.min(c).alias(c) for c in min_cols]
+    aggs += [F.max(c).alias(c) for c in max_cols]
+    return merged.groupBy(*keys).agg(*aggs)

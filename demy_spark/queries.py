@@ -7470,6 +7470,78 @@ def q120_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q121_incremental_rollup",
+    """
+    WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events)
+    SELECT day, event_type, count(*) AS n,
+           sum(cents) / 100.0 AS total_value,
+           min(cents) / 100.0 AS min_value,
+           max(cents) / 100.0 AS max_value,
+           round(sum(cents) / 100.0 / count(*), 2) + 0.0 AS avg_value
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q121_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (operators/temporal.
+    aggregate_partials + merge_partials — the continuous-aggregate
+    twin of q101/q110's incremental dedup; reference analog the
+    hourly capture flush `twitter/Execute.scala:58-98`, which appends
+    but never merges): events through day 20 are reduced to mergeable
+    integer-cent partials (count, sum, min, max), WRITTEN to the
+    per-sf scratch store and read back — persisted state, as a real
+    continuous aggregate would hold it — then the remaining days'
+    delta partials merge in via ONE co-keyed shuffle of rollup-sized
+    frames. The oracle aggregates the WHOLE corpus from scratch: the
+    gate proves merge(agg(base), agg(delta)) == agg(all) exactly —
+    integer partials make that an identity, not an approximation.
+    History is never re-scanned; each new day costs O(delta)."""
+    from demy_spark.operators.temporal import aggregate_partials, merge_partials
+
+    t = _t(spark, sf_dir)
+    ev = t["events"].select(
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    spec = dict(
+        sums={"cents_sum": F.sum("cents")},
+        mins={"min_cents": F.min("cents")},
+        maxs={"max_cents": F.max("cents")},
+    )
+    base = aggregate_partials(
+        ev.where(F.dayofmonth("day") <= 20), ["day", "event_type"], **spec
+    )
+    store = os.path.join(_layout_scratch(sf_dir, "rollup"), "events_daily")
+    base.write.mode("overwrite").parquet(store)
+    stored = spark.read.parquet(store)
+    delta = aggregate_partials(
+        ev.where(F.dayofmonth("day") > 20), ["day", "event_type"], **spec
+    )
+    merged = merge_partials(
+        stored,
+        delta,
+        ["day", "event_type"],
+        sum_cols=["cents_sum"],
+        min_cols=["min_cents"],
+        max_cols=["max_cents"],
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("cents_sum") / 100.0).alias("total_value"),
+        (F.col("min_cents") / 100.0).alias("min_value"),
+        (F.col("max_cents") / 100.0).alias("max_value"),
+        (
+            F.round(F.col("cents_sum") / 100.0 / F.col("n"), 2) + 0.0
+        ).alias("avg_value"),
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-4 window: rotation round — the slots pay down artifact
 # staleness (VERDICT r3 "What's missing" #1):
@@ -7506,6 +7578,7 @@ _DRIVER_PRIORITY = [
     "q118_orc_roundtrip",
     "q119_group_median",
     "q120_events_sliding",
+    "q121_incremental_rollup",
     "q111_chunk_documents",
     "q112_tfidf_terms",
     "q113_bpe_apply",
@@ -7562,10 +7635,10 @@ _DRIVER_PRIORITY = [
     # SymSpell edits share fuzzy_lookup.py with q24/q51/q83 (all r3).
     # q70/q71 displaced by q115/q116: q70's classifier span path
     # re-rows via q38 (r3), q71's online-centers path via q42 (tier 2
-    # above). All six displaced queries keep r2 rows meanwhile and
-    # lead the round-5 rotation together with the 22 documented
-    # deferrals.
-    "q52_word_categories",
+    # above). q52 displaced by q121: its entity word-category path
+    # re-rows via q44/q45 (tier 2 above). All seven displaced queries
+    # keep r2 rows meanwhile and lead the round-5 rotation together
+    # with the 22 documented deferrals.
     "q61_bottom_k_sample",
     "q63_salted_agg",
     "q65_partition_prune",

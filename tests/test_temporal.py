@@ -182,3 +182,39 @@ def test_time_rollup_single_scan(spark):
     out = time_rollup(df, ts="t", grains=["hour", "day"], group_by=["et"])
     assert {r["grain"] for r in out.collect()} == {"hour", "day"}
     assert out.where(F.col("grain") == "day").collect()[0]["n"] == 1
+
+
+def test_merge_partials_equals_full_aggregation(spark):
+    # merge(agg(A), agg(B)) == agg(A ∪ B) exactly, including keys that
+    # appear on only one side (new day in the delta / retired day in
+    # the store)
+    from pyspark.sql import functions as F
+
+    from demy_spark.operators.temporal import aggregate_partials, merge_partials
+
+    rows_a = [("d1", "x", 10), ("d1", "x", 30), ("d2", "y", 5)]
+    rows_b = [("d1", "x", 20), ("d3", "z", 7)]
+    schema = "day string, event_type string, cents long"
+    a = spark.createDataFrame(rows_a, schema)
+    b = spark.createDataFrame(rows_b, schema)
+    spec = dict(
+        sums={"cents_sum": F.sum("cents")},
+        mins={"min_cents": F.min("cents")},
+        maxs={"max_cents": F.max("cents")},
+    )
+    keys = ["day", "event_type"]
+    merged = merge_partials(
+        aggregate_partials(a, keys, **spec),
+        aggregate_partials(b, keys, **spec),
+        keys,
+        sum_cols=["cents_sum"],
+        min_cols=["min_cents"],
+        max_cols=["max_cents"],
+    )
+    full = aggregate_partials(a.unionAll(b), keys, **spec)
+    key = lambda r: (r["day"], r["event_type"])  # noqa: E731
+    got = {key(r): tuple(r)[2:] for r in merged.collect()}
+    want = {key(r): tuple(r)[2:] for r in full.collect()}
+    assert got == want
+    assert got[("d1", "x")] == (3, 60, 10, 30)
+    assert got[("d3", "z")] == (1, 7, 7, 7)
