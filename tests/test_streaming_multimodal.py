@@ -224,3 +224,52 @@ def test_streaming_near_dup_probe_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """Continuous-aggregate maintenance: feeding events through
+    micro-batches (one file per trigger) must leave the store EXACTLY
+    equal to the from-scratch batch aggregation — the mergeable-partial
+    identity q121 proves batch-side, here under arbitrary stream
+    slicing."""
+    import pyspark.sql.functions as F
+
+    from demy_spark.operators.temporal import aggregate_partials
+    from demy_spark.streaming.rollup import streaming_rollup_update
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    stream_dir = str(tmp_path / "events_stream")
+    ev.repartition(5).write.parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    spec = dict(
+        sums={"cents_sum": F.sum("cents")},
+        mins={"min_cents": F.min("cents")},
+        maxs={"max_cents": F.max("cents")},
+    )
+    store = str(tmp_path / "rollup_store")
+    q = streaming_rollup_update(
+        stream,
+        store,
+        ["day", "event_type"],
+        **spec,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    cols = ["day", "event_type", "n", "cents_sum", "min_cents", "max_cents"]
+    got = {tuple(r) for r in spark.read.parquet(store).select(*cols).collect()}
+    want = {
+        tuple(r)
+        for r in aggregate_partials(ev, ["day", "event_type"], **spec)
+        .select(*cols)
+        .collect()
+    }
+    assert got == want and len(got) > 100
