@@ -384,3 +384,33 @@ def test_line_dedup_is_identity_below_threshold(spark):
     for i, text in rows:
         assert out[i]["text_clean"] == text
         assert out[i]["n_removed"] == 0
+
+
+@given(st.lists(_CONTRACT_TEXT, min_size=1, max_size=25))
+@settings(max_examples=8, deadline=None)
+def test_char_split_contract_fuzz(spark, corpus):
+    """The char-split convention the BPE oracles (q115/q116) and the
+    q77 char-level replay ride on: Spark's lookahead split
+    `F.split(s, "(?!^)")` with trailing empties removed must equal
+    DuckDB `string_split(s, '')` character-for-character on arbitrary
+    unicode (both engines split on CODEPOINTS, not UTF-16 units or
+    bytes). Known out-of-domain divergence, found by this fuzz and
+    pinned here: on the EMPTY string Spark's remove-empties yields []
+    while DuckDB yields [''] — harmless because every _char_rows input
+    is a norm_tokens word, which is non-empty by construction."""
+    import duckdb
+
+    chars = F.array_remove(F.split(F.col("t"), "(?!^)"), "")
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["cs"] for r in df.select("i", chars.alias("cs")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(corpus):
+        want = con.execute("SELECT string_split(?, '')", [t]).fetchone()[0]
+        if t == "":
+            assert got[i] == [] and want == [""]
+        else:
+            assert got[i] == want, (repr(t), got[i], want)
