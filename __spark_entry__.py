@@ -2,13 +2,13 @@
 
 ``entry(spark)`` runs the flagship star-join query at sf0.001;
 ``queries()``/``oracle_sql()`` expose the full operator inventory from
-demy_spark.queries — 118 queries, ALL DuckDB-oracle-backed (zero
+demy_spark.queries — 121 queries, ALL DuckDB-oracle-backed (zero
 rows-only: formerly non-SQL operators are verified through seeded /
 frozen-weights replay — q38 one-vs-rest serving, q46/q66 POS decode,
 q47 genetic replay, q73 Platt, q76 tree spawning, q115/q116 BPE
 train/encode with unrolled merge rounds). The round-4 driver window
 (first 50 of queries()) covers every never-rowed registration
-q111-q118, the behavior-changed tokenizer-sweep queries, all 21
+q111-q121, the behavior-changed tokenizer-sweep queries, all 21
 queries whose latest row was round 1, and the oldest round-2 rows;
 the documented deferrals hold their r2 rows and were re-checked via
 the verify skill's driver simulation at sf0.01 (full-registry MATCH)

@@ -87,13 +87,13 @@ def main() -> None:
     }
     extra_timings: dict[str, float] = {}
     for name, fn in extras.items():
-        # each invocation builds fresh in-plan persists/localCheckpoints
-        # that cannot help the NEXT invocation (new lineage every call)
-        # but do pile up executor cache pressure across the run — the
-        # measured artifact was bpe_train reading 2.6 s in-bench vs
-        # 0.42 s isolated. Clearing between extras makes every number
-        # an isolated steady-state reading, so the pins are stable and
-        # a real regression cannot hide under accumulated-state noise.
+        # clearing between extras keeps each reading independent of
+        # OTHER extras' persisted frames (in-plan persists ARE
+        # plan-matched by the CacheManager across invocations, so
+        # without this a later extra could silently serve an earlier
+        # extra's cached reduction). WITHIN one extra the warm-up's
+        # cache deliberately persists into the timed passes — that is
+        # the steady-state semantics the headline loop also measures.
         spark.catalog.clearCache()
         force(fn(spark, sf_dir))  # warm-up
         for _ in range(3):

@@ -233,13 +233,15 @@ def apply_merges(
 def _char_rows(df: DataFrame, end_of_word: str) -> DataFrame:
     """(_id_, _p_, _w_) rows: each word string (its own id) exploded to
     characters plus the end-of-word marker. Shared by train and the
-    encode OOV replay so the split can never drift."""
-    chars = F.concat(
-        # one element per char; the lookahead also matches at end of
-        # string, so drop the trailing empty it produces
-        F.array_remove(F.split(F.col("_id_"), "(?!^)"), ""),
-        F.array(F.lit(end_of_word)),
-    )
+    encode OOV replay so the split can never drift.
+
+    The empty-pattern split is the ONLY Spark char split that is
+    codepoint-correct: a lookahead split (`(?!^)`) advances by UTF-16
+    code UNIT and shears astral chars (emoji, CJK extensions) into
+    lone surrogates, silently diverging from DuckDB's
+    `string_split(s, '')` — found by the char-split contract fuzz
+    (`test_char_split_contract_fuzz`)."""
+    chars = F.concat(F.split(F.col("_id_"), ""), F.array(F.lit(end_of_word)))
     return df.select("_id_", F.posexplode(chars).alias("_p_", "_w_"))
 
 

@@ -7545,10 +7545,11 @@ def q121_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-4 window: rotation round — the slots pay down artifact
 # staleness (VERDICT r3 "What's missing" #1):
-#   1. never-rowed new registrations (q111-q120: chunking, TF-IDF
+#   1. never-rowed new registrations (q111-q121: chunking, TF-IDF
 #      keywords, frozen-merge BPE apply, kNN label propagation, BPE
 #      train + trained-model encode, BM25 retrieval, ORC roundtrip,
-#      exact group median/p90, sliding event windows) and
+#      exact group median/p90, sliding event windows, incremental
+#      rollup) and
 #      behavior changed this round: q100 (micro-quantized tau compare)
 #      and q108 (re-registered on sorted-neighborhood candidates — the
 #      production blocking, closing VERDICT task 2);

@@ -386,21 +386,32 @@ def test_line_dedup_is_identity_below_threshold(spark):
         assert out[i]["n_removed"] == 0
 
 
-@given(st.lists(_CONTRACT_TEXT, min_size=1, max_size=25))
+# char-split has no lower()/trim() in it, so the fuzz alphabet can go
+# wider than _CONTRACT_TEXT: full astral range (surrogate-pair
+# handling) and combining marks (category M), the dimensions the
+# contract actually claims
+_CHAR_SPLIT_TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "N", "P", "Z", "Cc", "M", "S")
+    ),
+    max_size=60,
+)
+
+
+@given(st.lists(_CHAR_SPLIT_TEXT, min_size=1, max_size=25))
 @settings(max_examples=8, deadline=None)
 def test_char_split_contract_fuzz(spark, corpus):
     """The char-split convention the BPE oracles (q115/q116) and the
-    q77 char-level replay ride on: Spark's lookahead split
-    `F.split(s, "(?!^)")` with trailing empties removed must equal
-    DuckDB `string_split(s, '')` character-for-character on arbitrary
-    unicode (both engines split on CODEPOINTS, not UTF-16 units or
-    bytes). Known out-of-domain divergence, found by this fuzz and
-    pinned here: on the EMPTY string Spark's remove-empties yields []
-    while DuckDB yields [''] — harmless because every _char_rows input
-    is a norm_tokens word, which is non-empty by construction."""
+    q77 char-level replay ride on: Spark's EMPTY-pattern split
+    `F.split(s, "")` must equal DuckDB `string_split(s, '')`
+    codepoint-for-codepoint on arbitrary unicode — including astral
+    chars and combining marks. This fuzz found the original lookahead
+    formulation (`(?!^)` + remove-empties) shearing astral chars into
+    lone UTF-16 surrogates; the empty-pattern split is the fix and
+    even agrees on the empty string ([''] both sides)."""
     import duckdb
 
-    chars = F.array_remove(F.split(F.col("t"), "(?!^)"), "")
+    chars = F.split(F.col("t"), "")
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(corpus)], "i long, t string"
     )
@@ -410,7 +421,24 @@ def test_char_split_contract_fuzz(spark, corpus):
     con = duckdb.connect()
     for i, t in enumerate(corpus):
         want = con.execute("SELECT string_split(?, '')", [t]).fetchone()[0]
-        if t == "":
-            assert got[i] == [] and want == [""]
-        else:
-            assert got[i] == want, (repr(t), got[i], want)
+        assert got[i] == want, (repr(t), got[i], want)
+
+
+def test_char_split_astral_and_combining_pinned(spark):
+    """Deterministic pins for the char-split dimensions that matter
+    most: an astral emoji (UTF-16 surrogate pair) stays ONE element on
+    both engines, and a combining accent stays a SEPARATE codepoint
+    (neither engine splits to grapheme clusters)."""
+    import duckdb
+
+    cases = [(0, "a\U0001f600b"), (1, "éx"), (2, "\U0001f600\U0001f600")]
+    chars = F.split(F.col("t"), "")
+    df = spark.createDataFrame(cases, "i long, t string")
+    got = {r["i"]: r["cs"] for r in df.select("i", chars.alias("cs")).collect()}
+    con = duckdb.connect()
+    for i, t in cases:
+        want = con.execute("SELECT string_split(?, '')", [t]).fetchone()[0]
+        assert got[i] == want, (repr(t), got[i], want)
+    assert got[0] == ["a", "\U0001f600", "b"]
+    assert got[1] == ["e", "́", "x"]
+    assert got[2] == ["\U0001f600", "\U0001f600"]

@@ -235,7 +235,10 @@ def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
     import pyspark.sql.functions as F
 
     from demy_spark.operators.temporal import aggregate_partials
-    from demy_spark.streaming.rollup import streaming_rollup_update
+    from demy_spark.streaming.rollup import (
+        read_rollup_store,
+        streaming_rollup_update,
+    )
 
     ev = load_table(spark, sf_dir, "events").select(
         F.date_trunc("day", "ts").alias("day"),
@@ -265,7 +268,10 @@ def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
 
     cols = ["day", "event_type", "n", "cents_sum", "min_cents", "max_cents"]
-    got = {tuple(r) for r in spark.read.parquet(store).select(*cols).collect()}
+    got = {
+        tuple(r)
+        for r in read_rollup_store(spark, store).select(*cols).collect()
+    }
     want = {
         tuple(r)
         for r in aggregate_partials(ev, ["day", "event_type"], **spec)
@@ -273,3 +279,20 @@ def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 100
+
+    # at-least-once replay: a fresh checkpoint re-delivers every
+    # micro-batch with already-committed epoch ids — all must be
+    # skipped, leaving the store bit-identical (no double merge)
+    q2 = streaming_rollup_update(
+        stream,
+        store,
+        ["day", "event_type"],
+        **spec,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    again = {
+        tuple(r)
+        for r in read_rollup_store(spark, store).select(*cols).collect()
+    }
+    assert again == want
