@@ -240,7 +240,9 @@ def _char_rows(df: DataFrame, end_of_word: str) -> DataFrame:
     code UNIT and shears astral chars (emoji, CJK extensions) into
     lone surrogates, silently diverging from DuckDB's
     `string_split(s, '')` — found by the char-split contract fuzz
-    (`test_char_split_contract_fuzz`)."""
+    (`test_char_split_contract_fuzz`). Requires Spark >= 3.4: before
+    SPARK-40194, split(s, '') also emitted a trailing empty element
+    (the fuzz pins the running version's behavior)."""
     chars = F.concat(F.split(F.col("_id_"), ""), F.array(F.lit(end_of_word)))
     return df.select("_id_", F.posexplode(chars).alias("_p_", "_w_"))
 

@@ -280,9 +280,10 @@ def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == want and len(got) > 100
 
-    # at-least-once replay: a fresh checkpoint re-delivers every
-    # micro-batch with already-committed epoch ids — all must be
-    # skipped, leaving the store bit-identical (no double merge)
+    # query rewrite: a FRESH checkpoint re-reads the whole source, so
+    # the store must REBUILD from the new transaction's batches (epoch
+    # ids are checkpoint-scoped — merging them into existing history
+    # would double-count). Same source → same final store.
     q2 = streaming_rollup_update(
         stream,
         store,
@@ -296,3 +297,32 @@ def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
         for r in read_rollup_store(spark, store).select(*cols).collect()
     }
     assert again == want
+
+
+def test_apply_rollup_batch_idempotence_contract(spark, tmp_path):
+    """The transaction contract directly: same-txn replays are
+    skipped (at-least-once redelivery), same-txn new epochs merge,
+    and a new txn id rebuilds instead of double-merging."""
+    import pyspark.sql.functions as F
+
+    from demy_spark.streaming.rollup import (
+        apply_rollup_batch,
+        read_rollup_store,
+    )
+
+    store = str(tmp_path / "store")
+    kw = dict(sums={"s": F.sum("v")})
+    b1 = spark.createDataFrame([("k", 1), ("k", 2)], "g string, v long")
+    b2 = spark.createDataFrame([("k", 10)], "g string, v long")
+
+    assert apply_rollup_batch(b1, store, ["g"], "ckptA", 0, **kw) is True
+    # replay of epoch 0 from the same checkpoint: skipped, store unchanged
+    assert apply_rollup_batch(b1, store, ["g"], "ckptA", 0, **kw) is False
+    assert read_rollup_store(spark, store).collect()[0]["s"] == 3
+    # next epoch merges
+    assert apply_rollup_batch(b2, store, ["g"], "ckptA", 1, **kw) is True
+    assert read_rollup_store(spark, store).collect()[0]["s"] == 13
+    # NEW transaction (query rewrite): rebuild from its first batch,
+    # never merge into the old history
+    assert apply_rollup_batch(b1, store, ["g"], "ckptB", 0, **kw) is True
+    assert read_rollup_store(spark, store).collect()[0]["s"] == 3
