@@ -25,16 +25,26 @@ if the writer died mid-write):
   snapshot under ``store/v=<n>`` (``n`` a store-local counter, NOT the
   epoch id), staged under a dot-prefixed temp dir and directory-renamed
   into place — atomic on HDFS and local filesystems. A crash at any
-  point leaves the previous version intact.
+  point leaves the previous version intact. A ``v=`` dir without a
+  ``_txn.json`` marker is treated as foreign and REFUSED (never
+  silently discarded).
 - Each version records the (transaction id, epoch) that produced it —
   the Delta ``txnAppId``/``txnVersion`` idempotence pattern, with the
   streaming checkpoint directory as the transaction identity. A
   replayed epoch from the SAME checkpoint (crash-restart redelivery)
   is skipped; a DIFFERENT checkpoint (query rewrite — Spark re-reads
   the whole source) means the incoming epochs re-cover data already in
-  the store, so the store is REBUILT from scratch rather than silently
-  double-merged (epoch ids are meaningless across checkpoints; merging
-  them would be corruption, not recovery).
+  the store, so a REBUILD starts from that transaction's batches
+  (epoch ids are meaningless across checkpoints; merging them would be
+  corruption, not recovery).
+- Retention prunes only SAME-transaction superseded snapshots (keep
+  the newest ``keep_versions``); snapshots from earlier transactions
+  are never auto-deleted — during a rebuild the previous transaction's
+  final snapshot stays readable under its own version while the new
+  transaction's versions accumulate PARTIAL aggregates until its
+  stream drains. Don't point readers at the newest version mid-rebuild;
+  call ``prune_rollup_store`` once the rebuild has drained to drop the
+  superseded generations.
 - Orphaned staging dirs from crashed writes are garbage-collected on
   the next successful commit.
 - All filesystem probing goes through the Hadoop FileSystem API, so
@@ -43,9 +53,8 @@ if the writer died mid-write):
   there, back the store with a transactional table format instead).
 - One updater per store (the normal continuous-aggregate deployment);
   the version protocol does not arbitrate concurrent WRITERS. External
-  READERS racing the updater should raise ``keep_versions`` — the
-  default retains only the previous snapshot, which the cleanup may
-  delete while a slow concurrent reader still scans it.
+  READERS racing the updater should raise ``keep_versions`` so the
+  snapshot they resolved stays on disk while they scan it.
 """
 
 from __future__ import annotations
@@ -57,7 +66,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 
 from demy_spark.operators.temporal import aggregate_partials, merge_partials
 
-__all__ = ["apply_rollup_batch", "read_rollup_store", "streaming_rollup_update"]
+__all__ = [
+    "apply_rollup_batch",
+    "prune_rollup_store",
+    "read_rollup_store",
+    "streaming_rollup_update",
+]
 
 
 def _fs(spark: SparkSession, path: str):
@@ -66,37 +80,65 @@ def _fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
 
 
-def _committed_versions(spark: SparkSession, store_path: str) -> list[int]:
-    fs, jpath, _ = _fs(spark, store_path)
-    if not fs.exists(jpath):
-        return []
-    out = []
-    for st in fs.listStatus(jpath):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("v="):
-            out.append(int(name[2:]))
-    return sorted(out)
+def _list_store(spark: SparkSession, store_path: str):
+    """One directory listing: (fs, store jpath, jvm, sorted committed
+    versions, orphaned staging names)."""
+    fs, jpath, jvm = _fs(spark, store_path)
+    versions: list[int] = []
+    staging: list[str] = []
+    if fs.exists(jpath):
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("v="):
+                versions.append(int(name[2:]))
+            elif st.isDirectory() and name.startswith(".staging-v="):
+                staging.append(name)
+    return fs, jpath, jvm, sorted(versions), staging
 
 
-def _read_txn(spark: SparkSession, store_path: str, version: int):
-    fs, _, jvm = _fs(spark, f"{store_path}/v={version}/_txn.json")
+def _read_txn(spark: SparkSession, fs, jvm, store_path: str, version: int) -> dict:
+    """Read a version's transaction marker; Java-8-safe byte loop (the
+    marker is tens of bytes). A missing marker is a FOREIGN store —
+    refuse rather than guess."""
     p = jvm.org.apache.hadoop.fs.Path(f"{store_path}/v={version}/_txn.json")
     if not fs.exists(p):
-        return None
+        raise ValueError(
+            f"{store_path}/v={version} has no _txn.json marker — not a store "
+            "written by apply_rollup_batch; migrate or clear it explicitly"
+        )
     stream = fs.open(p)
     try:
-        data = bytes(stream.readAllBytes())
+        data = bytearray()
+        b = stream.read()
+        while b != -1:
+            data.append(b)
+            b = stream.read()
     finally:
         stream.close()
-    return json.loads(data.decode("utf-8"))
+    return json.loads(bytes(data).decode("utf-8"))
 
 
 def read_rollup_store(spark: SparkSession, store_path: str) -> DataFrame:
-    """Read the newest committed snapshot of a versioned rollup store."""
-    versions = _committed_versions(spark, store_path)
+    """Read the newest committed snapshot of a versioned rollup store.
+    During a rebuild (see module docstring) the newest snapshot holds
+    the new transaction's PARTIAL aggregates; the previous
+    transaction's final snapshot remains readable at its own
+    ``store/v=<n>`` path until pruned."""
+    _, _, _, versions, _ = _list_store(spark, store_path)
     if not versions:
         raise FileNotFoundError(f"no committed rollup version under {store_path}")
     return spark.read.parquet(f"{store_path}/v={versions[-1]}")
+
+
+def prune_rollup_store(spark: SparkSession, store_path: str) -> int:
+    """Drop every snapshot except the newest (call once a rebuild has
+    drained, or to reclaim space); returns the number deleted."""
+    fs, _, jvm, versions, staging = _list_store(spark, store_path)
+    for v in versions[:-1]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store_path}/v={v}"), True)
+    for name in staging:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store_path}/{name}"), True)
+    return max(0, len(versions) - 1) + len(staging)
 
 
 def apply_rollup_batch(
@@ -117,22 +159,27 @@ def apply_rollup_batch(
 
     - same ``txn_id``, epoch ≤ last applied epoch → REPLAY, skipped;
     - different ``txn_id`` → new query incarnation whose epochs
-      re-cover the source from the start, so the existing versions are
-      discarded and the store REBUILDS from this transaction's batches
-      (never silently double-merged).
+      re-cover the source from the start, so a REBUILD starts from this
+      transaction's batches (prior-transaction snapshots stay on disk
+      until ``prune_rollup_store`` — never silently double-merged,
+      never silently deleted).
 
     Directly callable for batch backfills and unit tests; the streaming
     updater passes its checkpoint dir as ``txn_id``.
     """
+    if keep_versions < 1:
+        raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
     spark = batch_df.sparkSession
-    versions = _committed_versions(spark, store_path)
-    last_txn = _read_txn(spark, store_path, versions[-1]) if versions else None
+    fs, store_jpath, jvm, versions, staging = _list_store(spark, store_path)
+    last_txn = (
+        _read_txn(spark, fs, jvm, store_path, versions[-1]) if versions else None
+    )
     same_txn = last_txn is not None and last_txn["txn_id"] == txn_id
     if same_txn and epoch_id <= last_txn["epoch"]:
         return False  # at-least-once redelivery of an applied batch
     delta = aggregate_partials(batch_df, list(keys), sums=sums, mins=mins,
                                maxs=maxs, count_col=count_col)
-    if versions and same_txn:
+    if same_txn:
         stored = spark.read.parquet(f"{store_path}/v={versions[-1]}")
         merged = merge_partials(
             stored,
@@ -143,32 +190,35 @@ def apply_rollup_batch(
             max_cols=list(maxs or ()),
             count_col=count_col,
         )
-        stale = versions  # superseded snapshots (retention-pruned below)
+        # same-txn snapshots superseded beyond the retention window;
+        # clamp — during warm-up fewer exist than the window holds
+        same_txn_versions = [
+            v
+            for v in versions
+            if _read_txn(spark, fs, jvm, store_path, v)["txn_id"] == txn_id
+        ]
+        stale = same_txn_versions[
+            : max(0, len(same_txn_versions) - (keep_versions - 1))
+        ]
     else:
         merged = delta  # empty store, or a new transaction: rebuild
-        stale = versions
+        stale = []  # prior-txn snapshots are kept (see docstring)
     next_v = (versions[-1] + 1) if versions else 0
-    staging = f"{store_path}/.staging-v={next_v}"
-    merged.write.mode("overwrite").parquet(staging)
-    fs, store_jpath, jvm = _fs(spark, store_path)
-    txn_path = jvm.org.apache.hadoop.fs.Path(f"{staging}/_txn.json")
+    staging_path = f"{store_path}/.staging-v={next_v}"
+    merged.write.mode("overwrite").parquet(staging_path)
+    txn_path = jvm.org.apache.hadoop.fs.Path(f"{staging_path}/_txn.json")
     out = fs.create(txn_path, True)
     try:
         out.write(bytearray(json.dumps({"txn_id": txn_id, "epoch": epoch_id}).encode()))
     finally:
         out.close()
     final = jvm.org.apache.hadoop.fs.Path(f"{store_path}/v={next_v}")
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), final):
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging_path), final):
         raise IOError(f"could not commit rollup version {next_v}")
-    # retention: keep the newest (keep_versions - 1) superseded
-    # snapshots for slow readers, drop the rest; GC orphaned staging
-    # dirs left by crashed writes
-    for v in stale[: len(stale) - (keep_versions - 1)]:
+    for v in stale:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store_path}/v={v}"), True)
-    for st in fs.listStatus(store_jpath):
-        name = st.getPath().getName()
-        if name.startswith(".staging-v=") and name != f".staging-v={next_v}":
-            fs.delete(st.getPath(), True)
+    for name in staging:  # orphans from crashed writes (pre-listed)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store_path}/{name}"), True)
     return True
 
 
@@ -197,7 +247,7 @@ def streaming_rollup_update(
     rollup-sized frames; history is never re-scanned. The checkpoint
     directory is the store's transaction identity — crash-restart
     replays are skipped, and pointing a NEW checkpoint at an existing
-    store rebuilds it (see ``apply_rollup_batch`` and the module
+    store starts a rebuild (see ``apply_rollup_batch`` and the module
     docstring's durability protocol).
     """
 

@@ -323,6 +323,17 @@ def test_apply_rollup_batch_idempotence_contract(spark, tmp_path):
     assert apply_rollup_batch(b2, store, ["g"], "ckptA", 1, **kw) is True
     assert read_rollup_store(spark, store).collect()[0]["s"] == 13
     # NEW transaction (query rewrite): rebuild from its first batch,
-    # never merge into the old history
+    # never merge into the old history — and the old transaction's
+    # final snapshot survives on disk until explicitly pruned
     assert apply_rollup_batch(b1, store, ["g"], "ckptB", 0, **kw) is True
+    assert read_rollup_store(spark, store).collect()[0]["s"] == 3
+    import os as _os
+
+    before = {d for d in _os.listdir(store) if d.startswith("v=")}
+    assert len(before) >= 2  # new txn's snapshot + retained old history
+    from demy_spark.streaming.rollup import prune_rollup_store
+
+    prune_rollup_store(spark, store)
+    after = {d for d in _os.listdir(store) if d.startswith("v=")}
+    assert len(after) == 1
     assert read_rollup_store(spark, store).collect()[0]["s"] == 3
