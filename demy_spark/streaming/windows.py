@@ -97,6 +97,27 @@ def hourly_event_aggregate(
     )
 
 
+def sliding_event_aggregate(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window counts/cent-sums per event_type — every event
+    lands in window/slide overlapping windows. Works on both batch and
+    streaming frames (same plan — the batch twin is
+    queries.q120_events_sliding); Spark's TimeWindow generates all
+    assignments JVM-side, no explode, and in streaming mode the
+    watermark bounds the open-window state."""
+    df = events
+    if events.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    return df.groupBy(F.window("ts", window, slide).alias("win"), "event_type").agg(
+        F.count("*").alias("n"), (F.sum(cents) / 100.0).alias("total_value")
+    )
+
+
 def capture_to_partitioned_parquet(
     events: DataFrame,
     path: str,

@@ -337,3 +337,28 @@ def test_apply_rollup_batch_idempotence_contract(spark, tmp_path):
     after = {d for d in _os.listdir(store) if d.startswith("v=")}
     assert len(after) == 1
     assert read_rollup_store(spark, store).collect()[0]["s"] == 3
+
+
+def test_streaming_sliding_matches_batch(spark, sf_dir):
+    """Sliding 2h/1h windows under readStream+watermark must equal the
+    batch plan window-for-window (q120's streaming twin — every event
+    in exactly two windows on both paths)."""
+    from demy_spark.streaming.windows import sliding_event_aggregate
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = sliding_event_aggregate(stream)
+    got = run_stream_to_memory(agg, "sliding_test")
+
+    batch = sliding_event_aggregate(load_table(spark, sf_dir, "events"))
+    b = {
+        (r["win"]["start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in batch.collect()
+    }
+    s = {
+        (r["win"]["start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in got.collect()
+    }
+    assert s and all(s[k] == b[k] for k in s)
+    # overlap sanity: total assignments are exactly 2x the event count
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(v[0] for v in b.values()) == 2 * n_events
