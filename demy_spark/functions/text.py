@@ -362,3 +362,190 @@ def split_doc_records(
             F.col("_w_.phrase_id").alias("phrase_id"),
         )
     )
+
+
+def blank_urls_builtin(c: Column | str) -> Column:
+    """Offset-preserving URL blanking WITHOUT Python: extract every URL
+    match, then literal-replace each with same-length spaces
+    (``F.replace`` + ``F.repeat`` — the length-preserving substitution
+    ``regexp_replace`` can't express). Literal replacement also blanks
+    a URL string recurring at a non-match position — a corner the
+    pandas twin (`blank_urls`) handles positionally; parity on real
+    corpora is asserted by test_split_doc_builtin_parity."""
+    col = _as_col(c)
+    return F.aggregate(
+        F.regexp_extract_all(col, F.lit(URL_REGEX), F.lit(0)),
+        col,
+        lambda acc, u: F.replace(acc, u, F.repeat(F.lit(" "), F.length(u))),
+    )
+
+
+def _let(val: Column, body) -> Column:
+    """Expression-level let-binding: evaluate ``val`` ONCE per row and
+    bind it as a lambda variable inside ``body``.
+
+    ``transform(array(val), v -> body(v))[0]`` — the lambda variable is
+    an attribute, so ``element_at(v, i)`` inside nested lambdas costs
+    O(1) per access. Without this, CollapseProject inlines array
+    expressions into lambda bodies (withColumn staging does NOT protect
+    them), and every element access re-evaluates the whole producing
+    transform — measured: the staged splitDoc plan grew to 340k chars
+    with 816 inlined aggregates and went superlinear on 50-char rows.
+    """
+    return F.transform(F.array(val), body)[0]
+
+
+def split_doc_records_builtin(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    links_as_separators: bool = True,
+    split_phrases: bool = True,
+):
+    """``split_doc_records`` re-expressed in pure built-in higher-order
+    functions (VERDICT r4 task 6: the pandas-UDF vs builtin audit) —
+    same contract, zero Python in the plan:
+
+    per-char simplify (next-char aware) → non-letter blanking → run
+    boundaries by flag change → records via one indexed transform,
+    with phrase ids as an ``aggregate`` prefix-sum over the runs'
+    separator flags. Every intermediate array is ``_let``-bound so it
+    evaluates once per row (see ``_let``).
+
+    Benchmarked against the pandas-UDF path at 10× in PLANS.md
+    ("splitDoc: pandas UDF vs builtin"); the winner backs q77. Higher-
+    order functions don't participate in whole-stage codegen
+    (interpreted per element), so JVM-side is not automatically faster
+    — that's why this is measured, not assumed."""
+    orig = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+
+    def simplify(chars, i: Column) -> Column:
+        c = F.element_at(chars, i + 1)
+        lc = F.when(F.length(F.lower(c)) == 1, F.lower(c)).otherwise(c)
+        nxt = F.lower(F.coalesce(F.try_element_at(chars, i + 2), F.lit("X")))
+        return F.when(
+            lc.isin("l", "d") & (nxt == "'"), F.lit(" ")
+        ).otherwise(F.translate(lc, _ACCENT_SRC + "-'", _ACCENT_DST + "  "))
+
+    def records_for(s: Column) -> Column:
+        n_chars = F.length(s)
+
+        def with_chars(chars):
+            n = F.size(chars)
+            final_expr = F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: _let(
+                    simplify(chars, i),
+                    lambda sc: F.when(sc.rlike(r"^\p{L}$"), sc).otherwise(
+                        F.lit(" ")
+                    ),
+                ),
+            )
+
+            def with_final(final):
+                flags_expr = F.transform(final, lambda c: c == " ")
+
+                def with_state(fstr, flags):
+                    starts_expr = F.filter(
+                        F.sequence(F.lit(0), n - 1),
+                        lambda i: (i == 0)
+                        | (
+                            F.element_at(flags, i + 1)
+                            != F.element_at(flags, i)
+                        ),
+                    )
+
+                    def with_starts(starts):
+                        def run_bounds(j: Column) -> tuple[Column, Column]:
+                            start = F.element_at(starts, j + 1)
+                            end = F.coalesce(
+                                F.try_element_at(starts, j + 2) - 1, n - 1
+                            )
+                            return start, end
+
+                        n_runs = F.size(starts)
+                        if split_phrases:
+                            sepf_expr = F.transform(
+                                F.sequence(F.lit(0), n_runs - 1),
+                                lambda j: orig.substr(
+                                    run_bounds(j)[0] + 1,
+                                    run_bounds(j)[1] - run_bounds(j)[0] + 1,
+                                ).rlike(r"[\r\n.;!?]"),
+                            )
+                            pids_expr = F.aggregate(
+                                sepf_expr,
+                                F.struct(
+                                    F.array().cast("array<int>").alias("arr"),
+                                    F.lit(0).alias("cur"),
+                                ),
+                                lambda acc, f: F.struct(
+                                    F.concat(
+                                        acc["arr"], F.array(acc["cur"])
+                                    ).alias("arr"),
+                                    (
+                                        acc["cur"] + F.when(f, 1).otherwise(0)
+                                    ).alias("cur"),
+                                ),
+                                lambda acc: acc["arr"],
+                            )
+                        else:
+                            pids_expr = F.transform(
+                                F.sequence(F.lit(0), n_runs - 1),
+                                lambda _: F.lit(0),
+                            )
+
+                        def with_pids(pids):
+                            def record(j: Column) -> Column:
+                                start, end = run_bounds(j)
+                                length = end - start + 1
+                                return F.struct(
+                                    orig.substr(start + 1, length).alias(
+                                        "word"
+                                    ),
+                                    F.substring(
+                                        fstr, start + 1, length
+                                    ).alias("simplified"),
+                                    (~F.element_at(flags, start + 1)).alias(
+                                        "is_word"
+                                    ),
+                                    j.cast("int").alias("index"),
+                                    F.element_at(pids, j + 1).alias(
+                                        "phrase_id"
+                                    ),
+                                )
+
+                            return F.transform(
+                                F.sequence(F.lit(0), n_runs - 1), record
+                            )
+
+                        return _let(pids_expr, with_pids)
+
+                    return _let(starts_expr, with_starts)
+
+                return _let(
+                    F.concat_ws("", final),
+                    lambda fstr: _let(
+                        flags_expr, lambda flags: with_state(fstr, flags)
+                    ),
+                )
+
+            return _let(final_expr, with_final)
+
+        empty = F.array().cast(_WORD_RECORD_SCHEMA)
+        return F.when(n_chars == 0, empty).otherwise(
+            _let(F.split(s, ""), with_chars)
+        )
+
+    s_expr = blank_urls_builtin(orig) if links_as_separators else orig
+    staged = df.select(
+        F.col(id_col), _let(s_expr, records_for).alias("_recs_")
+    )
+    return staged.select(F.col(id_col), F.explode("_recs_").alias("_w_")).select(
+        id_col,
+        F.col("_w_.word").alias("word"),
+        F.col("_w_.simplified").alias("simplified"),
+        F.col("_w_.is_word").alias("is_word"),
+        F.col("_w_.index").alias("index"),
+        F.col("_w_.phrase_id").alias("phrase_id"),
+    )

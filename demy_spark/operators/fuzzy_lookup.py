@@ -242,6 +242,7 @@ def fuzzy_lookup(
     top_k: int = 1,
     max_df: int | float | None = MAX_DF,
     tie_break_cols: Sequence[str] = (),
+    filter_cols: Sequence[tuple[str, str]] = (),
     index: FuzzyIndex | None = None,
 ) -> DataFrame:
     """Best fuzzy text match from ``right`` for each row of ``left``.
@@ -276,6 +277,19 @@ def fuzzy_lookup(
     index partition answered first, index/implicits.scala:347-358);
     naming a unique right-side key makes the result fully deterministic
     and therefore oracle-comparable.
+
+    ``filter_cols``: per-left-row typed point filters, reference
+    semantics index/IndexStrategy.scala:96-107 (filter fields AND exact
+    constraints into the Lucene query) with writer typed-field parity
+    SparkLuceneWriterInfo.scala:20-42. Each ``(left_col, right_col)``
+    pair requires candidates to satisfy ``left[left_col] ==
+    right[right_col]``; a NULL left value means "no constraint for this
+    row" (``filter.isNullAt(i)`` in the reference), while a NULL right
+    value never matches (an unindexed Lucene field never satisfies an
+    exact query). The predicate is ANDed into the candidate-generation
+    joins themselves, so a selective filter shrinks the candidate
+    fan-out BEFORE the scoring shuffle — the Spark analog of Lucene
+    evaluating the point query inside index traversal.
     """
     if index is None:
         # self-built index frames are each consumed 2-4× inside this
@@ -296,6 +310,8 @@ def fuzzy_lookup(
     if boost_acronyms:
         raw_toks = _double_acronyms(raw_toks)
     sel = [F.col(QID), F.posexplode(raw_toks).alias("_pos_", "_rawtok_")]
+    fv_names = [f"_fv{i}_" for i in range(len(filter_cols))]
+    sel += [F.col(l).alias(a) for (l, _), a in zip(filter_cols, fv_names)]
     if term_weights_col:
         sel.insert(1, F.col(term_weights_col).alias("_weights_"))
     qtoks = left_id.select(*sel)
@@ -336,6 +352,24 @@ def fuzzy_lookup(
         ).where(keep)
         vocab = vocab.where(keep)
 
+    rfv_names = [f"_rfv{i}_" for i in range(len(filter_cols))]
+    if filter_cols:
+        # typed-field "indexing": denormalize the right filter columns
+        # onto the probe postings (doc-grain join the reference does at
+        # Lucene index-build time, SparkLuceneWriterInfo.scala:20-42)
+        rvals = index.right.select(
+            RID, *[F.col(r).alias(a) for (_, r), a in zip(filter_cols, rfv_names)]
+        )
+        sp = sp.join(rvals, RID)
+
+    def _filter_pred(qside: DataFrame, rside: DataFrame) -> Column:
+        """AND of the per-row point constraints; null left value = no
+        constraint (filter.isNullAt), null right value never matches."""
+        pred = F.lit(True)
+        for fv, rfv in zip(fv_names, rfv_names):
+            pred = pred & (qside[fv].isNull() | (qside[fv] == rside[rfv]))
+        return pred
+
     idf = F.log(
         1.0 + (F.col("_ndocs_") - F.col("_df_") + 0.5) / (F.col("_df_") + 0.5)
     )
@@ -347,7 +381,9 @@ def fuzzy_lookup(
     exact_boost = F.when(
         F.col("_is_acro_") & F.lit(max_lev_distance > 0), ACRONYM_BOOST
     ).otherwise(EXACT_BOOST)
-    exact = qtoks.join(sp, qtoks["_qtok_"] == sp["_tok_"]).select(
+    exact = qtoks.join(
+        sp, (qtoks["_qtok_"] == sp["_tok_"]) & _filter_pred(qtoks, sp)
+    ).select(
         QID,
         "_pos_",
         RID,
@@ -375,15 +411,14 @@ def fuzzy_lookup(
                 "_sim_", 1.0 - F.levenshtein("_qtok_", "_tok_") / F.length("_qtok_")
             )
         )
-        fuzzy = (
-            qtoks.join(pairs, "_qtok_")
-            .join(sp, "_tok_")
-            .select(
-                QID,
-                "_pos_",
-                RID,
-                (F.col("_w_") * F.col("_sim_") * idf * tfn).alias("_c_"),
-            )
+        qf = qtoks.join(pairs, "_qtok_")
+        fuzzy = qf.join(
+            sp, (qf["_tok_"] == sp["_tok_"]) & _filter_pred(qf, sp)
+        ).select(
+            QID,
+            "_pos_",
+            RID,
+            (F.col("_w_") * F.col("_sim_") * idf * tfn).alias("_c_"),
         )
         candidates = exact.unionByName(fuzzy)
 
@@ -575,11 +610,16 @@ def fuzzy_lookup_array(
     ARR_ID = "_aid_"
     POS = "_apos_"
     left_id = left.withColumn(ARR_ID, F.monotonically_increasing_id())
+    # per-row typed filters (filter_cols) reference left columns — they
+    # must ride through the explode to reach the inner lookup
+    carry = [l for l, _ in options.get("filter_cols", ())]
     exploded = left_id.select(
-        ARR_ID, F.posexplode_outer(queries_col).alias(POS, "_query_")
+        ARR_ID, *carry, F.posexplode_outer(queries_col).alias(POS, "_query_")
     )
     matched = fuzzy_lookup(exploded, right, "_query_", text_col, **options)
-    right_cols = [c for c in matched.columns if c not in (ARR_ID, POS, "_query_")]
+    right_cols = [
+        c for c in matched.columns if c not in (ARR_ID, POS, "_query_", *carry)
+    ]
     grouped = (
         matched.groupBy(ARR_ID)
         .agg(

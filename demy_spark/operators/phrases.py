@@ -119,6 +119,15 @@ def phrase_merges(
     HDFS-compatible path) and each round uses a RELIABLE
     ``checkpoint`` instead — slower (one distributed write per
     round) but survives executor loss.
+
+    NOTE: passing ``checkpoint_dir`` calls
+    ``sparkContext.setCheckpointDir`` — a SESSION-GLOBAL mutation
+    that persists after this call and redirects reliable checkpoints
+    of any other operator in the same session. It cannot be
+    save/restored here because the returned frames checkpoint LAZILY
+    (the directory is read when they first materialize, which is
+    after this function returns). Sessions that reliably checkpoint
+    elsewhere should pass the same directory everywhere.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -215,7 +224,9 @@ def apply_merges(
     vocabularies are 10k-100k pairs; each pair becomes two literals
     in the plan — for very long lists, batch the calls). Same
     per-round lineage-truncation contract as ``phrase_merges``
-    (``checkpoint_dir`` for reliable checkpoints on long runs).
+    (``checkpoint_dir`` for reliable checkpoints on long runs),
+    including its documented SESSION-GLOBAL ``setCheckpointDir``
+    side effect.
     """
     t = docs.select(
         F.col(id_col).alias("_id_"),
@@ -256,7 +267,8 @@ def _replay_merges(
 ) -> DataFrame:
     """Apply a FROZEN merge list in rank order — one _merge_pass round
     per pair, lineage truncated per round (localCheckpoint, or a
-    reliable checkpoint when ``checkpoint_dir`` is set). Shared by
+    reliable checkpoint when ``checkpoint_dir`` is set —
+    session-globally, see ``phrase_merges``). Shared by
     ``apply_merges`` (word level) and ``bpe_encode`` (char level)."""
     if checkpoint_dir is not None:
         t.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -319,7 +331,9 @@ def bpe_train(
     Per-round lineage truncates with localCheckpoint, or a RELIABLE
     checkpoint when ``checkpoint_dir`` is set — real tokenizer runs
     are 10k-100k rounds, exactly the executor-loss exposure the
-    word-level twins document.
+    word-level twins document. ``checkpoint_dir`` carries
+    ``phrase_merges``'s documented SESSION-GLOBAL ``setCheckpointDir``
+    side effect.
     """
     if merges < 1:
         raise ValueError(f"merges must be >= 1, got {merges}")

@@ -3,8 +3,11 @@ query.
 
 The engine-side complement of the fuzzy text lookup join
 (`operators/fuzzy_lookup.py` builds token postings to JOIN two tables
-on similarity; reference spec `mllib/src/main/scala/text/
-TextLookup.scala`): here the postings serve ad-hoc KEYWORD QUERIES
+on similarity, reference `mllib/src/main/scala/index/implicits.scala`
+/ `index/IndexStrategy.scala`): the reference has no standalone
+keyword-retrieval analog — like `operators/chunking.py`, this is a
+no-reference-analog extension. Here the postings serve ad-hoc
+KEYWORD QUERIES
 ranked by Okapi BM25 — the canonical retrieval scorer, and the
 standard "find the documents about X" primitive a corpus-curation
 pipeline uses for audits, targeted sampling and eval-set mining.

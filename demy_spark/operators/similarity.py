@@ -457,6 +457,7 @@ def knn_classify(
     query_vec_col: str | None = None,
     query_id_col: str | None = None,
     exclude_self: bool = True,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """k-nearest-neighbor classification over an embedding corpus: the
     majority ``label_col`` among each query's ``k`` nearest neighbors
@@ -479,11 +480,16 @@ def knn_classify(
     score 0 (``cosine_similarity``'s contract; DuckDB NaN would sort
     ABOVE every number and flip ranks).
 
-    Returns (query_id, pred_label, votes, best_sim_micro). This is
-    the exact-baseline shape (queries broadcast against one corpus
-    scan, same contract as ``cosine_topk``); at corpus-side scale
-    compose the same vote with ``ivf_cosine_topk``/``pq_adc_topk``
-    candidates instead.
+    ``candidates`` (query_id, neighbor_id) restricts scoring and
+    voting to the given pairs — pass ``ivf_cosine_topk``/
+    ``pq_adc_topk`` output (or a raw probe expansion) to get the
+    100 TB path: the pairwise stage touches only the candidate pairs
+    instead of queries × corpus, and the corpus is reached through an
+    equi-join on id rather than a broadcast cross product.
+
+    Returns (query_id, pred_label, votes, best_sim_micro). Without
+    ``candidates`` this is the exact-baseline shape (queries broadcast
+    against one corpus scan, same contract as ``cosine_topk``).
     """
     from demy_spark.functions.vectors import dot, l2_norm
 
@@ -507,10 +513,20 @@ def knn_classify(
         (F.col("_cn_") > 0) & (F.col("_qn_") > 0),
         dot("_cv_", "_qv_") / (F.col("_cn_") * F.col("_qn_")),
     ).otherwise(F.lit(0.0))
-    pair_cond = (
-        F.col("_nid_") != F.col("query_id") if exclude_self else F.lit(True)
-    )
-    scored = c.join(F.broadcast(q), pair_cond).select(
+    if candidates is not None:
+        pairs = (
+            candidates.select("query_id", F.col("neighbor_id").alias("_nid_"))
+            .join(c, "_nid_")
+            .join(F.broadcast(q), "query_id")
+        )
+        if exclude_self:
+            pairs = pairs.where(F.col("_nid_") != F.col("query_id"))
+    else:
+        pair_cond = (
+            F.col("_nid_") != F.col("query_id") if exclude_self else F.lit(True)
+        )
+        pairs = c.join(F.broadcast(q), pair_cond)
+    scored = pairs.select(
         "query_id",
         "_nid_",
         "_lbl_",

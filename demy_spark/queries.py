@@ -7280,9 +7280,10 @@ _Q117_SQL = f"""
 @register("q117_bm25_search", _Q117_SQL)
 def q117_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval (operators/retrieval.bm25_search — the
-    ad-hoc-query complement of the fuzzy lookup JOIN's postings index,
-    reference spec `mllib/src/main/scala/text/TextLookup.scala`; the
-    curation pipeline's "find the documents about X" audit primitive):
+    ad-hoc-query complement of the fuzzy lookup JOIN's postings index;
+    no reference analog, an extension like chunking — the lookup
+    reference is index/implicits.scala; the curation pipeline's "find
+    the documents about X" audit primitive):
     four frozen keyword queries ranked over the documents corpus,
     Lucene-style non-negative idf, per-term contributions floored to
     integer micro-units BEFORE the per-(query, doc) sum (rank
@@ -7481,7 +7482,7 @@ def q120_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(cents) / 100.0 AS total_value,
            min(cents) / 100.0 AS min_value,
            max(cents) / 100.0 AS max_value,
-           round(sum(cents) / 100.0 / count(*), 2) + 0.0 AS avg_value
+           ((2 * sum(cents) + count(*)) // (2 * count(*))) / 100.0 AS avg_value
     FROM c GROUP BY 1, 2
     """,
 )
@@ -7536,114 +7537,315 @@ def q121_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents_sum") / 100.0).alias("total_value"),
         (F.col("min_cents") / 100.0).alias("min_value"),
         (F.col("max_cents") / 100.0).alias("max_value"),
+        # avg-to-the-cent derived ENTIRELY in integer arithmetic —
+        # half-up of the rational cents_sum/n is (2p+q) div (2q); a
+        # double quotient under round() can disagree across engines
+        # near a .xx5 boundary (the repo's quantize-before-compare
+        # convention applies to derived ratios too)
         (
-            F.round(F.col("cents_sum") / 100.0 / F.col("n"), 2) + 0.0
+            F.expr("(2 * cents_sum + n) div (2 * n)") / 100.0
         ).alias("avg_value"),
     )
 
 
+@register(
+    "q122_fuzzy_typed_filter",
+    """
+    WITH dtoks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    dict AS (
+        SELECT array_to_string(toks[1:3], ' ') AS phrase, min(doc_id) AS entity_id,
+               min(lang) AS dict_lang
+        FROM dtoks WHERE doc_id % 97 = 0 AND len(toks) >= 3
+        GROUP BY 1
+    ),
+    postings AS (
+        SELECT phrase, entity_id, dict_lang, tok, count(*) AS tf
+        FROM (SELECT phrase, entity_id, dict_lang,
+                     unnest(string_split(phrase, ' ')) AS tok FROM dict)
+        GROUP BY 1, 2, 3, 4
+    ),
+    dls AS (SELECT phrase, len(string_split(phrase, ' ')) AS dl FROM dict),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls),
+    dfs AS (SELECT tok, count(DISTINCT phrase) AS df FROM postings GROUP BY 1),
+    qtoks AS (
+        SELECT doc_id, want_lang, tok, count(*) AS qn
+        FROM (SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS want_lang,
+                     unnest(toks) AS tok
+              FROM dtoks WHERE doc_id % 10 = 0)
+        GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT q.doc_id, q.want_lang, p.phrase, p.entity_id, p.dict_lang,
+               sum(q.qn * 4.0
+                   * ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * (p.tf * 2.2)
+                   / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+        FROM qtoks q
+        JOIN postings p ON q.tok = p.tok
+                       AND (q.want_lang IS NULL OR q.want_lang = p.dict_lang)
+        JOIN dfs f ON p.tok = f.tok
+        JOIN dls l ON p.phrase = l.phrase
+        CROSS JOIN stats s
+        GROUP BY 1, 2, 3, 4, 5
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY round(score, 6) DESC, entity_id) AS rk
+        FROM scored WHERE score >= 1.0
+    )
+    SELECT doc_id, want_lang, phrase, entity_id, dict_lang,
+           round(CAST(CAST(score AS REAL) AS DOUBLE), 2) + 0.0 AS score
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q122_fuzzy_typed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-left-row typed point filters on the flagship fuzzy lookup
+    (reference: index/IndexStrategy.scala:96-107 ANDs exact typed-field
+    constraints from the per-probe filter Row into the Lucene query;
+    fields are point-indexed at write time,
+    SparkLuceneWriterInfo.scala:20-42). q51's standard-strategy shape
+    plus a language constraint: each probe document requires the
+    dictionary entry's lang to equal its own — except every third
+    probe, whose NULL filter value means unconstrained
+    (filter.isNullAt semantics). The oracle replays the full
+    BM25-style score with the constraint ANDed into the candidate
+    join — value-level parity on scores AND on which candidates were
+    admissible."""
+    from demy_spark.operators.fuzzy_lookup import fuzzy_lookup
+
+    t = _t(spark, sf_dir)
+    toks = textstats.norm_tokens(F.col("text"))
+    dictionary = (
+        t["documents"]
+        .where((F.col("doc_id") % 97 == 0) & (F.size(toks) >= 3))
+        .select(
+            F.concat_ws(" ", F.slice(toks, 1, 3)).alias("phrase"),
+            F.col("doc_id").alias("entity_id"),
+            F.col("lang"),
+        )
+        .groupBy("phrase")
+        .agg(
+            F.min("entity_id").alias("entity_id"),
+            F.min("lang").alias("dict_lang"),
+        )
+    )
+    probes = (
+        t["documents"]
+        .where(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            "text",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("lang"))
+            .alias("want_lang"),
+        )
+    )
+    out = fuzzy_lookup(
+        probes,
+        dictionary,
+        "text",
+        "phrase",
+        max_lev_distance=0,
+        min_score=1.0,
+        top_k=1,
+        tie_break_cols=("entity_id",),
+        filter_cols=[("want_lang", "dict_lang")],
+    )
+    return out.where(F.col("phrase").isNotNull()).select(
+        "doc_id",
+        "want_lang",
+        "phrase",
+        "entity_id",
+        "dict_lang",
+        (F.round(F.col("_score_").cast("double"), 2) + F.lit(0.0)).alias("score"),
+    )
+
+
+_Q123_SQL = (
+    """
+    WITH dims AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               unnest(embedding::DOUBLE[]) AS x
+        FROM embeddings
+    ),
+    vnorm AS (SELECT vec_id, sqrt(sum(x * x)) AS nx FROM dims GROUP BY 1),
+    cent0 AS (SELECT vec_id % 8 AS c, d, avg(x) AS m FROM dims GROUP BY 1, 2),"""
+    + _kmeans_round_sql(1, "cent0")
+    + _kmeans_round_sql(2, "cent1")
+    + _kmeans_round_sql(3, "cent2")
+    + _kmeans_round_sql(4, "cent3")
+    + """
+    probe AS (
+        SELECT query_id, c FROM (
+            SELECT d4.vec_id AS query_id, d4.c,
+                   row_number() OVER (PARTITION BY d4.vec_id
+                       ORDER BY d4.dot / nullif(v.nx * cn.nc, 0) DESC, d4.c ASC
+                   ) AS rk
+            FROM dot4 d4
+            JOIN vnorm v ON d4.vec_id = v.vec_id
+            JOIN cnorm4 cn ON d4.c = cn.c
+            WHERE d4.vec_id % 25 = 0
+        ) WHERE rk <= 2),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probe p JOIN assign4 a ON a.c = p.c AND a.vec_id <> p.query_id),
+    sims AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               list_cosine_similarity(qa.embedding::DOUBLE[],
+                                      qb.embedding::DOUBLE[]) AS sim
+        FROM cand
+        JOIN embeddings qa ON cand.query_id = qa.vec_id
+        JOIN embeddings qb ON cand.neighbor_id = qb.vec_id),
+    kcand AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id) AS rk
+            FROM sims) WHERE rk <= 5),
+    cvec AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    votesrc AS (
+        SELECT k.query_id, cb.label AS lbl,
+               CAST(floor((CASE WHEN nb.nx > 0 AND nq.nx > 0
+                      THEN list_cosine_similarity(cb.v, qa.v)
+                      ELSE 0 END) * 1000000) AS BIGINT) AS msim
+        FROM kcand k
+        JOIN cvec cb ON cb.vec_id = k.neighbor_id
+        JOIN cvec qa ON qa.vec_id = k.query_id
+        JOIN vnorm nb ON nb.vec_id = k.neighbor_id
+        JOIN vnorm nq ON nq.vec_id = k.query_id),
+    votes AS (
+        SELECT query_id, lbl, count(*) AS votes, max(msim) AS best_sim_micro
+        FROM votesrc GROUP BY 1, 2),
+    won AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY votes DESC, best_sim_micro DESC, lbl) AS vr
+        FROM votes)
+    SELECT query_id, lbl AS pred_label, CAST(votes AS BIGINT) AS votes,
+           best_sim_micro
+    FROM won WHERE vr = 1
+    """
+)
+
+
+@register("q123_knn_ivf", _Q123_SQL)
+def q123_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation routed through IVF candidates — the
+    100 TB composition the brute-force q114 documents: the coarse
+    quantizer bounds each query's candidate set to its 2 probed lists
+    (~nprobe/n_lists of the corpus), ``ivf_cosine_topk`` reranks
+    exactly within them, and ``knn_classify(candidates=...)`` votes
+    over ONLY those pairs — the corpus is reached by an equi-join on
+    id, never a queries × corpus product. The oracle replays the whole
+    chain end to end: quantizer training (4 unrolled Lloyd CTEs, as
+    q53), probe, in-list top-5, then micro-integer voting with q114's
+    exact tie-breaks."""
+    from demy_spark.operators.similarity import ivf_cosine_topk, knn_classify
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    queries = emb.where(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
+    cand = ivf_cosine_topk(
+        emb,
+        queries,
+        "embedding",
+        "vec_id",
+        k=5,
+        n_lists=8,
+        nprobe=2,
+        train_iters=3,
+    ).select("query_id", "neighbor_id")
+    return knn_classify(
+        emb, queries, "embedding", "vec_id", "label", k=5, candidates=cand
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
-# order. Round-4 window: rotation round — the slots pay down artifact
-# staleness (VERDICT r3 "What's missing" #1):
-#   1. never-rowed new registrations (q111-q121: chunking, TF-IDF
-#      keywords, frozen-merge BPE apply, kNN label propagation, BPE
-#      train + trained-model encode, BM25 retrieval, ORC roundtrip,
-#      exact group median/p90, sliding event windows, incremental
-#      rollup) and
-#      behavior changed this round: q100 (micro-quantized tau compare)
-#      and q108 (re-registered on sorted-neighborhood candidates — the
-#      production blocking, closing VERDICT task 2);
-#   2. all 21 queries whose latest green row was CORRECTNESS_r01
-#      (q27-q37, q39-q45, q53, q54, q66) — the artifact must never be
-#      >2 rounds stale;
-#   3. 17 of the 39 queries resting on r2 rows — oldest-first paydown.
-# The 22 r2-resting deferrals to round 5 each have a same-family
-# sibling IN this window exercising the shared code path, plus the
-# sf0.01 verify-skill simulation and the sf0.001 parity suite:
-#   q04 (semi-join; q05 anti-join rotates)   q07 (group topN; q14)
-#   q09 (rollup; q10 cube)                   q13 (sessionize; q12 r3)
-#   q16 (distinct; q18 fingerprints)         q17 (token stats; q19-q21)
-#   q48 (simplify; q49 + q81 r3)             q55 (as-of; q56 r3)
-#   q58 (HLL; q59 sketches)                  q60 (stratified; q61)
-#   q68 (z-order projection; q64/q65)        q72 (geo; q40/q41 rotate)
-#   q06 (cents sums; q10 + q01-q03 r3)      q15 (folds; q33-q35 rotate)
-#   q20 (lang-id; q21 + q92 re-rowing)       q69 (centers; q42/q71)
-#   q05 (anti-join; q04 family + sim)        q08 (window agg; q10/q14)
-#   q11 (latest-wins window; q14)            q22 (centroids; q42/q71)
-#   q59 (sketches; q61 + q90 r3)             q73 (calibration; q38 r3)
+# order. Round-5 window: the staleness-paydown round VERDICT r4 ordered
+# first ("Next round: do this" #1):
+#   1. never-rowed new registrations — q122 (typed point filters on the
+#      flagship fuzzy lookup, closing VERDICT task 2) and q123 (kNN
+#      label propagation routed through IVF candidates, closing VERDICT
+#      task 5) — plus q121, whose avg_value derivation changed from a
+#      rounded double quotient to pure integer arithmetic (ADVICE r4
+#      quantization fix), so it re-earns its row;
+#   2. ALL 29 queries whose latest green row is CORRECTNESS_r02 — the
+#      22 round-4 documented deferrals (q04-q09, q11, q13, q15-q17,
+#      q20, q22, q48, q55, q58-q60, q68, q69, q72, q73) plus the 7
+#      round-4 displacements (q25, q46, q49, q50, q52, q70, q71);
+#      after this round no official row is older than r3;
+#   3. 18 of the 42 queries resting on r3 rows — the q74+ block,
+#      oldest-registered-first.
+# The 24 r3-resting deferrals (q01-q03, q12, q24, q26, q38, q47, q51,
+# q56, q57, q62, q64, q95, q98, q99, q101, q103-q107, q109, q110) stay
+# on rows that are 1 round old today and lead the round-6 rotation;
+# q01-q03/q12/q24/q26 additionally run every round as bench headliners
+# and q24 sits on entry()'s flagship path, q51/q83 share
+# fuzzy_lookup.py's scoring with q122 rotating in tier 1, and q95
+# shares similarity.py's IVF/PQ path with q89 (tier 3) and q123
+# (tier 1).
 _DRIVER_PRIORITY = [
-    # --- tier 1: never-rowed new registrations + behavior changes
-    "q115_bpe_train",
-    "q116_bpe_encode",
-    "q117_bm25_search",
-    "q118_orc_roundtrip",
-    "q119_group_median",
-    "q120_events_sliding",
+    # --- tier 1: never-rowed registrations + behavior change
+    "q122_fuzzy_typed_filter",
+    "q123_knn_ivf",
     "q121_incremental_rollup",
-    "q111_chunk_documents",
-    "q112_tfidf_terms",
-    "q113_bpe_apply",
-    "q114_knn_classify",
-    "q100_semdedup",
-    "q108_record_linkage",
-    # tokenizer-contract sweep: oracle text changed (q92/q93 moved to
-    # the ws-collapsed _TOKS_WS_SQL) or the Spark tokenization/trim
-    # semantics changed (entity \s+ -> norm_tokens: q78; subdoc
-    # F.trim -> zs_trim: q96/q97/q102). Fixture outputs identical
-    # (full sim 114/114 both before and after), but the contract
-    # changed, so they re-earn official rows
-    "q92_gopher_rules",
-    "q93_curation_pipeline",
-    "q78_entity_refine",
-    "q96_line_dedup",
-    "q97_duplicated_spans",
-    "q102_strip_spans",
-    # --- tier 2: latest row is CORRECTNESS_r01 (21 queries)
-    "q27_simhash_dedup",
-    "q28_embedding_dedup",
-    "q29_lsh_ann_topk",
-    "q30_ngram_jaccard",
-    "q31_dup_clusters",
-    "q32_media_features",
-    "q33_hash_folds",
-    "q34_threshold_sweep",
-    "q35_oof_mean_model",
-    "q36_multi_hot",
-    "q37_embed_apply",
-    "q39_admin_flatten",
-    "q40_parse_address",
-    "q41_locality_match",
-    "q42_seeded_kmeans",
-    "q43_topic_tree_walk",
-    "q44_entity_match",
-    "q45_entity_cooccurrence",
-    "q53_ivf_ann_topk",
-    "q54_binary_metrics",
-    "q66_pos_tag_greedy",
-    # --- tier 3: oldest r2 rows (11 of 39; deferrals documented above)
-    "q10_cube_orders",
-    "q14_top_parts_per_brand",
-    "q18_exact_dedup",
-    "q19_token_topk",
-    "q21_quality_score",
-    "q23_cosine_topk",
-    # q25/q46 displaced to round 5 by the q117/q118 registrations:
-    # q25's broadcast-lexicon path re-rows via q24 (r3) and the q40/q41
-    # rotations above, q46's beam decoder shares postag.py with q66
-    # (greedy) rotating in tier 2 — both keep r2 rows meanwhile.
-    # q49/q50 displaced by q119/q120: q49's pandas-UDF splitter family
-    # re-rows via q81 (r3 phonetic) + q84 (r3 tweet-clean), q50's
-    # SymSpell edits share fuzzy_lookup.py with q24/q51/q83 (all r3).
-    # q70/q71 displaced by q115/q116: q70's classifier span path
-    # re-rows via q38 (r3), q71's online-centers path via q42 (tier 2
-    # above). q52 displaced by q121: its entity word-category path
-    # re-rows via q44/q45 (tier 2 above). All seven displaced queries
-    # keep r2 rows meanwhile and lead the round-5 rotation together
-    # with the 22 documented deferrals.
-    "q61_bottom_k_sample",
-    "q63_salted_agg",
-    "q65_partition_prune",
-    "q67_event_followup",
+    # --- tier 2: every query still resting on a CORRECTNESS_r02 row
+    "q04_priority_exists",
+    "q05_customers_without_orders",
+    "q06_forecast_revenue",
+    "q07_top_orders_per_customer",
+    "q08_running_revenue",
+    "q09_rollup_returns",
+    "q11_repeat_customers",
+    "q13_sessionize",
+    "q15_acctbal_folds",
+    "q16_distinct_parts",
+    "q17_doc_stats",
+    "q20_language_id",
+    "q22_label_centroids",
+    "q25_lexicon_lookup",
+    "q46_pos_tag",
+    "q48_simplify_text",
+    "q49_sentence_split",
+    "q50_fuzzy_typos",
+    "q52_word_categories",
+    "q55_asof_join",
+    "q58_hll_distinct",
+    "q59_heavy_hitters",
+    "q60_stratified_sample",
+    "q68_zorder_key",
+    "q69_center_hierarchy",
+    "q70_span_detect",
+    "q71_online_centers",
+    "q72_point_in_polygon",
+    "q73_platt_calibration",
+    # --- tier 3: oldest r3 rows (18 of 42; deferrals documented above)
+    "q74_embed_options",
+    "q75_shapefile_flatten",
+    "q76_tree_spawn",
+    "q77_split_doc",
+    "q79_pipeline_grid",
+    "q80_source_scan",
+    "q81_phonetic_simplify",
+    "q82_analogy_score",
+    "q83_fuzzy_predict",
+    "q84_tweet_clean",
+    "q85_sparse_merge",
+    "q86_contamination_check",
+    "q87_canonical_docs",
+    "q88_mixture_sample",
+    "q89_pq_ann_topk",
+    "q90_histogram_quantiles",
+    "q91_pii_redaction",
+    "q94_sequence_pack",
 ]
 
 

@@ -1,0 +1,131 @@
+"""Round-5 10x scale probes (VERDICT r4 task 8 + new-shape convention):
+
+- q117/bm25_search and q96/line_dedup — the two corpus-frequency joins
+  without a recorded blow-up probe;
+- the round-5 shapes: q122 fuzzy typed-filter and q123 IVF-routed kNN.
+
+Method (PLANS.md convention): documents at sf0.1 (5k docs), replicated
+10x with remapped ids (50k docs); embeddings likewise (2k -> 20k
+vectors, n_lists scaled with the corpus per the IVF contract). Wall =
+min of 3 noop-forced runs after one warm-up, cache cleared between
+operators. Run on an idle machine.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from demy_spark.session import get_spark  # noqa: E402
+from demy_spark.io import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(df, id_col: str, n: int = 10):
+    reps = df.sparkSession.range(n).select(F.col("id").alias("_rep_"))
+    return (
+        df.crossJoin(F.broadcast(reps))
+        .withColumn(id_col, F.col(id_col) * n + F.col("_rep_"))
+        .drop("_rep_")
+    )
+
+
+def timeit(spark, label: str, mk) -> float:
+    spark.catalog.clearCache()
+    mk().write.format("noop").mode("overwrite").save()  # warm
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        mk().write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    print(f"{label}: {best:.2f}s", flush=True)
+    return best
+
+
+def main() -> None:
+    spark = get_spark(
+        "demy_spark_probe", master="local[32]", shuffle_partitions=16
+    )
+    docs = load_table(spark, SF_DIR, "documents")
+    docs10 = replicate(docs, "doc_id").localCheckpoint()
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label")
+    )
+    emb10 = replicate(emb, "vec_id").localCheckpoint()
+    print(f"docs {docs.count()} -> {docs10.count()}; emb {emb.count()} -> {emb10.count()}")
+
+    # --- bm25 ---------------------------------------------------------
+    from demy_spark.queries import _Q117_QUERIES
+    from demy_spark.operators.retrieval import bm25_search
+
+    qdf = spark.createDataFrame(_Q117_QUERIES, "query_id long, qtext string")
+    for label, d in (("bm25 1x", docs), ("bm25 10x", docs10)):
+        timeit(spark, label, lambda d=d: bm25_search(d, "doc_id", "text", qdf, "query_id", "qtext", k=10))
+
+    # --- line_dedup ---------------------------------------------------
+    from demy_spark.operators.subdoc import line_dedup
+
+    for label, d in (("line_dedup 1x", docs), ("line_dedup 10x", docs10)):
+        timeit(spark, label, lambda d=d: line_dedup(d, "doc_id", "text"))
+
+    # --- fuzzy typed filter (q122 shape) ------------------------------
+    from demy_spark.operators.fuzzy_lookup import fuzzy_lookup
+    from demy_spark.functions import textstats
+
+    def fuzzy_shape(d):
+        toks = textstats.norm_tokens(F.col("text"))
+        dictionary = (
+            d.where((F.col("doc_id") % 97 == 0) & (F.size(toks) >= 3))
+            .select(
+                F.concat_ws(" ", F.slice(toks, 1, 3)).alias("phrase"),
+                F.col("doc_id").alias("entity_id"),
+                F.col("lang"),
+            )
+            .groupBy("phrase")
+            .agg(F.min("entity_id").alias("entity_id"), F.min("lang").alias("dict_lang"))
+        )
+        probes = d.where(F.col("doc_id") % 10 == 0).select(
+            "doc_id",
+            "text",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("lang"))
+            .alias("want_lang"),
+        )
+        return fuzzy_lookup(
+            probes, dictionary, "text", "phrase",
+            max_lev_distance=0, min_score=1.0, top_k=1,
+            tie_break_cols=("entity_id",),
+            filter_cols=[("want_lang", "dict_lang")],
+        )
+
+    for label, d in (("fuzzy_typed 1x", docs), ("fuzzy_typed 10x", docs10)):
+        timeit(spark, label, lambda d=d: fuzzy_shape(d))
+
+    # --- knn via IVF (q123 shape; n_lists scales with corpus) ---------
+    from demy_spark.operators.similarity import ivf_cosine_topk, knn_classify
+
+    def knn_shape(e, n_lists):
+        queries = e.where(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
+        cand = ivf_cosine_topk(
+            e, queries, "embedding", "vec_id",
+            k=5, n_lists=n_lists, nprobe=2, train_iters=3,
+        ).select("query_id", "neighbor_id")
+        return knn_classify(e, queries, "embedding", "vec_id", "label", k=5, candidates=cand)
+
+    for label, e, nl in (("knn_ivf 1x", emb, 8), ("knn_ivf 10x", emb10, 80)):
+        timeit(spark, label, lambda e=e, nl=nl: knn_shape(e, nl))
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -289,3 +289,200 @@ def test_max_df_rejects_bad_relative(spark):
     right = spark.createDataFrame([("x",)], ["text"])
     with _pytest.raises(ValueError):
         fuzzy_lookup(left, right, "query", "text", max_df=1.5)
+
+
+# --- per-left-row typed point filters -------------------------------------
+# Reference semantics: index/IndexStrategy.scala:96-107 — each non-null
+# field of the per-probe filter Row becomes an exact-match MUST clause
+# (typed fields are point-indexed at write time,
+# SparkLuceneWriterInfo.scala:20-42). The reference suite itself always
+# passes Row.empty, so these goldens encode the documented contract.
+
+
+def test_typed_filter_constrains_candidates(spark):
+    """A non-null filter value excludes every right row whose typed
+    field differs — even when the excluded row scores higher."""
+    left = spark.createDataFrame(
+        [("Springfield", "US"), ("Springfield", "CA")], ["query", "country"]
+    )
+    right = spark.createDataFrame(
+        [("Springfield", "US", 1), ("Springfield", "CA", 2)],
+        ["text", "cc", "gid"],
+    )
+    out = fuzzy_lookup(
+        left,
+        right,
+        "query",
+        "text",
+        max_lev_distance=0,
+        filter_cols=[("country", "cc")],
+    )
+    got = {r["country"]: r["gid"] for r in out.collect()}
+    assert got == {"US": 1, "CA": 2}
+
+
+def test_typed_filter_null_left_value_is_unconstrained(spark):
+    """filter.isNullAt(i) ⇒ no clause added: a null filter value matches
+    everything, per-row (other rows in the same frame stay constrained)."""
+    left = spark.createDataFrame(
+        [("Fort Worth", None), ("Fort Worth", "FR")], ["query", "country"]
+    )
+    right = spark.createDataFrame(
+        [("Fort Worth, TX", "US", 1), ("Fort Worth, FR", "FR", 2)],
+        ["text", "cc", "gid"],
+    )
+    out = fuzzy_lookup(
+        left,
+        right,
+        "query",
+        "text",
+        max_lev_distance=0,
+        filter_cols=[("country", "cc")],
+    )
+    rows = {(r["country"], r["gid"]) for r in out.collect()}
+    # null → both candidates compete (either may win on score ties);
+    # "FR" → only gid=2 is admissible
+    assert ("FR", 2) in rows
+    assert len(rows) == 2 and all(g in (1, 2) for _, g in rows)
+
+
+def test_typed_filter_null_right_value_never_matches(spark):
+    """An unindexed (null) typed field can never satisfy an exact
+    query: the doc is excluded for every non-null filter value."""
+    left = spark.createDataFrame([("needle", "US")], ["query", "country"])
+    right = spark.createDataFrame(
+        [("needle", None, 1), ("needle haystack", "US", 2)],
+        ["text", "cc", "gid"],
+    )
+    out = fuzzy_lookup(
+        left, right, "query", "text",
+        max_lev_distance=0, filter_cols=[("country", "cc")],
+    )
+    assert [r["gid"] for r in out.collect()] == [2]
+
+
+def test_typed_filter_multiple_fields_and_types(spark):
+    """Multiple filter pairs AND together; integer typed fields use the
+    same exact-point semantics as strings (IntPoint.newExactQuery)."""
+    left = spark.createDataFrame(
+        [("alpha", "US", 10), ("alpha", "US", 20)], ["query", "country", "zone"]
+    )
+    right = spark.createDataFrame(
+        [
+            ("alpha one", "US", 10, 1),
+            ("alpha two", "US", 20, 2),
+            ("alpha three", "FR", 10, 3),
+        ],
+        ["text", "cc", "zn", "gid"],
+    )
+    out = fuzzy_lookup(
+        left, right, "query", "text",
+        max_lev_distance=0,
+        filter_cols=[("country", "cc"), ("zone", "zn")],
+    )
+    got = {r["zone"]: r["gid"] for r in out.collect()}
+    assert got == {10: 1, 20: 2}
+
+
+def test_typed_filter_applies_to_fuzzy_candidates(spark):
+    """The point constraint gates the symmetric-delete fuzzy path too:
+    a 1-edit match in the wrong partition loses to one in the right
+    partition."""
+    left = spark.createDataFrame([("glasgow", "UK")], ["query", "country"])
+    right = spark.createDataFrame(
+        [("glasgov", "US", 1), ("glasgovv", "UK", 2)], ["text", "cc", "gid"]
+    )
+    out = fuzzy_lookup(
+        left, right, "query", "text",
+        max_lev_distance=2, filter_cols=[("country", "cc")],
+    )
+    assert [r["gid"] for r in out.collect()] == [2]
+
+
+def test_typed_filter_rides_through_array_variant(spark):
+    """fuzzy_lookup_array forwards filter_cols: the left filter column
+    survives the posexplode and constrains every array element."""
+    from demy_spark.operators.fuzzy_lookup import fuzzy_lookup_array
+
+    left = spark.createDataFrame(
+        [(["foo", "bar"], "A")], ["queries", "grp"]
+    )
+    right = spark.createDataFrame(
+        [("foo one", "A", 1), ("foo two", "B", 2),
+         ("bar one", "B", 3), ("bar two", "A", 4)],
+        ["text", "g", "gid"],
+    )
+    out = fuzzy_lookup_array(
+        left, right, "queries", "text",
+        max_lev_distance=0, filter_cols=[("grp", "g")],
+    )
+    res = out.select("_results_").collect()[0][0]
+    assert [r["gid"] for r in res] == [1, 4]
+
+
+def test_typed_filter_equivalence_randomized(spark):
+    """The filter's ONE semantic guarantee, on a randomized corpus: it
+    changes candidate ADMISSIBILITY, never scores (index statistics
+    stay whole-index, exactly as a Lucene point filter constrains
+    traversal without touching the similarity's df/avgdl). So the
+    filtered top-1 must equal the unfiltered all-candidates result
+    post-filtered on admissibility and re-ranked by the same
+    (round(score, 6) DESC, gid) order — including rows whose filter
+    value admits nothing (null match) and null-filter rows (whole
+    candidate set)."""
+    import random
+
+    rng = random.Random(422)
+    vocab = [f"w{i}" for i in range(15)]
+    zones = ["A", "B", "C", None]
+
+    def mutate(w: str) -> str:  # 1-edit typo
+        i = rng.randrange(len(w))
+        return w[:i] + rng.choice("xyz") + w[i + 1 :]
+
+    right_rows = [
+        (" ".join(rng.sample(vocab, rng.randint(3, 5))), rng.choice(zones), g)
+        for g in range(60)
+    ]
+    left_rows = []
+    for lid in range(25):
+        toks = rng.sample(vocab, rng.randint(2, 3))
+        if rng.random() < 0.5:
+            toks[0] = mutate(toks[0])
+        left_rows.append((lid, " ".join(toks), rng.choice(zones)))
+    right = spark.createDataFrame(right_rows, "text string, cc string, gid int")
+    left = spark.createDataFrame(left_rows, "lid int, query string, country string")
+
+    kw = dict(max_lev_distance=1, top_k=1, tie_break_cols=("gid",))
+    filtered = {
+        r["lid"]: (r["gid"], r["_score_"] or 0.0)
+        for r in fuzzy_lookup(
+            left, right, "query", "text",
+            filter_cols=[("country", "cc")], **kw,
+        ).collect()
+    }
+    allcand = fuzzy_lookup(
+        left, right, "query", "text",
+        max_lev_distance=1, top_k=10_000, tie_break_cols=("gid",),
+    ).collect()
+
+    want_country = {lid: c for lid, _, c in left_rows}
+    best: dict[int, tuple] = {}
+    for r in allcand:
+        if r["gid"] is None:
+            continue
+        want = want_country[r["lid"]]
+        if want is not None and (r["cc"] is None or r["cc"] != want):
+            continue
+        cand = (-round(r["_score_"], 6), r["gid"])
+        if r["lid"] not in best or cand < best[r["lid"]]:
+            best[r["lid"]] = cand
+
+    for lid, _, _ in left_rows:
+        # same winner; scores equal up to float32 partial-sum order
+        # (the two plans aggregate candidate contributions in
+        # different orders — a last-ulp difference is expected)
+        exp = (best[lid][1], -best[lid][0]) if lid in best else (None, 0.0)
+        got = filtered[lid]
+        assert got[0] == exp[0], f"lid={lid}: winner {got[0]} != {exp[0]}"
+        assert abs(got[1] - exp[1]) < 1e-3, f"lid={lid}: {got[1]} != {exp[1]}"

@@ -362,3 +362,122 @@ def test_streaming_sliding_matches_batch(spark, sf_dir):
     # overlap sanity: total assignments are exactly 2x the event count
     n_events = load_table(spark, sf_dir, "events").count()
     assert sum(v[0] for v in b.values()) == 2 * n_events
+
+
+def _rollup_state(spark, store):
+    """(sorted version dirs, staging dirs, newest-snapshot rows) — the
+    bit-identity probe the crash-matrix tests compare on."""
+    import os as _os
+
+    from demy_spark.streaming.rollup import read_rollup_store
+
+    names = sorted(_os.listdir(store))
+    vdirs = [n for n in names if n.startswith("v=")]
+    staging = [n for n in names if n.startswith(".staging-v=")]
+    rows = sorted(
+        tuple(r) for r in read_rollup_store(spark, store).select("g", "n", "s").collect()
+    )
+    return vdirs, staging, rows
+
+
+def test_rollup_crash_between_stage_and_rename(spark, tmp_path):
+    """Fault injection at the protocol's one dangerous window: the
+    writer died AFTER fully staging a version (parquet + _txn.json
+    written) but BEFORE the directory rename. The previous committed
+    version must stay the readable truth, and the next successful
+    commit must garbage-collect the orphan and leave the store
+    BIT-IDENTICAL to a run that never crashed."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    from demy_spark.streaming.rollup import apply_rollup_batch
+
+    kw = dict(sums={"s": F.sum("v")})
+    b0 = spark.createDataFrame([("k", 1), ("k", 2)], "g string, v long")
+    b1 = spark.createDataFrame([("k", 10), ("j", 5)], "g string, v long")
+
+    crashed = str(tmp_path / "crashed")
+    clean = str(tmp_path / "clean")
+    for store in (crashed, clean):
+        assert apply_rollup_batch(b0, store, ["g"], "ckptA", 0, **kw)
+
+    # the crash: epoch 1 staged completely, rename never happened —
+    # byte-for-byte the state apply_rollup_batch leaves at that point
+    stage = f"{crashed}/.staging-v=1"
+    spark.createDataFrame([("k", 13, 3)], "g string, s long, n long").write.parquet(
+        stage
+    )
+    with open(f"{stage}/_txn.json", "w") as f:
+        _json.dump({"txn_id": "ckptA", "epoch": 1}, f)
+    # ... and a second writer killed even earlier (no marker yet)
+    spark.createDataFrame([("x", 1, 1)], "g string, s long, n long").write.parquet(
+        f"{crashed}/.staging-v=99"
+    )
+
+    # previous version is still the readable truth
+    _, staging, rows = _rollup_state(spark, crashed)
+    assert rows == [("k", 2, 3)]
+    assert len(staging) == 2
+
+    # the restarted query redelivers epoch 1; both stores then apply it
+    for store in (crashed, clean):
+        assert apply_rollup_batch(b1, store, ["g"], "ckptA", 1, **kw)
+
+    assert _rollup_state(spark, crashed) == _rollup_state(spark, clean)
+    assert not [n for n in _os.listdir(crashed) if n.startswith(".staging")]
+
+
+def test_rollup_full_checkpoint_replay_bit_identity(spark, tmp_path):
+    """Replay an ENTIRE checkpoint's worth of epochs against an
+    already-caught-up store (the restart-from-old-checkpoint scenario):
+    every epoch must be recognized as applied and skipped, leaving the
+    store bit-identical — same versions on disk, same rows."""
+    import pyspark.sql.functions as F
+
+    from demy_spark.streaming.rollup import apply_rollup_batch
+
+    kw = dict(sums={"s": F.sum("v")}, keep_versions=3)
+    epochs = [
+        spark.createDataFrame([("k", 1)], "g string, v long"),
+        spark.createDataFrame([("k", 2), ("j", 7)], "g string, v long"),
+        spark.createDataFrame([("j", 4)], "g string, v long"),
+    ]
+    store = str(tmp_path / "store")
+    for e, b in enumerate(epochs):
+        assert apply_rollup_batch(b, store, ["g"], "ckptA", e, **kw) is True
+    before = _rollup_state(spark, store)
+
+    for e, b in enumerate(epochs):  # the whole checkpoint replays
+        assert apply_rollup_batch(b, store, ["g"], "ckptA", e, **kw) is False
+    assert _rollup_state(spark, store) == before
+    assert before[2] == [("j", 2, 11), ("k", 2, 3)]
+
+
+def test_rollup_retention_catches_up_after_skipped_cleanup(spark, tmp_path):
+    """A crash after rename but before stale-version deletion leaves
+    more same-txn snapshots than the retention window; the NEXT commit
+    must prune back down to keep_versions (cleanup is deferred, never
+    lost)."""
+    import pyspark.sql.functions as F
+
+    from demy_spark.streaming.rollup import apply_rollup_batch
+
+    kw = dict(sums={"s": F.sum("v")})
+    store = str(tmp_path / "store")
+    b = lambda v: spark.createDataFrame([("k", v)], "g string, v long")  # noqa: E731
+    # keep_versions=3 accumulates v0..v2 — on-disk state identical to a
+    # keep_versions=1 writer that crashed before deleting its stale dirs
+    for e in range(3):
+        assert apply_rollup_batch(b(e + 1), store, ["g"], "ckptA", e,
+                                  keep_versions=3, **kw)
+    vdirs, _, _ = _rollup_state(spark, store)
+    assert len(vdirs) == 3
+    # restarted writer with the true retention window: one commit
+    # re-clamps the window
+    assert apply_rollup_batch(b(10), store, ["g"], "ckptA", 3,
+                              keep_versions=1, **kw)
+    vdirs, staging, rows = _rollup_state(spark, store)
+    assert vdirs == ["v=3"]
+    assert rows == [("k", 4, 16)]

@@ -308,3 +308,52 @@ def test_quality_heuristics_handle_multiline_documents(spark):
     assert rows[1]["n"] == rows[2]["n"]
     assert abs(rows[1]["sw"] - rows[2]["sw"]) < 1e-9
     assert rows[1]["keep"] and rows[2]["keep"]
+
+
+def test_split_doc_builtin_parity(spark, sf_dir):
+    """The builtin higher-order formulation must reproduce the pandas
+    UDF exactly — on the goldens' edge shapes AND on the real fixture
+    corpus (accents, URLs, newlines, l'/d' elision, empty/null)."""
+    from demy_spark.functions.text import (
+        split_doc_records,
+        split_doc_records_builtin,
+    )
+
+    edge = spark.createDataFrame(
+        [
+            (1, "L'Été; voir http://x.co/a ok"),
+            (2, None),
+            (3, ""),
+            (4, "d'abord\nensuite.  Fin! àéîøù"),
+            (5, "no separators here"),
+            (6, "...!!!"),
+            (7, "tabs\tand\rreturns\nsplit"),
+        ],
+        "doc_id int, s string",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id"), F.col("text").alias("s")
+    )
+    for df in (edge, docs):
+        a = sorted(
+            tuple(r) for r in split_doc_records(df, "doc_id", "s").collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in split_doc_records_builtin(df, "doc_id", "s").collect()
+        )
+        assert a == b
+
+    # split_phrases=False and links_as_separators=False options too
+    for kw in (
+        dict(split_phrases=False),
+        dict(links_as_separators=False),
+    ):
+        a = sorted(
+            tuple(r) for r in split_doc_records(edge, "doc_id", "s", **kw).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in split_doc_records_builtin(edge, "doc_id", "s", **kw).collect()
+        )
+        assert a == b
