@@ -33,12 +33,59 @@ iteration count by construction.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from demy_spark.functions.textstats import norm_tokens
 
 __all__ = ["apply_merges", "bpe_encode", "bpe_train", "phrase_merges"]
+
+
+@contextmanager
+def _training_loop_conf(spark, checkpoint_dir: str | None):
+    """Session settings for an eager merge-round loop, restored on
+    exit: the reliable-checkpoint directory (pre-existing dir put
+    back; if none was set the new one stays — Spark has no public
+    unset), and AQE off for the duration — every round's frames are
+    vocab-sized, where adaptive replanning adds a scheduler job per
+    exchange and optimizes nothing (measured in PLANS.md round-5:
+    37 → 13 jobs for 6 BPE rounds). Other queries the caller runs
+    CONCURRENTLY with training would plan with AQE off too — the
+    documented tradeoff of both mutations being session-global."""
+    prev_ckpt = spark.sparkContext.getCheckpointDir()
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        if checkpoint_dir is not None and prev_ckpt is not None:
+            spark.sparkContext.setCheckpointDir(prev_ckpt)
+
+
+def _argmax_pair(counts: DataFrame):
+    """Collect the winning (``_w_``, ``_wn_``, ``_cnt_``) row: highest
+    count, ties to the lexicographically smallest pair. ONE job — a
+    single-row ``min_by`` aggregation over a struct ordering key
+    (count negated so struct-lexicographic min = count-desc,
+    pair-asc), never ``orderBy().limit(1).first()``, whose
+    CollectLimit partition ramp-up costs 3-4 jobs per call (measured
+    in PLANS.md round-5). Returns None when ``counts`` is empty."""
+    row = counts.select(
+        F.min_by(
+            F.struct("_w_", "_wn_", "_cnt_"),
+            F.struct(
+                (-F.col("_cnt_")).alias("_o1_"),
+                F.col("_w_").alias("_o2_"),
+                F.col("_wn_").alias("_o3_"),
+            ),
+        ).alias("_best_")
+    ).first()
+    return row["_best_"] if row is not None else None
 
 
 def _merge_pass(cand: DataFrame, joiner: str, wdoc: Window) -> DataFrame:
@@ -60,15 +107,24 @@ def _merge_pass(cand: DataFrame, joiner: str, wdoc: Window) -> DataFrame:
     )
     # left-to-right non-overlap: inside each island of consecutive
     # matched positions, keep every other match starting from the
-    # island head (only self-adjacent pairs form islands > 1)
-    wm = Window.partitionBy("_id_", "_m_").orderBy("_p_")
+    # island head (only self-adjacent pairs form islands > 1).
+    # Every step runs over wdoc's partitioning — an island head is a
+    # match whose predecessor didn't match, the island start is the
+    # latest head position so far (running max), and keep alternates
+    # on parity from the start. The earlier gaps-and-islands
+    # formulation (row_number per (_id_, _m_) + min per (_id_, _isl_))
+    # computed the same thing with THREE window partitionings = three
+    # exchanges per round; this is ONE (PLANS.md round-5 job audit).
+    running = wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cand = cand.withColumn(
-        "_isl_", F.when(F.col("_m_"), F.col("_p_") - F.row_number().over(wm))
+        "_head_", F.col("_m_") & ~F.lag("_m_", 1, False).over(wdoc)
+    ).withColumn(
+        "_start_",
+        F.max(F.when(F.col("_head_"), F.col("_p_"))).over(running),
     )
-    wi = Window.partitionBy("_id_", "_isl_")
     cand = cand.withColumn(
         "_keep_",
-        F.col("_m_") & (((F.col("_p_") - F.min("_p_").over(wi)) % 2) == 0),
+        F.col("_m_") & (((F.col("_p_") - F.col("_start_")) % 2) == 0),
     )
     # a position is dropped when the PREVIOUS position merged it
     cand = cand.withColumn("_gone_", F.lag("_keep_", 1, False).over(wdoc))
@@ -120,80 +176,82 @@ def phrase_merges(
     ``checkpoint`` instead — slower (one distributed write per
     round) but survives executor loss.
 
-    NOTE: passing ``checkpoint_dir`` calls
-    ``sparkContext.setCheckpointDir`` — a SESSION-GLOBAL mutation
-    that persists after this call and redirects reliable checkpoints
-    of any other operator in the same session. It cannot be
-    save/restored here because the returned frames checkpoint LAZILY
-    (the directory is read when they first materialize, which is
-    after this function returns). Sessions that reliably checkpoint
-    elsewhere should pass the same directory everywhere.
+    The call is EAGER: rounds are inherently sequential (each round's
+    pair depends on the previous round's stream), so the training
+    loop runs its Spark jobs inside this function — each round is ONE
+    TakeOrdered argmax (a single collected row: dictionary-sized
+    driver state, same contract as the tuning thresholds) plus the
+    round's count, and the returned ``merges`` frame is literal rows.
+    The earlier all-in-plan formulation re-executed every round's
+    argmax when the output was evaluated and paid a broadcast-
+    materialization job per round (~7 jobs/round vs 2 — measured in
+    PLANS.md round-5); the collected row also lets a pair-exhausted
+    corpus stop scheduling work for the remaining rounds entirely.
+
+    NOTE on ``checkpoint_dir``: ``sparkContext.setCheckpointDir`` is
+    session-global. Because rounds materialize inside the call, a
+    pre-existing checkpoint dir is RESTORED before returning; if none
+    was set, the directory stays set (Spark has no public unset).
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    if checkpoint_dir is not None:
-        docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    t = docs.select(
-        F.col(id_col).alias("_id_"),
-        F.posexplode(norm_tokens(F.col(text_col))).alias("_p_", "_w_"),
+    spark = docs.sparkSession
+    with _training_loop_conf(spark, checkpoint_dir):
+        t = docs.select(
+            F.col(id_col).alias("_id_"),
+            F.posexplode(norm_tokens(F.col(text_col))).alias("_p_", "_w_"),
+        )
+        merge_rows: list[tuple] = []
+        wdoc = Window.partitionBy("_id_").orderBy("_p_")
+        tokens_after: int | None = None
+        exhausted = False
+        for it in range(1, iterations + 1):
+            if not exhausted:
+                paired = t.withColumn("_wn_", F.lead("_w_").over(wdoc))
+                best = _argmax_pair(
+                    paired.where(F.col("_wn_").isNotNull())
+                    .groupBy("_w_", "_wn_")
+                    .agg(F.count(F.lit(1)).alias("_cnt_"))
+                )
+                if best is None:
+                    # pair-exhausted corpus: this and every later
+                    # round is a no-op (an unchanged stream can never
+                    # grow new pairs) — emit all-NULL merge rows and
+                    # schedule nothing more
+                    exhausted = True
+                    tokens_after = t.count()
+                else:
+                    # localCheckpoint truncates the per-round lineage —
+                    # without it later rounds re-execute every earlier
+                    # round's window chain (measured 2.5× wall at 10×
+                    # data), and the plan depth grows per iteration
+                    t = _merge_pass(
+                        paired.withColumns(
+                            {
+                                "_w1_": F.lit(best["_w_"]),
+                                "_w2_": F.lit(best["_wn_"]),
+                            }
+                        ),
+                        joiner,
+                        wdoc,
+                    )
+                    t = (
+                        t.checkpoint(eager=False)
+                        if checkpoint_dir is not None
+                        else t.localCheckpoint(eager=False)
+                    )
+                    # the count doubles as the round's checkpoint
+                    # materialization barrier
+                    tokens_after = t.count()
+                    merge_rows.append(
+                        (it, best["_w_"], best["_wn_"], best["_cnt_"], tokens_after)
+                    )
+                    continue
+            merge_rows.append((it, None, None, None, tokens_after))
+    merges = spark.createDataFrame(
+        merge_rows,
+        "iteration int, w1 string, w2 string, pair_count long, tokens_after long",
     )
-    merge_rows: list[DataFrame] = []
-    wdoc = Window.partitionBy("_id_").orderBy("_p_")
-    for it in range(1, iterations + 1):
-        paired = t.withColumn("_wn_", F.lead("_w_").over(wdoc))
-        counts = (
-            paired.where(F.col("_wn_").isNotNull())
-            .groupBy("_w_", "_wn_")
-            .agg(F.count(F.lit(1)).alias("_cnt_"))
-        )
-        # the all-NULL sentinel guarantees best is ALWAYS one row: when
-        # a round finds no adjacent pair at all (pair-exhausted corpus,
-        # iterations set higher than the data supports) the sentinel
-        # wins, matches nothing, and the round is a no-op — without it
-        # the cross join with an EMPTY argmax frame would annihilate
-        # the whole token stream
-        sentinel = t.sparkSession.range(1).select(
-            F.lit(None).cast("string").alias("_w1_"),
-            F.lit(None).cast("string").alias("_w2_"),
-            F.lit(None).cast("long").alias("_bcnt_"),
-        )
-        best = (
-            counts.select(
-                F.col("_w_").alias("_w1_"),
-                F.col("_wn_").alias("_w2_"),
-                F.col("_cnt_").alias("_bcnt_"),
-            )
-            .unionAll(sentinel)
-            .orderBy(
-                F.col("_bcnt_").desc_nulls_last(),
-                F.col("_w1_").asc(),
-                F.col("_w2_").asc(),
-            )
-            .limit(1)
-        )
-        # localCheckpoint truncates the per-round lineage — without it
-        # the merges/tokens_after union branches re-execute every
-        # earlier round's window chain once per branch (measured 2.5×
-        # wall at 10× data), and the plan depth grows per iteration
-        t = _merge_pass(paired.join(F.broadcast(best)), joiner, wdoc)
-        t = (
-            t.checkpoint(eager=False)
-            if checkpoint_dir is not None
-            else t.localCheckpoint(eager=False)
-        )
-        after = t.agg(F.count(F.lit(1)).alias("tokens_after"))
-        merge_rows.append(
-            best.crossJoin(after).select(
-                F.lit(it).alias("iteration"),
-                F.col("_w1_").alias("w1"),
-                F.col("_w2_").alias("w2"),
-                F.col("_bcnt_").alias("pair_count"),
-                "tokens_after",
-            )
-        )
-    merges = merge_rows[0]
-    for m in merge_rows[1:]:
-        merges = merges.unionAll(m)
     tokens = t.select(
         F.col("_id_").alias(id_col),
         F.col("_p_").alias("pos"),
@@ -331,69 +389,68 @@ def bpe_train(
     Per-round lineage truncates with localCheckpoint, or a RELIABLE
     checkpoint when ``checkpoint_dir`` is set — real tokenizer runs
     are 10k-100k rounds, exactly the executor-loss exposure the
-    word-level twins document. ``checkpoint_dir`` carries
-    ``phrase_merges``'s documented SESSION-GLOBAL ``setCheckpointDir``
-    side effect.
+    word-level twins document.
+
+    Like ``phrase_merges``, the call is EAGER with a driver-side
+    1-row argmax per round (rounds are inherently sequential;
+    2 jobs/round instead of ~7, pair-exhausted corpora stop
+    scheduling entirely, and ``merge_table`` is literal rows that
+    never re-execute training). A pre-existing session checkpoint
+    dir is restored before returning when ``checkpoint_dir`` is set.
     """
     if merges < 1:
         raise ValueError(f"merges must be >= 1, got {merges}")
-    if checkpoint_dir is not None:
-        docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    vocab = (
-        docs.select(F.explode(norm_tokens(F.col(text_col))).alias("_id_"))
-        .groupBy("_id_")
-        .agg(F.count(F.lit(1)).alias("_freq_"))
+    spark = docs.sparkSession
+    with _training_loop_conf(spark, checkpoint_dir):
+        vocab = (
+            docs.select(F.explode(norm_tokens(F.col(text_col))).alias("_id_"))
+            .groupBy("_id_")
+            .agg(F.count(F.lit(1)).alias("_freq_"))
+        )
+        # the word string is its own id: unique by construction, and
+        # the per-word windows partition on it directly
+        t = _char_rows(vocab, end_of_word).localCheckpoint(eager=False)
+        freqs = vocab.persist()
+        wdoc = Window.partitionBy("_id_").orderBy("_p_")
+        merge_rows: list[tuple] = []
+        exhausted = False
+        for rank in range(1, merges + 1):
+            best = None
+            if not exhausted:
+                paired = t.withColumn("_wn_", F.lead("_w_").over(wdoc))
+                best = _argmax_pair(
+                    paired.where(F.col("_wn_").isNotNull())
+                    .join(freqs, "_id_")
+                    .groupBy("_w_", "_wn_")
+                    .agg(F.sum("_freq_").alias("_cnt_"))
+                )
+                exhausted = best is None
+            if best is None:
+                # all-NULL sentinel rows, same contract as
+                # phrase_merges — no jobs scheduled for dead rounds
+                merge_rows.append((rank, None, None, None))
+                continue
+            t = _merge_pass(
+                paired.withColumns(
+                    {"_w1_": F.lit(best["_w_"]), "_w2_": F.lit(best["_wn_"])}
+                ),
+                "",
+                wdoc,
+            )
+            t = (
+                t.checkpoint(eager=False)
+                if checkpoint_dir is not None
+                else t.localCheckpoint(eager=False)
+            )
+            merge_rows.append((rank, best["_w_"], best["_wn_"], best["_cnt_"]))
+        if checkpoint_dir is not None:
+            # the final round's reliable checkpoint must materialize
+            # while OUR directory is still set (every earlier round
+            # materialized through the next round's argmax)
+            t.count()
+    merge_table = spark.createDataFrame(
+        merge_rows, "rank int, sym1 string, sym2 string, pair_freq long"
     )
-    # the word string is its own id: unique by construction, and the
-    # per-word windows partition on it directly
-    t = _char_rows(vocab, end_of_word).localCheckpoint(eager=False)
-    freqs = vocab.persist()
-    wdoc = Window.partitionBy("_id_").orderBy("_p_")
-    merge_rows: list[DataFrame] = []
-    for rank in range(1, merges + 1):
-        paired = t.withColumn("_wn_", F.lead("_w_").over(wdoc))
-        counts = (
-            paired.where(F.col("_wn_").isNotNull())
-            .join(freqs, "_id_")
-            .groupBy("_w_", "_wn_")
-            .agg(F.sum("_freq_").alias("_cnt_"))
-        )
-        sentinel = t.sparkSession.range(1).select(
-            F.lit(None).cast("string").alias("_w1_"),
-            F.lit(None).cast("string").alias("_w2_"),
-            F.lit(None).cast("long").alias("_bcnt_"),
-        )
-        best = (
-            counts.select(
-                F.col("_w_").alias("_w1_"),
-                F.col("_wn_").alias("_w2_"),
-                F.col("_cnt_").alias("_bcnt_"),
-            )
-            .unionAll(sentinel)
-            .orderBy(
-                F.col("_bcnt_").desc_nulls_last(),
-                F.col("_w1_").asc(),
-                F.col("_w2_").asc(),
-            )
-            .limit(1)
-        )
-        t = _merge_pass(paired.join(F.broadcast(best)), "", wdoc)
-        t = (
-            t.checkpoint(eager=False)
-            if checkpoint_dir is not None
-            else t.localCheckpoint(eager=False)
-        )
-        merge_rows.append(
-            best.select(
-                F.lit(rank).alias("rank"),
-                F.col("_w1_").alias("sym1"),
-                F.col("_w2_").alias("sym2"),
-                F.col("_bcnt_").alias("pair_freq"),
-            )
-        )
-    merge_table = merge_rows[0]
-    for m in merge_rows[1:]:
-        merge_table = merge_table.unionAll(m)
     vocab_symbols = (
         _assemble_symbols(t)
         .join(freqs, "_id_")

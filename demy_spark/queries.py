@@ -6368,10 +6368,12 @@ def q104_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     — word2phrase-style collocation mining, the preprocessing the
     reference's Word2Vec surface trains on, and the word-level
     skeleton of BPE tokenizer training): 3 greedy rounds of
-    merge-the-most-frequent-adjacent-pair over the corpus, everything
-    in-plan (argmax is a 1-row TakeOrdered frame cross-joined back,
-    never a driver collect; non-overlap via parity-island windows per
-    document). The oracle unrolls all 3 rounds as CTEs and reproduces
+    merge-the-most-frequent-adjacent-pair over the corpus. Rounds are
+    inherently sequential, so each round's argmax is ONE collected row
+    (dictionary-sized driver state — the tuning-thresholds contract)
+    inlined as literals into the merge pass; non-overlap via
+    parity-island running windows per document, one exchange per
+    round. The oracle unrolls all 3 rounds as CTEs and reproduces
     pair counts, tie-breaks, merge placement and the re-compacted
     token stream bit-for-bit."""
     from demy_spark.operators.phrases import phrase_merges
@@ -7776,27 +7778,41 @@ def q123_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      label propagation routed through IVF candidates, closing VERDICT
 #      task 5) — plus q121, whose avg_value derivation changed from a
 #      rounded double quotient to pure integer arithmetic (ADVICE r4
-#      quantization fix), so it re-earns its row;
+#      quantization fix), so it re-earns its row, and q104/q113/q115/
+#      q116, whose merge-pass/trainer execution changed this round
+#      (see the tier-1 note below);
 #   2. ALL 29 queries whose latest green row is CORRECTNESS_r02 — the
 #      22 round-4 documented deferrals (q04-q09, q11, q13, q15-q17,
 #      q20, q22, q48, q55, q58-q60, q68, q69, q72, q73) plus the 7
 #      round-4 displacements (q25, q46, q49, q50, q52, q70, q71);
 #      after this round no official row is older than r3;
-#   3. 18 of the 42 queries resting on r3 rows — the q74+ block,
+#   3. 14 of the 42 queries resting on r3 rows — the q74+ block,
 #      oldest-registered-first.
-# The 24 r3-resting deferrals (q01-q03, q12, q24, q26, q38, q47, q51,
-# q56, q57, q62, q64, q95, q98, q99, q101, q103-q107, q109, q110) stay
-# on rows that are 1 round old today and lead the round-6 rotation;
-# q01-q03/q12/q24/q26 additionally run every round as bench headliners
-# and q24 sits on entry()'s flagship path, q51/q83 share
-# fuzzy_lookup.py's scoring with q122 rotating in tier 1, and q95
-# shares similarity.py's IVF/PQ path with q89 (tier 3) and q123
-# (tier 1).
+# The 28 r3-resting deferrals (q01-q03, q12, q24, q26, q38, q47, q51,
+# q56, q57, q62, q64, q89-q91, q94, q95, q98, q99, q101, q103,
+# q105-q107, q109, q110) stay on rows that are 1 round old today and
+# lead the round-6 rotation; q01-q03/q12/q24/q26 additionally run
+# every round as bench headliners and q24 sits on entry()'s flagship
+# path, q51/q83 share fuzzy_lookup.py's scoring with q122 rotating in
+# tier 1, q95 shares similarity.py's IVF/PQ path with q89 (deferred)
+# and q123 (tier 1), and deferred q89/q90/q91/q94 keep same-family
+# in-window siblings (q123's IVF quantizer, q119's quantiles, q92's
+# regex gate, q94's packing shares q111's token plumbing).
 _DRIVER_PRIORITY = [
-    # --- tier 1: never-rowed registrations + behavior change
+    # --- tier 1: never-rowed registrations + behavior changes.
+    # q104/q113/q115/q116 re-earn rows because the merge-pass/trainer
+    # execution changed this round (driver-side 1-row argmax, one-
+    # exchange parity islands — outputs identical on the full sim,
+    # but the machinery every one of them runs through is new); they
+    # displace the 4 youngest tier-3 r3 rows (q89/q90/q91/q94), which
+    # lead the round-6 rotation instead
     "q122_fuzzy_typed_filter",
     "q123_knn_ivf",
     "q121_incremental_rollup",
+    "q104_phrase_merges",
+    "q113_bpe_apply",
+    "q115_bpe_train",
+    "q116_bpe_encode",
     # --- tier 2: every query still resting on a CORRECTNESS_r02 row
     "q04_priority_exists",
     "q05_customers_without_orders",
@@ -7827,7 +7843,7 @@ _DRIVER_PRIORITY = [
     "q71_online_centers",
     "q72_point_in_polygon",
     "q73_platt_calibration",
-    # --- tier 3: oldest r3 rows (18 of 42; deferrals documented above)
+    # --- tier 3: oldest r3 rows (14 of 42; deferrals documented above)
     "q74_embed_options",
     "q75_shapefile_flatten",
     "q76_tree_spawn",
@@ -7842,10 +7858,6 @@ _DRIVER_PRIORITY = [
     "q86_contamination_check",
     "q87_canonical_docs",
     "q88_mixture_sample",
-    "q89_pq_ann_topk",
-    "q90_histogram_quantiles",
-    "q91_pii_redaction",
-    "q94_sequence_pack",
 ]
 
 

@@ -79,6 +79,27 @@ def test_phrase_merges_reliable_checkpoint_dir(spark, tmp_path):
     assert any(os.scandir(tmp_path / "ckpt"))
 
 
+def test_training_restores_session_checkpoint_dir_and_aqe(spark, tmp_path):
+    """The eager trainers set the session checkpoint dir and disable
+    AQE for the duration of the loop; a PRE-EXISTING checkpoint dir
+    and the AQE setting must both be back (even though the trainer's
+    own dir stays set when none existed before — documented)."""
+    from demy_spark.operators.phrases import bpe_train
+
+    sc = spark.sparkContext
+    prior = str(tmp_path / "prior")
+    sc.setCheckpointDir(prior)
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    docs = spark.createDataFrame([("ab ab",)], "text string")
+    mt, _ = bpe_train(docs, "text", merges=1, checkpoint_dir=str(tmp_path / "mine"))
+    assert mt.count() == 1
+    # setCheckpointDir nests a UUID subdir per call, so the restored
+    # dir is UNDER the prior root (not under the trainer's dir)
+    got = sc.getCheckpointDir()
+    assert got is not None and "/prior/" in got and "/mine" not in got
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe_before
+
+
 def test_phrase_merges_greedy_argmax_chain(spark):
     m, t = _run(
         spark,
