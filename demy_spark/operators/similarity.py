@@ -36,7 +36,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from demy_spark.functions.vectors import cosine_similarity
+from demy_spark.functions.vectors import cosine_similarity, dot, l2_norm
+
+
+def _hoisted_cosine() -> Column:
+    """``cosine_similarity("_qv_", "_cv_")`` with the per-vector norms
+    pre-computed into ``_qn_``/``_cn_`` columns: the pairwise stage
+    pays ONE interpreted array fold per pair (the dot product) instead
+    of three. Same operand order as ``cosine_similarity`` (query norm
+    first), and IEEE doubles are bit-identical whether the norm fold
+    runs beside the pair or per vector — semdedup's measured
+    22.6 → 3.5 s fix, applied to every top-k rerank here. (An
+    unrolled fixed-width codegen dot was prototyped and measured 5x
+    SLOWER inside the shuffle-fed rerank stage — see PLANS.md round-5
+    rerank audit — so the fold stays.)"""
+    return F.when(
+        (F.col("_qn_") > 0) & (F.col("_cn_") > 0),
+        dot("_qv_", "_cv_") / (F.col("_qn_") * F.col("_cn_")),
+    ).otherwise(F.lit(0.0))
 
 
 def _plane_component(plane: Column, dim_idx: Column, seed: int) -> Column:
@@ -92,12 +109,15 @@ def cosine_topk(
     qi = query_id_col or id_col
     q = queries.select(
         F.col(qi).alias("query_id"), F.col(qv).alias("_qv_")
-    )
-    pairs = corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    ).withColumn("_qn_", l2_norm("_qv_"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv_")
+    ).withColumn("_cn_", l2_norm("_cv_"))
+    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        cosine_similarity("_qv_", vec_col).alias("sim"),
+        "neighbor_id",
+        _hoisted_cosine().alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
@@ -128,17 +148,17 @@ def lsh_cosine_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv_"),
         hyperplane_bucket(F.col(vec_col), num_planes, seed).alias("_bucket_"),
-    )
+    ).withColumn("_cn_", l2_norm("_cv_"))
     q = queries.select(
         F.col(qi).alias("query_id"),
         F.col(qv).alias("_qv_"),
         hyperplane_bucket(F.col(qv), num_planes, seed).alias("_bucket_"),
-    )
+    ).withColumn("_qn_", l2_norm("_qv_"))
     pairs = c.join(F.broadcast(q), "_bucket_").where(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = pairs.select(
-        "query_id", "neighbor_id", cosine_similarity("_qv_", "_cv_").alias("sim")
+        "query_id", "neighbor_id", _hoisted_cosine().alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
@@ -250,15 +270,17 @@ def ivf_cosine_topk(
     lists = assigned.select(
         F.col(id_col).alias("neighbor_id"), "cluster"
     ).join(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv_")),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv_")
+        ).withColumn("_cn_", l2_norm("_cv_")),
         "neighbor_id",
     )
     cand = lists.join(F.broadcast(probe), "cluster").where(
         F.col("neighbor_id") != F.col("query_id")
     )
-    scored = cand.join(F.broadcast(q), "query_id").select(
-        "query_id", "neighbor_id", cosine_similarity("_qv_", "_cv_").alias("sim")
-    )
+    scored = cand.join(
+        F.broadcast(q.withColumn("_qn_", l2_norm("_qv_"))), "query_id"
+    ).select("query_id", "neighbor_id", _hoisted_cosine().alias("sim"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 

@@ -28,13 +28,12 @@ from demy_spark.io import load_table  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def replicate(df, id_col: str, n: int = 10):
+def replicate(df, id_col: str, n: int = 10, keep_rep: bool = False):
     reps = df.sparkSession.range(n).select(F.col("id").alias("_rep_"))
-    return (
-        df.crossJoin(F.broadcast(reps))
-        .withColumn(id_col, F.col(id_col) * n + F.col("_rep_"))
-        .drop("_rep_")
+    out = df.crossJoin(F.broadcast(reps)).withColumn(
+        id_col, F.col(id_col) * n + F.col("_rep_")
     )
+    return out if keep_rep else out.drop("_rep_")
 
 
 def timeit(spark, label: str, mk) -> float:
@@ -111,7 +110,27 @@ def main() -> None:
         timeit(spark, label, lambda d=d: fuzzy_shape(d))
 
     # --- knn via IVF (q123 shape; n_lists scales with corpus) ---------
+    # Two 10x variants: raw replication collapses each vector's 10
+    # copies into ONE point (cosine is scale/position-sensitive to
+    # nothing we replicate), so the Lloyd lists degenerate to ~10x
+    # their balanced size and every probe drags ~10x the contract's
+    # candidate fraction — the worst-case-skew reading. The jittered
+    # variant perturbs each copy directionally (deterministic per
+    # (rep, dim)) so lists balance — the contract reading.
     from demy_spark.operators.similarity import ivf_cosine_topk, knn_classify
+
+    emb10j = (
+        replicate(emb, "vec_id", keep_rep=True)
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: x + ((F.col("_rep_") * 31 + i) % 7 - 3) * 0.01,
+            ),
+        )
+        .drop("_rep_")
+        .localCheckpoint()
+    )
 
     def knn_shape(e, n_lists):
         queries = e.where(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
@@ -121,7 +140,11 @@ def main() -> None:
         ).select("query_id", "neighbor_id")
         return knn_classify(e, queries, "embedding", "vec_id", "label", k=5, candidates=cand)
 
-    for label, e, nl in (("knn_ivf 1x", emb, 8), ("knn_ivf 10x", emb10, 80)):
+    for label, e, nl in (
+        ("knn_ivf 1x", emb, 8),
+        ("knn_ivf 10x (collapsed dups, worst-case skew)", emb10, 80),
+        ("knn_ivf 10x (jittered, balanced lists)", emb10j, 80),
+    ):
         timeit(spark, label, lambda e=e, nl=nl: knn_shape(e, nl))
 
     spark.stop()
