@@ -204,6 +204,176 @@ def dup_ngram_fraction(c: Column | str, n: int = 2) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def _word_grams(toks: Column, n: int) -> Column:
+    """Word n-grams joined with single spaces; empty array when the
+    document has fewer than ``n`` tokens."""
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def _run_stats(items: Column) -> Column:
+    """Duplication statistics over a string array in ONE pass: sort,
+    then fold runs of equal values. Returns struct(dup_excess: long —
+    occurrences beyond the first of each duplicated value; dup_chars:
+    long — characters across ALL occurrences of duplicated values;
+    top_cnt: long / top_item: string — the most frequent value, ties
+    to the lexicographically smallest).
+
+    O(G log G) per row (native array_sort + a linear ``aggregate``
+    fold) instead of the O(G·distinct) ``filter``-count shape — the
+    difference between a narrow expression and a blow-up on
+    million-token documents. No shuffle, no UDF."""
+    fields = ("prev", "run", "dup_excess", "dup_chars", "top_cnt", "top_item")
+
+    def st(prev, run, dup_excess, dup_chars, top_cnt, top_item):
+        vals = (prev, run, dup_excess, dup_chars, top_cnt, top_item)
+        return F.struct(*(v.alias(f) for v, f in zip(vals, fields)))
+
+    def close(s):
+        """Fold the in-flight run into the accumulators (run may be 0
+        at the very start / on an empty array)."""
+        dup = s["run"] >= 2
+        return (
+            s["dup_excess"]
+            + F.when(dup, s["run"] - 1).otherwise(F.lit(0)).cast("long"),
+            s["dup_chars"]
+            + F.when(dup, s["run"] * F.length(s["prev"]))
+            .otherwise(F.lit(0))
+            .cast("long"),
+            # sorted ascending, so a strict > keeps the smallest item
+            # among equal counts
+            F.when(s["run"] > s["top_cnt"], s["run"]).otherwise(s["top_cnt"]),
+            F.when(s["run"] > s["top_cnt"], s["prev"]).otherwise(s["top_item"]),
+        )
+
+    def merge(s, x):
+        same = s["prev"].isNotNull() & (x == s["prev"])
+        de, dc, tc, ti = close(s)
+        return st(
+            x,
+            F.when(same, s["run"] + 1).otherwise(F.lit(1).cast("long")),
+            F.when(same, s["dup_excess"]).otherwise(de),
+            F.when(same, s["dup_chars"]).otherwise(dc),
+            F.when(same, s["top_cnt"]).otherwise(tc),
+            F.when(same, s["top_item"]).otherwise(ti),
+        )
+
+    def finish(s):
+        de, dc, tc, ti = close(s)
+        return F.struct(
+            de.alias("dup_excess"),
+            dc.alias("dup_chars"),
+            tc.alias("top_cnt"),
+            ti.alias("top_item"),
+        )
+
+    init = st(
+        F.lit(None).cast("string"),
+        F.lit(0).cast("long"),
+        F.lit(0).cast("long"),
+        F.lit(0).cast("long"),
+        F.lit(0).cast("long"),
+        F.lit(None).cast("string"),
+    )
+    return F.aggregate(F.array_sort(items), init, merge, finish)
+
+
+def top_ngram_char_fraction(c: Column | str, n: int) -> Column:
+    """Characters covered by every occurrence of the single most
+    frequent word n-gram, over the length of the whitespace-normalized
+    text — the "top n-gram" repetition signal of the published
+    corpus-quality rule sets (n=2..4; a high value means one template
+    phrase dominates the document). Ties break to the smallest gram;
+    0.0 when the document has fewer than ``n`` tokens. Overlapping
+    occurrences double-count by construction, so the value caps at
+    1.0 (e.g. "a b a b" counts "a b a b" twice at n=4)."""
+    toks = ws_norm_tokens(c)
+    stats = _run_stats(_word_grams(toks, n))
+    norm_len = F.length(F.concat_ws(" ", toks))
+    return F.when(
+        (stats["top_cnt"] > 0) & (norm_len > 0),
+        F.least(
+            F.lit(1.0),
+            (stats["top_cnt"] * F.length(stats["top_item"]))
+            / norm_len.cast("double"),
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_char_fraction(c: Column | str, n: int) -> Column:
+    """Characters contained in ALL occurrences of duplicated word
+    n-grams, over the length of the whitespace-normalized text, capped
+    at 1.0 (overlapping grams double-count by construction; the
+    published rule sets use n=5..10 where a high value flags wholesale
+    repeated passages). 0.0 when the document has fewer than ``n``
+    tokens."""
+    toks = ws_norm_tokens(c)
+    stats = _run_stats(_word_grams(toks, n))
+    norm_len = F.length(F.concat_ws(" ", toks))
+    return F.when(
+        (stats["dup_chars"] > 0) & (norm_len > 0),
+        F.least(F.lit(1.0), stats["dup_chars"] / norm_len.cast("double")),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_fraction(c: Column | str, sep: str = "\n") -> Column:
+    """Fraction of non-empty line OCCURRENCES that repeat an earlier
+    line of the same document (1 - distinct/total) — the duplicate
+    line/paragraph signal (``sep`` is a Java regex; pass "\\n\\n" for
+    paragraphs)."""
+    lines = F.filter(F.split(_as_col(c), sep), lambda x: x != "")
+    total = F.size(lines)
+    return F.when(
+        total > 0, 1.0 - F.size(F.array_distinct(lines)) / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_char_fraction(c: Column | str, sep: str = "\n") -> Column:
+    """Characters a per-document line dedup would REMOVE (occurrences
+    beyond the first of each duplicated line), over the characters of
+    all non-empty lines."""
+    lines = F.filter(F.split(_as_col(c), sep), lambda x: x != "")
+    # excess chars = total chars - one kept copy of each distinct line
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    kept_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    return F.when(
+        total_chars > 0,
+        (total_chars - kept_chars) / total_chars.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_profile(
+    c: Column | str,
+    *,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+    line_sep: str = "\n",
+) -> Column:
+    """The within-document repetition bundle of the published
+    corpus-quality rule sets as ONE struct column: duplicate-line
+    occurrence and character fractions plus top-n-gram (default
+    n=2,3,4) and duplicate-n-gram (default n=5,10) character
+    fractions. Field names: dup_line_frac, dup_line_char_frac,
+    top{n}_char_frac, dup{n}_char_frac. Pure per-row expressions —
+    composes with ``gopher_rules`` as a narrow predicate/projection
+    at any scale."""
+    parts = [
+        dup_line_fraction(c, line_sep).alias("dup_line_frac"),
+        dup_line_char_fraction(c, line_sep).alias("dup_line_char_frac"),
+    ]
+    for n in top_ns:
+        parts.append(top_ngram_char_fraction(c, n).alias(f"top{n}_char_frac"))
+    for n in dup_ns:
+        parts.append(dup_ngram_char_fraction(c, n).alias(f"dup{n}_char_frac"))
+    return F.struct(*parts)
+
+
 def gopher_rules(
     c: Column | str,
     *,

@@ -7770,13 +7770,118 @@ def q123_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q124_GRAM_SQL = """
+    {alias} AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest([array_to_string(t[i:i+{nm1}], ' ')
+                             FOR i IN range(1, len(t) - {nm2})]) AS g
+              FROM base)
+        GROUP BY doc_id, g
+    )"""
+
+
+@register(
+    "q124_repetition_profile",
+    f"""
+    WITH s AS (
+        SELECT doc_id, {_TOKS_WS_SQL} AS t FROM documents),
+    base AS (
+        SELECT doc_id, t, length(array_to_string(t, ' ')) AS norm_len
+        FROM s),
+    {','.join(
+        _Q124_GRAM_SQL.format(alias=f'c{n}', nm1=n - 1, nm2=n - 2)
+        for n in (2, 3, 4)
+    )},
+    {','.join(
+        f'''
+    top{n} AS (
+        SELECT doc_id,
+               least(1.0, c * length(g) / CAST(b.norm_len AS DOUBLE)) AS frac
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY c DESC, g ASC) AS rk
+              FROM c{n}) j
+        JOIN base b USING (doc_id)
+        WHERE rk = 1 AND b.norm_len > 0
+    )'''
+        for n in (2, 3, 4)
+    )},
+    {','.join(
+        f'''
+    dup{n} AS (
+        SELECT doc_id,
+               least(1.0,
+                     sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)
+                     / CAST(any_value(b.norm_len) AS DOUBLE)) AS frac
+        FROM c{n} j JOIN base b USING (doc_id)
+        WHERE b.norm_len > 0
+        GROUP BY doc_id
+    )'''
+        for n in (2, 3)
+    )}
+    SELECT b.doc_id,
+           round(coalesce(top2.frac, 0.0), 6) + 0.0 AS top2_char_frac,
+           round(coalesce(top3.frac, 0.0), 6) + 0.0 AS top3_char_frac,
+           round(coalesce(top4.frac, 0.0), 6) + 0.0 AS top4_char_frac,
+           round(coalesce(dup2.frac, 0.0), 6) + 0.0 AS dup2_char_frac,
+           round(coalesce(dup3.frac, 0.0), 6) + 0.0 AS dup3_char_frac
+    FROM base b
+    LEFT JOIN top2 USING (doc_id)
+    LEFT JOIN top3 USING (doc_id)
+    LEFT JOIN top4 USING (doc_id)
+    LEFT JOIN dup2 USING (doc_id)
+    LEFT JOIN dup3 USING (doc_id)
+    """,
+)
+def q124_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals of the published
+    corpus-quality rule sets (the family ``gopher_rules``'s dup2
+    occurrence fraction belongs to): top-n-gram character fractions
+    (n=2,3,4; the most frequent n-gram's coverage, ties to the
+    smallest gram, capped at 1.0) and duplicated-n-gram character
+    fractions (all occurrences of repeated n-grams; the query uses
+    n=2,3 where the fixture distributions are non-degenerate — the
+    operator's defaults keep the published n=5,10). Everything is a
+    pure per-row expression over ONE pass of the sorted gram array
+    (``textstats._run_stats`` run-length fold, O(G log G) per doc) —
+    no shuffle, no UDF, scales to million-token documents. No
+    reference analog (extension, like chunking); the oracle replays
+    every fraction relationally (group-by gram + window argmax)."""
+    from demy_spark.functions import textstats
+
+    t = _t(spark, sf_dir)
+
+    def r6(col):
+        return F.round(col, 6) + F.lit(0.0)
+
+    return t["documents"].select(
+        "doc_id",
+        r6(textstats.top_ngram_char_fraction(F.col("text"), 2)).alias(
+            "top2_char_frac"
+        ),
+        r6(textstats.top_ngram_char_fraction(F.col("text"), 3)).alias(
+            "top3_char_frac"
+        ),
+        r6(textstats.top_ngram_char_fraction(F.col("text"), 4)).alias(
+            "top4_char_frac"
+        ),
+        r6(textstats.dup_ngram_char_fraction(F.col("text"), 2)).alias(
+            "dup2_char_frac"
+        ),
+        r6(textstats.dup_ngram_char_fraction(F.col("text"), 3)).alias(
+            "dup3_char_frac"
+        ),
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-5 window: the staleness-paydown round VERDICT r4 ordered
 # first ("Next round: do this" #1):
 #   1. never-rowed new registrations — q122 (typed point filters on the
-#      flagship fuzzy lookup, closing VERDICT task 2) and q123 (kNN
+#      flagship fuzzy lookup, closing VERDICT task 2), q123 (kNN
 #      label propagation routed through IVF candidates, closing VERDICT
-#      task 5) — plus q121, whose avg_value derivation changed from a
+#      task 5), and q124 (repetition-profile quality signals, a round-5
+#      coverage extension) — plus q121, whose avg_value derivation changed from a
 #      rounded double quotient to pure integer arithmetic (ADVICE r4
 #      quantization fix), so it re-earns its row, and q104/q113/q115/
 #      q116, whose merge-pass/trainer execution changed this round
@@ -7808,6 +7913,7 @@ _DRIVER_PRIORITY = [
     # lead the round-6 rotation instead
     "q122_fuzzy_typed_filter",
     "q123_knn_ivf",
+    "q124_repetition_profile",
     "q121_incremental_rollup",
     "q104_phrase_merges",
     "q113_bpe_apply",
@@ -7843,7 +7949,9 @@ _DRIVER_PRIORITY = [
     "q71_online_centers",
     "q72_point_in_polygon",
     "q73_platt_calibration",
-    # --- tier 3: oldest r3 rows (14 of 42; deferrals documented above)
+    # --- tier 3: oldest r3 rows (13 of 42; deferrals documented above;
+    # q88 displaced late in round 5 by the never-rowed q124, joining
+    # q89-q91/q94 at the head of the round-6 rotation)
     "q74_embed_options",
     "q75_shapefile_flatten",
     "q76_tree_spawn",
@@ -7857,7 +7965,6 @@ _DRIVER_PRIORITY = [
     "q85_sparse_merge",
     "q86_contamination_check",
     "q87_canonical_docs",
-    "q88_mixture_sample",
 ]
 
 

@@ -357,3 +357,83 @@ def test_split_doc_builtin_parity(spark, sf_dir):
             for r in split_doc_records_builtin(edge, "doc_id", "s", **kw).collect()
         )
         assert a == b
+
+
+def test_repetition_profile_family(spark):
+    """top/dup n-gram char fractions + line-grain dup fractions: hand
+    values, the 1.0 overlap cap, the smallest-gram tie-break, and the
+    empty/single-token guards."""
+    import pyspark.sql.functions as F
+
+    from demy_spark.functions.textstats import (
+        dup_line_char_fraction,
+        dup_line_fraction,
+        dup_ngram_char_fraction,
+        repetition_profile,
+        top_ngram_char_fraction,
+    )
+
+    rows = [
+        # "a b" x3 of 4 bigrams; norm "a b a b a b c" = 13 chars
+        (1, "a b a b a b c"),
+        # overlapping "a b a b" counts twice at n=4 -> capped at 1.0
+        (2, "a b a b a b a b"),
+        # tie at count 1 between all bigrams -> smallest gram "b c"?
+        # grams: "c b","b a","a c" -> smallest "a c" (len 3) / 5 chars
+        (3, "c b a c"),
+        # repeated 3-token passage: dup3 covers both occurrences
+        (4, "one two three x one two three"),
+        (5, ""),
+        (6, "solo"),
+        # line grain: x repeats 3 times of 5 non-empty lines
+        (7, "x\ny\nx\nzz\n\nx"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            F.round(top_ngram_char_fraction("t", 2), 6).alias("top2"),
+            F.round(top_ngram_char_fraction("t", 4), 6).alias("top4"),
+            F.round(dup_ngram_char_fraction("t", 3), 6).alias("dup3"),
+            dup_line_fraction("t").alias("dlf"),
+            dup_line_char_fraction("t").alias("dlcf"),
+        ).collect()
+    }
+    assert out[1]["top2"] == round(3 * 3 / 13, 6)
+    assert out[2]["top4"] == 1.0  # 3 * 7 / 15 > 1 -> capped
+    assert out[3]["top2"] == round(3 / 7, 6)  # tie -> smallest gram "a c"
+    assert out[4]["dup3"] == round(2 * 13 / 29, 6)  # "one two three" twice
+    for i in (5, 6):
+        r = out[i]
+        assert (r["top2"], r["top4"], r["dup3"], r["dlf"], r["dlcf"]) == (
+            0.0,
+            0.0,
+            0.0,
+            0.0,
+            0.0,
+        )
+    # lines [x, y, x, zz, x]: 5 occurrences, 3 distinct -> dlf = 0.4;
+    # chars 1+1+1+2+1=6, kept distinct 1+1+2=4 -> dlcf = 2/6
+    assert out[7]["dlf"] == 0.4
+    assert abs(out[7]["dlcf"] - 2 / 6) < 1e-12
+
+    # paragraph grain via regex separator
+    para = spark.createDataFrame(
+        [(1, "p q\n\np q\n\nr")], "id int, t string"
+    ).select(dup_line_fraction("t", sep="\n\n").alias("f"))
+    assert abs(para.collect()[0]["f"] - (1 - 2 / 3)) < 1e-12
+
+    # bundle exposes the named fields
+    prof = df.where("id = 1").select(repetition_profile("t").alias("p")).collect()[0][
+        "p"
+    ]
+    assert set(prof.asDict()) == {
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top2_char_frac",
+        "top3_char_frac",
+        "top4_char_frac",
+        "dup5_char_frac",
+        "dup10_char_frac",
+    }
