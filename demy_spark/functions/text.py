@@ -111,6 +111,55 @@ def blank_urls(c: Column | str) -> Column:
     return _blank_urls_udf(_as_col(c))
 
 
+# C0 controls minus \t\n\r, DEL, and C1 controls — the bytes an
+# encoding-damaged crawl leaves behind. Zero-width code points are a
+# separate knob: ZWJ/ZWNJ are meaningful inside emoji and Indic/Persian
+# text, so stripping them is opt-in.
+CONTROL_CHAR_REGEX = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]"
+ZERO_WIDTH_REGEX = "[\\u200B\\u200C\\u200D\\u2060\\uFEFF]"
+
+
+def strip_control_chars(
+    c: Column | str, *, zero_width: bool = False
+) -> Column:
+    """Remove C0/C1 control characters (keeping ``\\t``/``\\n``/``\\r``)
+    — the standard hygiene pass before tokenization or dedup hashing on
+    crawled corpora. ``zero_width=True`` also removes ZWSP/ZWNJ/ZWJ/
+    word-joiner/BOM (off by default: ZWJ sequences carry meaning in
+    emoji and several scripts). Pure ``regexp_replace`` chain, JVM-side
+    codegen; replayable by any regex-capable SQL engine (q125's oracle
+    runs the identical chain)."""
+    out = F.regexp_replace(_as_col(c), CONTROL_CHAR_REGEX, "")
+    if zero_width:
+        out = F.regexp_replace(out, ZERO_WIDTH_REGEX, "")
+    return out
+
+
+_NORMALIZE_FORMS = ("NFC", "NFKC", "NFD", "NFKD")
+
+
+def unicode_normalize(c: Column | str, form: str = "NFC") -> Column:
+    """Unicode normalization (UAX #15) of a string column — canonical
+    composition (NFC) is the near-universal first step of corpus
+    pipelines so that byte-level dedup/hashing/sorting see one spelling
+    per text (``e`` + U+0301 vs precomposed ``é``); NFKC additionally
+    folds compatibility forms (ligatures, fullwidth digits) for
+    tokenizer-facing text. No Spark built-in expresses UAX #15, so this
+    is a vectorized pandas UDF (``Series.str.normalize``, Arrow-batched
+    — a pure per-row map: no shuffle, scales linearly like any
+    projection). Cross-engine parity with DuckDB's ``nfc_normalize`` is
+    pinned for NFC by tests and the q125 oracle; the other forms are
+    unit-tested against CPython's unicodedata."""
+    if form not in _NORMALIZE_FORMS:
+        raise ValueError(f"form must be one of {_NORMALIZE_FORMS}: {form!r}")
+
+    @F.pandas_udf(T.StringType())
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    return _norm(_as_col(c))
+
+
 def clean_tweet(
     c: Column | str,
     link_to: str = "link",

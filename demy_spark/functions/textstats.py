@@ -215,69 +215,136 @@ def _word_grams(toks: Column, n: int) -> Column:
 
 def _run_stats(items: Column) -> Column:
     """Duplication statistics over a string array in ONE pass: sort,
-    then fold runs of equal values. Returns struct(dup_excess: long —
-    occurrences beyond the first of each duplicated value; dup_chars:
+    then measure runs of equal values. Returns struct(dup_excess: long
+    — occurrences beyond the first of each duplicated value; dup_chars:
     long — characters across ALL occurrences of duplicated values;
     top_cnt: long / top_item: string — the most frequent value, ties
     to the lexicographically smallest).
 
-    O(G log G) per row (native array_sort + a linear ``aggregate``
-    fold) instead of the O(G·distinct) ``filter``-count shape — the
+    O(G log G) per row (native array_sort, then positions arithmetic)
+    instead of the O(G·distinct) ``filter``-count shape — the
     difference between a narrow expression and a blow-up on
-    million-token documents. No shuffle, no UDF."""
-    fields = ("prev", "run", "dup_excess", "dup_chars", "top_cnt", "top_item")
+    million-token documents. No shuffle, no UDF.
 
-    def st(prev, run, dup_excess, dup_chars, top_cnt, top_item):
-        vals = (prev, run, dup_excess, dup_chars, top_cnt, top_item)
-        return F.struct(*(v.alias(f) for v, f in zip(vals, fields)))
+    Formulation note (measured, PLANS.md round-5): runs are located as
+    START POSITIONS (``filter`` over 1..G keeping i where s[i] differs
+    from s[i-1]) and their lengths as deltas to the next start
+    (``zip_with`` against the shifted starts), with the sorted array /
+    starts / lengths each LET-BOUND (``text._let``) so they evaluate
+    once per row — an unbound reference inside a lambda re-evaluates
+    its whole producing subtree per ELEMENT (the splitDoc superlinear
+    pitfall, text.py:_let), which turned this into O(G²·log G). Per
+    element the bound shape costs one null-safe ``get`` + compare; the
+    first cut — an ``aggregate`` fold threading a 6-field struct with
+    ~10 conditionals per element through Catalyst's interpreted HOF
+    path — measured ~40µs per GRAM (3ms per 80-gram doc, 15.5s for 5k
+    docs on one core), far slower than this shape for identical
+    output. Because the array is sorted ascending and
+    ``array_position`` returns the FIRST maximum run, the
+    smallest-gram tie-break falls out for free."""
+    from demy_spark.functions.text import _let
 
-    def close(s):
-        """Fold the in-flight run into the accumulators (run may be 0
-        at the very start / on an empty array)."""
-        dup = s["run"] >= 2
-        return (
-            s["dup_excess"]
-            + F.when(dup, s["run"] - 1).otherwise(F.lit(0)).cast("long"),
-            s["dup_chars"]
-            + F.when(dup, s["run"] * F.length(s["prev"]))
-            .otherwise(F.lit(0))
-            .cast("long"),
-            # sorted ascending, so a strict > keeps the smallest item
-            # among equal counts
-            F.when(s["run"] > s["top_cnt"], s["run"]).otherwise(s["top_cnt"]),
-            F.when(s["run"] > s["top_cnt"], s["prev"]).otherwise(s["top_item"]),
+    def with_sorted(s):
+        n = F.size(s)
+        # 1-based positions; sequence(1, 0) would step BACKWARD: guard
+        idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+        # run starts: position 1, plus every i whose value differs
+        # from its predecessor (get() is 0-based and null-safe; at i=1
+        # the compare is null and TRUE | null = TRUE)
+        starts_expr = F.filter(
+            idx,
+            lambda i: (i == 1)
+            | ~F.get(s, i - 1).eqNullSafe(F.get(s, i - 2)),
         )
 
-    def merge(s, x):
-        same = s["prev"].isNotNull() & (x == s["prev"])
-        de, dc, tc, ti = close(s)
-        return st(
-            x,
-            F.when(same, s["run"] + 1).otherwise(F.lit(1).cast("long")),
-            F.when(same, s["dup_excess"]).otherwise(de),
-            F.when(same, s["dup_chars"]).otherwise(dc),
-            F.when(same, s["top_cnt"]).otherwise(tc),
-            F.when(same, s["top_item"]).otherwise(ti),
-        )
+        def with_starts(starts):
+            n_runs = F.size(starts)
+            # run lengths: next start - this start (the sentinel n+1
+            # closes the final run)
+            nexts = F.concat(
+                F.slice(starts, 2, F.greatest(n_runs - 1, F.lit(0))),
+                F.array(n + 1),
+            )
+            lens_expr = F.zip_with(
+                starts, nexts, lambda a, b: (b - a).cast("long")
+            )
 
-    def finish(s):
-        de, dc, tc, ti = close(s)
-        return F.struct(
-            de.alias("dup_excess"),
-            dc.alias("dup_chars"),
-            tc.alias("top_cnt"),
-            ti.alias("top_item"),
-        )
+            def with_lens(lens):
+                dup_chars = F.aggregate(
+                    F.zip_with(
+                        lens,
+                        starts,
+                        lambda l, st: F.when(
+                            l >= 2, l * F.length(F.get(s, st - 1))
+                        ).otherwise(F.lit(0).cast("long")),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                top_cnt = F.array_max(lens)
+                top_item = F.get(
+                    s,
+                    F.get(starts, F.array_position(lens, top_cnt) - 1) - 1,
+                )
+                empty = n == 0
+                zero = F.lit(0).cast("long")
+                return F.struct(
+                    F.when(empty, zero)
+                    .otherwise((n - n_runs).cast("long"))
+                    .alias("dup_excess"),
+                    F.when(empty, zero).otherwise(dup_chars).alias(
+                        "dup_chars"
+                    ),
+                    F.when(empty, zero).otherwise(top_cnt).alias("top_cnt"),
+                    F.when(empty, F.lit(None).cast("string"))
+                    .otherwise(top_item)
+                    .alias("top_item"),
+                )
 
-    init = st(
-        F.lit(None).cast("string"),
-        F.lit(0).cast("long"),
-        F.lit(0).cast("long"),
-        F.lit(0).cast("long"),
-        F.lit(0).cast("long"),
-        F.lit(None).cast("string"),
-    )
-    return F.aggregate(F.array_sort(items), init, merge, finish)
+            return _let(lens_expr, with_lens)
+
+        return _let(starts_expr, with_starts)
+
+    return _let(F.array_sort(items), with_sorted)
+
+
+def _top_frac_from_toks(toks: Column, n: int) -> Column:
+    """top_ngram_char_fraction body over an ALREADY-BOUND tokens array
+    (callers let-bind the tokenization so the split evaluates once per
+    row even when several signals share it)."""
+    from demy_spark.functions.text import _let
+
+    def with_stats(stats):
+        norm_len = F.length(F.concat_ws(" ", toks))
+        return F.when(
+            (stats["top_cnt"] > 0) & (norm_len > 0),
+            F.least(
+                F.lit(1.0),
+                (stats["top_cnt"] * F.length(stats["top_item"]))
+                / norm_len.cast("double"),
+            ),
+        ).otherwise(F.lit(0.0))
+
+    return _let(_run_stats(_word_grams(toks, n)), with_stats)
+
+
+def _dup_frac_from_toks(toks: Column, n: int) -> Column:
+    """dup_ngram_char_fraction body over an already-bound tokens
+    array."""
+    from demy_spark.functions.text import _let
+
+    def with_stats(stats):
+        norm_len = F.length(F.concat_ws(" ", toks))
+        return F.when(
+            (stats["dup_chars"] > 0) & (norm_len > 0),
+            F.least(
+                F.lit(1.0), stats["dup_chars"] / norm_len.cast("double")
+            ),
+        ).otherwise(F.lit(0.0))
+
+    return _let(_run_stats(_word_grams(toks, n)), with_stats)
 
 
 def top_ngram_char_fraction(c: Column | str, n: int) -> Column:
@@ -289,17 +356,9 @@ def top_ngram_char_fraction(c: Column | str, n: int) -> Column:
     0.0 when the document has fewer than ``n`` tokens. Overlapping
     occurrences double-count by construction, so the value caps at
     1.0 (e.g. "a b a b" counts "a b a b" twice at n=4)."""
-    toks = ws_norm_tokens(c)
-    stats = _run_stats(_word_grams(toks, n))
-    norm_len = F.length(F.concat_ws(" ", toks))
-    return F.when(
-        (stats["top_cnt"] > 0) & (norm_len > 0),
-        F.least(
-            F.lit(1.0),
-            (stats["top_cnt"] * F.length(stats["top_item"]))
-            / norm_len.cast("double"),
-        ),
-    ).otherwise(F.lit(0.0))
+    from demy_spark.functions.text import _let
+
+    return _let(ws_norm_tokens(c), lambda toks: _top_frac_from_toks(toks, n))
 
 
 def dup_ngram_char_fraction(c: Column | str, n: int) -> Column:
@@ -309,13 +368,9 @@ def dup_ngram_char_fraction(c: Column | str, n: int) -> Column:
     published rule sets use n=5..10 where a high value flags wholesale
     repeated passages). 0.0 when the document has fewer than ``n``
     tokens."""
-    toks = ws_norm_tokens(c)
-    stats = _run_stats(_word_grams(toks, n))
-    norm_len = F.length(F.concat_ws(" ", toks))
-    return F.when(
-        (stats["dup_chars"] > 0) & (norm_len > 0),
-        F.least(F.lit(1.0), stats["dup_chars"] / norm_len.cast("double")),
-    ).otherwise(F.lit(0.0))
+    from demy_spark.functions.text import _let
+
+    return _let(ws_norm_tokens(c), lambda toks: _dup_frac_from_toks(toks, n))
 
 
 def dup_line_fraction(c: Column | str, sep: str = "\n") -> Column:
@@ -362,16 +417,26 @@ def repetition_profile(
     fractions. Field names: dup_line_frac, dup_line_char_frac,
     top{n}_char_frac, dup{n}_char_frac. Pure per-row expressions —
     composes with ``gopher_rules`` as a narrow predicate/projection
-    at any scale."""
-    parts = [
-        dup_line_fraction(c, line_sep).alias("dup_line_frac"),
-        dup_line_char_fraction(c, line_sep).alias("dup_line_char_frac"),
-    ]
-    for n in top_ns:
-        parts.append(top_ngram_char_fraction(c, n).alias(f"top{n}_char_frac"))
-    for n in dup_ns:
-        parts.append(dup_ngram_char_fraction(c, n).alias(f"dup{n}_char_frac"))
-    return F.struct(*parts)
+    at any scale. The tokenization is let-bound ONCE and shared by
+    every n-gram signal (``text._let``)."""
+    from demy_spark.functions.text import _let
+
+    def with_toks(toks):
+        parts = [
+            dup_line_fraction(c, line_sep).alias("dup_line_frac"),
+            dup_line_char_fraction(c, line_sep).alias("dup_line_char_frac"),
+        ]
+        for n in top_ns:
+            parts.append(
+                _top_frac_from_toks(toks, n).alias(f"top{n}_char_frac")
+            )
+        for n in dup_ns:
+            parts.append(
+                _dup_frac_from_toks(toks, n).alias(f"dup{n}_char_frac")
+            )
+        return F.struct(*parts)
+
+    return _let(ws_norm_tokens(_as_col(c)), with_toks)
 
 
 def gopher_rules(

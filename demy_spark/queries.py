@@ -7874,14 +7874,76 @@ def q124_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q125_unicode_hygiene",
+    r"""
+    WITH built AS (
+      SELECT doc_id,
+             replace(replace(replace(text,
+               'e', 'e' || chr(769)),
+               'a', chr(7) || 'a'),
+               't', chr(4370) || chr(4449) || chr(4523)) AS txt
+      FROM documents),
+    cleaned AS (
+      SELECT doc_id,
+             regexp_replace(
+               txt, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g'
+             ) AS ctxt
+      FROM built)
+    SELECT doc_id,
+           CAST(length(ctxt) AS BIGINT) AS pre_len,
+           CAST(length(nfc_normalize(ctxt)) AS BIGINT) AS post_len,
+           nfc_normalize(ctxt) AS norm_text
+    FROM cleaned
+    """,
+)
+def q125_unicode_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene pass (functions/text.strip_control_chars +
+    unicode_normalize): control-byte removal then NFC canonical
+    composition — the standard first step before byte-level dedup /
+    hashing on crawled corpora, here over text with deterministically
+    injected damage so the oracle is non-degenerate on the all-ASCII
+    fixture (every 'e' becomes e+U+0301, every 'a' gains a BEL byte,
+    every 't' becomes a decomposed Hangul jamo triple that NFC folds
+    to one syllable). Both are narrow per-row maps (regex chain is
+    codegen; normalization an Arrow-batched pandas UDF — UAX #15 has
+    no Spark built-in) — no shuffle at any scale. No reference analog
+    (extension, like chunking); cross-engine NFC parity with DuckDB's
+    nfc_normalize is additionally pinned by a hostile-case unit test.
+    Codepoint lengths before/after expose the composition deltas; the
+    normalized text itself is hash-compared."""
+    from demy_spark.functions.text import (
+        strip_control_chars,
+        unicode_normalize,
+    )
+
+    t = _t(spark, sf_dir)
+    txt = F.col("text")
+    for search, repl in (
+        ("e", "e\u0301"),  # combining acute: NFC folds it in
+        ("a", "\x07a"),
+        ("t", "\u1112\u1161\u11ab"),  # jamo triple: NFC -> 1 syllable
+    ):
+        txt = F.replace(txt, F.lit(search), F.lit(repl))
+    cleaned = strip_control_chars(txt)
+    norm = unicode_normalize(cleaned)
+    return t["documents"].select(
+        "doc_id",
+        F.length(cleaned).cast("long").alias("pre_len"),
+        F.length(norm).cast("long").alias("post_len"),
+        norm.alias("norm_text"),
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-5 window: the staleness-paydown round VERDICT r4 ordered
 # first ("Next round: do this" #1):
 #   1. never-rowed new registrations — q122 (typed point filters on the
 #      flagship fuzzy lookup, closing VERDICT task 2), q123 (kNN
 #      label propagation routed through IVF candidates, closing VERDICT
-#      task 5), and q124 (repetition-profile quality signals, a round-5
-#      coverage extension) — plus q121, whose avg_value derivation changed from a
+#      task 5), q124 (repetition-profile quality signals) and q125
+#      (unicode hygiene: control strip + NFC), both round-5
+#      coverage extensions — plus q121, whose avg_value derivation changed from a
 #      rounded double quotient to pure integer arithmetic (ADVICE r4
 #      quantization fix), so it re-earns its row, and q104/q113/q115/
 #      q116, whose merge-pass/trainer execution changed this round
@@ -7891,10 +7953,11 @@ def q124_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      q20, q22, q48, q55, q58-q60, q68, q69, q72, q73) plus the 7
 #      round-4 displacements (q25, q46, q49, q50, q52, q70, q71);
 #      after this round no official row is older than r3;
-#   3. 14 of the 42 queries resting on r3 rows — the q74+ block,
-#      oldest-registered-first.
-# The 28 r3-resting deferrals (q01-q03, q12, q24, q26, q38, q47, q51,
-# q56, q57, q62, q64, q89-q91, q94, q95, q98, q99, q101, q103,
+#   3. 12 of the 42 queries resting on r3 rows — the q74+ block,
+#      oldest-registered-first (q87/q88 displaced by q124/q125;
+#      tier-1 q104 is the 13th r3-resting query in the window).
+# The 29 r3-resting deferrals (q01-q03, q12, q24, q26, q38, q47, q51,
+# q56, q57, q62, q64, q87-q91, q94, q95, q98, q99, q101, q103,
 # q105-q107, q109, q110) stay on rows that are 1 round old today and
 # lead the round-6 rotation; q01-q03/q12/q24/q26 additionally run
 # every round as bench headliners and q24 sits on entry()'s flagship
@@ -7914,6 +7977,7 @@ _DRIVER_PRIORITY = [
     "q122_fuzzy_typed_filter",
     "q123_knn_ivf",
     "q124_repetition_profile",
+    "q125_unicode_hygiene",
     "q121_incremental_rollup",
     "q104_phrase_merges",
     "q113_bpe_apply",
@@ -7949,9 +8013,9 @@ _DRIVER_PRIORITY = [
     "q71_online_centers",
     "q72_point_in_polygon",
     "q73_platt_calibration",
-    # --- tier 3: oldest r3 rows (13 of 42; deferrals documented above;
-    # q88 displaced late in round 5 by the never-rowed q124, joining
-    # q89-q91/q94 at the head of the round-6 rotation)
+    # --- tier 3: oldest r3 rows (12 of 42; deferrals documented above;
+    # q87/q88 displaced late in round 5 by the never-rowed q124/q125,
+    # joining q89-q91/q94 at the head of the round-6 rotation)
     "q74_embed_options",
     "q75_shapefile_flatten",
     "q76_tree_spawn",
@@ -7964,7 +8028,6 @@ _DRIVER_PRIORITY = [
     "q84_tweet_clean",
     "q85_sparse_merge",
     "q86_contamination_check",
-    "q87_canonical_docs",
 ]
 
 

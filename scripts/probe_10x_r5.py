@@ -147,8 +147,53 @@ def main() -> None:
     ):
         timeit(spark, label, lambda e=e, nl=nl: knn_shape(e, nl))
 
+    probe_new_shapes(spark, docs, docs10)
+    spark.stop()
+
+
+def probe_new_shapes(spark, docs, docs10) -> None:
+    """Late-round-5 shapes: q124 repetition profile and q125 unicode
+    hygiene — both pure per-row maps (no shuffle), so the expectation
+    is ~linear in rows; the probe guards against an accidental
+    quadratic in the n-gram fold or a pandas-UDF batching cliff."""
+    from demy_spark.functions import textstats
+    from demy_spark.functions.text import strip_control_chars, unicode_normalize
+
+    def rep_shape(d):
+        return d.select(
+            "doc_id", textstats.repetition_profile(F.col("text")).alias("p")
+        )
+
+    def hyg_shape(d):
+        txt = F.col("text")
+        for search, repl in (
+            ("e", "é"),
+            ("a", "\x07a"),
+            ("t", "한"),
+        ):
+            txt = F.replace(txt, F.lit(search), F.lit(repl))
+        norm = unicode_normalize(strip_control_chars(txt))
+        return d.select("doc_id", F.length(norm).alias("n"), norm)
+
+    for label, d in (
+        ("repetition_profile 1x", docs),
+        ("repetition_profile 10x", docs10),
+        ("unicode_hygiene 1x", docs),
+        ("unicode_hygiene 10x", docs10),
+    ):
+        mk = rep_shape if label.startswith("repetition") else hyg_shape
+        timeit(spark, label, lambda d=d, mk=mk: mk(d))
+
+
+def main_new_only() -> None:
+    spark = get_spark(
+        "demy_spark_probe", master="local[32]", shuffle_partitions=16
+    )
+    docs = load_table(spark, SF_DIR, "documents")
+    docs10 = replicate(docs, "doc_id").localCheckpoint()
+    probe_new_shapes(spark, docs, docs10)
     spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    main_new_only() if "--new-only" in sys.argv else main()

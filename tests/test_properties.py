@@ -442,3 +442,90 @@ def test_char_split_astral_and_combining_pinned(spark):
     assert got[0] == ["a", "\U0001f600", "b"]
     assert got[1] == ["e", "́", "x"]
     assert got[2] == ["\U0001f600", "\U0001f600"]
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "ab", "ba"]), max_size=12
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_repetition_fractions_fuzz(spark, docs):
+    """The positions-arithmetic `_run_stats` (sorted run starts ->
+    zip_with length deltas) must equal a Counter-based model for ANY
+    token sequence — including the all-duplicate, all-distinct and
+    empty edges, the smallest-gram tie-break, and the 1.0 cap."""
+    from collections import Counter
+
+    from demy_spark.functions.textstats import (
+        dup_ngram_char_fraction,
+        top_ngram_char_fraction,
+    )
+
+    def model(tokens, n):
+        grams = [
+            " ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)
+        ]
+        norm_len = len(" ".join(tokens))
+        if not grams or norm_len == 0:
+            return 0.0, 0.0
+        cnt = Counter(grams)
+        m = max(cnt.values())
+        g = min(g for g, c in cnt.items() if c == m)
+        top = min(1.0, m * len(g) / norm_len)
+        dupc = sum(c * len(g) for g, c in cnt.items() if c >= 2)
+        dup = min(1.0, dupc / norm_len) if dupc > 0 else 0.0
+        return top, dup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "i long, t string")
+    sel = ["i"]
+    for n in (1, 2, 3):
+        sel.append(top_ngram_char_fraction("t", n).alias(f"top{n}"))
+        sel.append(dup_ngram_char_fraction("t", n).alias(f"dup{n}"))
+    got = {r["i"]: r for r in df.select(*sel).collect()}
+    for i, toks in enumerate(docs):
+        for n in (1, 2, 3):
+            top, dup = model(toks, n)
+            assert abs(got[i][f"top{n}"] - top) < 1e-9, (toks, n, "top")
+            assert abs(got[i][f"dup{n}"] - dup) < 1e-9, (toks, n, "dup")
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["", "x", "y", "xx", "zz"]), max_size=10),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_dup_line_fractions_fuzz(spark, docs):
+    """Line-grain duplicate fractions vs the set-based model (empty
+    lines excluded from both numerator and denominator)."""
+    from demy_spark.functions.textstats import (
+        dup_line_char_fraction,
+        dup_line_fraction,
+    )
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            dup_line_fraction("t").alias("f"),
+            dup_line_char_fraction("t").alias("cf"),
+        ).collect()
+    }
+    for i, lines in enumerate(docs):
+        ne = [l for l in lines if l != ""]
+        f = 1.0 - len(set(ne)) / len(ne) if ne else 0.0
+        tc = sum(len(l) for l in ne)
+        kc = sum(len(l) for l in set(ne))
+        cf = (tc - kc) / tc if tc > 0 else 0.0
+        assert abs(got[i]["f"] - f) < 1e-9, (lines, got[i]["f"], f)
+        assert abs(got[i]["cf"] - cf) < 1e-9, (lines, got[i]["cf"], cf)

@@ -437,3 +437,80 @@ def test_repetition_profile_family(spark):
         "dup5_char_frac",
         "dup10_char_frac",
     }
+
+
+def test_strip_control_chars(spark):
+    """C0/C1 removal keeps \\t \\n \\r; zero-width removal is opt-in
+    (ZWJ emoji sequences survive the default)."""
+    from demy_spark.functions.text import strip_control_chars
+
+    t = "a\x00b\x07c\td\ne\rf\x7fg\x9ch​i‍﻿j"
+    got = _one(spark, t, strip_control_chars)
+    assert got == "abc\td\ne\rfgh​i‍﻿j"
+    got_zw = _one(
+        spark, t, lambda c: strip_control_chars(c, zero_width=True)
+    )
+    assert got_zw == "abc\td\ne\rfghij"
+    # family emoji (ZWJ-joined) intact by default
+    fam = "\U0001F468‍\U0001F469‍\U0001F467"
+    assert _one(spark, fam, strip_control_chars) == fam
+
+
+def test_unicode_normalize_forms(spark):
+    """All four UAX #15 forms against CPython's unicodedata, plus the
+    None passthrough and the bad-form guard."""
+    import unicodedata
+
+    import pytest
+
+    from demy_spark.functions.text import unicode_normalize
+
+    cases = [
+        "caf\u0065\u0301",        # decomposed acute
+        "\u1112\u1161\u11ab",     # jamo -> syllable under NFC
+        "\ufb01 \uff11",           # fi ligature + fullwidth digit (K forms)
+        "\u212b",                  # angstrom SIGN (singleton -> U+00C5)
+        "\U0001D400e\u0301",      # astral base + combining on the next char
+        "plain",
+        "",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)] + [(99, None)], "id int, t string")
+    for form in ("NFC", "NFKC", "NFD", "NFKD"):
+        out = {
+            r["id"]: r["o"]
+            for r in df.select("id", unicode_normalize("t", form).alias("o")).collect()
+        }
+        for i, s in enumerate(cases):
+            assert out[i] == unicodedata.normalize(form, s), (form, s)
+        assert out[99] is None
+    with pytest.raises(ValueError):
+        unicode_normalize("t", "nfc")
+
+
+def test_nfc_matches_duckdb_hostile(spark):
+    """The q125 oracle contract: Spark-side NFC == DuckDB nfc_normalize
+    on a hostile battery (reordered combining classes, composition
+    exclusions, jamo, astral bases)."""
+    import duckdb
+
+    from demy_spark.functions.text import unicode_normalize
+
+    cases = [
+        "e\u0301",                          # decomposed acute
+        "a\u0328\u0301",                   # ogonek+acute: composes through
+        "a\u0301\u0328",                   # same marks, swapped input order
+        "\u1112\u1161\u11ab",             # jamo triple -> one syllable
+        "\u212b",                          # angstrom sign singleton
+        "\u0915\u093c",                   # composition exclusion (qa)
+        "\U0001D400\u0301q\u0323\u0307",  # astral base + reordering
+        "",
+    ]
+    con = duckdb.connect()
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "id int, t string")
+    got = {
+        r["id"]: r["o"]
+        for r in df.select("id", unicode_normalize("t").alias("o")).collect()
+    }
+    for i, s in enumerate(cases):
+        want = con.sql("SELECT nfc_normalize(?)", params=[s]).fetchone()[0]
+        assert got[i] == want, (s, got[i], want)
