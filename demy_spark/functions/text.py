@@ -135,6 +135,58 @@ def strip_control_chars(
     return out
 
 
+# Entity decode order is part of the contract: named/numeric entities
+# first, ampersand LAST so "&amp;lt;" decodes to "&lt;" (one level),
+# never to "<".
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def decode_html_entities(c: Column | str) -> Column:
+    """Decode the common HTML entities (lt/gt/quot/#39/apos/nbsp, then
+    amp last — one level, so double-escaped text stays escaped). A
+    literal ``replace`` chain: JVM-side, codegen, and replayable by any
+    SQL engine."""
+    out = _as_col(c)
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def strip_html(
+    c: Column | str,
+    *,
+    replacement: str = " ",
+    decode_entities: bool = True,
+) -> Column:
+    """Markup removal for crawled corpora: drop ``<script>``/``<style>``
+    blocks wholesale (their CONTENT is code, not text), then comments,
+    then every remaining tag, then decode common entities. Patterns use
+    no backreferences or lookaround so Java regex (Spark) and RE2
+    engines (DuckDB oracles) remove identical spans — script and style
+    get separate literal patterns instead of ``</\\1>``. Pure
+    ``regexp_replace``/``replace`` chain: JVM-side codegen, a narrow
+    per-row map at any scale (q126's oracle runs the identical chain).
+    This is a tag stripper, not a sanitizer — do not use it to make
+    untrusted HTML safe for rendering."""
+    out = F.regexp_replace(
+        _as_col(c), r"(?is)<script[^>]*>.*?</script>", replacement
+    )
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", replacement)
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", replacement)
+    out = F.regexp_replace(out, r"(?s)</?[a-zA-Z!][^>]*>", replacement)
+    if decode_entities:
+        out = decode_html_entities(out)
+    return out
+
+
 _NORMALIZE_FORMS = ("NFC", "NFKC", "NFD", "NFKD")
 
 

@@ -46,6 +46,8 @@ __all__ = [
     "source_overlap_matrix",
     "snapshot_diff",
     "norm_fingerprint",
+    "winnow_fingerprints",
+    "winnow_pairs",
 ]
 
 
@@ -80,6 +82,94 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
     )
     return F.array_distinct(
         F.transform(grams, lambda g: _md5_long(g, 1))
+    )
+
+
+def winnow_fingerprints(
+    text: Column, *, k: int = 4, w: int = 4
+) -> Column:
+    """Winnowing document fingerprints (the rolling local-minimum
+    selection of Schleimer/Wilkerson/Aiken's MOSS): the ORDERED word
+    ``k``-gram hash sequence, reduced to the distinct minima of every
+    window of ``w`` consecutive hashes.
+
+    Guarantees (from the paper's winnowing theorem): any token run of
+    length >= k+w-1 shared between two documents contributes at least
+    one IDENTICAL fingerprint to both, while expected density is only
+    2/(w+1) of the grams — a position-robust document signature ~2-3x
+    sparser than the full shingle set, which is what makes
+    fingerprint-join near-dup detection cheap at corpus scale. A
+    document shorter than one window keeps its single global minimum
+    (standard fallback); fewer than ``k`` tokens → empty array.
+
+    Pure per-row expressions: gram hashes via the 60-bit md5-slice
+    contract (dedup._md5_long, DuckDB-replayable) and window minima via
+    ``transform`` + ``array_min(slice(...))`` over a LET-BOUND hash
+    array (text._let — an unbound reference would re-hash the whole
+    gram sequence per window, the splitDoc pitfall). No shuffle, no
+    UDF; O(T·w) per row."""
+    from demy_spark.functions.text import _let
+    from demy_spark.functions.textstats import norm_tokens
+
+    def with_toks(toks):
+        n_grams = F.size(toks) - (k - 1)
+        idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+            F.array().cast("array<int>")
+        )
+        hashes_expr = F.transform(
+            idx, lambda i: _md5_long(F.concat_ws(" ", F.slice(toks, i, k)), 1)
+        )
+
+        def with_hashes(hs):
+            n = F.size(hs)
+            n_windows = n - (w - 1)
+            widx = F.when(
+                n_windows >= 1, F.sequence(F.lit(1), n_windows)
+            ).otherwise(F.array().cast("array<int>"))
+            mins = F.transform(
+                widx, lambda i: F.array_min(F.slice(hs, i, w))
+            )
+            return F.when(n == 0, F.array().cast("array<long>")).when(
+                n < w, F.array(F.array_min(hs))
+            ).otherwise(F.array_distinct(mins))
+
+        return _let(hashes_expr, with_hashes)
+
+    return _let(norm_tokens(text), with_toks)
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by shared winnowing fingerprints:
+    explode each document's fingerprint set, self-join on the
+    fingerprint value (bucket-local — co-keyed shuffle on the 60-bit
+    hash, NEVER all-pairs), and keep ordered pairs sharing at least
+    ``min_shared`` fingerprints. Returns (left_id, right_id,
+    shared_fingerprints). The winnowing theorem makes this the
+    cheap screen for copied PASSAGES (any shared k+w-1 token run
+    surfaces the pair), complementing minhash's whole-document
+    Jaccard screen."""
+    fps = df.select(
+        F.col(id_col).alias("_wid_"),
+        F.explode(winnow_fingerprints(F.col(text_col), k=k, w=w)).alias(
+            "_wfp_"
+        ),
+    )
+    left = fps.select(F.col("_wid_").alias("left_id"), "_wfp_")
+    right = fps.select(F.col("_wid_").alias("right_id"), "_wfp_")
+    return (
+        left.join(right, "_wfp_")
+        .where(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").cast("long").alias("shared_fingerprints"))
+        .where(F.col("shared_fingerprints") >= min_shared)
     )
 
 

@@ -7935,15 +7935,119 @@ def q125_unicode_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q126_html_strip",
+    r"""
+    WITH built AS (
+      SELECT doc_id,
+             '<html><!-- d' || CAST(doc_id AS VARCHAR)
+             || ' --><style>p {margin: 0}</style><body class="c'
+             || CAST(doc_id % 7 AS VARCHAR) || '"><h1>Doc &#39;'
+             || CAST(doc_id AS VARCHAR) || '&#39;</h1><p>' || text
+             || ' &amp; more &lt;3</p><script>var i = '
+             || CAST(doc_id AS VARCHAR) || ';</script></body></html>'
+             AS html
+      FROM documents)
+    SELECT doc_id,
+           replace(replace(replace(replace(replace(replace(replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               html,
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '(?s)</?[a-zA-Z!][^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+             '&amp;', '&') AS stripped
+    FROM built
+    """,
+)
+def q126_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup removal (functions/text.strip_html): script/style blocks
+    dropped wholesale, then comments, tags, and common entities — the
+    crawl-to-text step of every web-corpus pipeline, as a pure
+    regexp/replace chain (codegen, narrow per-row map at any scale; no
+    backreferences so Java regex and RE2 strip identical spans). The
+    fixture synthesizes the markup deterministically from doc ids so
+    both engines build and strip identical strings. No reference
+    analog (extension, like chunking)."""
+    from demy_spark.functions.text import strip_html
+
+    t = _t(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><!-- d"), d,
+        F.lit(" --><style>p {margin: 0}</style><body class=\"c"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("\"><h1>Doc &#39;"), d,
+        F.lit("&#39;</h1><p>"), F.col("text"),
+        F.lit(" &amp; more &lt;3</p><script>var i = "), d,
+        F.lit(";</script></body></html>"),
+    )
+    return t["documents"].select(
+        "doc_id", strip_html(html).alias("stripped")
+    )
+
+
+@register(
+    "q127_winnow_pairs",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             [{_md5_long_sql("array_to_string(t[i:i+3], ' ')", 1)}
+              FOR i IN range(1, len(t) - 2)] AS hs
+      FROM s),
+    f AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+                  WHEN len(hs) < 4 THEN [list_min(hs)]
+                  ELSE list_distinct(
+                    [list_min(hs[i:i+3]) FOR i IN range(1, len(hs) - 2)])
+             END AS fps
+      FROM g),
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           count(*) AS shared_fingerprints
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def q127_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting + passage-copy screen
+    (operators/curation.winnow_fingerprints / winnow_pairs): ordered
+    word 4-gram md5-slice hashes winnowed to per-window (w=4) minima —
+    the MOSS selection, guaranteeing any shared >=7-token run yields a
+    shared fingerprint at ~2/(w+1) density — then near-dup candidate
+    pairs by a co-keyed self-join on the fingerprint value (explode +
+    equi-join + pair count, never all-pairs). Complements minhash's
+    whole-doc Jaccard screen with a copied-PASSAGE screen. The oracle
+    replays gram hashing, winnowing and the pair join relationally.
+    No reference analog (extension, like chunking)."""
+    from demy_spark.operators.curation import winnow_pairs
+
+    t = _t(spark, sf_dir)
+    return winnow_pairs(
+        t["documents"], "doc_id", "text", k=4, w=4, min_shared=2
+    ).select(
+        F.col("left_id").cast("long").alias("left_id"),
+        F.col("right_id").cast("long").alias("right_id"),
+        "shared_fingerprints",
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-5 window: the staleness-paydown round VERDICT r4 ordered
 # first ("Next round: do this" #1):
 #   1. never-rowed new registrations — q122 (typed point filters on the
 #      flagship fuzzy lookup, closing VERDICT task 2), q123 (kNN
 #      label propagation routed through IVF candidates, closing VERDICT
-#      task 5), q124 (repetition-profile quality signals) and q125
-#      (unicode hygiene: control strip + NFC), both round-5
-#      coverage extensions — plus q121, whose avg_value derivation changed from a
+#      task 5), and the round-5 coverage extensions q124
+#      (repetition-profile quality signals), q125 (unicode hygiene:
+#      control strip + NFC), q126 (HTML strip) and q127 (winnowing
+#      fingerprint pairs) — plus q121, whose avg_value derivation changed from a
 #      rounded double quotient to pure integer arithmetic (ADVICE r4
 #      quantization fix), so it re-earns its row, and q104/q113/q115/
 #      q116, whose merge-pass/trainer execution changed this round
@@ -7953,11 +8057,11 @@ def q125_unicode_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      q20, q22, q48, q55, q58-q60, q68, q69, q72, q73) plus the 7
 #      round-4 displacements (q25, q46, q49, q50, q52, q70, q71);
 #      after this round no official row is older than r3;
-#   3. 12 of the 42 queries resting on r3 rows — the q74+ block,
-#      oldest-registered-first (q87/q88 displaced by q124/q125;
-#      tier-1 q104 is the 13th r3-resting query in the window).
-# The 29 r3-resting deferrals (q01-q03, q12, q24, q26, q38, q47, q51,
-# q56, q57, q62, q64, q87-q91, q94, q95, q98, q99, q101, q103,
+#   3. 10 of the 42 queries resting on r3 rows — the q74+ block,
+#      oldest-registered-first (q85-q88 displaced by q124-q127;
+#      tier-1 q104 is the 11th r3-resting query in the window).
+# The 31 r3-resting deferrals (q01-q03, q12, q24, q26, q38, q47, q51,
+# q56, q57, q62, q64, q85-q91, q94, q95, q98, q99, q101, q103,
 # q105-q107, q109, q110) stay on rows that are 1 round old today and
 # lead the round-6 rotation; q01-q03/q12/q24/q26 additionally run
 # every round as bench headliners and q24 sits on entry()'s flagship
@@ -7978,6 +8082,8 @@ _DRIVER_PRIORITY = [
     "q123_knn_ivf",
     "q124_repetition_profile",
     "q125_unicode_hygiene",
+    "q126_html_strip",
+    "q127_winnow_pairs",
     "q121_incremental_rollup",
     "q104_phrase_merges",
     "q113_bpe_apply",
@@ -8013,8 +8119,8 @@ _DRIVER_PRIORITY = [
     "q71_online_centers",
     "q72_point_in_polygon",
     "q73_platt_calibration",
-    # --- tier 3: oldest r3 rows (12 of 42; deferrals documented above;
-    # q87/q88 displaced late in round 5 by the never-rowed q124/q125,
+    # --- tier 3: oldest r3 rows (10 of 42; deferrals documented above;
+    # q85-q88 displaced late in round 5 by the never-rowed q124-q127,
     # joining q89-q91/q94 at the head of the round-6 rotation)
     "q74_embed_options",
     "q75_shapefile_flatten",
@@ -8026,8 +8132,6 @@ _DRIVER_PRIORITY = [
     "q82_analogy_score",
     "q83_fuzzy_predict",
     "q84_tweet_clean",
-    "q85_sparse_merge",
-    "q86_contamination_check",
 ]
 
 

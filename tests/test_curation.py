@@ -190,3 +190,75 @@ def test_snapshot_diff_statuses(spark):
     got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new, "doc_id", "text").collect()}
     # doc 1: only whitespace/case changes -> normalized fingerprint equal
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_winnow_fingerprints_model(spark):
+    """Winnowing vs a Counter-free Python model: ordered 4-gram
+    md5-slice hashes, per-window (w=4) minima, first-seen distinct;
+    sub-window docs keep one global min; <k tokens -> empty."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from demy_spark.operators.curation import winnow_fingerprints
+
+    def model(text, k=4, w=4):
+        toks = [t for t in text.strip().lower().split(" ") if t]
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+        ]
+        if not hs:
+            return []
+        if len(hs) < w:
+            return [min(hs)]
+        out, seen = [], set()
+        for i in range(len(hs) - w + 1):
+            m = min(hs[i : i + w])
+            if m not in seen:
+                seen.add(m)
+                out.append(m)
+        return out
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "short doc",
+        "",
+        "a b c d",
+        "a b c d e f g",
+        "x y " * 30,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, t string"
+    )
+    got = {
+        r["id"]: r["fp"]
+        for r in df.select(
+            "id", winnow_fingerprints(F.col("t")).alias("fp")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert sorted(got[i]) == sorted(model(t)), (i, t)
+
+
+def test_winnow_pairs_shared_run_guarantee(spark):
+    """The winnowing theorem (k=4, w=4): documents sharing a run of
+    k+w-1=7 tokens MUST share a fingerprint; disjoint docs must not
+    pair."""
+    from demy_spark.operators.curation import winnow_pairs
+
+    run = "alpha beta gamma delta epsilon zeta eta"  # exactly 7 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"prefix words here {run} and a suffix tail"),
+            (2, f"other opening {run} different closing entirely"),
+            (3, "completely unrelated content with no shared runs at all"),
+        ],
+        "id int, t string",
+    )
+    pairs = {
+        (r["left_id"], r["right_id"]): r["shared_fingerprints"]
+        for r in winnow_pairs(df, "id", "t", min_shared=1).collect()
+    }
+    assert any(k == (1, 2) for k in pairs)
+    assert not any(3 in k for k in pairs)

@@ -514,3 +514,28 @@ def test_nfc_matches_duckdb_hostile(spark):
     for i, s in enumerate(cases):
         want = con.sql("SELECT nfc_normalize(?)", params=[s]).fetchone()[0]
         assert got[i] == want, (s, got[i], want)
+
+
+def test_strip_html(spark):
+    """Script/style content dropped wholesale, comments and tags
+    removed, entities decoded ONE level (amp last), non-markup '<'
+    untouched."""
+    from demy_spark.functions.text import decode_html_entities, strip_html
+
+    html = (
+        '<html><head><style type="text/css">p {color: red}</style></head>'
+        '<body><!-- note --><h1 class="t">Title</h1><p>Hello &amp; '
+        '<b>world</b>, 2 &lt; 3.</p><script>var x = "<p>";</script>'
+        "tail</body></html>"
+    )
+    got = _one(spark, html, strip_html)
+    assert got == "       Title  Hello &  world , 2 < 3.  tail  "
+    # upper-case script tag with attributes; stray < comparison kept
+    assert _one(spark, '<SCRIPT SRC="x.js">alert(1)</SCRIPT>b', strip_html) == " b"
+    assert (
+        _one(spark, "a < b and &amp;lt; stays escaped", strip_html)
+        == "a < b and &lt; stays escaped"
+    )
+    # entity decode is one-level and amp-last
+    assert _one(spark, "&amp;amp; &#39;q&#39; &nbsp;", decode_html_entities) == "&amp; 'q'  "
+    assert _one(spark, "plain", lambda c: strip_html(c, decode_entities=False)) == "plain"
