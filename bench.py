@@ -84,6 +84,11 @@ def main() -> None:
         "knn_classify": _q.REGISTRY["q114_knn_classify"].fn,
         "bpe_train": _q.REGISTRY["q115_bpe_train"].fn,
         "bm25_search": _q.REGISTRY["q117_bm25_search"].fn,
+        # round-5 additions: the repetition-profile per-row fold (times
+        # the let-bound positions formulation) and the winnowing
+        # fingerprint pair screen (explode + co-keyed self-join)
+        "repetition_profile": _q.REGISTRY["q124_repetition_profile"].fn,
+        "winnow_pairs": _q.REGISTRY["q127_winnow_pairs"].fn,
     }
     extra_timings: dict[str, float] = {}
     for name, fn in extras.items():

@@ -8038,6 +8038,86 @@ def q127_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q128_json_props",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+             AS k_bucket
+    FROM events
+    WHERE event_id % 17 = 0
+    """,
+)
+def q128_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured field extraction from the JSON ``props`` column
+    (reference analog: the twitter module deserializes JSON payloads
+    into typed rows, twitter/src/main/scala/Execute.scala — here it is
+    native ``from_json`` with an explicit schema, the Spark-first path:
+    typed, codegen, null on malformed input instead of a crash, and
+    the parse happens once per row however many fields are read).
+    Extraction is a narrow per-row map; at scale the typed column then
+    prunes/pushes down like any other."""
+    t = _t(spark, sf_dir)
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return (
+        t["events"]
+        .where(F.col("event_id") % 17 == 0)
+        .select(
+            "event_id",
+            "event_type",
+            parsed["k"].alias("k"),
+            (parsed["k"] % 10).alias("k_bucket"),
+        )
+    )
+
+
+@register(
+    "q129_url_parse",
+    r"""
+    WITH built AS (
+      SELECT doc_id, lang,
+             'https://www.' || source || '.example.com/docs/'
+             || CAST(doc_id AS VARCHAR) || '/view?lang=' || lang
+             || '&ref=feed#top' AS url
+      FROM documents)
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           regexp_extract(regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+                          '([^.]+\.[^.]+)$', 1) AS reg_domain
+    FROM built
+    """,
+)
+def q129_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition for domain-level curation (host / path /
+    query-param / registered-domain), via Spark's native ``parse_url``
+    (Java URI semantics, codegen) — the primitive behind per-domain
+    corpus stats, domain blocklists and domain-holdout splits. The
+    fixture synthesizes URLs deterministically from doc fields; the
+    oracle replays the decomposition with anchored regexes (equivalent
+    on the synthesized shapes — parse_url's full RFC handling is wider
+    than any regex replay, so the oracle constrains the fixture, not
+    the operator). Registered domain here = last two host labels (a
+    public-suffix list lookup composes as a broadcast join when real
+    corpora need co.uk-style suffixes)."""
+    t = _t(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://www."), F.col("source"),
+        F.lit(".example.com/docs/"), F.col("doc_id").cast("string"),
+        F.lit("/view?lang="), F.col("lang"), F.lit("&ref=feed#top"),
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    return t["documents"].select(
+        "doc_id",
+        host.alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("reg_domain"),
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-5 window: the staleness-paydown round VERDICT r4 ordered
 # first ("Next round: do this" #1):
@@ -8046,8 +8126,9 @@ def q127_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      label propagation routed through IVF candidates, closing VERDICT
 #      task 5), and the round-5 coverage extensions q124
 #      (repetition-profile quality signals), q125 (unicode hygiene:
-#      control strip + NFC), q126 (HTML strip) and q127 (winnowing
-#      fingerprint pairs) — plus q121, whose avg_value derivation changed from a
+#      control strip + NFC), q126 (HTML strip), q127 (winnowing
+#      fingerprint pairs), q128 (JSON field extraction) and q129
+#      (URL decomposition) — plus q121, whose avg_value derivation changed from a
 #      rounded double quotient to pure integer arithmetic (ADVICE r4
 #      quantization fix), so it re-earns its row, and q104/q113/q115/
 #      q116, whose merge-pass/trainer execution changed this round
@@ -8057,11 +8138,11 @@ def q127_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      q20, q22, q48, q55, q58-q60, q68, q69, q72, q73) plus the 7
 #      round-4 displacements (q25, q46, q49, q50, q52, q70, q71);
 #      after this round no official row is older than r3;
-#   3. 10 of the 42 queries resting on r3 rows — the q74+ block,
-#      oldest-registered-first (q85-q88 displaced by q124-q127;
-#      tier-1 q104 is the 11th r3-resting query in the window).
-# The 31 r3-resting deferrals (q01-q03, q12, q24, q26, q38, q47, q51,
-# q56, q57, q62, q64, q85-q91, q94, q95, q98, q99, q101, q103,
+#   3. 8 of the 42 queries resting on r3 rows — the q74+ block,
+#      oldest-registered-first (q83-q88 displaced by q124-q129;
+#      tier-1 q104 is the 9th r3-resting query in the window).
+# The 33 r3-resting deferrals (q01-q03, q12, q24, q26, q38, q47, q51,
+# q56, q57, q62, q64, q83-q91, q94, q95, q98, q99, q101, q103,
 # q105-q107, q109, q110) stay on rows that are 1 round old today and
 # lead the round-6 rotation; q01-q03/q12/q24/q26 additionally run
 # every round as bench headliners and q24 sits on entry()'s flagship
@@ -8084,6 +8165,8 @@ _DRIVER_PRIORITY = [
     "q125_unicode_hygiene",
     "q126_html_strip",
     "q127_winnow_pairs",
+    "q128_json_props",
+    "q129_url_parse",
     "q121_incremental_rollup",
     "q104_phrase_merges",
     "q113_bpe_apply",
@@ -8119,8 +8202,8 @@ _DRIVER_PRIORITY = [
     "q71_online_centers",
     "q72_point_in_polygon",
     "q73_platt_calibration",
-    # --- tier 3: oldest r3 rows (10 of 42; deferrals documented above;
-    # q85-q88 displaced late in round 5 by the never-rowed q124-q127,
+    # --- tier 3: oldest r3 rows (8 of 42; deferrals documented above;
+    # q83-q88 displaced late in round 5 by the never-rowed q124-q129,
     # joining q89-q91/q94 at the head of the round-6 rotation)
     "q74_embed_options",
     "q75_shapefile_flatten",
@@ -8130,8 +8213,6 @@ _DRIVER_PRIORITY = [
     "q80_source_scan",
     "q81_phonetic_simplify",
     "q82_analogy_score",
-    "q83_fuzzy_predict",
-    "q84_tweet_clean",
 ]
 
 

@@ -539,3 +539,34 @@ def test_strip_html(spark):
     # entity decode is one-level and amp-last
     assert _one(spark, "&amp;amp; &#39;q&#39; &nbsp;", decode_html_entities) == "&amp; 'q'  "
     assert _one(spark, "plain", lambda c: strip_html(c, decode_entities=False)) == "plain"
+
+
+def test_json_and_url_extraction(spark):
+    """Native semi-structured extraction conventions used by q128/q129:
+    from_json yields NULL on malformed/missing (never a crash);
+    parse_url handles absent params/fragments."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, '{"k": 7}', "https://a.b.example.com/x/y?lang=fr&z=1#f"),
+        (2, "not json", "https://example.com/"),
+        (3, '{"other": 1}', "https://example.com"),
+        (4, None, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, props string, url string")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            F.from_json("props", "k BIGINT")["k"].alias("k"),
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang"),
+        ).collect()
+    }
+    assert (got[1]["k"], got[1]["host"], got[1]["path"], got[1]["lang"]) == (
+        7, "a.b.example.com", "/x/y", "fr",
+    )
+    assert got[2]["k"] is None and got[2]["path"] == "/"
+    assert got[3]["k"] is None and got[3]["lang"] is None
+    assert got[4]["host"] is None
