@@ -204,9 +204,14 @@ def dup_ngram_fraction(c: Column | str, n: int = 2) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def _word_grams(toks: Column, n: int) -> Column:
-    """Word n-grams joined with single spaces; empty array when the
-    document has fewer than ``n`` tokens."""
+def word_grams(toks: Column, n: int) -> Column:
+    """ORDERED word n-grams joined with single spaces over an (ideally
+    let-bound) tokens array; empty array when the document has fewer
+    than ``n`` tokens (the ``size >= n`` guard matters: Spark's
+    ``sequence(1, stop)`` steps BACKWARD when stop < 1). The single
+    shared gram constructor — curation's shingle/winnowing hashes and
+    the repetition signals all build grams here, so the DuckDB
+    slice-parity contract lives in ONE place."""
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -310,41 +315,46 @@ def _run_stats(items: Column) -> Column:
     return _let(F.array_sort(items), with_sorted)
 
 
-def _top_frac_from_toks(toks: Column, n: int) -> Column:
-    """top_ngram_char_fraction body over an ALREADY-BOUND tokens array
-    (callers let-bind the tokenization so the split evaluates once per
-    row even when several signals share it)."""
+def _ngram_fracs(toks: Column, n: int) -> Column:
+    """struct(top_frac, dup_frac) for word ``n``-grams over an
+    ALREADY-BOUND tokens array: ONE ``_run_stats`` pass (the sorted
+    run-length statistic carries both the argmax and the duplicate
+    totals) and a let-bound normalized length feed both fractions —
+    callers that want both signals at the same ``n`` pay for one."""
     from demy_spark.functions.text import _let
 
     def with_stats(stats):
-        norm_len = F.length(F.concat_ws(" ", toks))
-        return F.when(
-            (stats["top_cnt"] > 0) & (norm_len > 0),
-            F.least(
-                F.lit(1.0),
-                (stats["top_cnt"] * F.length(stats["top_item"]))
-                / norm_len.cast("double"),
-            ),
-        ).otherwise(F.lit(0.0))
+        def with_len(norm_len):
+            top = F.when(
+                (stats["top_cnt"] > 0) & (norm_len > 0),
+                F.least(
+                    F.lit(1.0),
+                    (stats["top_cnt"] * F.length(stats["top_item"]))
+                    / norm_len.cast("double"),
+                ),
+            ).otherwise(F.lit(0.0))
+            dup = F.when(
+                (stats["dup_chars"] > 0) & (norm_len > 0),
+                F.least(
+                    F.lit(1.0),
+                    stats["dup_chars"] / norm_len.cast("double"),
+                ),
+            ).otherwise(F.lit(0.0))
+            return F.struct(top.alias("top_frac"), dup.alias("dup_frac"))
 
-    return _let(_run_stats(_word_grams(toks, n)), with_stats)
+        return _let(F.length(F.concat_ws(" ", toks)), with_len)
+
+    return _let(_run_stats(word_grams(toks, n)), with_stats)
+
+
+def _top_frac_from_toks(toks: Column, n: int) -> Column:
+    """top fraction over an already-bound tokens array."""
+    return _ngram_fracs(toks, n)["top_frac"]
 
 
 def _dup_frac_from_toks(toks: Column, n: int) -> Column:
-    """dup_ngram_char_fraction body over an already-bound tokens
-    array."""
-    from demy_spark.functions.text import _let
-
-    def with_stats(stats):
-        norm_len = F.length(F.concat_ws(" ", toks))
-        return F.when(
-            (stats["dup_chars"] > 0) & (norm_len > 0),
-            F.least(
-                F.lit(1.0), stats["dup_chars"] / norm_len.cast("double")
-            ),
-        ).otherwise(F.lit(0.0))
-
-    return _let(_run_stats(_word_grams(toks, n)), with_stats)
+    """dup fraction over an already-bound tokens array."""
+    return _ngram_fracs(toks, n)["dup_frac"]
 
 
 def top_ngram_char_fraction(c: Column | str, n: int) -> Column:
@@ -378,29 +388,48 @@ def dup_line_fraction(c: Column | str, sep: str = "\n") -> Column:
     line of the same document (1 - distinct/total) — the duplicate
     line/paragraph signal (``sep`` is a Java regex; pass "\\n\\n" for
     paragraphs)."""
-    lines = F.filter(F.split(_as_col(c), sep), lambda x: x != "")
-    total = F.size(lines)
-    return F.when(
-        total > 0, 1.0 - F.size(F.array_distinct(lines)) / total.cast("double")
-    ).otherwise(F.lit(0.0))
+    from demy_spark.functions.text import _let
+
+    def with_lines(lines):
+        total = F.size(lines)
+        return F.when(
+            total > 0,
+            1.0 - F.size(F.array_distinct(lines)) / total.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return _let(
+        F.filter(F.split(_as_col(c), sep), lambda x: x != ""), with_lines
+    )
 
 
 def dup_line_char_fraction(c: Column | str, sep: str = "\n") -> Column:
     """Characters a per-document line dedup would REMOVE (occurrences
     beyond the first of each duplicated line), over the characters of
     all non-empty lines."""
-    lines = F.filter(F.split(_as_col(c), sep), lambda x: x != "")
-    # excess chars = total chars - one kept copy of each distinct line
-    total_chars = F.aggregate(
-        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    from demy_spark.functions.text import _let
+
+    def with_lines(lines):
+        # excess chars = total chars - one kept copy per distinct line
+        tc_expr = F.aggregate(
+            lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+        kept_chars = F.aggregate(
+            F.array_distinct(lines),
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.length(x),
+        )
+
+        def with_total(total_chars):
+            return F.when(
+                total_chars > 0,
+                (total_chars - kept_chars) / total_chars.cast("double"),
+            ).otherwise(F.lit(0.0))
+
+        return _let(tc_expr, with_total)
+
+    return _let(
+        F.filter(F.split(_as_col(c), sep), lambda x: x != ""), with_lines
     )
-    kept_chars = F.aggregate(
-        F.array_distinct(lines), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-    )
-    return F.when(
-        total_chars > 0,
-        (total_chars - kept_chars) / total_chars.cast("double"),
-    ).otherwise(F.lit(0.0))
 
 
 def repetition_profile(
@@ -418,23 +447,43 @@ def repetition_profile(
     top{n}_char_frac, dup{n}_char_frac. Pure per-row expressions —
     composes with ``gopher_rules`` as a narrow predicate/projection
     at any scale. The tokenization is let-bound ONCE and shared by
-    every n-gram signal (``text._let``)."""
+    every n-gram signal, and each distinct ``n``'s run statistic is
+    let-bound ONCE even when it feeds both a top and a dup field
+    (``text._let``; lambda-bearing subtrees are excluded from Spark's
+    subexpression elimination, so unbound sharing would re-sort the
+    gram array per referencing field)."""
     from demy_spark.functions.text import _let
 
     def with_toks(toks):
-        parts = [
-            dup_line_fraction(c, line_sep).alias("dup_line_frac"),
-            dup_line_char_fraction(c, line_sep).alias("dup_line_char_frac"),
-        ]
-        for n in top_ns:
-            parts.append(
-                _top_frac_from_toks(toks, n).alias(f"top{n}_char_frac")
-            )
-        for n in dup_ns:
-            parts.append(
-                _dup_frac_from_toks(toks, n).alias(f"dup{n}_char_frac")
-            )
-        return F.struct(*parts)
+        uniq = list(dict.fromkeys([*top_ns, *dup_ns]))
+
+        # one ARRAY binding, not a per-n chain of nested _lets: every
+        # nesting level costs the analyzer a fixed-point iteration, and
+        # a sequential chain over 5 ns on top of the per-signal lambda
+        # depth blows the 100-iteration budget (measured); the array
+        # keeps the depth constant while still evaluating each struct
+        # exactly once
+        def assemble(arr):
+            bound = {n: arr[i] for i, n in enumerate(uniq)}
+            parts = [
+                dup_line_fraction(c, line_sep).alias("dup_line_frac"),
+                dup_line_char_fraction(c, line_sep).alias(
+                    "dup_line_char_frac"
+                ),
+            ]
+            for n in top_ns:
+                parts.append(
+                    bound[n]["top_frac"].alias(f"top{n}_char_frac")
+                )
+            for n in dup_ns:
+                parts.append(
+                    bound[n]["dup_frac"].alias(f"dup{n}_char_frac")
+                )
+            return F.struct(*parts)
+
+        return _let(
+            F.array(*[_ngram_fracs(toks, n) for n in uniq]), assemble
+        )
 
     return _let(ws_norm_tokens(_as_col(c)), with_toks)
 

@@ -72,14 +72,9 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of ``text`` as 60-bit md5-slice
     hashes (DuckDB-replayable, see dedup._md5_long). Empty array when
     the document has fewer than ``n`` tokens."""
-    toks = _norm_tokens(text)
-    # guard: Spark's sequence(1, stop) DESCENDS when stop < 1
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
-    )
+    from demy_spark.functions.textstats import word_grams
+
+    grams = word_grams(_norm_tokens(text), n)
     return F.array_distinct(
         F.transform(grams, lambda g: _md5_long(g, 1))
     )
@@ -109,15 +104,11 @@ def winnow_fingerprints(
     gram sequence per window, the splitDoc pitfall). No shuffle, no
     UDF; O(T·w) per row."""
     from demy_spark.functions.text import _let
-    from demy_spark.functions.textstats import norm_tokens
+    from demy_spark.functions.textstats import norm_tokens, word_grams
 
     def with_toks(toks):
-        n_grams = F.size(toks) - (k - 1)
-        idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
-            F.array().cast("array<int>")
-        )
         hashes_expr = F.transform(
-            idx, lambda i: _md5_long(F.concat_ws(" ", F.slice(toks, i, k)), 1)
+            word_grams(toks, k), lambda g: _md5_long(g, 1)
         )
 
         def with_hashes(hs):

@@ -7854,23 +7854,26 @@ def q124_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     def r6(col):
         return F.round(col, 6) + F.lit(0.0)
 
-    return t["documents"].select(
-        "doc_id",
-        r6(textstats.top_ngram_char_fraction(F.col("text"), 2)).alias(
-            "top2_char_frac"
-        ),
-        r6(textstats.top_ngram_char_fraction(F.col("text"), 3)).alias(
-            "top3_char_frac"
-        ),
-        r6(textstats.top_ngram_char_fraction(F.col("text"), 4)).alias(
-            "top4_char_frac"
-        ),
-        r6(textstats.dup_ngram_char_fraction(F.col("text"), 2)).alias(
-            "dup2_char_frac"
-        ),
-        r6(textstats.dup_ngram_char_fraction(F.col("text"), 3)).alias(
-            "dup3_char_frac"
-        ),
+    # the profile struct computes each distinct n's run statistic ONCE
+    # for both its top and dup fields; explode(array(...)) is a
+    # Generate barrier so CollapseProject cannot inline the struct
+    # back into the five field extractions below (which would undo the
+    # sharing — HOF subtrees are excluded from subexpression
+    # elimination)
+    prof = textstats.repetition_profile(
+        F.col("text"), top_ns=(2, 3, 4), dup_ns=(2, 3)
+    )
+    return (
+        t["documents"]
+        .select("doc_id", F.explode(F.array(prof)).alias("p"))
+        .select(
+            "doc_id",
+            r6(F.col("p.top2_char_frac")).alias("top2_char_frac"),
+            r6(F.col("p.top3_char_frac")).alias("top3_char_frac"),
+            r6(F.col("p.top4_char_frac")).alias("top4_char_frac"),
+            r6(F.col("p.dup2_char_frac")).alias("dup2_char_frac"),
+            r6(F.col("p.dup3_char_frac")).alias("dup3_char_frac"),
+        )
     )
 
 
