@@ -64,6 +64,15 @@ PLANNABLE = [
     "q117_bm25_search",
     "q119_group_median",
     "q120_events_sliding",
+    # round-5 additions (q123 excluded: driver-side Lloyd rounds like
+    # q100; q122's index build is lazy like q24's)
+    "q122_fuzzy_typed_filter",
+    "q124_repetition_profile",
+    "q125_unicode_hygiene",
+    "q126_html_strip",
+    "q127_winnow_pairs",
+    "q128_json_props",
+    "q129_url_parse",
 ]
 
 
@@ -195,3 +204,30 @@ def test_bm25_topk_is_group_limited_and_df_broadcast(plans):
     assert "WindowGroupLimit" in p
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_per_row_maps_have_no_exchange(plans):
+    # the round-5 per-row signal/hygiene/extraction queries are pure
+    # maps: ANY exchange in their plans is a regression (a shuffle
+    # where a 100 TB scan needs none)
+    for name in (
+        "q124_repetition_profile",
+        "q125_unicode_hygiene",
+        "q126_html_strip",
+        "q128_json_props",
+        "q129_url_parse",
+    ):
+        assert "Exchange" not in plans[name], name
+
+
+def test_winnow_pairs_cokeyed_join_partial_agg(plans):
+    # the pair count must combine map-side before its shuffle, and the
+    # self-join must be an equi-join on the fingerprint (cartesian
+    # covered parameterized). At sf0.001 Catalyst legitimately
+    # broadcasts the tiny exploded side on size stats — at corpus
+    # scale the same equi-join shuffles co-keyed; what we pin here is
+    # that there is a hash-equi join to pick the strategy FOR, plus
+    # the partial aggregation.
+    p = plans["q127_winnow_pairs"]
+    assert "partial_count" in p
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[_wfp_", p)
