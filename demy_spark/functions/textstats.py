@@ -141,6 +141,71 @@ def quality_score(c: Column | str, lang: str = "en") -> Column:
     )
 
 
+# Explicit BMP codepoint ranges, NOT \\p{script=...}: Java regex and
+# RE2-family engines bind script properties to different Unicode
+# versions, while literal ranges mean the same chars on every engine
+# the oracle gate runs. Ranges cover the dominant blocks only — a
+# router's signal, not a full Unicode classification.
+SCRIPT_RANGES = (
+    ("latin", "A-Za-z\u00c0-\u024f"),
+    ("cyrillic", "\u0400-\u04ff"),
+    ("greek", "\u0370-\u03ff"),
+    ("arabic", "\u0600-\u06ff"),
+    ("devanagari", "\u0900-\u097f"),
+    ("cjk", "\u4e00-\u9fff"),
+    ("hangul", "\uac00-\ud7a3"),
+    ("kana", "\u3040-\u30ff"),
+)
+
+
+def script_profile(c: Column | str) -> Column:
+    """Per-script character counts plus the dominant script — the
+    language-ROUTING signal that decides which script-specific
+    pipeline (tokenizer, stopword set, quality model) a crawled
+    document enters, and the standard mixed-script/mojibake flag
+    (e.g. latin spam inside a cjk crawl). One ``regexp_replace`` +
+    ``length`` per script over a let-bound column — pure codegen
+    expressions, a narrow map at any scale. Dominant script = argmax
+    of the counts with ties to the earlier entry in SCRIPT_RANGES
+    ("und" when every count is 0); exposed as
+    struct(n_<script>... , n_script_chars, dominant). NULL text
+    profiles as empty text (all-zero counts, "und") — a router must
+    route every row."""
+    from demy_spark.functions.text import _let
+
+    def with_text(t0):
+        t = F.coalesce(t0, F.lit(""))
+        counts = [
+            F.length(F.regexp_replace(t, f"[^{rng}]", "")).cast("long")
+            for _, rng in SCRIPT_RANGES
+        ]
+
+        def with_counts(arr):
+            parts = [
+                arr[i].alias(f"n_{name}")
+                for i, (name, _) in enumerate(SCRIPT_RANGES)
+            ]
+            total = F.aggregate(
+                arr, F.lit(0).cast("long"), lambda a, x: a + x
+            )
+            best = F.array_max(arr)
+            # array_position returns the FIRST max -> earlier entry
+            # wins ties, matching the documented order
+            names = F.array(
+                *[F.lit(name) for name, _ in SCRIPT_RANGES]
+            )
+            dominant = F.when(best > 0, F.get(names, F.array_position(arr, best).cast("int") - 1)).otherwise(F.lit("und"))
+            return F.struct(
+                *parts,
+                total.alias("n_script_chars"),
+                dominant.alias("dominant"),
+            )
+
+        return _let(F.array(*counts), with_counts)
+
+    return _let(_as_col(c), with_text)
+
+
 def language_id(c: Column | str) -> Column:
     """Pick the language whose stopword profile hits the most tokens;
     'und' when nothing hits. Expressed as a greatest-of-struct so the

@@ -8121,6 +8121,87 @@ def q129_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q130_SNIPPETS = {
+    1: " \u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440",
+    2: " \u6570\u636e\u5904\u7406\u5f15\u64ce",
+    3: " \u0645\u0631\u062d\u0628\u0627 \u0628\u0627\u0644\u0639\u0627\u0644\u0645",
+}
+
+
+def _q130_sql() -> str:
+    """Oracle for q130 built from the SAME constants the Spark side
+    uses (snippets + SCRIPT_RANGES), so the two engines can never
+    drift on the injected text or the codepoint classes."""
+    from demy_spark.functions.textstats import SCRIPT_RANGES
+
+    counts = ",\n             ".join(
+        f"length(regexp_replace(txt, '[^{rng}]', '', 'g'))::BIGINT"
+        f" AS n_{name}"
+        for name, rng in SCRIPT_RANGES
+    )
+    names_list = ", ".join(f"'{name}'" for name, _ in SCRIPT_RANGES)
+    cols = ", ".join(f"n_{name}" for name, _ in SCRIPT_RANGES)
+    return f"""
+    WITH built AS (
+      SELECT doc_id,
+             text || CASE doc_id % 4
+               WHEN 1 THEN '{_Q130_SNIPPETS[1]}'
+               WHEN 2 THEN '{_Q130_SNIPPETS[2]}'
+               WHEN 3 THEN '{_Q130_SNIPPETS[3]}'
+               ELSE '' END AS txt
+      FROM documents),
+    counted AS (
+      SELECT doc_id,
+             {counts}
+      FROM built),
+    listed AS (
+      SELECT *, [{cols}] AS l FROM counted)
+    SELECT doc_id, {cols},
+           (n_latin + n_cyrillic + n_greek + n_arabic + n_devanagari
+            + n_cjk + n_hangul + n_kana) AS n_script_chars,
+           CASE WHEN list_max(l) = 0 THEN 'und'
+                ELSE [{names_list}][list_position(l, list_max(l))]
+           END AS dominant
+    FROM listed
+    """
+
+
+@register("q130_script_profile", _q130_sql())
+def q130_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-mix profiling (functions/textstats.script_profile):
+    per-script character counts over explicit BMP codepoint ranges
+    plus the dominant script — the language-ROUTING signal that
+    decides which script-specific pipeline a crawled document enters,
+    and the mixed-script spam/mojibake flag. Explicit ranges, not
+    \\p{{script=...}}: engines bind script properties to different
+    Unicode versions, literal ranges cannot drift. The all-ASCII
+    fixture gets deterministic per-id snippet injection (cyrillic /
+    cjk / arabic by doc_id % 4) so every branch of the profile is
+    exercised; snippets and ranges interpolate into the oracle from
+    the same constants. Pure codegen regexp chain — a narrow per-row
+    map at any scale. No reference analog (extension, like chunking)."""
+    from demy_spark.functions.textstats import SCRIPT_RANGES, script_profile
+
+    t = _t(spark, sf_dir)
+    snippet = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit(_Q130_SNIPPETS[1]))
+        .when(F.col("doc_id") % 4 == 2, F.lit(_Q130_SNIPPETS[2]))
+        .when(F.col("doc_id") % 4 == 3, F.lit(_Q130_SNIPPETS[3]))
+        .otherwise(F.lit(""))
+    )
+    prof = script_profile(F.concat(F.col("text"), snippet))
+    return (
+        t["documents"]
+        .select("doc_id", F.explode(F.array(prof)).alias("p"))
+        .select(
+            "doc_id",
+            *[F.col(f"p.n_{name}") for name, _ in SCRIPT_RANGES],
+            F.col("p.n_script_chars"),
+            F.col("p.dominant"),
+        )
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-5 window: the staleness-paydown round VERDICT r4 ordered
 # first ("Next round: do this" #1):
@@ -8131,7 +8212,8 @@ def q129_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      (repetition-profile quality signals), q125 (unicode hygiene:
 #      control strip + NFC), q126 (HTML strip), q127 (winnowing
 #      fingerprint pairs), q128 (JSON field extraction) and q129
-#      (URL decomposition) — plus q121, whose avg_value derivation changed from a
+#      (URL decomposition) and q130 (script-mix routing profile) —
+#      plus q121, whose avg_value derivation changed from a
 #      rounded double quotient to pure integer arithmetic (ADVICE r4
 #      quantization fix), so it re-earns its row, and q104/q113/q115/
 #      q116, whose merge-pass/trainer execution changed this round
@@ -8141,11 +8223,11 @@ def q129_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      q20, q22, q48, q55, q58-q60, q68, q69, q72, q73) plus the 7
 #      round-4 displacements (q25, q46, q49, q50, q52, q70, q71);
 #      after this round no official row is older than r3;
-#   3. 8 of the 42 queries resting on r3 rows — the q74+ block,
-#      oldest-registered-first (q83-q88 displaced by q124-q129;
-#      tier-1 q104 is the 9th r3-resting query in the window).
-# The 33 r3-resting deferrals (q01-q03, q12, q24, q26, q38, q47, q51,
-# q56, q57, q62, q64, q83-q91, q94, q95, q98, q99, q101, q103,
+#   3. 7 of the 42 queries resting on r3 rows — the q74+ block,
+#      oldest-registered-first (q82-q88 displaced by q124-q130;
+#      tier-1 q104 is the 8th r3-resting query in the window).
+# The 34 r3-resting deferrals (q01-q03, q12, q24, q26, q38, q47, q51,
+# q56, q57, q62, q64, q82-q91, q94, q95, q98, q99, q101, q103,
 # q105-q107, q109, q110) stay on rows that are 1 round old today and
 # lead the round-6 rotation; q01-q03/q12/q24/q26 additionally run
 # every round as bench headliners and q24 sits on entry()'s flagship
@@ -8170,6 +8252,7 @@ _DRIVER_PRIORITY = [
     "q127_winnow_pairs",
     "q128_json_props",
     "q129_url_parse",
+    "q130_script_profile",
     "q121_incremental_rollup",
     "q104_phrase_merges",
     "q113_bpe_apply",
@@ -8205,8 +8288,8 @@ _DRIVER_PRIORITY = [
     "q71_online_centers",
     "q72_point_in_polygon",
     "q73_platt_calibration",
-    # --- tier 3: oldest r3 rows (8 of 42; deferrals documented above;
-    # q83-q88 displaced late in round 5 by the never-rowed q124-q129,
+    # --- tier 3: oldest r3 rows (7 of 42; deferrals documented above;
+    # q82-q88 displaced late in round 5 by the never-rowed q124-q130,
     # joining q89-q91/q94 at the head of the round-6 rotation)
     "q74_embed_options",
     "q75_shapefile_flatten",
@@ -8215,7 +8298,6 @@ _DRIVER_PRIORITY = [
     "q79_pipeline_grid",
     "q80_source_scan",
     "q81_phonetic_simplify",
-    "q82_analogy_score",
 ]
 
 

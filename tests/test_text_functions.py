@@ -570,3 +570,30 @@ def test_json_and_url_extraction(spark):
     assert got[2]["k"] is None and got[2]["path"] == "/"
     assert got[3]["k"] is None and got[3]["lang"] is None
     assert got[4]["host"] is None
+
+
+def test_script_profile(spark):
+    """Per-script counts, dominant argmax with first-entry tie-break,
+    'und' on scriptless text, mixed-script flagging."""
+    import pyspark.sql.functions as F
+
+    from demy_spark.functions.textstats import script_profile
+
+    rows = [
+        (1, "hello мир"),        # latin 5 > cyrillic 3
+        (2, "日本語のテキスト"),  # kana 5 > cjk 3
+        (3, "123 !?"),                            # no script chars
+        (4, "ab аб"),                  # 2-2 tie -> latin (earlier entry)
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {
+        r["id"]: r["p"].asDict() if r["p"] is not None else None
+        for r in df.select("id", script_profile("t").alias("p")).collect()
+    }
+    assert got[1]["dominant"] == "latin" and got[1]["n_cyrillic"] == 3
+    assert got[2]["dominant"] == "kana" and got[2]["n_cjk"] == 3
+    assert got[3]["dominant"] == "und" and got[3]["n_script_chars"] == 0
+    assert got[4]["dominant"] == "latin"  # tie breaks to earlier entry
+    # a router routes every row: null profiles as empty text
+    assert got[5]["dominant"] == "und" and got[5]["n_script_chars"] == 0
