@@ -73,6 +73,7 @@ PLANNABLE = [
     "q127_winnow_pairs",
     "q128_json_props",
     "q129_url_parse",
+    "q130_script_profile",
 ]
 
 
@@ -216,6 +217,7 @@ def test_per_row_maps_have_no_exchange(plans):
         "q126_html_strip",
         "q128_json_props",
         "q129_url_parse",
+        "q130_script_profile",
     ):
         assert "Exchange" not in plans[name], name
 
