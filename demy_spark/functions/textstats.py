@@ -147,7 +147,9 @@ def quality_score(c: Column | str, lang: str = "en") -> Column:
 # the oracle gate runs. Ranges cover the dominant blocks only — a
 # router's signal, not a full Unicode classification.
 SCRIPT_RANGES = (
-    ("latin", "A-Za-z\u00c0-\u024f"),
+    # Latin-1 letters exclude U+00D7 (multiplication sign) and U+00F7
+    # (division sign) \u2014 the two non-letters embedded in the block
+    ("latin", "A-Za-z\u00c0-\u00d6\u00d8-\u00f6\u00f8-\u024f"),
     ("cyrillic", "\u0400-\u04ff"),
     ("greek", "\u0370-\u03ff"),
     ("arabic", "\u0600-\u06ff"),

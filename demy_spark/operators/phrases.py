@@ -10,10 +10,16 @@ skeleton of BPE tokenizer training: count adjacent pairs, merge the
 argmax, repeat.
 
 Design (both engines of the oracle gate replay it bit-for-bit):
-- Everything stays in-plan — the per-iteration argmax is a 1-row
-  ``orderBy(count desc, pair asc).limit(1)`` frame cross-joined onto
-  the token stream, NOT a driver-side collect, so ``iterations``
-  chains one growing lazy plan.
+- Training is EAGER and the per-iteration argmax IS a driver-side
+  collect of exactly ONE row — a single ``min_by`` aggregation over a
+  struct ordering key (count desc, pair asc) whose winning pair is
+  bound back into the next round's plan as literals. Dictionary-sized
+  driver state (one (w1, w2, count) triple per round), same contract
+  as the tuning thresholds; the earlier all-in-plan formulation cost
+  ~7 jobs/round vs 2 and re-executed every argmax on output
+  evaluation (PLANS.md round-5). Each round truncates lineage with
+  ``localCheckpoint`` (or a reliable ``checkpoint`` when
+  ``checkpoint_dir`` is passed), so plans stay bounded.
 - Merges apply left-to-right without overlap. For a self-adjacent
   pair (w,w) inside a run of equal tokens, the classic convention is
   to merge greedily from the run's start — position parity inside the
@@ -33,6 +39,7 @@ iteration count by construction.
 
 from __future__ import annotations
 
+import re
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, Window
@@ -64,7 +71,25 @@ def _training_loop_conf(spark, checkpoint_dir: str | None):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         if checkpoint_dir is not None and prev_ckpt is not None:
-            spark.sparkContext.setCheckpointDir(prev_ckpt)
+            # getCheckpointDir() returns the RESOLVED path — the
+            # user-supplied root plus a per-set UUID component. Restore
+            # the root, not the resolved path: re-setting the resolved
+            # path would nest a fresh UUID one level deeper on every
+            # trainer call (root/uuid1/uuid2/... growing unboundedly).
+            spark.sparkContext.setCheckpointDir(_strip_ckpt_uuid(prev_ckpt))
+
+
+_CKPT_UUID_RE = re.compile(
+    r"/[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}/?$"
+)
+
+
+def _strip_ckpt_uuid(resolved: str) -> str:
+    """Undo SparkContext's UUID suffixing of a checkpoint root so a
+    restored directory doesn't nest (``setCheckpointDir(d)`` resolves
+    to ``d/<uuid>``; restoring the resolved value and setting again
+    would yield ``d/<uuid>/<uuid2>``)."""
+    return _CKPT_UUID_RE.sub("", resolved) or resolved
 
 
 def _argmax_pair(counts: DataFrame):
@@ -188,10 +213,19 @@ def phrase_merges(
     PLANS.md round-5); the collected row also lets a pair-exhausted
     corpus stop scheduling work for the remaining rounds entirely.
 
-    NOTE on ``checkpoint_dir``: ``sparkContext.setCheckpointDir`` is
-    session-global. Because rounds materialize inside the call, a
-    pre-existing checkpoint dir is RESTORED before returning; if none
-    was set, the directory stays set (Spark has no public unset).
+    NOTE on session-global side effects: ``sparkContext
+    .setCheckpointDir`` is session-global; a pre-existing checkpoint
+    ROOT is restored before returning (if none was set, the directory
+    stays set — Spark has no public unset). AQE
+    (``spark.sql.adaptive.enabled``) is likewise disabled for the
+    duration of the call and restored on exit — any query another
+    thread runs on the SAME session while training is in flight plans
+    with AQE off. Callers who interleave training with serving
+    traffic should run the trainer on its own session; the config
+    mutations are SparkSession-scoped (SQLConf), so a sibling
+    ``spark.newSession()`` running the concurrent queries is fully
+    insulated (checkpoint dir is SparkContext-wide, but only trainers
+    write checkpoints).
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -396,7 +430,11 @@ def bpe_train(
     2 jobs/round instead of ~7, pair-exhausted corpora stop
     scheduling entirely, and ``merge_table`` is literal rows that
     never re-execute training). A pre-existing session checkpoint
-    dir is restored before returning when ``checkpoint_dir`` is set.
+    ROOT is restored before returning when ``checkpoint_dir`` is set,
+    and AQE is disabled session-wide for the duration of the call
+    (restored on exit) — run the trainer on its own
+    ``spark.newSession()`` when serving queries share the session
+    (see ``phrase_merges``).
     """
     if merges < 1:
         raise ValueError(f"merges must be >= 1, got {merges}")

@@ -2104,11 +2104,15 @@ _Q53_SQL = (
         FROM probe p JOIN assign4 a ON a.c = p.c AND a.vec_id <> p.query_id),
     sims AS (
         SELECT cand.query_id, cand.neighbor_id,
-               list_cosine_similarity(qa.embedding::DOUBLE[],
-                                      qb.embedding::DOUBLE[]) AS sim
+               CASE WHEN nq.nx > 0 AND nb.nx > 0
+                    THEN list_cosine_similarity(qa.embedding::DOUBLE[],
+                                                qb.embedding::DOUBLE[])
+                    ELSE 0 END AS sim
         FROM cand
         JOIN embeddings qa ON cand.query_id = qa.vec_id
-        JOIN embeddings qb ON cand.neighbor_id = qb.vec_id),
+        JOIN embeddings qb ON cand.neighbor_id = qb.vec_id
+        JOIN vnorm nq ON cand.query_id = nq.vec_id
+        JOIN vnorm nb ON cand.neighbor_id = nb.vec_id),
     ranked AS (
         SELECT *, row_number() OVER (PARTITION BY query_id
                                      ORDER BY sim DESC, neighbor_id) AS rk
@@ -7699,11 +7703,15 @@ _Q123_SQL = (
         FROM probe p JOIN assign4 a ON a.c = p.c AND a.vec_id <> p.query_id),
     sims AS (
         SELECT cand.query_id, cand.neighbor_id,
-               list_cosine_similarity(qa.embedding::DOUBLE[],
-                                      qb.embedding::DOUBLE[]) AS sim
+               CASE WHEN nq.nx > 0 AND nb.nx > 0
+                    THEN list_cosine_similarity(qa.embedding::DOUBLE[],
+                                                qb.embedding::DOUBLE[])
+                    ELSE 0 END AS sim
         FROM cand
         JOIN embeddings qa ON cand.query_id = qa.vec_id
-        JOIN embeddings qb ON cand.neighbor_id = qb.vec_id),
+        JOIN embeddings qb ON cand.neighbor_id = qb.vec_id
+        JOIN vnorm nq ON cand.query_id = nq.vec_id
+        JOIN vnorm nb ON cand.neighbor_id = nb.vec_id),
     kcand AS (
         SELECT query_id, neighbor_id FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id

@@ -100,6 +100,26 @@ def test_training_restores_session_checkpoint_dir_and_aqe(spark, tmp_path):
     assert spark.conf.get("spark.sql.adaptive.enabled") == aqe_before
 
 
+def test_training_checkpoint_restore_does_not_nest(spark, tmp_path):
+    """Restoring the ROOT, not the resolved UUID path: getCheckpointDir
+    returns root/<uuid>, and re-setting that resolved value would nest
+    a fresh UUID per trainer call (root/uuid1/uuid2/... growing
+    unboundedly). After any number of trainer calls the resolved dir
+    must sit DIRECTLY under the original root."""
+    from demy_spark.operators.phrases import bpe_train
+
+    sc = spark.sparkContext
+    root = tmp_path / "prior"
+    sc.setCheckpointDir(str(root))
+    docs = spark.createDataFrame([("ab ab",)], "text string")
+    for _ in range(3):
+        bpe_train(docs, "text", merges=1, checkpoint_dir=str(tmp_path / "mine"))
+    resolved = sc.getCheckpointDir()
+    assert resolved is not None
+    rel = resolved.split("/prior/", 1)[1].rstrip("/")
+    assert "/" not in rel, f"checkpoint dir nested: {resolved}"
+
+
 def test_phrase_merges_greedy_argmax_chain(spark):
     m, t = _run(
         spark,
