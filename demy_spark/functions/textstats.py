@@ -12,8 +12,10 @@ billions of documents, so every one of them is a pure Column expression
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _WORD_SPLIT = r"\s+"
 
@@ -160,19 +162,103 @@ SCRIPT_RANGES = (
 )
 
 
+def _script_intervals() -> list[tuple[str, list[tuple[int, int]]]]:
+    """Numeric (lo, hi) codepoint intervals parsed from the SAME
+    SCRIPT_RANGES regex-class constant the builtin interpolates, so
+    the two implementations (and the DuckDB oracle) cannot drift."""
+    out = []
+    for name, rng in SCRIPT_RANGES:
+        ivals = []
+        i = 0
+        while i < len(rng):
+            if i + 2 < len(rng) and rng[i + 1] == "-":
+                ivals.append((ord(rng[i]), ord(rng[i + 2])))
+                i += 3
+            else:
+                ivals.append((ord(rng[i]), ord(rng[i])))
+                i += 1
+        out.append((name, ivals))
+    return out
+
+
+_SCRIPT_INTERVALS = _script_intervals()
+
+_SCRIPT_PROFILE_SCHEMA = T.StructType(
+    [T.StructField(f"n_{name}", T.LongType()) for name, _ in SCRIPT_RANGES]
+    + [
+        T.StructField("n_script_chars", T.LongType()),
+        T.StructField("dominant", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_SCRIPT_PROFILE_SCHEMA)
+def _script_profile_udf(s: pd.Series) -> pd.DataFrame:
+    import numpy as np
+
+    texts = s.fillna("")
+    lens = texts.str.len().to_numpy(dtype=np.int64)
+    # one utf-32 decode of the whole Arrow batch, 8 vectorized range
+    # masks, per-row counts via a single reduceat — every row in the
+    # batch is profiled in one C-speed pass
+    cps = np.frombuffer("".join(texts.tolist()).encode("utf-32-le"), dtype=np.uint32)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    cols = {}
+    counts = []
+    for name, ivals in _SCRIPT_INTERVALS:
+        mask = np.zeros(len(cps), dtype=bool)
+        for lo, hi in ivals:
+            mask |= (cps >= lo) & (cps <= hi)
+        per_row = np.add.reduceat(
+            np.concatenate([mask.astype(np.int64), [0]]), offsets[:-1]
+        )
+        # reduceat repeats the previous slice when offsets[i] ==
+        # offsets[i+1] (empty string) — force those to 0
+        per_row[lens == 0] = 0
+        cols[f"n_{name}"] = per_row
+        counts.append(per_row)
+    stacked = np.stack(counts)
+    cols["n_script_chars"] = stacked.sum(axis=0)
+    best = stacked.max(axis=0)
+    arg = stacked.argmax(axis=0)  # first max -> earlier entry wins ties
+    names = np.array([name for name, _ in SCRIPT_RANGES])
+    out = pd.DataFrame(cols)
+    out["dominant"] = np.where(best > 0, names[arg], "und")
+    return out
+
+
 def script_profile(c: Column | str) -> Column:
     """Per-script character counts plus the dominant script — the
     language-ROUTING signal that decides which script-specific
     pipeline (tokenizer, stopword set, quality model) a crawled
     document enters, and the standard mixed-script/mojibake flag
-    (e.g. latin spam inside a cjk crawl). One ``regexp_replace`` +
-    ``length`` per script over a let-bound column — pure codegen
-    expressions, a narrow map at any scale. Dominant script = argmax
+    (e.g. latin spam inside a cjk crawl). Dominant script = argmax
     of the counts with ties to the earlier entry in SCRIPT_RANGES
     ("und" when every count is 0); exposed as
     struct(n_<script>... , n_script_chars, dominant). NULL text
     profiles as empty text (all-zero counts, "und") — a router must
-    route every row."""
+    route every row.
+
+    Arrow-batched numpy implementation: one utf-32 decode per batch +
+    8 vectorized range masks + one ``reduceat`` — a single pass over
+    the batch's codepoints. This is the measured winner by ~9x over
+    the 8-sequential-``regexp_replace`` codegen chain it replaced
+    (0.57 s vs 5.08 s at 10x sf0.1, scripts/probe_script_profile_r6.py,
+    PLANS.md round-6; a one-pass codegen ``aggregate`` fold over
+    ``split(s, '')`` chars was 2x SLOWER than even the chain — per-char
+    struct accumulators don't vectorize). The chain survives as
+    ``script_profile_builtin`` — zero-Python plans for callers that
+    need them, and the parity anchor for tests."""
+    return _script_profile_udf(_as_col(c))
+
+
+def script_profile_builtin(c: Column | str) -> Column:
+    """``script_profile`` as a pure built-in codegen chain (one
+    ``regexp_replace`` + ``length`` per script over a let-bound
+    column). Same contract bit-for-bit — kept as the zero-Python
+    fallback and the parity test anchor; the pandas UDF above is ~9x
+    faster (measured, PLANS.md round-6)."""
     from demy_spark.functions.text import _let
 
     def with_text(t0):

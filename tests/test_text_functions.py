@@ -597,3 +597,40 @@ def test_script_profile(spark):
     assert got[4]["dominant"] == "latin"  # tie breaks to earlier entry
     # a router routes every row: null profiles as empty text
     assert got[5]["dominant"] == "und" and got[5]["n_script_chars"] == 0
+
+
+def test_script_profile_udf_builtin_parity(spark):
+    """The Arrow/numpy script_profile (default, ~9x faster — PLANS.md
+    round-6) must stay bit-identical to the regexp-chain builtin on
+    every edge the contract names: nulls, empties, astral codepoints
+    (python len vs utf-32 unit count), ties, and the Latin-1
+    non-letters x/÷ that the round-6 range fix excludes."""
+    import pyspark.sql.functions as F
+
+    from demy_spark.functions.textstats import (
+        script_profile,
+        script_profile_builtin,
+    )
+
+    rows = [
+        (1, "hello мир 数据 ×÷"),  # x/÷ are NOT latin
+        (2, None),
+        (3, ""),
+        (4, "مرحبا 한글 ひらがな"),
+        (5, "\U0001F600 astral \U00010400 deseret"),  # astral = 1 cp each
+        (6, "ab аб"),  # tie -> earlier entry
+        (7, "ÖØöø×÷"),  # range boundary chars
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    a = (
+        df.select("id", script_profile("text").alias("p"))
+        .select("id", "p.*").orderBy("id").collect()
+    )
+    b = (
+        df.select("id", script_profile_builtin("text").alias("p"))
+        .select("id", "p.*").orderBy("id").collect()
+    )
+    assert a == b
+    byid = {r["id"]: r for r in a}
+    assert byid[1]["n_latin"] == 5  # x/÷ excluded
+    assert byid[7]["n_latin"] == 4 and byid[7]["n_script_chars"] == 4
