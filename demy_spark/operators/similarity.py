@@ -171,6 +171,7 @@ def ivf_build(
     *,
     n_lists: int = 8,
     train_iters: int = 3,
+    max_list_factor: float | None = 4.0,
 ) -> tuple[list[list[float]], DataFrame]:
     """Train an IVF coarse quantizer and assign the corpus to lists.
 
@@ -183,7 +184,25 @@ def ivf_build(
 
     Centroids are dictionary-sized (n_lists × dim floats): collected
     to the driver per round and broadcast back — never corpus-scale
-    state."""
+    state.
+
+    ``max_list_factor`` bounds list sizes (on by default): a list
+    holding more than ``ceil(max_list_factor × n / n_lists)`` vectors
+    after Lloyd is SPLIT into equal-ish sublists (members spread by
+    ``id % n_sublists`` — deterministic, no window over the hot list),
+    each with its own mean sub-centroid appended to the codebook. A
+    dedup-less corpus collapses Lloyd lists (10 exact copies of every
+    vector degenerated 80 lists to 8 non-empty at 10.6× the balanced
+    size, costing ~3× on every probe — PLANS.md round-5/6); the cap
+    restores the probe contract (~nprobe/n_lists of the corpus per
+    query) at one extra dictionary-sized count job on the no-split
+    fast path. Balanced corpora never trigger it (fixture max/avg is
+    ~1.07 vs the 4.0 default). Sublist members keep their
+    parent-centroid ``sim`` (documented: no in-repo consumer reads
+    ``sim`` on the split path — rerank stages recompute exact cosine).
+    Set ``max_list_factor=None`` to disable (bit-compat with the
+    uncapped builder, e.g. for an oracle replay that pins the
+    quantizer)."""
     from demy_spark.topic import seeded_kmeans
 
     dims = corpus.select(
@@ -201,7 +220,96 @@ def ivf_build(
     assigned, centers, _ = seeded_kmeans(
         corpus, id_col, vec_col, seeds, max_iters=train_iters, tol=0.0
     )
-    return centers, assigned
+    if max_list_factor is None:
+        return centers, assigned
+    return _split_hot_lists(
+        corpus, vec_col, id_col, centers, assigned, max_list_factor
+    )
+
+
+def _split_hot_lists(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centers: list[list[float]],
+    assigned: DataFrame,
+    max_list_factor: float,
+) -> tuple[list[list[float]], DataFrame]:
+    """Bound IVF list sizes by splitting every list over
+    ``ceil(max_list_factor × n/n_lists)`` into ``ceil(size/bound)``
+    sublists (members by ``id % n_sublists``), each re-centered on its
+    own element-wise mean. Driver state stays dictionary-sized: the
+    per-list histogram (n_lists rows) and the sub-centroid matrix
+    (n_new × dim). The assignment pass is persisted so the histogram
+    job and the caller's downstream use share one Lloyd evaluation."""
+    n_lists = len(centers)
+    assigned = assigned.persist()
+    sizes = {
+        r["cluster"]: r["_sz_"]
+        for r in assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("_sz_"))
+        .collect()
+    }
+    total = sum(sizes.values())
+    if total == 0:
+        return centers, assigned
+    bound = max(1, -(-int(max_list_factor * total) // n_lists))
+    hot = {c: sz for c, sz in sizes.items() if sz > bound}
+    if not hot:
+        return centers, assigned
+    # (cluster, n_sublists, first extra codebook id); extras enumerate
+    # ascending-cluster so the mapping is a pure function of the
+    # histogram
+    next_id = n_lists
+    plan: dict[int, tuple[int, int]] = {}
+    for c in sorted(hot):
+        s = -(-hot[c] // bound)
+        plan[c] = (s, next_id)
+        next_id += s - 1
+    spark = corpus.sparkSession
+    split_map = spark.createDataFrame(
+        [(c, s, base) for c, (s, base) in plan.items()],
+        "cluster int, _s_ int, _base_ int",
+    )
+    resplit = (
+        assigned.join(F.broadcast(split_map), "cluster", "left")
+        .withColumn(
+            "_sub_",
+            F.when(
+                F.col("_s_").isNotNull(),
+                F.pmod(F.col(id_col).cast("long"), F.col("_s_")),
+            ),
+        )
+        .withColumn(
+            "cluster",
+            F.when(F.col("_sub_").isNull() | (F.col("_sub_") == 0), F.col("cluster"))
+            .otherwise(F.col("_base_") + F.col("_sub_") - 1)
+            .cast("int"),
+        )
+        .select(id_col, "cluster", "sim")
+    )
+    # re-center: element-wise means of each new sublist (hot members
+    # only — everything else keeps its Lloyd centroid)
+    hot_ids = list(plan)
+    sub_rows = (
+        resplit.where(
+            F.col("cluster").isin(
+                *hot_ids, *range(n_lists, next_id)
+            )
+        )
+        .join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+        .select("cluster", F.posexplode(vec_col).alias("_d_", "_x_"))
+        .groupBy("cluster", "_d_")
+        .agg(F.avg("_x_").alias("_m_"))
+        .collect()
+    )
+    dim = len(centers[0])
+    out = [list(c) for c in centers] + [
+        [0.0] * dim for _ in range(next_id - n_lists)
+    ]
+    for r in sub_rows:
+        out[r["cluster"]][r["_d_"]] = r["_m_"]
+    return out, resplit
 
 
 def ivf_cosine_topk(
