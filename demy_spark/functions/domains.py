@@ -1,0 +1,151 @@
+"""Public-suffix registered-domain extraction — the domain-level
+curation key.
+
+Per-registered-domain rollups (quality gates, blocklists, domain
+holdout splits) are the standard corpus-curation primitive the
+RefinedWeb/CCNet lineage applies between URL decomposition and
+document filtering; ``parse_url(..., 'HOST')`` alone cannot express
+it because multi-label public suffixes (``co.uk``, ``github.io``)
+make "last two labels" wrong. The algorithm here is the published
+publicsuffix.org matching spec: among all rules matching a suffix of
+the host, an exception rule prevails, else the rule with the most
+labels; the public suffix is the matched labels (one label fewer for
+an exception), and the registered domain is the public suffix plus
+the one preceding label. When nothing matches, the prevailing rule
+is ``*`` (the last label is the public suffix).
+
+Scale shape: the rule list — even the full ~10k-entry public list —
+is dictionary-sized, so it ships to executors inside the UDF closure
+(one dict per worker, like the ANN centroid tables) and the whole
+operator is a PURE PER-ROW MAP: zero shuffles, zero joins, linear in
+host labels. The DuckDB oracle replays the spec relationally instead
+(explode candidate suffixes → join the rules table → score argmax),
+so the correctness gate exercises the algorithm through a second,
+independent formulation.
+
+No reference analog (extension, like chunking/URL decomposition):
+the reference's crawler (net2demy/src/main/scala/Execute.scala)
+filters raw URLs by regex and never needs domain grouping.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "PSL_SAMPLE_RULES",
+    "parsed_psl_rules",
+    "registered_domain",
+]
+
+# A representative slice of the public-suffix list: plain TLDs,
+# multi-label suffixes, a private-registry suffix (github.io), a
+# wildcard family (*.ck) and its exception (!www.ck) — every rule
+# kind the spec defines. Swap in the full published list for
+# production corpora; the operator and oracle are rule-count-agnostic.
+PSL_SAMPLE_RULES = (
+    "com",
+    "org",
+    "net",
+    "io",
+    "uk",
+    "co.uk",
+    "ac.uk",
+    "au",
+    "com.au",
+    "jp",
+    "co.jp",
+    "github.io",
+    "*.ck",
+    "!www.ck",
+)
+
+
+def parsed_psl_rules(
+    rules: tuple[str, ...] = PSL_SAMPLE_RULES,
+) -> list[tuple[str, str, int]]:
+    """Normalize rule strings to (key, kind, eff) triples shared by
+    the UDF closure and the oracle's VALUES table:
+
+    - exact rule ``foo.bar`` → ("foo.bar", "exact", 2): a matching
+      suffix is the public suffix, eff = its label count;
+    - wildcard ``*.tail``   → ("tail", "wild", 0): matches any suffix
+      whose PARENT equals the tail, eff = the matched suffix's own
+      label count (computed at match time — 0 here is a placeholder);
+    - exception ``!foo.bar`` → ("foo.bar", "exc", 1): the matched
+      suffix is NOT a public suffix; eff = label count minus one.
+    """
+    out = []
+    for r in rules:
+        r = r.strip().lower()
+        if r.startswith("!"):
+            key = r[1:]
+            out.append((key, "exc", key.count(".")))  # nlab - 1
+        elif r.startswith("*."):
+            out.append((r[2:], "wild", 0))
+        else:
+            out.append((r, "exact", r.count(".") + 1))
+    return out
+
+
+_DOMAIN_SCHEMA = T.StructType(
+    [
+        T.StructField("public_suffix", T.StringType()),
+        T.StructField("registered_domain", T.StringType()),
+    ]
+)
+
+
+def registered_domain(
+    c: Column | str, rules: tuple[str, ...] = PSL_SAMPLE_RULES
+) -> Column:
+    """struct(public_suffix, registered_domain) for a host column.
+
+    Match scoring mirrors the oracle's integer encoding exactly:
+    every matching rule scores ``is_exception * 1000 + eff`` (eff =
+    public-suffix label count that rule implies), the max score wins
+    (the spec's "exception prevails, else most labels"), and a
+    matchless host falls to the default ``*`` rule (score 1). NULL
+    host → NULL struct fields; the host is lowercased and a trailing
+    dot stripped first (the spec's canonicalization)."""
+    parsed = parsed_psl_rules(rules)
+    exact = {k: eff for k, kind, eff in parsed if kind == "exact"}
+    exc = {k: eff for k, kind, eff in parsed if kind == "exc"}
+    wild = {k for k, kind, _ in parsed if kind == "wild"}
+
+    def lookup(host):
+        if host is None:
+            return (None, None)
+        h = host.lower().rstrip(".")
+        ls = h.split(".")
+        n = len(ls)
+        score = 1  # the default "*" rule
+        for i in range(n):
+            suf = ".".join(ls[i:])
+            nlab = n - i
+            if suf in exc:
+                score = max(score, 1000 + exc[suf])
+            if suf in exact:
+                score = max(score, exact[suf])
+            if ".".join(ls[i + 1 :]) in wild and nlab >= 2:
+                score = max(score, nlab)
+        eff = score % 1000
+        ps = ".".join(ls[n - eff :])
+        reg = ".".join(ls[n - eff - 1 :]) if n > eff else None
+        return (ps, reg)
+
+    @F.pandas_udf(_DOMAIN_SCHEMA)
+    def _lookup_udf(s: pd.Series) -> pd.DataFrame:
+        pairs = [lookup(h) for h in s]
+        return pd.DataFrame(
+            {
+                "public_suffix": [p[0] for p in pairs],
+                "registered_domain": [p[1] for p in pairs],
+            }
+        )
+
+    col = F.col(c) if isinstance(c, str) else c
+    return _lookup_udf(col)

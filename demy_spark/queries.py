@@ -8210,102 +8210,212 @@ def q130_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q131_HOST_SQL = """CASE doc_id % 7
+               WHEN 0 THEN 'www.' || source || '.com'
+               WHEN 1 THEN 'a.b.' || source || '.co.uk'
+               WHEN 2 THEN source || '.github.io'
+               WHEN 3 THEN 'x' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.w.' || source || '.ck'
+               WHEN 4 THEN 'www.ck'
+               WHEN 5 THEN source || '.ck'
+               ELSE source || '.xyz' END"""
+
+
+def _q131_sql() -> str:
+    """Oracle for q131: the publicsuffix.org matching spec replayed
+    RELATIONALLY (explode candidate suffixes → join the rules VALUES
+    table → integer score argmax) against the same parsed-rule
+    triples and score encoding the engine's closure-dict UDF uses —
+    two independent formulations of one algorithm, one constant."""
+    from demy_spark.functions.domains import parsed_psl_rules
+
+    rules = ",\n              ".join(
+        f"('{key}', '{kind}', {eff})" for key, kind, eff in parsed_psl_rules()
+    )
+    return f"""
+    WITH hosts AS (
+      SELECT doc_id, text, {_Q131_HOST_SQL} AS host
+      FROM documents),
+    lab AS (
+      SELECT doc_id, host, text, string_split(host, '.') AS ls FROM hosts),
+    cand AS (
+      SELECT doc_id,
+             array_to_string(ls[i:], '.') AS suffix,
+             array_to_string(ls[i+1:], '.') AS parent,
+             len(ls) - i + 1 AS nlab
+      FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i
+            FROM lab)),
+    rules(key, kind, eff) AS (VALUES {rules}),
+    m AS (
+      SELECT c.doc_id,
+             CASE WHEN r.kind = 'exc' THEN 1000 + r.eff
+                  WHEN r.kind = 'wild' THEN c.nlab
+                  ELSE r.eff END AS score
+      FROM cand c JOIN rules r ON c.suffix = r.key AND r.kind <> 'wild'
+      UNION ALL
+      SELECT c.doc_id, c.nlab AS score
+      FROM cand c JOIN rules r ON c.parent = r.key AND r.kind = 'wild'),
+    best AS (
+      SELECT l.doc_id, l.text, len(l.ls) AS n, l.ls,
+             coalesce(max(m.score), 1) % 1000 AS eff
+      FROM lab l LEFT JOIN m ON l.doc_id = m.doc_id
+      GROUP BY l.doc_id, l.text, l.ls),
+    rd AS (
+      SELECT doc_id, text,
+             CASE WHEN n > eff
+                  THEN array_to_string(ls[n-eff:], '.') END AS reg_domain
+      FROM best)
+    SELECT reg_domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS sum_tokens,
+           CAST(floor(sum(len({_TOKS_SQL})) * 1000000.0 / count(*)) AS BIGINT)
+             AS avg_tokens_micro
+    FROM rd GROUP BY reg_domain
+    """
+
+
+@register("q131_domain_rollup", _q131_sql())
+def q131_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain quality rollup (functions/domains
+    .registered_domain — the publicsuffix.org matching spec): the
+    domain-level curation primitive RefinedWeb/CCNet-style pipelines
+    gate on (per-domain quality stats, blocklists, domain-holdout
+    splits). ``parse_url`` host alone cannot express it — multi-label
+    public suffixes (co.uk, github.io) break "last two labels" (q129
+    documents exactly this limitation). Hosts are synthesized
+    deterministically from doc fields to cover every rule kind: plain
+    TLD, multi-label suffix, private-registry suffix, wildcard *.ck,
+    exception !www.ck, host == its own public suffix (NULL registered
+    domain — those docs roll up under the NULL key, the "no
+    registrable domain" bucket every real crawl has), and an unlisted
+    TLD falling to the default * rule.
+
+    Scale: the PSL lookup is a pure per-row map (the rule dict ships
+    in the UDF closure — dictionary-sized by construction, like the
+    ANN centroid tables); the only shuffle is the final rollup's
+    hash aggregation on registered_domain, map-side combined. The
+    oracle replays the spec relationally (suffix explode → rules
+    join → score argmax) from the same parsed-rule constant."""
+    from demy_spark.functions.domains import registered_domain
+
+    t = _t(spark, sf_dir)
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 7 == 0, F.concat(F.lit("www."), F.col("source"), F.lit(".com")))
+        .when(d % 7 == 1, F.concat(F.lit("a.b."), F.col("source"), F.lit(".co.uk")))
+        .when(d % 7 == 2, F.concat(F.col("source"), F.lit(".github.io")))
+        .when(
+            d % 7 == 3,
+            F.concat(
+                F.lit("x"),
+                (d % 5).cast("string"),
+                F.lit(".w."),
+                F.col("source"),
+                F.lit(".ck"),
+            ),
+        )
+        .when(d % 7 == 4, F.lit("www.ck"))
+        .when(d % 7 == 5, F.concat(F.col("source"), F.lit(".ck")))
+        .otherwise(F.concat(F.col("source"), F.lit(".xyz")))
+    )
+    toks = textstats.norm_tokens(F.col("text"))
+    return (
+        t["documents"]
+        .select(
+            registered_domain(host)["registered_domain"].alias("reg_domain"),
+            F.size(toks).cast("long").alias("_nt_"),
+        )
+        .groupBy("reg_domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt_").cast("long").alias("sum_tokens"),
+            F.floor(
+                F.sum("_nt_") * F.lit(1000000.0) / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("avg_tokens_micro"),
+        )
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
-# order. Round-5 window: the staleness-paydown round VERDICT r4 ordered
-# first ("Next round: do this" #1):
-#   1. never-rowed new registrations — q122 (typed point filters on the
-#      flagship fuzzy lookup, closing VERDICT task 2), q123 (kNN
-#      label propagation routed through IVF candidates, closing VERDICT
-#      task 5), and the round-5 coverage extensions q124
-#      (repetition-profile quality signals), q125 (unicode hygiene:
-#      control strip + NFC), q126 (HTML strip), q127 (winnowing
-#      fingerprint pairs), q128 (JSON field extraction) and q129
-#      (URL decomposition) and q130 (script-mix routing profile) —
-#      plus q121, whose avg_value derivation changed from a
-#      rounded double quotient to pure integer arithmetic (ADVICE r4
-#      quantization fix), so it re-earns its row, and q104/q113/q115/
-#      q116, whose merge-pass/trainer execution changed this round
-#      (see the tier-1 note below);
-#   2. ALL 29 queries whose latest green row is CORRECTNESS_r02 — the
-#      22 round-4 documented deferrals (q04-q09, q11, q13, q15-q17,
-#      q20, q22, q48, q55, q58-q60, q68, q69, q72, q73) plus the 7
-#      round-4 displacements (q25, q46, q49, q50, q52, q70, q71);
-#      after this round no official row is older than r3;
-#   3. 7 of the 42 queries resting on r3 rows — the q74+ block,
-#      oldest-registered-first (q82-q88 displaced by q124-q130;
-#      tier-1 q104 is the 8th r3-resting query in the window).
-# The 34 r3-resting deferrals (q01-q03, q12, q24, q26, q38, q47, q51,
-# q56, q57, q62, q64, q82-q91, q94, q95, q98, q99, q101, q103,
-# q105-q107, q109, q110) stay on rows that are 1 round old today and
-# lead the round-6 rotation; q01-q03/q12/q24/q26 additionally run
-# every round as bench headliners and q24 sits on entry()'s flagship
-# path, q51/q83 share fuzzy_lookup.py's scoring with q122 rotating in
-# tier 1, q95 shares similarity.py's IVF/PQ path with q89 (deferred)
-# and q123 (tier 1), and deferred q89/q90/q91/q94 keep same-family
-# in-window siblings (q123's IVF quantizer, q119's quantiles, q92's
-# regex gate, q94's packing shares q111's token plumbing).
+# order. Round-6 window (the consolidation round — VERDICT r5 "Next
+# round" #2 set the rotation):
+#   1. never-rowed + behavior-changed — q131 (NEW: registered-domain
+#      PSL rollup, VERDICT task 6); q130, whose implementation swapped
+#      from the 8-pass regexp chain to the Arrow/numpy single pass
+#      (task 4 — bit-parity tested, but the executing code is new);
+#      and the 5 IVF-family queries (q53/q89/q95/q100/q123) that now
+#      run through ivf_build's default hot-list cap (task 3 — a
+#      verified no-op on the balanced fixtures, but every one of them
+#      crosses the new split logic, so they re-earn rows);
+#   2. ALL 32 remaining queries whose latest green row is
+#      CORRECTNESS_r03 (the VERDICT-listed 34 minus q89/q95, which
+#      rotate in tier 1) — after this round no official row is older
+#      than r4;
+#   3. 11 of the 44 queries resting on r4 rows, oldest-registered-
+#      first (q10-q31 block).
+# The 33 r4-resting deferrals (q32-q45, q54, q61, q63, q65-q67, q78,
+# q92, q93, q96, q97, q102, q108, q111, q112, q114, q117-q120) rest
+# on rows that are 2 rounds old at round-6 close and lead the round-7
+# rotation; all have in-window same-family siblings this round
+# (q27/q28/q30/q31 cover dedup.py for q96/q97/q102, q23/q29 cover
+# similarity.py for q114, q18/q19/q21 cover textstats for q92, the
+# phrases/packing/retrieval families rested at r5).
 _DRIVER_PRIORITY = [
-    # --- tier 1: never-rowed registrations + behavior changes.
-    # q104/q113/q115/q116 re-earn rows because the merge-pass/trainer
-    # execution changed this round (driver-side 1-row argmax, one-
-    # exchange parity islands — outputs identical on the full sim,
-    # but the machinery every one of them runs through is new); they
-    # displace the 4 youngest tier-3 r3 rows (q89/q90/q91/q94), which
-    # lead the round-6 rotation instead
-    "q122_fuzzy_typed_filter",
-    "q123_knn_ivf",
-    "q124_repetition_profile",
-    "q125_unicode_hygiene",
-    "q126_html_strip",
-    "q127_winnow_pairs",
-    "q128_json_props",
-    "q129_url_parse",
+    # --- tier 1: never-rowed + behavior-changed this round
+    "q131_domain_rollup",
     "q130_script_profile",
-    "q121_incremental_rollup",
-    "q104_phrase_merges",
-    "q113_bpe_apply",
-    "q115_bpe_train",
-    "q116_bpe_encode",
-    # --- tier 2: every query still resting on a CORRECTNESS_r02 row
-    "q04_priority_exists",
-    "q05_customers_without_orders",
-    "q06_forecast_revenue",
-    "q07_top_orders_per_customer",
-    "q08_running_revenue",
-    "q09_rollup_returns",
-    "q11_repeat_customers",
-    "q13_sessionize",
-    "q15_acctbal_folds",
-    "q16_distinct_parts",
-    "q17_doc_stats",
-    "q20_language_id",
-    "q22_label_centroids",
-    "q25_lexicon_lookup",
-    "q46_pos_tag",
-    "q48_simplify_text",
-    "q49_sentence_split",
-    "q50_fuzzy_typos",
-    "q52_word_categories",
-    "q55_asof_join",
-    "q58_hll_distinct",
-    "q59_heavy_hitters",
-    "q60_stratified_sample",
-    "q68_zorder_key",
-    "q69_center_hierarchy",
-    "q70_span_detect",
-    "q71_online_centers",
-    "q72_point_in_polygon",
-    "q73_platt_calibration",
-    # --- tier 3: oldest r3 rows (7 of 42; deferrals documented above;
-    # q82-q88 displaced late in round 5 by the never-rowed q124-q130,
-    # joining q89-q91/q94 at the head of the round-6 rotation)
-    "q74_embed_options",
-    "q75_shapefile_flatten",
-    "q76_tree_spawn",
-    "q77_split_doc",
-    "q79_pipeline_grid",
-    "q80_source_scan",
-    "q81_phonetic_simplify",
+    "q53_ivf_ann_topk",
+    "q89_pq_ann_topk",
+    "q95_ann_recall",
+    "q100_semdedup",
+    "q123_knn_ivf",
+    # --- tier 2: every query still resting on a CORRECTNESS_r03 row
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders",
+    "q12_events_hourly",
+    "q24_fuzzy_lookup",
+    "q26_minhash_dedup",
+    "q38_one_vs_rest",
+    "q47_genetic_prototypes",
+    "q51_fuzzy_standard",
+    "q56_range_join",
+    "q57_time_rollup",
+    "q62_skew_join",
+    "q64_bucketed_join",
+    "q82_analogy_score",
+    "q83_fuzzy_predict",
+    "q84_tweet_clean",
+    "q85_sparse_merge",
+    "q86_contamination_check",
+    "q87_canonical_docs",
+    "q88_mixture_sample",
+    "q90_histogram_quantiles",
+    "q91_pii_redaction",
+    "q94_sequence_pack",
+    "q98_lm_quality",
+    "q99_dsir_select",
+    "q101_incremental_dedup",
+    "q103_source_overlap",
+    "q105_weighted_sample",
+    "q106_distinctive_terms",
+    "q107_snapshot_diff",
+    "q109_sorted_neighborhood",
+    "q110_incremental_pipeline",
+    # --- tier 3: oldest r4 rows, oldest-registered-first
+    "q10_cube_orders",
+    "q14_top_parts_per_brand",
+    "q18_exact_dedup",
+    "q19_token_topk",
+    "q21_quality_score",
+    "q23_cosine_topk",
+    "q27_simhash_dedup",
+    "q28_embedding_dedup",
+    "q29_lsh_ann_topk",
+    "q30_ngram_jaccard",
+    "q31_dup_clusters",
 ]
 
 

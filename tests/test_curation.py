@@ -262,3 +262,36 @@ def test_winnow_pairs_shared_run_guarantee(spark):
     }
     assert any(k == (1, 2) for k in pairs)
     assert not any(3 in k for k in pairs)
+
+
+def test_registered_domain_psl_spec(spark):
+    """The publicsuffix.org matching spec, every rule kind: exact TLD,
+    multi-label suffix, private-registry suffix, wildcard, exception
+    (prevails over longer wildcard matches), the default * rule for
+    unlisted TLDs, host == its own public suffix -> NULL registered
+    domain, and canonicalization (case, trailing dot). NULL host ->
+    NULL fields."""
+    from demy_spark.functions.domains import registered_domain
+
+    cases = [
+        (1, "www.src1.com", "com", "src1.com"),
+        (2, "a.b.src1.co.uk", "co.uk", "src1.co.uk"),
+        (3, "src1.github.io", "github.io", "src1.github.io"),
+        (4, "x3.w.src1.ck", "src1.ck", "w.src1.ck"),       # *.ck
+        (5, "www.ck", "ck", "www.ck"),                     # !www.ck
+        (6, "b.www.ck", "ck", "www.ck"),                   # exception beats *.ck
+        (7, "src1.ck", "src1.ck", None),                   # host == suffix
+        (8, "src1.xyz", "xyz", "src1.xyz"),                # default * rule
+        (9, "xyz", "xyz", None),                           # bare unlisted TLD
+        (10, "WWW.SRC1.COM.", "com", "src1.com"),          # case + trailing dot
+        (11, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _, _ in cases], "id int, host string"
+    )
+    got = {
+        r["id"]: (r["d"]["public_suffix"], r["d"]["registered_domain"])
+        for r in df.select("id", registered_domain("host").alias("d")).collect()
+    }
+    for i, _, ps, reg in cases:
+        assert got[i] == (ps, reg), (i, got[i], (ps, reg))
