@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 
 from demy_spark.operators.dedup import minhash_probe
 
-__all__ = ["streaming_near_dup_probe"]
+__all__ = ["streaming_fuzzy_lookup", "streaming_near_dup_probe"]
 
 
 def streaming_near_dup_probe(
@@ -73,6 +73,61 @@ def streaming_near_dup_probe(
 
     return (
         docs_stream.writeStream.foreachBatch(_process)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_fuzzy_lookup(
+    probes_stream: DataFrame,
+    index,
+    query_col: str,
+    *,
+    on_batch: Callable[[DataFrame, int], None],
+    **lookup_kwargs,
+):
+    """Streaming twin of the flagship ``operators/fuzzy_lookup``
+    operator: probe each micro-batch of query rows against a
+    PERSISTED ``FuzzyIndex`` (built once with ``FuzzyIndex(...)`` or
+    reloaded with ``FuzzyIndex.load`` — the reference's
+    reuseExistingIndex=true deployment, index/implicits.scala:125-183)
+    and hand each batch's matches to ``on_batch``.
+
+    Same ``foreachBatch`` rationale as ``streaming_near_dup_probe``:
+    the lookup pipeline contains candidate-generation joins, a scoring
+    aggregation and a per-query top-k window that Structured Streaming
+    cannot run incrementally, but every micro-batch is a finite frame
+    the batch operator handles verbatim — ONE code path, so the
+    streaming gate and any batch backfill can never drift. Per-batch
+    cost is the batch probe's incremental contract: the index frames
+    are static (token equi-join against the denormalized
+    ``scored_postings``), each epoch pays only its own rows'
+    tokenization + candidate joins.
+
+    ``lookup_kwargs`` pass through to ``fuzzy_lookup`` (strategy,
+    min_score, top_k, filter_cols, ...). Returns the started
+    StreamingQuery; callers own awaitTermination /
+    processAllAvailable.
+    """
+    from demy_spark.operators.fuzzy_lookup import fuzzy_lookup
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        matches = fuzzy_lookup(
+            batch_df,
+            index.right,
+            query_col,
+            # text_col is baked into the index's postings; the batch
+            # operator never re-tokenizes the right side when an index
+            # is passed, so any right-side column name is accepted —
+            # pass query_col to keep the signature minimal
+            query_col,
+            index=index,
+            **lookup_kwargs,
+        )
+        on_batch(matches, epoch_id)
+
+    return (
+        probes_stream.writeStream.foreachBatch(_process)
         .trigger(availableNow=True)
         .start()
     )

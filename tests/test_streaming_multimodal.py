@@ -226,6 +226,73 @@ def test_streaming_near_dup_probe_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and got
 
 
+def test_streaming_fuzzy_lookup_matches_batch(spark, sf_dir, tmp_path):
+    """The flagship fuzzy lookup's streaming twin (VERDICT r5 task 8):
+    a foreachBatch probe against a SAVED-then-RELOADED FuzzyIndex must
+    produce exactly the batch operator's matches over the same rows —
+    one code path, arbitrary micro-batch slicing, the reference's
+    reuseExistingIndex deployment."""
+    import pyspark.sql.functions as F
+
+    from demy_spark.functions import textstats
+    from demy_spark.operators.fuzzy_lookup import FuzzyIndex, fuzzy_lookup
+    from demy_spark.streaming.probe import streaming_fuzzy_lookup
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textstats.norm_tokens(F.col("text"))
+    dictionary = (
+        docs.where((F.col("doc_id") % 7 == 0) & (F.size(toks) >= 3))
+        .select(
+            F.concat_ws(" ", F.slice(toks, 1, 3)).alias("phrase"),
+            F.col("doc_id").alias("entity_id"),
+        )
+        .groupBy("phrase")
+        .agg(F.min("entity_id").alias("entity_id"))
+    )
+    FuzzyIndex(dictionary, "phrase").save(str(tmp_path / "fidx"))
+    index = FuzzyIndex.load(spark, str(tmp_path / "fidx")).persist()
+
+    probes = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    stream_dir = str(tmp_path / "probe_stream")
+    probes.repartition(3).write.parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(probes.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    assert stream.isStreaming
+
+    kw = dict(
+        max_lev_distance=1,
+        min_score=0.2,
+        top_k=1,
+        tie_break_cols=("entity_id",),
+    )
+
+    def key(r):
+        s = r["_score_"]
+        return (r["doc_id"], r["entity_id"], None if s is None else round(s, 6))
+
+    got: set = set()
+    q = streaming_fuzzy_lookup(
+        stream,
+        index,
+        "text",
+        on_batch=lambda m, _e: got.update(key(r) for r in m.collect()),
+        **kw,
+    )
+    q.awaitTermination(180)
+
+    want = {
+        key(r)
+        for r in fuzzy_lookup(
+            probes, index.right, "text", "phrase", index=index, **kw
+        ).collect()
+    }
+    assert got == want
+    assert any(e is not None for _, e, _ in got), "no matches exercised"
+
+
 def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
     """Continuous-aggregate maintenance: feeding events through
     micro-batches (one file per trigger) must leave the store EXACTLY
