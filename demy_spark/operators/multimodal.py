@@ -6,11 +6,13 @@ next to structured metadata; decode/feature-extraction runs as
 Arrow-batched ``mapInPandas`` so bytes never round-trip through Python
 row objects. Image decode auto-detects Pillow at runtime
 (``pillow_available()``): when present, ``decode_image`` decodes real
-JPEG/PNG bytes; when absent (this container), it falls back to a
-clearly-marked deterministic fake keystream with the identical
-schema/batch shape, so the Spark-side plumbing — schema, batching,
-partitioning — is real and tested either way. Video/audio codecs
-(ffmpeg/librosa) remain faked the same way.
+JPEG/PNG bytes; when absent (this container), PNG payloads still
+decode for REAL through the vendored pure-stdlib PNG codec
+(``encode_png``/``_png_decode`` — the public ISO/IEC 15948 spec, all
+five scanline filters), and only codec-library formats (JPEG, video,
+audio) fall back to a clearly-marked deterministic fake keystream
+with the identical schema/batch shape, so the Spark-side plumbing —
+schema, batching, partitioning — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -140,6 +142,159 @@ def pillow_available() -> bool:
         return False
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: bytes, h: int, w: int, c: int = 3) -> bytes:
+    """Minimal PNG encoder (pure stdlib: zlib + struct): 8-bit
+    grayscale/RGB/RGBA, non-interlaced, filter-0 scanlines. Exists so
+    tests and fixtures can produce REAL image bytes without any codec
+    dependency; spec: the public PNG standard (ISO/IEC 15948)."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    if len(pixels) != h * w * c:
+        raise ValueError(f"need {h * w * c} bytes, got {len(pixels)}")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    stride = w * c
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(h)
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_decode_array(payload: bytes):
+    """Decode PNG bytes to a (h, w, c) uint8 numpy array — pure
+    stdlib + numpy, the public spec only. Supports the dominant web
+    shapes: bit depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA),
+    non-interlaced; all five scanline filters (None/Sub/Up/Average/
+    Paeth) are unfiltered per spec §9. Exotic encodings (palette,
+    16-bit, interlaced) raise — a legitimate guard, matching the repo
+    policy of loud NotImplementedError over silent wrong pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload or not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos, w = len(_PNG_MAGIC), None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype not in (0, 2, 6) or interlace:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color_type={ctype} "
+                    f"interlace={interlace} not supported by the pure "
+                    "decoder — install Pillow for exotic encodings"
+                )
+            c = {0: 1, 2: 3, 6: 4}[ctype]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload truncated")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype, cur = line[0], np.frombuffer(line[1:], dtype=np.uint8).copy()
+        if ftype == 1:  # Sub
+            for x in range(c, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - c])) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (cur.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(cur[x - c]) if x >= c else 0
+                cur[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - c]) if x >= c else 0
+                b = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(h, w, c)
+
+
+def _convert_channels(arr, c: int):
+    """uint8 HWC channel conversion matching Pillow's ``convert``
+    arithmetic (ITU-R 601-2 luma via the same fixed-point rounding),
+    so the pure-PNG and Pillow decode paths agree bit-for-bit on the
+    supported shapes."""
+    import numpy as np
+
+    have = arr.shape[2]
+    if have == c:
+        return arr
+    if have == 4:  # drop alpha first
+        arr = arr[:, :, :3]
+        have = 3
+    if have == 1 and c >= 3:
+        arr = np.repeat(arr, 3, axis=2)
+        have = 3
+    if have == 3 and c == 1:
+        r = arr[:, :, 0].astype(np.uint32)
+        g = arr[:, :, 1].astype(np.uint32)
+        b = arr[:, :, 2].astype(np.uint32)
+        luma = (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+        arr = luma.astype(np.uint8)[:, :, None]
+        have = 1
+    if have < c:  # add opaque alpha
+        pad = np.full(arr.shape[:2] + (c - have,), 255, dtype=arr.dtype)
+        arr = np.concatenate([arr, pad], axis=2)
+    return arr
+
+
+def _png_decode(payload: bytes | None, h: int, w: int, c: int = 3) -> list[float]:
+    """REAL PNG decode without any codec dependency: the pure-stdlib
+    parser above, then the same channel-convert / nearest-resize /
+    [0,1]-scale contract as ``_pillow_decode``."""
+    import numpy as np
+
+    arr = _convert_channels(_png_decode_array(payload or b""), c)
+    ah, aw = arr.shape[:2]
+    if (ah, aw) != (h, w):
+        ys = (np.arange(h) * ah // h).clip(0, ah - 1)
+        xs = (np.arange(w) * aw // w).clip(0, aw - 1)
+        arr = arr[ys][:, xs]
+    return (arr.astype(np.float32) / 255.0).ravel().tolist()
+
+
 def _pillow_decode(payload: bytes | None, h: int, w: int, c: int = 3) -> list[float]:
     """REAL image decode via Pillow: parse the payload bytes, convert
     to the requested channel count (L/RGB/RGBA), nearest-resize to the
@@ -159,11 +314,23 @@ def _pillow_decode(payload: bytes | None, h: int, w: int, c: int = 3) -> list[fl
     return (np.asarray(img, dtype=np.float32) / 255.0).ravel().tolist()
 
 
+def _auto_decode(payload: bytes | None, h: int, w: int, c: int = 3) -> list[float]:
+    """Dependency-free default: REAL pure-Python decode for PNG
+    payloads (the one format the stdlib can carry end-to-end), the
+    deterministic fake for everything else (JPEG/video codecs are
+    C libraries this container does not ship)."""
+    if payload and payload.startswith(_PNG_MAGIC):
+        return _png_decode(payload, h, w, c)
+    return _fake_decode(payload, h, w, c)
+
+
 def default_image_decoder():
-    """Pillow-backed decode when the library is present, else the
-    deterministic fake — the operator is production-real the moment
-    the dependency exists, with no code change."""
-    return _pillow_decode if pillow_available() else _fake_decode
+    """Pillow-backed decode when the library is present; otherwise
+    ``_auto_decode`` — REAL pixels for PNG via the vendored
+    pure-stdlib decoder, the clearly-marked deterministic fake for
+    formats that need a codec library. The operator is fully
+    production-real the moment Pillow exists, with no code change."""
+    return _pillow_decode if pillow_available() else _auto_decode
 
 
 def decode_image(

@@ -73,11 +73,16 @@ def test_oracle_parity(name, spark, sf_dir, ddb):
 ROWS_ONLY_QUERIES = sorted(n for n, q in Q.REGISTRY.items() if not q.oracle)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_runs(name, spark, sf_dir):
-    df = Q.REGISTRY[name].fn(spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_rows_only_runs(spark, sf_dir):
+    """Weaker rows-only check for any query without an oracle. The
+    registry currently has none (test_every_query_is_oracle_backed
+    pins that), so this is a no-op loop rather than an empty
+    parametrize — the latter reports as a SKIP and muddies the
+    0-unexplained-skips bar (VERDICT r5 task 7)."""
+    for name in ROWS_ONLY_QUERIES:
+        df = Q.REGISTRY[name].fn(spark, sf_dir)
+        assert df.count() >= 0
+        assert len(df.schema.fields) > 0
 
 
 def test_entry_smoke(spark):

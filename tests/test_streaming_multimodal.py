@@ -85,44 +85,117 @@ def test_decode_resize_pipeline(spark):
 
 def test_default_decoder_tracks_pillow_availability():
     from demy_spark.operators.multimodal import (
-        _fake_decode,
+        _auto_decode,
         _pillow_decode,
         default_image_decoder,
         pillow_available,
     )
 
-    expected = _pillow_decode if pillow_available() else _fake_decode
+    expected = _pillow_decode if pillow_available() else _auto_decode
     assert default_image_decoder() is expected
 
 
-def test_pillow_decode_golden(spark):
-    """Availability-gated golden: with Pillow present, decode_image's
-    default path decodes REAL PNG bytes to known pixel values."""
-    import pytest
-
-    from demy_spark.operators.multimodal import pillow_available
-
-    if not pillow_available():
-        pytest.skip("Pillow not installed — fake-decoder fallback covered above")
-    import io
-
-    import numpy as np
-    from PIL import Image
+def test_png_decode_golden(spark):
+    """UNGATED golden (was pillow-gated; VERDICT r5 task 7): real PNG
+    bytes from the vendored pure-stdlib encoder decode to known pixel
+    values through decode_image's DEFAULT path — Pillow when present,
+    the vendored pure decoder otherwise, identical pixels either way."""
+    from demy_spark.operators.multimodal import encode_png
 
     # 2x2 RGB: red, green / blue, white
-    arr = np.array(
-        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
-        dtype=np.uint8,
+    png = encode_png(
+        bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]), 2, 2, 3
     )
-    buf = io.BytesIO()
-    Image.fromarray(arr).save(buf, format="PNG")
     media = spark.createDataFrame(
-        [(1, bytearray(buf.getvalue()), ("image/png", 2, 2, 0))], MEDIA_SCHEMA
+        [(1, bytearray(png), ("image/png", 2, 2, 0))], MEDIA_SCHEMA
     )
     out = decode_image(media, default_hw=(2, 2)).collect()[0]
     assert (out["height"], out["width"], out["channels"]) == (2, 2, 3)
     got = [round(p, 6) for p in out["pixels"]]
     assert got == [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0]
+
+
+def test_png_codec_roundtrip_and_filters():
+    """The vendored PNG codec against the public spec: encode→decode
+    roundtrips gray/RGB/RGBA, every scanline filter type (Sub/Up/
+    Average/Paeth hand-filtered per spec §9) unfilters back to the
+    original, channel conversion matches Pillow's fixed-point luma,
+    and exotic encodings raise loudly instead of faking pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from demy_spark.operators.multimodal import (
+        _png_decode,
+        _png_decode_array,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for c in (1, 3, 4):
+        arr = rng.integers(0, 256, size=(5, 4, c), dtype=np.uint8)
+        back = _png_decode_array(encode_png(arr.tobytes(), 5, 4, c))
+        assert np.array_equal(back, arr), f"roundtrip c={c}"
+
+    # hand-filter each row with a different filter type
+    arr = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    stride = 6 * 3
+    flat = arr.reshape(5, stride).astype(np.int32)
+    raws = []
+    prev = np.zeros(stride, dtype=np.int32)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        left = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+        upleft = np.concatenate([np.zeros(3, np.int32), prev[:-3]])
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prev
+        elif ftype == 3:
+            filt = cur - (left + prev) // 2
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = cur - pred
+        raws.append(bytes([ftype]) + bytes((filt % 256).astype(np.uint8)))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", 6, 5, 8, 2, 0, 0, 0)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(raws)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(_png_decode_array(png), arr)
+
+    # channel conversion: RGB -> L uses Pillow's fixed-point luma
+    rgb = np.array([[[255, 0, 0]]], dtype=np.uint8)
+    gray = _png_decode(encode_png(rgb.tobytes(), 1, 1, 3), 1, 1, 1)
+    assert round(gray[0] * 255) == (255 * 19595 + 0x8000) >> 16
+
+    # exotic shapes raise, never fake
+    bad_ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", bad_ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        _png_decode_array(bad)
+    with pytest.raises(ValueError):
+        _png_decode_array(b"not a png")
 
 
 def test_sample_video_frames_fanout(spark):
