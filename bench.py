@@ -89,6 +89,11 @@ def main() -> None:
         # fingerprint pair screen (explode + co-keyed self-join)
         "repetition_profile": _q.REGISTRY["q124_repetition_profile"].fn,
         "winnow_pairs": _q.REGISTRY["q127_winnow_pairs"].fn,
+        # round-6 additions: the single-pass Arrow/numpy script profile
+        # (times the batch decode + range masks) and the PSL
+        # registered-domain rollup (closure-dict map + one hash agg)
+        "script_profile": _q.REGISTRY["q130_script_profile"].fn,
+        "domain_rollup": _q.REGISTRY["q131_domain_rollup"].fn,
     }
     extra_timings: dict[str, float] = {}
     for name, fn in extras.items():

@@ -67,3 +67,43 @@ def test_every_coverage_anchor_resolves():
             if _resolve(parts) is False:
                 bad.append(v)
     assert not bad, f"COVERAGE.md anchors that no longer resolve: {bad}"
+
+
+def test_module_docstrings_do_not_deny_driver_collects():
+    """Doc/impl contradiction of record (VERDICT r5 defect 1 + task 5):
+    phrases.py's MODULE docstring still claimed the per-round argmax
+    was 'NOT a driver-side collect' after the round-5 rework made it
+    exactly that. Guard the class: a module docstring that flatly
+    denies driver-side collection while the module's source calls
+    .collect()/.first() is a contradiction. Qualified claims ('never
+    corpus-sized collect', 'dictionary-sized driver state') are the
+    repo's documented contract and stay allowed — only unqualified
+    denials in the same sentence as the collect mention are flagged.
+    """
+    import ast
+    import glob
+
+    deny = re.compile(r"\b(?:not|never|no)\b[^.;]{0,80}?\bcollect", re.I)
+    qualifier = re.compile(
+        r"corpus|data-siz|dictionary|scale|bounded|result-level", re.I
+    )
+    offenders: list[str] = []
+    for path in glob.glob(
+        os.path.join(REPO, "demy_spark", "**", "*.py"), recursive=True
+    ):
+        src = open(path).read()
+        doc = ast.get_docstring(ast.parse(src)) or ""
+        for m in deny.finditer(doc):
+            sentence_start = doc.rfind(".", 0, m.start()) + 1
+            sentence_end = doc.find(".", m.end())
+            sentence = doc[sentence_start : sentence_end if sentence_end > 0 else None]
+            if qualifier.search(sentence):
+                continue
+            if re.search(r"\.(collect|first)\(", src):
+                offenders.append(
+                    f"{os.path.relpath(path, REPO)}: {sentence.strip()[:100]!r}"
+                )
+    assert not offenders, (
+        "module docstrings deny driver-side collects that the module "
+        f"performs: {offenders}"
+    )
