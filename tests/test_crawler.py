@@ -1,0 +1,255 @@
+"""Web ingestion utility (crawler.py — the reference's net2demy
+module re-expressed driver-side with an injectable fetcher): BFS
+semantics, cache policies, in-flight decompression, post steps and
+the Structured-Streaming spool handoff, all against an in-memory
+fake site — zero network."""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import io
+import json
+import os
+import zipfile
+
+import pytest
+
+from demy_spark.crawler import (
+    CrawlConfig,
+    crawl_links,
+    download,
+    extract_links,
+    remote_footprint,
+    spool_write,
+    sync_source,
+)
+
+
+def _site(pages: dict[str, tuple[str, bytes]]):
+    def fetch(url: str):
+        if url not in pages:
+            raise OSError(f"404 {url}")
+        return pages[url]
+
+    return fetch
+
+
+HTML = "text/html; charset=utf-8"
+
+
+def test_extract_links_absolutizes():
+    html = '<p><a href="/a/b.zip">x</a><a href="c.html">y</a><a name="no"></a></p>'
+    got = extract_links("http://s.example/dir/page.html", html)
+    assert got == ["http://s.example/a/b.zip", "http://s.example/dir/c.html"]
+
+
+def test_crawl_links_bfs_filters_and_dead_links():
+    pages = {
+        "http://s/start": (HTML, b'<a href="/page2"></a><a href="/data/a.csv"></a>'
+                                 b'<a href="http://other/x"></a>'),
+        "http://s/page2": (HTML, b'<a href="/data/b.csv"></a><a href="/dead"></a>'
+                                 b'<a href="/binary"></a>'),
+        "http://s/binary": ("application/octet-stream", b"\x00"),  # not parsed
+        # /dead 404s; /data/*.csv 404 too (never fetched: matching only)
+    }
+    got = crawl_links(
+        "http://s/start",
+        follow=r"^http://s/",
+        matching=r"\.csv$",
+        fetch=_site(pages),
+    )
+    assert got == {"http://s/data/a.csv", "http://s/data/b.csv"}
+
+
+def test_crawl_links_max_pages_bound():
+    # every page links to a fresh one — unbounded without the guard
+    def fetch(url):
+        n = int(url.rsplit("/", 1)[-1])
+        return HTML, f'<a href="/{n + 1}"></a>'.encode()
+
+    got = crawl_links(
+        "http://s/0", follow=".*", matching=r"never", fetch=fetch, max_pages=7
+    )
+    assert got == set()  # terminates
+
+
+def test_download_zip_gz_bz2_and_7z_guard(tmp_path):
+    payload = b"col\n1\n2\n"
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("sub/dir/a.csv", payload)
+        zf.writestr("b.csv", b"col\n3\n")
+    pages = {
+        "http://s/x.zip": ("application/zip", zbuf.getvalue()),
+        "http://s/y.csv.gz": ("application/gzip", gzip.compress(payload)),
+        "http://s/z.csv.bz2": ("application/x-bzip2", bz2.compress(payload)),
+        "http://s/plain.csv": ("text/csv", payload),
+    }
+    f = _site(pages)
+    zdir = str(tmp_path / "zdir")
+    got = sorted(download("http://s/x.zip", zdir, fetch=f))
+    # entry names flatten / -> - like the reference
+    assert [os.path.basename(p) for p in got] == ["b.csv", "sub-dir-a.csv"]
+    assert open(os.path.join(zdir, "sub-dir-a.csv"), "rb").read() == payload
+    for url, name in (("http://s/y.csv.gz", "y"), ("http://s/z.csv.bz2", "z")):
+        dest = str(tmp_path / name)
+        assert download(url, dest, fetch=f) == [dest]
+        assert open(dest, "rb").read() == payload
+    dest = str(tmp_path / "p.csv")
+    download("http://s/plain.csv", dest, fetch=f)
+    assert open(dest, "rb").read() == payload
+    with pytest.raises(NotImplementedError):
+        download("http://s/a.7z", str(tmp_path / "a"), fetch=_site({"http://s/a.7z": ("x", b"")}))
+
+
+def test_head_check_policy_downloads_only_on_change(tmp_path, spark):
+    body = [b"v1"]
+    headers = [{"ETag": '"abc"', "Content-Length": "2"}]
+    calls = {"get": 0}
+
+    def fetch(url):
+        calls["get"] += 1
+        return "text/plain", body[0]
+
+    def head(url):
+        return headers[0]
+
+    cfg = CrawlConfig(
+        name="t", href="http://s/f.txt", dest=str(tmp_path / "f.txt"),
+        type="direct-download", policy="head-check",
+    )
+    assert sync_source(spark, cfg, fetch=fetch, head=head) == [cfg.dest]
+    assert open(cfg.dest, "rb").read() == b"v1"
+    # unchanged footprint -> skip
+    assert sync_source(spark, cfg, fetch=fetch, head=head) == []
+    assert calls["get"] == 1
+    # changed footprint -> re-download
+    body[0], headers[0] = b"v2", {"ETag": '"def"', "Content-Length": "2"}
+    assert sync_source(spark, cfg, fetch=fetch, head=head) == [cfg.dest]
+    assert open(cfg.dest, "rb").read() == b"v2"
+
+
+def test_immutable_policy_skips_existing(tmp_path, spark):
+    calls = {"get": 0}
+
+    def fetch(url):
+        calls["get"] += 1
+        return "text/plain", b"x"
+
+    cfg = CrawlConfig(
+        name="t", href="http://s/f", dest=str(tmp_path / "f"),
+        type="direct-download", policy="immutable",
+    )
+    assert sync_source(spark, cfg, fetch=fetch) == [cfg.dest]
+    assert sync_source(spark, cfg, fetch=fetch) == []
+    assert calls["get"] == 1
+
+
+def test_remote_footprint_shapes():
+    assert remote_footprint("u", head=lambda u: {"ETag": "x", "Other": "y"}) == (
+        json.dumps({"ETag": "x"}, sort_keys=True)
+    )
+    assert remote_footprint("u", head=lambda u: {}) == "Not Found"
+    def boom(u):
+        raise OSError("down")
+    assert remote_footprint("u", head=boom) == "Not Found"
+
+
+def test_crawl_sync_post_csv2parquet_and_stream_handoff(tmp_path, spark):
+    """End-to-end: crawl -> spool downloads -> csv2parquet post; the
+    spool is then read back BOTH as a batch frame and as the
+    Structured-Streaming file source the handoff exists for."""
+    csv_a = b"k;v\n1;one\n2;two\n"
+    csv_b = b"k;v\n3;three\n"
+    pages = {
+        "http://s/idx": (HTML, b'<a href="/d/a.csv"></a><a href="/d/b.csv"></a>'
+                               b'<a href="/other.bin"></a>'),
+        "http://s/d/a.csv": ("text/csv", csv_a),
+        "http://s/d/b.csv": ("text/csv", csv_b),
+    }
+    dest = str(tmp_path / "crawl")
+    cfg = CrawlConfig(
+        name="t", href="http://s/idx", dest=dest,
+        crawling_filter=r"^http://s/", crawling_matching=r"\.csv$",
+        post="csv2parquet",
+    )
+    written = sync_source(spark, cfg, fetch=_site(pages))
+    assert sorted(os.path.basename(p) for p in written) == ["a.csv", "b.csv"]
+    batch = spark.read.parquet(f"{dest}.parquet")
+    assert batch.count() == 3
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{dest}.parquet")
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("crawl_handoff")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert spark.sql("SELECT count(*) c FROM crawl_handoff").first()["c"] == 3
+
+
+def test_post_exclude_lines_and_json2parquet(tmp_path, spark):
+    cfg_json = CrawlConfig(
+        name="j", href="http://s/j.json", dest=str(tmp_path / "j.json"),
+        type="direct-download", post="json2parquet",
+    )
+    rows = b'{"a": 1}\n{"a": 2}\n'
+    sync_source(spark, cfg_json, fetch=_site({"http://s/j.json": ("application/json", rows)}))
+    assert spark.read.parquet(f"{cfg_json.dest}.parquet").count() == 2
+
+    cfg_x = CrawlConfig(
+        name="x", href="http://s/t.txt", dest=str(tmp_path / "t.txt"),
+        type="direct-download", post="excludeLines:#.*",
+    )
+    sync_source(
+        spark, cfg_x,
+        fetch=_site({"http://s/t.txt": ("text/plain", b"# header\ndata1\n# note\ndata2\n")}),
+    )
+    assert open(cfg_x.dest).read() == "data1\ndata2\n"
+
+    with pytest.raises(ValueError):
+        sync_source(
+            spark,
+            CrawlConfig(name="b", href="http://s/t.txt", dest=str(tmp_path / "u"),
+                        type="direct-download", post="nope"),
+            fetch=_site({"http://s/t.txt": ("text/plain", b"x")}),
+        )
+
+
+def test_config_from_json_reference_keys():
+    cfg = CrawlConfig.from_json(
+        {
+            "name": "n", "href": "http://s/", "dest": "/tmp/d", "type": "crawl",
+            "active": 1, "policy": "head-check", "post": "json2parquet",
+            "crawling-filter": "f", "crawling-matching": "m",
+            "crawling-contentType": "text/html", "crawling-deflate": "false",
+            "check": "weekly",
+        }
+    )
+    assert cfg.crawling_filter == "f" and cfg.crawling_matching == "m"
+    assert cfg.crawling_deflate is False and cfg.active
+    assert cfg.extra == {"check": "weekly"}
+
+
+def test_inactive_config_is_noop(tmp_path, spark):
+    cfg = CrawlConfig(
+        name="t", href="http://s/f", dest=str(tmp_path / "f"),
+        type="direct-download", active=False,
+    )
+    def fetch(url):
+        raise AssertionError("must not fetch")
+    assert sync_source(spark, cfg, fetch=fetch) == []
+
+
+def test_spool_write_is_atomic(tmp_path):
+    p = str(tmp_path / "spool" / "f.bin")
+    spool_write(p, b"abc")
+    assert open(p, "rb").read() == b"abc"
+    assert not os.path.exists(p + ".__tmp__")

@@ -1,0 +1,134 @@
+"""EpiFiles-style remote store client (remotestore.py): the full
+chunk/manifest/XML wire surface against an in-memory fake server —
+zero network. The fake implements exactly the endpoints the reference
+client speaks (EpiFiles.scala:20-185)."""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import re
+
+import pytest
+
+from demy_spark.remotestore import HttpFileStore, RemoteFile, fetch_to_spool
+
+
+class FakeServer:
+    """Dict-backed EpiFiles server: chunked uploads keyed by
+    process_id, manifest listing, chunked download envelopes."""
+
+    def __init__(self):
+        self.files: dict[str, dict] = {}  # id -> {name, comment, date, chunks}
+        self.next_id = 100
+        self.calls: list[str] = []
+
+    def transport(self, method: str, url: str, fields):
+        self.calls.append(f"{method} {url}")
+        m = re.search(r"/manifestfile/id/([^/]+)/chunk_index/(\d+)$", url)
+        if method == "GET" and m:
+            fid, idx = m.group(1), int(m.group(2))
+            f = self.files.get(fid)
+            if f is None or idx > len(f["chunks"]):
+                return 404, b"not found"
+            chunk = f["chunks"][idx - 1]
+            xml = (
+                f"<file><filename>{f['name']}</filename>"
+                f"<total_chunks>{len(f['chunks'])}</total_chunks>"
+                f"<content>{base64.b64encode(chunk).decode()}</content></file>"
+            )
+            return 200, xml.encode()
+        if method == "GET" and url.endswith("/manifest/?version=2"):
+            parts = ["<manifests>"]
+            for fid, f in self.files.items():
+                parts.append(
+                    f"<manifest><comment>{f['comment']}</comment>"
+                    f"<creation_date>{f['date']}</creation_date>"
+                    f"<manifest_files><file><id>{fid}</id>"
+                    f"<name>{f['name']}</name></file></manifest_files>"
+                    "</manifest>"
+                )
+            parts.append("</manifests>")
+            return 200, "".join(parts).encode()
+        if method == "POST" and url.endswith("/manifestfile"):
+            chunk = base64.b64decode(fields["content"])
+            assert fields["hash"] == hashlib.md5(chunk).hexdigest()
+            fid = str(self.next_id)
+            self.next_id += 1
+            self.files[fid] = {
+                "name": fields["filename"],
+                "comment": fields.get("comment", ""),
+                "date": str(1000 + self.next_id),
+                "chunks": [chunk],
+            }
+            return 200, f"<resp><process_id>{fid}</process_id></resp>".encode()
+        m = re.search(r"/manifestfile/id/([^/]+)$", url)
+        if method == "POST" and m:
+            f = self.files[m.group(1)]
+            chunk = base64.b64decode(fields["content"])
+            assert fields["hash"] == hashlib.md5(chunk).hexdigest()
+            assert int(fields["chunk_index"]) == len(f["chunks"]) + 1
+            f["chunks"].append(chunk)
+            return 200, b"<resp>ok</resp>"
+        return 500, b"bad request"
+
+
+@pytest.fixture()
+def server():
+    return FakeServer()
+
+
+@pytest.fixture()
+def store(server):
+    return HttpFileStore(
+        "http://remote", chunk_size=8, transport=server.transport
+    )
+
+
+def test_upload_download_roundtrip_chunked(store, server):
+    data = b"0123456789abcdefghij"  # 20 bytes -> 3 chunks of 8
+    fid = store.upload("corpus.txt", data, comment="crawl 2026-08")
+    assert len(server.files[fid]["chunks"]) == 3
+    assert store.download(fid) == data
+    assert store.exists(fid)
+    assert not store.exists("does-not-exist")
+
+
+def test_find_newest_with_patterns(store):
+    store.upload("a_v1.txt", b"1", comment="first")
+    store.upload("a_v2.txt", b"2", comment="second batch")
+    store.upload("other.bin", b"3", comment="second run")
+    got = store.find(name_pattern=r"^a_")
+    assert isinstance(got, RemoteFile) and got.name == "a_v2.txt"  # newest
+    got = store.find(comment_pattern="second", name_pattern=r"\.bin$")
+    assert got.name == "other.bin"
+    assert store.find(name_pattern="zzz") is None
+    assert store.modification_time(name_pattern=r"^a_") is not None
+
+
+def test_put_write_modes_no_overwrite(store):
+    fid = store.put("x.txt", b"one")
+    # ignore_if_exists short-circuits to the existing id
+    assert store.put("x.txt", b"two") == fid
+    assert store.download(fid) == b"one"
+    with pytest.raises(FileExistsError):
+        store.put("x.txt", b"three", write_mode="fail_if_exists")
+    with pytest.raises(ValueError):
+        store.put("x.txt", b"four", write_mode="overwrite")
+
+
+def test_get_lines_with_filter(store):
+    store.upload("log.txt", b"keep 1\ndrop\nkeep 2\n", comment="logs")
+    assert store.get_lines(name_pattern="log", line_pattern="^keep") == [
+        "keep 1",
+        "keep 2",
+    ]
+    assert store.get_lines(name_pattern="none") is None
+
+
+def test_fetch_to_spool_then_spark_reads(store, spark, tmp_path):
+    fid = store.upload("t.csv", b"k;v\n1;a\n2;b\n")
+    p = str(tmp_path / "spool" / "t.csv")
+    assert fetch_to_spool(store, fid, p) == p
+    df = spark.read.option("header", "true").option("sep", ";").csv(p)
+    assert df.count() == 2
