@@ -37,6 +37,7 @@ from pyspark.sql import types as T
 
 __all__ = [
     "PSL_SAMPLE_RULES",
+    "holdout_split",
     "parsed_psl_rules",
     "registered_domain",
 ]
@@ -149,3 +150,29 @@ def registered_domain(
 
     col = F.col(c) if isinstance(c, str) else c
     return _lookup_udf(col)
+
+
+def holdout_split(key: Column | str, *, valid_permille: int = 100) -> Column:
+    """Deterministic leakage-free train/valid assignment by hashing a
+    GROUPING KEY: every row sharing the key lands in the same split by
+    construction — the property that matters when the key is the
+    registered domain (``holdout_split(registered_domain(host)
+    ["registered_domain"])``), because page-level random splits leak
+    near-duplicate content from the same site across the boundary
+    (the standard web-corpus evaluation mistake decontamination
+    pipelines guard against).
+
+    The hash is the oracle-contract md5 slice (``dedup._md5_long`` —
+    the only hash both gate engines compute identically), bucketed to
+    permille: bucket < ``valid_permille`` → 'valid', else 'train'.
+    Pure per-row map, zero shuffles; the split is reproducible across
+    runs, engines and corpus versions (a domain keeps its split when
+    the corpus is re-crawled — incremental pipelines depend on that).
+    """
+    from demy_spark.operators.dedup import _md5_long
+
+    col = F.col(key) if isinstance(key, str) else key
+    bucket = F.pmod(_md5_long(col, 1), F.lit(1000))
+    return F.when(bucket < valid_permille, F.lit("valid")).otherwise(
+        F.lit("train")
+    )

@@ -8221,12 +8221,14 @@ _Q131_HOST_SQL = """CASE doc_id % 7
                ELSE source || '.xyz' END"""
 
 
-def _q131_sql() -> str:
-    """Oracle for q131: the publicsuffix.org matching spec replayed
-    RELATIONALLY (explode candidate suffixes → join the rules VALUES
-    table → integer score argmax) against the same parsed-rule
-    triples and score encoding the engine's closure-dict UDF uses —
-    two independent formulations of one algorithm, one constant."""
+def _psl_rd_ctes() -> str:
+    """Shared oracle CTE chain (q131/q132): the publicsuffix.org
+    matching spec replayed RELATIONALLY (explode candidate suffixes →
+    join the rules VALUES table → integer score argmax) against the
+    same parsed-rule triples and score encoding the engine's
+    closure-dict UDF uses — two independent formulations of one
+    algorithm, one constant. Ends at ``rd(doc_id, host, text,
+    reg_domain)``."""
     from demy_spark.functions.domains import parsed_psl_rules
 
     rules = ",\n              ".join(
@@ -8256,15 +8258,19 @@ def _q131_sql() -> str:
       SELECT c.doc_id, c.nlab AS score
       FROM cand c JOIN rules r ON c.parent = r.key AND r.kind = 'wild'),
     best AS (
-      SELECT l.doc_id, l.text, len(l.ls) AS n, l.ls,
+      SELECT l.doc_id, l.host, l.text, len(l.ls) AS n, l.ls,
              coalesce(max(m.score), 1) % 1000 AS eff
       FROM lab l LEFT JOIN m ON l.doc_id = m.doc_id
-      GROUP BY l.doc_id, l.text, l.ls),
+      GROUP BY l.doc_id, l.host, l.text, l.ls),
     rd AS (
-      SELECT doc_id, text,
+      SELECT doc_id, host, text,
              CASE WHEN n > eff
                   THEN array_to_string(ls[n-eff:], '.') END AS reg_domain
-      FROM best)
+      FROM best)"""
+
+
+def _q131_sql() -> str:
+    return f"""{_psl_rd_ctes()}
     SELECT reg_domain,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS sum_tokens,
@@ -8299,8 +8305,32 @@ def q131_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.functions.domains import registered_domain
 
     t = _t(spark, sf_dir)
+    host = _q131_host()
+    toks = textstats.norm_tokens(F.col("text"))
+    return (
+        t["documents"]
+        .select(
+            registered_domain(host)["registered_domain"].alias("reg_domain"),
+            F.size(toks).cast("long").alias("_nt_"),
+        )
+        .groupBy("reg_domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt_").cast("long").alias("sum_tokens"),
+            F.floor(
+                F.sum("_nt_") * F.lit(1000000.0) / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("avg_tokens_micro"),
+        )
+    )
+
+
+def _q131_host():
+    """The synthesized host Column q131/q132 share — one source of
+    truth with ``_Q131_HOST_SQL``."""
     d = F.col("doc_id")
-    host = (
+    return (
         F.when(d % 7 == 0, F.concat(F.lit("www."), F.col("source"), F.lit(".com")))
         .when(d % 7 == 1, F.concat(F.lit("a.b."), F.col("source"), F.lit(".co.uk")))
         .when(d % 7 == 2, F.concat(F.col("source"), F.lit(".github.io")))
@@ -8318,22 +8348,63 @@ def q131_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d % 7 == 5, F.concat(F.col("source"), F.lit(".ck")))
         .otherwise(F.concat(F.col("source"), F.lit(".xyz")))
     )
+
+
+def _q132_sql() -> str:
+    return f"""{_psl_rd_ctes()},
+    keyed AS (
+      SELECT doc_id, text, coalesce(reg_domain, host) AS k FROM rd),
+    assigned AS (
+      SELECT doc_id, text, k,
+             CASE WHEN {_md5_long_sql('k', 1)} % 1000 < 100
+                  THEN 'valid' ELSE 'train' END AS split
+      FROM keyed)
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_domains,
+           CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS sum_tokens
+    FROM assigned GROUP BY split
+    """
+
+
+@register("q132_domain_holdout", _q132_sql())
+def q132_domain_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free domain-holdout split (functions/domains
+    .holdout_split over the q131 registered-domain key): every page of
+    a registered domain lands in the same train/valid side by hashing
+    the DOMAIN, not the page — page-level random splits leak
+    near-duplicate same-site content across the evaluation boundary,
+    the standard web-corpus mistake decontamination pipelines guard
+    against. Docs with no registrable domain (host == its own public
+    suffix) key on the raw host, still leakage-free at host grain.
+
+    Deterministic and reproducible by construction: the split is the
+    oracle-contract md5 slice mod 1000 (< 100 → valid, a 10% target),
+    so a domain keeps its side across re-crawls, engines and corpus
+    versions — the property incremental pipelines (q110) depend on.
+    Pure per-row map + one map-side-combined hash aggregation; the
+    oracle replays PSL extraction, key fallback, hash and bucketing
+    bit-for-bit."""
+    from demy_spark.functions.domains import holdout_split, registered_domain
+
+    t = _t(spark, sf_dir)
+    host = _q131_host()
     toks = textstats.norm_tokens(F.col("text"))
+    key = F.coalesce(
+        registered_domain(host)["registered_domain"], host
+    )
     return (
         t["documents"]
         .select(
-            registered_domain(host)["registered_domain"].alias("reg_domain"),
+            holdout_split(key, valid_permille=100).alias("split"),
+            key.alias("_k_"),
             F.size(toks).cast("long").alias("_nt_"),
         )
-        .groupBy("reg_domain")
+        .groupBy("split")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("_k_").cast("long").alias("n_domains"),
             F.sum("_nt_").cast("long").alias("sum_tokens"),
-            F.floor(
-                F.sum("_nt_") * F.lit(1000000.0) / F.count(F.lit(1))
-            )
-            .cast("long")
-            .alias("avg_tokens_micro"),
         )
     )
 
@@ -8364,7 +8435,9 @@ def q131_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # phrases/packing/retrieval families rested at r5).
 _DRIVER_PRIORITY = [
     # --- tier 1: never-rowed + behavior-changed this round
+    # (q132 displaces q31, the youngest tier-3 r4 row, to round 7)
     "q131_domain_rollup",
+    "q132_domain_holdout",
     "q130_script_profile",
     "q53_ivf_ann_topk",
     "q89_pq_ann_topk",
@@ -8415,7 +8488,6 @@ _DRIVER_PRIORITY = [
     "q28_embedding_dedup",
     "q29_lsh_ann_topk",
     "q30_ngram_jaccard",
-    "q31_dup_clusters",
 ]
 
 

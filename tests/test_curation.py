@@ -295,3 +295,31 @@ def test_registered_domain_psl_spec(spark):
     }
     for i, _, ps, reg in cases:
         assert got[i] == (ps, reg), (i, got[i], (ps, reg))
+
+
+def test_holdout_split_leakage_free_and_deterministic(spark):
+    """Same key -> same side, always (the leakage-free property);
+    valid_permille bounds the expected valid share; assignment is a
+    pure function of the key (stable across runs and row order)."""
+    import pyspark.sql.functions as F
+
+    from demy_spark.functions.domains import holdout_split
+
+    rows = [(i, f"site{i % 40}.com") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    out = df.select("id", "dom", holdout_split("dom", valid_permille=250).alias("s"))
+    # every domain maps to exactly ONE split
+    per_dom = out.groupBy("dom").agg(F.countDistinct("s").alias("n")).collect()
+    assert all(r["n"] == 1 for r in per_dom)
+    # re-evaluation (new plan, different order) gives identical sides
+    again = {
+        r["dom"]: r["s"]
+        for r in df.orderBy(F.desc("id"))
+        .select("dom", holdout_split("dom", valid_permille=250).alias("s"))
+        .collect()
+    }
+    first = {r["dom"]: r["s"] for r in out.collect()}
+    assert first == again
+    # 25% target over 40 domains: loose sanity bounds, not exactness
+    n_valid = sum(1 for s in first.values() if s == "valid")
+    assert 2 <= n_valid <= 20
