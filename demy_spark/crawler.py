@@ -105,6 +105,26 @@ def extract_links(base_url: str, html: str) -> list[str]:
     return [urljoin(base_url, h) for h in p.hrefs]
 
 
+def _robots_rules(url: str, fetch: Fetch, cache: dict):
+    """Per-origin robots.txt, fetched once through the SAME injectable
+    fetcher as pages (so tests stay offline); unreachable or missing
+    robots.txt means allow-all, per the de-facto convention."""
+    from urllib.parse import urlsplit
+    from urllib.robotparser import RobotFileParser
+
+    parts = urlsplit(url)
+    origin = f"{parts.scheme}://{parts.netloc}"
+    if origin not in cache:
+        rp = RobotFileParser()
+        try:
+            _, body = fetch(f"{origin}/robots.txt")
+            rp.parse(body.decode("utf-8", "replace").splitlines())
+        except Exception:
+            rp.allow_all = True
+        cache[origin] = rp
+    return cache[origin]
+
+
 def crawl_links(
     start_url: str,
     *,
@@ -114,6 +134,7 @@ def crawl_links(
     fetch: Fetch = default_fetch,
     max_pages: int = 10_000,
     on_error: str = "skip",
+    respect_robots: bool = True,
 ) -> set[str]:
     """Breadth-first crawl from ``start_url``: pages whose
     content-type matches ``content_type`` are parsed for links; links
@@ -124,16 +145,28 @@ def crawl_links(
     the follow regex terminating; a bound makes runaway configs fail
     loudly instead of forever). ``on_error='skip'`` logs-and-continues
     on fetch failures (crawls meet dead links); ``'raise'``
-    propagates."""
+    propagates. ``respect_robots`` (default ON — a politeness the
+    reference lacks) consults each origin's robots.txt once and
+    neither fetches nor follows disallowed paths; download-set
+    candidates are filtered the same way."""
     follow_re = re.compile(follow)
     matching_re = re.compile(matching)
     ctype_re = re.compile(content_type)
+    robots: dict = {}
+
+    def allowed(u: str) -> bool:
+        if not respect_robots:
+            return True
+        return _robots_rules(u, fetch, robots).can_fetch(_USER_AGENT, u)
+
     to_visit, visited, to_download = {start_url}, set(), set()
     while to_visit and len(visited) < max_pages:
         url = to_visit.pop()
         if url in visited:
             continue
         visited.add(url)
+        if not allowed(url):
+            continue
         try:
             ctype, body = fetch(url)
         except Exception:
@@ -145,7 +178,7 @@ def crawl_links(
         found = {
             a
             for a in extract_links(url, body.decode("utf-8", "replace"))
-            if a not in visited and follow_re.search(a)
+            if a not in visited and follow_re.search(a) and allowed(a)
         }
         to_download |= {a for a in found if matching_re.search(a)}
         to_visit |= found

@@ -253,3 +253,38 @@ def test_spool_write_is_atomic(tmp_path):
     spool_write(p, b"abc")
     assert open(p, "rb").read() == b"abc"
     assert not os.path.exists(p + ".__tmp__")
+
+
+def test_crawl_respects_robots_txt():
+    """robots.txt politeness (on by default): disallowed paths are
+    neither fetched, followed, nor returned in the download set; an
+    origin without robots.txt is allow-all; respect_robots=False
+    restores the reference's behavior."""
+    fetched: list[str] = []
+    pages = {
+        "http://s/robots.txt": ("text/plain", b"User-agent: *\nDisallow: /private\n"),
+        "http://s/start": (HTML, b'<a href="/private/idx"></a><a href="/pub/a.csv"></a>'
+                                 b'<a href="/private/b.csv"></a>'),
+        "http://s/private/idx": (HTML, b'<a href="/pub/hidden.csv"></a>'),
+    }
+
+    def fetch(url):
+        fetched.append(url)
+        if url not in pages:
+            raise OSError("404")
+        return pages[url]
+
+    got = crawl_links(
+        "http://s/start", follow=r"^http://s/", matching=r"\.csv$", fetch=fetch
+    )
+    assert got == {"http://s/pub/a.csv"}
+    assert "http://s/private/idx" not in fetched  # never fetched
+    assert "http://s/robots.txt" in fetched  # consulted once
+
+    got_rude = crawl_links(
+        "http://s/start", follow=r"^http://s/", matching=r"\.csv$",
+        fetch=fetch, respect_robots=False,
+    )
+    assert got_rude == {
+        "http://s/pub/a.csv", "http://s/private/b.csv", "http://s/pub/hidden.csv",
+    }
