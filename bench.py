@@ -94,6 +94,12 @@ def main() -> None:
         # registered-domain rollup (closure-dict map + one hash agg)
         "script_profile": _q.REGISTRY["q130_script_profile"].fn,
         "domain_rollup": _q.REGISTRY["q131_domain_rollup"].fn,
+        # round-6 late additions: positional phrase retrieval (times
+        # the anchored candidate join + occurrence aggregation) and
+        # the C4 line-rule gate (per-row HOF chain over synthesized
+        # multi-line pages)
+        "phrase_search": _q.REGISTRY["q134_phrase_search"].fn,
+        "c4_filters": _q.REGISTRY["q133_c4_filters"].fn,
     }
     extra_timings: dict[str, float] = {}
     for name, fn in extras.items():

@@ -683,3 +683,89 @@ def gopher_rules(
         ok_sw.alias("has_stopword"),
         (ok_words & ok_wl & ok_dup & ok_sw).alias("keep"),
     )
+
+
+def c4_rules(
+    c: Column | str,
+    *,
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+    policy_phrases: tuple[str, ...] = (
+        "terms of use",
+        "privacy policy",
+        "cookie policy",
+        "uses cookies",
+    ),
+) -> Column:
+    """LINE-level corpus cleanup in the style of the published C4
+    heuristics (the line-granular complement of the document-level
+    ``gopher_rules``): keep a line only if it ends in terminal
+    punctuation, has at least ``min_line_words`` words, and mentions
+    neither javascript nor a boilerplate policy phrase; drop the whole
+    document if fewer than ``min_kept_lines`` lines survive or it
+    contains "lorem ipsum" or a curly brace (template leakage).
+
+    Everything is per-row built-in expressions over ONE let-bound
+    line-marks array (Catalyst HOF lambdas get no common-subexpression
+    elimination — re-deriving the marks per output field would
+    re-evaluate the whole per-line chain once per field), so the
+    filter is a narrow map at any scale and the DuckDB oracle replays
+    it with the same list comprehension.
+
+    Returns a struct: ``text_clean`` (kept lines, edge-trimmed, joined
+    with newlines), line counts total/kept, per-reason drop counts
+    (precedence: javascript > policy phrase > too-short > no terminal
+    punctuation), the two document-level flags, and ``keep``.
+    """
+    from demy_spark.functions.text import _let
+
+    col = _as_col(c)
+
+    def mark(line: Column) -> Column:
+        lt = zs_trim(line)
+        low = F.lower(lt)
+        toks = F.array_remove(F.split(low, " "), "")
+        js = low.contains("javascript")
+        pol = F.lit(False)
+        for p in policy_phrases:
+            pol = pol | low.contains(p)
+        short = F.size(toks) < min_line_words
+        nopunct = ~lt.rlike('[.!?"]$')
+        keep = ~js & ~pol & ~short & ~nopunct
+        reason = (
+            F.when(js, F.lit(1))
+            .when(pol, F.lit(2))
+            .when(short, F.lit(3))
+            .when(nopunct, F.lit(4))
+            .otherwise(F.lit(0))
+        )
+        return F.struct(lt.alias("l"), keep.alias("k"), reason.alias("r"))
+
+    def with_marks(marks: Column) -> Column:
+        kept = F.filter(marks, lambda m: m["k"])
+        n_kept = F.size(kept)
+
+        def n_reason(code: int) -> Column:
+            return F.size(F.filter(marks, lambda m: m["r"] == code))
+
+        low_doc = F.lower(col)
+        has_lorem = low_doc.contains("lorem ipsum")
+        has_brace = col.contains("{")
+        return F.struct(
+            F.array_join(
+                F.transform(kept, lambda m: m["l"]), "\n"
+            ).alias("text_clean"),
+            F.size(marks).alias("n_lines"),
+            n_kept.alias("n_kept"),
+            n_reason(1).alias("n_js"),
+            n_reason(2).alias("n_policy"),
+            n_reason(3).alias("n_short"),
+            n_reason(4).alias("n_nopunct"),
+            has_lorem.alias("has_lorem"),
+            has_brace.alias("has_brace"),
+            (
+                (n_kept >= min_kept_lines) & ~has_lorem & ~has_brace
+            ).alias("keep"),
+        )
+
+    return _let(F.transform(F.split(col, "\n"), mark), with_marks)

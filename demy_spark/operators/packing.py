@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from demy_spark.operators.sampling import KNUTH, M32
 
-__all__ = ["greedy_pack", "pack_occupancy"]
+__all__ = ["fim_split", "greedy_pack", "pack_occupancy"]
 
 
 def greedy_pack(
@@ -92,4 +92,68 @@ def pack_occupancy(packed: DataFrame, *, cap: int) -> DataFrame:
             "fill_ratio",
             F.round(F.least(F.col("n_tokens") / cap, F.lit(1.0)), 6),
         )
+    )
+
+
+def fim_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    rate_pct: int = 50,
+    salt: int = 0,
+) -> DataFrame:
+    """Fill-in-the-middle (FIM) training transform: deterministically
+    rewrite ``rate_pct`` percent of documents into the PSM
+    (prefix-suffix-middle) layout the FIM pretraining recipe trains on
+    — the dataloader-side text transform between curation and packing
+    (LLM-pipeline extension, no reference analog; packing is the
+    nearest neighbor in this module).
+
+    Selection and both cut points derive from md5 slices of the
+    document id + ``salt`` (no RNG state — any engine replays the
+    exact split): a document is transformed iff ``h0 mod 100 <
+    rate_pct``; two cuts over 0..n_tokens are taken from two more
+    independent slices, sorted, and the TOKEN stream (norm_tokens —
+    the oracle tokenization contract) splits into prefix / middle /
+    suffix. Output text is ``<PRE> prefix <SUF> suffix <MID> middle``
+    for transformed rows and the joined token stream for passthrough
+    rows, plus the three span token counts and the ``fim`` flag.
+
+    Purely a narrow per-row map — no shuffle, no UDF; scales as a
+    scan at any corpus size.
+    """
+    from demy_spark.functions.textstats import norm_tokens
+    from demy_spark.operators.dedup import _md5_long
+
+    key = F.concat_ws("\u0001", F.col(id_col).cast("string"), F.lit(str(salt)))
+    toks = norm_tokens(F.col(text_col))
+    n = F.size(toks)
+    take = F.pmod(_md5_long(key, 1, 8), F.lit(100)) < rate_pct
+    c1 = F.pmod(_md5_long(key, 9, 8), n + 1)
+    c2 = F.pmod(_md5_long(key, 17, 8), n + 1)
+    lo = F.least(c1, c2)
+    hi = F.greatest(c1, c2)
+    prefix = F.slice(toks, 1, lo)
+    middle = F.slice(toks, lo + 1, hi - lo)
+    suffix = F.slice(toks, hi + 1, n - hi)
+    join = lambda a: F.array_join(a, " ")  # noqa: E731
+    # plain concat with literal separators, NOT concat_ws: concat_ws
+    # drops empty strings in some engines (DuckDB) but keeps them in
+    # Spark, so an empty prefix/suffix/middle would diverge
+    fim_text = F.concat(
+        F.lit("<PRE> "),
+        join(prefix),
+        F.lit(" <SUF> "),
+        join(suffix),
+        F.lit(" <MID> "),
+        join(middle),
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(take, fim_text).otherwise(join(toks)).alias("text_fim"),
+        F.when(take, lo).otherwise(n).cast("long").alias("n_prefix"),
+        F.when(take, hi - lo).otherwise(F.lit(0)).cast("long").alias("n_middle"),
+        F.when(take, n - hi).otherwise(F.lit(0)).cast("long").alias("n_suffix"),
+        take.alias("fim"),
     )

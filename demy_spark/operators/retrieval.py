@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from demy_spark.functions.textstats import norm_tokens
 
-__all__ = ["bm25_search"]
+__all__ = ["bm25_search", "phrase_search"]
 
 
 def bm25_search(
@@ -127,6 +127,93 @@ def bm25_search(
             F.col("_qid_").alias(query_id_col),
             F.col("_id_").alias(id_col),
             "score_micro",
+            "rk",
+        )
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Exact-phrase retrieval over a positional index: top ``k``
+    documents per query ranked by how many times the query's tokens
+    occur CONSECUTIVELY AND IN ORDER (the proximity complement of
+    ``bm25_search``'s bag-of-words ranking — Lucene's PhraseQuery with
+    slop 0, the second half of any real retrieval surface).
+
+    Instead of chaining one join per phrase position (m-way join, m-1
+    shuffles), every match is ANCHORED: a posting (doc, pos, w) that
+    equals phrase token i implies a candidate occurrence starting at
+    ``pos - i``, so ONE broadcast equi-join on the token plus ONE
+    aggregation per (query, doc, anchor) finds complete occurrences —
+    an anchor with all m distinct offsets present is a phrase hit.
+    Duplicate tokens inside a phrase are handled by the same rule (a
+    posting row fans out to every offset the token occupies).
+
+    Scale shape:
+    - The positional token stream is the corpus's one wide frame; it
+      is filtered to query terms by a broadcast semi-join BEFORE any
+      shuffle, so the anchored-candidate frame is query-term-sized.
+    - Queries are human-sized and broadcast everywhere; nothing
+      corpus-scale is ever collected or broadcast.
+    - Occurrence counting is two shrinking hash aggregations
+      (candidates -> anchors -> (query, doc) counts), each map-side
+      combined; the top-k is a WindowGroupLimit-prunable rank window.
+
+    Returns (``query_id_col``, ``id_col``, n_occurrences, rk) with
+    ``rk`` in 1..k per query, ranked by occurrence count descending,
+    ties to ascending document id. Queries whose phrase never occurs
+    return no rows (retrieval convention, same as bm25_search).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    dtok = docs.select(
+        F.col(id_col).alias("_id_"),
+        F.posexplode(norm_tokens(F.col(text_col))).alias("_pos_", "_w_"),
+    )
+    qtok = queries.select(
+        F.col(query_id_col).alias("_qid_"),
+        F.posexplode(norm_tokens(F.col(query_text_col))).alias("_i_", "_w_"),
+    )
+    qlen = qtok.groupBy("_qid_").agg(F.count(F.lit(1)).alias("_m_"))
+    # query-term filter FIRST: the positional stream shrinks to rows
+    # whose token appears in some phrase before the anchor shuffle
+    matched = dtok.join(F.broadcast(qtok.select("_w_").distinct()), "_w_")
+    cand = matched.join(F.broadcast(qtok), "_w_").select(
+        "_qid_",
+        "_id_",
+        (F.col("_pos_") - F.col("_i_")).alias("_a_"),
+        "_i_",
+    )
+    # a complete occurrence covers offsets 0..m-1 at one anchor; a
+    # candidate with anchor < 0 can never cover offset 0, prune early
+    hits = (
+        cand.where(F.col("_a_") >= 0)
+        .groupBy("_qid_", "_id_", "_a_")
+        .agg(F.count_distinct(F.col("_i_")).alias("_c_"))
+        .join(F.broadcast(qlen), "_qid_")
+        .where(F.col("_c_") == F.col("_m_"))
+    )
+    agg = hits.groupBy("_qid_", "_id_").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    wq = Window.partitionBy("_qid_").orderBy(
+        F.col("n_occurrences").desc(), F.col("_id_").asc()
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= k)
+        .select(
+            F.col("_qid_").alias(query_id_col),
+            F.col("_id_").alias(id_col),
+            "n_occurrences",
             "rk",
         )
     )

@@ -273,3 +273,111 @@ def histogram_quantiles(
             F.col("_N_").alias("n_total"),
         )
     )
+
+
+def bloom_bitmap(
+    df: DataFrame,
+    key: str | Column,
+    *,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """Distributed Bloom-filter build: the membership sketch behind
+    cross-snapshot dedup gates (probe a new crawl batch against a
+    corpus-sized key set without ever joining the corpus — the sketch
+    path beside the exact incremental index of operators/dedup.py).
+
+    Same md5-slice + Kirsch-Mitzenmacher derivation as
+    ``countmin_heavy_hitters`` (g_i = (h1 + i*h2) mod m from two
+    independent slices, one md5 per key), so the DuckDB oracle
+    reproduces every set bit. The bitmap is a DataFrame of 32-bit
+    words — ``(word, bits)`` with ``bits = bit_or(1 << (pos % 32))``
+    — 32-bit so the word value stays positive in BOTH engines (a
+    63-bit shift wraps the sign bit differently across SQL dialects).
+
+    Scale shape: keys hash map-side, fan out n_hashes rows, and
+    reduce by a map-side-combined ``bit_or`` to a CONSTANT-size frame
+    (m/32 rows — 32k rows for the default 1 MiB of bits) regardless of
+    corpus size; that frame broadcasts to any probe.
+    """
+    k = (F.col(key) if isinstance(key, str) else key).alias("_k_")
+    hashed = df.select(k).select(
+        _md5_long(F.col("_k_").cast("string"), 1, 15).alias("_h1_"),
+        _md5_long(F.col("_k_").cast("string"), 16, 8)
+        .bitwiseAND(0x7FFFFFFF)
+        .alias("_h2_"),
+    )
+    pos = F.pmod(
+        F.col("_h1_") + F.col("_i_") * F.col("_h2_"), F.lit(m_bits)
+    )
+    return (
+        hashed.select(
+            "_h1_",
+            "_h2_",
+            F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias(
+                "_i_"
+            ),
+        )
+        .select(pos.alias("_pos_"))
+        .select(
+            (F.col("_pos_") / 32).cast("long").alias("word"),
+            F.pmod(F.col("_pos_"), F.lit(32)).alias("_bit_"),
+        )
+        .groupBy("word")
+        # shiftleft/shiftright take a PYTHON int in the DataFrame API;
+        # a per-row shift amount needs the SQL form
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit_ AS INT))")
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key: str | Column,
+    bitmap: DataFrame,
+    *,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """Membership test against a ``bloom_bitmap``: one row per
+    DISTINCT probe key with ``maybe_member`` — true iff all
+    ``n_hashes`` bit positions are set (no false negatives; false
+    positives at the standard (1 - e^(-kn/m))^k rate, which the q135
+    gate measures against an exact semi-join).
+
+    The bitmap is constant-size and broadcast; probing is a narrow
+    map + one broadcast join + a key-local ``bool_and`` — the corpus
+    the bitmap was built from is never touched.
+    """
+    k = (F.col(key) if isinstance(key, str) else key).alias("_k_")
+    hashed = df.select(k).distinct().select(
+        "_k_",
+        _md5_long(F.col("_k_").cast("string"), 1, 15).alias("_h1_"),
+        _md5_long(F.col("_k_").cast("string"), 16, 8)
+        .bitwiseAND(0x7FFFFFFF)
+        .alias("_h2_"),
+    )
+    pos = F.pmod(
+        F.col("_h1_") + F.col("_i_") * F.col("_h2_"), F.lit(m_bits)
+    )
+    probes = hashed.select(
+        "_k_",
+        F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("_i_"),
+        "_h1_",
+        "_h2_",
+    ).select(
+        "_k_",
+        (pos / 32).cast("long").alias("word"),
+        F.pmod(pos, F.lit(32)).alias("_bit_"),
+    )
+    hit = F.expr("(shiftright(bits, CAST(_bit_ AS INT)) & 1) = 1")
+    return (
+        probes.join(F.broadcast(bitmap), "word", "left")
+        .select("_k_", F.coalesce(hit, F.lit(False)).alias("_hit_"))
+        .groupBy("_k_")
+        .agg(F.bool_and("_hit_").alias("maybe_member"))
+        .select(F.col("_k_").alias("key"), "maybe_member")
+    )

@@ -8409,35 +8409,376 @@ def q132_domain_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-6 LLM-pipeline extensions: C4 line rules, positional phrase
+# retrieval, Bloom membership gate, fill-in-the-middle transform.
+# ---------------------------------------------------------------------------
+
+# q133 line synthesis: the documents fixture is single-line token soup,
+# so BOTH engines deterministically decorate it into multi-line pages
+# first — 8-token lines, a 4-cycle of terminal punctuation (one line in
+# four gets none), javascript/policy-phrase injections on fixed
+# residues, and lorem-ipsum / brace tails on fixed doc residues — so
+# every C4 rule fires on real inputs at any sf.
+_Q133_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    lines0 AS (
+      SELECT doc_id, [array_to_string(tk[i:i+7], ' ')
+                      FOR i IN range(1, len(tk) + 1, 8)] AS lns
+      FROM t),
+    lx AS (
+      SELECT doc_id, generate_subscripts(lns, 1) - 1 AS j, unnest(lns) AS l
+      FROM lines0),
+    dec AS (
+      SELECT doc_id, j,
+             (CASE WHEN (doc_id + j) % 11 = 5 THEN 'javascript ' || l
+                   WHEN (doc_id + j) % 13 = 7 THEN l || ' privacy policy'
+                   ELSE l END)
+             || (['.', '!', '', '?'])[CAST((doc_id + j) % 4 AS INT) + 1]
+               AS line
+      FROM lx),
+    docs2 AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY j)
+             || CASE WHEN doc_id % 23 = 1
+                     THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                     WHEN doc_id % 29 = 2 THEN chr(10) || '{{ config }}.'
+                     ELSE '' END AS doc
+      FROM dec GROUP BY doc_id),
+    ml AS (
+      SELECT doc_id, doc, generate_subscripts(ls, 1) AS ln, unnest(ls) AS l
+      FROM (SELECT doc_id, doc, string_split(doc, chr(10)) AS ls FROM docs2)),
+    r AS (
+      SELECT doc_id, doc, ln, trim(l) AS lt,
+             CASE WHEN contains(lower(trim(l)), 'javascript') THEN 1
+                  WHEN contains(lower(trim(l)), 'terms of use')
+                    OR contains(lower(trim(l)), 'privacy policy')
+                    OR contains(lower(trim(l)), 'cookie policy')
+                    OR contains(lower(trim(l)), 'uses cookies') THEN 2
+                  WHEN len(list_filter(string_split(lower(trim(l)), ' '),
+                                       x -> x <> '')) < 5 THEN 3
+                  WHEN NOT regexp_matches(trim(l), '[.!?"]$') THEN 4
+                  ELSE 0 END AS reason
+      FROM ml),
+    agg AS (
+      SELECT doc_id, any_value(doc) AS doc,
+             coalesce(string_agg(lt, chr(10) ORDER BY ln)
+                        FILTER (reason = 0), '') AS text_clean,
+             count(*) AS n_lines,
+             count(*) FILTER (reason = 0) AS n_kept,
+             count(*) FILTER (reason = 1) AS n_js,
+             count(*) FILTER (reason = 2) AS n_policy,
+             count(*) FILTER (reason = 3) AS n_short,
+             count(*) FILTER (reason = 4) AS n_nopunct
+      FROM r GROUP BY doc_id)
+    SELECT doc_id, text_clean,
+           CAST(n_lines AS BIGINT)   AS n_lines,
+           CAST(n_kept AS BIGINT)    AS n_kept,
+           CAST(n_js AS BIGINT)      AS n_js,
+           CAST(n_policy AS BIGINT)  AS n_policy,
+           CAST(n_short AS BIGINT)   AS n_short,
+           CAST(n_nopunct AS BIGINT) AS n_nopunct,
+           contains(lower(doc), 'lorem ipsum') AS has_lorem,
+           contains(doc, '{{') AS has_brace,
+           (n_kept >= 3 AND NOT contains(lower(doc), 'lorem ipsum')
+            AND NOT contains(doc, '{{')) AS keep
+    FROM agg
+    """
+
+
+@register("q133_c4_filters", _Q133_SQL)
+def q133_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleanup (functions/textstats.c4_rules — the
+    line-granular complement of q92's document-level gopher_rules;
+    LLM-pipeline extension, no reference analog): keep a line only if
+    it ends in terminal punctuation, has >= 5 words and mentions
+    neither javascript nor a boilerplate policy phrase; drop the
+    document when < 3 lines survive or it contains lorem ipsum / a
+    curly brace. The whole operator is ONE let-bound per-row HOF chain
+    (narrow map at any scale — no shuffle, no UDF); both engines first
+    synthesize identical multi-line pages from the fixture soup so
+    every rule actually fires (see _Q133_SQL header comment)."""
+    t = _t(spark, sf_dir)
+    toks = textstats.norm_tokens(F.col("text"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(8))
+    lines = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 8)))
+    punct = F.array(F.lit("."), F.lit("!"), F.lit(""), F.lit("?"))
+
+    def decorate(line, j):
+        r = F.col("doc_id") + j
+        base = (
+            F.when(F.pmod(r, F.lit(11)) == 5,
+                   F.concat(F.lit("javascript "), line))
+            .when(F.pmod(r, F.lit(13)) == 7,
+                  F.concat(line, F.lit(" privacy policy")))
+            .otherwise(line)
+        )
+        return F.concat(
+            base,
+            F.element_at(punct, (F.pmod(r, F.lit(4)) + 1).cast("int")),
+        )
+
+    tail = (
+        F.when(F.col("doc_id") % 23 == 1,
+               F.lit("\nlorem ipsum dolor sit amet."))
+        .when(F.col("doc_id") % 29 == 2, F.lit("\n{ config }."))
+        .otherwise(F.lit(""))
+    )
+    doc = F.concat(F.array_join(F.transform(lines, decorate), "\n"), tail)
+    c4 = textstats.c4_rules(doc)
+    return (
+        t["documents"]
+        .select("doc_id", c4.alias("_c4_"))
+        .select(
+            "doc_id",
+            F.col("_c4_.text_clean").alias("text_clean"),
+            F.col("_c4_.n_lines").cast("long").alias("n_lines"),
+            F.col("_c4_.n_kept").cast("long").alias("n_kept"),
+            F.col("_c4_.n_js").cast("long").alias("n_js"),
+            F.col("_c4_.n_policy").cast("long").alias("n_policy"),
+            F.col("_c4_.n_short").cast("long").alias("n_short"),
+            F.col("_c4_.n_nopunct").cast("long").alias("n_nopunct"),
+            F.col("_c4_.has_lorem").alias("has_lorem"),
+            F.col("_c4_.has_brace").alias("has_brace"),
+            F.col("_c4_.keep").alias("keep"),
+        )
+    )
+
+
+_Q134_QUERIES = [
+    (1, "table table"),
+    (2, "fast key scan"),
+    (3, "value table part"),
+    (4, "agg row"),
+    (5, "window agg stream vector"),
+]
+
+_Q134_VALUES = ", ".join(f"({i}, '{s}')" for i, s in _Q134_QUERIES)
+
+_Q134_SQL = f"""
+    WITH dt AS (
+      SELECT id, generate_subscripts(tk, 1) - 1 AS pos, unnest(tk) AS w
+      FROM (SELECT doc_id AS id, {_TOKS_SQL} AS tk FROM documents)),
+    q AS (SELECT * FROM (VALUES {_Q134_VALUES}) AS t(qid, qtext)),
+    qt AS (
+      SELECT qid, generate_subscripts(qk, 1) - 1 AS i, unnest(qk) AS w
+      FROM (SELECT qid, list_filter(string_split(trim(lower(qtext)), ' '),
+                                    x -> x <> '') AS qk FROM q)),
+    ql AS (SELECT qid, count(*) AS m FROM qt GROUP BY qid),
+    cand AS (
+      SELECT qt.qid, dt.id, dt.pos - qt.i AS a, qt.i
+      FROM dt JOIN qt USING (w) WHERE dt.pos - qt.i >= 0),
+    anch AS (
+      SELECT qid, id, a, count(DISTINCT i) AS c
+      FROM cand GROUP BY qid, id, a),
+    occ AS (SELECT anch.qid, anch.id FROM anch
+            JOIN ql USING (qid) WHERE anch.c = ql.m),
+    agg AS (SELECT qid, id, count(*) AS n_occurrences FROM occ GROUP BY 1, 2),
+    rnk AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                 ORDER BY n_occurrences DESC, id) AS rk
+      FROM agg)
+    SELECT CAST(qid AS BIGINT) AS query_id, id AS doc_id,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(rk AS BIGINT) AS rk
+    FROM rnk WHERE rk <= 10
+    """
+
+
+@register("q134_phrase_search", _Q134_SQL)
+def q134_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval (operators/retrieval.phrase_search — the
+    positional-index complement of q117's bag-of-words BM25; Lucene
+    PhraseQuery semantics at slop 0): five frozen phrases (including a
+    duplicate-token phrase and a never-occurring one) ranked by
+    occurrence count over the documents corpus. The plan is ANCHORED —
+    one broadcast token equi-join plus two shrinking aggregations find
+    complete occurrences; no m-way positional join chain, nothing
+    corpus-scale broadcast, and the oracle replays anchor arithmetic
+    exactly."""
+    from demy_spark.operators.retrieval import phrase_search
+
+    t = _t(spark, sf_dir)
+    qdf = spark.createDataFrame(_Q134_QUERIES, "query_id long, qtext string")
+    out = phrase_search(
+        t["documents"], "doc_id", "text", qdf, "query_id", "qtext", k=10
+    )
+    return out.select(
+        "query_id",
+        "doc_id",
+        "n_occurrences",
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+_Q135_M = 1024
+_Q135_K = 3
+
+_Q135_SQL = f"""
+    WITH kt AS (
+      SELECT doc_id, array_to_string({_TOKS_SQL}, ' ') AS k FROM documents),
+    b AS (SELECT DISTINCT k FROM kt WHERE doc_id % 3 <> 0),
+    bh AS (
+      SELECT {_md5_long_sql('k', 1)} AS h1,
+             {_md5_long_sql('k', 16, 8)} & 2147483647 AS h2
+      FROM b),
+    bbits AS (
+      SELECT ((h1 + i * h2) % {_Q135_M}) AS pos
+      FROM bh, unnest(range(0, {_Q135_K})) AS u(i)),
+    words AS (
+      SELECT pos // 32 AS word,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+      FROM bbits GROUP BY 1),
+    pk AS (SELECT DISTINCT k FROM kt),
+    ph AS (
+      SELECT k, {_md5_long_sql('k', 1)} AS h1,
+             {_md5_long_sql('k', 16, 8)} & 2147483647 AS h2
+      FROM pk),
+    pp AS (
+      SELECT k, ((h1 + i * h2) % {_Q135_M}) AS pos
+      FROM ph, unnest(range(0, {_Q135_K})) AS u(i)),
+    hit AS (
+      SELECT pp.k,
+             coalesce(((w.bits >> CAST(pp.pos % 32 AS INT)) & 1) = 1,
+                      FALSE) AS h
+      FROM pp LEFT JOIN words w ON pp.pos // 32 = w.word),
+    mem AS (SELECT k, bool_and(h) AS maybe_member FROM hit GROUP BY k),
+    ex AS (
+      SELECT mem.maybe_member, (b.k IS NOT NULL) AS is_member
+      FROM mem LEFT JOIN b ON mem.k = b.k)
+    SELECT is_member, maybe_member, CAST(count(*) AS BIGINT) AS n_keys
+    FROM ex GROUP BY 1, 2
+    """
+
+
+@register("q135_bloom_gate", _Q135_SQL)
+def q135_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership gate (operators/sketches.bloom_bitmap +
+    bloom_probe — the sketch path beside q101's exact incremental
+    dedup index): build the bitmap over two-thirds of the corpus
+    (doc_id % 3 <> 0), probe EVERY document's normalized-text key, and
+    report the (is_member, maybe_member) confusion counts — the
+    no-false-negatives row plus the measured false-positive mass. The
+    bitmap is deliberately undersized here ({_Q135_M} bits, {_Q135_K}
+    hashes) so false positives EXIST and the oracle must reproduce the
+    exact set bits to match the counts; production defaults are 2^20
+    bits / 7 hashes. Build reduces to a constant-size word frame that
+    broadcasts to the probe — the corpus never joins itself."""
+    from demy_spark.operators.sketches import bloom_bitmap, bloom_probe
+
+    t = _t(spark, sf_dir)
+    keyed = t["documents"].select(
+        "doc_id",
+        F.array_join(textstats.norm_tokens(F.col("text")), " ").alias("k"),
+    )
+    build = keyed.where(F.col("doc_id") % 3 != 0).select("k").distinct()
+    bitmap = bloom_bitmap(build, "k", m_bits=_Q135_M, n_hashes=_Q135_K)
+    probed = bloom_probe(
+        keyed, "k", bitmap, m_bits=_Q135_M, n_hashes=_Q135_K
+    )
+    return (
+        probed.join(
+            build.withColumn("_mem_", F.lit(True)),
+            probed["key"] == build["k"],
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("_mem_"), F.lit(False)).alias("is_member"),
+            "maybe_member",
+        )
+        .groupBy("is_member", "maybe_member")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    )
+
+
+_Q136_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk,
+             CAST(doc_id AS VARCHAR) || chr(1) || '7' AS key
+      FROM documents),
+    h AS (
+      SELECT doc_id, tk, len(tk) AS n,
+             ({_md5_long_sql('key', 1, 8)} % 100) < 50 AS take,
+             {_md5_long_sql('key', 9, 8)} AS ha,
+             {_md5_long_sql('key', 17, 8)} AS hb
+      FROM t),
+    c AS (
+      SELECT doc_id, tk, n, take,
+             least(ha % (n + 1), hb % (n + 1)) AS lo,
+             greatest(ha % (n + 1), hb % (n + 1)) AS hi
+      FROM h)
+    SELECT doc_id,
+           -- each slice coalesced: DuckDB empty-range slices (lo=0,
+           -- hi=lo, hi=n) surface as NULL where Spark yields [] -> ''
+           CASE WHEN take THEN '<PRE> '
+                  || coalesce(array_to_string(tk[1:lo], ' '), '')
+                  || ' <SUF> '
+                  || coalesce(array_to_string(tk[hi+1:], ' '), '')
+                  || ' <MID> '
+                  || coalesce(array_to_string(tk[lo+1:hi], ' '), '')
+                ELSE array_to_string(tk, ' ') END AS text_fim,
+           CAST(CASE WHEN take THEN lo ELSE n END AS BIGINT) AS n_prefix,
+           CAST(CASE WHEN take THEN hi - lo ELSE 0 END AS BIGINT) AS n_middle,
+           CAST(CASE WHEN take THEN n - hi ELSE 0 END AS BIGINT) AS n_suffix,
+           take AS fim
+    FROM c
+    """
+
+
+@register("q136_fim_split", _Q136_SQL)
+def q136_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (operators/packing.fim_split — the
+    dataloader-side PSM rewrite between curation and q94's packing;
+    LLM-pipeline extension, no reference analog): half the corpus
+    (selected by an md5 residue of the salted doc id, no RNG state)
+    splits its token stream at two md5-derived cut points into
+    prefix / middle / suffix and re-serializes as
+    ``<PRE> p <SUF> s <MID> m``; the rest passes through. Pure narrow
+    per-row map — no shuffle, no UDF — and the oracle replays
+    selection, cuts and layout bit-for-bit."""
+    from demy_spark.operators.packing import fim_split
+
+    t = _t(spark, sf_dir)
+    return fim_split(t["documents"], "doc_id", "text", rate_pct=50, salt=7)
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-6 window (the consolidation round — VERDICT r5 "Next
 # round" #2 set the rotation):
 #   1. never-rowed + behavior-changed — q131 (NEW: registered-domain
-#      PSL rollup, VERDICT task 6); q130, whose implementation swapped
-#      from the 8-pass regexp chain to the Arrow/numpy single pass
-#      (task 4 — bit-parity tested, but the executing code is new);
-#      and the 5 IVF-family queries (q53/q89/q95/q100/q123) that now
-#      run through ivf_build's default hot-list cap (task 3 — a
-#      verified no-op on the balanced fixtures, but every one of them
-#      crosses the new split logic, so they re-earn rows);
+#      PSL rollup, VERDICT task 6); q132 (NEW: domain-holdout split);
+#      q133-q136 (NEW this round: C4 line filters, positional phrase
+#      search, Bloom membership gate, FIM transform); q130, whose
+#      implementation swapped from the 8-pass regexp chain to the
+#      Arrow/numpy single pass (task 4 — bit-parity tested, but the
+#      executing code is new); and the 5 IVF-family queries
+#      (q53/q89/q95/q100/q123) that now run through ivf_build's
+#      default hot-list cap (task 3 — a verified no-op on the balanced
+#      fixtures, but every one of them crosses the new split logic, so
+#      they re-earn rows);
 #   2. ALL 32 remaining queries whose latest green row is
 #      CORRECTNESS_r03 (the VERDICT-listed 34 minus q89/q95, which
 #      rotate in tier 1) — after this round no official row is older
 #      than r4;
-#   3. 11 of the 44 queries resting on r4 rows, oldest-registered-
-#      first (q10-q31 block).
-# The 33 r4-resting deferrals (q32-q45, q54, q61, q63, q65-q67, q78,
+#   3. 6 of the 44 queries resting on r4 rows, oldest-registered-first
+#      (q10-q23 block).
+# The 38 r4-resting deferrals (q27-q45, q54, q61, q63, q65-q67, q78,
 # q92, q93, q96, q97, q102, q108, q111, q112, q114, q117-q120) rest
 # on rows that are 2 rounds old at round-6 close and lead the round-7
 # rotation; all have in-window same-family siblings this round
-# (q27/q28/q30/q31 cover dedup.py for q96/q97/q102, q23/q29 cover
-# similarity.py for q114, q18/q19/q21 cover textstats for q92, the
-# phrases/packing/retrieval families rested at r5).
+# (q18/q26 cover dedup.py for q27/q28/q30/q96/q97/q102, q23 + the
+# tier-1 IVF block cover similarity.py for q29/q114, q18/q19/q21
+# cover textstats for q92, and the phrases/packing/retrieval families
+# earn fresh rows via q134/q136).
 _DRIVER_PRIORITY = [
     # --- tier 1: never-rowed + behavior-changed this round
     # (q132 displaces q31, the youngest tier-3 r4 row, to round 7)
     "q131_domain_rollup",
     "q132_domain_holdout",
+    "q133_c4_filters",
+    "q134_phrase_search",
+    "q135_bloom_gate",
+    "q136_fim_split",
     "q130_script_profile",
     "q53_ivf_ann_topk",
     "q89_pq_ann_topk",
@@ -8484,10 +8825,6 @@ _DRIVER_PRIORITY = [
     "q19_token_topk",
     "q21_quality_score",
     "q23_cosine_topk",
-    "q27_simhash_dedup",
-    "q28_embedding_dedup",
-    "q29_lsh_ann_topk",
-    "q30_ngram_jaccard",
 ]
 
 

@@ -74,6 +74,13 @@ PLANNABLE = [
     "q128_json_props",
     "q129_url_parse",
     "q130_script_profile",
+    # round-6 additions (all pure plan constructors)
+    "q131_domain_rollup",
+    "q132_domain_holdout",
+    "q133_c4_filters",
+    "q134_phrase_search",
+    "q135_bloom_gate",
+    "q136_fim_split",
 ]
 
 
@@ -233,3 +240,30 @@ def test_winnow_pairs_cokeyed_join_partial_agg(plans):
     p = plans["q127_winnow_pairs"]
     assert "partial_count" in p
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[_wfp_", p)
+
+
+def test_phrase_search_is_anchored_broadcast(plans):
+    # q134's anchored plan: the query-token and phrase-length frames
+    # broadcast onto the positional postings (never shuffle them), the
+    # top-k rank window prunes with WindowGroupLimit, and there is no
+    # m-way positional self-join (no SortMergeJoin at all)
+    p = plans["q134_phrase_search"]
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_bloom_bitmap_broadcasts_to_probe(plans):
+    # q135: the constant-size word frame must broadcast onto the probe
+    # keys; the corpus-sized side is never exchanged for the join
+    # (its only exchanges are the bitmap/membership aggregations)
+    p = plans["q135_bloom_gate"]
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_c4_and_fim_are_pure_maps(plans):
+    # line-level C4 cleanup and the FIM rewrite are narrow per-row
+    # maps: any exchange is a regression
+    assert "Exchange" not in plans["q136_fim_split"]
+    assert "Exchange" not in plans["q133_c4_filters"]

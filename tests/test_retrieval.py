@@ -83,3 +83,56 @@ def test_no_match_query_absent_and_bad_k(spark):
     assert {r[0] for r in rows} == {1}
     with pytest.raises(ValueError):
         _search(spark, docs, [(1, "alpha")], k=0)
+
+
+# ---------------------------------------------------------------------------
+# phrase_search: anchored exact-phrase semantics
+# ---------------------------------------------------------------------------
+
+from demy_spark.operators.retrieval import phrase_search  # noqa: E402
+
+
+def _phrases(spark, docs, queries, **kw):
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id long, qtext string")
+    out = phrase_search(ddf, "doc_id", "text", qdf, "query_id", "qtext", **kw)
+    return [tuple(r) for r in out.orderBy("query_id", "rk").collect()]
+
+
+def test_phrase_requires_adjacency_and_order(spark):
+    docs = [
+        (1, "the big cat sleeps"),
+        (2, "big red cat sleeps"),   # gap — no match
+        (3, "cat big sleeps"),       # wrong order — no match
+    ]
+    rows = _phrases(spark, docs, [(1, "big cat")])
+    assert rows == [(1, 1, 1, 1)]
+
+
+def test_phrase_occurrences_rank_and_tiebreak(spark):
+    docs = [
+        (5, "a b x a b"),   # 2 occurrences of "a b"
+        (2, "a b y"),       # 1
+        (1, "z a b"),       # 1 — ties with doc 2, ascending id wins
+    ]
+    rows = _phrases(spark, docs, [(1, "a b")])
+    assert rows == [(1, 5, 2, 1), (1, 1, 1, 2), (1, 2, 1, 3)]
+
+
+def test_phrase_duplicate_token_overlaps_count(spark):
+    # "la la" in "la la la": anchors 0 and 1 are both complete —
+    # overlapping occurrences count (Lucene phrase-freq convention)
+    rows = _phrases(spark, [(1, "la la la")], [(1, "la la")])
+    assert rows == [(1, 1, 2, 1)]
+
+
+def test_phrase_k_cut_and_missing_phrase(spark):
+    docs = [(i, "p q r") for i in range(1, 6)]
+    rows = _phrases(spark, docs, [(1, "p q"), (2, "q p")], k=3)
+    assert [r[1] for r in rows if r[0] == 1] == [1, 2, 3]
+    assert not [r for r in rows if r[0] == 2]
+
+
+def test_phrase_single_token_equals_term_count(spark):
+    rows = _phrases(spark, [(1, "w v w w")], [(1, "w")])
+    assert rows == [(1, 1, 3, 1)]

@@ -203,3 +203,121 @@ def test_weighted_sample_is_deterministic_and_excludes_nonpositive(spark):
     assert a == b and len(a) == 15
     zero_or_neg = {i for i, w in rows if w <= 0}
     assert not (set(a) & zero_or_neg)
+
+
+def test_bloom_no_false_negatives_and_python_replay(spark):
+    """Every built key must probe maybe_member=True (Bloom guarantee),
+    and the flags must equal a hashlib replay of the md5-slice +
+    Kirsch-Mitzenmacher bit positions — register-level verification."""
+    import hashlib
+
+    from demy_spark.operators.sketches import bloom_bitmap, bloom_probe
+
+    m, kh = 256, 3
+    built = [f"key-{i}" for i in range(40)]
+    others = [f"other-{i}" for i in range(60)]
+    bdf = spark.createDataFrame([(k,) for k in built], ["k"])
+    pdf = spark.createDataFrame([(k,) for k in built + others], ["k"])
+    bitmap = bloom_bitmap(bdf, "k", m_bits=m, n_hashes=kh)
+    got = {
+        r["key"]: r["maybe_member"]
+        for r in bloom_probe(pdf, "k", bitmap, m_bits=m, n_hashes=kh).collect()
+    }
+
+    def positions(key: str):
+        d = hashlib.md5(key.encode()).hexdigest()
+        h1 = int(d[0:15], 16)
+        h2 = int(d[15:23], 16) & 0x7FFFFFFF
+        return [(h1 + i * h2) % m for i in range(kh)]
+
+    bits = set()
+    for k in built:
+        bits.update(positions(k))
+    for k in built + others:
+        expect = all(p in bits for p in positions(k))
+        assert got[k] == expect, k
+    assert all(got[k] for k in built)  # no false negatives, ever
+
+
+def test_bloom_bitmap_words_match_replay(spark):
+    import hashlib
+
+    from demy_spark.operators.sketches import bloom_bitmap
+
+    m, kh = 128, 2
+    keys = [f"w{i}" for i in range(25)]
+    bitmap = {
+        r["word"]: r["bits"]
+        for r in bloom_bitmap(
+            spark.createDataFrame([(k,) for k in keys], ["k"]),
+            "k",
+            m_bits=m,
+            n_hashes=kh,
+        ).collect()
+    }
+    words: dict[int, int] = {}
+    for k in keys:
+        d = hashlib.md5(k.encode()).hexdigest()
+        h1 = int(d[0:15], 16)
+        h2 = int(d[15:23], 16) & 0x7FFFFFFF
+        for i in range(kh):
+            p = (h1 + i * h2) % m
+            words[p // 32] = words.get(p // 32, 0) | (1 << (p % 32))
+    assert bitmap == words
+
+
+def test_fim_split_layout_and_determinism(spark):
+    import hashlib
+
+    from demy_spark.operators.packing import fim_split
+
+    docs = [(i, " ".join(f"t{j}" for j in range(10))) for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fim_split(df, "doc_id", "text", rate_pct=50, salt=7).collect()}
+    again = {r["doc_id"]: r for r in fim_split(df, "doc_id", "text", rate_pct=50, salt=7).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }  # no RNG state anywhere
+
+    def replay(doc_id: int, n: int):
+        d = hashlib.md5(f"{doc_id}\x017".encode()).hexdigest()
+        take = int(d[0:8], 16) % 100 < 50
+        a, b = int(d[8:16], 16) % (n + 1), int(d[16:24], 16) % (n + 1)
+        return take, min(a, b), max(a, b)
+
+    took = 0
+    for i, text in docs:
+        take, lo, hi = replay(i, 10)
+        r = out[i]
+        assert r["fim"] == take
+        if take:
+            took += 1
+            assert (r["n_prefix"], r["n_middle"], r["n_suffix"]) == (
+                lo,
+                hi - lo,
+                10 - hi,
+            )
+            toks = text.split()
+            assert r["text_fim"] == (
+                "<PRE> " + " ".join(toks[:lo])
+                + " <SUF> " + " ".join(toks[hi:])
+                + " <MID> " + " ".join(toks[lo:hi])
+            )
+        else:
+            assert r["text_fim"] == text and r["n_middle"] == 0
+    assert 0 < took < 20  # the 50% gate actually splits the fixture
+
+
+def test_fim_split_token_counts_conserve(spark):
+    from demy_spark.operators.packing import fim_split
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "solo")], "doc_id long, text string"
+    )
+    out = fim_split(df, "doc_id", "text", rate_pct=100, salt=0)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    for i, n in [(1, 3), (2, 0), (3, 1)]:
+        r = rows[i]
+        assert r["n_prefix"] + r["n_middle"] + r["n_suffix"] == n
+        assert r["fim"]

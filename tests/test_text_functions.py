@@ -634,3 +634,62 @@ def test_script_profile_udf_builtin_parity(spark):
     byid = {r["id"]: r for r in a}
     assert byid[1]["n_latin"] == 5  # x/÷ excluded
     assert byid[7]["n_latin"] == 4 and byid[7]["n_script_chars"] == 4
+
+
+def test_c4_rules_line_gate(spark):
+    from demy_spark.functions.textstats import c4_rules
+
+    doc = "\n".join(
+        [
+            "the cat sat on the warm mat today.",      # kept
+            "the dog ran over the green hill fast!",   # kept
+            "a bird flew over the old tall tree?",     # kept
+            "too short.",                              # < 5 words
+            "this line has five words but no terminal punctuation",
+            "enable javascript to view this page properly.",
+            "please read our privacy policy before you continue.",
+        ]
+    )
+    df = spark.createDataFrame([(1, doc)], ["id", "t"]).select(
+        c4_rules("t").alias("r")
+    )
+    r = df.collect()[0]["r"]
+    assert r["n_lines"] == 7 and r["n_kept"] == 3
+    assert r["n_short"] == 1 and r["n_nopunct"] == 1
+    assert r["n_js"] == 1 and r["n_policy"] == 1
+    assert r["keep"] and not r["has_lorem"] and not r["has_brace"]
+    assert r["text_clean"].count("\n") == 2
+    assert "javascript" not in r["text_clean"]
+
+
+def test_c4_rules_document_level_drops(spark):
+    from demy_spark.functions.textstats import c4_rules
+
+    base = "\n".join(
+        ["the cat sat on the warm mat today."] * 3
+    )
+    lorem = base + "\nsome lorem ipsum filler text stays here."
+    brace = base + "\nvar config = { a: 1 };"
+    thin = "the cat sat on the warm mat today."
+    df = spark.createDataFrame(
+        [(1, base), (2, lorem), (3, brace), (4, thin)], ["id", "t"]
+    ).select("id", c4_rules("t").alias("r"))
+    r = {x["id"]: x["r"] for x in df.collect()}
+    assert r[1]["keep"]
+    assert r[2]["has_lorem"] and not r[2]["keep"]
+    assert r[3]["has_brace"] and not r[3]["keep"]
+    assert r[4]["n_kept"] == 1 and not r[4]["keep"]
+
+
+def test_c4_rules_reason_precedence_and_quote_punct(spark):
+    from demy_spark.functions.textstats import c4_rules
+
+    # javascript wins over short; a closing double-quote is terminal
+    doc = 'javascript.\nhe said "the cat sat on the mat."'
+    r = (
+        spark.createDataFrame([(1, doc)], ["id", "t"])
+        .select(c4_rules("t").alias("r"))
+        .collect()[0]["r"]
+    )
+    assert r["n_js"] == 1 and r["n_short"] == 0
+    assert r["n_kept"] == 1
