@@ -127,7 +127,12 @@ def fim_split(
     from demy_spark.operators.dedup import _md5_long
 
     key = F.concat_ws("\u0001", F.col(id_col).cast("string"), F.lit(str(salt)))
-    toks = norm_tokens(F.col(text_col))
+    # NULL text must tokenize to [] (n = 0), not NULL: F.size(NULL) is
+    # -1, which would feed pmod(h, 0) -> NULL cuts and a NULL text_fim
+    # while the oracle's coalesced slices emit the degenerate layout
+    toks = F.coalesce(
+        norm_tokens(F.col(text_col)), F.array().cast("array<string>")
+    )
     n = F.size(toks)
     take = F.pmod(_md5_long(key, 1, 8), F.lit(100)) < rate_pct
     c1 = F.pmod(_md5_long(key, 9, 8), n + 1)

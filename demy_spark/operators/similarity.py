@@ -189,7 +189,8 @@ def ivf_build(
     ``max_list_factor`` bounds list sizes (on by default): a list
     holding more than ``ceil(max_list_factor × n / n_lists)`` vectors
     after Lloyd is SPLIT into equal-ish sublists (members spread by
-    ``id % n_sublists`` — deterministic, no window over the hot list),
+    ``md5(id) % n_sublists`` — deterministic, id-type-agnostic, no
+    window over the hot list),
     each with its own mean sub-centroid appended to the codebook. A
     dedup-less corpus collapses Lloyd lists (10 exact copies of every
     vector degenerated 80 lists to 8 non-empty at 10.6× the balanced
@@ -203,10 +204,18 @@ def ivf_build(
     Set ``max_list_factor=None`` to disable (bit-compat with the
     uncapped builder, e.g. for an oracle replay that pins the
     quantizer)."""
+    from demy_spark.operators.dedup import _md5_long
     from demy_spark.topic import seeded_kmeans
 
+    # seed group: `id % n_lists` for numeric ids (bit-identical to the
+    # q53 oracle's CTE unroll) with an md5 fallback so string ids seed
+    # too instead of failing the ANSI cast
+    num_id = F.expr(f"try_cast(cast(`{id_col}` AS STRING) AS BIGINT)")
+    gid = F.when(num_id.isNotNull(), num_id % n_lists).otherwise(
+        F.pmod(_md5_long(F.col(id_col).cast("string"), 1, 8), F.lit(n_lists))
+    )
     dims = corpus.select(
-        (F.col(id_col) % n_lists).alias("_g_"),
+        gid.alias("_g_"),
         F.posexplode(vec_col).alias("_d_", "_x_"),
     )
     rows = dims.groupBy("_g_", "_d_").agg(F.avg("_x_").alias("_m_")).collect()
@@ -237,13 +246,19 @@ def _split_hot_lists(
 ) -> tuple[list[list[float]], DataFrame]:
     """Bound IVF list sizes by splitting every list over
     ``ceil(max_list_factor × n/n_lists)`` into ``ceil(size/bound)``
-    sublists (members by ``id % n_sublists``), each re-centered on its
-    own element-wise mean. Driver state stays dictionary-sized: the
-    per-list histogram (n_lists rows) and the sub-centroid matrix
-    (n_new × dim). The assignment pass is persisted so the histogram
-    job and the caller's downstream use share one Lloyd evaluation."""
+    sublists (members by ``md5(id) % n_sublists`` — hashed, not the
+    raw value, so string ids and residue-skewed integers both spread;
+    balance is binomial-in-expectation rather than exact), each
+    re-centered on its own element-wise mean. Driver state stays
+    dictionary-sized: the per-list histogram (n_lists rows) and the
+    sub-centroid matrix (n_new × dim). Nothing is persisted: the
+    assignment lineage is one corpus scan + k broadcast cosines
+    (seeded_kmeans hands back an unpersisted map over final centers),
+    and caching it here leaked one corpus-sized frame into executor
+    storage per ivf_build call (ADVICE r6) — callers that consume the
+    assignments repeatedly persist at their own layer (e.g.
+    dedup.semdedup)."""
     n_lists = len(centers)
-    assigned = assigned.persist()
     sizes = {
         r["cluster"]: r["_sz_"]
         for r in assigned.groupBy("cluster")
@@ -271,13 +286,22 @@ def _split_hot_lists(
         [(c, s, base) for c, (s, base) in plan.items()],
         "cluster int, _s_ int, _base_ int",
     )
+    from demy_spark.operators.dedup import _md5_long
+
     resplit = (
         assigned.join(F.broadcast(split_map), "cluster", "left")
         .withColumn(
             "_sub_",
+            # hash the id before the mod: a raw cast skips non-numeric
+            # ids entirely (NULL cast -> list stays over the bound) and
+            # residue-skewed integers (e.g. all-even ids with s=2)
+            # would leave sublists unbalanced (ADVICE r6)
             F.when(
                 F.col("_s_").isNotNull(),
-                F.pmod(F.col(id_col).cast("long"), F.col("_s_")),
+                F.pmod(
+                    _md5_long(F.col(id_col).cast("string"), 1, 8),
+                    F.col("_s_").cast("long"),
+                ),
             ),
         )
         .withColumn(

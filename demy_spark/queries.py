@@ -8421,10 +8421,14 @@ def q132_domain_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # residues, and lorem-ipsum / brace tails on fixed doc residues — so
 # every C4 rule fires on real inputs at any sf.
 _Q133_SQL = f"""
-    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    WITH t AS (SELECT doc_id, coalesce({_TOKS_SQL}, []) AS tk FROM documents),
     lines0 AS (
-      SELECT doc_id, [array_to_string(tk[i:i+7], ' ')
-                      FOR i IN range(1, len(tk) + 1, 8)] AS lns
+      -- greatest(..., 1) mirrors the Spark side's sequence floor so a
+      -- zero-token document still yields ONE (empty) line in both
+      -- engines instead of vanishing here; the slice is coalesced
+      -- because DuckDB empty-range slices are NULL where Spark's are []
+      SELECT doc_id, [coalesce(array_to_string(tk[i:i+7], ' '), '')
+                      FOR i IN range(1, greatest(len(tk), 1) + 1, 8)] AS lns
       FROM t),
     lx AS (
       SELECT doc_id, generate_subscripts(lns, 1) - 1 AS j, unnest(lns) AS l
@@ -8499,7 +8503,11 @@ def q133_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesize identical multi-line pages from the fixture soup so
     every rule actually fires (see _Q133_SQL header comment)."""
     t = _t(spark, sf_dir)
-    toks = textstats.norm_tokens(F.col("text"))
+    # NULL text tokenizes to [] in both engines (oracle coalesces tk
+    # the same way), so the sequence floor below sees size 0, not -1
+    toks = F.coalesce(
+        textstats.norm_tokens(F.col("text")), F.array().cast("array<string>")
+    )
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(8))
     lines = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 8)))
     punct = F.array(F.lit("."), F.lit("!"), F.lit(""), F.lit("?"))
@@ -8693,7 +8701,10 @@ def q135_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q136_SQL = f"""
     WITH t AS (
-      SELECT doc_id, {_TOKS_SQL} AS tk,
+      -- coalesce mirrors fim_split's NULL-text guard: a NULL text
+      -- tokenizes to [] in both engines (n = 0), not NULL (where the
+      -- cut arithmetic would go NULL-vs-negative and diverge)
+      SELECT doc_id, coalesce({_TOKS_SQL}, []) AS tk,
              CAST(doc_id AS VARCHAR) || chr(1) || '7' AS key
       FROM documents),
     h AS (
@@ -8716,7 +8727,7 @@ _Q136_SQL = f"""
                   || coalesce(array_to_string(tk[hi+1:], ' '), '')
                   || ' <MID> '
                   || coalesce(array_to_string(tk[lo+1:hi], ' '), '')
-                ELSE array_to_string(tk, ' ') END AS text_fim,
+                ELSE coalesce(array_to_string(tk, ' '), '') END AS text_fim,
            CAST(CASE WHEN take THEN lo ELSE n END AS BIGINT) AS n_prefix,
            CAST(CASE WHEN take THEN hi - lo ELSE 0 END AS BIGINT) AS n_middle,
            CAST(CASE WHEN take THEN n - hi ELSE 0 END AS BIGINT) AS n_suffix,

@@ -171,6 +171,39 @@ def test_ivf_build_hot_list_split_bounds_sizes(spark):
     assert set(sizes) <= set(range(len(centers)))
 
 
+def test_ivf_hot_list_split_hashes_ids(spark):
+    """Sublist membership hashes the id (ADVICE r6): raw ``id % s``
+    silently skipped non-numeric ids (NULL cast -> no split) and left
+    residue-skewed integers unbalanced (all-even ids with s=2 landed
+    in one sublist). Both corpora here collapse onto one duplicate
+    vector; the split must still spread them."""
+    from demy_spark.operators.similarity import ivf_build
+
+    for rows, schema in [
+        # all-even ids: the worst residue skew for a raw modulus
+        ([(2 * i, [1.0, 2.0, 3.0, 4.0]) for i in range(160)]
+         + [(2 * i, [float(i % 5), float(i % 7), 1.0, 0.0])
+            for i in range(160, 200)],
+         "vec_id long, embedding array<double>"),
+        # string ids: a raw long cast is NULL -> split never fired
+        ([(f"doc-{i}", [1.0, 2.0, 3.0, 4.0]) for i in range(160)]
+         + [(f"doc-{i}", [float(i % 5), float(i % 7), 1.0, 0.0])
+            for i in range(160, 200)],
+         "vec_id string, embedding array<double>"),
+    ]:
+        df = spark.createDataFrame(rows, schema)
+        _, assigned = ivf_build(
+            df, "embedding", "vec_id", n_lists=8, train_iters=2,
+            max_list_factor=2.0,
+        )
+        sizes = [r["count"] for r in assigned.groupBy("cluster").count().collect()]
+        bound = -(-2 * 200 // 8)  # ceil(factor * n / n_lists) = 50
+        # binomial spread, not exact halves: allow a small overshoot
+        # but fail loudly on the old behaviors (a 160-row list)
+        assert sum(sizes) == 200
+        assert max(sizes) <= bound + 10, sizes
+
+
 def test_ivf_build_cap_is_noop_on_balanced_corpus(spark):
     """The cap must be bit-invisible when no list exceeds the bound —
     the oracle-pinned queries (q53/q89/q123) rely on this at fixture

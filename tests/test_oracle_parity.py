@@ -91,3 +91,53 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+# --- degenerate-document parity (ADVICE r6: q133 zero-token floor,
+# q136 NULL-text cuts). The sf fixtures carry no empty/NULL text, so
+# these latent divergences need their own fixture: both engines must
+# agree on empty, whitespace-only, NULL and 1-token documents.
+DEGENERATE_DOC_QUERIES = ["q133_c4_filters", "q136_fim_split"]
+
+
+@pytest.fixture(scope="module")
+def degenerate_docs_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("degenerate_docs")
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, ""),  # empty text -> zero tokens
+        (3, "   "),  # whitespace-only -> zero tokens
+        (4, None),  # NULL text
+        (5, "x"),  # single token
+        (24, "one two three four five six seven eight nine ten"),  # %23==1 tail
+        (31, "lorem ipsum dolor sit amet consectetur"),  # %29==2 brace tail
+        (46, None),  # NULL text on the %23==1 tail branch
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", DEGENERATE_DOC_QUERIES)
+def test_degenerate_documents_parity(name, spark, degenerate_docs_dir):
+    q = Q.REGISTRY[name]
+    spark_pdf = q.fn(spark, degenerate_docs_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(degenerate_docs_dir, 'documents.parquet')}')"
+    )
+    duck_pdf = con.execute(q.oracle).fetchdf()
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    s_rows, d_rows = _rows(spark_pdf), _rows(duck_pdf)
+    assert len(s_rows) == len(d_rows), f"{name}: {len(s_rows)} vs {len(d_rows)}"
+    mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
