@@ -26,8 +26,10 @@ BFS/policy/decompress/post surface against an in-memory site with
 zero network; the default fetcher is stdlib urllib with a timeout and
 a polite User-Agent. No non-stdlib dependency: link extraction is an
 ``html.parser`` subclass (the reference uses Jsoup), decompression is
-``zipfile``/``gzip``/``bz2`` (7z — a format the Python stdlib cannot
-read — raises a loud NotImplementedError instead of faking it).
+``zipfile``/``tarfile``/``gzip``/``bz2`` — tar archives extract
+per-member like the reference's commons-compress path
+(`Execute.scala:111`) — (7z, a format the Python stdlib cannot read,
+raises a loud NotImplementedError instead of faking it).
 """
 
 from __future__ import annotations
@@ -37,7 +39,9 @@ import gzip
 import io
 import json
 import os
+import hashlib
 import re
+import tarfile
 import zipfile
 from collections.abc import Callable, Iterable
 from dataclasses import dataclass, field
@@ -237,12 +241,16 @@ def download(
 ) -> list[str]:
     """Fetch ``url`` to ``dest``, decompressing archives when
     ``deflate`` (the reference's in-flight deflate,
-    `Execute.scala:319-459`): ``.zip`` explodes into ``dest`` as a
-    directory (entry names flattened ``/``→``-``, as the reference
-    does), ``.gz``/``.bz2`` decompress to a single file, anything else
-    lands verbatim. ``.7z`` raises NotImplementedError — the stdlib
-    has no reader and this repo does not fake decompression. Every
-    file lands via the atomic spool write. Returns the written
+    `Execute.scala:319-459`; tar matching at `Execute.scala:111` via
+    commons-compress): ``.zip`` explodes into ``dest`` as a directory
+    (entry names flattened ``/``→``-``, as the reference does),
+    ``.tar`` / ``.tar.gz`` / ``.tgz`` / ``.tar.bz2`` extract their
+    MEMBERS into ``dest`` the same way (stdlib ``tarfile``; member
+    names are flattened, so a hostile ``../`` can never escape the
+    spool), ``.gz``/``.bz2`` decompress to a single file, anything
+    else lands verbatim. ``.7z`` raises NotImplementedError — the
+    stdlib has no reader and this repo does not fake decompression.
+    Every file lands via the atomic spool write. Returns the written
     paths."""
     _, body = fetch(url)
     lower = url.lower()
@@ -262,10 +270,25 @@ def download(
                 spool_write(path, zf.read(info))
                 out.append(path)
         return out
-    if deflate and lower.endswith(".gz"):
+    if deflate and lower.endswith((".gz", ".tgz")):
         body = gzip.decompress(body)
+        lower = lower[:-4] + ".tar" if lower.endswith(".tgz") else lower[:-3]
     elif deflate and lower.endswith(".bz2"):
         body = bz2.decompress(body)
+        lower = lower[:-4]
+    if deflate and lower.endswith(".tar"):
+        out = []
+        with tarfile.open(fileobj=io.BytesIO(body), mode="r:") as tf:
+            for m in tf:
+                if not m.isfile():
+                    continue
+                name = m.name[2:] if m.name.startswith("./") else m.name
+                path = os.path.join(dest, name.replace("/", "-"))
+                member = tf.extractfile(m)
+                assert member is not None  # isfile() guarantees content
+                spool_write(path, member.read())
+                out.append(path)
+        return out
     spool_write(dest, body)
     return [dest]
 
@@ -347,6 +370,28 @@ def _post_process(spark, cfg: CrawlConfig, paths: list[str]) -> None:
         raise ValueError(f"unknown post step: {post!r}")
 
 
+def _crawl_dest(url: str, href: str, dest_root: str) -> str:
+    """Map a crawled URL under ``dest_root`` by its path RELATIVE to
+    the config href's directory — the reference's prefix rewrite
+    (`Execute.scala:99-104` replaces conf href with conf dest), with
+    the relative path flattened ``/``→``-`` like archive members so
+    the spool stays one flat directory for the readStream handoff.
+    Mapping by basename alone (the old rule) silently collided two
+    URLs ending in the same filename (ADVICE r6): under ``immutable``
+    the second was never downloaded, under ``head-check`` they
+    overwrote each other every run. URLs outside the href prefix (a
+    followed cross-path link) keep their basename disambiguated by a
+    short url hash — a pure function of the URL, stable across runs
+    and independent of what else the crawl found."""
+    prefix = href if href.endswith("/") else href.rsplit("/", 1)[0] + "/"
+    u = url.rstrip("/")
+    if u.startswith(prefix) and len(u) > len(prefix):
+        return os.path.join(dest_root, u[len(prefix):].replace("/", "-"))
+    tail = u.rsplit("/", 1)[-1] or "index"
+    h = hashlib.md5(url.encode("utf-8")).hexdigest()[:8]
+    return os.path.join(dest_root, f"{tail}-{h}")
+
+
 def sync_source(
     spark,
     cfg: CrawlConfig,
@@ -361,10 +406,13 @@ def sync_source(
     policy per URL, download what changed, run the post step, update
     the ``.cache`` sidecars. Returns the paths written this run.
 
-    Multi-URL crawls map each URL under ``dest`` by its path tail
-    (the reference rewrites the conf prefix; a crawl set here spools
-    into the dest directory — the handoff point where
-    ``spark.readStream`` takes over)."""
+    Multi-URL crawls map each URL under ``dest`` by its path relative
+    to the href's directory, flattened (``_crawl_dest`` — the
+    reference's prefix rewrite; the dest directory is the handoff
+    point where ``spark.readStream`` takes over). Should two distinct
+    URLs still land on one dest (flattening aliases ``a/b`` with
+    ``a-b``), each gets a short url-hash suffix instead of silently
+    colliding."""
     if not cfg.active:
         return []
     if cfg.type == "direct-download":
@@ -378,10 +426,15 @@ def sync_source(
             fetch=fetch,
             max_pages=max_pages,
         )
-        targets = {
-            u: os.path.join(cfg.dest, u.rstrip("/").rsplit("/", 1)[-1])
-            for u in sorted(found)
-        }
+        targets = {u: _crawl_dest(u, cfg.href, cfg.dest) for u in sorted(found)}
+        by_dest: dict[str, list[str]] = {}
+        for u, d in targets.items():
+            by_dest.setdefault(d, []).append(u)
+        for d, us in by_dest.items():
+            if len(us) > 1:
+                for u in us:
+                    h = hashlib.md5(u.encode("utf-8")).hexdigest()[:8]
+                    targets[u] = f"{d}-{h}"
     written: list[str] = []
     for url, dest in targets.items():
         if cfg.policy == "head-check":

@@ -175,7 +175,10 @@ def test_crawl_sync_post_csv2parquet_and_stream_handoff(tmp_path, spark):
         post="csv2parquet",
     )
     written = sync_source(spark, cfg, fetch=_site(pages))
-    assert sorted(os.path.basename(p) for p in written) == ["a.csv", "b.csv"]
+    # prefix-relative mapping: /d/a.csv lands as d-a.csv (structure
+    # kept, flattened like archive members — not basename-only, which
+    # collided distinct URLs sharing a filename)
+    assert sorted(os.path.basename(p) for p in written) == ["d-a.csv", "d-b.csv"]
     batch = spark.read.parquet(f"{dest}.parquet")
     assert batch.count() == 3
 
@@ -288,3 +291,116 @@ def test_crawl_respects_robots_txt():
     assert got_rude == {
         "http://s/pub/a.csv", "http://s/private/b.csv", "http://s/pub/hidden.csv",
     }
+
+
+def _tarball(members: dict[str, bytes], compress: str | None = None) -> bytes:
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        d = tarfile.TarInfo("only-dirs/")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d, None)
+        for name, data in members.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    raw = buf.getvalue()
+    if compress == "gz":
+        return gzip.compress(raw)
+    if compress == "bz2":
+        return bz2.compress(raw)
+    return raw
+
+
+def test_download_tar_members_extracted(tmp_path):
+    """Tar archives extract per-member (reference Execute.scala:111
+    matches .tar/.tar.gz/.bz2 via commons-compress) — not as a single
+    .tar blob — for plain, gz, tgz and bz2 framings, with nested and
+    ../-prefixed names flattened into the spool."""
+    members = {
+        "sub/dir/a.csv": b"col\n1\n",
+        "./b.csv": b"col\n2\n",
+        "../evil.txt": b"nope",
+    }
+    cases = {
+        "http://s/t.tar": _tarball(members),
+        "http://s/t.tar.gz": _tarball(members, "gz"),
+        "http://s/t.tgz": _tarball(members, "gz"),
+        "http://s/t.tar.bz2": _tarball(members, "bz2"),
+    }
+    f = _site({u: ("application/x-tar", b) for u, b in cases.items()})
+    for i, url in enumerate(cases):
+        dest = str(tmp_path / f"t{i}")
+        got = sorted(download(url, dest, fetch=f))
+        assert [os.path.basename(p) for p in got] == [
+            "..-evil.txt", "b.csv", "sub-dir-a.csv"
+        ]
+        assert open(os.path.join(dest, "sub-dir-a.csv"), "rb").read() == b"col\n1\n"
+        # every member escaped-proof inside dest, atomically spooled
+        for p in got:
+            assert os.path.dirname(p) == dest
+        assert not [n for n in os.listdir(dest) if n.endswith(".__tmp__")]
+
+
+def test_sync_source_crawled_tarball_spools_members(tmp_path, spark):
+    """End-to-end crawl of a site serving a tarball: per-member spool
+    files land atomically under dest (VERDICT r6 task 2)."""
+    tar = _tarball({"year/data.csv": b"k;v\n1;x\n", "readme.txt": b"hi"}, "gz")
+    pages = {
+        "http://s/idx": (HTML, b'<a href="/files/drop.tar.gz"></a>'),
+        "http://s/files/drop.tar.gz": ("application/gzip", tar),
+    }
+    dest = str(tmp_path / "spool")
+    cfg = CrawlConfig(
+        name="t", href="http://s/idx", dest=dest,
+        crawling_filter=r"^http://s/", crawling_matching=r"\.tar\.gz$",
+    )
+    written = sync_source(spark, cfg, fetch=_site(pages))
+    # the tarball URL maps to dest/files-drop.tar.gz, which download()
+    # treats as the member directory
+    assert sorted(os.path.basename(p) for p in written) == [
+        "readme.txt", "year-data.csv"
+    ]
+    mdir = os.path.join(dest, "files-drop.tar.gz")
+    assert open(os.path.join(mdir, "year-data.csv"), "rb").read() == b"k;v\n1;x\n"
+    assert not [n for n in os.listdir(mdir) if n.endswith(".__tmp__")]
+    # immutable policy: second run re-downloads nothing
+    assert sync_source(spark, cfg, fetch=_site(pages)) == []
+
+
+def test_sync_source_basename_collisions_disambiguated(tmp_path, spark):
+    """Two crawled URLs ending in the same filename must map to two
+    dest files (ADVICE r6: basename mapping silently collided)."""
+    pages = {
+        "http://s/idx": (HTML, b'<a href="/2024/data.csv"></a>'
+                               b'<a href="/2025/data.csv"></a>'),
+        "http://s/2024/data.csv": ("text/csv", b"y2024"),
+        "http://s/2025/data.csv": ("text/csv", b"y2025"),
+    }
+    dest = str(tmp_path / "spool")
+    cfg = CrawlConfig(
+        name="t", href="http://s/idx", dest=dest,
+        crawling_filter=r"^http://s/", crawling_matching=r"\.csv$",
+    )
+    written = sorted(sync_source(spark, cfg, fetch=_site(pages)))
+    assert [os.path.basename(p) for p in written] == [
+        "2024-data.csv", "2025-data.csv"
+    ]
+    assert open(written[0], "rb").read() == b"y2024"
+    assert open(written[1], "rb").read() == b"y2025"
+
+
+def test_sync_source_out_of_prefix_url_hash_suffixed(tmp_path, spark):
+    """A followed link OUTSIDE the href's directory keeps its basename
+    plus a short url hash — stable per URL, collision-free."""
+    from demy_spark.crawler import _crawl_dest
+
+    d = _crawl_dest("http://other.example/pub/data.csv", "http://s/idx", "/tmp/x")
+    assert os.path.dirname(d) == "/tmp/x"
+    assert os.path.basename(d).startswith("data.csv-")
+    # deterministic
+    assert d == _crawl_dest("http://other.example/pub/data.csv", "http://s/idx", "/tmp/x")
+    # two same-basename foreign URLs diverge
+    d2 = _crawl_dest("http://elsewhere/pub/data.csv", "http://s/idx", "/tmp/x")
+    assert d2 != d
