@@ -227,7 +227,7 @@ def fuzzy_lookup(
     left: DataFrame,
     right: DataFrame,
     query_col: str,
-    text_col: str,
+    text_col: str | None = None,
     *,
     max_lev_distance: int = 2,
     min_score: float = 0.0,
@@ -261,7 +261,10 @@ def fuzzy_lookup(
     simplification; pair with ``term_weights_col``).
 
     Pass a prebuilt ``index`` to reuse a materialized FuzzyIndex
-    (reference reuseExistingIndex=true).
+    (reference reuseExistingIndex=true); ``text_col`` may then be
+    omitted — the right side's tokenization is baked into the index's
+    postings and is never recomputed here. Without an ``index``,
+    ``text_col`` is required.
 
     ``max_df`` caps candidate generation per token (default: relative
     ``MAX_DF`` = 0.5 of index docs, floored at ``MAX_DF_FLOOR`` = 256
@@ -292,6 +295,8 @@ def fuzzy_lookup(
     evaluating the point query inside index traversal.
     """
     if index is None:
+        if text_col is None:
+            raise ValueError("text_col is required when no index= is passed")
         # self-built index frames are each consumed 2-4× inside this
         # plan (scalar stats job, exact + fuzzy candidate joins, doc
         # stats join) — persist so the right side tokenizes once

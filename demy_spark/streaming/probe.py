@@ -116,11 +116,8 @@ def streaming_fuzzy_lookup(
             batch_df,
             index.right,
             query_col,
-            # text_col is baked into the index's postings; the batch
-            # operator never re-tokenizes the right side when an index
-            # is passed, so any right-side column name is accepted —
-            # pass query_col to keep the signature minimal
-            query_col,
+            # no text_col: the right side's tokenization is baked into
+            # the index's postings
             index=index,
             **lookup_kwargs,
         )

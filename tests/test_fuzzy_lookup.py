@@ -6,6 +6,7 @@ function is demy_spark's own documented BM25-style blend.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from demy_spark.operators.fuzzy_lookup import FuzzyIndex, fuzzy_lookup
@@ -141,6 +142,13 @@ def test_index_reuse(spark, tmp_path):
         left, right, "query", "text", max_lev_distance=0, index=loaded
     )
     assert _lookup_pairs(out) == [("bar", "this is bar")]
+    # text_col is optional with index= (the postings already carry the
+    # right side's tokenization — VERDICT r6 task 6): same result
+    out2 = fuzzy_lookup(left, right, "query", max_lev_distance=0, index=loaded)
+    assert _lookup_pairs(out2) == [("bar", "this is bar")]
+    # ...but required without one
+    with pytest.raises(ValueError, match="text_col"):
+        fuzzy_lookup(left, right, "query")
 
 
 def test_fuzzy_lookup_array_alignment(spark):
