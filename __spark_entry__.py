@@ -2,17 +2,17 @@
 
 ``entry(spark)`` runs the flagship star-join query at sf0.001;
 ``queries()``/``oracle_sql()`` expose the full operator inventory from
-demy_spark.queries — 132 queries, ALL DuckDB-oracle-backed (zero
+demy_spark.queries — 137 queries, ALL DuckDB-oracle-backed (zero
 rows-only: formerly non-SQL operators are verified through seeded /
 frozen-weights replay — q38 one-vs-rest serving, q46/q66 POS decode,
 q47 genetic replay, q73 Platt, q76 tree spawning, q115/q116 BPE
-train/encode with unrolled merge rounds). The round-6 driver window
-(first 50 of queries()) leads with the never-rowed q131 (registered-
-domain PSL rollup) and q132 (leakage-free domain-holdout split) plus
-the queries whose executing code changed this round (q130's
-Arrow/numpy script profile; the q53/q89/q95/q100/q123 IVF family
-under the new default hot-list cap), then rotates every query still
-resting on a round-3 row, then the oldest round-4 rows; every
+train/encode with unrolled merge rounds). The round-7 driver window
+(first 50 of queries()) leads with the never-rowed q137
+(registered-domain blocklist gate) plus the queries whose executing
+code changed this round (q133/q136 degenerate-document oracle
+alignment; the q53/q89/q95/q100/q123 IVF family over the hashed
+sublist assignment), then rotates all 38 queries still resting on a
+round-4 row, then the oldest round-5 rows; every
 deferral is re-checked via the verify skill's full-registry driver
 simulation at sf0.01 (132/132 MATCH) and the sf0.001 parity suite.
 COVERAGE.md maps each SURVEY §2 inventory row to its query and

@@ -37,10 +37,54 @@ from pyspark.sql import types as T
 
 __all__ = [
     "PSL_SAMPLE_RULES",
+    "blocklist_gate",
     "holdout_split",
+    "load_psl_rules",
     "parsed_psl_rules",
     "registered_domain",
 ]
+
+
+def load_psl_rules(path: str, *, section: str | None = None) -> tuple[str, ...]:
+    """Parse a file in the published ``public_suffix_list.dat`` format
+    (publicsuffix.org/list) into the rule-string tuple
+    ``registered_domain`` / ``parsed_psl_rules`` consume.
+
+    Format, per the spec: ``//`` starts a comment line; blank lines
+    are ignored; each remaining line is one rule, read up to the
+    first whitespace; rules are matched case-insensitively (stored
+    lowercased here). The two division markers
+    ``// ===BEGIN ICANN DOMAINS===`` / ``// ===BEGIN PRIVATE
+    DOMAINS===`` split the list into sections — pass
+    ``section="icann"`` or ``"private"`` to keep only one (e.g. a
+    curation pipeline that must NOT treat private registries like
+    github.io as suffix boundaries); default keeps every rule.
+
+    The full published list (~10k rules) stays dictionary-sized —
+    this loader exists so production corpora can feed the real file
+    instead of the PSL_SAMPLE_RULES slice; operator and oracle are
+    rule-count-agnostic."""
+    if section not in (None, "icann", "private"):
+        raise ValueError(f"unknown PSL section: {section!r}")
+    rules: list[str] = []
+    current: str | None = None
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("//"):
+                if "===BEGIN ICANN DOMAINS===" in line:
+                    current = "icann"
+                elif "===BEGIN PRIVATE DOMAINS===" in line:
+                    current = "private"
+                elif "===END" in line:
+                    current = None
+                continue
+            if section is not None and current != section:
+                continue
+            rules.append(line.split()[0].lower())
+    return tuple(rules)
 
 # A representative slice of the public-suffix list: plain TLDs,
 # multi-label suffixes, a private-registry suffix (github.io), a
@@ -175,4 +219,46 @@ def holdout_split(key: Column | str, *, valid_permille: int = 100) -> Column:
     bucket = F.pmod(_md5_long(col, 1), F.lit(1000))
     return F.when(bucket < valid_permille, F.lit("valid")).otherwise(
         F.lit("train")
+    )
+
+
+def blocklist_gate(
+    df,
+    host: Column | str,
+    blocklist,
+    *,
+    rules: tuple[str, ...] = PSL_SAMPLE_RULES,
+    domain_col: str = "domain",
+    category_col: str = "category",
+):
+    """UT1-style domain blocklist gate — the standard curation filter
+    that drops documents whose REGISTERED domain appears on a
+    categorized blocklist (ads/adult/malware/...), the join every
+    CCNet/RefinedWeb-lineage pipeline applies right after URL
+    decomposition.
+
+    The gate key is ``coalesce(registered_domain(host), canonical
+    host)``: hosts with no registrable domain (host == its own public
+    suffix, e.g. a bare ``src.ck`` under ``*.ck``) still match a
+    blocklist entry naming them directly — UT1 lists bare hosts too.
+
+    Scale shape: the PSL extraction is a pure per-row map (rule dict
+    in the UDF closure) and the blocklist — thousands of rows even in
+    the full UT1 sets — is BROADCAST, so the whole gate is shuffle-free
+    regardless of corpus size. Returns ``df`` plus ``reg_domain``,
+    ``category`` (NULL when unlisted) and ``keep`` (category IS NULL).
+    """
+    h = F.col(host) if isinstance(host, str) else host
+    canon = F.lower(F.regexp_replace(h, r"\.+$", ""))
+    rd = registered_domain(h, rules)["registered_domain"]
+    keyed = df.withColumn("reg_domain", rd).withColumn(
+        "_k_", F.coalesce(F.col("reg_domain"), canon)
+    )
+    bl = blocklist.select(
+        F.col(domain_col).alias("_k_"), F.col(category_col).alias("category")
+    )
+    return (
+        keyed.join(F.broadcast(bl), "_k_", "left")
+        .withColumn("keep", F.col("category").isNull())
+        .drop("_k_")
     )

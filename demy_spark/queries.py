@@ -8221,18 +8221,25 @@ _Q131_HOST_SQL = """CASE doc_id % 7
                ELSE source || '.xyz' END"""
 
 
-def _psl_rd_ctes() -> str:
+def _psl_rd_ctes(rule_strings: tuple[str, ...] | None = None) -> str:
     """Shared oracle CTE chain (q131/q132): the publicsuffix.org
     matching spec replayed RELATIONALLY (explode candidate suffixes →
     join the rules VALUES table → integer score argmax) against the
     same parsed-rule triples and score encoding the engine's
     closure-dict UDF uses — two independent formulations of one
     algorithm, one constant. Ends at ``rd(doc_id, host, text,
-    reg_domain)``."""
+    reg_domain)``. ``rule_strings`` (default: the registered sample
+    slice) lets tests replay the identical formulation over a
+    file-parsed rule set (load_psl_rules) at production width."""
     from demy_spark.functions.domains import parsed_psl_rules
 
+    parsed = (
+        parsed_psl_rules(rule_strings)
+        if rule_strings is not None
+        else parsed_psl_rules()
+    )
     rules = ",\n              ".join(
-        f"('{key}', '{kind}', {eff})" for key, kind, eff in parsed_psl_rules()
+        f"('{key}', '{kind}', {eff})" for key, kind, eff in parsed
     )
     return f"""
     WITH hosts AS (
@@ -8269,8 +8276,8 @@ def _psl_rd_ctes() -> str:
       FROM best)"""
 
 
-def _q131_sql() -> str:
-    return f"""{_psl_rd_ctes()}
+def _q131_sql(rule_strings: tuple[str, ...] | None = None) -> str:
+    return f"""{_psl_rd_ctes(rule_strings)}
     SELECT reg_domain,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS sum_tokens,
@@ -8302,15 +8309,25 @@ def q131_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregation on registered_domain, map-side combined. The
     oracle replays the spec relationally (suffix explode → rules
     join → score argmax) from the same parsed-rule constant."""
+    return _q131_frame(spark, sf_dir)
+
+
+def _q131_frame(
+    spark: SparkSession, sf_dir: str, rule_strings: tuple[str, ...] | None = None
+) -> DataFrame:
+    """q131's body with an injectable rule set — the registered query
+    uses the default slice; tests feed a load_psl_rules() file parse
+    through the same plan and compare to _q131_sql(same rules)."""
     from demy_spark.functions.domains import registered_domain
 
+    kw = {} if rule_strings is None else {"rules": rule_strings}
     t = _t(spark, sf_dir)
     host = _q131_host()
     toks = textstats.norm_tokens(F.col("text"))
     return (
         t["documents"]
         .select(
-            registered_domain(host)["registered_domain"].alias("reg_domain"),
+            registered_domain(host, **kw)["registered_domain"].alias("reg_domain"),
             F.size(toks).cast("long").alias("_nt_"),
         )
         .groupBy("reg_domain")
@@ -8753,89 +8770,135 @@ def q136_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fim_split(t["documents"], "doc_id", "text", rate_pct=50, salt=7)
 
 
+# UT1-style category blocklist: registered domains plus one bare-host
+# entry (src6.ck has no registrable domain — host == its own *.ck
+# public suffix) and one never-matching domain (unmatched blocklist
+# rows must not affect the gate).
+_Q137_BLOCKLIST = (
+    ("src1.com", "ads"),
+    ("src3.com", "adult"),
+    ("src5.co.uk", "malware"),
+    ("src7.github.io", "ads"),
+    ("w.src2.ck", "phishing"),
+    ("src4.xyz", "adult"),
+    ("www.ck", "ads"),
+    ("src6.ck", "malware"),
+    ("blocked.example", "ads"),
+)
+
+_Q137_BL_VALUES = ", ".join(f"('{d}', '{c}')" for d, c in _Q137_BLOCKLIST)
+
+
+def _q137_sql() -> str:
+    return f"""{_psl_rd_ctes()},
+    bl(domain, category) AS (VALUES {_Q137_BL_VALUES}),
+    g AS (
+      SELECT rd.doc_id, rd.reg_domain, bl.category
+      FROM rd LEFT JOIN bl ON coalesce(rd.reg_domain, rd.host) = bl.domain)
+    SELECT doc_id, reg_domain, category, category IS NULL AS keep FROM g
+    """
+
+
+@register("q137_blocklist_gate", _q137_sql())
+def q137_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain blocklist gate (functions/domains
+    .blocklist_gate — VERDICT r6 task 8): the UT1-style categorized
+    domain blocklist join every CCNet/RefinedWeb-lineage pipeline
+    applies after URL decomposition, composed from the existing PSL
+    extraction (q131) and a broadcast semi-join. The gate key is
+    ``coalesce(registered_domain, host)`` so bare-host blocklist
+    entries (a host that IS its own public suffix) still match.
+
+    Scale: PSL lookup is a pure per-row map; the blocklist (small by
+    construction, thousands of rows in the real UT1 sets) broadcasts —
+    the whole gate is shuffle-free at any corpus size. The oracle
+    replays the PSL spec relationally + the same VALUES blocklist."""
+    from demy_spark.functions.domains import blocklist_gate
+
+    t = _t(spark, sf_dir)
+    bl = spark.createDataFrame(
+        list(_Q137_BLOCKLIST), "domain string, category string"
+    )
+    docs = t["documents"].select("doc_id", _q131_host().alias("host"))
+    return blocklist_gate(docs, "host", bl).select(
+        "doc_id", "reg_domain", "category", "keep"
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
-# order. Round-6 window (the consolidation round — VERDICT r5 "Next
-# round" #2 set the rotation):
-#   1. never-rowed + behavior-changed — q131 (NEW: registered-domain
-#      PSL rollup, VERDICT task 6); q132 (NEW: domain-holdout split);
-#      q133-q136 (NEW this round: C4 line filters, positional phrase
-#      search, Bloom membership gate, FIM transform); q130, whose
-#      implementation swapped from the 8-pass regexp chain to the
-#      Arrow/numpy single pass (task 4 — bit-parity tested, but the
-#      executing code is new); and the 5 IVF-family queries
-#      (q53/q89/q95/q100/q123) that now run through ivf_build's
-#      default hot-list cap (task 3 — a verified no-op on the balanced
-#      fixtures, but every one of them crosses the new split logic, so
-#      they re-earn rows);
-#   2. ALL 32 remaining queries whose latest green row is
-#      CORRECTNESS_r03 (the VERDICT-listed 34 minus q89/q95, which
-#      rotate in tier 1) — after this round no official row is older
-#      than r4;
-#   3. 6 of the 44 queries resting on r4 rows, oldest-registered-first
-#      (q10-q23 block).
-# The 38 r4-resting deferrals (q27-q45, q54, q61, q63, q65-q67, q78,
-# q92, q93, q96, q97, q102, q108, q111, q112, q114, q117-q120) rest
-# on rows that are 2 rounds old at round-6 close and lead the round-7
-# rotation; all have in-window same-family siblings this round
-# (q18/q26 cover dedup.py for q27/q28/q30/q96/q97/q102, q23 + the
-# tier-1 IVF block cover similarity.py for q29/q114, q18/q19/q21
-# cover textstats for q92, and the phrases/packing/retrieval families
-# earn fresh rows via q134/q136).
+# order. Round-7 window (the freshness rotation the r6 VERDICT ordered
+# as task 1):
+#   1. never-rowed + behavior-changed — q137 (NEW: registered-domain
+#      blocklist gate, VERDICT task 8); q133/q136, whose oracle text
+#      and engine guards changed for the degenerate-document
+#      alignment (ADVICE r6 — fixture results identical, but the
+#      executing SQL is new); and the 5 IVF-family queries
+#      (q53/q89/q95/q100/q123) that now cross the hashed sublist
+#      assignment + try_cast seeding in ivf_build (verified no-ops on
+#      the balanced fixtures, but the executing code is new, so they
+#      re-earn rows);
+#   2. ALL 38 queries resting on CORRECTNESS_r04 rows (the r6
+#      VERDICT's deferral list, 2 rounds old at round-7 open) — after
+#      this round no official row anywhere is older than r5;
+#   3. 4 of the queries resting on r5 rows, oldest-registered-first
+#      (q04-q07).
+# The 44 r5/r6-resting deferrals are at most 2 rounds old at round-7
+# close and lead the round-8 rotation (oldest-first: the remaining
+# 44 r5 rows, then r6).
 _DRIVER_PRIORITY = [
     # --- tier 1: never-rowed + behavior-changed this round
-    # (q132 displaces q31, the youngest tier-3 r4 row, to round 7)
-    "q131_domain_rollup",
-    "q132_domain_holdout",
+    "q137_blocklist_gate",
     "q133_c4_filters",
-    "q134_phrase_search",
-    "q135_bloom_gate",
     "q136_fim_split",
-    "q130_script_profile",
     "q53_ivf_ann_topk",
     "q89_pq_ann_topk",
     "q95_ann_recall",
     "q100_semdedup",
     "q123_knn_ivf",
-    # --- tier 2: every query still resting on a CORRECTNESS_r03 row
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_top_orders",
-    "q12_events_hourly",
-    "q24_fuzzy_lookup",
-    "q26_minhash_dedup",
-    "q38_one_vs_rest",
-    "q47_genetic_prototypes",
-    "q51_fuzzy_standard",
-    "q56_range_join",
-    "q57_time_rollup",
-    "q62_skew_join",
-    "q64_bucketed_join",
-    "q82_analogy_score",
-    "q83_fuzzy_predict",
-    "q84_tweet_clean",
-    "q85_sparse_merge",
-    "q86_contamination_check",
-    "q87_canonical_docs",
-    "q88_mixture_sample",
-    "q90_histogram_quantiles",
-    "q91_pii_redaction",
-    "q94_sequence_pack",
-    "q98_lm_quality",
-    "q99_dsir_select",
-    "q101_incremental_dedup",
-    "q103_source_overlap",
-    "q105_weighted_sample",
-    "q106_distinctive_terms",
-    "q107_snapshot_diff",
-    "q109_sorted_neighborhood",
-    "q110_incremental_pipeline",
-    # --- tier 3: oldest r4 rows, oldest-registered-first
-    "q10_cube_orders",
-    "q14_top_parts_per_brand",
-    "q18_exact_dedup",
-    "q19_token_topk",
-    "q21_quality_score",
-    "q23_cosine_topk",
+    # --- tier 2: every query still resting on a CORRECTNESS_r04 row
+    "q27_simhash_dedup",
+    "q28_embedding_dedup",
+    "q29_lsh_ann_topk",
+    "q30_ngram_jaccard",
+    "q31_dup_clusters",
+    "q32_media_features",
+    "q33_hash_folds",
+    "q34_threshold_sweep",
+    "q35_oof_mean_model",
+    "q36_multi_hot",
+    "q37_embed_apply",
+    "q39_admin_flatten",
+    "q40_parse_address",
+    "q41_locality_match",
+    "q42_seeded_kmeans",
+    "q43_topic_tree_walk",
+    "q44_entity_match",
+    "q45_entity_cooccurrence",
+    "q54_binary_metrics",
+    "q61_bottom_k_sample",
+    "q63_salted_agg",
+    "q65_partition_prune",
+    "q66_pos_tag_greedy",
+    "q67_event_followup",
+    "q78_entity_refine",
+    "q92_gopher_rules",
+    "q93_curation_pipeline",
+    "q96_line_dedup",
+    "q97_duplicated_spans",
+    "q102_strip_spans",
+    "q108_record_linkage",
+    "q111_chunk_documents",
+    "q112_tfidf_terms",
+    "q114_knn_classify",
+    "q117_bm25_search",
+    "q118_orc_roundtrip",
+    "q119_group_median",
+    "q120_events_sliding",
+    # --- tier 3: oldest r5 rows, oldest-registered-first
+    "q04_priority_exists",
+    "q05_customers_without_orders",
+    "q06_forecast_revenue",
+    "q07_top_orders_per_customer",
 ]
 
 

@@ -107,3 +107,24 @@ def test_module_docstrings_do_not_deny_driver_collects():
         "module docstrings deny driver-side collects that the module "
         f"performs: {offenders}"
     )
+
+
+def test_doc_query_counts_match_registry():
+    """Registry-count drift guard (VERDICT r6 cosmetic 1 + task 5:
+    README said '132-query registry' after the registry grew to 136 —
+    the same doc/impl drift class as the phrases docstring). Every
+    'N-query registry' / 'N queries' headline claim in README.md and
+    __spark_entry__.py must equal len(REGISTRY)."""
+    from demy_spark.queries import REGISTRY
+
+    n = len(REGISTRY)
+    claims: list[tuple[str, int]] = []
+    readme = open(os.path.join(REPO, "README.md")).read()
+    for m in re.finditer(r"(\d+)-query registry", readme):
+        claims.append(("README.md", int(m.group(1))))
+    entry_doc = open(os.path.join(REPO, "__spark_entry__.py")).read()
+    for m in re.finditer(r"(\d+) queries, ALL", entry_doc):
+        claims.append(("__spark_entry__.py", int(m.group(1))))
+    assert claims, "expected at least one registry-count claim to guard"
+    bad = [(f, c) for f, c in claims if c != n]
+    assert not bad, f"registry has {n} queries but docs claim: {bad}"

@@ -297,6 +297,153 @@ def test_registered_domain_psl_spec(spark):
         assert got[i] == (ps, reg), (i, got[i], (ps, reg))
 
 
+PSL_FILE = """\
+// This fixture is the PUBLISHED public_suffix_list.dat format:
+// comment lines, blank separators, section markers, every rule kind.
+
+// ===BEGIN ICANN DOMAINS===
+// ac : https://en.wikipedia.org/wiki/.ac
+ac
+com.ac
+edu.ac
+gov.ac
+// au : multi-level registry
+au
+com.au
+net.au
+org.au
+edu.au
+// ck : wildcard family with exception
+*.ck
+!www.ck
+// jp : deep registry
+jp
+ac.jp
+ad.jp
+co.jp
+ed.jp
+go.jp
+ne.jp
+or.jp
+// uk
+uk
+ac.uk
+co.uk
+gov.uk
+ltd.uk
+me.uk
+net.uk
+org.uk
+plc.uk
+// generic TLDs
+com
+net
+org
+info
+io
+xyz
+// ===END ICANN DOMAINS===
+
+// ===BEGIN PRIVATE DOMAINS===
+// GitHub : https://github.io
+github.io
+githubusercontent.com
+// Amazon S3
+s3.amazonaws.com
+s3.dualstack.us-east-1.amazonaws.com
+// Fastly
+a.ssl.fastly.net
+global.ssl.fastly.net
+// ===END PRIVATE DOMAINS===
+"""
+
+
+def test_load_psl_rules_parses_published_format(tmp_path):
+    """load_psl_rules (VERDICT r6 task 4): comments and blanks are
+    skipped, rules read to first whitespace + lowercased, section
+    markers honored."""
+    import pytest
+
+    from demy_spark.functions.domains import load_psl_rules
+
+    p = tmp_path / "public_suffix_list.dat"
+    # trailing whitespace + mixed case exercise the to-first-token rule
+    p.write_text(PSL_FILE.replace("\ncom\n", "\nCOM  \n"), encoding="utf-8")
+    rules = load_psl_rules(str(p))
+    assert len(rules) == 40
+    assert "com" in rules and "*.ck" in rules and "!www.ck" in rules
+    assert "github.io" in rules
+    assert not any(r.startswith("//") for r in rules)
+    icann = load_psl_rules(str(p), section="icann")
+    private = load_psl_rules(str(p), section="private")
+    assert set(icann) | set(private) == set(rules)
+    assert "github.io" in private and "github.io" not in icann
+    assert "co.uk" in icann and "co.uk" not in private
+    with pytest.raises(ValueError, match="section"):
+        load_psl_rules(str(p), section="nope")
+
+
+def test_q131_formulation_at_file_parsed_rule_width(spark, sf_dir, tmp_path):
+    """The q131 rollup replayed end-to-end over a load_psl_rules()
+    file parse (40 rules vs the 14-rule registered sample): the
+    engine's closure-dict UDF and the oracle's relational replay must
+    agree at the wider rule count too (VERDICT r6 task 4)."""
+    import os
+
+    import duckdb
+
+    from demy_spark.functions.domains import load_psl_rules
+    from demy_spark.queries import _q131_frame, _q131_sql
+
+    p = tmp_path / "psl.dat"
+    p.write_text(PSL_FILE, encoding="utf-8")
+    rules = load_psl_rules(str(p))
+    assert len(rules) > 30
+
+    spark_pdf = _q131_frame(spark, sf_dir, rules).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf_dir, 'documents.parquet')}')"
+    )
+    duck_pdf = con.execute(_q131_sql(rules)).fetchdf()
+    cols = sorted(spark_pdf.columns)
+    assert cols == sorted(duck_pdf.columns)
+    s = sorted(map(tuple, spark_pdf[cols].fillna(-1).itertuples(index=False)))
+    d = sorted(map(tuple, duck_pdf[cols].fillna(-1).itertuples(index=False)))
+    assert s == d
+
+
+def test_blocklist_gate_matches_on_reg_domain_and_bare_host(spark):
+    """blocklist_gate (q137): a listed registered domain blocks every
+    host under it; a bare-host entry (host == its own public suffix,
+    NULL registered domain) matches via the coalesce key; unlisted
+    domains and NULL hosts pass with keep=true."""
+    from demy_spark.functions.domains import blocklist_gate
+
+    df = spark.createDataFrame(
+        [
+            (1, "www.bad.com"),          # blocked via reg domain bad.com
+            (2, "deep.sub.bad.com"),     # ...any depth under it
+            (3, "good.com"),             # unlisted -> keep
+            (4, "evil.ck"),              # bare host entry (reg domain NULL)
+            (5, "BAD.COM."),             # canonicalization on the key
+            (6, None),                   # NULL host -> keep, NULL fields
+        ],
+        "id int, host string",
+    )
+    bl = spark.createDataFrame(
+        [("bad.com", "ads"), ("evil.ck", "malware")], "domain string, category string"
+    )
+    rows = {r["id"]: r for r in blocklist_gate(df, "host", bl).collect()}
+    assert rows[1]["category"] == "ads" and not rows[1]["keep"]
+    assert rows[2]["category"] == "ads"
+    assert rows[3]["category"] is None and rows[3]["keep"]
+    assert rows[4]["category"] == "malware" and rows[4]["reg_domain"] is None
+    assert rows[5]["category"] == "ads"
+    assert rows[6]["category"] is None and rows[6]["keep"]
+
+
 def test_holdout_split_leakage_free_and_deterministic(spark):
     """Same key -> same side, always (the leakage-free property);
     valid_permille bounds the expected valid share; assignment is a

@@ -81,6 +81,8 @@ PLANNABLE = [
     "q134_phrase_search",
     "q135_bloom_gate",
     "q136_fim_split",
+    # round-7 additions
+    "q137_blocklist_gate",
 ]
 
 
@@ -109,6 +111,15 @@ def test_small_dims_broadcast(plans):
     # nation/customer dimension joins must not shuffle the fact side
     assert "BroadcastHashJoin" in plans["q02_revenue_by_nation"]
     assert "BroadcastHashJoin" in plans["q03_top_orders"]
+
+
+def test_blocklist_gate_broadcasts_and_never_shuffles_corpus(plans):
+    # the blocklist side broadcasts; the corpus side must see no
+    # shuffle at all (per-row PSL map + broadcast join only)
+    p = plans["q137_blocklist_gate"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Exchange hashpartitioning" not in p
 
 
 def test_filter_pushdown_reaches_parquet(plans):
