@@ -759,6 +759,11 @@ def semdedup(
         )
         .persist()
     )
+    # materialize base (its cache now carries the assignment), then
+    # release ivf_build's persisted assignment frame — the ownership
+    # contract ivf_build documents; base is its only consumer here
+    base.count()
+    assigned.unpersist()
     tau_micro = int(round(float(tau) * 1_000_000))
     if pairwise not in ("blas", "fold"):
         raise ValueError(f"pairwise must be 'blas' or 'fold', got {pairwise!r}")

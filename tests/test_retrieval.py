@@ -136,3 +136,24 @@ def test_phrase_k_cut_and_missing_phrase(spark):
 def test_phrase_single_token_equals_term_count(spark):
     rows = _phrases(spark, [(1, "w v w w")], [(1, "w")])
     assert rows == [(1, 1, 3, 1)]
+
+
+def test_phrase_query_side_stays_broadcast_at_load(spark):
+    """A realistic query load (200 phrases vs the fixture's 5) must
+    not tip the query-side joins into a shuffle: all three query
+    joins carry explicit broadcast hints, so the plan has zero
+    SortMergeJoins regardless of query count (VERDICT r6 task 7;
+    scripts/probe_phrase_load_r7.py measures the wall-time side)."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 37} tok{(i + 1) % 37} tok{(i + 2) % 37}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(i, f"tok{i % 37} tok{(i + 1) % 37}") for i in range(200)],
+        "qid long, qtext string",
+    )
+    out = phrase_search(docs, "doc_id", "text", queries, "qid", "qtext", k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert out.count() > 0
