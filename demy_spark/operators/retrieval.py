@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from demy_spark.functions.textstats import norm_tokens
 
-__all__ = ["bm25_search", "phrase_search"]
+__all__ = ["bm25_search", "phrase_search", "rrf_fuse"]
 
 
 def bm25_search(
@@ -217,3 +217,51 @@ def phrase_search(
             "rk",
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str, str, str]],
+    *,
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion of heterogeneous rankings — the standard
+    hybrid-retrieval combiner (Cormack/Clarke/Buettcher SIGIR'09, the
+    fusion every sparse+dense production stack ships): each list
+    contributes ``1/(k0 + rank)`` per item and the fused score is the
+    sum, so lists need share no score scale — only ranks matter.
+
+    ``rankings`` is a list of ``(df, query_col, id_col, rank_col)``;
+    each frame holds one system's per-query top list. Points are
+    integer micro-units ``floor(1e6 / (k0 + rank))`` — exact in any
+    engine, so the DuckDB oracle replays fusion bit-for-bit and rank
+    boundaries never ride a float ulp. Items missing from a list
+    simply contribute nothing for it (standard RRF). Returns
+    (query_id, doc_id, rrf_micro, rk) with rk 1..k per query, ties to
+    ascending id.
+
+    Scale shape: inputs are top-k lists — (queries × k) rows, never
+    corpus-sized — so the union + hash aggregation + rank window all
+    operate on retrieval-result volumes regardless of corpus size."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        df.select(
+            F.col(qc).cast("long").alias("query_id"),
+            F.col(ic).alias("doc_id"),
+            F.floor(F.lit(1_000_000) / (F.lit(k0) + F.col(rc)))
+            .cast("long")
+            .alias("_pts_"),
+        )
+        for df, qc, ic, rc in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.sum("_pts_").cast("long").alias("rrf_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return fused.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

@@ -33,6 +33,8 @@ layer a training-data pipeline needs (ANN over corpus embeddings).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -365,6 +367,7 @@ def ivf_cosine_topk(
     index: tuple[list[list[float]], DataFrame] | None = None,
     query_vec_col: str | None = None,
     query_id_col: str | None = None,
+    filter_cols: Sequence[tuple[str, str]] = (),
 ) -> DataFrame:
     """Approximate top-k via an inverted-file index: each query probes
     its ``nprobe`` nearest centroids (cosine, ties → lowest list id)
@@ -373,7 +376,18 @@ def ivf_cosine_topk(
     Pass ``index=ivf_build(...)`` to reuse a trained quantizer across
     query batches (the build is one corpus scan per Lloyd round; the
     probe side is then centroid-table-sized work per query plus a
-    candidate join bounded by ~nprobe/n_lists of the corpus)."""
+    candidate join bounded by ~nprobe/n_lists of the corpus).
+
+    ``filter_cols``: per-query typed point filters — metadata-filtered
+    vector search, the same contract as fuzzy_lookup's typed filters.
+    Each ``(query_col, corpus_col)`` pair requires candidates to
+    satisfy ``query[query_col] == corpus[corpus_col]``; a NULL query
+    value means "no constraint for this row". The predicate is ANDed
+    into the candidate frame BEFORE the exact rerank, so a selective
+    filter shrinks the cosine stage, not just the output (the
+    post-probe filter of every production filtered-ANN engine — with
+    the standard caveat that recall is bounded by what the probed
+    lists contain; raise nprobe for highly selective filters)."""
     from demy_spark.topic import _centers_df
 
     centers, assigned = (
@@ -389,7 +403,12 @@ def ivf_cosine_topk(
     cent = _centers_df(spark, centers)
     norm_c = cent.groupBy("_c_").agg(F.sqrt(F.sum(F.col("_w_") ** 2)).alias("_nc_"))
 
-    q = queries.select(F.col(qi).alias("query_id"), F.col(qv).alias("_qv_"))
+    fq_names = [f"_qf{i}_" for i in range(len(filter_cols))]
+    q = queries.select(
+        F.col(qi).alias("query_id"),
+        F.col(qv).alias("_qv_"),
+        *[F.col(qc).alias(a) for (qc, _), a in zip(filter_cols, fq_names)],
+    )
     qdims = q.select("query_id", F.posexplode("_qv_").alias("_d_", "_x_"))
     qnorm = qdims.groupBy("query_id").agg(
         F.sqrt(F.sum(F.col("_x_") ** 2)).alias("_nx_")
@@ -415,11 +434,14 @@ def ivf_cosine_topk(
         .select("query_id", F.col("_c_").alias("cluster"))
     )
 
+    fc_names = [f"_cf{i}_" for i in range(len(filter_cols))]
     lists = assigned.select(
         F.col(id_col).alias("neighbor_id"), "cluster"
     ).join(
         corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv_")
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv_"),
+            *[F.col(cc).alias(a) for (_, cc), a in zip(filter_cols, fc_names)],
         ).withColumn("_cn_", l2_norm("_cv_")),
         "neighbor_id",
     )
@@ -428,7 +450,11 @@ def ivf_cosine_topk(
     )
     scored = cand.join(
         F.broadcast(q.withColumn("_qn_", l2_norm("_qv_"))), "query_id"
-    ).select("query_id", "neighbor_id", _hoisted_cosine().alias("sim"))
+    )
+    for qf, cf in zip(fq_names, fc_names):
+        # NULL query value = unconstrained row (fuzzy_lookup contract)
+        scored = scored.where(F.col(qf).isNull() | (F.col(qf) == F.col(cf)))
+    scored = scored.select("query_id", "neighbor_id", _hoisted_cosine().alias("sim"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 

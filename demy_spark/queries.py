@@ -8825,11 +8825,190 @@ def q137_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hybrid retrieval: the q117 keyword queries each paired with a fixed
+# dense query vector (embeddings row vec_id = 7 * query_id) — the
+# "text query + its embedding" input every sparse+dense stack has
+_Q138_QVECS = "7, 14, 21, 28"
+
+
+def _q138_sql() -> str:
+    return f"""
+    WITH sparse AS (SELECT * FROM ({_Q117_SQL})),
+    dense AS (
+      SELECT CAST(q.vec_id // 7 AS BIGINT) AS query_id, b.vec_id AS doc_id,
+             CAST(row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, b.embedding)
+                          DESC, b.vec_id) AS BIGINT) AS rk
+      FROM embeddings q JOIN embeddings b ON q.vec_id IN ({_Q138_QVECS})
+      QUALIFY rk <= 10),
+    u AS (
+      SELECT query_id, doc_id,
+             CAST(floor(1000000.0 / (60 + rk)) AS BIGINT) AS pts FROM sparse
+      UNION ALL
+      SELECT query_id, doc_id,
+             CAST(floor(1000000.0 / (60 + rk)) AS BIGINT) AS pts FROM dense),
+    f AS (SELECT query_id, doc_id, sum(pts) AS rrf_micro FROM u GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_micro DESC, doc_id) AS rk FROM f)
+    SELECT query_id, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 10
+    """
+
+
+@register("q138_hybrid_rrf", _q138_sql())
+def q138_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval via Reciprocal Rank Fusion
+    (operators/retrieval.rrf_fuse — the standard production combiner;
+    LLM-pipeline extension, no reference analog): the q117 BM25
+    keyword lists and a brute-force cosine list over the embeddings
+    corpus (each text query paired with a fixed dense query vector,
+    vec_id = 7 x query_id) fuse by summed integer micro-points
+    ``floor(1e6 / (60 + rank))`` — rank-only fusion, no score-scale
+    mixing, oracle-exact in both engines.
+
+    Scale: both input lists are top-k (queries x k rows); the fusion
+    union + hash agg + rank window never touch corpus-sized data. The
+    dense list reuses q23's broadcast-query scoring shape; the sparse
+    list is q117's postings plan."""
+    from demy_spark.operators.retrieval import bm25_search, rrf_fuse
+
+    t = _t(spark, sf_dir)
+    qdf = spark.createDataFrame(_Q117_QUERIES, "query_id long, qtext string")
+    sparse = bm25_search(
+        t["documents"], "doc_id", "text", qdf, "query_id", "qtext", k=10
+    )
+    emb = t["embeddings"]
+    qv = emb.where(F.col("vec_id").isin(7, 14, 21, 28)).select(
+        (F.col("vec_id") / 7).cast("long").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = emb.crossJoin(F.broadcast(qv)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        cosine_similarity("q_emb", "embedding").alias("sim"),
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "doc_id")
+    dense = scored.withColumn("rk", F.row_number().over(wd)).where(
+        F.col("rk") <= 10
+    )
+    return rrf_fuse(
+        [
+            (sparse, "query_id", "doc_id", "rk"),
+            (dense, "query_id", "doc_id", "rk"),
+        ]
+    ).select("query_id", "doc_id", "rrf_micro", F.col("rk").cast("long").alias("rk"))
+
+
+_Q139_SQL = (
+    """
+    WITH dims AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               unnest(embedding::DOUBLE[]) AS x
+        FROM embeddings
+    ),
+    vnorm AS (SELECT vec_id, sqrt(sum(x * x)) AS nx FROM dims GROUP BY 1),
+    cent0 AS (SELECT vec_id % 8 AS c, d, avg(x) AS m FROM dims GROUP BY 1, 2),"""
+    + _kmeans_round_sql(1, "cent0")
+    + _kmeans_round_sql(2, "cent1")
+    + _kmeans_round_sql(3, "cent2")
+    + _kmeans_round_sql(4, "cent3")
+    + """
+    probe AS (
+        SELECT query_id, c FROM (
+            SELECT d4.vec_id AS query_id, d4.c,
+                   row_number() OVER (PARTITION BY d4.vec_id
+                       ORDER BY d4.dot / nullif(v.nx * cn.nc, 0) DESC, d4.c ASC
+                   ) AS rk
+            FROM dot4 d4
+            JOIN vnorm v ON d4.vec_id = v.vec_id
+            JOIN cnorm4 cn ON d4.c = cn.c
+            WHERE d4.vec_id < 5
+        ) WHERE rk <= 2),
+    targets AS (
+        SELECT vec_id AS query_id, CAST(vec_id % 3 AS INTEGER) AS target
+        FROM embeddings WHERE vec_id < 5),
+    cand AS (
+        SELECT p.query_id, t.target, a.vec_id AS neighbor_id
+        FROM probe p
+        JOIN targets t ON p.query_id = t.query_id
+        JOIN assign4 a ON a.c = p.c AND a.vec_id <> p.query_id
+        JOIN embeddings cb ON a.vec_id = cb.vec_id AND cb.label = t.target),
+    sims AS (
+        SELECT cand.query_id, cand.target, cand.neighbor_id,
+               CASE WHEN nq.nx > 0 AND nb.nx > 0
+                    THEN list_cosine_similarity(qa.embedding::DOUBLE[],
+                                                qb.embedding::DOUBLE[])
+                    ELSE 0 END AS sim
+        FROM cand
+        JOIN embeddings qa ON cand.query_id = qa.vec_id
+        JOIN embeddings qb ON cand.neighbor_id = qb.vec_id
+        JOIN vnorm nq ON cand.query_id = nq.vec_id
+        JOIN vnorm nb ON cand.neighbor_id = nb.vec_id),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rk
+        FROM sims)
+    SELECT query_id, target, neighbor_id, round(sim, 4) + 0.0 AS sim,
+           rk::INTEGER AS rk
+    FROM ranked WHERE rk <= 5
+    """
+)
+
+
+@register("q139_filtered_ann", _Q139_SQL)
+def q139_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (similarity.ivf_cosine_topk
+    ``filter_cols=`` — LLM-pipeline extension, the "top-k within a
+    category" query every production vector store serves): q53's IVF
+    probe with a per-query typed point filter (each query carries a
+    target label = ``vec_id % 3``; candidates must match it) ANDed
+    into the candidate frame BEFORE the exact cosine rerank — the
+    post-probe filter of real filtered-ANN engines, same NULL-means-
+    unconstrained contract as fuzzy_lookup's typed filters.
+
+    Scale: the filter shrinks the rerank stage, not just the output;
+    candidate volume stays ~nprobe/n_lists of the corpus times the
+    filter's selectivity. The oracle replays quantizer training (4
+    unrolled Lloyd CTEs), the probe, the label filter and the rerank
+    end to end."""
+    from demy_spark.operators.similarity import ivf_cosine_topk
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    queries = emb.where(F.col("vec_id") < 5).withColumn(
+        "target", F.pmod(F.col("vec_id"), F.lit(3)).cast("int")
+    )
+    out = ivf_cosine_topk(
+        emb,
+        queries,
+        "embedding",
+        "vec_id",
+        k=5,
+        n_lists=8,
+        nprobe=2,
+        train_iters=3,
+        filter_cols=[("target", "label")],
+    )
+    targets = queries.select(F.col("vec_id").alias("query_id"), "target")
+    return out.join(F.broadcast(targets), "query_id").select(
+        "query_id", "target", "neighbor_id", F.round("sim", 4).alias("sim"), "rk"
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-7 window (the freshness rotation the r6 VERDICT ordered
 # as task 1):
 #   1. never-rowed + behavior-changed — q137 (NEW: registered-domain
-#      blocklist gate, VERDICT task 8); q133/q136, whose oracle text
+#      blocklist gate, VERDICT task 8); q138 (NEW: hybrid sparse+dense
+#      RRF retrieval); q139 (NEW: metadata-filtered ANN); q133/q136,
+#      whose oracle text
 #      and engine guards changed for the degenerate-document
 #      alignment (ADVICE r6 — fixture results identical, but the
 #      executing SQL is new); and the 5 IVF-family queries
@@ -8840,14 +9019,16 @@ def q137_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   2. ALL 38 queries resting on CORRECTNESS_r04 rows (the r6
 #      VERDICT's deferral list, 2 rounds old at round-7 open) — after
 #      this round no official row anywhere is older than r5;
-#   3. 4 of the queries resting on r5 rows, oldest-registered-first
-#      (q04-q07).
+#   3. 2 of the queries resting on r5 rows, oldest-registered-first
+#      (q04-q05).
 # The 44 r5/r6-resting deferrals are at most 2 rounds old at round-7
 # close and lead the round-8 rotation (oldest-first: the remaining
 # 44 r5 rows, then r6).
 _DRIVER_PRIORITY = [
     # --- tier 1: never-rowed + behavior-changed this round
     "q137_blocklist_gate",
+    "q138_hybrid_rrf",
+    "q139_filtered_ann",
     "q133_c4_filters",
     "q136_fim_split",
     "q53_ivf_ann_topk",
@@ -8897,8 +9078,6 @@ _DRIVER_PRIORITY = [
     # --- tier 3: oldest r5 rows, oldest-registered-first
     "q04_priority_exists",
     "q05_customers_without_orders",
-    "q06_forecast_revenue",
-    "q07_top_orders_per_customer",
 ]
 
 

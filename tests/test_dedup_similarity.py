@@ -540,3 +540,33 @@ def test_knn_classify_exclude_self_flag(spark):
     ).collect()
     assert excl[0]["pred_label"] == 2  # true neighbor dropped by id collision
     assert incl[0]["pred_label"] == 1  # kept when spaces are declared distinct
+
+
+def test_ivf_filter_cols_constrain_candidates(spark):
+    """filter_cols (q139): candidates must match the query's typed
+    point filter; a NULL query value is unconstrained (fuzzy_lookup's
+    contract). The filter applies before the rerank, so results only
+    ever contain matching-label neighbors."""
+    from demy_spark.operators.similarity import ivf_cosine_topk
+
+    rows = [
+        (i, [float((i * 7) % 5), float((i * 3) % 7), float(i % 4), 1.0], i % 2)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    queries = spark.createDataFrame(
+        [(0, rows[0][1], 1), (1, rows[1][1], None)],
+        "vec_id long, embedding array<double>, target int",
+    )
+    out = ivf_cosine_topk(
+        df, queries, "embedding", "vec_id",
+        k=5, n_lists=4, nprobe=4, train_iters=1,
+        filter_cols=[("target", "label")],
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # query 0 constrained to label 1 -> only odd neighbors
+    assert by_q[0] and all(n % 2 == 1 for n in by_q[0])
+    # query 1 unconstrained (NULL target) -> both parities reachable
+    assert by_q[1] and len({n % 2 for n in by_q[1]}) == 2

@@ -83,6 +83,7 @@ PLANNABLE = [
     "q136_fim_split",
     # round-7 additions
     "q137_blocklist_gate",
+    "q138_hybrid_rrf",
 ]
 
 

@@ -157,3 +157,44 @@ def test_phrase_query_side_stays_broadcast_at_load(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
     assert out.count() > 0
+
+
+from demy_spark.operators.retrieval import rrf_fuse  # noqa: E402
+
+
+def test_rrf_fusion_math_and_missing_items(spark):
+    """RRF points are floor(1e6/(k0+rank)) per list, summed; an item
+    in only one list contributes only that list's term."""
+    a = spark.createDataFrame([(1, 10, 1), (1, 20, 2)], "q long, d long, rk long")
+    b = spark.createDataFrame([(1, 20, 1), (1, 30, 2)], "q long, d long, rk long")
+    rows = {
+        r["doc_id"]: r["rrf_micro"]
+        for r in rrf_fuse([(a, "q", "d", "rk"), (b, "q", "d", "rk")]).collect()
+    }
+    p1, p2 = 1_000_000 // 61, 1_000_000 // 62
+    assert rows[10] == p1          # only list a, rank 1
+    assert rows[20] == p2 + p1     # rank 2 in a, rank 1 in b
+    assert rows[30] == p2          # only list b, rank 2
+
+
+def test_rrf_tie_break_and_k_cut(spark):
+    """Equal fused scores order by ascending doc id; rk cuts at k."""
+    a = spark.createDataFrame(
+        [(1, d, r) for r, d in enumerate([5, 3, 9, 1, 7], start=1)],
+        "q long, d long, rk long",
+    )
+    out = rrf_fuse([(a, "q", "d", "rk")], k=3).collect()
+    assert [(r["doc_id"], r["rk"]) for r in sorted(out, key=lambda r: r["rk"])] == [
+        (5, 1), (3, 2), (9, 3)
+    ]
+    # symmetric ties: two single-item lists at the same rank
+    x = spark.createDataFrame([(1, 8, 1)], "q long, d long, rk long")
+    y = spark.createDataFrame([(1, 2, 1)], "q long, d long, rk long")
+    tied = rrf_fuse([(x, "q", "d", "rk"), (y, "q", "d", "rk")]).collect()
+    assert [(r["doc_id"], r["rk"]) for r in sorted(tied, key=lambda r: r["rk"])] == [
+        (2, 1), (8, 2)
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
