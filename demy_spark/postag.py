@@ -90,9 +90,13 @@ def make_pos_tagger(
     @pandas_udf("array<string>")
     def tag(tokens: pd.Series) -> pd.Series:
         lex_v, trans_v = b_lex.value, b_trans.value
+        # NULL token arrays (NULL text upstream) tag to [], not crash
         return tokens.apply(
             lambda toks: beam_tag_tokens(
-                list(toks), lex_v, trans_v, beam_size=beam_size
+                list(toks) if toks is not None else [],
+                lex_v,
+                trans_v,
+                beam_size=beam_size,
             )
         )
 

@@ -2617,16 +2617,20 @@ def q48_simplify_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q49_sentence_split",
     """
     WITH d AS (
-        SELECT doc_id, length(text) AS total_chars,
-               len(list_filter(string_split(trim(lower(text)), ' '),
-                               x -> x <> '')) AS n
+        SELECT doc_id, coalesce(length(text), 0) AS total_chars,
+               coalesce(len(list_filter(string_split(trim(lower(text)), ' '),
+                                        x -> x <> '')), 0) AS n
         FROM documents
     ),
     m AS (SELECT doc_id, total_chars, n,
                  cast(ceil(n / 14.0) AS BIGINT) AS chunks
           FROM d)
     SELECT doc_id,
-           (CASE WHEN chunks > 1 AND n - 14 * (chunks - 1) < 2
+           -- a zero-word document is still ONE sentence: the splitter
+           -- preserves every character, so ''/whitespace/NULL text
+           -- yields a single (possibly empty) phrase (degenerate-fuzz)
+           (CASE WHEN n = 0 THEN 1
+                 WHEN chunks > 1 AND n - 14 * (chunks - 1) < 2
                  THEN chunks - 1 ELSE chunks END) AS n_sentences,
            total_chars::BIGINT AS total_chars
     FROM m
@@ -5057,11 +5061,15 @@ def q67_event_followup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q86_contamination_check",
     f"""
     WITH sh AS (
+      -- both keys coalesced: zero-token and NULL-text docs share the
+      -- '' normalized fingerprint (two empty-normalized docs ARE
+      -- exact duplicates — the Spark side already says so) and an
+      -- empty shingle list, never NULL (degenerate-fuzz)
       SELECT doc_id,
-             list_distinct([('0x' || substring(md5(
+             coalesce(list_distinct([('0x' || substring(md5(
                  array_to_string(({_TOKS_SQL})[i:i+2], ' ')), 1, 15))::BIGINT
-               FOR i IN range(1, len({_TOKS_SQL}) - 1)]) AS shs,
-             md5(array_to_string({_TOKS_SQL}, ' ')) AS fp
+               FOR i IN range(1, len({_TOKS_SQL}) - 1)]), []) AS shs,
+             md5(coalesce(array_to_string({_TOKS_SQL}, ' '), '')) AS fp
       FROM documents),
     train AS (SELECT * FROM sh WHERE doc_id % 5 != 0),
     test AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
@@ -5635,7 +5643,10 @@ def q93_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q94_sequence_pack",
     f"""
     WITH d AS (
-      SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
+      -- coalesced: a NULL-text doc packs as 0 tokens in both engines
+      -- (Spark size(NULL) is -1, DuckDB len(NULL) is NULL — both
+      -- corrupt the prefix sums; degenerate-fuzz)
+      SELECT doc_id, CAST(coalesce(len({_TOKS_SQL}), 0) AS BIGINT) AS n_tok
       FROM documents),
     h AS (
       SELECT doc_id, n_tok,
@@ -5669,7 +5680,9 @@ def q94_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.packing import greedy_pack, pack_occupancy
 
     t = _t(spark, sf_dir)
-    toks = textstats.norm_tokens(F.col("text"))
+    toks = F.coalesce(
+        textstats.norm_tokens(F.col("text")), F.array().cast("array<string>")
+    )
     docs = t["documents"].select(
         "doc_id", F.size(toks).cast("long").alias("n_tok")
     )
@@ -6491,14 +6504,17 @@ def q106_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q107_snapshot_diff",
     f"""
     WITH oldd AS (
-      SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fp
+      -- fingerprints coalesced to md5('') for zero-token/NULL text:
+      -- norm_fingerprint (concat_ws) never yields NULL, and a present
+      -- doc must never be misread as 'added' (degenerate-fuzz)
+      SELECT doc_id, md5(coalesce(array_to_string({_TOKS_SQL}, ' '), '')) AS fp
       FROM documents WHERE doc_id % 7 <> 0),
     newd AS (
       SELECT doc_id,
-             md5(array_to_string(
-               list_append({_TOKS_SQL},
+             md5(coalesce(array_to_string(
+               list_append(coalesce({_TOKS_SQL}, []),
                            CASE WHEN doc_id % 5 = 0 THEN 'edited' END)
-               , ' ')) AS fp
+               , ' '), '')) AS fp
       FROM documents WHERE doc_id % 11 <> 0),
     diff AS (
       SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
@@ -8151,8 +8167,10 @@ def _q130_sql() -> str:
     cols = ", ".join(f"n_{name}" for name, _ in SCRIPT_RANGES)
     return f"""
     WITH built AS (
+      -- coalesce: NULL text still receives its per-id snippet (and
+      -- the Spark side's concat must not go NULL) — degenerate-fuzz
       SELECT doc_id,
-             text || CASE doc_id % 4
+             coalesce(text, '') || CASE doc_id % 4
                WHEN 1 THEN '{_Q130_SNIPPETS[1]}'
                WHEN 2 THEN '{_Q130_SNIPPETS[2]}'
                WHEN 3 THEN '{_Q130_SNIPPETS[3]}'
@@ -8197,7 +8215,9 @@ def q130_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 4 == 3, F.lit(_Q130_SNIPPETS[3]))
         .otherwise(F.lit(""))
     )
-    prof = script_profile(F.concat(F.col("text"), snippet))
+    prof = script_profile(
+        F.concat(F.coalesce(F.col("text"), F.lit("")), snippet)
+    )
     return (
         t["documents"]
         .select("doc_id", F.explode(F.array(prof)).alias("p"))
@@ -8641,7 +8661,11 @@ _Q135_K = 3
 
 _Q135_SQL = f"""
     WITH kt AS (
-      SELECT doc_id, array_to_string({_TOKS_SQL}, ' ') AS k FROM documents),
+      -- coalesced: DuckDB array_to_string([]) is NULL where Spark
+      -- array_join gives '' — zero-token and NULL-text docs share
+      -- the '' key in BOTH engines (degenerate-fuzz)
+      SELECT doc_id, coalesce(array_to_string({_TOKS_SQL}, ' '), '') AS k
+      FROM documents),
     b AS (SELECT DISTINCT k FROM kt WHERE doc_id % 3 <> 0),
     bh AS (
       SELECT {_md5_long_sql('k', 1)} AS h1,
@@ -8694,12 +8718,18 @@ def q135_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     keyed = t["documents"].select(
         "doc_id",
-        F.array_join(textstats.norm_tokens(F.col("text")), " ").alias("k"),
+        F.coalesce(
+            F.array_join(textstats.norm_tokens(F.col("text")), " "), F.lit("")
+        ).alias("k"),
     )
     build = keyed.where(F.col("doc_id") % 3 != 0).select("k").distinct()
     bitmap = bloom_bitmap(build, "k", m_bits=_Q135_M, n_hashes=_Q135_K)
+    # probe DISTINCT keys (n_keys counts keys, not doc rows — two
+    # documents with identical normalized text are one key; found by
+    # the degenerate-document fuzz, where the sf fixtures' all-unique
+    # texts had hidden the difference)
     probed = bloom_probe(
-        keyed, "k", bitmap, m_bits=_Q135_M, n_hashes=_Q135_K
+        keyed.select("k").distinct(), "k", bitmap, m_bits=_Q135_M, n_hashes=_Q135_K
     )
     return (
         probed.join(
@@ -9007,23 +9037,25 @@ def q139_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as task 1):
 #   1. never-rowed + behavior-changed — q137 (NEW: registered-domain
 #      blocklist gate, VERDICT task 8); q138 (NEW: hybrid sparse+dense
-#      RRF retrieval); q139 (NEW: metadata-filtered ANN); q133/q136,
-#      whose oracle text
-#      and engine guards changed for the degenerate-document
-#      alignment (ADVICE r6 — fixture results identical, but the
-#      executing SQL is new); and the 5 IVF-family queries
-#      (q53/q89/q95/q100/q123) that now cross the hashed sublist
-#      assignment + try_cast seeding in ivf_build (verified no-ops on
-#      the balanced fixtures, but the executing code is new, so they
-#      re-earn rows);
+#      RRF retrieval); q139 (NEW: metadata-filtered ANN); the queries
+#      whose oracle text and/or engine guards changed for the
+#      degenerate-document alignment (ADVICE r6 + this round's
+#      degenerate-fuzz: q133, q136, q130, q135, q49, q46 — fixture
+#      results identical, but the executing SQL/code is new; q86,
+#      q94, q107 changed too and already sit in tier 2); and
+#      q53/q100/q123 crossing ivf_build's hashed sublist assignment +
+#      try_cast seeding + persist-ownership rework (verified no-ops on
+#      the balanced fixtures). q89/q95 cross the same ivf_build
+#      internals but rest on r6 rows and their own oracles pin chains
+#      that did not change — the in-window siblings (q53 pins the
+#      quantizer itself, q100/q123 its consumers) cover the exposure;
+#      both lead the round-8 rotation;
 #   2. ALL 38 queries resting on CORRECTNESS_r04 rows (the r6
 #      VERDICT's deferral list, 2 rounds old at round-7 open) — after
-#      this round no official row anywhere is older than r5;
-#   3. 2 of the queries resting on r5 rows, oldest-registered-first
-#      (q04-q05).
-# The 44 r5/r6-resting deferrals are at most 2 rounds old at round-7
-# close and lead the round-8 rotation (oldest-first: the remaining
-# 44 r5 rows, then r6).
+#      this round no official row anywhere is older than r5.
+# The r5/r6-resting deferrals are at most 2 rounds old at round-7
+# close and lead the round-8 rotation (q89/q95 first, then oldest-
+# first: the remaining r5 rows, then r6).
 _DRIVER_PRIORITY = [
     # --- tier 1: never-rowed + behavior-changed this round
     "q137_blocklist_gate",
@@ -9031,9 +9063,11 @@ _DRIVER_PRIORITY = [
     "q139_filtered_ann",
     "q133_c4_filters",
     "q136_fim_split",
+    "q130_script_profile",
+    "q135_bloom_gate",
+    "q49_sentence_split",
+    "q46_pos_tag",
     "q53_ivf_ann_topk",
-    "q89_pq_ann_topk",
-    "q95_ann_recall",
     "q100_semdedup",
     "q123_knn_ivf",
     # --- tier 2: every query still resting on a CORRECTNESS_r04 row
@@ -9075,9 +9109,6 @@ _DRIVER_PRIORITY = [
     "q118_orc_roundtrip",
     "q119_group_median",
     "q120_events_sliding",
-    # --- tier 3: oldest r5 rows, oldest-registered-first
-    "q04_priority_exists",
-    "q05_customers_without_orders",
 ]
 
 
