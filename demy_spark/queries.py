@@ -1169,13 +1169,20 @@ def q28_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN buckets c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
         WHERE q.vec_id < 5
     ),
+    vnorm AS (SELECT vec_id, sqrt(sum(x * x)) AS nx FROM dims GROUP BY 1),
     sims AS (
+        -- zero-norm guard (oracle contract): the engine scores a
+        -- zero vector's cosine as 0, DuckDB's raw helper does not
         SELECT cand.query_id, cand.neighbor_id,
-               list_cosine_similarity(a.embedding::DOUBLE[],
-                                      b.embedding::DOUBLE[]) AS sim
+               CASE WHEN nq.nx > 0 AND nb.nx > 0
+                    THEN list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[])
+                    ELSE 0 END AS sim
         FROM cand
         JOIN embeddings a ON cand.query_id = a.vec_id
         JOIN embeddings b ON cand.neighbor_id = b.vec_id
+        JOIN vnorm nq ON cand.query_id = nq.vec_id
+        JOIN vnorm nb ON cand.neighbor_id = nb.vec_id
     ),
     ranked AS (
         SELECT *, row_number() OVER (PARTITION BY query_id
@@ -4726,8 +4733,11 @@ _Q76_SQL = f"""
         FROM embeddings),
     vn AS (SELECT vec_id, sqrt(sum(x * x)) AS nx FROM dims GROUP BY 1),
     sims AS (
+        -- coalesce: a zero-norm vector scores cosine 0 -> pScore 0.5
+        -- (the engine's guard), not NULL dropped from the routed sum
         SELECT d.vec_id, t.ip,
-               round((sum(d.x * t.wv) / nullif(v.nx * n.nw, 0) + 1) / 2, 6) AS s
+               round((coalesce(sum(d.x * t.wv) / nullif(v.nx * n.nw, 0),
+                               0) + 1) / 2, 6) AS s
         FROM dims d JOIN tw t USING (d) JOIN vn v ON v.vec_id = d.vec_id
         JOIN twn n ON n.ip = t.ip
         GROUP BY d.vec_id, t.ip, v.nx, n.nw),
@@ -9040,16 +9050,17 @@ def q139_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      RRF retrieval); q139 (NEW: metadata-filtered ANN); the queries
 #      whose oracle text and/or engine guards changed for the
 #      degenerate-document alignment (ADVICE r6 + this round's
-#      degenerate-fuzz: q133, q136, q130, q135, q49, q46 — fixture
-#      results identical, but the executing SQL/code is new; q86,
-#      q94, q107 changed too and already sit in tier 2); and
-#      q53/q100/q123 crossing ivf_build's hashed sublist assignment +
+#      degenerate-fuzz: q133, q136, q130, q135, q49, q46, q76 —
+#      fixture results identical, but the executing SQL/code is new;
+#      q86, q94, q107, q29 changed too and already sit in tier 2); and
+#      q53/q100 crossing ivf_build's hashed sublist assignment +
 #      try_cast seeding + persist-ownership rework (verified no-ops on
-#      the balanced fixtures). q89/q95 cross the same ivf_build
+#      the balanced fixtures). q89/q95/q123 cross the same ivf_build
 #      internals but rest on r6 rows and their own oracles pin chains
 #      that did not change — the in-window siblings (q53 pins the
-#      quantizer itself, q100/q123 its consumers) cover the exposure;
-#      both lead the round-8 rotation;
+#      quantizer itself, q100 the semdedup consumer, q139 the filtered
+#      probe consumer) cover the exposure; all three lead the round-8
+#      rotation;
 #   2. ALL 38 queries resting on CORRECTNESS_r04 rows (the r6
 #      VERDICT's deferral list, 2 rounds old at round-7 open) — after
 #      this round no official row anywhere is older than r5.
@@ -9067,9 +9078,9 @@ _DRIVER_PRIORITY = [
     "q135_bloom_gate",
     "q49_sentence_split",
     "q46_pos_tag",
+    "q76_tree_spawn",
     "q53_ivf_ann_topk",
     "q100_semdedup",
-    "q123_knn_ivf",
     # --- tier 2: every query still resting on a CORRECTNESS_r04 row
     "q27_simhash_dedup",
     "q28_embedding_dedup",

@@ -1,0 +1,119 @@
+"""Degenerate-embedding oracle fuzz — the vector-family companion of
+test_degenerate_fuzz.py: every registry query whose oracle reads ONLY
+the embeddings table replays engine-vs-oracle over a fixture with
+pathological vectors: the ZERO vector (the NaN-guard case the oracle
+contract calls out — DuckDB sorts NaN above every number, so an
+unguarded zero-norm cosine silently passes on one side only), exact
+duplicate vectors (collapsed IVF lists), near-duplicates, and
+negatives.
+
+Fixture contract: all 10 labels present (tree/centroid operators seed
+per label), dim 64 like the sf fixtures (q38's frozen one-vs-rest
+weights and q89's PQ subspaces are dim-64 constants), >= 64 vectors
+(q47's genetic replay pins pool_size=64), vectors non-NULL (vector
+nullability is a documented operator precondition; a NULL embedding
+is an ingest bug, not a query-time state).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import duckdb
+import pytest
+
+from demy_spark import queries as Q
+from tests.test_oracle_parity import _rows
+
+_OTHER_TABLES = (
+    "region nation customer supplier part orders lineitem events documents"
+).split()
+
+EXCLUDED: dict[str, str] = {}
+
+
+def _embeddings_only() -> list[str]:
+    out = []
+    for name, q in Q.REGISTRY.items():
+        sql = q.oracle or ""
+        if "embeddings" not in sql or name in EXCLUDED:
+            continue
+        if any(re.search(rf"\b{t}\b", sql) for t in _OTHER_TABLES):
+            continue
+        out.append(name)
+    return sorted(out)
+
+
+FUZZ_QUERIES = _embeddings_only()
+
+DIM = 64
+
+
+def _vec(seed: int) -> list[float]:
+    # deterministic non-trivial vector, no RNG
+    return [float(((seed * 31 + d * 7) % 11) - 5) for d in range(DIM)]
+
+
+@pytest.fixture(scope="module")
+def fuzz_emb_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    # degenerate head: zero vector, duplicates of it, near-duplicate,
+    # all-negative, tiny-magnitude
+    rows.append((0, [0.0] * DIM, 0))              # THE zero vector
+    rows.append((1, [0.0] * DIM, 1))              # duplicate zero vector
+    rows.append((2, _vec(2), 2))
+    rows.append((3, _vec(2), 3))                  # exact dup of 2, other label
+    near = _vec(2)
+    near[0] += 0.25
+    rows.append((4, near, 4))                     # near-dup of 2
+    rows.append((5, [-x for x in _vec(2)], 5))    # opposite of 2
+    rows.append((6, [1e-9] * DIM, 6))             # tiny magnitude
+    # normal tail: 6 per label — every label-seeded operator has mass
+    # and the total (67) clears q47's pool_size=64 replay contract
+    i = 7
+    for lab in range(10):
+        for _ in range(6):
+            rows.append((i, _vec(i), lab))
+            i += 1
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    d = tmp_path_factory.mktemp("fuzz_emb")
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def fuzz_emb_ddb(fuzz_emb_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{os.path.join(fuzz_emb_dir, 'embeddings.parquet')}')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", FUZZ_QUERIES)
+def test_degenerate_embedding_fuzz_parity(name, spark, fuzz_emb_dir, fuzz_emb_ddb):
+    q = Q.REGISTRY[name]
+    spark_pdf = q.fn(spark, fuzz_emb_dir).toPandas()
+    duck_pdf = fuzz_emb_ddb.execute(q.oracle).fetchdf()
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch"
+    )
+    s_rows, d_rows = _rows(spark_pdf), _rows(duck_pdf)
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
