@@ -8079,8 +8079,10 @@ def q127_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q128_json_props",
     """
     SELECT event_id, event_type,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+           -- TRY_CAST: from_json yields NULL on a non-numeric field
+           -- where a plain CAST would crash the replay (degenerate-fuzz)
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
              AS k_bucket
     FROM events
     WHERE event_id % 17 = 0
@@ -9059,8 +9061,9 @@ def q139_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      internals but rest on r6 rows and their own oracles pin chains
 #      that did not change — the in-window siblings (q53 pins the
 #      quantizer itself, q100 the semdedup consumer, q139 the filtered
-#      probe consumer) cover the exposure; all three lead the round-8
-#      rotation;
+#      probe consumer) cover the exposure; they lead the round-8
+#      rotation together with q128 (whose oracle swapped CAST for the
+#      value-identical TRY_CAST on the numeric fixture);
 #   2. ALL 38 queries resting on CORRECTNESS_r04 rows (the r6
 #      VERDICT's deferral list, 2 rounds old at round-7 open) — after
 #      this round no official row anywhere is older than r5.
