@@ -31,11 +31,34 @@ _INVALID = re.compile(r"[ ,;{}()\n\t=]")
 
 def _nanos_ts_fields(path: str) -> list[str]:
     """Parquet TIMESTAMP(NANOS) columns — Spark has no nanos timestamp
-    type, so these need the nanosAsLong escape hatch + a cast."""
+    type, so these need the nanosAsLong escape hatch + a cast.
+
+    ``path`` may be a single parquet file OR a directory of part
+    files (every production table is multi-file; the footer probe
+    reads the first part — one writer, one physical type)."""
     import pyarrow.parquet as pq
 
+    path = first_parquet_file(path)
+    if path is None:
+        return []
     schema = pq.read_schema(path)
     return [n for n in schema.names if str(schema.field(n).type) == "timestamp[ns]"]
+
+
+def first_parquet_file(path: str) -> str | None:
+    """``path`` itself if it is a file, else the first part file under
+    it (recursive) — the footer-probe target for multi-file tables.
+    One writer, one physical type; None when the directory is empty."""
+    import glob as _glob
+
+    if not os.path.isdir(path):
+        return path
+    parts = sorted(
+        p
+        for p in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(p)
+    )
+    return parts[0] if parts else None
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -35,8 +35,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch in tests; a directory of hourly files in production —
     exactly the reference's capture layout, consumed incrementally).
 
-    The file source requires a directory; the fixture is a single
-    parquet file, so it is staged (symlinked) into a scratch dir."""
+    The file source requires a directory of FILES; the table is
+    staged (symlinked) into a scratch dir — a single-file fixture as
+    one link, a multi-file table as one link per part (the file
+    source does not recurse into nested directories)."""
+    import glob as _glob
     import tempfile
 
     src = os.path.join(sf_dir, "events.parquet")
@@ -44,9 +47,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), "demy_stream_" + sf_dir.strip("/").replace("/", "_")
     )
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    if os.path.isdir(src):
+        for part in sorted(
+            _glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
+        ):
+            link = os.path.join(
+                stage, os.path.relpath(part, src).replace(os.sep, "-")
+            )
+            if not os.path.exists(link):
+                os.symlink(part, link)
+    else:
+        link = os.path.join(stage, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
 
     # The fixture's ts physical type varies (nanos in some generations,
     # micros in others; tz-aware in neither so far, but probe attributes,
@@ -57,8 +70,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cast never shifts instants in a non-UTC driver session.
     import pyarrow.parquet as pq
 
+    from demy_spark.io import first_parquet_file
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ts_type = pq.read_schema(src).field("ts").type
+    # dir-safe: a multi-file events table probes its first part file
+    ts_type = pq.read_schema(first_parquet_file(src)).field("ts").type
     ts_is_nanos = getattr(ts_type, "unit", None) == "ns"
     ts_is_tz = getattr(ts_type, "tz", None) is not None
     if ts_is_nanos:

@@ -1,0 +1,119 @@
+"""Multi-split / partition-order parity: the ENTIRE oracle registry
+replayed over the sf0.001 tables rewritten as DIRECTORIES of shuffled
+part files (rows reordered by an md5 of their first column, split
+round-robin 4 ways).
+
+What this pins, at the gate level rather than per-operator:
+
+1. multi-file tables load at all — every production table is many
+   files; ``load_table``'s footer probe must handle directories
+   (single-file fixtures had hidden that it did not);
+2. results are PARTITION-ORDER INDEPENDENT — the oracle contract's
+   integer quantization and explicit tie-breaks exist exactly so that
+   a different file layout / accumulation order cannot flip a value
+   or a rank. A query that is only green on the one-file fixture is
+   not a 100 TB query.
+
+Scratch-writing queries (checkpoint/ORC/index state) write under the
+fixture dir — the module uses its own tmp copy, so they are included.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pytest
+
+from demy_spark import queries as Q
+from tests.test_oracle_parity import TABLES, _rows
+
+N_SPLITS = 4
+
+
+@pytest.fixture(scope="module")
+def multisplit_dir(tmp_path_factory, sf_dir):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("multisplit")
+    for t in TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        tbl = pq.read_table(src)
+        # deterministic shuffle: order by md5-ish hash of the first
+        # column's string form (no RNG), then round-robin the splits
+        key = pc.cast(tbl.column(0), "string")
+        import hashlib
+
+        order = sorted(
+            range(tbl.num_rows),
+            key=lambda i: hashlib.md5(str(key[i]).encode()).hexdigest(),
+        )
+        shuffled = tbl.take(order)
+        out = d / f"{t}.parquet"
+        out.mkdir()
+        for s in range(N_SPLITS):
+            idx = list(range(s, tbl.num_rows, N_SPLITS))
+            pq.write_table(
+                shuffled.take(idx), str(out / f"part-{s:05d}.parquet")
+            )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def multisplit_ddb(multisplit_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        dirp = os.path.join(multisplit_dir, f"{t}.parquet")
+        if os.path.isdir(dirp) and glob.glob(os.path.join(dirp, "*.parquet")):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+                f"'{os.path.join(dirp, '*.parquet')}')"
+            )
+    return con
+
+
+ORACLE_QUERIES = sorted(n for n, q in Q.REGISTRY.items() if q.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_multisplit_parity(name, spark, multisplit_dir, multisplit_ddb):
+    q = Q.REGISTRY[name]
+    spark_pdf = q.fn(spark, multisplit_dir).toPandas()
+    duck_pdf = multisplit_ddb.execute(q.oracle).fetchdf()
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch"
+    )
+    s_rows, d_rows = _rows(spark_pdf), _rows(duck_pdf)
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_events_stream_reads_multifile_table(spark, multisplit_dir):
+    """read_events_stream over a DIRECTORY events table: the footer
+    probe targets the first part file and the file source lists every
+    part through the staging symlink."""
+    from demy_spark.streaming.windows import read_events_stream
+
+    stream = read_events_stream(spark, multisplit_dir)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("multisplit_events")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) c FROM multisplit_events").first()["c"]
+    import duckdb as _d
+
+    exp = _d.sql(
+        f"SELECT count(*) FROM read_parquet('{multisplit_dir}/events.parquet/*.parquet')"
+    ).fetchone()[0]
+    assert got == exp
