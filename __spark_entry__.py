@@ -2,15 +2,15 @@
 
 ``entry(spark)`` runs the flagship star-join query at sf0.001;
 ``queries()``/``oracle_sql()`` expose the full operator inventory from
-demy_spark.queries — 139 queries, ALL DuckDB-oracle-backed (zero
+demy_spark.queries — 140 queries, ALL DuckDB-oracle-backed (zero
 rows-only: formerly non-SQL operators are verified through seeded /
 frozen-weights replay — q38 one-vs-rest serving, q46/q66 POS decode,
 q47 genetic replay, q73 Platt, q76 tree spawning, q115/q116 BPE
 train/encode with unrolled merge rounds). The round-7 driver window
 (first 50 of queries()) leads with the never-rowed q137
 (registered-domain blocklist gate), q138 (hybrid sparse+dense RRF
-retrieval) and q139 (metadata-filtered ANN) plus the queries whose
-executing
+retrieval), q139 (metadata-filtered ANN) and q140 (token-budget
+selection) plus the queries whose executing
 code changed this round (q133/q136 degenerate-document oracle
 alignment; the q53/q89/q95/q100/q123 IVF family over the hashed
 sublist assignment), then rotates all 38 queries still resting on a

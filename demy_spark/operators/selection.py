@@ -54,6 +54,7 @@ __all__ = [
     "dsir_scores",
     "distinctive_terms",
     "tfidf_top_terms",
+    "token_budget_select",
 ]
 
 _MICRO = 1_000_000
@@ -403,4 +404,44 @@ def tfidf_top_terms(
             F.col("_tf_").alias("tf"),
             "score_micro",
         )
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    score_col: str,
+    tokens_col: str,
+    budget: int,
+    *,
+    by: list[str] | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Greedy token-budget selection — the curation step that turns
+    "we can afford B training tokens per source" into a document set:
+    within each ``by`` group, take documents best-score-first until
+    the running token total exceeds ``budget`` (a kept document's
+    cumulative count must fit entirely — no partial documents).
+
+    Deterministic: ties on ``score_col`` break by ``id_col``
+    (ascending), so the kept set is a pure function of the inputs —
+    use an INTEGER score (micro-units, the oracle contract) when the
+    selection must replay across engines.
+
+    Returns ``df`` plus ``tokens_cum`` (running total in selection
+    order) and ``keep``. Scale shape: one hash shuffle on the group
+    keys + an in-partition sort (the window) — per-SOURCE groups are
+    bounded in practice; a single astronomically-hot group would
+    serialize on one reducer, at which point pre-aggregate to a
+    (score-bucket, tokens) histogram and cut analytically instead."""
+    order = [F.col(score_col).desc()]
+    if id_col:
+        order.append(F.col(id_col).asc())
+    w = (
+        Window.partitionBy(*(by or []))
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w)
+    return df.withColumn("tokens_cum", cum).withColumn(
+        "keep", F.col("tokens_cum") <= budget
     )

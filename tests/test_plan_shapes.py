@@ -84,6 +84,7 @@ PLANNABLE = [
     # round-7 additions
     "q137_blocklist_gate",
     "q138_hybrid_rrf",
+    "q140_budget_select",
 ]
 
 

@@ -122,3 +122,34 @@ def test_tfidf_top_terms_ranks_rare_over_common(spark):
     # ties (same tf, same df) break lexicographically: doc 3/4 rank
     # 'other' before 'shared'? other has df 2 < shared df 4 -> higher idf
     assert [t for t, _, _ in out[3]] == ["other", "shared"]
+
+
+def test_token_budget_select_whole_doc_fit_and_ties(spark):
+    """token_budget_select (q140): best-score-first greedy cut, a kept
+    document fits ENTIRELY under the budget (no partial docs), score
+    ties break by ascending id, and groups select independently."""
+    from demy_spark.operators.selection import token_budget_select
+
+    rows = [
+        # group a: scores 9,8,8,1 with tokens 50,30,30,5; budget 100
+        # -> 50+30=80, next 30 would hit 110 > 100 -> dropped even
+        # though 5 more would fit after it (strict greedy prefix)
+        ("a", 1, 9, 50),
+        ("a", 3, 8, 30),   # tie on 8: id 2 before id 3
+        ("a", 2, 8, 30),
+        ("a", 4, 1, 5),
+        # group b: independent budget
+        ("b", 5, 5, 100),
+        ("b", 6, 4, 1),
+    ]
+    df = spark.createDataFrame(rows, "src string, id long, score long, n_tok long")
+    out = token_budget_select(
+        df, "score", "n_tok", 100, by=["src"], id_col="id"
+    )
+    kept = {r["id"]: (r["keep"], r["tokens_cum"]) for r in out.collect()}
+    assert kept[1] == (True, 50)
+    assert kept[2] == (True, 80)     # tie-break: id 2 enters first
+    assert kept[3] == (False, 110)   # would overflow -> dropped whole
+    assert kept[4] == (False, 115)   # strict prefix: no backfill
+    assert kept[5] == (True, 100)    # exactly on budget fits
+    assert kept[6] == (False, 101)
