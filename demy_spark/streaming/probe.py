@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame
 
 from demy_spark.operators.dedup import minhash_probe
 
-__all__ = ["streaming_fuzzy_lookup", "streaming_near_dup_probe"]
+__all__ = [
+    "streaming_fuzzy_lookup",
+    "streaming_near_dup_probe",
+    "streaming_quality_gate",
+]
 
 
 def streaming_near_dup_probe(
@@ -125,6 +129,61 @@ def streaming_fuzzy_lookup(
 
     return (
         probes_stream.writeStream.foreachBatch(_process)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_quality_gate(
+    docs_stream: DataFrame,
+    text_col: str,
+    host_col: str,
+    blocklist: DataFrame,
+    *,
+    rules: tuple[str, ...] | None = None,
+    on_batch: Callable[[DataFrame, int], None],
+    **c4_kwargs,
+):
+    """Streaming twin of the ingest curation gate: every micro-batch
+    of crawled documents runs the BATCH operators verbatim — C4
+    line-level cleanup (``textstats.c4_rules``, the q133 semantics)
+    and the registered-domain blocklist join
+    (``domains.blocklist_gate``, the q137 semantics) — and hands the
+    gated frame to ``on_batch``. One code path with batch backfills,
+    zero semantic drift; the crawl-spool → gate → clean-corpus shape
+    the crawler's readStream handoff exists for.
+
+    Output columns: the input's plus ``reg_domain``, ``category``,
+    ``domain_keep`` (blocklist verdict), ``text_clean`` +
+    ``quality_keep`` (C4 verdict) and combined ``keep``. The PSL rule
+    dict rides in the UDF closure and the blocklist broadcasts — the
+    per-batch plan is shuffle-free, so gate latency is scan-bound.
+    """
+    from pyspark.sql import functions as F
+
+    from demy_spark.functions.domains import PSL_SAMPLE_RULES, blocklist_gate
+    from demy_spark.functions.textstats import c4_rules
+
+    rule_set = PSL_SAMPLE_RULES if rules is None else rules
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        gated = blocklist_gate(
+            batch_df, host_col, blocklist, rules=rule_set
+        ).withColumnRenamed("keep", "domain_keep")
+        c4 = c4_rules(F.col(text_col), **c4_kwargs)
+        out = (
+            gated.withColumn("_c4_", c4)
+            .withColumn("text_clean", F.col("_c4_.text_clean"))
+            .withColumn("quality_keep", F.col("_c4_.keep"))
+            .withColumn(
+                "keep", F.col("domain_keep") & F.col("_c4_.keep")
+            )
+            .drop("_c4_")
+        )
+        on_batch(out, epoch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
         .trigger(availableNow=True)
         .start()
     )

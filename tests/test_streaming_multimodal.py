@@ -621,3 +621,67 @@ def test_rollup_retention_catches_up_after_skipped_cleanup(spark, tmp_path):
     vdirs, staging, rows = _rollup_state(spark, store)
     assert vdirs == ["v=3"]
     assert rows == [("k", 4, 16)]
+
+
+def test_streaming_quality_gate_matches_batch(spark, sf_dir, tmp_path):
+    """streaming_quality_gate: the C4 + blocklist gate over a document
+    stream equals the same batch composition — one code path."""
+    import os
+    import tempfile
+
+    from demy_spark.functions.domains import blocklist_gate
+    from demy_spark.functions.textstats import c4_rules
+    from demy_spark.streaming.probe import streaming_quality_gate
+
+    batch = load_table(spark, sf_dir, "documents").withColumn(
+        "host", F.concat(F.col("source"), F.lit(".com"))
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "demy_docstream_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    raw_schema = load_table(spark, sf_dir, "documents").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withColumn("host", F.concat(F.col("source"), F.lit(".com")))
+    )
+    bl = spark.createDataFrame(
+        [("src1.com", "ads"), ("src3.com", "adult")], "domain string, category string"
+    )
+    sink = str(tmp_path / "gated")
+    q = streaming_quality_gate(
+        stream,
+        "text",
+        "host",
+        bl,
+        on_batch=lambda df, epoch: df.write.mode("append").parquet(sink),
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["domain_keep"], r["quality_keep"], r["keep"])
+        for r in spark.read.parquet(sink).collect()
+    }
+
+    expected_frame = (
+        blocklist_gate(batch, "host", bl)
+        .withColumnRenamed("keep", "domain_keep")
+        .withColumn("quality_keep", c4_rules(F.col("text"))["keep"])
+        .withColumn("keep", F.col("domain_keep") & F.col("quality_keep"))
+    )
+    exp = {
+        (r["doc_id"], r["domain_keep"], r["quality_keep"], r["keep"])
+        for r in expected_frame.collect()
+    }
+    assert got == exp and len(got) > 0
+    # the blocklist verdict fires both ways; the C4 verdict is all-drop
+    # on the raw fixture BY DESIGN (punctuation-free word soup — q133
+    # synthesizes decorated pages for exactly this reason), so the
+    # quality assertion here is batch-equality, not a kept count
+    assert any(not d for _, d, _, _ in got)
+    assert any(d for _, d, _, _ in got)
