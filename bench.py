@@ -138,6 +138,11 @@ def main() -> None:
         # multi-line pages)
         "phrase_search": _q.REGISTRY["q134_phrase_search"].fn,
         "c4_filters": _q.REGISTRY["q133_c4_filters"].fn,
+        # round-7 additions: hybrid RRF (two retrieval plans + integer
+        # fusion) and the token-budget cut (per-source sort window —
+        # a shuffle pattern no other extra times)
+        "hybrid_rrf": _q.REGISTRY["q138_hybrid_rrf"].fn,
+        "budget_select": _q.REGISTRY["q140_budget_select"].fn,
     }
     extra_timings: dict[str, float] = {}
     for name, fn in extras.items():
