@@ -3460,12 +3460,13 @@ def q65_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _layout_scratch(sf_dir, "part")
     t = _t(spark, sf_dir)
-    layout.write_partitioned(
-        t["orders"].select("o_totalprice", "o_orderpriority"),
-        path,
-        ["o_orderpriority"],
-    )
-    pruned = spark.read.parquet(path).where(
+    src = t["orders"].select("o_totalprice", "o_orderpriority")
+    layout.write_partitioned(src, path, ["o_orderpriority"])
+    # explicit schema: an EMPTY partitioned dataset has no part files
+    # to infer from and must read back empty, not crash
+    # (empty-tables fuzz); partition values still merge into the
+    # declared o_orderpriority column on non-empty data
+    pruned = spark.read.schema(src.schema).parquet(path).where(
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     )
     return pruned.groupBy(F.col("o_orderpriority").alias("priority")).agg(
