@@ -115,6 +115,14 @@ def test_small_dims_broadcast(plans):
     assert "BroadcastHashJoin" in plans["q03_top_orders"]
 
 
+def test_budget_select_reuses_one_source_exchange(plans):
+    # window(partitionBy source) -> groupBy(source) must share ONE
+    # hash exchange — the partitioning-reuse rule the README states
+    p = plans["q140_budget_select"]
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Window" in p
+
+
 def test_blocklist_gate_broadcasts_and_never_shuffles_corpus(plans):
     # the blocklist side broadcasts; the corpus side must see no
     # shuffle at all (per-row PSL map + broadcast join only)
