@@ -16,7 +16,7 @@ alignment; the q53/q89/q95/q100/q123 IVF family over the hashed
 sublist assignment), then rotates all 38 queries still resting on a
 round-4 row, then the oldest round-5 rows; every
 deferral is re-checked via the verify skill's full-registry driver
-simulation at sf0.01 (132/132 MATCH) and the sf0.001 parity suite.
+simulation at sf0.01 (140/140 MATCH) and the sf0.001 parity suite.
 COVERAGE.md maps each SURVEY §2 inventory row to its query and
 test."""
 

@@ -266,6 +266,8 @@ def download(
                 if info.is_dir():
                     continue
                 flat = info.filename.replace("/", "-")
+                if flat in ("", ".", ".."):
+                    continue  # hostile/degenerate entry name
                 path = os.path.join(dest, flat)
                 spool_write(path, zf.read(info))
                 out.append(path)
@@ -283,7 +285,13 @@ def download(
                 if not m.isfile():
                     continue
                 name = m.name[2:] if m.name.startswith("./") else m.name
-                path = os.path.join(dest, name.replace("/", "-"))
+                flat = name.replace("/", "-")
+                if flat in ("", ".", ".."):
+                    # a member literally named '..' would os.replace
+                    # onto the spool's parent — skip hostile names that
+                    # flattening cannot neutralize (code-review r7)
+                    continue
+                path = os.path.join(dest, flat)
                 member = tf.extractfile(m)
                 assert member is not None  # isfile() guarantees content
                 spool_write(path, member.read())
@@ -379,16 +387,25 @@ def _crawl_dest(url: str, href: str, dest_root: str) -> str:
     Mapping by basename alone (the old rule) silently collided two
     URLs ending in the same filename (ADVICE r6): under ``immutable``
     the second was never downloaded, under ``head-check`` they
-    overwrote each other every run. URLs outside the href prefix (a
-    followed cross-path link) keep their basename disambiguated by a
-    short url hash — a pure function of the URL, stable across runs
-    and independent of what else the crawl found."""
+    overwrote each other every run.
+
+    The name is a PURE FUNCTION of (url, href) — never of what else
+    the crawl found (a set-dependent rename would orphan the previous
+    run's file and double-ingest its content through the readStream
+    handoff; code-review r7). Hence: a nested relative path (one that
+    flattening rewrites) always carries a short url-hash suffix, so it
+    can never alias a literal file whose name contains '-'; bare
+    filenames directly under the prefix keep their plain name; URLs
+    outside the prefix keep their basename plus the hash."""
     prefix = href if href.endswith("/") else href.rsplit("/", 1)[0] + "/"
     u = url.rstrip("/")
-    if u.startswith(prefix) and len(u) > len(prefix):
-        return os.path.join(dest_root, u[len(prefix):].replace("/", "-"))
-    tail = u.rsplit("/", 1)[-1] or "index"
     h = hashlib.md5(url.encode("utf-8")).hexdigest()[:8]
+    if u.startswith(prefix) and len(u) > len(prefix):
+        rel = u[len(prefix):]
+        if "/" not in rel:
+            return os.path.join(dest_root, rel)
+        return os.path.join(dest_root, f"{rel.replace('/', '-')}-{h}")
+    tail = u.rsplit("/", 1)[-1] or "index"
     return os.path.join(dest_root, f"{tail}-{h}")
 
 
@@ -409,10 +426,10 @@ def sync_source(
     Multi-URL crawls map each URL under ``dest`` by its path relative
     to the href's directory, flattened (``_crawl_dest`` — the
     reference's prefix rewrite; the dest directory is the handoff
-    point where ``spark.readStream`` takes over). Should two distinct
-    URLs still land on one dest (flattening aliases ``a/b`` with
-    ``a-b``), each gets a short url-hash suffix instead of silently
-    colliding."""
+    point where ``spark.readStream`` takes over). Names are a pure
+    function of the URL — stable across runs whatever else the crawl
+    finds — so a residual collision (an 8-hex md5 clash) raises
+    instead of renaming."""
     if not cfg.active:
         return []
     if cfg.type == "direct-download":
@@ -427,14 +444,16 @@ def sync_source(
             max_pages=max_pages,
         )
         targets = {u: _crawl_dest(u, cfg.href, cfg.dest) for u in sorted(found)}
+        # _crawl_dest is a pure per-URL function, so two DISTINCT urls
+        # can only share a dest through an 8-hex md5 collision — fail
+        # loudly rather than renaming (a set-dependent rename breaks
+        # the stable-name contract; code-review r7)
         by_dest: dict[str, list[str]] = {}
         for u, d in targets.items():
             by_dest.setdefault(d, []).append(u)
-        for d, us in by_dest.items():
-            if len(us) > 1:
-                for u in us:
-                    h = hashlib.md5(u.encode("utf-8")).hexdigest()[:8]
-                    targets[u] = f"{d}-{h}"
+        clashes = {d: us for d, us in by_dest.items() if len(us) > 1}
+        if clashes:
+            raise ValueError(f"crawl dest collision (md5-8): {clashes}")
     written: list[str] = []
     for url, dest in targets.items():
         if cfg.policy == "head-check":

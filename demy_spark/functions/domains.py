@@ -247,6 +247,13 @@ def blocklist_gate(
     the full UT1 sets — is BROADCAST, so the whole gate is shuffle-free
     regardless of corpus size. Returns ``df`` plus ``reg_domain``,
     ``category`` (NULL when unlisted) and ``keep`` (category IS NULL).
+
+    The gate is ROW-PRESERVING: real UT1 lists place one domain in
+    several categories (adult + redirector is common), so the
+    blocklist is reduced to one row per domain before the join —
+    ``category`` reports the lexicographically-first listing (a
+    deterministic representative; the keep verdict is identical
+    whichever category matched).
     """
     h = F.col(host) if isinstance(host, str) else host
     canon = F.lower(F.regexp_replace(h, r"\.+$", ""))
@@ -254,8 +261,12 @@ def blocklist_gate(
     keyed = df.withColumn("reg_domain", rd).withColumn(
         "_k_", F.coalesce(F.col("reg_domain"), canon)
     )
-    bl = blocklist.select(
-        F.col(domain_col).alias("_k_"), F.col(category_col).alias("category")
+    bl = (
+        blocklist.select(
+            F.col(domain_col).alias("_k_"), F.col(category_col).alias("category")
+        )
+        .groupBy("_k_")
+        .agg(F.min("category").alias("category"))
     )
     return (
         keyed.join(F.broadcast(bl), "_k_", "left")

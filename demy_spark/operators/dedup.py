@@ -739,7 +739,8 @@ def semdedup(
     if n_lists is None:
         n_lists = derived_n_lists(corpus.count(), target_cluster_size)
     _, assigned = ivf_build(
-        corpus, vec_col, id_col, n_lists=n_lists, train_iters=train_iters
+        corpus, vec_col, id_col, n_lists=n_lists, train_iters=train_iters,
+        own_persist=True,  # released below once base is materialized
     )
     base = (
         corpus.select(

@@ -245,9 +245,13 @@ def rrf_fuse(
     operate on retrieval-result volumes regardless of corpus size."""
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
+    # ids keep their caller types (string query/doc ids are as valid
+    # as bigints — a forced long cast would NULL string ids and merge
+    # every query into one fused group); mismatched types across
+    # rankings fail loudly in unionByName below
     parts = [
         df.select(
-            F.col(qc).cast("long").alias("query_id"),
+            F.col(qc).alias("query_id"),
             F.col(ic).alias("doc_id"),
             F.floor(F.lit(1_000_000) / (F.lit(k0) + F.col(rc)))
             .cast("long")

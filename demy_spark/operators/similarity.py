@@ -174,6 +174,7 @@ def ivf_build(
     n_lists: int = 8,
     train_iters: int = 3,
     max_list_factor: float | None = 4.0,
+    own_persist: bool = False,
 ) -> tuple[list[list[float]], DataFrame]:
     """Train an IVF coarse quantizer and assign the corpus to lists.
 
@@ -207,19 +208,27 @@ def ivf_build(
     uncapped builder, e.g. for an oracle replay that pins the
     quantizer).
 
-    Persist contract: with the cap on, the returned assignment frame
-    is PERSISTED (the cap's histogram job materializes it; see
-    _split_hot_lists) and the caller owns it — unpersist once it is
-    folded into the caller's own persisted state (semdedup does) or
-    when probing ends. With ``max_list_factor=None`` nothing is
-    cached."""
+    Persist contract (``own_persist``): by default NOTHING stays
+    cached — the cap's internal multi-pass work uses a transient
+    persist and drops it before returning, so lazy wrappers
+    (ivf_cosine_topk with index=None) cannot leak one cached
+    corpus-scale frame per call; the caller's first use re-derives
+    the assignment once (a corpus scan + k broadcast cosines).
+    Callers that will consume the assignments repeatedly AND can
+    release them (semdedup folds them into its own persisted frame)
+    pass ``own_persist=True`` to receive the still-cached frame and
+    MUST unpersist it. With ``max_list_factor=None`` nothing is
+    cached either way."""
     from demy_spark.operators.dedup import _md5_long
     from demy_spark.topic import seeded_kmeans
 
     # seed group: `id % n_lists` for numeric ids (bit-identical to the
-    # q53 oracle's CTE unroll) with an md5 fallback so string ids seed
-    # too instead of failing the ANSI cast
-    num_id = F.expr(f"try_cast(cast(`{id_col}` AS STRING) AS BIGINT)")
+    # q53 oracle's CTE unroll for integer ids; integral doubles/
+    # decimals truncate to the same group — no string round-trip,
+    # which would NULL '3.0' and silently reroute numeric ids to the
+    # fallback, code-review r7) with an md5 fallback so string ids
+    # seed deterministically instead of failing the ANSI cast
+    num_id = F.expr(f"try_cast(`{id_col}` AS BIGINT)")
     gid = F.when(num_id.isNotNull(), num_id % n_lists).otherwise(
         F.pmod(_md5_long(F.col(id_col).cast("string"), 1, 8), F.lit(n_lists))
     )
@@ -241,7 +250,8 @@ def ivf_build(
     if max_list_factor is None:
         return centers, assigned
     return _split_hot_lists(
-        corpus, vec_col, id_col, centers, assigned, max_list_factor
+        corpus, vec_col, id_col, centers, assigned, max_list_factor,
+        own_persist=own_persist,
     )
 
 
@@ -252,6 +262,8 @@ def _split_hot_lists(
     centers: list[list[float]],
     assigned: DataFrame,
     max_list_factor: float,
+    *,
+    own_persist: bool = False,
 ) -> tuple[list[list[float]], DataFrame]:
     """Bound IVF list sizes by splitting every list over
     ``ceil(max_list_factor × n/n_lists)`` into ``ceil(size/bound)``
@@ -262,15 +274,16 @@ def _split_hot_lists(
     dictionary-sized: the per-list histogram (n_lists rows) and the
     sub-centroid matrix (n_new × dim).
 
-    Persist contract (ADVICE r6): the RETURNED assignment frame is
-    persisted — the histogram job just materialized it, and dropping
-    the cache would force every caller to re-run the Lloyd assignment
-    (measured +27% on semdedup end-to-end). The caller OWNS it:
-    unpersist once it is folded into the caller's own persisted frame
-    (dedup.semdedup does) or when done probing. On the split path the
-    intermediate pre-split assignment is unpersisted here after the
-    sub-centroid job — exactly one cached frame ever leaves this
-    function."""
+    Persist contract (ADVICE r6 + code-review r7): the assignment is
+    persisted TRANSIENTLY for this function's own multi-pass work
+    (histogram + sub-centroid job). With ``own_persist=False`` (the
+    default) every cache is dropped before returning — lazy wrappers
+    cannot leak — at the cost of the caller's first use re-deriving
+    the assignment once (a corpus scan + k broadcast cosines). With
+    ``own_persist=True`` the RETURNED frame stays cached (the
+    histogram just materialized it; dropping it measured +27% on
+    semdedup end-to-end) and the caller MUST unpersist it once folded
+    into its own persisted state."""
     n_lists = len(centers)
     assigned = assigned.persist()
     sizes = {
@@ -281,10 +294,14 @@ def _split_hot_lists(
     }
     total = sum(sizes.values())
     if total == 0:
+        if not own_persist:
+            assigned.unpersist()
         return centers, assigned
     bound = max(1, -(-int(max_list_factor * total) // n_lists))
     hot = {c: sz for c, sz in sizes.items() if sz > bound}
     if not hot:
+        if not own_persist:
+            assigned.unpersist()
         return centers, assigned
     # (cluster, n_sublists, first extra codebook id); extras enumerate
     # ascending-cluster so the mapping is a pure function of the
@@ -348,9 +365,11 @@ def _split_hot_lists(
     for r in sub_rows:
         out[r["cluster"]][r["_d_"]] = r["_m_"]
     # the sub-centroid job above materialized resplit's cache; the
-    # pre-split assignment has no remaining consumer — drop it so
-    # exactly ONE cached frame (the returned one) leaves this function
+    # pre-split assignment has no remaining consumer — drop it. The
+    # returned frame stays cached only under own_persist=True.
     assigned.unpersist()
+    if not own_persist:
+        resplit.unpersist()
     return out, resplit
 
 

@@ -8877,13 +8877,25 @@ _Q138_QVECS = "7, 14, 21, 28"
 def _q138_sql() -> str:
     return f"""
     WITH sparse AS (SELECT * FROM ({_Q117_SQL})),
+    vn AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nx
+      FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x FROM embeddings)
+      GROUP BY 1),
     dense AS (
+      -- zero-norm guard (oracle contract): the engine's cosine scores
+      -- a zero vector 0, DuckDB's raw helper returns -1
       SELECT CAST(q.vec_id // 7 AS BIGINT) AS query_id, b.vec_id AS doc_id,
              CAST(row_number() OVER (
                  PARTITION BY q.vec_id
-                 ORDER BY list_cosine_similarity(q.embedding, b.embedding)
+                 ORDER BY CASE WHEN nq.nx > 0 AND nb.nx > 0
+                               THEN list_cosine_similarity(q.embedding,
+                                                           b.embedding)
+                               ELSE 0 END
                           DESC, b.vec_id) AS BIGINT) AS rk
-      FROM embeddings q JOIN embeddings b ON q.vec_id IN ({_Q138_QVECS})
+      FROM embeddings q
+      JOIN embeddings b ON q.vec_id IN ({_Q138_QVECS})
+      JOIN vn nq ON q.vec_id = nq.vec_id
+      JOIN vn nb ON b.vec_id = nb.vec_id
       QUALIFY rk <= 10),
     u AS (
       SELECT query_id, doc_id,

@@ -73,8 +73,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.io import first_parquet_file
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # dir-safe: a multi-file events table probes its first part file
-    ts_type = pq.read_schema(first_parquet_file(src)).field("ts").type
+    # dir-safe: a multi-file events table probes its first part file;
+    # an EMPTY directory (day with no events) streams nothing — treat
+    # it as tz-less micros rather than crashing the probe
+    probe = first_parquet_file(src)
+    ts_type = pq.read_schema(probe).field("ts").type if probe else None
     ts_is_nanos = getattr(ts_type, "unit", None) == "ns"
     ts_is_tz = getattr(ts_type, "tz", None) is not None
     if ts_is_nanos:

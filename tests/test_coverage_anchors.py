@@ -125,6 +125,10 @@ def test_doc_query_counts_match_registry():
     entry_doc = open(os.path.join(REPO, "__spark_entry__.py")).read()
     for m in re.finditer(r"(\d+) queries, ALL", entry_doc):
         claims.append(("__spark_entry__.py", int(m.group(1))))
+    # 'N/N MATCH' claims drift too (code-review r7 finding)
+    for m in re.finditer(r"\((\d+)/(\d+) MATCH\)", entry_doc):
+        claims.append(("__spark_entry__.py", int(m.group(1))))
+        claims.append(("__spark_entry__.py", int(m.group(2))))
     assert claims, "expected at least one registry-count claim to guard"
     bad = [(f, c) for f, c in claims if c != n]
     assert not bad, f"registry has {n} queries but docs claim: {bad}"

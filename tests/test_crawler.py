@@ -175,10 +175,12 @@ def test_crawl_sync_post_csv2parquet_and_stream_handoff(tmp_path, spark):
         post="csv2parquet",
     )
     written = sync_source(spark, cfg, fetch=_site(pages))
-    # prefix-relative mapping: /d/a.csv lands as d-a.csv (structure
-    # kept, flattened like archive members — not basename-only, which
-    # collided distinct URLs sharing a filename)
-    assert sorted(os.path.basename(p) for p in written) == ["d-a.csv", "d-b.csv"]
+    # prefix-relative mapping: /d/a.csv lands as d-a.csv-<urlhash>
+    # (structure kept, flattened like archive members, hash-suffixed
+    # because flattening rewrote the path — a pure per-URL name)
+    names = sorted(os.path.basename(p) for p in written)
+    assert [n.rsplit("-", 1)[0] for n in names] == ["d-a.csv", "d-b.csv"]
+    assert all(len(n.rsplit("-", 1)[1]) == 8 for n in names)
     batch = spark.read.parquet(f"{dest}.parquet")
     assert batch.count() == 3
 
@@ -357,12 +359,14 @@ def test_sync_source_crawled_tarball_spools_members(tmp_path, spark):
         crawling_filter=r"^http://s/", crawling_matching=r"\.tar\.gz$",
     )
     written = sync_source(spark, cfg, fetch=_site(pages))
-    # the tarball URL maps to dest/files-drop.tar.gz, which download()
-    # treats as the member directory
+    # the tarball URL maps to dest/files-drop.tar.gz-<urlhash>, which
+    # download() treats as the member directory
     assert sorted(os.path.basename(p) for p in written) == [
         "readme.txt", "year-data.csv"
     ]
-    mdir = os.path.join(dest, "files-drop.tar.gz")
+    from demy_spark.crawler import _crawl_dest
+
+    mdir = _crawl_dest("http://s/files/drop.tar.gz", cfg.href, dest)
     assert open(os.path.join(mdir, "year-data.csv"), "rb").read() == b"k;v\n1;x\n"
     assert not [n for n in os.listdir(mdir) if n.endswith(".__tmp__")]
     # immutable policy: second run re-downloads nothing
@@ -371,7 +375,10 @@ def test_sync_source_crawled_tarball_spools_members(tmp_path, spark):
 
 def test_sync_source_basename_collisions_disambiguated(tmp_path, spark):
     """Two crawled URLs ending in the same filename must map to two
-    dest files (ADVICE r6: basename mapping silently collided)."""
+    dest files (ADVICE r6: basename mapping silently collided), and a
+    URL's dest must be STABLE whatever else the crawl finds (code-
+    review r7: a set-dependent rename orphaned the previous run's
+    file and double-ingested its content)."""
     pages = {
         "http://s/idx": (HTML, b'<a href="/2024/data.csv"></a>'
                                b'<a href="/2025/data.csv"></a>'),
@@ -384,11 +391,32 @@ def test_sync_source_basename_collisions_disambiguated(tmp_path, spark):
         crawling_filter=r"^http://s/", crawling_matching=r"\.csv$",
     )
     written = sorted(sync_source(spark, cfg, fetch=_site(pages)))
-    assert [os.path.basename(p) for p in written] == [
+    names = [os.path.basename(p) for p in written]
+    assert len(set(names)) == 2
+    assert [n.rsplit("-", 1)[0] for n in names] == [
         "2024-data.csv", "2025-data.csv"
     ]
     assert open(written[0], "rb").read() == b"y2024"
     assert open(written[1], "rb").read() == b"y2025"
+    # stability: crawling 2024 ALONE maps to the same dest as above
+    solo = {
+        "http://s/idx": (HTML, b'<a href="/2024/data.csv"></a>'),
+        "http://s/2024/data.csv": ("text/csv", b"y2024"),
+    }
+    dest2 = str(tmp_path / "spool2")
+    cfg2 = CrawlConfig(
+        name="t", href="http://s/idx", dest=dest2,
+        crawling_filter=r"^http://s/", crawling_matching=r"\.csv$",
+    )
+    solo_written = sync_source(spark, cfg2, fetch=_site(solo))
+    assert [os.path.basename(p) for p in solo_written] == [names[0]]
+    # flatten-alias: a literal 'a-b.csv' and a nested 'a/b.csv' get
+    # DIFFERENT names by construction (nested carries the url hash)
+    from demy_spark.crawler import _crawl_dest
+
+    flat = _crawl_dest("http://s/a-b.csv", "http://s/idx", dest)
+    nested = _crawl_dest("http://s/a/b.csv", "http://s/idx", dest)
+    assert flat != nested and os.path.basename(flat) == "a-b.csv"
 
 
 def test_sync_source_out_of_prefix_url_hash_suffixed(tmp_path, spark):

@@ -437,6 +437,16 @@ def test_blocklist_gate_matches_on_reg_domain_and_bare_host(spark):
     )
     rows = {r["id"]: r for r in blocklist_gate(df, "host", bl).collect()}
     assert rows[1]["category"] == "ads" and not rows[1]["keep"]
+    # multi-category listing (standard in UT1) must stay row-preserving:
+    # one output row, lexicographically-first category (code-review r7)
+    bl_multi = spark.createDataFrame(
+        [("bad.com", "redirector"), ("bad.com", "adult")],
+        "domain string, category string",
+    )
+    out_multi = blocklist_gate(df, "host", bl_multi).collect()
+    assert len(out_multi) == df.count()
+    multi_rows = {r["id"]: r for r in out_multi}
+    assert multi_rows[1]["category"] == "adult" and not multi_rows[1]["keep"]
     assert rows[2]["category"] == "ads"
     assert rows[3]["category"] is None and rows[3]["keep"]
     assert rows[4]["category"] == "malware" and rows[4]["reg_domain"] is None

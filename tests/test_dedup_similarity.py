@@ -570,3 +570,27 @@ def test_ivf_filter_cols_constrain_candidates(spark):
     assert by_q[0] and all(n % 2 == 1 for n in by_q[0])
     # query 1 unconstrained (NULL target) -> both parities reachable
     assert by_q[1] and len({n % 2 for n in by_q[1]}) == 2
+
+
+def test_ivf_probe_leaves_no_cached_frames(spark):
+    """Persist-ownership contract (code-review r7): a default
+    ivf_cosine_topk call (internal capped build) must leave executor
+    storage exactly as it found it — the leak class the r6 ADVICE
+    flagged. semdedup (own_persist=True) releases what it owns, so
+    its only residue is its own documented base persist."""
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(120)] + [
+        (200 + i, [float(i % 5), float(i % 7), 1.0, 0.0]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    spark.catalog.clearCache()
+    before = n_cached()
+    out = ivf_cosine_topk(
+        df, df.where(F.col("vec_id") < 3), "embedding", "vec_id",
+        k=3, n_lists=4, nprobe=2, train_iters=1,
+    )
+    assert out.count() > 0
+    assert n_cached() == before, "internal ivf_build leaked a cached frame"

@@ -117,3 +117,30 @@ def test_degenerate_embedding_fuzz_parity(name, spark, fuzz_emb_dir, fuzz_emb_dd
     )
     mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_q138_degenerate_embeddings_parity(spark, fuzz_emb_dir, sf_dir):
+    """q138 references BOTH documents and embeddings, so it escapes
+    the single-table auto-discovery of this module and the documents
+    one — replay it explicitly with the degenerate embeddings (zero
+    vectors in the dense list) plus the real documents table
+    (code-review r7 finding: the dense CTE lacked the zero-norm
+    guard)."""
+    import shutil
+
+    q = Q.REGISTRY["q138_hybrid_rrf"]
+    docs = os.path.join(fuzz_emb_dir, "documents.parquet")
+    if not os.path.exists(docs):
+        shutil.copyfile(os.path.join(sf_dir, "documents.parquet"), docs)
+    spark_pdf = q.fn(spark, fuzz_emb_dir).toPandas()
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{os.path.join(fuzz_emb_dir, t + '.parquet')}')"
+        )
+    duck_pdf = con.execute(q.oracle).fetchdf()
+    s_rows, d_rows = _rows(spark_pdf), _rows(duck_pdf)
+    assert len(s_rows) == len(d_rows)
+    mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
+    assert not mismatches, f"first mismatches {mismatches[:3]}"

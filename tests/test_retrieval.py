@@ -175,6 +175,15 @@ def test_rrf_fusion_math_and_missing_items(spark):
     assert rows[10] == p1          # only list a, rank 1
     assert rows[20] == p2 + p1     # rank 2 in a, rank 1 in b
     assert rows[30] == p2          # only list b, rank 2
+    # string ids keep their type and their per-query grouping
+    # (code-review r7: a forced long cast NULLed them into one group)
+    sa = spark.createDataFrame(
+        [("qx", "d1", 1), ("qy", "d1", 1)], "q string, d string, rk long"
+    )
+    srows = rrf_fuse([(sa, "q", "d", "rk")]).collect()
+    assert {(r["query_id"], r["doc_id"], r["rk"]) for r in srows} == {
+        ("qx", "d1", 1), ("qy", "d1", 1)
+    }
 
 
 def test_rrf_tie_break_and_k_cut(spark):
