@@ -16,17 +16,12 @@ documented reason each.
 from __future__ import annotations
 
 import os
-import re
 
 import duckdb
 import pytest
 
 from demy_spark import queries as Q
-from tests.test_oracle_parity import _rows
-
-_OTHER_TABLES = (
-    "region nation customer supplier part orders lineitem events embeddings"
-).split()
+from tests.test_oracle_parity import assert_query_parity, oracle_queries_touching_only
 
 # reason-documented exclusions: these run driver-side iteration or
 # filesystem side effects that make a per-test replay disproportionate
@@ -42,19 +37,7 @@ EXCLUDED = {
 }
 
 
-def _documents_only() -> list[str]:
-    out = []
-    for name, q in Q.REGISTRY.items():
-        sql = q.oracle or ""
-        if "documents" not in sql or name in EXCLUDED:
-            continue
-        if any(re.search(rf"\b{t}\b", sql) for t in _OTHER_TABLES):
-            continue
-        out.append(name)
-    return sorted(out)
-
-
-FUZZ_QUERIES = _documents_only()
+FUZZ_QUERIES = oracle_queries_touching_only("documents", EXCLUDED)
 
 
 @pytest.fixture(scope="module")
@@ -108,15 +91,4 @@ def fuzz_ddb(fuzz_docs_dir):
 
 @pytest.mark.parametrize("name", FUZZ_QUERIES)
 def test_degenerate_fuzz_parity(name, spark, fuzz_docs_dir, fuzz_ddb):
-    q = Q.REGISTRY[name]
-    spark_pdf = q.fn(spark, fuzz_docs_dir).toPandas()
-    duck_pdf = fuzz_ddb.execute(q.oracle).fetchdf()
-    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
-        f"{name}: column mismatch"
-    )
-    s_rows, d_rows = _rows(spark_pdf), _rows(duck_pdf)
-    assert len(s_rows) == len(d_rows), (
-        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
-    )
-    mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
-    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+    assert_query_parity(name, spark, fuzz_docs_dir, fuzz_ddb)

@@ -18,34 +18,21 @@ is an ingest bug, not a query-time state).
 from __future__ import annotations
 
 import os
-import re
 
 import duckdb
 import pytest
 
 from demy_spark import queries as Q
-from tests.test_oracle_parity import _rows
-
-_OTHER_TABLES = (
-    "region nation customer supplier part orders lineitem events documents"
-).split()
+from tests.test_oracle_parity import (
+    _rows,
+    assert_query_parity,
+    oracle_queries_touching_only,
+)
 
 EXCLUDED: dict[str, str] = {}
 
 
-def _embeddings_only() -> list[str]:
-    out = []
-    for name, q in Q.REGISTRY.items():
-        sql = q.oracle or ""
-        if "embeddings" not in sql or name in EXCLUDED:
-            continue
-        if any(re.search(rf"\b{t}\b", sql) for t in _OTHER_TABLES):
-            continue
-        out.append(name)
-    return sorted(out)
-
-
-FUZZ_QUERIES = _embeddings_only()
+FUZZ_QUERIES = oracle_queries_touching_only("embeddings", EXCLUDED)
 
 DIM = 64
 
@@ -105,18 +92,7 @@ def fuzz_emb_ddb(fuzz_emb_dir):
 
 @pytest.mark.parametrize("name", FUZZ_QUERIES)
 def test_degenerate_embedding_fuzz_parity(name, spark, fuzz_emb_dir, fuzz_emb_ddb):
-    q = Q.REGISTRY[name]
-    spark_pdf = q.fn(spark, fuzz_emb_dir).toPandas()
-    duck_pdf = fuzz_emb_ddb.execute(q.oracle).fetchdf()
-    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
-        f"{name}: column mismatch"
-    )
-    s_rows, d_rows = _rows(spark_pdf), _rows(duck_pdf)
-    assert len(s_rows) == len(d_rows), (
-        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
-    )
-    mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
-    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+    assert_query_parity(name, spark, fuzz_emb_dir, fuzz_emb_ddb)
 
 
 def test_q138_degenerate_embeddings_parity(spark, fuzz_emb_dir, sf_dir):

@@ -20,7 +20,7 @@ import duckdb
 import pytest
 
 from demy_spark import queries as Q
-from tests.test_oracle_parity import TABLES, _rows
+from tests.test_oracle_parity import TABLES, assert_query_parity
 
 EXCLUDED = {
     # trainers/replays with explicit corpus-shape contracts: loud
@@ -110,12 +110,4 @@ def empty_ddb(empty_dir):
 
 @pytest.mark.parametrize("name", FUZZ_QUERIES)
 def test_empty_tables_parity(name, spark, empty_dir, empty_ddb):
-    q = Q.REGISTRY[name]
-    spark_pdf = q.fn(spark, empty_dir).toPandas()
-    duck_pdf = empty_ddb.execute(q.oracle).fetchdf()
-    s_rows, d_rows = _rows(spark_pdf), _rows(duck_pdf)
-    assert len(s_rows) == len(d_rows), (
-        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
-    )
-    mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
-    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+    assert_query_parity(name, spark, empty_dir, empty_ddb)

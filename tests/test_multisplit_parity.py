@@ -27,7 +27,7 @@ import duckdb
 import pytest
 
 from demy_spark import queries as Q
-from tests.test_oracle_parity import TABLES, _rows
+from tests.test_oracle_parity import TABLES, assert_query_parity
 
 N_SPLITS = 4
 
@@ -81,18 +81,7 @@ ORACLE_QUERIES = sorted(n for n, q in Q.REGISTRY.items() if q.oracle)
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_multisplit_parity(name, spark, multisplit_dir, multisplit_ddb):
-    q = Q.REGISTRY[name]
-    spark_pdf = q.fn(spark, multisplit_dir).toPandas()
-    duck_pdf = multisplit_ddb.execute(q.oracle).fetchdf()
-    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
-        f"{name}: column mismatch"
-    )
-    s_rows, d_rows = _rows(spark_pdf), _rows(duck_pdf)
-    assert len(s_rows) == len(d_rows), (
-        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
-    )
-    mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
-    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+    assert_query_parity(name, spark, multisplit_dir, multisplit_ddb)
 
 
 def test_events_stream_reads_multifile_table(spark, multisplit_dir):

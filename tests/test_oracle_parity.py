@@ -54,20 +54,47 @@ def ddb(sf_dir):
 ORACLE_QUERIES = sorted(n for n, q in Q.REGISTRY.items() if q.oracle)
 
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_oracle_parity(name, spark, sf_dir, ddb):
+def assert_query_parity(name: str, spark, data_dir: str, con) -> None:
+    """THE engine-vs-oracle comparison — one rule for every suite
+    (fixture parity, the degenerate fuzzes, multi-split, empty
+    tables): sorted columns, normalized values (_rows), sorted rows,
+    first mismatches shown."""
     q = Q.REGISTRY[name]
-    spark_pdf = q.fn(spark, sf_dir).toPandas()
-    duck_pdf = ddb.execute(q.oracle).fetchdf()
+    spark_pdf = q.fn(spark, data_dir).toPandas()
+    duck_pdf = con.execute(q.oracle).fetchdf()
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
-        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} "
+        f"vs {sorted(duck_pdf.columns)}"
     )
     s_rows, d_rows = _rows(spark_pdf), _rows(duck_pdf)
-    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
-    mismatches = [
-        (a, b) for a, b in zip(s_rows, d_rows) if a != b
-    ]
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def oracle_queries_touching_only(table: str, exclude: dict) -> list[str]:
+    """Registry names whose oracle reads ONLY ``table`` (the fuzz
+    modules' auto-discovery — new queries join their suite by
+    construction)."""
+    import re as _re
+
+    others = [t for t in TABLES if t != table]
+    out = []
+    for name, q in Q.REGISTRY.items():
+        sql = q.oracle or ""
+        if table not in sql or name in exclude:
+            continue
+        if any(_re.search(rf"\b{t}\b", sql) for t in others):
+            continue
+        out.append(name)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(name, spark, sf_dir, ddb):
+    assert_query_parity(name, spark, sf_dir, ddb)
 
 
 ROWS_ONLY_QUERIES = sorted(n for n, q in Q.REGISTRY.items() if not q.oracle)
