@@ -23,18 +23,11 @@ import pytest
 from demy_spark import queries as Q
 from tests.test_oracle_parity import assert_query_parity, oracle_queries_touching_only
 
-# reason-documented exclusions: these run driver-side iteration or
-# filesystem side effects that make a per-test replay disproportionate
-# (each is covered by its own unit suite + the sf-fixture parity test)
-EXCLUDED = {
-    "q101_incremental_dedup": "writes/reads a stored index under the sf dir",
-    "q110_incremental_pipeline": "stored-index pipeline, same as q101",
-    "q104_phrase_merges": "driver-side merge rounds (localCheckpoint per round)",
-    "q115_bpe_train": "driver-side merge rounds (13 jobs)",
-    "q116_bpe_encode": "replays q115's training first",
-    "q118_orc_roundtrip": "materializes an ORC write during construction",
-    "q93_curation_pipeline": "multi-stage pipeline with snapshot writes",
-}
+# No exclusions: the driver-iterative trainers (BPE/phrase merges)
+# and scratch-writing pipelines (incremental index, ORC, snapshots)
+# were verified to handle the degenerate corpus gracefully AND match
+# their oracles on it — scratch lands under the tmp fixture dir.
+EXCLUDED: dict[str, str] = {}
 
 
 FUZZ_QUERIES = oracle_queries_touching_only("documents", EXCLUDED)

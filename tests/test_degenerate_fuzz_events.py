@@ -25,9 +25,9 @@ import pytest
 from demy_spark import queries as Q
 from tests.test_oracle_parity import assert_query_parity, oracle_queries_touching_only
 
-EXCLUDED: dict[str, str] = {
-    "q121_incremental_rollup": "writes rollup state under the sf dir",
-}
+# no exclusions: q121's rollup state lands under the tmp fixture dir
+# and was verified to match its oracle on the degenerate events
+EXCLUDED: dict[str, str] = {}
 
 
 FUZZ_QUERIES = oracle_queries_touching_only("events", EXCLUDED)
