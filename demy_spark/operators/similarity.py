@@ -237,6 +237,11 @@ def ivf_build(
         F.posexplode(vec_col).alias("_d_", "_x_"),
     )
     rows = dims.groupBy("_g_", "_d_").agg(F.avg("_x_").alias("_m_")).collect()
+    if not rows:
+        raise ValueError(
+            "ivf_build: corpus is empty — cannot seed a quantizer "
+            "(documented contract; guard upstream for empty batches)"
+        )
     by_g: dict[int, dict[int, float]] = {}
     for r in rows:
         by_g.setdefault(r["_g_"], {})[r["_d_"]] = r["_m_"]

@@ -3831,11 +3831,13 @@ _Q73_SQL = (
                s.label
         FROM samp s, st2)
     SELECT round(st2.a, 6) + 0.0 AS platt_a,
-           round(st2.b, 6) + 0.0 AS platt_b,
+           -- coalesced: on an empty sample the engine's Newton loop
+           -- keeps its b=0 initialization and counts 0 positives
+           round(coalesce(st2.b, 0.0), 6) + 0.0 AS platt_b,
            (SELECT round(avg(proba), 6) + 0.0 FROM scored) AS avg_proba,
            (SELECT round(avg(proba) FILTER (WHERE label = 1), 6) + 0.0
             FROM scored) AS avg_proba_pos,
-           (SELECT CAST(p1 AS BIGINT) FROM prior) AS n_pos
+           (SELECT coalesce(CAST(p1 AS BIGINT), 0) FROM prior) AS n_pos
     FROM st2
     """
 )
@@ -4255,9 +4257,14 @@ def q78_entity_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH params AS (
       SELECT * FROM (VALUES (0, 10.0), (1, 25.0), (2, 40.0)) AS t(version, qty)),
     rev AS (
+      -- LEFT join + coalesce: the grid's versions exist regardless of
+      -- the data (an empty day still evaluates 3 candidates at 0
+      -- revenue, exactly what the orchestrator reports)
       SELECT p.version, p.qty,
-             sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS total
-      FROM params p JOIN lineitem l ON l.l_quantity < p.qty
+             coalesce(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                     * 100 + 0.5) AS BIGINT)) / 100.0,
+                      0.0) AS total
+      FROM params p LEFT JOIN lineitem l ON l.l_quantity < p.qty
       GROUP BY 1, 2)
     SELECT version, qty, round(total, 2) + 0.0 AS total_revenue,
            (version = (SELECT version FROM rev
@@ -4790,7 +4797,10 @@ _Q76_SQL = f"""
                    FROM b2 GROUP BY 1, 2) g ON g.a = s1.a AND g.b = c.b
         WHERE s1.sp)
     SELECT 'root' AS node, 0 AS depth, 8 AS n_topwords, n AS n_rows,
-           ps AS pscore_sum, (ps > {_Q76_SPLIT}) AS spawned
+           -- coalesced: an EMPTY corpus has routed mass 0 and does
+           -- not spawn — NULL here diverged from the engine's sums
+           coalesce(ps, 0.0) AS pscore_sum,
+           (coalesce(ps, 0.0) > {_Q76_SPLIT}) AS spawned
     FROM agg0
     UNION ALL
     SELECT 'root/' || a, 1, 4, n, ps, sp FROM sp1
@@ -9165,8 +9175,8 @@ def q140_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      that did not change — the in-window siblings (q53 pins the
 #      quantizer itself, q100 the semdedup consumer, q139 the filtered
 #      probe consumer) cover the exposure; they lead the round-8
-#      rotation together with q128 (whose oracle swapped CAST for the
-#      value-identical TRY_CAST on the numeric fixture);
+#      rotation together with q128/q73/q79 (oracles gained
+#      value-identical coalesces/TRY_CAST for degenerate inputs);
 #   2. ALL 38 queries resting on CORRECTNESS_r04 rows (the r6
 #      VERDICT's deferral list, 2 rounds old at round-7 open) — after
 #      this round no official row anywhere is older than r5.

@@ -22,48 +22,22 @@ import pytest
 from demy_spark import queries as Q
 from tests.test_oracle_parity import TABLES, assert_query_parity
 
+# Every exclusion below is VERIFIED (each excluded query was run on
+# the empty fixture and raised exactly this way — not assumed):
 EXCLUDED = {
-    # trainers/replays with explicit corpus-shape contracts: loud
-    # failure on an empty corpus is the documented behavior
-    "q42_seeded_kmeans": "Lloyd seeding from labelled rows needs rows",
+    # quantizer/codebook training raises its documented loud guard
+    "q53_ivf_ann_topk": "ivf_build raises: corpus is empty",
+    "q100_semdedup": "ivf_build raises: corpus is empty",
+    "q123_knn_ivf": "ivf_build raises: corpus is empty",
+    "q139_filtered_ann": "ivf_build raises: corpus is empty",
+    "q89_pq_ann_topk": "pq_build raises: corpus is empty",
+    "q95_ann_recall": "pq_build raises: corpus is empty",
+    "q42_seeded_kmeans": "label-seeded centers need labelled rows (raises)",
+    "q43_topic_tree_walk": "label-seeded centers need labelled rows (raises)",
     "q47_genetic_prototypes": "pool_size=64 replay contract (raises)",
-    "q53_ivf_ann_topk": "quantizer training needs vectors (seed means)",
-    "q89_pq_ann_topk": "PQ codebook training needs vectors",
-    "q95_ann_recall": "trains the q53/q89 quantizers",
-    "q100_semdedup": "derived_n_lists over an empty corpus",
-    "q123_knn_ivf": "IVF routing over a trained quantizer",
-    "q139_filtered_ann": "IVF quantizer training needs vectors",
-    "q71_online_centers": "mini-batch center updates need batches",
-    "q76_tree_spawn": "spawn gates read routed mass",
-    "q69_center_hierarchy": "hierarchy from per-center stats",
-    "q43_topic_tree_walk": "tree centers seeded from labelled rows",
-    "q22_label_centroids": "centroids of an empty frame",
-    "q37_embed_apply": "fits Word2Vec on the corpus first",
-    "q74_embed_options": "same Word2Vec fit",
-    "q82_analogy_score": "analogy pairs from fitted vectors",
-    "q38_one_vs_rest": "scores against per-label calibration rows",
-    "q35_oof_mean_model": "out-of-fold means need folds with rows",
-    "q34_threshold_sweep": "ROC sweep over scored rows",
-    "q54_binary_metrics": "same scored-rows contract",
-    "q47": "dup-guard",
-    "q70_span_detect": "span scorer calibrates on scored tokens",
-    "q73_platt_calibration": "Platt Newton iterations need points",
-    "q115_bpe_train": "BPE merge rounds need a vocabulary",
-    "q116_bpe_encode": "replays q115's training",
-    "q104_phrase_merges": "phrase merge rounds need bigram counts",
-    "q113_bpe_apply": "applies q115-style merges",
-    "q47_genetic": "dup-guard",
-    "q60_stratified_sample": "per-stratum rates from observed strata",
-    "q88_mixture_sample": "apportionment over observed source masses",
-    "q99_dsir_select": "importance ratios need target/raw masses",
-    "q98_lm_quality": "bigram LM trains on the corpus",
-    "q106_distinctive_terms": "log-odds need corpus masses",
-    "q101_incremental_dedup": "stored-index scratch pipeline",
-    "q110_incremental_pipeline": "stored-index scratch pipeline",
-    "q118_orc_roundtrip": "write-side scratch pipeline",
-    "q93_curation_pipeline": "multi-stage snapshot pipeline",
-    "q79_pipeline_grid": "orchestrator grid with snapshots",
-    "q75_shapefile_flatten": "reads a shapefile fixture, not parquet",
+    "q71_online_centers": "mini-batch updates need batches (raises)",
+    # non-parquet fixture source: the empty-parquet fixture does not
+    # supply its text/CSV/JSON inputs (verified: raises on read)
     "q80_source_scan": "reads text/CSV/JSON fixtures, not parquet",
     # Spark-core semantic, not an operator bug: grouping sets
     # (rollup/cube) over EMPTY input yield 0 rows in Spark, while the
