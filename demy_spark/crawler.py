@@ -232,6 +232,24 @@ def spool_write(path: str, data: bytes) -> None:
     os.replace(tmp, path)
 
 
+def _check_flatten_collision(
+    seen: dict[str, str], flat: str, member: str, url: str
+) -> None:
+    """Flattening ``/``→``-`` can alias two distinct members of ONE
+    archive (``a/b.csv`` vs ``a-b.csv``) — the second spool_write
+    would silently overwrite the first (ADVICE r7). Mirror
+    sync_source's loud dest-collision check: raise instead of losing
+    data, naming both members so the archive can be fixed or fetched
+    with ``deflate=False``."""
+    prev = seen.setdefault(flat, member)
+    if prev != member:
+        raise ValueError(
+            f"archive {url!r}: members {prev!r} and {member!r} both "
+            f"flatten to {flat!r}; extract with deflate=False and "
+            "unpack out-of-band"
+        )
+
+
 def download(
     url: str,
     dest: str,
@@ -261,6 +279,7 @@ def download(
         )
     if deflate and ".zip" in lower:
         out = []
+        seen: dict[str, str] = {}
         with zipfile.ZipFile(io.BytesIO(body)) as zf:
             for info in zf.infolist():
                 if info.is_dir():
@@ -268,6 +287,7 @@ def download(
                 flat = info.filename.replace("/", "-")
                 if flat in ("", ".", ".."):
                     continue  # hostile/degenerate entry name
+                _check_flatten_collision(seen, flat, info.filename, url)
                 path = os.path.join(dest, flat)
                 spool_write(path, zf.read(info))
                 out.append(path)
@@ -280,6 +300,7 @@ def download(
         lower = lower[:-4]
     if deflate and lower.endswith(".tar"):
         out = []
+        seen = {}
         with tarfile.open(fileobj=io.BytesIO(body), mode="r:") as tf:
             for m in tf:
                 if not m.isfile():
@@ -291,6 +312,7 @@ def download(
                     # onto the spool's parent — skip hostile names that
                     # flattening cannot neutralize (code-review r7)
                     continue
+                _check_flatten_collision(seen, flat, m.name, url)
                 path = os.path.join(dest, flat)
                 member = tf.extractfile(m)
                 assert member is not None  # isfile() guarantees content
@@ -396,13 +418,18 @@ def _crawl_dest(url: str, href: str, dest_root: str) -> str:
     flattening rewrites) always carries a short url-hash suffix, so it
     can never alias a literal file whose name contains '-'; bare
     filenames directly under the prefix keep their plain name; URLs
-    outside the prefix keep their basename plus the hash."""
+    outside the prefix keep their basename plus the hash. A URL whose
+    trailing slash was stripped also carries the hash (of the RAW
+    url, slash included) — otherwise 'http://s/a' and 'http://s/a/'
+    would map to the same bare name and sync_source's collision check
+    would abort the whole sync on a site linking both forms (ADVICE
+    r7)."""
     prefix = href if href.endswith("/") else href.rsplit("/", 1)[0] + "/"
     u = url.rstrip("/")
     h = hashlib.md5(url.encode("utf-8")).hexdigest()[:8]
     if u.startswith(prefix) and len(u) > len(prefix):
         rel = u[len(prefix):]
-        if "/" not in rel:
+        if "/" not in rel and u == url:
             return os.path.join(dest_root, rel)
         return os.path.join(dest_root, f"{rel.replace('/', '-')}-{h}")
     tail = u.rsplit("/", 1)[-1] or "index"

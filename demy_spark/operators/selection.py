@@ -415,6 +415,7 @@ def token_budget_select(
     *,
     by: list[str] | None = None,
     id_col: str | None = None,
+    strategy: str = "window",
 ) -> DataFrame:
     """Greedy token-budget selection — the curation step that turns
     "we can afford B training tokens per source" into a document set:
@@ -428,20 +429,80 @@ def token_budget_select(
     selection must replay across engines.
 
     Returns ``df`` plus ``tokens_cum`` (running total in selection
-    order) and ``keep``. Scale shape: one hash shuffle on the group
-    keys + an in-partition sort (the window) — per-SOURCE groups are
-    bounded in practice; a single astronomically-hot group would
-    serialize on one reducer, at which point pre-aggregate to a
-    (score-bucket, tokens) histogram and cut analytically instead."""
-    order = [F.col(score_col).desc()]
-    if id_col:
-        order.append(F.col(id_col).asc())
-    w = (
-        Window.partitionBy(*(by or []))
-        .orderBy(*order)
+    order) and ``keep``. Two strategies, identical keep-sets AND
+    identical ``tokens_cum`` (a test pins the equality on a
+    90%-hot-group frame):
+
+    - ``"window"`` (default): one hash shuffle on the group keys +
+      an in-partition running-sum window. Right when every group's
+      rows fit one reducer — per-SOURCE groups in practice.
+    - ``"histogram"``: the analytic cut for HOT groups. Reduce to a
+      (group, score) histogram (rows = groups x distinct scores —
+      corpus-REDUCED for integer micro-unit scores), take the
+      EXCLUSIVE per-group running bucket total over score-desc on
+      that reduced frame, join it back co-keyed on (group, score),
+      and finish with an intra-bucket running sum partitioned by
+      (group, score) ordered by ``id_col``. The hot group's rows
+      spread across its score buckets instead of serializing on one
+      reducer, and the boundary bucket stays exact because the
+      intra-bucket window adds per-document tokens on top of the
+      exclusive bucket prefix. Requires ``id_col``.
+
+    ``by=None`` (global selection) must use ``"histogram"`` — a
+    global window is ONE reducer scanning the whole corpus, exactly
+    the trap the histogram path exists for; ``"window"`` raises
+    loudly rather than silently degrading (VERDICT r7)."""
+    if strategy not in ("window", "histogram"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "window":
+        if not by:
+            raise ValueError(
+                "token_budget_select(by=None) would run the whole frame "
+                "through ONE global-window reducer; pass "
+                'strategy="histogram" (the distributed analytic cut) '
+                "or group keys"
+            )
+        order = [F.col(score_col).desc()]
+        if id_col:
+            order.append(F.col(id_col).asc())
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = F.sum(F.col(tokens_col)).over(w)
+        return df.withColumn("tokens_cum", cum).withColumn(
+            "keep", F.col("tokens_cum") <= budget
+        )
+    if not id_col:
+        raise ValueError('strategy="histogram" needs id_col for intra-bucket order')
+    keys = list(by or [])
+    hist = df.groupBy(*keys, score_col).agg(
+        F.sum(F.col(tokens_col)).alias("_bucket_tok_")
+    )
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(score_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = hist.select(
+        *keys,
+        score_col,
+        F.coalesce(F.sum("_bucket_tok_").over(wb), F.lit(0)).alias("_cum_before_"),
+    )
+    wi = (
+        Window.partitionBy(*keys, score_col)
+        .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = F.sum(F.col(tokens_col)).over(w)
-    return df.withColumn("tokens_cum", cum).withColumn(
-        "keep", F.col("tokens_cum") <= budget
+    return (
+        df.join(hist, keys + [score_col])
+        .withColumn(
+            "tokens_cum",
+            F.col("_cum_before_") + F.sum(F.col(tokens_col)).over(wi),
+        )
+        .withColumn("keep", F.col("tokens_cum") <= budget)
+        # same column order as the window path (the join moved the
+        # equi-keys to the front)
+        .select(*df.columns, "tokens_cum", "keep")
     )

@@ -8898,8 +8898,9 @@ def _q138_sql() -> str:
              CAST(row_number() OVER (
                  PARTITION BY q.vec_id
                  ORDER BY CASE WHEN nq.nx > 0 AND nb.nx > 0
-                               THEN list_cosine_similarity(q.embedding,
-                                                           b.embedding)
+                               THEN list_cosine_similarity(
+                                   q.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[])
                                ELSE 0 END
                           DESC, b.vec_id) AS BIGINT) AS rk
       FROM embeddings q

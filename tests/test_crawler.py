@@ -432,3 +432,51 @@ def test_sync_source_out_of_prefix_url_hash_suffixed(tmp_path, spark):
     # two same-basename foreign URLs diverge
     d2 = _crawl_dest("http://elsewhere/pub/data.csv", "http://s/idx", "/tmp/x")
     assert d2 != d
+
+
+def test_crawl_dest_trailing_slash_twin_disambiguated():
+    """'http://s/a' and 'http://s/a/' must NOT map to the same dest
+    (ADVICE r7: the bare name carried no hash after rstrip, so
+    sync_source's collision check aborted the whole sync). The name
+    stays a pure function of the RAW url."""
+    from demy_spark.crawler import _crawl_dest
+
+    plain = _crawl_dest("http://s/idx/a", "http://s/idx/", "/tmp/x")
+    slashed = _crawl_dest("http://s/idx/a/", "http://s/idx/", "/tmp/x")
+    assert plain != slashed
+    assert plain.endswith("/a")  # un-stripped bare name keeps its plain form
+    # stable across calls (pure function of the url)
+    assert slashed == _crawl_dest("http://s/idx/a/", "http://s/idx/", "/tmp/x")
+
+
+def test_archive_flatten_collision_raises(tmp_path):
+    """Two members of ONE archive whose names flatten to the same
+    spool name ('a/b.csv' vs 'a-b.csv') must raise loudly instead of
+    silently overwriting (ADVICE r7) — zip and tar branches both."""
+    import io
+    import tarfile
+    import zipfile
+
+    import pytest as _pytest
+
+    from demy_spark.crawler import download
+
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("a/b.csv", "x;1\n")
+        zf.writestr("a-b.csv", "y;2\n")
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as tf:
+        for name in ("a/b.csv", "a-b.csv"):
+            data = b"z;3\n"
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+    def fetch(url):
+        return 200, (zbuf if url.endswith(".zip") else tbuf).getvalue()
+
+    with _pytest.raises(ValueError, match="flatten"):
+        download("http://s/x.zip", str(tmp_path / "z"), fetch=fetch)
+    with _pytest.raises(ValueError, match="flatten"):
+        download("http://s/x.tar", str(tmp_path / "t"), fetch=fetch)

@@ -77,16 +77,31 @@ def assert_query_parity(name: str, spark, data_dir: str, con) -> None:
 def oracle_queries_touching_only(table: str, exclude: dict) -> list[str]:
     """Registry names whose oracle reads ONLY ``table`` (the fuzz
     modules' auto-discovery — new queries join their suite by
-    construction)."""
+    construction).
+
+    Enrollment checks BOTH sides of the query (ADVICE r7): the oracle
+    SQL must \\b-mention the target (the old plain substring test
+    could enroll on a comment), and the ENGINE fn's source must not
+    reference any other catalog table — access is always quoted
+    (``t["orders"]``) or a parquet basename, so the probe matches
+    quoted/``.parquet`` forms only and docstring English ("part of")
+    cannot mis-fire. A query whose fn pulls extra tables would fail
+    the fuzz for fixture reasons, not parity reasons."""
+    import inspect
     import re as _re
 
     others = [t for t in TABLES if t != table]
     out = []
     for name, q in Q.REGISTRY.items():
         sql = q.oracle or ""
-        if table not in sql or name in exclude:
+        if name in exclude or not _re.search(rf"\b{table}\b", sql):
             continue
         if any(_re.search(rf"\b{t}\b", sql) for t in others):
+            continue
+        src = inspect.getsource(q.fn)
+        if any(
+            _re.search(rf"""["']{t}["']|\b{t}\.parquet\b""", src) for t in others
+        ):
             continue
         out.append(name)
     return sorted(out)
