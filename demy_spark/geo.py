@@ -48,9 +48,13 @@ def parse_address(addr: Column | str) -> Column:
     street = F.when(
         postcode != "", F.trim(F.split(no_number, _POSTCODE_RE).getItem(0))
     ).otherwise(no_number)
+    # NULL address -> NULL city (regexp/split SQL semantics, matching
+    # the other three fields); no-postcode -> empty city. The bare
+    # otherwise(lit('')) manufactured '' out of a NULL address
+    # (multi-table degenerate fuzz, r8).
     city = F.when(
         postcode != "", F.trim(F.element_at(F.split(no_number, _POSTCODE_RE), -1))
-    ).otherwise(F.lit(""))
+    ).otherwise(F.when(a.isNotNull(), F.lit("")))
     return F.struct(
         F.when(number != "", number.cast("int")).alias("house_number"),
         F.when(postcode != "", postcode).alias("postcode"),
@@ -103,6 +107,12 @@ def admin_hierarchy_flatten(
     ``levels`` is ordered root→leaf; each entry is
     (df, key_col, parent_key_col, name_col) — parent_key_col is ignored
     for the root. Output: leaf rows + ``path`` = 'root > ... > leaf'.
+
+    A NULL name anywhere on the chain nulls the whole path (plain SQL
+    ``||`` semantics, the engine-portable contract) — ``concat_ws``
+    would silently SKIP the level and emit a shorter path that reads
+    like a complete one (multi-table degenerate fuzz, r8); empty-string
+    names are kept as empty segments.
     """
     root_df, root_key, _, root_name = levels[0]
     acc = root_df.select(
@@ -118,7 +128,7 @@ def admin_hierarchy_flatten(
             child.join(acc, child["_pk_"] == acc["_k_"])
             .select(
                 F.col("_ck_").alias("_k_"),
-                F.concat_ws(" > ", "path", "_n_").alias("path"),
+                F.concat("path", F.lit(" > "), "_n_").alias("path"),
             )
         )
     return acc.withColumnRenamed("_k_", "leaf_key")

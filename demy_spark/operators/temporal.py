@@ -72,12 +72,21 @@ def asof_join(
         if c in left.columns:
             raise ValueError(f"left already has reserved column {c}")
 
-    r = right.select(
-        *[F.col(k) for k in keys],
-        F.col(right_ts).cast("timestamp").alias("_ts_"),
-        (F.col(tie_break) if tie_break is not None else F.lit(0)).alias("_tb_"),
-        F.struct(*[F.col(c) for c in right_cols]).alias("_payload_"),
-    ).withColumn("_side_", F.lit(0))
+    r = (
+        right.select(
+            *[F.col(k) for k in keys],
+            F.col(right_ts).cast("timestamp").alias("_ts_"),
+            (F.col(tie_break) if tie_break is not None else F.lit(0)).alias("_tb_"),
+            F.struct(*[F.col(c) for c in right_cols]).alias("_payload_"),
+        )
+        # a NULL right_ts can never satisfy right_ts <= left_ts (the
+        # SQL predicate is NULL) — without this filter it would sort
+        # nulls-FIRST in the carry-forward window and masquerade as
+        # the oldest match for every otherwise-unmatched left row
+        # (multi-table degenerate fuzz, r8)
+        .where(F.col("_ts_").isNotNull())
+        .withColumn("_side_", F.lit(0))
+    )
 
     l = (
         left.withColumn("_ts_", F.col(left_ts).cast("timestamp"))

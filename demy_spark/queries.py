@@ -1828,7 +1828,13 @@ _ADDR_SQL = (
            CAST(regexp_extract(addr, '^(\d+)', 1) AS INTEGER) AS house_number,
            regexp_extract(addr, '\b(\d{{5}})\b', 1) AS postcode,
            trim(string_split_regex(no_num, '\b\d{{5}}\b')[1]) AS street,
-           trim(string_split_regex(no_num, '\b\d{{5}}\b')[-1]) AS city
+           -- city mirrors the engine contract: NULL on NULL address,
+           -- '' when the address has no standalone 5-digit postcode,
+           -- else the tail after the postcode
+           CASE WHEN addr IS NULL THEN NULL
+                WHEN regexp_extract(addr, '\b(\d{{5}})\b', 1) <> ''
+                  THEN trim(string_split_regex(no_num, '\b\d{{5}}\b')[-1])
+                ELSE '' END AS city
     FROM stripped
     """,
 )
@@ -2960,21 +2966,26 @@ def q52_word_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q55_asof_join",
     """
     WITH m AS (
+      -- LEFT joins throughout: the operator keeps unmatched left
+      -- rows with NULL right columns (pandas merge_asof semantics) —
+      -- inner joins here silently dropped them until an orders
+      -- fixture had users with no qualifying order (multi-table
+      -- degenerate fuzz, r8)
       SELECT e.event_id, e.user_id, e.ts, max(o.o_orderdate) AS asof_ts
-      FROM events e JOIN orders o
+      FROM events e LEFT JOIN orders o
         ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
       GROUP BY 1, 2, 3),
     pick AS (
       SELECT m.event_id, m.user_id, m.ts, m.asof_ts,
              max(o.o_orderkey) AS last_orderkey
-      FROM m JOIN orders o
+      FROM m LEFT JOIN orders o
         ON o.o_custkey = m.user_id AND o.o_orderdate = m.asof_ts
       GROUP BY 1, 2, 3, 4)
     SELECT p.event_id, p.user_id, p.last_orderkey,
            round(o.o_totalprice, 2) + 0.0 AS last_order_price,
            CAST(floor(date_diff('second', p.asof_ts, p.ts) / 86400.0) AS BIGINT)
              AS order_age_days
-    FROM pick p JOIN orders o ON o.o_orderkey = p.last_orderkey
+    FROM pick p LEFT JOIN orders o ON o.o_orderkey = p.last_orderkey
     """,
 )
 def q55_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,40 +35,10 @@ FUZZ_QUERIES = oracle_queries_touching_only("documents", EXCLUDED)
 
 @pytest.fixture(scope="module")
 def fuzz_docs_dir(tmp_path_factory):
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    from tests.degenerate_fixtures import write_documents
 
-    rows = [
-        # (doc_id, text, lang, source) — degenerate text first
-        (1, "", "en", "src1"),
-        (2, "   ", "en", "src2"),
-        (3, None, "fr", "src3"),
-        (4, "x", "en", "src1"),
-        (5, " ", "de", "src2"),  # NBSP-only (the Zs trim edge)
-        (6, "\U0001f600 astral \U0001f600 astral chars", "en", "src3"),
-        # normal rows so group-bys / samples / indexes have material
-        (7, "the quick brown fox jumps over the lazy dog near the barn", "en", "src1"),
-        (8, "spark query engines shuffle columnar partitions across nodes", "en", "src2"),
-        (9, "the quick brown fox jumps over the lazy dog near the barn", "en", "src3"),
-        (10, "hash join table window agg stream slow scan filter vector", "en", "src1"),
-        (24, "one two three four five six seven eight nine ten", "en", "src2"),
-        (31, "lorem ipsum dolor sit amet consectetur adipiscing elit", "en", "src3"),
-        (97, "customer order line part shipment invoice ledger account", "en", "src1"),
-        (194, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "src2"),
-    ]
-    tbl = pa.table(
-        {
-            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-            "text": pa.array([r[1] for r in rows], pa.string()),
-            "lang": pa.array([r[2] for r in rows], pa.string()),
-            "source": pa.array([r[3] for r in rows], pa.string()),
-            "n_chars": pa.array(
-                [len(r[1]) if r[1] is not None else 0 for r in rows], pa.int64()
-            ),
-        }
-    )
     d = tmp_path_factory.mktemp("fuzz_docs")
-    pq.write_table(tbl, str(d / "documents.parquet"))
+    write_documents(str(d))
     return str(d)
 
 

@@ -34,49 +34,12 @@ EXCLUDED: dict[str, str] = {}
 
 FUZZ_QUERIES = oracle_queries_touching_only("embeddings", EXCLUDED)
 
-DIM = 64
-
-
-def _vec(seed: int) -> list[float]:
-    # deterministic non-trivial vector, no RNG
-    return [float(((seed * 31 + d * 7) % 11) - 5) for d in range(DIM)]
-
-
 @pytest.fixture(scope="module")
 def fuzz_emb_dir(tmp_path_factory):
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    from tests.degenerate_fixtures import write_embeddings
 
-    rows = []
-    # degenerate head: zero vector, duplicates of it, near-duplicate,
-    # all-negative, tiny-magnitude
-    rows.append((0, [0.0] * DIM, 0))              # THE zero vector
-    rows.append((1, [0.0] * DIM, 1))              # duplicate zero vector
-    rows.append((2, _vec(2), 2))
-    rows.append((3, _vec(2), 3))                  # exact dup of 2, other label
-    near = _vec(2)
-    near[0] += 0.25
-    rows.append((4, near, 4))                     # near-dup of 2
-    rows.append((5, [-x for x in _vec(2)], 5))    # opposite of 2
-    rows.append((6, [1e-9] * DIM, 6))             # tiny magnitude
-    # normal tail: 6 per label — every label-seeded operator has mass
-    # and the total (67) clears q47's pool_size=64 replay contract
-    i = 7
-    for lab in range(10):
-        for _ in range(6):
-            rows.append((i, _vec(i), lab))
-            i += 1
-    tbl = pa.table(
-        {
-            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
-            "embedding": pa.array(
-                [r[1] for r in rows], pa.list_(pa.float32())
-            ),
-            "label": pa.array([r[2] for r in rows], pa.int32()),
-        }
-    )
     d = tmp_path_factory.mktemp("fuzz_emb")
-    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    write_embeddings(str(d))
     return str(d)
 
 

@@ -33,60 +33,12 @@ EXCLUDED: dict[str, str] = {}
 FUZZ_QUERIES = oracle_queries_touching_only("events", EXCLUDED)
 
 
-def _ts(s: str) -> datetime.datetime:
-    return datetime.datetime.fromisoformat(s)
-
-
 @pytest.fixture(scope="module")
 def fuzz_events_dir(tmp_path_factory):
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    from tests.degenerate_fixtures import write_events
 
-    T = "2024-03-01 "
-    rows = [
-        # (event_id, ts, user_id, event_type, value, props)
-        # same-instant triple for one user (ordering tie-breaks)
-        (1, T + "00:00:00", 1, "click", 1.0, '{"k": "a"}'),
-        (2, T + "00:00:00", 1, "view", 2.0, '{"k": "b", "n": 3}'),
-        (3, T + "00:00:00", 1, "purchase", 0.0, "{}"),
-        # exact hour boundary + one microsecond before it
-        (4, T + "00:59:59.999999", 1, "click", -5.0, None),
-        (5, T + "01:00:00", 1, "click", 5.0, "not json"),
-        # a >30min session gap for the same user
-        (6, T + "02:00:00", 1, "view", 1e9, '{"a": {"b": 1}}'),
-        # second user: NULL value, NULL event_type, empty-string props
-        (7, T + "00:30:00", 2, "signup", None, ""),
-        (8, T + "00:45:00", 2, None, 4.0, '{"k": "c"}'),
-        (9, T + "23:59:59.999999", 2, "error", 7.0, "[1, 2]"),
-        # third user: lone event at epoch-style midnight
-        (10, T + "00:00:00", 3, "error", 0.5, '{"k": "a"}'),
-    ]
-    # skew tail: one user dominating (salted-agg path does real work)
-    for i in range(11, 41):
-        rows.append(
-            (
-                i,
-                T + f"03:{i % 60:02d}:{(i * 7) % 60:02d}",
-                1,
-                ["click", "view", "purchase", "error", "signup"][i % 5],
-                float(i % 7),
-                f'{{"k": "v{i % 3}"}}',
-            )
-        )
-    tbl = pa.table(
-        {
-            "event_id": pa.array([r[0] for r in rows], pa.int64()),
-            "ts": pa.array(
-                [_ts(r[1]) for r in rows], pa.timestamp("us")
-            ),
-            "user_id": pa.array([r[2] for r in rows], pa.int64()),
-            "event_type": pa.array([r[3] for r in rows], pa.string()),
-            "value": pa.array([r[4] for r in rows], pa.float64()),
-            "props": pa.array([r[5] for r in rows], pa.string()),
-        }
-    )
     d = tmp_path_factory.mktemp("fuzz_events")
-    pq.write_table(tbl, str(d / "events.parquet"))
+    write_events(str(d))
     return str(d)
 
 

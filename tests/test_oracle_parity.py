@@ -74,37 +74,59 @@ def assert_query_parity(name: str, spark, data_dir: str, con) -> None:
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
-def oracle_queries_touching_only(table: str, exclude: dict) -> list[str]:
-    """Registry names whose oracle reads ONLY ``table`` (the fuzz
-    modules' auto-discovery — new queries join their suite by
-    construction).
-
-    Enrollment checks BOTH sides of the query (ADVICE r7): the oracle
-    SQL must \\b-mention the target (the old plain substring test
-    could enroll on a comment), and the ENGINE fn's source must not
-    reference any other catalog table — access is always quoted
-    (``t["orders"]``) or a parquet basename, so the probe matches
-    quoted/``.parquet`` forms only and docstring English ("part of")
-    cannot mis-fire. A query whose fn pulls extra tables would fail
-    the fuzz for fixture reasons, not parity reasons."""
+def oracle_query_tables(name: str) -> frozenset:
+    """The catalog tables a query ACTUALLY touches, from both sides
+    (ADVICE r7: enrollment must reflect real inputs, not substring
+    luck): \\b-matches over the oracle SQL with single-quoted string
+    literals stripped first (a BM25 keyword literal like
+    'customer order line part' is data, not a table reference), plus
+    quoted / ``.parquet`` references in the engine fn's source —
+    catalog access is always ``t["orders"]`` or a parquet basename,
+    so docstring English ("part of") cannot mis-fire."""
     import inspect
     import re as _re
 
-    others = [t for t in TABLES if t != table]
-    out = []
+    q = Q.REGISTRY[name]
+    sql = _re.sub(r"'[^']*'", "''", q.oracle or "")
+    src = inspect.getsource(q.fn)
+    return frozenset(
+        t
+        for t in TABLES
+        if _re.search(rf"\b{t}\b", sql)
+        or _re.search(rf"""["']{t}["']|\b{t}\.parquet\b""", src)
+    )
+
+
+def oracle_queries_touching_only(table: str, exclude: dict) -> list[str]:
+    """Registry names that read ONLY ``table`` (the single-table fuzz
+    modules' auto-discovery — new queries join their suite by
+    construction). Built on ``oracle_query_tables``, so a query whose
+    oracle merely carries another table's name inside a string
+    literal still enrolls here, and one whose ENGINE fn reads extra
+    tables does not."""
+    return sorted(
+        name
+        for name, q in Q.REGISTRY.items()
+        if q.oracle
+        and name not in exclude
+        and oracle_query_tables(name) == frozenset([table])
+    )
+
+
+def multi_table_oracle_queries(exclude: dict) -> dict:
+    """name -> sorted table list for every oracle-backed query
+    touching TWO OR MORE tables — the multi-table degenerate fuzz's
+    auto-discovery (VERDICT r7 task 2: q138's zero-norm bug escaped
+    both single-table suites precisely because its oracle touches
+    documents AND embeddings)."""
+    out = {}
     for name, q in Q.REGISTRY.items():
-        sql = q.oracle or ""
-        if name in exclude or not _re.search(rf"\b{table}\b", sql):
+        if not q.oracle or name in exclude:
             continue
-        if any(_re.search(rf"\b{t}\b", sql) for t in others):
-            continue
-        src = inspect.getsource(q.fn)
-        if any(
-            _re.search(rf"""["']{t}["']|\b{t}\.parquet\b""", src) for t in others
-        ):
-            continue
-        out.append(name)
-    return sorted(out)
+        ts = oracle_query_tables(name)
+        if len(ts) >= 2:
+            out[name] = sorted(ts)
+    return out
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
