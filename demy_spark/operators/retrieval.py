@@ -141,6 +141,7 @@ def phrase_search(
     query_text_col: str,
     *,
     k: int = 10,
+    anchor: str = "rarest",
 ) -> DataFrame:
     """Exact-phrase retrieval over a positional index: top ``k``
     documents per query ranked by how many times the query's tokens
@@ -151,20 +152,38 @@ def phrase_search(
     Instead of chaining one join per phrase position (m-way join, m-1
     shuffles), every match is ANCHORED: a posting (doc, pos, w) that
     equals phrase token i implies a candidate occurrence starting at
-    ``pos - i``, so ONE broadcast equi-join on the token plus ONE
-    aggregation per (query, doc, anchor) finds complete occurrences —
-    an anchor with all m distinct offsets present is a phrase hit.
-    Duplicate tokens inside a phrase are handled by the same rule (a
-    posting row fans out to every offset the token occupies).
+    ``pos - i``. Two anchoring strategies (identical results — the
+    parity test replays both against one oracle):
 
-    Scale shape:
+    - ``anchor="all"``: every query-term posting fans out to every
+      offset its token occupies; an anchor carrying all m distinct
+      offsets is a hit. One broadcast equi-join + two shrinking aggs;
+      shuffle volume is the OFFSET FAN-OUT Σ_(phrase,i) df(token_i).
+    - ``anchor="rarest"`` (default): Lucene's PhraseQuery strategy
+      (`mllib/src/main/scala/index/NgramStrategy.scala:197-290` is
+      the reference's greedy-expansion analog) — only each phrase's
+      LOWEST-df term generates candidate anchors; the other offsets
+      are then verified with one positional equi-join against the
+      query-term postings. Shuffle volume is the query-term postings
+      (NO offset fan-out) + df_min(phrase) x (m-1) probe rows, so the
+      win over "all" is the df ratio between the rarest and the
+      average phrase term — large on Zipfian corpora where stopwords
+      dominate phrase offsets, ~nil on uniform vocabularies
+      (PLANS.md round-7/round-8 probes). Per-phrase term df is
+      computed from the token-filtered stream (query-term-sized
+      frame, never a full-vocabulary table); a phrase term absent
+      from the corpus gets df 0 and becomes the anchor, correctly
+      yielding zero candidates. Costs one extra scan of the
+      token-filtered positional stream (anchors + verify are two
+      consumers).
+
+    Scale shape (both strategies):
     - The positional token stream is the corpus's one wide frame; it
       is filtered to query terms by a broadcast semi-join BEFORE any
-      shuffle, so the anchored-candidate frame is query-term-sized.
+      shuffle, so every downstream frame is query-term-sized.
     - Queries are human-sized and broadcast everywhere; nothing
       corpus-scale is ever collected or broadcast.
-    - Occurrence counting is two shrinking hash aggregations
-      (candidates -> anchors -> (query, doc) counts), each map-side
+    - Occurrence counting is shrinking hash aggregations, map-side
       combined; the top-k is a WindowGroupLimit-prunable rank window.
 
     Returns (``query_id_col``, ``id_col``, n_occurrences, rk) with
@@ -174,6 +193,8 @@ def phrase_search(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if anchor not in ("all", "rarest"):
+        raise ValueError(f"unknown anchor strategy {anchor!r}")
     dtok = docs.select(
         F.col(id_col).alias("_id_"),
         F.posexplode(norm_tokens(F.col(text_col))).alias("_pos_", "_w_"),
@@ -186,17 +207,70 @@ def phrase_search(
     # query-term filter FIRST: the positional stream shrinks to rows
     # whose token appears in some phrase before the anchor shuffle
     matched = dtok.join(F.broadcast(qtok.select("_w_").distinct()), "_w_")
-    cand = matched.join(F.broadcast(qtok), "_w_").select(
-        "_qid_",
-        "_id_",
-        (F.col("_pos_") - F.col("_i_")).alias("_a_"),
-        "_i_",
-    )
-    # a complete occurrence covers offsets 0..m-1 at one anchor; a
-    # candidate with anchor < 0 can never cover offset 0, prune early
+    if anchor == "all":
+        cand = matched.join(F.broadcast(qtok), "_w_").select(
+            "_qid_",
+            "_id_",
+            (F.col("_pos_") - F.col("_i_")).alias("_a_"),
+            "_i_",
+        )
+        # a complete occurrence covers offsets 0..m-1 at one anchor; a
+        # candidate with anchor < 0 can never cover offset 0, prune early
+        covered = cand.where(F.col("_a_") >= 0)
+    else:
+        # positional df per query term, from the FILTERED stream (the
+        # full-vocabulary df table is never built); terms absent from
+        # the corpus keep df 0 via the left join below
+        df_q = matched.groupBy("_w_").agg(F.count(F.lit(1)).alias("_df_"))
+        ranked = qtok.join(F.broadcast(df_q), "_w_", "left").withColumn(
+            "_df_", F.coalesce(F.col("_df_"), F.lit(0))
+        )
+        wr = Window.partitionBy("_qid_").orderBy(
+            F.col("_df_").asc(), F.col("_i_").asc()
+        )
+        # exactly one anchor offset per phrase: lowest df, ties to the
+        # earliest offset
+        anchors_q = (
+            ranked.withColumn("_rk_", F.row_number().over(wr))
+            .where(F.col("_rk_") == 1)
+            .select("_qid_", F.col("_i_").alias("_ai_"), "_w_")
+        )
+        others_q = ranked.join(
+            F.broadcast(anchors_q.select("_qid_", "_ai_")), "_qid_"
+        ).where(F.col("_i_") != F.col("_ai_"))
+        # candidate anchors: postings of each phrase's rarest term only
+        anchors = (
+            matched.join(F.broadcast(anchors_q), "_w_")
+            .select(
+                "_qid_",
+                "_id_",
+                (F.col("_pos_") - F.col("_ai_")).alias("_a_"),
+                "_ai_",
+            )
+            .where(F.col("_a_") >= 0)
+        )
+        # verify every other offset with ONE positional equi-join:
+        # probe (doc, token, anchor+i) against the filtered postings
+        probes = (
+            anchors.select("_qid_", "_id_", "_a_")
+            .join(F.broadcast(others_q.select("_qid_", "_i_", "_w_")), "_qid_")
+            .select(
+                "_qid_",
+                "_id_",
+                "_a_",
+                "_i_",
+                "_w_",
+                (F.col("_a_") + F.col("_i_")).alias("_pos_"),
+            )
+        )
+        verified = probes.join(matched, ["_id_", "_w_", "_pos_"]).select(
+            "_qid_", "_id_", "_a_", "_i_"
+        )
+        covered = anchors.select(
+            "_qid_", "_id_", "_a_", F.col("_ai_").alias("_i_")
+        ).unionByName(verified)
     hits = (
-        cand.where(F.col("_a_") >= 0)
-        .groupBy("_qid_", "_id_", "_a_")
+        covered.groupBy("_qid_", "_id_", "_a_")
         .agg(F.count_distinct(F.col("_i_")).alias("_c_"))
         .join(F.broadcast(qlen), "_qid_")
         .where(F.col("_c_") == F.col("_m_"))

@@ -8670,11 +8670,15 @@ def q134_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional-index complement of q117's bag-of-words BM25; Lucene
     PhraseQuery semantics at slop 0): five frozen phrases (including a
     duplicate-token phrase and a never-occurring one) ranked by
-    occurrence count over the documents corpus. The plan is ANCHORED —
-    one broadcast token equi-join plus two shrinking aggregations find
-    complete occurrences; no m-way positional join chain, nothing
-    corpus-scale broadcast, and the oracle replays anchor arithmetic
-    exactly."""
+    occurrence count over the documents corpus. The plan is RAREST-TERM
+    ANCHORED (r8; Lucene PhraseQuery's strategy — the reference's
+    greedy-expansion analog is
+    mllib/src/main/scala/index/NgramStrategy.scala:197-290): candidate
+    anchors come only from each phrase's lowest-df term, other offsets
+    verify via one positional equi-join; no m-way positional join
+    chain, nothing corpus-scale broadcast, and the oracle replays
+    anchor arithmetic exactly (both anchoring strategies produce
+    identical rows — the probe asserts it)."""
     from demy_spark.operators.retrieval import phrase_search
 
     t = _t(spark, sf_dir)

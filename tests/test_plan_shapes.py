@@ -267,14 +267,20 @@ def test_winnow_pairs_cokeyed_join_partial_agg(plans):
 
 
 def test_phrase_search_is_anchored_broadcast(plans):
-    # q134's anchored plan: the query-token and phrase-length frames
-    # broadcast onto the positional postings (never shuffle them), the
-    # top-k rank window prunes with WindowGroupLimit, and there is no
-    # m-way positional self-join (no SortMergeJoin at all)
+    # q134's rarest-anchored plan: the query-token and phrase-length
+    # frames broadcast onto the positional postings (never shuffle
+    # them), the top-k rank window prunes with WindowGroupLimit, and
+    # there is no m-way positional join chain — the only join allowed
+    # to shuffle is the single positional VERIFY join on
+    # (_id_, _w_, _pos_) (corpus vs corpus; r8 rarest-term anchoring)
     p = plans["q134_phrase_search"]
     assert "WindowGroupLimit" in p
     assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
+    smjs = [ln for ln in p.splitlines() if "SortMergeJoin" in ln]
+    assert all(
+        re.search(r"SortMergeJoin \[_id_#\d+L?, _w_#\d+, _pos_#\d+", ln)
+        for ln in smjs
+    ), smjs
 
 
 def test_bloom_bitmap_broadcasts_to_probe(plans):

@@ -140,10 +140,15 @@ def test_phrase_single_token_equals_term_count(spark):
 
 def test_phrase_query_side_stays_broadcast_at_load(spark):
     """A realistic query load (200 phrases vs the fixture's 5) must
-    not tip the query-side joins into a shuffle: all three query
-    joins carry explicit broadcast hints, so the plan has zero
-    SortMergeJoins regardless of query count (VERDICT r6 task 7;
-    scripts/probe_phrase_load_r7.py measures the wall-time side)."""
+    not tip the QUERY-side joins into a shuffle: every query-frame
+    join carries an explicit broadcast hint regardless of query count
+    (VERDICT r6 task 7; scripts/probe_phrase_load_r7.py +
+    probe_phrase_zipf_r8.py measure the wall-time side). Under the
+    default rarest-term anchoring the ONE join allowed to shuffle is
+    the positional verify join — corpus vs corpus on
+    (_id_, _w_, _pos_), which no broadcast can absorb at scale."""
+    import re
+
     docs = spark.createDataFrame(
         [(i, f"tok{i % 37} tok{(i + 1) % 37} tok{(i + 2) % 37}") for i in range(300)],
         "doc_id long, text string",
@@ -152,11 +157,23 @@ def test_phrase_query_side_stays_broadcast_at_load(spark):
         [(i, f"tok{i % 37} tok{(i + 1) % 37}") for i in range(200)],
         "qid long, qtext string",
     )
-    out = phrase_search(docs, "doc_id", "text", queries, "qid", "qtext", k=5)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 3
-    assert out.count() > 0
+    for mode, allow_smj in (("rarest", True), ("all", False)):
+        out = phrase_search(
+            docs, "doc_id", "text", queries, "qid", "qtext", k=5, anchor=mode
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        smjs = [
+            ln for ln in plan.splitlines() if "SortMergeJoin" in ln
+        ]
+        if allow_smj:
+            assert all(
+                re.search(r"SortMergeJoin \[_id_#\d+L?, _w_#\d+, _pos_#\d+", ln)
+                for ln in smjs
+            ), smjs
+        else:
+            assert not smjs
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert out.count() > 0
 
 
 from demy_spark.operators.retrieval import rrf_fuse  # noqa: E402
