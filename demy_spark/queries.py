@@ -9169,89 +9169,81 @@ def q140_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
-# order. Round-7 window (the freshness rotation the r6 VERDICT ordered
-# as task 1):
-#   1. never-rowed + behavior-changed — q137 (NEW: registered-domain
-#      blocklist gate, VERDICT task 8); q138 (NEW: hybrid sparse+dense
-#      RRF retrieval); q139 (NEW: metadata-filtered ANN); q140 (NEW:
-#      token-budget selection); the queries
-#      whose oracle text and/or engine guards changed for the
-#      degenerate-document alignment (ADVICE r6 + this round's
-#      degenerate-fuzz: q133, q136, q130, q135, q49, q76 — fixture
-#      results identical, but the executing SQL/code is new; q86,
-#      q94, q107, q29 changed too and already sit in tier 2; q46's
-#      change is a NULL-token crash guard that cannot fire on the sf
-#      fixture — its r5 row still certifies fixture behavior and the
-#      degenerate fuzz + unit suite pin the guard, so it rotates in
-#      round 8 with q89/q95/q123/q128); and
-#      q53/q100 crossing ivf_build's hashed sublist assignment +
-#      try_cast seeding + persist-ownership rework (verified no-ops on
-#      the balanced fixtures). q89/q95/q123 cross the same ivf_build
-#      internals but rest on r6 rows and their own oracles pin chains
-#      that did not change — the in-window siblings (q53 pins the
-#      quantizer itself, q100 the semdedup consumer, q139 the filtered
-#      probe consumer) cover the exposure; they lead the round-8
-#      rotation together with q128/q73/q79 (oracles gained
-#      value-identical coalesces/TRY_CAST for degenerate inputs);
-#   2. ALL 38 queries resting on CORRECTNESS_r04 rows (the r6
-#      VERDICT's deferral list, 2 rounds old at round-7 open) — after
-#      this round no official row anywhere is older than r5.
-# The r5/r6-resting deferrals are at most 2 rounds old at round-7
-# close and lead the round-8 rotation (q89/q95 first, then oldest-
-# first: the remaining r5 rows, then r6).
+# order. Round-8 window (the freshness rotation VERDICT r7 ordered as
+# task 1, adjusted for post-verdict behavior changes):
+#   1. behavior-changed this round — queries whose EXECUTING oracle SQL
+#      or engine code is new, so their existing rows certify retired
+#      text: q134 (rarest-term anchored phrase plan, r8), q138 (dense
+#      oracle gained the DOUBLE[] cosine cast, ADVICE r7), q40
+#      (parse_address three-way NULL contract, engine + oracle — the
+#      multi-table degenerate fuzz), q39 (admin_hierarchy_flatten now
+#      NULL-propagating concat). q55 changed too (asof_join NULL-ts
+#      filter + LEFT-JOIN oracle) and already sits in tier 2. Fixture
+#      results for all five are proven identical by this session's
+#      140/140 driver sim; the official row still must cross the new
+#      text.
+#   2. ALL 46 queries resting on CORRECTNESS_r05 rows — after this
+#      round no official row anywhere is older than r6 (the VERDICT r7
+#      done-criterion).
+# VERDICT r7 named q89/q95 as leaders, but both rest on r6 rows and
+# their ivf_build exposure was crossed by q53/q100/q139 in the r7
+# window; the four post-verdict behavior changes above outrank them
+# under the tier-1 rule the rotation has always used. Round-9 leaders:
+# q89, q95, q123, q128-class r6 rows, oldest-first (44 r6 rows + the
+# 4 r7 rows freed this round comfortably fill the next two windows).
 _DRIVER_PRIORITY = [
-    # --- tier 1: never-rowed + behavior-changed this round
-    "q137_blocklist_gate",
+    # --- tier 1: behavior-changed this round (stale official rows)
+    "q134_phrase_search",
     "q138_hybrid_rrf",
-    "q139_filtered_ann",
-    "q133_c4_filters",
-    "q136_fim_split",
-    "q130_script_profile",
-    "q135_bloom_gate",
-    "q49_sentence_split",
-    "q140_budget_select",
-    "q76_tree_spawn",
-    "q53_ivf_ann_topk",
-    "q100_semdedup",
-    # --- tier 2: every query still resting on a CORRECTNESS_r04 row
-    "q27_simhash_dedup",
-    "q28_embedding_dedup",
-    "q29_lsh_ann_topk",
-    "q30_ngram_jaccard",
-    "q31_dup_clusters",
-    "q32_media_features",
-    "q33_hash_folds",
-    "q34_threshold_sweep",
-    "q35_oof_mean_model",
-    "q36_multi_hot",
-    "q37_embed_apply",
-    "q39_admin_flatten",
     "q40_parse_address",
-    "q41_locality_match",
-    "q42_seeded_kmeans",
-    "q43_topic_tree_walk",
-    "q44_entity_match",
-    "q45_entity_cooccurrence",
-    "q54_binary_metrics",
-    "q61_bottom_k_sample",
-    "q63_salted_agg",
-    "q65_partition_prune",
-    "q66_pos_tag_greedy",
-    "q67_event_followup",
-    "q78_entity_refine",
-    "q92_gopher_rules",
-    "q93_curation_pipeline",
-    "q96_line_dedup",
-    "q97_duplicated_spans",
-    "q102_strip_spans",
-    "q108_record_linkage",
-    "q111_chunk_documents",
-    "q112_tfidf_terms",
-    "q114_knn_classify",
-    "q117_bm25_search",
-    "q118_orc_roundtrip",
-    "q119_group_median",
-    "q120_events_sliding",
+    "q39_admin_flatten",
+    # --- tier 2: every query still resting on a CORRECTNESS_r05 row
+    "q04_priority_exists",
+    "q05_customers_without_orders",
+    "q06_forecast_revenue",
+    "q07_top_orders_per_customer",
+    "q08_running_revenue",
+    "q09_rollup_returns",
+    "q11_repeat_customers",
+    "q13_sessionize",
+    "q15_acctbal_folds",
+    "q16_distinct_parts",
+    "q17_doc_stats",
+    "q20_language_id",
+    "q22_label_centroids",
+    "q25_lexicon_lookup",
+    "q46_pos_tag",
+    "q48_simplify_text",
+    "q50_fuzzy_typos",
+    "q52_word_categories",
+    "q55_asof_join",
+    "q58_hll_distinct",
+    "q59_heavy_hitters",
+    "q60_stratified_sample",
+    "q68_zorder_key",
+    "q69_center_hierarchy",
+    "q70_span_detect",
+    "q71_online_centers",
+    "q72_point_in_polygon",
+    "q73_platt_calibration",
+    "q74_embed_options",
+    "q75_shapefile_flatten",
+    "q77_split_doc",
+    "q79_pipeline_grid",
+    "q80_source_scan",
+    "q81_phonetic_simplify",
+    "q104_phrase_merges",
+    "q113_bpe_apply",
+    "q115_bpe_train",
+    "q116_bpe_encode",
+    "q121_incremental_rollup",
+    "q122_fuzzy_typed_filter",
+    "q124_repetition_profile",
+    "q125_unicode_hygiene",
+    "q126_html_strip",
+    "q127_winnow_pairs",
+    "q128_json_props",
+    "q129_url_parse",
 ]
 
 
