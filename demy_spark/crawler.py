@@ -28,8 +28,10 @@ a polite User-Agent. No non-stdlib dependency: link extraction is an
 ``html.parser`` subclass (the reference uses Jsoup), decompression is
 ``zipfile``/``tarfile``/``gzip``/``bz2`` — tar archives extract
 per-member like the reference's commons-compress path
-(`Execute.scala:111`) — (7z, a format the Python stdlib cannot read,
-raises a loud NotImplementedError instead of faking it).
+(`Execute.scala:111`) — plus the bounded pure-stdlib 7z reader in
+:mod:`demy_spark.sevenzip` for single-coder archives (filter chains
+and encryption still raise a loud NotImplementedError instead of
+faking decompression).
 """
 
 from __future__ import annotations
@@ -266,17 +268,30 @@ def download(
     MEMBERS into ``dest`` the same way (stdlib ``tarfile``; member
     names are flattened, so a hostile ``../`` can never escape the
     spool), ``.gz``/``.bz2`` decompress to a single file, anything
-    else lands verbatim. ``.7z`` raises NotImplementedError — the
-    stdlib has no reader and this repo does not fake decompression.
+    else lands verbatim. ``.7z`` extracts through the bounded
+    pure-stdlib reader (:mod:`demy_spark.sevenzip`) when the archive
+    uses single-coder LZMA/LZMA2/BZip2/Deflate/Copy folders — the
+    ``7z a`` default — and raises a loud NotImplementedError for
+    filter chains / encryption rather than faking decompression.
     Every file lands via the atomic spool write. Returns the written
     paths."""
     _, body = fetch(url)
     lower = url.lower()
     if deflate and ".7z" in lower:
-        raise NotImplementedError(
-            "7z decompression needs a library this environment does not "
-            "ship; download with deflate=False and deflate out-of-band"
-        )
+        from demy_spark.sevenzip import read_7z
+
+        out = []
+        seen: dict[str, str] = {}
+        for name, content in read_7z(body):
+            name = name.replace("\\", "/")
+            flat = name.replace("/", "-")
+            if flat in ("", ".", ".."):
+                continue  # hostile/degenerate member name
+            _check_flatten_collision(seen, flat, name, url)
+            path = os.path.join(dest, flat)
+            spool_write(path, content)
+            out.append(path)
+        return out
     if deflate and ".zip" in lower:
         out = []
         seen: dict[str, str] = {}

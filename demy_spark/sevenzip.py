@@ -1,0 +1,446 @@
+"""Bounded pure-stdlib 7z reader for the crawler's in-flight deflate.
+
+The reference ingests ``.7z`` crawl payloads through commons-compress
+(`net2demy/src/main/scala/Execute.scala:25-26,319`); this module covers
+the overwhelmingly common archives a default ``7z a`` produces —
+single-coder folders compressed with LZMA1/LZMA2/BZip2/Deflate/Copy,
+solid or not, optionally with a compressed (EncodedHeader) metadata
+block — using only ``lzma``/``bz2``/``zlib``. Anything beyond that
+boundary (multi-coder chains such as BCJ+LZMA, delta filters, AES
+encryption, external streams-info) raises a loud
+``NotImplementedError`` naming the codec, never a silent wrong
+extraction; structural damage (bad signature, CRC mismatch, truncated
+header) raises ``ValueError``.
+
+Container layout follows the public 7-Zip format documentation
+(``7zFormat.txt`` in the 7-Zip source distribution): a 32-byte
+signature header locating a property-tree "end header", which either
+IS the metadata (kHeader) or points at a compressed copy of it
+(kEncodedHeader). All multi-byte integers in the tree use the 7z
+variable-length number encoding.
+"""
+
+from __future__ import annotations
+
+import bz2
+import io
+import lzma
+import zlib
+from dataclasses import dataclass, field
+
+SIGNATURE = b"7z\xbc\xaf\x27\x1c"
+
+# property-tree ids (7zFormat.txt)
+K_END = 0x00
+K_HEADER = 0x01
+K_ARCHIVE_PROPERTIES = 0x02
+K_ADDITIONAL_STREAMS = 0x03
+K_MAIN_STREAMS = 0x04
+K_FILES_INFO = 0x05
+K_PACK_INFO = 0x06
+K_UNPACK_INFO = 0x07
+K_SUBSTREAMS_INFO = 0x08
+K_SIZE = 0x09
+K_CRC = 0x0A
+K_FOLDER = 0x0B
+K_CODERS_UNPACK_SIZE = 0x0C
+K_NUM_UNPACK_STREAM = 0x0D
+K_EMPTY_STREAM = 0x0E
+K_EMPTY_FILE = 0x0F
+K_NAME = 0x11
+K_ENCODED_HEADER = 0x17
+K_DUMMY = 0x19
+
+# single-coder codecs the bounded reader decompresses (public codec
+# ids from the 7-Zip methods registry)
+CODEC_COPY = b"\x00"
+CODEC_LZMA1 = b"\x03\x01\x01"
+CODEC_LZMA2 = b"\x21"
+CODEC_BZIP2 = b"\x04\x02\x02"
+CODEC_DEFLATE = b"\x04\x01\x08"
+
+_CODEC_NAMES = {
+    b"\x06\xf1\x07\x01": "AES-256+SHA-256 (encrypted archive)",
+    b"\x03\x03\x01\x03": "BCJ x86 filter",
+    b"\x03\x03\x01\x1b": "BCJ2",
+    b"\x03": "Delta filter",
+    b"\x04\x01\x01": "Deflate64",
+    b"\x03\x04\x01": "PPMd",
+}
+
+
+class _Reader:
+    """Byte cursor with the 7z variable-length number decoder."""
+
+    def __init__(self, data: bytes):
+        self._b = data
+        self._pos = 0
+
+    def bytes(self, n: int) -> bytes:
+        if self._pos + n > len(self._b):
+            raise ValueError("truncated 7z header")
+        out = self._b[self._pos : self._pos + n]
+        self._pos += n
+        return out
+
+    def byte(self) -> int:
+        return self.bytes(1)[0]
+
+    def number(self) -> int:
+        first = self.byte()
+        mask = 0x80
+        value = 0
+        for i in range(8):
+            if (first & mask) == 0:
+                value |= (first & (mask - 1)) << (8 * i)
+                return value
+            value |= self.byte() << (8 * i)
+            mask >>= 1
+        return value
+
+    def bit_vector(self, n: int) -> list[bool]:
+        data = self.bytes((n + 7) // 8)
+        return [bool(data[i >> 3] & (0x80 >> (i & 7))) for i in range(n)]
+
+    def all_or_bits(self, n: int) -> list[bool]:
+        """The AllAreDefined-prefixed bit vector used by kCRC."""
+        return [True] * n if self.byte() else self.bit_vector(n)
+
+
+@dataclass
+class _Folder:
+    codec_id: bytes = b""
+    props: bytes = b""
+    unpack_sizes: list[int] = field(default_factory=list)
+    num_substreams: int = 1
+    substream_sizes: list[int] = field(default_factory=list)
+    substream_crcs: list[int | None] = field(default_factory=list)
+
+    @property
+    def unpack_size(self) -> int:
+        return self.unpack_sizes[-1] if self.unpack_sizes else 0
+
+
+def _read_folder(r: _Reader) -> _Folder:
+    f = _Folder()
+    num_coders = r.number()
+    total_in = total_out = 0
+    for ci in range(num_coders):
+        flags = r.byte()
+        codec_id = r.bytes(flags & 0x0F)
+        nin = nout = 1
+        if flags & 0x10:
+            nin, nout = r.number(), r.number()
+        props = b""
+        if flags & 0x20:
+            props = r.bytes(r.number())
+        total_in += nin
+        total_out += nout
+        if ci == 0:
+            f.codec_id, f.props = codec_id, props
+        if codec_id in _CODEC_NAMES:
+            raise NotImplementedError(
+                f"7z codec not supported by the bounded stdlib reader: "
+                f"{_CODEC_NAMES[codec_id]}; decompress out-of-band"
+            )
+    if num_coders != 1:
+        raise NotImplementedError(
+            f"7z multi-coder folder ({num_coders} coders, e.g. a "
+            "BCJ/delta filter chain) is outside the bounded stdlib "
+            "reader; decompress out-of-band"
+        )
+    # single coder: 0 bind pairs, 1 packed stream, nothing else follows
+    if total_in != 1 or total_out != 1:
+        raise NotImplementedError("7z coder with multiple streams")
+    return f
+
+
+def _decompress(folder: _Folder, packed: bytes) -> bytes:
+    try:
+        return _decompress_inner(folder, packed)
+    except (lzma.LZMAError, zlib.error, OSError, EOFError) as e:
+        # codec-level damage surfaces as the same ValueError contract
+        # as a CRC mismatch — callers see one "corrupt archive" class
+        raise ValueError(f"corrupt 7z packed stream: {e}") from e
+
+
+def _decompress_inner(folder: _Folder, packed: bytes) -> bytes:
+    cid, size = folder.codec_id, folder.unpack_size
+    if cid == CODEC_COPY:
+        out = packed[:size]
+    elif cid == CODEC_LZMA1:
+        if len(folder.props) < 5:
+            raise ValueError("LZMA1 coder without 5-byte properties")
+        b = folder.props[0]
+        filt = {
+            "id": lzma.FILTER_LZMA1,
+            "lc": b % 9,
+            "lp": (b // 9) % 5,
+            "pb": b // 45,
+            "dict_size": int.from_bytes(folder.props[1:5], "little"),
+        }
+        dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=[filt])
+        out = dec.decompress(packed, max_length=size)
+    elif cid == CODEC_LZMA2:
+        if len(folder.props) < 1:
+            raise ValueError("LZMA2 coder without properties")
+        b = folder.props[0]
+        dict_size = 0xFFFFFFFF if b >= 40 else (2 | (b & 1)) << (b // 2 + 11)
+        dec = lzma.LZMADecompressor(
+            format=lzma.FORMAT_RAW,
+            filters=[{"id": lzma.FILTER_LZMA2, "dict_size": dict_size}],
+        )
+        out = dec.decompress(packed, max_length=size)
+    elif cid == CODEC_BZIP2:
+        out = bz2.decompress(packed)[:size]
+    elif cid == CODEC_DEFLATE:
+        out = zlib.decompressobj(-15).decompress(packed, size)
+    else:
+        raise NotImplementedError(
+            f"7z codec id {cid.hex()} is outside the bounded stdlib "
+            "reader (supported: Copy/LZMA/LZMA2/BZip2/Deflate); "
+            "decompress out-of-band"
+        )
+    if len(out) != size:
+        raise ValueError(
+            f"7z folder decompressed to {len(out)} bytes, header says {size}"
+        )
+    return out
+
+
+@dataclass
+class _StreamsInfo:
+    pack_pos: int = 0
+    pack_sizes: list[int] = field(default_factory=list)
+    folders: list[_Folder] = field(default_factory=list)
+
+
+def _read_streams_info(r: _Reader) -> _StreamsInfo:
+    si = _StreamsInfo()
+    while True:
+        t = r.number()
+        if t == K_END:
+            return si
+        if t == K_PACK_INFO:
+            si.pack_pos = r.number()
+            num_pack = r.number()
+            while True:
+                t2 = r.number()
+                if t2 == K_END:
+                    break
+                if t2 == K_SIZE:
+                    si.pack_sizes = [r.number() for _ in range(num_pack)]
+                elif t2 == K_CRC:
+                    defined = r.all_or_bits(num_pack)
+                    r.bytes(4 * sum(defined))
+                else:
+                    raise ValueError(f"unexpected id {t2:#x} in PackInfo")
+        elif t == K_UNPACK_INFO:
+            if r.number() != K_FOLDER:
+                raise ValueError("UnpackInfo without Folder block")
+            num_folders = r.number()
+            if r.byte() != 0:
+                raise NotImplementedError("external (out-of-band) folder info")
+            si.folders = [_read_folder(r) for _ in range(num_folders)]
+            if r.number() != K_CODERS_UNPACK_SIZE:
+                raise ValueError("UnpackInfo without CodersUnpackSize")
+            for f in si.folders:
+                f.unpack_sizes = [r.number()]  # single out-stream per folder
+            while True:
+                t2 = r.number()
+                if t2 == K_END:
+                    break
+                if t2 == K_CRC:
+                    defined = r.all_or_bits(num_folders)
+                    crcs = iter(
+                        int.from_bytes(r.bytes(4), "little") if d else None
+                        for d in defined
+                    )
+                    for f in si.folders:
+                        f.substream_crcs = [next(crcs)]
+                else:
+                    raise ValueError(f"unexpected id {t2:#x} in UnpackInfo")
+        elif t == K_SUBSTREAMS_INFO:
+            _read_substreams_info(r, si)
+        else:
+            raise NotImplementedError(
+                f"7z StreamsInfo block {t:#x} (additional/external streams) "
+                "is outside the bounded stdlib reader"
+            )
+
+
+def _read_substreams_info(r: _Reader, si: _StreamsInfo) -> None:
+    folders = si.folders
+    have_counts = False
+    while True:
+        t = r.number()
+        if t == K_END:
+            break
+        if t == K_NUM_UNPACK_STREAM:
+            have_counts = True
+            for f in folders:
+                f.num_substreams = r.number()
+        elif t == K_SIZE:
+            for f in folders:
+                sizes = [r.number() for _ in range(f.num_substreams - 1)]
+                sizes.append(f.unpack_size - sum(sizes))
+                if sizes[-1] < 0:
+                    raise ValueError("substream sizes exceed folder size")
+                f.substream_sizes = sizes
+        elif t == K_CRC:
+            # digests only for streams whose CRC is not already known
+            # at folder level (a 1-substream folder with a folder CRC)
+            need = [
+                0
+                if f.num_substreams == 1 and any(f.substream_crcs)
+                else f.num_substreams
+                for f in folders
+            ]
+            defined = r.all_or_bits(sum(need))
+            vals = iter(
+                int.from_bytes(r.bytes(4), "little") if d else None
+                for d in defined
+            )
+            for f, n in zip(folders, need):
+                if n:
+                    f.substream_crcs = [next(vals) for _ in range(n)]
+        else:
+            raise ValueError(f"unexpected id {t:#x} in SubStreamsInfo")
+    if have_counts:
+        for f in folders:
+            if not f.substream_sizes:
+                f.substream_sizes = (
+                    [f.unpack_size] if f.num_substreams == 1 else []
+                )
+            if f.num_substreams != 1 and not f.substream_sizes:
+                raise ValueError("multi-substream folder without sizes")
+
+
+@dataclass
+class _FilesInfo:
+    names: list[str] = field(default_factory=list)
+    empty_stream: list[bool] = field(default_factory=list)
+    empty_file: list[bool] = field(default_factory=list)
+
+
+def _read_files_info(r: _Reader) -> _FilesInfo:
+    fi = _FilesInfo()
+    num_files = r.number()
+    fi.empty_stream = [False] * num_files
+    while True:
+        t = r.number()
+        if t == K_END:
+            break
+        size = r.number()
+        block = _Reader(r.bytes(size))
+        if t == K_EMPTY_STREAM:
+            fi.empty_stream = block.bit_vector(num_files)
+        elif t == K_EMPTY_FILE:
+            fi.empty_file = block.bit_vector(sum(fi.empty_stream))
+        elif t == K_NAME:
+            if block.byte() != 0:
+                raise NotImplementedError("external 7z name table")
+            raw = block.bytes(size - 1).decode("utf-16-le")
+            fi.names = raw.split("\x00")[:-1]
+        # kMTime/kCTime/kATime/kWinAttributes/kDummy: skipped via size
+    if len(fi.names) != num_files:
+        raise ValueError(
+            f"7z FilesInfo: {num_files} files but {len(fi.names)} names"
+        )
+    if not fi.empty_file:
+        fi.empty_file = [False] * sum(fi.empty_stream)
+    return fi
+
+
+def read_7z(body: bytes) -> list[tuple[str, bytes]]:
+    """Parse a 7z archive and return ``(member_name, content)`` for
+    every FILE member (directories are dropped, empty files yield
+    ``b""``), in archive order. Substream CRCs are verified when the
+    header carries them."""
+    if len(body) < 32 or body[:6] != SIGNATURE:
+        raise ValueError("not a 7z archive (bad signature)")
+    if zlib.crc32(body[12:32]) != int.from_bytes(body[8:12], "little"):
+        raise ValueError("7z signature header CRC mismatch")
+    next_off = int.from_bytes(body[12:20], "little")
+    next_size = int.from_bytes(body[20:28], "little")
+    next_crc = int.from_bytes(body[28:32], "little")
+    header = body[32 + next_off : 32 + next_off + next_size]
+    if len(header) != next_size:
+        raise ValueError("truncated 7z end header")
+    if zlib.crc32(header) != next_crc:
+        raise ValueError("7z end header CRC mismatch")
+    if not header:
+        return []
+
+    r = _Reader(header)
+    t = r.number()
+    if t == K_ENCODED_HEADER:
+        si = _read_streams_info(r)
+        packed = _pack_slices(body, si)
+        if len(si.folders) != 1:
+            raise NotImplementedError("multi-folder 7z encoded header")
+        r = _Reader(_decompress(si.folders[0], packed[0]))
+        t = r.number()
+    if t != K_HEADER:
+        raise ValueError(f"unexpected 7z top-level id {t:#x}")
+
+    si = _StreamsInfo()
+    fi = _FilesInfo()
+    while True:
+        t = r.number()
+        if t == K_END:
+            break
+        if t == K_MAIN_STREAMS:
+            si = _read_streams_info(r)
+        elif t == K_FILES_INFO:
+            fi = _read_files_info(r)
+        elif t == K_ARCHIVE_PROPERTIES:
+            while (t2 := r.number()) != K_END:
+                r.bytes(r.number())
+        else:
+            raise NotImplementedError(
+                f"7z header block {t:#x} (additional streams) is outside "
+                "the bounded stdlib reader"
+            )
+
+    # decompress folders and slice substreams, archive order
+    contents: list[bytes] = []
+    for folder, packed in zip(si.folders, _pack_slices(body, si)):
+        out = _decompress(folder, packed)
+        sizes = folder.substream_sizes or [folder.unpack_size]
+        crcs = folder.substream_crcs or [None] * len(sizes)
+        pos = 0
+        for sub_size, crc in zip(sizes, crcs):
+            piece = out[pos : pos + sub_size]
+            pos += sub_size
+            if crc is not None and zlib.crc32(piece) != crc:
+                raise ValueError("7z substream CRC mismatch")
+            contents.append(piece)
+
+    out_members: list[tuple[str, bytes]] = []
+    stream_it = iter(contents)
+    empty_it = iter(fi.empty_file)
+    for name, is_empty in zip(fi.names, fi.empty_stream):
+        if not is_empty:
+            out_members.append((name, next(stream_it)))
+        elif next(empty_it):
+            out_members.append((name, b""))
+        # else: directory entry — dropped like the tar/zip branches
+    return out_members
+
+
+def _pack_slices(body: bytes, si: _StreamsInfo) -> list[bytes]:
+    """Cut each folder's packed stream out of the archive body
+    (single-coder folders consume exactly one pack stream each)."""
+    if len(si.pack_sizes) != len(si.folders):
+        raise NotImplementedError(
+            "7z pack-stream/folder count mismatch (multi-stream folder)"
+        )
+    slices = []
+    pos = 32 + si.pack_pos
+    for size in si.pack_sizes:
+        if pos + size > len(body):
+            raise ValueError("7z packed stream runs past end of archive")
+        slices.append(body[pos : pos + size])
+        pos += size
+    return slices

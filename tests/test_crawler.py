@@ -99,7 +99,9 @@ def test_download_zip_gz_bz2_and_7z_guard(tmp_path):
     dest = str(tmp_path / "p.csv")
     download("http://s/plain.csv", dest, fetch=f)
     assert open(dest, "rb").read() == payload
-    with pytest.raises(NotImplementedError):
+    # a .7z URL now routes through the bounded reader, which rejects
+    # a non-7z body loudly (full extraction surface: test_sevenzip.py)
+    with pytest.raises(ValueError, match="bad signature"):
         download("http://s/a.7z", str(tmp_path / "a"), fetch=_site({"http://s/a.7z": ("x", b"")}))
 
 
