@@ -230,6 +230,7 @@ def blocklist_gate(
     rules: tuple[str, ...] = PSL_SAMPLE_RULES,
     domain_col: str = "domain",
     category_col: str = "category",
+    broadcast: bool = True,
 ):
     """UT1-style domain blocklist gate — the standard curation filter
     that drops documents whose REGISTERED domain appears on a
@@ -243,10 +244,27 @@ def blocklist_gate(
     blocklist entry naming them directly — UT1 lists bare hosts too.
 
     Scale shape: the PSL extraction is a pure per-row map (rule dict
-    in the UDF closure) and the blocklist — thousands of rows even in
-    the full UT1 sets — is BROADCAST, so the whole gate is shuffle-free
-    regardless of corpus size. Returns ``df`` plus ``reg_domain``,
-    ``category`` (NULL when unlisted) and ``keep`` (category IS NULL).
+    in the UDF closure) and with ``broadcast=True`` (default) the
+    deduplicated blocklist is BROADCAST, so the whole gate is
+    shuffle-free regardless of corpus size. Broadcast is right far
+    wider than the defaults suggest: the deduped (domain, category)
+    frame is ~30 B/row, so gate wall time is flat from the 9-row
+    fixture through 100 k domains and a 1 M-domain list (~30 MB
+    relation) costs only ~+0.6 s of broadcast build
+    (scripts/probe_blocklist_width_r8.py, table in PLANS.md round-8).
+    The real UT1 adult list (~4 M domains, ~120 MB + JVM relation
+    overhead) is the practical ceiling: above ~1-2 M domains the
+    per-executor relation copy gets memory-heavy and the broadcast
+    build serializes on the driver — pass ``broadcast=False`` there to let
+    Catalyst/AQE pick a plain shuffle join on the registered domain
+    (one corpus shuffle; still no skew risk because the key is the
+    deduped domain). At that width the better composition is usually
+    a Bloom pre-gate: build the bitmap over blocklist domains with
+    ``operators.sketches.bloom_build`` (q135's operator), broadcast
+    the constant-size bitmap to drop the ~99% of unlisted documents
+    map-side, and shuffle-join only the survivors to recover the
+    category. Returns ``df`` plus ``reg_domain``, ``category`` (NULL
+    when unlisted) and ``keep`` (category IS NULL).
 
     The gate is ROW-PRESERVING: real UT1 lists place one domain in
     several categories (adult + redirector is common), so the
@@ -268,8 +286,10 @@ def blocklist_gate(
         .groupBy("_k_")
         .agg(F.min("category").alias("category"))
     )
+    if broadcast:
+        bl = F.broadcast(bl)
     return (
-        keyed.join(F.broadcast(bl), "_k_", "left")
+        keyed.join(bl, "_k_", "left")
         .withColumn("keep", F.col("category").isNull())
         .drop("_k_")
     )

@@ -452,6 +452,13 @@ def test_blocklist_gate_matches_on_reg_domain_and_bare_host(spark):
     assert rows[4]["category"] == "malware" and rows[4]["reg_domain"] is None
     assert rows[5]["category"] == "ads"
     assert rows[6]["category"] is None and rows[6]["keep"]
+    # broadcast=False (the documented >~2M-domain UT1 fallback) must be
+    # a pure plan change: identical rows, no forced-broadcast hint
+    un = blocklist_gate(df, "host", bl, broadcast=False)
+    assert {tuple(r) for r in un.collect()} == {
+        tuple(r) for r in rows.values()
+    }
+    assert "ResolvedHint" not in un._jdf.queryExecution().analyzed().toString()
 
 
 def test_holdout_split_leakage_free_and_deterministic(spark):
