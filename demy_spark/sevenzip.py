@@ -282,6 +282,9 @@ def _read_substreams_info(r: _Reader, si: _StreamsInfo) -> None:
                 f.num_substreams = r.number()
         elif t == K_SIZE:
             for f in folders:
+                if f.num_substreams == 0:
+                    f.substream_sizes = []
+                    continue
                 sizes = [r.number() for _ in range(f.num_substreams - 1)]
                 sizes.append(f.unpack_size - sum(sizes))
                 if sizes[-1] < 0:
@@ -417,6 +420,11 @@ def read_7z(body: bytes) -> list[tuple[str, bytes]]:
                 raise ValueError("7z substream CRC mismatch")
             contents.append(piece)
 
+    if sum(not e for e in fi.empty_stream) != len(contents):
+        raise ValueError(
+            f"7z header mismatch: {sum(not e for e in fi.empty_stream)} "
+            f"file entries with streams but {len(contents)} substreams"
+        )
     out_members: list[tuple[str, bytes]] = []
     stream_it = iter(contents)
     empty_it = iter(fi.empty_file)

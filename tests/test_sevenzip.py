@@ -341,3 +341,17 @@ def test_crawler_download_7z_flatten_collision_raises(tmp_path):
 
     with pytest.raises(ValueError, match="flatten"):
         download("http://s/x.7z", str(tmp_path / "s"), fetch=fetch)
+
+
+def test_stream_file_count_mismatch_raises():
+    # header claims two stream-backed files but carries one substream
+    p, props = compress(CODEC_LZMA1, PAYLOAD_A)
+    header = (
+        bytes([0x01, 0x04])
+        + streams_info(0, [len(p)], [folder_bytes(CODEC_LZMA1, props)], [len(PAYLOAD_A)])
+        + bytes([0x05])
+        + files_info([("a.bin", PAYLOAD_A), ("b.bin", PAYLOAD_B)])
+        + bytes([0x00])
+    )
+    with pytest.raises(ValueError, match="mismatch"):
+        read_7z(seal(p, header))
