@@ -173,9 +173,10 @@ def phrase_search(
       computed from the token-filtered stream (query-term-sized
       frame, never a full-vocabulary table); a phrase term absent
       from the corpus gets df 0 and becomes the anchor, correctly
-      yielding zero candidates. Costs one extra scan of the
-      token-filtered positional stream (anchors + verify are two
-      consumers).
+      yielding zero candidates. Costs two extra scans of the
+      token-filtered positional stream (df agg + anchors + verify
+      are three consumers; a measured exchange-reuse variant was
+      slower — see the in-body note).
 
     Scale shape (both strategies):
     - The positional token stream is the corpus's one wide frame; it
@@ -218,6 +219,16 @@ def phrase_search(
         # candidate with anchor < 0 can never cover offset 0, prune early
         covered = cand.where(F.col("_a_") >= 0)
     else:
+        # NOTE the rarest branch consumes the token-filtered stream
+        # THREE times (df agg, anchor join, verify join) — three
+        # tokenization scans, not one. The alternative (repartition
+        # matched on the verify keys so one exchange feeds all three
+        # consumers) was MEASURED and rejected: it regressed every
+        # probe load (1,000 Zipfian phrases 4.28s -> 5.11s; 100
+        # phrases 3.02s -> 4.52s) because the full shuffle + extra
+        # stage boundaries cost more than rescans (PLANS.md round-8).
+        # At true corpus scale a caller issuing many phrase batches
+        # should pre-materialize the positional postings instead.
         # positional df per query term, from the FILTERED stream (the
         # full-vocabulary df table is never built); terms absent from
         # the corpus keep df 0 via the left join below

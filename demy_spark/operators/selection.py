@@ -495,14 +495,25 @@ def token_budget_select(
         .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # the join back MUST be null-safe: a name-based equi-join never
+    # matches a NULL score or NULL group key, silently DROPPING those
+    # rows while the window path keeps them (they sort last under
+    # desc ordering) — r8 review. eqNullSafe keys keep the join
+    # co-keyed (EqualNullSafe is a supported equi-join predicate).
+    hj = hist.select(
+        *[F.col(k).alias(f"_h{i}_") for i, k in enumerate(keys)],
+        F.col(score_col).alias("_hs_"),
+        "_cum_before_",
+    )
+    cond = F.col(score_col).eqNullSafe(F.col("_hs_"))
+    for i, k in enumerate(keys):
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_h{i}_"))
     return (
-        df.join(hist, keys + [score_col])
+        df.join(hj, cond)
         .withColumn(
             "tokens_cum",
             F.col("_cum_before_") + F.sum(F.col(tokens_col)).over(wi),
         )
         .withColumn("keep", F.col("tokens_cum") <= budget)
-        # same column order as the window path (the join moved the
-        # equi-keys to the front)
         .select(*df.columns, "tokens_cum", "keep")
     )

@@ -32,6 +32,7 @@ timeseries/training-data pipeline needs at 100 TB, built shuffle-lean:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -85,6 +86,16 @@ def asof_join(
         # the oldest match for every otherwise-unmatched left row
         # (multi-table degenerate fuzz, r8)
         .where(F.col("_ts_").isNotNull())
+        # same for a NULL join KEY: an equi-join never matches NULL =
+        # NULL, but partitionBy groups the NULLs into one partition
+        # where such a right row would masquerade as a match for
+        # NULL-key left rows (which must pass through UNMATCHED, as
+        # the LEFT-JOIN oracle keeps them) — r8 self-review
+        .where(
+            functools.reduce(
+                lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]
+            )
+        )
         .withColumn("_side_", F.lit(0))
     )
 

@@ -113,8 +113,11 @@ class _Folder:
     props: bytes = b""
     unpack_sizes: list[int] = field(default_factory=list)
     num_substreams: int = 1
-    substream_sizes: list[int] = field(default_factory=list)
-    substream_crcs: list[int | None] = field(default_factory=list)
+    # None = the respective header block was absent (defaults apply);
+    # [] is meaningful for a zero-substream folder
+    substream_sizes: list[int] | None = None
+    substream_crcs: list[int | None] | None = None
+    folder_crc: int | None = None  # UnpackInfo-level digest (whole folder)
 
     @property
     def unpack_size(self) -> int:
@@ -251,13 +254,15 @@ def _read_streams_info(r: _Reader) -> _StreamsInfo:
                 if t2 == K_END:
                     break
                 if t2 == K_CRC:
+                    # FOLDER-level digests (whole decompressed folder)
+                    # — distinct from SubStreamsInfo's per-substream
+                    # digests; conflating them truncates solid-archive
+                    # extraction (r8 review)
                     defined = r.all_or_bits(num_folders)
-                    crcs = iter(
-                        int.from_bytes(r.bytes(4), "little") if d else None
-                        for d in defined
-                    )
-                    for f in si.folders:
-                        f.substream_crcs = [next(crcs)]
+                    for f, d in zip(si.folders, defined):
+                        f.folder_crc = (
+                            int.from_bytes(r.bytes(4), "little") if d else None
+                        )
                 else:
                     raise ValueError(f"unexpected id {t2:#x} in UnpackInfo")
         elif t == K_SUBSTREAMS_INFO:
@@ -292,10 +297,11 @@ def _read_substreams_info(r: _Reader, si: _StreamsInfo) -> None:
                 f.substream_sizes = sizes
         elif t == K_CRC:
             # digests only for streams whose CRC is not already known
-            # at folder level (a 1-substream folder with a folder CRC)
+            # at folder level (a 1-substream folder with a folder CRC
+            # inherits it, per 7zFormat.txt)
             need = [
                 0
-                if f.num_substreams == 1 and any(f.substream_crcs)
+                if f.num_substreams == 1 and f.folder_crc is not None
                 else f.num_substreams
                 for f in folders
             ]
@@ -307,16 +313,19 @@ def _read_substreams_info(r: _Reader, si: _StreamsInfo) -> None:
             for f, n in zip(folders, need):
                 if n:
                     f.substream_crcs = [next(vals) for _ in range(n)]
+                elif f.num_substreams == 1:
+                    f.substream_crcs = [f.folder_crc]
         else:
             raise ValueError(f"unexpected id {t:#x} in SubStreamsInfo")
     if have_counts:
         for f in folders:
-            if not f.substream_sizes:
-                f.substream_sizes = (
-                    [f.unpack_size] if f.num_substreams == 1 else []
-                )
-            if f.num_substreams != 1 and not f.substream_sizes:
-                raise ValueError("multi-substream folder without sizes")
+            if f.substream_sizes is None:
+                if f.num_substreams == 1:
+                    f.substream_sizes = [f.unpack_size]
+                elif f.num_substreams == 0:
+                    f.substream_sizes = []
+                else:
+                    raise ValueError("multi-substream folder without sizes")
 
 
 @dataclass
@@ -410,8 +419,21 @@ def read_7z(body: bytes) -> list[tuple[str, bytes]]:
     contents: list[bytes] = []
     for folder, packed in zip(si.folders, _pack_slices(body, si)):
         out = _decompress(folder, packed)
-        sizes = folder.substream_sizes or [folder.unpack_size]
-        crcs = folder.substream_crcs or [None] * len(sizes)
+        if folder.folder_crc is not None and zlib.crc32(out) != folder.folder_crc:
+            raise ValueError("7z folder CRC mismatch")
+        sizes = (
+            folder.substream_sizes
+            if folder.substream_sizes is not None
+            else [folder.unpack_size]
+        )
+        crcs = folder.substream_crcs
+        if crcs is None:
+            # a 1-substream folder's digest may live at folder level
+            crcs = [folder.folder_crc] if len(sizes) == 1 else [None] * len(sizes)
+        if len(crcs) != len(sizes):
+            raise ValueError(
+                f"7z substream digest count {len(crcs)} != {len(sizes)} sizes"
+            )
         pos = 0
         for sub_size, crc in zip(sizes, crcs):
             piece = out[pos : pos + sub_size]

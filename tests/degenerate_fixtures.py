@@ -132,6 +132,13 @@ def events_rows() -> list[tuple]:
         (9, T + "23:59:59.999999", 2, "error", 7.0, "[1, 2]"),
         # third user: lone event at epoch-style midnight
         (10, T + "00:00:00", 3, "error", 0.5, '{"k": "a"}'),
+        # NULL and dangling foreign keys (the per-table checklist —
+        # a NULL user_id must match NOTHING in an equi/as-of join
+        # even against a NULL-custkey orders row, and a user with no
+        # orders at all exercises the truly-unmatched path; their
+        # absence hid the asof_join NULL-key divergence, r8 review)
+        (41, T + "04:00:00", None, "click", 1.5, "{}"),
+        (42, T + "04:30:00", 999_999, "view", 2.5, '{"k": "z"}'),
     ]
     # skew tail: one user dominating (salted-agg path does real work)
     for i in range(11, 41):

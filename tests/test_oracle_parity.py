@@ -88,7 +88,12 @@ def oracle_query_tables(name: str) -> frozenset:
 
     q = Q.REGISTRY[name]
     sql = _re.sub(r"'[^']*'", "''", q.oracle or "")
+    # scan the fn BODY only: inspect.getsource includes the @register
+    # decorator, whose SQL argument would otherwise be re-scanned
+    # UN-stripped by the quoted-name regex — a future oracle literal
+    # like WHERE source = 'events' would falsely enroll (r8 review)
     src = inspect.getsource(q.fn)
+    src = src[_re.search(r"^def ", src, _re.MULTILINE).start() :]
     return frozenset(
         t
         for t in TABLES

@@ -172,24 +172,40 @@ def test_token_budget_histogram_cut_matches_window_on_hot_group(spark):
         (f"cold{i % 9}", 1000 + i, rng.randrange(0, 40), rng.randrange(1, 30))
         for i in range(100)
     ]
+    # NULL score and NULL group key rows must survive BOTH strategies
+    # identically (the histogram join back is null-safe — r8 review:
+    # a name-based equi-join silently dropped them)
+    rows += [
+        ("hot", 5000, None, 10),
+        (None, 5001, 7, 10),
+        (None, 5002, None, 10),
+    ]
     df = spark.createDataFrame(rows, "src string, id long, score long, n_tok long")
+    nkey = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
     want = sorted(
-        tuple(r)
-        for r in token_budget_select(
-            df, "score", "n_tok", 2000, by=["src"], id_col="id"
-        ).collect()
+        (
+            tuple(r)
+            for r in token_budget_select(
+                df, "score", "n_tok", 2000, by=["src"], id_col="id"
+            ).collect()
+        ),
+        key=nkey,
     )
+    assert len(want) == len(rows)  # row-preserving incl. NULLs
     got = sorted(
-        tuple(r)
-        for r in token_budget_select(
-            df,
-            "score",
-            "n_tok",
-            2000,
-            by=["src"],
-            id_col="id",
-            strategy="histogram",
-        ).collect()
+        (
+            tuple(r)
+            for r in token_budget_select(
+                df,
+                "score",
+                "n_tok",
+                2000,
+                by=["src"],
+                id_col="id",
+                strategy="histogram",
+            ).collect()
+        ),
+        key=nkey,
     )
     assert got == want
     assert any(r[-1] for r in got) and not all(r[-1] for r in got)

@@ -100,6 +100,8 @@ def streams_info(
     folders: list[bytes],
     unpack_sizes: list[int],
     substreams: list[list[bytes]] | None = None,
+    folder_blobs: list[bytes] | None = None,
+    sub_crc: bool = True,
 ) -> bytes:
     out = bytes([0x06]) + enc_num(pack_pos) + enc_num(len(pack_sizes))
     out += bytes([0x09]) + b"".join(enc_num(s) for s in pack_sizes)
@@ -107,6 +109,11 @@ def streams_info(
     out += bytes([0x07, 0x0B]) + enc_num(len(folders)) + bytes([0x00])
     out += b"".join(folders)
     out += bytes([0x0C]) + b"".join(enc_num(s) for s in unpack_sizes)
+    if folder_blobs is not None:
+        # UnpackInfo-level kCRC: digest of each WHOLE folder
+        out += bytes([0x0A, 0x01]) + b"".join(
+            zlib.crc32(blob).to_bytes(4, "little") for blob in folder_blobs
+        )
     out += bytes([0x00])  # end UnpackInfo
     if substreams is not None:
         out += bytes([0x08, 0x0D])
@@ -115,10 +122,11 @@ def streams_info(
         for subs in substreams:
             for piece in subs[:-1]:
                 out += enc_num(len(piece))
-        out += bytes([0x0A, 0x01])  # kCRC, all defined
-        for subs in substreams:
-            for piece in subs:
-                out += zlib.crc32(piece).to_bytes(4, "little")
+        if sub_crc:
+            out += bytes([0x0A, 0x01])  # kCRC, all defined
+            for subs in substreams:
+                for piece in subs:
+                    out += zlib.crc32(piece).to_bytes(4, "little")
         out += bytes([0x00])  # end SubStreamsInfo
     return out + bytes([0x00])  # end StreamsInfo
 
@@ -160,6 +168,8 @@ def make_7z(
     codec: bytes = CODEC_LZMA1,
     solid: bool = True,
     encoded_header: bool = False,
+    folder_crc: bool = False,
+    sub_crc: bool = True,
 ) -> bytes:
     data_files = [(n, c) for n, c in files if c]
     if solid and len(data_files) > 1:
@@ -178,7 +188,13 @@ def make_7z(
     header = (
         bytes([0x01, 0x04])
         + streams_info(
-            0, [len(p) for p in packed_parts], fold_parts, unpack, substreams
+            0,
+            [len(p) for p in packed_parts],
+            fold_parts,
+            unpack,
+            substreams,
+            folder_blobs=blobs if folder_crc else None,
+            sub_crc=sub_crc,
         )
         + bytes([0x05])
         + files_info(files)
@@ -355,3 +371,31 @@ def test_stream_file_count_mismatch_raises():
     )
     with pytest.raises(ValueError, match="mismatch"):
         read_7z(seal(p, header))
+
+
+def test_solid_folder_crc_without_substream_crcs():
+    """The r8 review case: a solid multi-substream folder whose header
+    carries a FOLDER-level digest (UnpackInfo kCRC) but no per-substream
+    kCRC — all members must extract (the folder digest must not be
+    mistaken for a substream digest list)."""
+    files = [("a.bin", PAYLOAD_A), ("b.bin", PAYLOAD_B), ("c.bin", b"xyz" * 50)]
+    body = make_7z(files, solid=True, folder_crc=True, sub_crc=False)
+    assert read_7z(body) == files
+
+
+def test_single_file_folder_crc_inherited_and_verified():
+    body = make_7z(
+        [("a.bin", PAYLOAD_A)], folder_crc=True, sub_crc=False
+    )
+    assert read_7z(body) == [("a.bin", PAYLOAD_A)]
+    # corrupting the payload must trip the folder-level digest
+    bad = bytearray(body)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        read_7z(bytes(bad))
+
+
+def test_solid_folder_and_substream_crcs_together():
+    files = [("a.bin", PAYLOAD_A), ("b.bin", PAYLOAD_B)]
+    body = make_7z(files, solid=True, folder_crc=True, sub_crc=True)
+    assert read_7z(body) == files
