@@ -98,3 +98,17 @@ def sparse_dot(a: Column | str, b: Column | str) -> Column:
         + e["value"].cast("double")
         * F.coalesce(F.element_at(bc, e["key"]), F.lit(0)).cast("double"),
     )
+
+
+def well_formed(a: Column | str) -> Column:
+    """True iff the vector is usable by the vector-consuming operators:
+    non-NULL and free of NULL elements. Real corpora carry embedding
+    gaps (failed encoder batches, schema drift); every embedding-fed
+    query applies this hygiene gate at ingestion — the vector twin of
+    the text operators' decoded-utf-8 precondition. The oracle twin is
+    ``_VEC_OK_SQL`` in queries.py (DuckDB's list kernels hard-error on
+    NULL elements rather than returning NULL, so the gate is also what
+    makes the two engines comparable). Degenerate-fuzz fixture rows
+    200/201 pin it across the embedding suite (r8 fixture audit)."""
+    c = _as_col(a)
+    return c.isNotNull() & ~F.exists(c, lambda x: x.isNull())

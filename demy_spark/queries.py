@@ -13,6 +13,7 @@ the hash; counts/keys stay exact.
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -35,9 +36,48 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None, headline: bool = False):
+_VEC_OK_SQL = (
+    "embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+)
+
+
+def _gate_embeddings(sql: str) -> str:
+    """Rewrite an oracle so every ``embeddings`` reference reads through
+    the vector-hygiene gate (oracle twin of
+    :func:`demy_spark.functions.vectors.well_formed`): rows whose
+    embedding is NULL or carries NULL elements are dropped on BOTH
+    sides, because DuckDB's list kernels hard-error on NULL elements
+    while the engine's guarded arithmetic silently nulls out — the
+    r8 fixture audit made this divergence machine-visible. Quoted
+    string literals are masked first so data text is never renamed."""
+    lits: list[str] = []
+
+    def _mask(m: "re.Match[str]") -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    masked = re.sub(r"'[^']*'", _mask, sql)
+    masked = re.sub(r"\bembeddings\b", "emb_ok", masked)
+    out = re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], masked)
+    cte = f"emb_ok AS (SELECT * FROM embeddings WHERE {_VEC_OK_SQL})"
+    stripped = out.lstrip()
+    if stripped[:4].upper() == "WITH":
+        idx = out.upper().index("WITH")
+        return f"{out[:idx + 4]} {cte},{out[idx + 4:]}"
+    return f"WITH {cte}\n{out}"
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    headline: bool = False,
+    gate_embeddings: bool = False,
+):
     def deco(fn):
-        REGISTRY[name] = Query(fn=fn, oracle=oracle, headline=headline)
+        sql = oracle
+        if gate_embeddings and sql is not None:
+            sql = _gate_embeddings(sql)
+        REGISTRY[name] = Query(fn=fn, oracle=sql, headline=headline)
         return fn
 
     return deco
@@ -45,6 +85,18 @@ def register(name: str, oracle: str | None, headline: bool = False):
 
 def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return load_tables(spark, sf_dir)
+
+
+def _embw(t: dict[str, DataFrame]) -> DataFrame:
+    """The embeddings table behind the vector-hygiene gate
+    (functions/vectors.well_formed): every embedding-CONSUMING query
+    ingests through this, mirroring its oracle's ``gate_embeddings``
+    rewrite. Queries that read embeddings rows without requiring
+    complete vectors (q22/q69/q71/q82/q89 — their NULL handling is
+    parity-identical by construction) read ``t["embeddings"]`` raw."""
+    from demy_spark.functions.vectors import well_formed
+
+    return t["embeddings"].where(well_formed("embedding"))
 
 
 # ---------------------------------------------------------------------------
@@ -457,9 +509,15 @@ def q12_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q13_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag + gap>threshold cumsum — the batch analog of
-    streaming session windows."""
+    streaming session windows. NULL-ts events sort LAST (matching
+    DuckDB's default NULLS LAST so the lag chain is identical on both
+    sides) and never OPEN a session: the gap test against them is
+    NULL -> they glue to the user's final session (r8 fixture audit —
+    Spark's asc default is nulls FIRST, which flipped a boundary)."""
     t = _t(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     prev = F.lag("ts").over(w)
     new_session = F.when(
         prev.isNull()
@@ -784,14 +842,13 @@ def q22_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE a.vec_id < 5
     QUALIFY rk <= 5
     """,
-    headline=True,
-)
+    headline=True, gate_embeddings=True)
 def q23_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (ANN baseline): broadcast the query
     side, score JVM-side via zip_with/aggregate, rank window. The
     LSH-bucketed scale path is operators/similarity.py."""
     t = _t(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = _embw(t)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -1109,8 +1166,7 @@ def q27_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                  b.embedding::DOUBLE[]) >= 0.9
-    """,
-)
+    """, gate_embeddings=True)
 def q28_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding cosine near-dup pairs via hyperplane-LSH blocking.
 
@@ -1123,7 +1179,7 @@ def q28_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.dedup import embedding_cosine_pairs
 
     t = _t(spark, sf_dir)
-    emb = t["embeddings"].select("vec_id", "embedding")
+    emb = _embw(t).select("vec_id", "embedding")
     dup = emb.where(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
@@ -1191,8 +1247,7 @@ def q28_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, neighbor_id, round(sim, 4) + 0.0 AS sim, rk::INTEGER AS rk
     FROM ranked WHERE rk <= 5
-    """,
-)
+    """, gate_embeddings=True)
 def q29_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors (hyperplane LSH buckets + exact
     cosine rerank) — the scale path behind q23's exact baseline. The
@@ -1203,7 +1258,7 @@ def q29_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.similarity import lsh_cosine_topk
 
     t = _t(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = _embw(t)
     return lsh_cosine_topk(
         emb,
         emb.where(F.col("vec_id") < 5),
@@ -1753,7 +1808,7 @@ _Q38_SQL = f"""
 """
 
 
-@register("q38_one_vs_rest", _Q38_SQL)
+@register("q38_one_vs_rest", _Q38_SQL, gate_embeddings=True)
 def q38_one_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DiscreteVectorClassifier transform (classification/
     DiscreteVectorClassifier.scala:19-150 + RawPrediction2Score.scala:
@@ -1767,7 +1822,7 @@ def q38_one_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.classification import predict_one_vs_rest_frozen
 
     t = _t(spark, sf_dir)
-    base = t["embeddings"].select(
+    base = _embw(t).select(
         "embedding", (F.col("label") % 4).cast("int").alias("y")
     )
     pred = predict_one_vs_rest_frozen(
@@ -1959,7 +2014,7 @@ _Q42_SQL = (
 )
 
 
-@register("q42_seeded_kmeans", _Q42_SQL)
+@register("q42_seeded_kmeans", _Q42_SQL, gate_embeddings=True)
 def q42_seeded_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged k-means (PhraseClustering.scala:16-572): seeds from the
     labelled rows' centroids, Lloyd iterations with distributed assign
@@ -1971,8 +2026,8 @@ def q42_seeded_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.topic import seed_centers_from_tags, seeded_kmeans
 
     t = _t(spark, sf_dir)
-    emb = t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    tags = t["embeddings"].where(F.col("label") < 4).select(
+    emb = _embw(t).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    tags = _embw(t).where(F.col("label") < 4).select(
         "vec_id", F.col("label").cast("string").alias("tag")
     )
     centers = seed_centers_from_tags(emb, "vec_id", "v", tags)
@@ -2036,8 +2091,7 @@ def q42_seeded_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT 'label' || label::VARCHAR AS topic, count(*) AS n
     FROM lassign GROUP BY 1 ORDER BY 1
-    """,
-)
+    """, gate_embeddings=True)
 def q43_topic_tree_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-tree routing (topic/Node.scala:92-126): two-level tree
     built from label centroids; one assign pass per level. The tree is
@@ -2056,8 +2110,8 @@ def q43_topic_tree_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = _t(spark, sf_dir)
-    emb = t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    tags = t["embeddings"].select("vec_id", F.col("label").cast("string").alias("tag"))
+    emb = _embw(t).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    tags = _embw(t).select("vec_id", F.col("label").cast("string").alias("tag"))
     centers = seed_centers_from_tags(emb, "vec_id", "v", tags)  # one per label 0..9
 
     def mean(vs: list[list[float]]) -> list[float]:
@@ -2136,7 +2190,7 @@ _Q53_SQL = (
 )
 
 
-@register("q53_ivf_ann_topk", _Q53_SQL)
+@register("q53_ivf_ann_topk", _Q53_SQL, gate_embeddings=True)
 def q53_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate nearest neighbors: deterministic coarse
     quantizer (per-``vec_id % 8`` seed means + exactly 3 Lloyd rounds)
@@ -2147,7 +2201,7 @@ def q53_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.similarity import ivf_cosine_topk
 
     t = _t(spark, sf_dir)
-    emb = t["embeddings"].select(
+    emb = _embw(t).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     return ivf_cosine_topk(
@@ -2566,7 +2620,7 @@ _Q47_SQL = (
 )
 
 
-@register("q47_genetic_prototypes", _Q47_SQL)
+@register("q47_genetic_prototypes", _Q47_SQL, gate_embeddings=True)
 def q47_genetic_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Genetic prototype selection (topic/TopicTree.scala:210-356,
     432-530) in deterministic-replay form: population = pool indices,
@@ -2579,7 +2633,7 @@ def q47_genetic_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.genetic import evolve_prototypes_replay
 
     t = _t(spark, sf_dir)
-    emb = t["embeddings"].select(
+    emb = _embw(t).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     best, fit, history = evolve_prototypes_replay(
@@ -4820,7 +4874,7 @@ _Q76_SQL = f"""
 """
 
 
-@register("q76_tree_spawn", _Q76_SQL)
+@register("q76_tree_spawn", _Q76_SQL, gate_embeddings=True)
 def q76_tree_spawn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClusteringNode child spawning (topic/ClusteringNode.scala
     score:320-331 + fillChildren:572-597 via topic.grow_topic_tree):
@@ -4835,7 +4889,7 @@ def q76_tree_spawn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _t(spark, sf_dir)
     return grow_topic_tree(
-        t["embeddings"],
+        _embw(t),
         "vec_id",
         "embedding",
         _Q76_W,
@@ -4884,7 +4938,7 @@ _Q70_SQL = f"""
 """
 
 
-@register("q70_span_detect", _Q70_SQL)
+@register("q70_span_detect", _Q70_SQL, gate_embeddings=True)
 def q70_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-span detection (ClassifierNode.scala:99-166 via
     operators.spans): embeddings grouped into 25-token documents, the
@@ -4897,7 +4951,7 @@ def q70_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.spans import detect_best_span
 
     t = _t(spark, sf_dir)
-    tokens = t["embeddings"].select(
+    tokens = _embw(t).select(
         (F.col("vec_id") / 25).cast("long").alias("doc_id"),
         (F.col("vec_id") % 25).cast("int").alias("pos"),
         F.col("embedding").cast("array<double>").alias("vec"),
@@ -5799,8 +5853,7 @@ def q94_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM exact e LEFT JOIN pq p
       ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
     GROUP BY e.query_id
-    """,
-)
+    """, gate_embeddings=True)
 def q95_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation — recall@5 of the PQ/ADC path (q89)
     against the exact brute-force baseline (q23's operator), per query.
@@ -5815,7 +5868,7 @@ def q95_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = _t(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = _embw(t)
     queries_df = emb.where(F.col("vec_id") < 5)
     exact = cosine_topk(emb, queries_df, "embedding", "vec_id", k=5)
     codebook, codes = pq_build(emb, "embedding", "vec_id", m=4, ksub=8)
@@ -6142,7 +6195,7 @@ _Q100_SQL = (
 )
 
 
-@register("q100_semdedup", _Q100_SQL)
+@register("q100_semdedup", _Q100_SQL, gate_embeddings=True)
 def q100_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/dedup.semdedup — LLM-pipeline extension
     after Abbas et al. 2023): embeddings plus exact clones of every
@@ -6170,7 +6223,7 @@ def q100_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.dedup import semdedup
 
     t = _t(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = _embw(t)
     corpus = emb.select("vec_id", "embedding").unionAll(
         emb.where(F.col("vec_id") % 5 == 0).select(
             (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
@@ -7061,8 +7114,7 @@ def q113_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, lbl AS pred_label, CAST(votes AS BIGINT) AS votes,
            best_sim_micro
     FROM won WHERE vr = 1
-    """,
-)
+    """, gate_embeddings=True)
 def q114_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label propagation (operators/similarity.knn_classify —
     LLM-pipeline extension: majority label among the 5 nearest
@@ -7077,7 +7129,7 @@ def q114_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.similarity import knn_classify
 
     t = _t(spark, sf_dir)
-    emb = t["embeddings"].select(
+    emb = _embw(t).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
     )
     queries = emb.where(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
@@ -7486,7 +7538,9 @@ def q119_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AS TIMESTAMP)]) AS win_start,
              event_type,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-      FROM events)
+      -- NULL-ts events belong to no time bucket (Spark's window()
+      -- drops them; the explicit filter mirrors that contract)
+      FROM events WHERE ts IS NOT NULL)
     SELECT win_start, event_type, count(*) AS n,
            sum(cents) / 100.0 AS total_value
     FROM w GROUP BY 1, 2
@@ -7508,6 +7562,10 @@ def q120_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
     return (
         t["events"]
+        # explicit twin of the oracle's ts IS NOT NULL: an event with
+        # no timestamp belongs to no window (Spark's TimeWindow drops
+        # it silently; state the contract rather than rely on it)
+        .where(F.col("ts").isNotNull())
         .groupBy(
             F.window("ts", "2 hours", "1 hour").alias("w"),
             "event_type",
@@ -7531,7 +7589,9 @@ def q120_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-      FROM events)
+      -- NULL-ts events belong to no day bucket (and would vanish
+      -- into NEITHER base nor delta of the engine's split)
+      FROM events WHERE ts IS NOT NULL)
     SELECT day, event_type, count(*) AS n,
            sum(cents) / 100.0 AS total_value,
            min(cents) / 100.0 AS min_value,
@@ -7557,7 +7617,10 @@ def q121_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.temporal import aggregate_partials, merge_partials
 
     t = _t(spark, sf_dir)
-    ev = t["events"].select(
+    # NULL-ts events belong to no day bucket — and the base/delta
+    # dayofmonth split would otherwise drop them into NEITHER side
+    # silently (r8 fixture audit); state the contract explicitly
+    ev = t["events"].where(F.col("ts").isNotNull()).select(
         F.date_trunc("day", "ts").alias("day"),
         "event_type",
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
@@ -7790,7 +7853,7 @@ _Q123_SQL = (
 )
 
 
-@register("q123_knn_ivf", _Q123_SQL)
+@register("q123_knn_ivf", _Q123_SQL, gate_embeddings=True)
 def q123_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label propagation routed through IVF candidates — the
     100 TB composition the brute-force q114 documents: the coarse
@@ -7805,7 +7868,7 @@ def q123_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.similarity import ivf_cosine_topk, knn_classify
 
     t = _t(spark, sf_dir)
-    emb = t["embeddings"].select(
+    emb = _embw(t).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("embedding"),
         "label",
@@ -8938,7 +9001,7 @@ def _q138_sql() -> str:
     """
 
 
-@register("q138_hybrid_rrf", _q138_sql())
+@register("q138_hybrid_rrf", _q138_sql(), gate_embeddings=True)
 def q138_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid sparse+dense retrieval via Reciprocal Rank Fusion
     (operators/retrieval.rrf_fuse — the standard production combiner;
@@ -8960,7 +9023,7 @@ def q138_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse = bm25_search(
         t["documents"], "doc_id", "text", qdf, "query_id", "qtext", k=10
     )
-    emb = t["embeddings"]
+    emb = _embw(t)
     qv = emb.where(F.col("vec_id").isin(7, 14, 21, 28)).select(
         (F.col("vec_id") / 7).cast("long").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -9039,7 +9102,7 @@ _Q139_SQL = (
 )
 
 
-@register("q139_filtered_ann", _Q139_SQL)
+@register("q139_filtered_ann", _Q139_SQL, gate_embeddings=True)
 def q139_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered vector search (similarity.ivf_cosine_topk
     ``filter_cols=`` — LLM-pipeline extension, the "top-k within a
@@ -9058,7 +9121,7 @@ def q139_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.similarity import ivf_cosine_topk
 
     t = _t(spark, sf_dir)
-    emb = t["embeddings"].select(
+    emb = _embw(t).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("embedding"),
         "label",
@@ -9188,9 +9251,17 @@ def q140_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # VERDICT r7 named q89/q95 as leaders, but both rest on r6 rows and
 # their ivf_build exposure was crossed by q53/q100/q139 in the r7
 # window; the four post-verdict behavior changes above outrank them
-# under the tier-1 rule the rotation has always used. Round-9 leaders:
-# q89, q95, q123, q128-class r6 rows, oldest-first (44 r6 rows + the
-# 4 r7 rows freed this round comfortably fill the next two windows).
+# under the tier-1 rule the rotation has always used.
+# Round-9 leaders, in order: (a) the r8 fixture-audit queries whose
+# executing text changed AFTER this window was frozen and which rest
+# outside it — q120 (ts gate) and the gated-embedding set q23, q28,
+# q29, q38, q42, q43, q47, q53, q76, q95, q100, q114, q123, q139 (their
+# sf-fixture results are provably unchanged — no NULL ts/embeddings
+# in the sf fixtures, 140/140 driver sim — the q46-r7 precedent for
+# resting a cannot-fire change one round); then (b) q89, q123 and
+# the r6 tail oldest-first. In-window r8 coverage of the same
+# changes: q13/q121/q55 cross the ts/NULL-key contracts and
+# q70/q138 cross the embedding gate.
 _DRIVER_PRIORITY = [
     # --- tier 1: behavior-changed this round (stale official rows)
     "q134_phrase_search",

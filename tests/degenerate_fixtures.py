@@ -25,8 +25,8 @@ import pyarrow.parquet as pq
 EMB_DIM = 64
 
 
-def _ts(s: str) -> datetime.datetime:
-    return datetime.datetime.fromisoformat(s)
+def _ts(s: str | None) -> datetime.datetime | None:
+    return None if s is None else datetime.datetime.fromisoformat(s)
 
 
 def documents_rows() -> list[tuple]:
@@ -87,6 +87,13 @@ def embeddings_rows() -> list[tuple]:
     rows.append((4, near, 4))                         # near-dup of 2
     rows.append((5, [-x for x in emb_vec(2)], 5))     # opposite of 2
     rows.append((6, [1e-9] * EMB_DIM, 6))             # tiny magnitude
+    # NULL vector and NULL element (the checklist's "NULL numerics" —
+    # absent until the r8 fixture audit): real corpora carry embedding
+    # gaps; both sides must treat them as SQL NULL, not zeros
+    rows.append((200, None, 0))
+    null_elem = emb_vec(5)
+    null_elem[3] = None
+    rows.append((201, null_elem, 1))
     # normal tail: 6 per label — every label-seeded operator has mass
     # and the total (67) clears q47's pool_size=64 replay contract
     i = 7
@@ -139,6 +146,10 @@ def events_rows() -> list[tuple]:
         # absence hid the asof_join NULL-key divergence, r8 review)
         (41, T + "04:00:00", None, "click", 1.5, "{}"),
         (42, T + "04:30:00", 999_999, "view", 2.5, '{"k": "z"}'),
+        # NULL timestamp (the checklist's "NULL ... timestamps" —
+        # absent until the r8 fixture audit): must group/window/match
+        # as SQL NULL on both sides, never as epoch or NaT-as-zero
+        (43, None, 2, "click", 3.5, "{}"),
     ]
     # skew tail: one user dominating (salted-agg path does real work)
     for i in range(11, 41):
