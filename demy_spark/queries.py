@@ -41,25 +41,27 @@ _VEC_OK_SQL = (
 )
 
 
-def _gate_embeddings(sql: str) -> str:
-    """Rewrite an oracle so every ``embeddings`` reference reads through
-    the vector-hygiene gate (oracle twin of
-    :func:`demy_spark.functions.vectors.well_formed`): rows whose
-    embedding is NULL or carries NULL elements are dropped on BOTH
-    sides, because DuckDB's list kernels hard-error on NULL elements
-    while the engine's guarded arithmetic silently nulls out — the
-    r8 fixture audit made this divergence machine-visible. Quoted
-    string literals are masked first so data text is never renamed."""
+def _gate_table(sql: str, table: str, alias: str, where: str) -> str:
+    """Rewrite an oracle so every ``table`` reference reads through a
+    hygiene CTE (``alias AS (SELECT * FROM table WHERE where)``) — the
+    mechanical oracle twin of an engine-side ingestion gate. Quoted
+    string literals are masked first so data text (e.g. a keyword
+    literal naming a table) is never renamed; the discovery helper
+    still sees the raw table name inside the CTE."""
     lits: list[str] = []
 
     def _mask(m: "re.Match[str]") -> str:
         lits.append(m.group(0))
         return f"\x00{len(lits) - 1}\x00"
 
-    masked = re.sub(r"'[^']*'", _mask, sql)
-    masked = re.sub(r"\bembeddings\b", "emb_ok", masked)
+    # mask -- comments BEFORE literals: an apostrophe inside a comment
+    # would otherwise open a phantom string literal that swallows real
+    # table references (found by the q136 fuzz replay)
+    masked = re.sub(r"--[^\n]*", _mask, sql)
+    masked = re.sub(r"'[^']*'", _mask, masked)
+    masked = re.sub(rf"\b{table}\b", alias, masked)
     out = re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], masked)
-    cte = f"emb_ok AS (SELECT * FROM embeddings WHERE {_VEC_OK_SQL})"
+    cte = f"{alias} AS (SELECT * FROM {table} WHERE {where})"
     stripped = out.lstrip()
     if stripped[:4].upper() == "WITH":
         idx = out.upper().index("WITH")
@@ -67,16 +69,39 @@ def _gate_embeddings(sql: str) -> str:
     return f"WITH {cte}\n{out}"
 
 
+def _gate_embeddings(sql: str) -> str:
+    """Vector hygiene (oracle twin of
+    :func:`demy_spark.functions.vectors.well_formed`): rows whose
+    embedding is NULL or carries NULL elements are dropped on BOTH
+    sides, because DuckDB's list kernels hard-error on NULL elements
+    while the engine's guarded arithmetic silently nulls out — the
+    r8 fixture audit made this divergence machine-visible."""
+    return _gate_table(sql, "embeddings", "emb_ok", _VEC_OK_SQL)
+
+
+def _gate_doc_ids(sql: str) -> str:
+    """Identity hygiene (oracle twin of :func:`_docw`): a document with
+    a NULL id cannot be tracked through id-KEYED reassembly, packing,
+    rollup or lookup joins — those operators drop it at ingestion on
+    both sides (r8 fixture audit). Queries whose NULL-id behavior is
+    parity-identical by construction (pure per-row maps, content-hash
+    group-bys) stay ungated."""
+    return _gate_table(sql, "documents", "doc_ok", "doc_id IS NOT NULL")
+
+
 def register(
     name: str,
     oracle: str | None,
     headline: bool = False,
     gate_embeddings: bool = False,
+    gate_doc_ids: bool = False,
 ):
     def deco(fn):
         sql = oracle
         if gate_embeddings and sql is not None:
             sql = _gate_embeddings(sql)
+        if gate_doc_ids and sql is not None:
+            sql = _gate_doc_ids(sql)
         REGISTRY[name] = Query(fn=fn, oracle=sql, headline=headline)
         return fn
 
@@ -97,6 +122,17 @@ def _embw(t: dict[str, DataFrame]) -> DataFrame:
     from demy_spark.functions.vectors import well_formed
 
     return t["embeddings"].where(well_formed("embedding"))
+
+
+def _docw(t: dict[str, DataFrame]) -> DataFrame:
+    """The documents table behind the identity-hygiene gate: id-KEYED
+    operators (packing, reassembly, rollups, lookup joins) ingest
+    through this, mirroring their oracle's ``gate_doc_ids`` rewrite —
+    a NULL doc_id matches nothing in joins and cannot anchor
+    reassembly. Pure per-row / content-keyed queries read
+    ``t["documents"]`` raw (their NULL-id parity holds by
+    construction; the degenerate fuzz pins it)."""
+    return t["documents"].where(F.col("doc_id").isNotNull())
 
 
 # ---------------------------------------------------------------------------
@@ -1720,8 +1756,7 @@ def q36_multi_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(d2, 4) AS d2, round(d3, 4) AS d3,
            nt.n_tokens, a.n_matched
     FROM agg a JOIN nt USING (doc_id)
-    """,
-)
+    """, gate_doc_ids=True)
 def q37_embed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word2VecApplier's lookup-join + per-doc vector sum
     (text/Word2VecApplier.scala:104-138) against a deterministic
@@ -1731,7 +1766,7 @@ def q37_embed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _t(spark, sf_dir)
     toks = textstats.norm_tokens(F.col("text"))
-    docs = t["documents"].select("doc_id", toks.alias("toks"))
+    docs = _docw(t).select("doc_id", toks.alias("toks"))
     w = Window.orderBy(F.desc("c"), F.asc("w"))
     vectors = (
         docs.select(F.explode("toks").alias("w"))
@@ -5301,8 +5336,7 @@ _Q88_W_SQL = "CASE lang " + " ".join(
            CAST(coalesce(sum(k.doc_id), 0) AS BIGINT) AS checksum
     FROM tg t LEFT JOIN kept k USING (lang)
     GROUP BY t.lang, t.n, t.target
-    """,
-)
+    """, gate_doc_ids=True)
 def q88_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus mixing (operators/curation.mixture_sample):
     a 503-row training mix over languages with
@@ -5314,7 +5348,7 @@ def q88_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.curation import mixture_sample, mixture_targets
 
     t = _t(spark, sf_dir)
-    docs = t["documents"]
+    docs = _docw(t)
     kept = mixture_sample(docs, "doc_id", "lang", _Q88_WEIGHTS, _Q88_TOTAL)
     # audit from the TARGETS side so a target-0 stratum still reports
     # its row (an aggregate over kept rows alone would omit it — the
@@ -5753,8 +5787,7 @@ def q93_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(least(sum(n_tok) / 256, 1.0), 6) + 0.0 AS fill_ratio,
            CAST(sum(doc_id) AS BIGINT) AS checksum
     FROM p GROUP BY 1, 2
-    """,
-)
+    """, gate_doc_ids=True)
 def q94_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (operators/packing.greedy_pack +
     pack_occupancy): documents laid out into 256-token training
@@ -5769,7 +5802,7 @@ def q94_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.coalesce(
         textstats.norm_tokens(F.col("text")), F.array().cast("array<string>")
     )
-    docs = t["documents"].select(
+    docs = _docw(t).select(
         "doc_id", F.size(toks).cast("long").alias("n_tok")
     )
     packed = greedy_pack(docs, "doc_id", "n_tok", cap=256, buckets=8)
@@ -6969,8 +7002,7 @@ def q111_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored)
     SELECT doc_id, w AS term, CAST(tf AS BIGINT) AS tf, score_micro
     FROM ranked WHERE rk <= 5
-    """,
-)
+    """, gate_doc_ids=True)
 def q112_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF keyword extraction (operators/selection.
     tfidf_top_terms — the per-document twin of q106's per-group
@@ -6984,7 +7016,7 @@ def q112_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.selection import tfidf_top_terms
 
     t = _t(spark, sf_dir)
-    out = tfidf_top_terms(t["documents"], "doc_id", "text", k=5)
+    out = tfidf_top_terms(_docw(t), "doc_id", "text", k=5)
     return out.select(
         "doc_id", "term", F.col("tf").cast("long").alias("tf"), "score_micro"
     )
@@ -7422,8 +7454,7 @@ def q117_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(string_agg(md5(text), '' ORDER BY doc_id, md5(text)))
              AS content_md5
     FROM documents GROUP BY source
-    """,
-)
+    """, gate_doc_ids=True)
 def q118_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + scan roundtrip (SURVEY §2.1 source/sink widening —
     the reference reads/writes columnar snapshots through one storage
@@ -7441,7 +7472,7 @@ def q118_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_io_sources.py."""
     t = _t(spark, sf_dir)
     path = os.path.join(_layout_scratch(sf_dir, "orc"), "documents")
-    t["documents"].write.format("orc").option("compression", "zlib").mode(
+    _docw(t).write.format("orc").option("compression", "zlib").mode(
         "overwrite"
     ).save(path)
     back = spark.read.format("orc").load(path)
@@ -7950,8 +7981,7 @@ _Q124_GRAM_SQL = """
     LEFT JOIN top4 USING (doc_id)
     LEFT JOIN dup2 USING (doc_id)
     LEFT JOIN dup3 USING (doc_id)
-    """,
-)
+    """, gate_doc_ids=True)
 def q124_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition signals of the published
     corpus-quality rule sets (the family ``gopher_rules``'s dup2
@@ -7983,7 +8013,7 @@ def q124_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"), top_ns=(2, 3, 4), dup_ns=(2, 3)
     )
     return (
-        t["documents"]
+        _docw(t)
         .select("doc_id", F.explode(F.array(prof)).alias("p"))
         .select(
             "doc_id",
@@ -8624,7 +8654,7 @@ _Q133_SQL = f"""
     """
 
 
-@register("q133_c4_filters", _Q133_SQL)
+@register("q133_c4_filters", _Q133_SQL, gate_doc_ids=True)
 def q133_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level cleanup (functions/textstats.c4_rules — the
     line-granular complement of q92's document-level gopher_rules;
@@ -8669,7 +8699,7 @@ def q133_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = F.concat(F.array_join(F.transform(lines, decorate), "\n"), tail)
     c4 = textstats.c4_rules(doc)
     return (
-        t["documents"]
+        _docw(t)
         .select("doc_id", c4.alias("_c4_"))
         .select(
             "doc_id",
@@ -8884,7 +8914,7 @@ _Q136_SQL = f"""
     """
 
 
-@register("q136_fim_split", _Q136_SQL)
+@register("q136_fim_split", _Q136_SQL, gate_doc_ids=True)
 def q136_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill-in-the-middle transform (operators/packing.fim_split — the
     dataloader-side PSM rewrite between curation and q94's packing;
@@ -8898,7 +8928,7 @@ def q136_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from demy_spark.operators.packing import fim_split
 
     t = _t(spark, sf_dir)
-    return fim_split(t["documents"], "doc_id", "text", rate_pct=50, salt=7)
+    return fim_split(_docw(t), "doc_id", "text", rate_pct=50, salt=7)
 
 
 # UT1-style category blocklist: registered domains plus one bare-host

@@ -47,6 +47,9 @@ def documents_rows() -> list[tuple]:
         (31, "lorem ipsum dolor sit amet consectetur adipiscing elit", "en", "src3"),
         (97, "customer order line part shipment invoice ledger account", "en", "src1"),
         (194, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "src2"),
+        # NULL business key (r8 fixture audit): a NULL doc_id must
+        # group as one SQL NULL group and match NOTHING in joins
+        (None, "null id document with enough words to score", "en", "src3"),
     ]
 
 
