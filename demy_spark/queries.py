@@ -41,32 +41,64 @@ _VEC_OK_SQL = (
 )
 
 
+def mask_sql_spans(sql: str) -> tuple[str, list[str]]:
+    """One left-to-right lexer pass masking ``--`` comments and
+    single-quoted string literals with ``\\x00<i>\\x00`` placeholders
+    (returned alongside for restoration). Regex passes cannot do this
+    correctly in either order: a ``--`` INSIDE a literal must not open
+    a comment, and an apostrophe INSIDE a comment must not open a
+    literal — both misreads silently swallow real table references
+    (r8 review; the q136 fuzz caught the comment-apostrophe form)."""
+    out: list[str] = []
+    spans: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = sql.find("'", i + 1)
+            j = n - 1 if j == -1 else j
+            spans.append(sql[i : j + 1])
+            out.append(f"\x00{len(spans) - 1}\x00")
+            i = j + 1
+        elif c == "-" and sql.startswith("--", i):
+            j = sql.find("\n", i)
+            j = n if j == -1 else j
+            spans.append(sql[i:j])
+            out.append(f"\x00{len(spans) - 1}\x00")
+            i = j
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out), spans
+
+
 def _gate_table(sql: str, table: str, alias: str, where: str) -> str:
     """Rewrite an oracle so every ``table`` reference reads through a
     hygiene CTE (``alias AS (SELECT * FROM table WHERE where)``) — the
-    mechanical oracle twin of an engine-side ingestion gate. Quoted
-    string literals are masked first so data text (e.g. a keyword
-    literal naming a table) is never renamed; the discovery helper
-    still sees the raw table name inside the CTE."""
-    lits: list[str] = []
-
-    def _mask(m: "re.Match[str]") -> str:
-        lits.append(m.group(0))
-        return f"\x00{len(lits) - 1}\x00"
-
-    # mask -- comments BEFORE literals: an apostrophe inside a comment
-    # would otherwise open a phantom string literal that swallows real
-    # table references (found by the q136 fuzz replay)
-    masked = re.sub(r"--[^\n]*", _mask, sql)
-    masked = re.sub(r"'[^']*'", _mask, masked)
+    mechanical oracle twin of an engine-side ingestion gate. Comments
+    and string literals are lexer-masked first so data text (e.g. a
+    keyword literal naming a table) is never renamed; the discovery
+    helper still sees the raw table name inside the CTE."""
+    masked, spans = mask_sql_spans(sql)
     masked = re.sub(rf"\b{table}\b", alias, masked)
-    out = re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], masked)
     cte = f"{alias} AS (SELECT * FROM {table} WHERE {where})"
-    stripped = out.lstrip()
-    if stripped[:4].upper() == "WITH":
-        idx = out.upper().index("WITH")
-        return f"{out[:idx + 4]} {cte},{out[idx + 4:]}"
-    return f"WITH {cte}\n{out}"
+    # WITH detection must skip leading whitespace AND masked comments:
+    # a comment above the WITH would otherwise hide it and a second
+    # WITH would be prepended, which does not parse (r8 review)
+    idx = 0
+    while True:
+        m = re.match(r"\s+|\x00\d+\x00", masked[idx:])
+        if m is None:
+            break
+        idx += m.end()
+    is_with = masked[idx : idx + 4].upper() == "WITH" and not (
+        masked[idx + 4 : idx + 5].isalnum() or masked[idx + 4 : idx + 5] == "_"
+    )
+    if is_with:
+        masked = f"{masked[:idx + 4]} {cte},{masked[idx + 4:]}"
+    else:
+        masked = f"WITH {cte}\n{masked}"
+    return re.sub(r"\x00(\d+)\x00", lambda m: spans[int(m.group(1))], masked)
 
 
 def _gate_embeddings(sql: str) -> str:
@@ -545,11 +577,17 @@ def q12_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q13_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag + gap>threshold cumsum — the batch analog of
-    streaming session windows. NULL-ts events sort LAST (matching
-    DuckDB's default NULLS LAST so the lag chain is identical on both
-    sides) and never OPEN a session: the gap test against them is
-    NULL -> they glue to the user's final session (r8 fixture audit —
-    Spark's asc default is nulls FIRST, which flipped a boundary)."""
+    streaming session windows. NULL-ts ordering (r8 fixture audit —
+    Spark's asc default is nulls FIRST, which flipped a boundary):
+    NULL-ts events sort LAST, matching DuckDB's default NULLS LAST so
+    the lag chain is identical on both sides. A user's FIRST NULL-ts
+    event glues to their final timed session (its gap test is NULL);
+    each FURTHER NULL-ts event sees a NULL lag and opens a
+    one-event session — identically on both engines, since both the
+    when() and the CASE read the same lag chain. The gap compares
+    MICROSECONDS (unix_micros vs DuckDB's native interval): a
+    whole-second cast would truncate a 1800.9s gap to 1800 and glue
+    where the oracle splits (r8 review)."""
     t = _t(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc_nulls_last(), "event_id"
@@ -557,7 +595,7 @@ def q13_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("ts").over(w)
     new_session = F.when(
         prev.isNull()
-        | (F.col("ts").cast("long") - prev.cast("long") > 30 * 60),
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 30 * 60 * 10**6),
         1,
     ).otherwise(0)
     return (
@@ -9284,14 +9322,15 @@ def q140_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # under the tier-1 rule the rotation has always used.
 # Round-9 leaders, in order: (a) the r8 fixture-audit queries whose
 # executing text changed AFTER this window was frozen and which rest
-# outside it — q120 (ts gate) and the gated-embedding set q23, q28,
-# q29, q38, q42, q43, q47, q53, q76, q95, q100, q114, q123, q139 (their
-# sf-fixture results are provably unchanged — no NULL ts/embeddings
-# in the sf fixtures, 140/140 driver sim — the q46-r7 precedent for
-# resting a cannot-fire change one round); then (b) q89, q123 and
-# the r6 tail oldest-first. In-window r8 coverage of the same
-# changes: q13/q121/q55 cross the ts/NULL-key contracts and
-# q70/q138 cross the embedding gate.
+# outside it — q120 (ts gate), the gated-embedding set q23, q28,
+# q29, q38, q42, q43, q47, q53, q76, q95, q100, q114, q123, q139,
+# and the gated-doc-id set q37, q88, q94, q112, q118, q133, q136
+# (their sf-fixture results are provably unchanged — no NULL
+# ts/embeddings/doc_ids in the sf fixtures, 140/140 driver sim — the
+# q46-r7 precedent for resting a cannot-fire change one round); then
+# (b) q89 and the r6 tail oldest-first. In-window r8 coverage of the
+# same changes: q13/q121/q55 cross the ts/NULL-key contracts,
+# q70/q138 the embedding gate, q124 the doc-id gate.
 _DRIVER_PRIORITY = [
     # --- tier 1: behavior-changed this round (stale official rows)
     "q134_phrase_search",

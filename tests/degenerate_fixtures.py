@@ -153,6 +153,10 @@ def events_rows() -> list[tuple]:
         # absent until the r8 fixture audit): must group/window/match
         # as SQL NULL on both sides, never as epoch or NaT-as-zero
         (43, None, 2, "click", 3.5, "{}"),
+        # 30min + 1 microsecond after user 3's lone 00:00:00 event: a
+        # whole-second gap cast truncates 1800.000001 -> 1800 and
+        # GLUES where interval comparison splits (r8 review, q13)
+        (44, T + "00:30:00.000001", 3, "view", 1.0, "{}"),
     ]
     # skew tail: one user dominating (salted-agg path does real work)
     for i in range(11, 41):

@@ -45,3 +45,52 @@ def test_never_rowed_registrations_are_in_window():
     window = set(Q._DRIVER_PRIORITY)
     outside = [n for n in never_rowed if n not in window]
     assert not outside, f"never-rowed registrations outside the window: {outside}"
+
+
+def test_gate_table_masking_is_lexer_accurate():
+    """_gate_table / mask_sql_spans must survive the two span-masking
+    traps (r8 review): a '--' INSIDE a string literal must not open a
+    comment that swallows the FROM clause, and a leading -- comment
+    must not hide an existing WITH (which would get a second,
+    unparseable WITH prepended)."""
+    from demy_spark.queries import _gate_table
+
+    s1 = _gate_table(
+        "SELECT replace(text, '--', ' ') AS t, doc_id FROM documents "
+        "WHERE lang = 'en'",
+        "documents", "doc_ok", "doc_id IS NOT NULL",
+    )
+    assert "FROM doc_ok" in s1 and s1.count("FROM documents") == 1  # CTE only
+    assert "'--'" in s1  # literal restored verbatim
+    s2 = _gate_table(
+        "-- note with apostrophe's\nWITH a AS (SELECT doc_id FROM documents)\n"
+        "SELECT * FROM a",
+        "documents", "doc_ok", "doc_id IS NOT NULL",
+    )
+    # the CTE merged INTO the existing WITH (one WITH keyword, comment
+    # preserved above it) — not a second prepended WITH
+    assert s2.count("WITH") == 1
+    assert s2.lstrip().startswith("-- note") and "doc_ok AS" in s2
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id INT, text VARCHAR, lang VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (1,'x--y','en'), (NULL,'z','en')")
+    assert con.execute(s1).fetchall() == [("x y", 1)]
+    assert con.execute(s2).fetchall() == [(1,)]
+
+
+def test_every_gated_oracle_has_no_stray_table_refs():
+    """Every gate_embeddings/gate_doc_ids oracle must reference its
+    gated table ONLY inside the hygiene CTE — a stray raw reference
+    means the rename silently no-opped (the masking trap class)."""
+    import re
+
+    from demy_spark import queries as Q
+
+    for name, q in Q.REGISTRY.items():
+        for alias, table in (("emb_ok", "embeddings"), ("doc_ok", "documents")):
+            if q.oracle and f"{alias} AS" in q.oracle:
+                masked, _ = Q.mask_sql_spans(q.oracle)
+                raw = len(re.findall(rf"\b{table}\b", masked))
+                assert raw == 1, f"{name}: {raw} raw {table} refs (want CTE only)"

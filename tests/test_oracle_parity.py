@@ -87,7 +87,11 @@ def oracle_query_tables(name: str) -> frozenset:
     import re as _re
 
     q = Q.REGISTRY[name]
-    sql = _re.sub(r"'[^']*'", "''", q.oracle or "")
+    # lexer-accurate span masking (comments AND literals — a bare
+    # regex misreads an apostrophe inside a comment as opening a
+    # literal and swallows real table references; r8 review, shared
+    # with the gate rewriter)
+    sql, _spans = Q.mask_sql_spans(q.oracle or "")
     # scan the fn BODY only: inspect.getsource includes the @register
     # decorator, whose SQL argument would otherwise be re-scanned
     # UN-stripped by the quoted-name regex — a future oracle literal
