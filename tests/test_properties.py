@@ -529,3 +529,29 @@ def test_dup_line_fractions_fuzz(spark, docs):
         cf = (tc - kc) / tc if tc > 0 else 0.0
         assert abs(got[i]["f"] - f) < 1e-9, (lines, got[i]["f"], f)
         assert abs(got[i]["cf"] - cf) < 1e-9, (lines, got[i]["cf"], cf)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["'", "--", "\n", " ", "documents", "emb", "x", "FROM ", "WITH ", "''"]
+        ),
+        max_size=30,
+    ).map("".join)
+)
+def test_mask_sql_spans_restore_is_identity(sql):
+    """mask_sql_spans (the gate rewriter's lexer) must be losslessly
+    restorable on ANY input — unterminated literals, comments
+    containing quotes, quotes containing comment markers — and the
+    masked text must contain no quote or comment characters outside
+    placeholders (so renames can never touch masked spans)."""
+    import re
+
+    from demy_spark.queries import mask_sql_spans
+
+    masked, spans = mask_sql_spans(sql)
+    restored = re.sub(r"\x00(\d+)\x00", lambda m: spans[int(m.group(1))], masked)
+    assert restored == sql
+    bare = re.sub(r"\x00\d+\x00", "", masked)
+    assert "'" not in bare and "--" not in bare
