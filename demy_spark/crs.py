@@ -1,0 +1,322 @@
+"""Coordinate reference systems: ``.prj`` WKT parsing and closed-form
+reprojection to WGS84 for shapefile ingestion.
+
+Re-expresses the reference's GeoTools CRS lookup + transform
+(``geo/src/main/scala/GeoManager.scala:128-180``: decode the
+shapefile's CRS, ``CRS.findMathTransform(fileCRS, WGS84)``, transform
+every geometry, and emit ``BaseCoordinateSystem`` /
+``TransformedToWGS84`` columns, ``GeoManager.scala:60``) without any
+native geo library: a minimal WKT-1 parser over the ``.prj`` sidecar
+plus the closed-form Lambert Conformal Conic (2SP) inverse from the
+public EPSG Guidance Note 7-2 — which covers EPSG:2154 (RGF93 /
+Lambert-93), the CRS the reference's actual IRIS shapefiles ship in.
+
+Datum note: RGF93 is ITRS-based and agrees with WGS84 at the
+sub-meter level, so — like the reference's ``lenient`` GeoTools
+transform — no datum shift is applied; the transform is the map
+projection inverse on the source ellipsoid. Unknown projections are
+flagged loudly (``warnings.warn``) and pass through untransformed,
+matching the reference's "Cannot write transformation for CRS"
+print-and-continue path.
+
+Everything here is driver-side by design: shapefiles are broadcast
+dimension tables (IRIS ~50k polygons); the 100 TB side is points.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import warnings
+from dataclasses import dataclass
+
+__all__ = [
+    "CRSInfo",
+    "LambertConformalConic2SP",
+    "parse_wkt",
+    "LAMBERT93_WKT",
+    "WGS84_WKT",
+]
+
+# Public EPSG-registry WKT-1 for RGF93 / Lambert-93 (EPSG:2154) and
+# WGS84 (EPSG:4326) — used by tests and fixture writers as the .prj
+# sidecar text a real IGN download carries.
+LAMBERT93_WKT = (
+    'PROJCS["RGF93 / Lambert-93",'
+    'GEOGCS["RGF93",'
+    'DATUM["Reseau_Geodesique_Francais_1993",'
+    'SPHEROID["GRS 1980",6378137,298.257222101,'
+    'AUTHORITY["EPSG","7019"]],'
+    'AUTHORITY["EPSG","6171"]],'
+    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
+    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
+    'AUTHORITY["EPSG","4171"]],'
+    'PROJECTION["Lambert_Conformal_Conic_2SP"],'
+    'PARAMETER["standard_parallel_1",49],'
+    'PARAMETER["standard_parallel_2",44],'
+    'PARAMETER["latitude_of_origin",46.5],'
+    'PARAMETER["central_meridian",3],'
+    'PARAMETER["false_easting",700000],'
+    'PARAMETER["false_northing",6600000],'
+    'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+    'AUTHORITY["EPSG","2154"]]'
+)
+
+WGS84_WKT = (
+    'GEOGCS["WGS 84",DATUM["WGS_1984",'
+    'SPHEROID["WGS 84",6378137,298.257223563,'
+    'AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
+    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
+    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
+    'AUTHORITY["EPSG","4326"]]'
+)
+
+
+@dataclass(frozen=True)
+class LambertConformalConic2SP:
+    """Lambert Conformal Conic (2SP) on an ellipsoid — forward and
+    inverse from the public EPSG Guidance Note 7-2 formulas.
+
+    Angles in degrees, lengths in the projection unit (metres for
+    EPSG:2154). The derived constants (``n``, ``a*F``, ``fn + r0``)
+    are pinned in tests against IGN's published Lambert-93 values."""
+
+    a: float  # semi-major axis
+    inv_f: float  # inverse flattening
+    lat0: float  # latitude of origin (deg)
+    lon0: float  # central meridian (deg)
+    lat1: float  # standard parallel 1 (deg)
+    lat2: float  # standard parallel 2 (deg)
+    fe: float  # false easting
+    fn: float  # false northing
+
+    @property
+    def _e(self) -> float:
+        f = 1.0 / self.inv_f
+        return math.sqrt(2 * f - f * f)
+
+    def _m(self, phi: float) -> float:
+        e = self._e
+        return math.cos(phi) / math.sqrt(1 - (e * math.sin(phi)) ** 2)
+
+    def _t(self, phi: float) -> float:
+        e = self._e
+        es = e * math.sin(phi)
+        return math.tan(math.pi / 4 - phi / 2) / ((1 - es) / (1 + es)) ** (e / 2)
+
+    def _constants(self) -> tuple[float, float, float]:
+        """(n, F, r0) per GN7-2: n from the two standard parallels, F
+        the cone constant, r0 the radius at the latitude of origin."""
+        p1, p2, p0 = (
+            math.radians(self.lat1),
+            math.radians(self.lat2),
+            math.radians(self.lat0),
+        )
+        m1, m2 = self._m(p1), self._m(p2)
+        t1, t2, t0 = self._t(p1), self._t(p2), self._t(p0)
+        if abs(self.lat1 - self.lat2) < 1e-12:
+            n = math.sin(p1)  # 1SP degenerate form
+        else:
+            n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+        F = m1 / (n * t1**n)
+        r0 = self.a * F * t0**n
+        return n, F, r0
+
+    def forward(self, lon: float, lat: float) -> tuple[float, float]:
+        """(lon, lat) degrees → (easting, northing)."""
+        n, F, r0 = self._constants()
+        t = self._t(math.radians(lat))
+        r = self.a * F * t**n
+        theta = n * math.radians(lon - self.lon0)
+        return self.fe + r * math.sin(theta), self.fn + r0 - r * math.cos(theta)
+
+    def inverse(self, e_coord: float, n_coord: float) -> tuple[float, float]:
+        """(easting, northing) → (lon, lat) degrees; iterative latitude
+        recovery converging to <1e-12 rad (~4 iterations)."""
+        n, F, r0 = self._constants()
+        e = self._e
+        x = e_coord - self.fe
+        y = r0 - (n_coord - self.fn)
+        r = math.copysign(math.hypot(x, y), n)
+        t = (r / (self.a * F)) ** (1.0 / n)
+        theta = math.atan2(x, y)
+        lon = math.degrees(theta / n + math.radians(self.lon0))
+        phi = math.pi / 2 - 2 * math.atan(t)
+        for _ in range(15):
+            es = e * math.sin(phi)
+            phi_next = math.pi / 2 - 2 * math.atan(
+                t * ((1 - es) / (1 + es)) ** (e / 2)
+            )
+            if abs(phi_next - phi) < 1e-12:
+                phi = phi_next
+                break
+            phi = phi_next
+        return lon, math.degrees(phi)
+
+
+@dataclass(frozen=True)
+class CRSInfo:
+    """Parsed .prj verdict: ``code`` is the EPSG identifier when the
+    WKT carries one (the reference's ``CRS.lookupIdentifier`` result,
+    else the WKT name; "Unknown" with no .prj at all), ``transform``
+    is the inverse-to-WGS84 callable when one exists (identity for
+    geographic CRS — GeoTools also finds an identity MathTransform
+    for WGS84→WGS84, so ``TransformedToWGS84`` is true there too)."""
+
+    code: str
+    is_geographic: bool
+    projection: LambertConformalConic2SP | None
+
+    @property
+    def has_transform(self) -> bool:
+        return self.is_geographic or self.projection is not None
+
+    def to_wgs84(self, x: float, y: float) -> tuple[float, float]:
+        if self.projection is not None:
+            return self.projection.inverse(x, y)
+        return x, y
+
+
+def _split_args(body: str) -> list[str]:
+    """Split a WKT node body on top-level commas."""
+    out, depth, cur = [], 0, []
+    for ch in body:
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _parse_node(text: str) -> tuple[str, list]:
+    """Parse one WKT-1 node ``KEYWORD[arg, arg, ...]`` recursively;
+    args are nested nodes, quoted strings, or numbers."""
+    text = text.strip()
+    m = re.match(r"^([A-Za-z_0-9]+)\s*[\[(]", text)
+    if not m:
+        raise ValueError(f"not a WKT node: {text[:40]!r}")
+    keyword = m.group(1).upper()
+    # find the matching close bracket for the opener
+    depth, start, end = 1, m.end(), None
+    for i in range(m.end(), len(text)):
+        if text[i] in "[(":
+            depth += 1
+        elif text[i] in "])":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+    if end is None:
+        raise ValueError("unbalanced WKT brackets")
+    args: list = []
+    for raw in _split_args(text[start:end]):
+        raw = raw.strip()
+        if not raw:
+            continue
+        if raw.startswith('"'):
+            args.append(raw.strip('"'))
+        elif re.match(r"^[A-Za-z_0-9]+\s*[\[(]", raw):
+            args.append(_parse_node(raw))
+        else:
+            try:
+                args.append(float(raw))
+            except ValueError:
+                args.append(raw)
+    return keyword, args
+
+
+def _find(node: tuple[str, list], keyword: str) -> tuple[str, list] | None:
+    for arg in node[1]:
+        if isinstance(arg, tuple) and arg[0] == keyword:
+            return arg
+    return None
+
+
+def _authority_code(node: tuple[str, list]) -> str | None:
+    auth = _find(node, "AUTHORITY")
+    if auth and len(auth[1]) >= 2:
+        return f"{auth[1][0]}:{auth[1][1]}"
+    return None
+
+
+# Parameter-name normalization: the EPSG registry and ESRI spell the
+# LCC parameters differently ("standard_parallel_1" vs
+# "Standard_Parallel_1", "latitude_of_origin" vs
+# "Latitude_Of_Origin"); compare lower-cased.
+_LCC_NAMES = {
+    "lambert_conformal_conic_2sp",
+    "lambert_conformal_conic",  # ESRI spelling (2SP when both parallels given)
+}
+
+
+def parse_wkt(wkt: str) -> CRSInfo:
+    """Parse ``.prj`` WKT-1 into a :class:`CRSInfo`.
+
+    Supported: geographic CRS (GEOGCS — treated as WGS84-compatible,
+    identity transform) and projected Lambert Conformal Conic 2SP
+    (both the EPSG and ESRI parameter spellings). Anything else warns
+    loudly and returns a no-transform info carrying the WKT name —
+    the reference's print-and-continue path
+    (``GeoManager.scala:155-157``)."""
+    root = _parse_node(wkt)
+    name = root[1][0] if root[1] and isinstance(root[1][0], str) else "Unknown"
+    code = _authority_code(root) or name
+    if root[0] == "GEOGCS":
+        return CRSInfo(code=code, is_geographic=True, projection=None)
+    if root[0] != "PROJCS":
+        warnings.warn(
+            f"unsupported CRS root {root[0]!r} ({name!r}): coordinates "
+            "pass through untransformed",
+            stacklevel=2,
+        )
+        return CRSInfo(code=code, is_geographic=False, projection=None)
+    proj = _find(root, "PROJECTION")
+    proj_name = str(proj[1][0]).lower() if proj and proj[1] else ""
+    params: dict[str, float] = {}
+    for arg in root[1]:
+        if isinstance(arg, tuple) and arg[0] == "PARAMETER" and len(arg[1]) >= 2:
+            params[str(arg[1][0]).lower()] = float(arg[1][1])
+    geogcs = _find(root, "GEOGCS")
+    spheroid = None
+    if geogcs:
+        datum = _find(geogcs, "DATUM")
+        if datum:
+            spheroid = _find(datum, "SPHEROID")
+    if proj_name not in _LCC_NAMES or spheroid is None or len(spheroid[1]) < 3:
+        warnings.warn(
+            f"no transform for projection {proj_name or 'unknown'!r} "
+            f"({name!r}): coordinates pass through untransformed",
+            stacklevel=2,
+        )
+        return CRSInfo(code=code, is_geographic=False, projection=None)
+    lat1 = params.get("standard_parallel_1")
+    lat2 = params.get("standard_parallel_2", lat1)
+    lat0 = params.get("latitude_of_origin", params.get("latitude_of_center"))
+    lon0 = params.get("central_meridian", params.get("longitude_of_center"))
+    fe = params.get("false_easting", 0.0)
+    fn = params.get("false_northing", 0.0)
+    if lat1 is None or lat0 is None or lon0 is None:
+        warnings.warn(
+            f"LCC projection {name!r} missing parameters: coordinates "
+            "pass through untransformed",
+            stacklevel=2,
+        )
+        return CRSInfo(code=code, is_geographic=False, projection=None)
+    lcc = LambertConformalConic2SP(
+        a=float(spheroid[1][1]),
+        inv_f=float(spheroid[1][2]),
+        lat0=lat0,
+        lon0=lon0,
+        lat1=lat1,
+        lat2=lat2,
+        fe=fe,
+        fn=fn,
+    )
+    return CRSInfo(code=code, is_geographic=False, projection=lcc)

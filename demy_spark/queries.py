@@ -9299,6 +9299,97 @@ def q140_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q142_crs_reproject",
+    """
+    WITH base AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS name,
+             CAST(-4.0 AS DOUBLE) + (n_nationkey % 5) * 2.75 AS lon,
+             CAST(41.5 AS DOUBLE) + (n_nationkey // 5) * 1.9 AS lat,
+             CAST(0.05 AS DOUBLE) + (n_nationkey % 3) * 0.02 AS d
+      FROM nation)
+    SELECT nkey, name,
+           'EPSG:2154' AS base_crs,
+           TRUE AS transformed_to_wgs84,
+           round(lon - d, 6) + 0.0 AS lon_min,
+           round(lat - d, 6) + 0.0 AS lat_min,
+           round(lon + d, 6) + 0.0 AS lon_max,
+           round(lat + d, 6) + 0.0 AS lat_max,
+           round(5 * lon - d, 6) + 0.0 AS sum_lon,
+           round(5 * lat - d, 6) + 0.0 AS sum_lat
+    FROM base
+    """,
+)
+def q142_crs_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapefile CRS reprojection to WGS84 (GeoManager.scala:128-180;
+    output fields BaseCoordinateSystem / TransformedToWGS84,
+    GeoManager.scala:60): one square per nation is laid out at a
+    closed-form WGS84 lon/lat, FORWARD-projected to Lambert-93 metres
+    (EPSG:2154 — the CRS the reference's IRIS shapefiles actually ship
+    in) by the fixture writer, written as .shp/.dbf/.prj, and read
+    back through read_shapefile, whose closed-form inverse must
+    recover the original lon/lat. The oracle replays the closed-form
+    WGS84 layout straight from the nation table — it never sees the
+    projection, so a consistent-but-wrong forward/inverse pair cannot
+    self-certify here beyond roundtrip identity; absolute correctness
+    is pinned separately against IGN's published Lambert-93 constants
+    and a real-world Paris anchor (tests/test_crs.py). Reprojection is
+    driver-side like all shapefile parsing: polygons are broadcast
+    dimension tables; the 100 TB side is points."""
+    import os
+
+    from demy_spark.crs import LAMBERT93_WKT, parse_wkt
+    from demy_spark.shapefile import (
+        build_dbf_bytes,
+        build_shp_bytes,
+        read_shapefile,
+    )
+
+    fwd = parse_wkt(LAMBERT93_WKT).projection.forward
+    t = _t(spark, sf_dir)
+    nations = sorted(
+        t["nation"].select("n_nationkey", "n_name").collect(),
+        key=lambda r: r["n_nationkey"],
+    )
+    polys, rows = [], []
+    for r in nations:
+        k = int(r["n_nationkey"])
+        lon, lat = -4.0 + (k % 5) * 2.75, 41.5 + (k // 5) * 1.9
+        d = 0.05 + (k % 3) * 0.02
+        ring = [
+            (lon - d, lat - d),
+            (lon + d, lat - d),
+            (lon + d, lat + d),
+            (lon - d, lat + d),
+            (lon - d, lat - d),
+        ]
+        polys.append([[fwd(x, y) for x, y in ring]])
+        rows.append([str(k), r["n_name"]])
+    scratch = _layout_scratch(sf_dir, "q142")
+    os.makedirs(scratch, exist_ok=True)
+    shp = os.path.join(scratch, "iris.shp")
+    with open(shp, "wb") as f:
+        f.write(build_shp_bytes(polys))
+    with open(os.path.join(scratch, "iris.dbf"), "wb") as f:
+        f.write(build_dbf_bytes([("NKEY", "N", 4), ("NAME", "C", 25)], rows))
+    with open(os.path.join(scratch, "iris.prj"), "w", encoding="utf-8") as f:
+        f.write(LAMBERT93_WKT)
+    df = read_shapefile(spark, shp)
+    r6 = lambda c: (F.round(c, 6) + F.lit(0.0)).cast("double")  # noqa: E731
+    return df.select(
+        F.col("NKEY").alias("nkey"),
+        F.col("NAME").alias("name"),
+        "base_crs",
+        "transformed_to_wgs84",
+        r6(F.col("x_min")).alias("lon_min"),
+        r6(F.col("y_min")).alias("lat_min"),
+        r6(F.col("x_max")).alias("lon_max"),
+        r6(F.col("y_max")).alias("lat_max"),
+        r6(F.aggregate("xs", F.lit(0.0), lambda a, x: a + x)).alias("sum_lon"),
+        r6(F.aggregate("ys", F.lit(0.0), lambda a, y: a + y)).alias("sum_lat"),
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-8 window (the freshness rotation VERDICT r7 ordered as
 # task 1, adjusted for post-verdict behavior changes):

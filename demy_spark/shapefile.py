@@ -17,9 +17,15 @@ tables: the reference's IRIS polygons are ~50k features), then
 ``spark.createDataFrame`` hands Spark a plain relational table; at
 100 TB the POINT side is the big table and this polygon side is the
 broadcast dim, so driver-side parse is the right placement.
-Coordinate reprojection (the reference's WGS84 transform,
-``GeoManager.scala:120-180``) is out of scope: coordinates pass
-through in the source CRS.
+
+Coordinate reprojection to WGS84 (the reference's GeoTools transform,
+``GeoManager.scala:128-180``) is applied when a ``.prj`` sidecar is
+present and :mod:`demy_spark.crs` can parse it: every vertex, bbox
+and the WKB are rebuilt in lon/lat, and the output carries
+``base_crs`` / ``transformed_to_wgs84`` columns (the reference's
+``BaseCoordinateSystem`` / ``TransformedToWGS84`` fields,
+``GeoManager.scala:60``). Unknown CRS warn loudly and pass through
+in the source coordinates, like the reference's print-and-continue.
 """
 
 from __future__ import annotations
@@ -215,25 +221,69 @@ def build_dbf_bytes(
     return out
 
 
+def _reproject(rec: ShapeRecord, to_wgs84) -> ShapeRecord:
+    """Rebuild one record with every vertex through ``to_wgs84`` and
+    the bbox recomputed from the TRANSFORMED points (the reference
+    computes Max/MinLat/Long from the transformed geometry's
+    coordinates, ``GeoManager.scala:185-200`` — transforming the four
+    bbox corners instead would be wrong under a curved projection)."""
+    rings = [[to_wgs84(x, y) for x, y in ring] for ring in rec.rings]
+    xs = [p[0] for ring in rings for p in ring]
+    ys = [p[1] for ring in rings for p in ring]
+    outer = rings[0] if rings else []
+    if not xs:
+        return ShapeRecord(rec.number, rec.shape_type, [], [], rings, rec.bbox)
+    return ShapeRecord(
+        rec.number,
+        rec.shape_type,
+        [p[0] for p in outer],
+        [p[1] for p in outer],
+        rings,
+        (min(xs), min(ys), max(xs), max(ys)),
+    )
+
+
 def read_shapefile(
     spark: SparkSession,
     shp_path: str,
     dbf_path: str | None = None,
+    prj_path: str | None = None,
+    reproject: bool = True,
 ) -> DataFrame:
-    """Read ``.shp`` (+ optional sidecar ``.dbf``) into a DataFrame:
-    one row per feature with dbf attribute columns, ``geometry`` (WKB
-    binary), ``x_min/y_min/x_max/y_max`` bbox doubles (the prefilter
-    columns point_in_bbox_join consumes), and ``xs``/``ys`` outer-ring
-    vertex arrays (the exact-PIP input for point_in_polygon_raycast)."""
+    """Read ``.shp`` (+ optional sidecar ``.dbf``/``.prj``) into a
+    DataFrame: one row per feature with dbf attribute columns,
+    ``geometry`` (WKB binary), ``x_min/y_min/x_max/y_max`` bbox
+    doubles (the prefilter columns point_in_bbox_join consumes),
+    ``xs``/``ys`` outer-ring vertex arrays (the exact-PIP input for
+    point_in_polygon_raycast), plus ``base_crs`` and
+    ``transformed_to_wgs84`` (GeoManager.scala:60's
+    ``BaseCoordinateSystem`` / ``TransformedToWGS84``). With
+    ``reproject`` (default) and a parseable projected ``.prj``, every
+    coordinate — vertices, bbox, WKB — is rebuilt in WGS84 lon/lat
+    via the closed-form inverse in :mod:`demy_spark.crs`."""
+    import os
+
     from pyspark.sql import types as T
 
     with open(shp_path, "rb") as f:
         shapes = _parse_shp(f.read())
+    base = shp_path[:-4] if shp_path.endswith(".shp") else None
     if dbf_path is None:
-        cand = shp_path[:-4] + ".dbf" if shp_path.endswith(".shp") else None
-        import os
-
+        cand = base + ".dbf" if base else None
         dbf_path = cand if cand and os.path.exists(cand) else None
+    if prj_path is None:
+        cand = base + ".prj" if base else None
+        prj_path = cand if cand and os.path.exists(cand) else None
+    base_crs, transformed = "Unknown", False
+    if prj_path:
+        from demy_spark.crs import parse_wkt
+
+        info = parse_wkt(open(prj_path, encoding="utf-8").read())
+        base_crs = info.code
+        if reproject and info.has_transform:
+            transformed = True
+            if info.projection is not None:  # identity for geographic CRS
+                shapes = [_reproject(s, info.to_wgs84) for s in shapes]
     if dbf_path:
         names, attrs = _parse_dbf(open(dbf_path, "rb").read())
         if len(attrs) != len(shapes):
@@ -268,6 +318,8 @@ def read_shapefile(
             T.StructField("y_max", T.DoubleType()),
             T.StructField("xs", T.ArrayType(T.DoubleType())),
             T.StructField("ys", T.ArrayType(T.DoubleType())),
+            T.StructField("base_crs", T.StringType()),
+            T.StructField("transformed_to_wgs84", T.BooleanType()),
         ]
     )
     rows = [
@@ -280,6 +332,8 @@ def read_shapefile(
             s.bbox[3],
             s.xs,
             s.ys,
+            base_crs,
+            transformed,
         )
         for a, s in zip(attrs, shapes)
     ]

@@ -1,0 +1,257 @@
+"""CRS reprojection (demy_spark/crs.py) — the GeoTools transform twin
+(GeoManager.scala:128-180): .prj WKT parsing, the Lambert Conformal
+Conic 2SP closed form pinned against IGN's PUBLISHED Lambert-93
+derived constants and a real-world Paris anchor, roundtrip fuzz, and
+the read_shapefile integration (base_crs / transformed_to_wgs84 —
+the reference's BaseCoordinateSystem / TransformedToWGS84 fields,
+GeoManager.scala:60).
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from demy_spark.crs import (
+    LAMBERT93_WKT,
+    WGS84_WKT,
+    LambertConformalConic2SP,
+    parse_wkt,
+)
+
+L93 = parse_wkt(LAMBERT93_WKT).projection
+
+# ESRI writes the same projection with different parameter spellings
+# and the standard parallels in the opposite order — both must parse
+# to the identical transform (the cone constant is symmetric in the
+# parallels).
+ESRI_L93_WKT = (
+    'PROJCS["RGF93_Lambert_93",GEOGCS["GCS_RGF_1993",'
+    'DATUM["D_RGF_1993",SPHEROID["GRS_1980",6378137.0,298.257222101]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Lambert_Conformal_Conic"],'
+    'PARAMETER["False_Easting",700000.0],'
+    'PARAMETER["False_Northing",6600000.0],'
+    'PARAMETER["Central_Meridian",3.0],'
+    'PARAMETER["Standard_Parallel_1",44.0],'
+    'PARAMETER["Standard_Parallel_2",49.0],'
+    'PARAMETER["Latitude_Of_Origin",46.5],UNIT["Meter",1.0]]'
+)
+
+
+def test_lambert93_derived_constants_match_ign_publication():
+    """IGN publishes the Lambert-93 derived projection constants
+    (NTG/ALG0054 note: n, C = a*F, Ys = FN + r0). The closed form must
+    reproduce them — an independent anchor no roundtrip can fake."""
+    n, F, r0 = L93._constants()
+    assert n == pytest.approx(0.725607765053267, abs=1e-12)
+    assert L93.a * F == pytest.approx(11754255.426096, abs=1e-3)
+    assert L93.fn + r0 == pytest.approx(12655612.049876, abs=1e-3)
+
+
+def test_origin_maps_to_false_origin_exactly():
+    e, n = L93.forward(3.0, 46.5)
+    assert e == pytest.approx(700000.0, abs=1e-6)
+    assert n == pytest.approx(6600000.0, abs=1e-6)
+    lon, lat = L93.inverse(700000.0, 6600000.0)
+    assert lon == pytest.approx(3.0, abs=1e-9)
+    assert lat == pytest.approx(46.5, abs=1e-9)
+
+
+def test_paris_anchor():
+    """Independent real-world anchor: central Paris is publicly known
+    at ~(2.3522 E, 48.8566 N) WGS84 and ~(652469, 6862035) in
+    Lambert-93 — catches swapped parameters, degree/radian mixups and
+    axis-order errors that a self-consistent roundtrip would hide."""
+    lon, lat = L93.inverse(652469.02, 6862035.26)
+    assert lon == pytest.approx(2.3522, abs=1e-4)
+    assert lat == pytest.approx(48.8566, abs=1e-4)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lon=st.floats(min_value=-9.0, max_value=12.0),
+    lat=st.floats(min_value=38.0, max_value=55.0),
+)
+def test_forward_inverse_roundtrip_fuzz(lon, lat):
+    e, n = L93.forward(lon, lat)
+    lon2, lat2 = L93.inverse(e, n)
+    assert math.isclose(lon, lon2, abs_tol=1e-9)
+    assert math.isclose(lat, lat2, abs_tol=1e-9)
+
+
+def test_esri_spelling_parses_to_the_same_transform():
+    esri = parse_wkt(ESRI_L93_WKT)
+    assert esri.projection is not None
+    for pt in [(652469.02, 6862035.26), (700000.0, 6600000.0)]:
+        a = L93.inverse(*pt)
+        b = esri.projection.inverse(*pt)
+        assert a == pytest.approx(b, abs=1e-12)
+    # no AUTHORITY node -> code falls back to the WKT name
+    assert esri.code == "RGF93_Lambert_93"
+
+
+def test_epsg_authority_code_extracted():
+    info = parse_wkt(LAMBERT93_WKT)
+    assert info.code == "EPSG:2154"
+    assert not info.is_geographic and info.has_transform
+
+
+def test_geographic_crs_is_identity_with_transform_flag():
+    info = parse_wkt(WGS84_WKT)
+    assert info.code == "EPSG:4326"
+    assert info.is_geographic and info.has_transform
+    assert info.to_wgs84(2.5, 48.5) == (2.5, 48.5)
+
+
+def test_unknown_projection_warns_and_passes_through():
+    wkt = (
+        'PROJCS["Weird",GEOGCS["GCS",DATUM["D",'
+        'SPHEROID["S",6378137.0,298.257]],PRIMEM["Greenwich",0.0],'
+        'UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],'
+        'PARAMETER["Central_Meridian",9.0],UNIT["Meter",1.0]]'
+    )
+    with pytest.warns(UserWarning, match="pass through"):
+        info = parse_wkt(wkt)
+    assert not info.has_transform
+    assert info.code == "Weird"
+    assert info.to_wgs84(10.0, 20.0) == (10.0, 20.0)
+
+
+def test_lcc_missing_parameters_warns():
+    wkt = (
+        'PROJCS["Partial",GEOGCS["GCS",DATUM["D",'
+        'SPHEROID["S",6378137.0,298.257]],PRIMEM["Greenwich",0.0],'
+        'UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Lambert_Conformal_Conic_2SP"],'
+        'PARAMETER["standard_parallel_1",44.0],UNIT["Meter",1.0]]'
+    )
+    with pytest.warns(UserWarning, match="missing parameters"):
+        info = parse_wkt(wkt)
+    assert not info.has_transform
+
+
+def test_one_sp_degenerate_form():
+    """Equal standard parallels collapse to the 1SP cone constant
+    n = sin(lat1) (GN7-2's continuity property)."""
+    one = LambertConformalConic2SP(
+        a=6378137.0, inv_f=298.257222101,
+        lat0=46.5, lon0=3.0, lat1=46.5, lat2=46.5,
+        fe=0.0, fn=0.0,
+    )
+    n, _, _ = one._constants()
+    assert n == pytest.approx(math.sin(math.radians(46.5)), abs=1e-12)
+    lon, lat = one.inverse(*one.forward(4.0, 47.0))
+    assert (lon, lat) == pytest.approx((4.0, 47.0), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# read_shapefile integration
+# ---------------------------------------------------------------------------
+
+
+def _write_fixture(tmp_path, rings_lambert, prj_text=None):
+    from demy_spark.shapefile import build_dbf_bytes, build_shp_bytes
+
+    shp = tmp_path / "zones.shp"
+    shp.write_bytes(build_shp_bytes(rings_lambert))
+    (tmp_path / "zones.dbf").write_bytes(
+        build_dbf_bytes(
+            [("NAME", "C", 8)], [[f"z{i}"] for i in range(len(rings_lambert))]
+        )
+    )
+    if prj_text is not None:
+        (tmp_path / "zones.prj").write_text(prj_text)
+    return str(shp)
+
+
+def _lambert_square(lon, lat, d=0.05):
+    ring = [
+        (lon - d, lat - d), (lon + d, lat - d),
+        (lon + d, lat + d), (lon - d, lat + d), (lon - d, lat - d),
+    ]
+    return [[L93.forward(x, y) for x, y in ring]]
+
+
+def test_read_shapefile_reprojects_lambert93(spark, tmp_path):
+    import struct
+
+    shp = _write_fixture(
+        tmp_path,
+        [_lambert_square(2.3522, 48.8566), _lambert_square(5.37, 43.30)],
+        LAMBERT93_WKT,
+    )
+    from demy_spark.shapefile import read_shapefile
+
+    rows = {r["NAME"]: r for r in read_shapefile(spark, shp).collect()}
+    assert all(r["base_crs"] == "EPSG:2154" for r in rows.values())
+    assert all(r["transformed_to_wgs84"] for r in rows.values())
+    paris = rows["z0"]
+    assert paris["x_min"] == pytest.approx(2.3522 - 0.05, abs=1e-9)
+    assert paris["y_max"] == pytest.approx(48.8566 + 0.05, abs=1e-9)
+    assert paris["xs"][0] == pytest.approx(2.3522 - 0.05, abs=1e-9)
+    # the WKB is rebuilt from the TRANSFORMED ring, not the source one
+    wkb = bytes(paris["geometry"])
+    n_rings, n_pts = struct.unpack("<II", wkb[5:13])
+    x0, y0 = struct.unpack("<dd", wkb[13:29])
+    assert (n_rings, n_pts) == (1, 5)
+    assert x0 == pytest.approx(2.3022, abs=1e-9)
+    assert y0 == pytest.approx(48.8066, abs=1e-9)
+
+
+def test_read_shapefile_without_prj_passes_through(spark, tmp_path):
+    shp = _write_fixture(tmp_path, [_lambert_square(3.0, 46.5)], None)
+    from demy_spark.shapefile import read_shapefile
+
+    (row,) = read_shapefile(spark, shp).collect()
+    assert row["base_crs"] == "Unknown"
+    assert row["transformed_to_wgs84"] is False
+    assert row["x_min"] > 10_000  # still metres
+
+
+def test_read_shapefile_wgs84_prj_identity_but_flagged(spark, tmp_path):
+    from demy_spark.shapefile import build_dbf_bytes, build_shp_bytes, read_shapefile
+
+    ring = [(2.0, 48.0), (2.1, 48.0), (2.1, 48.1), (2.0, 48.1), (2.0, 48.0)]
+    shp = tmp_path / "z.shp"
+    shp.write_bytes(build_shp_bytes([[ring]]))
+    (tmp_path / "z.dbf").write_bytes(build_dbf_bytes([("NAME", "C", 4)], [["a"]]))
+    (tmp_path / "z.prj").write_text(WGS84_WKT)
+    (row,) = read_shapefile(spark, str(shp)).collect()
+    assert row["base_crs"] == "EPSG:4326"
+    assert row["transformed_to_wgs84"] is True  # identity transform found
+    assert row["x_min"] == 2.0 and row["y_max"] == 48.1
+
+
+def test_read_shapefile_unknown_prj_warns_and_passes_through(spark, tmp_path):
+    wkt = (
+        'PROJCS["Mystery",GEOGCS["GCS",DATUM["D",'
+        'SPHEROID["S",6378137.0,298.257]],PRIMEM["Greenwich",0.0],'
+        'UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Robinson"],UNIT["Meter",1.0]]'
+    )
+    shp = _write_fixture(tmp_path, [_lambert_square(3.0, 46.5)], wkt)
+    from demy_spark.shapefile import read_shapefile
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        (row,) = read_shapefile(spark, shp).collect()
+    assert any("pass through" in str(w.message) for w in caught)
+    assert row["base_crs"] == "Mystery"
+    assert row["transformed_to_wgs84"] is False
+    assert row["x_min"] > 10_000
+
+
+def test_reproject_false_keeps_source_coordinates(spark, tmp_path):
+    shp = _write_fixture(tmp_path, [_lambert_square(3.0, 46.5)], LAMBERT93_WKT)
+    from demy_spark.shapefile import read_shapefile
+
+    (row,) = read_shapefile(spark, shp, reproject=False).collect()
+    assert row["base_crs"] == "EPSG:2154"
+    assert row["transformed_to_wgs84"] is False
+    assert row["x_min"] > 10_000
