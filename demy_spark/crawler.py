@@ -57,6 +57,8 @@ __all__ = [
     "default_head",
     "download",
     "extract_links",
+    "make_file_fetch",
+    "make_file_head",
     "remote_footprint",
     "spool_write",
     "sync_source",
@@ -88,6 +90,78 @@ def default_head(url: str, *, timeout: int = 10) -> dict:
     req = Request(url, method="HEAD", headers={"User-Agent": _USER_AGENT})
     with urlopen(req, timeout=timeout) as resp:  # noqa: S310
         return dict(resp.headers.items())
+
+
+_CTYPES = {
+    ".html": "text/html",
+    ".htm": "text/html",
+    ".txt": "text/plain",
+    ".csv": "text/csv",
+    ".json": "application/json",
+}
+
+
+def _file_fetch_path(url: str, root: str | None, host: str | None) -> str:
+    """Resolve a ``file://`` URL (or an ``http://host/...`` URL served
+    from a local mirror directory) to a filesystem path. The resolved
+    path is CONFINED to ``root`` when one is given — a fixture link
+    with ``../`` must not read outside the site."""
+    from urllib.parse import urlsplit
+    from urllib.request import url2pathname
+
+    if url.startswith("file://"):
+        path = url2pathname(urlsplit(url).path)
+        base = root
+    elif host and url.startswith(host.rstrip("/") + "/"):
+        if root is None:
+            raise ValueError("host-mapped file fetch needs a root directory")
+        rel = urlsplit(url[len(host.rstrip("/")) + 1 :]).path
+        path = os.path.join(root, rel)
+        base = root
+    else:
+        raise FileNotFoundError(f"not a file-served URL: {url}")
+    path = os.path.normpath(path)
+    if base is not None:
+        base = os.path.normpath(os.path.abspath(base))
+        if os.path.commonpath([base, os.path.abspath(path)]) != base:
+            raise FileNotFoundError(f"URL escapes the site root: {url}")
+    return path
+
+
+def make_file_fetch(root: str | None = None, host: str | None = None) -> Fetch:
+    """A filesystem-backed fetcher: serves ``file://`` URLs, and — when
+    ``host`` is given (e.g. ``"http://site.test"``) — URLs under that
+    host from ``root``, like crawling a local mirror. Content type is
+    inferred from the extension. This is the oracle-friendly twin of
+    ``default_fetch``: the whole crawl surface (BFS, robots.txt,
+    policies, archives, post steps) runs unchanged over an in-tree
+    fixture site with zero network."""
+
+    def fetch(url: str) -> tuple[str, bytes]:
+        path = _file_fetch_path(url, root, host)
+        with open(path, "rb") as f:
+            body = f.read()
+        ext = os.path.splitext(path)[1].lower()
+        return _CTYPES.get(ext, "application/octet-stream"), body
+
+    return fetch
+
+
+def make_file_head(root: str | None = None, host: str | None = None) -> Head:
+    """HEAD twin of :func:`make_file_fetch`: Content-Length from the
+    file size and a strong ETag (md5 of the bytes) — deterministic
+    headers, so head-check footprints are replayable by an oracle."""
+
+    def head(url: str) -> dict:
+        path = _file_fetch_path(url, root, host)
+        with open(path, "rb") as f:
+            body = f.read()
+        return {
+            "Content-Length": str(len(body)),
+            "ETag": hashlib.md5(body).hexdigest(),
+        }
+
+    return head
 
 
 class _LinkParser(HTMLParser):

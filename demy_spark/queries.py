@@ -9299,6 +9299,117 @@ def q140_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q141_oracle() -> str:
+    """Literal expected crawl results, computed INDEPENDENTLY of the
+    crawler: spool names are hand-written from the documented naming
+    contract (path relative to the href prefix, flattened ``/``→``-``
+    with an 8-hex md5-of-url suffix for nested paths), and hashes /
+    sizes / head-check footprints come straight from the fixture bytes
+    via hashlib — the crawler's BFS, robots filtering, policy and
+    spool code never touch this side."""
+    import hashlib as _hl
+    import json as _json
+
+    site = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "crawl_site"
+    )
+
+    def h8(u: str) -> str:
+        return _hl.md5(u.encode()).hexdigest()[:8]
+
+    # the start page itself is never in the download set: it is
+    # visited before any page can link back to it, and visited pages
+    # never re-enter the frontier (the reference's toVisit/visited
+    # walk has the same property)
+    expected = {
+        "a.html": "a.html",
+        "b.html": "b.html",
+        f"sub-c.html-{h8('http://site.test/sub/c.html')}": "sub/c.html",
+        f"data-tarifs.csv-{h8('http://site.test/data/tarifs.csv')}": (
+            "data/tarifs.csv"
+        ),
+    }
+    vals = []
+    for name, rel in sorted(expected.items()):
+        with open(os.path.join(site, rel), "rb") as f:
+            body = f.read()
+        md5 = _hl.md5(body).hexdigest()
+        fp = _json.dumps(
+            {"Content-Length": str(len(body)), "ETag": md5}, sort_keys=True
+        ).replace("'", "''")
+        vals.append(
+            f"('{name}', '{md5}', CAST({len(body)} AS BIGINT), '{fp}')"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(name, content_md5, n_bytes, footprint)"
+    )
+
+
+@register("q141_crawl_site", _q141_oracle())
+def q141_crawl_site(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawler run with an oracle (net2demy
+    `Execute.scala:46-218`): BFS-crawl the in-tree fixture site
+    through the file-backed fetcher (zero network), honoring
+    robots.txt (/private/ never downloaded) and the follow/matching
+    regexes, under the head-check cache policy (footprint sidecars,
+    `Execute.scala:247-290`); spool → parquet → DataFrame of
+    (spool name, content md5, byte size, footprint). The oracle is a
+    literal table built from the fixture bytes alone — link following,
+    robots filtering, spool naming and sidecar writes are all
+    value-verified. Crawling is driver-side by design (SURVEY §2.1:
+    frontier walks are sequential and network-bound); everything
+    data-sized lands in the spool where Spark takes over."""
+    import shutil
+
+    from demy_spark.crawler import (
+        CrawlConfig,
+        make_file_fetch,
+        make_file_head,
+        sync_source,
+    )
+
+    site = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "crawl_site"
+    )
+    dest = _layout_scratch(sf_dir, "q141")
+    shutil.rmtree(dest, ignore_errors=True)
+    cfg = CrawlConfig(
+        name="fixture-site",
+        href="http://site.test/index.html",
+        dest=dest,
+        type="crawl",
+        policy="head-check",
+        crawling_filter=r"^http://site\.test/",
+        crawling_matching=r"\.(html|csv)$",
+    )
+    sync_source(
+        spark,
+        cfg,
+        fetch=make_file_fetch(site, "http://site.test"),
+        head=make_file_head(site, "http://site.test"),
+    )
+    raw = spark.read.format("binaryFile").load(dest).select(
+        F.substring_index("path", "/", -1).alias("fname"),
+        "content",
+        F.col("length").cast("long").alias("n_bytes"),
+    )
+    files = raw.where(~F.col("fname").endswith(".cache")).select(
+        F.col("fname").alias("name"),
+        F.md5("content").alias("content_md5"),
+        "n_bytes",
+    )
+    caches = raw.where(F.col("fname").endswith(".cache")).select(
+        F.expr("substring(fname, 1, length(fname) - 6)").alias("name"),
+        F.col("content").cast("string").alias("footprint"),
+    )
+    out = files.join(caches, "name", "left")
+    pq = _layout_scratch(sf_dir, "q141_out")
+    out.write.mode("overwrite").parquet(pq)
+    return spark.read.parquet(pq)
+
+
 @register(
     "q142_crs_reproject",
     """

@@ -482,3 +482,87 @@ def test_archive_flatten_collision_raises(tmp_path):
         download("http://s/x.zip", str(tmp_path / "z"), fetch=fetch)
     with _pytest.raises(ValueError, match="flatten"):
         download("http://s/x.tar", str(tmp_path / "t"), fetch=fetch)
+
+
+# ---------------------------------------------------------------------------
+# file-backed fetcher (make_file_fetch / make_file_head) — the oracle
+# twin of default_fetch: serves file:// URLs and host-mapped URLs from
+# a local directory, confined to the site root
+# ---------------------------------------------------------------------------
+
+
+FIXTURE_SITE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "demy_spark", "fixtures", "crawl_site",
+)
+
+
+def test_file_fetch_serves_file_urls(tmp_path):
+    from demy_spark.crawler import make_file_fetch
+
+    (tmp_path / "page.html").write_bytes(b"<html>hi</html>")
+    fetch = make_file_fetch(str(tmp_path))
+    ctype, body = fetch(f"file://{tmp_path}/page.html")
+    assert ctype == "text/html" and body == b"<html>hi</html>"
+
+
+def test_file_fetch_host_mapping_and_content_types(tmp_path):
+    from demy_spark.crawler import make_file_fetch
+
+    (tmp_path / "t.csv").write_bytes(b"a;b\n1;2\n")
+    (tmp_path / "blob.bin").write_bytes(b"\x00\x01")
+    fetch = make_file_fetch(str(tmp_path), "http://m.test")
+    assert fetch("http://m.test/t.csv") == ("text/csv", b"a;b\n1;2\n")
+    assert fetch("http://m.test/blob.bin")[0] == "application/octet-stream"
+    with pytest.raises(FileNotFoundError):
+        fetch("http://other.test/t.csv")  # not the configured host
+
+
+def test_file_fetch_confines_to_root(tmp_path):
+    """A hostile ../ link must not read outside the site root."""
+    from demy_spark.crawler import make_file_fetch
+
+    site = tmp_path / "site"
+    site.mkdir()
+    (site / "ok.html").write_bytes(b"ok")
+    (tmp_path / "outside.txt").write_bytes(b"leak")
+    fetch = make_file_fetch(str(site), "http://m.test")
+    assert fetch("http://m.test/ok.html")[1] == b"ok"
+    with pytest.raises(FileNotFoundError):
+        fetch("http://m.test/../outside.txt")
+    with pytest.raises(FileNotFoundError):
+        fetch(f"file://{tmp_path}/outside.txt")  # file:// confined too
+
+
+def test_file_head_footprint_is_deterministic(tmp_path):
+    import hashlib
+
+    from demy_spark.crawler import make_file_head
+
+    (tmp_path / "d.csv").write_bytes(b"x;y\n")
+    head = make_file_head(str(tmp_path), "http://m.test")
+    fp = remote_footprint("http://m.test/d.csv", head=head)
+    want_etag = hashlib.md5(b"x;y\n").hexdigest()
+    assert json.loads(fp) == {"Content-Length": "4", "ETag": want_etag}
+    assert fp == remote_footprint("http://m.test/d.csv", head=head)
+
+
+def test_fixture_site_crawl_respects_robots_and_filters():
+    """The q141 crawl set over the in-tree fixture site: robots.txt
+    excludes /private/, the follow regex excludes offsite links, the
+    start page never re-enters the frontier."""
+    from demy_spark.crawler import make_file_fetch
+
+    fetch = make_file_fetch(FIXTURE_SITE, "http://site.test")
+    found = crawl_links(
+        "http://site.test/index.html",
+        follow=r"^http://site\.test/",
+        matching=r"\.(html|csv)$",
+        fetch=fetch,
+    )
+    assert found == {
+        "http://site.test/a.html",
+        "http://site.test/b.html",
+        "http://site.test/sub/c.html",
+        "http://site.test/data/tarifs.csv",
+    }
