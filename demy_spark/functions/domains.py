@@ -231,6 +231,9 @@ def blocklist_gate(
     domain_col: str = "domain",
     category_col: str = "category",
     broadcast: bool = True,
+    strategy: str | None = None,
+    bloom_m_bits: int = 1 << 23,
+    bloom_n_hashes: int = 7,
 ):
     """UT1-style domain blocklist gate — the standard curation filter
     that drops documents whose REGISTERED domain appears on a
@@ -258,13 +261,27 @@ def blocklist_gate(
     build serializes on the driver — pass ``broadcast=False`` there to let
     Catalyst/AQE pick a plain shuffle join on the registered domain
     (one corpus shuffle; still no skew risk because the key is the
-    deduped domain). At that width the better composition is usually
-    a Bloom pre-gate: build the bitmap over blocklist domains with
-    ``operators.sketches.bloom_build`` (q135's operator), broadcast
-    the constant-size bitmap to drop the ~99% of unlisted documents
-    map-side, and shuffle-join only the survivors to recover the
-    category. Returns ``df`` plus ``reg_domain``, ``category`` (NULL
-    when unlisted) and ``keep`` (category IS NULL).
+    deduped domain). At that width the better composition is
+    ``strategy="bloom"``: build the q135 bitmap
+    (``operators.sketches.bloom_bitmap``) over the blocklist domains
+    — a CONSTANT-size numpy word array whatever the list width —
+    ship it in an Arrow-UDF closure, and split the corpus map-side:
+    definite non-members (the ~99% of documents on unlisted domains)
+    keep ``category`` NULL with ZERO shuffle, and only the maybe-
+    member sliver shuffle-joins the blocklist to recover the category
+    (a Bloom false positive just finds no match there — correctness
+    never depends on the fpr). The corpus is scanned twice (two
+    narrow map legs) instead of shuffled once — the right trade at
+    100 TB, where the shuffle is the cost. Hash positions reuse the
+    EXACT ``bloom_bitmap`` derivation (md5-slice Kirsch-Mitzenmacher)
+    computed JVM-side; the Python side is pure vectorized numpy bit
+    tests.
+
+    ``strategy`` defaults from the legacy ``broadcast`` flag
+    ("broadcast" / "shuffle"); pass "bloom" explicitly for the wide-
+    list path. Returns ``df`` plus ``reg_domain``, ``category`` (NULL
+    when unlisted) and ``keep`` (category IS NULL) — identical output
+    under every strategy (test_domains pins the identity).
 
     The gate is ROW-PRESERVING: real UT1 lists place one domain in
     several categories (adult + redirector is common), so the
@@ -273,6 +290,10 @@ def blocklist_gate(
     deterministic representative; the keep verdict is identical
     whichever category matched).
     """
+    if strategy is None:
+        strategy = "broadcast" if broadcast else "shuffle"
+    if strategy not in ("broadcast", "shuffle", "bloom"):
+        raise ValueError(f"unknown blocklist_gate strategy: {strategy!r}")
     h = F.col(host) if isinstance(host, str) else host
     canon = F.lower(F.regexp_replace(h, r"\.+$", ""))
     rd = registered_domain(h, rules)["registered_domain"]
@@ -286,10 +307,70 @@ def blocklist_gate(
         .groupBy("_k_")
         .agg(F.min("category").alias("category"))
     )
-    if broadcast:
+    if strategy == "bloom":
+        return _bloom_gate(keyed, bl, bloom_m_bits, bloom_n_hashes)
+    if strategy == "broadcast":
         bl = F.broadcast(bl)
     return (
         keyed.join(bl, "_k_", "left")
+        .withColumn("keep", F.col("category").isNull())
+        .drop("_k_")
+    )
+
+
+def _bloom_gate(keyed, bl, m_bits: int, n_hashes: int):
+    """The wide-blocklist leg of :func:`blocklist_gate`: constant-size
+    bitmap in a UDF closure → map-side split → shuffle-join only the
+    maybe-member sliver. Output is column- and value-identical to the
+    broadcast leg."""
+    import numpy as np
+    import pandas as pd
+
+    from demy_spark.operators.dedup import _md5_long
+    from demy_spark.operators.sketches import bloom_bitmap
+
+    words = np.zeros(m_bits // 32, dtype=np.int64)
+    # the bitmap frame is m/32 rows MAX regardless of blocklist width —
+    # dictionary-sized driver state, the engine's collect policy
+    for row in bloom_bitmap(bl, "_k_", m_bits=m_bits, n_hashes=n_hashes).collect():
+        words[int(row["word"])] = int(row["bits"])
+
+    @F.pandas_udf("boolean")
+    def _maybe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        # inputs are non-null (NULL keys coalesced to -1 JVM-side), so
+        # pandas hands exact int64 — a nullable column would arrive as
+        # float64 and ROUND the 60-bit hash (found by the identity test)
+        a = h1.to_numpy()
+        b = h2.to_numpy()
+        ok = a >= 0
+        ai = np.where(ok, a, 0)
+        bi = np.where(ok, b, 0)
+        for i in range(n_hashes):
+            pos = (ai + i * bi) % m_bits
+            ok &= (words[pos >> 5] >> (pos & 31)) & 1 == 1
+        return pd.Series(ok)
+
+    # the same Kirsch-Mitzenmacher inputs bloom_bitmap hashed, JVM-side
+    neg = F.lit(-1).cast("long")
+    probed = keyed.withColumn(
+        "_maybe_",
+        _maybe(
+            F.coalesce(_md5_long(F.col("_k_").cast("string"), 1, 15), neg),
+            F.coalesce(
+                _md5_long(F.col("_k_").cast("string"), 16, 8).bitwiseAND(
+                    0x7FFFFFFF
+                ),
+                neg,
+            ),
+        ),
+    )
+    cat_type = bl.schema["category"].dataType
+    misses = probed.where(~F.col("_maybe_")).select(
+        *keyed.columns, F.lit(None).cast(cat_type).alias("category")
+    )
+    hits = probed.where(F.col("_maybe_")).drop("_maybe_").join(bl, "_k_", "left")
+    return (
+        misses.unionByName(hits)
         .withColumn("keep", F.col("category").isNull())
         .drop("_k_")
     )

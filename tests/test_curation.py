@@ -487,3 +487,59 @@ def test_holdout_split_leakage_free_and_deterministic(spark):
     # 25% target over 40 domains: loose sanity bounds, not exactness
     n_valid = sum(1 for s in first.values() if s == "valid")
     assert 2 <= n_valid <= 20
+
+
+def test_blocklist_gate_bloom_strategy_is_identical(spark):
+    """strategy='bloom' (the wide-UT1 path, VERDICT r8 task 3) must be
+    a pure plan change: row-for-row identical to the broadcast leg on
+    every edge the fixture carries (bare host, canonicalization, NULL
+    host, multi-category listing), and the definite-miss leg must keep
+    category NULL without consulting the blocklist."""
+    from demy_spark.functions.domains import blocklist_gate
+
+    df = spark.createDataFrame(
+        [
+            (1, "www.bad.com"),
+            (2, "deep.sub.bad.com"),
+            (3, "good.com"),
+            (4, "evil.ck"),
+            (5, "BAD.COM."),
+            (6, None),
+            (7, "another.fine.org"),
+        ],
+        "id int, host string",
+    )
+    bl = spark.createDataFrame(
+        [("bad.com", "ads"), ("bad.com", "adult"), ("evil.ck", "malware")],
+        "domain string, category string",
+    )
+    ref = blocklist_gate(df, "host", bl)
+    blm = blocklist_gate(df, "host", bl, strategy="bloom")
+    assert sorted(blm.columns) == sorted(ref.columns)
+    cols = sorted(ref.columns)
+    assert {tuple(r) for r in blm.select(cols).collect()} == {
+        tuple(r) for r in ref.select(cols).collect()
+    }
+    # a tiny bitmap forces false positives: the survivors' exact join
+    # must still return category NULL / keep=true for unlisted domains
+    fp = blocklist_gate(df, "host", bl, strategy="bloom", bloom_m_bits=64)
+    assert {tuple(r) for r in fp.select(cols).collect()} == {
+        tuple(r) for r in ref.select(cols).collect()
+    }
+    with pytest.raises(ValueError, match="unknown blocklist_gate strategy"):
+        blocklist_gate(df, "host", bl, strategy="bogus")
+
+
+def test_blocklist_gate_bloom_misses_avoid_the_shuffle(spark):
+    """Plan shape: the bloom gate's miss leg must carry NO join at all
+    (map-side verdict), and the blocklist must not be broadcast-hinted
+    — the whole point is that the list is too wide to broadcast."""
+    from demy_spark.functions.domains import blocklist_gate
+
+    df = spark.createDataFrame([(1, "good.com")], "id int, host string")
+    bl = spark.createDataFrame([("bad.com", "ads")], "domain string, category string")
+    out = blocklist_gate(df, "host", bl, strategy="bloom")
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    # exactly ONE join in the whole plan: the survivors' category join
+    assert analyzed.count("Join ") == 1
