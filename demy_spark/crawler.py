@@ -29,9 +29,9 @@ a polite User-Agent. No non-stdlib dependency: link extraction is an
 ``zipfile``/``tarfile``/``gzip``/``bz2`` — tar archives extract
 per-member like the reference's commons-compress path
 (`Execute.scala:111`) — plus the bounded pure-stdlib 7z reader in
-:mod:`demy_spark.sevenzip` for single-coder archives (filter chains
-and encryption still raise a loud NotImplementedError instead of
-faking decompression).
+:mod:`demy_spark.sevenzip` for single-coder archives and BCJ-x86 /
+Delta chains over LZMA (BCJ2/PPMd/encryption still raise a loud
+NotImplementedError instead of faking decompression).
 """
 
 from __future__ import annotations
@@ -343,10 +343,11 @@ def download(
     names are flattened, so a hostile ``../`` can never escape the
     spool), ``.gz``/``.bz2`` decompress to a single file, anything
     else lands verbatim. ``.7z`` extracts through the bounded
-    pure-stdlib reader (:mod:`demy_spark.sevenzip`) when the archive
-    uses single-coder LZMA/LZMA2/BZip2/Deflate/Copy folders — the
-    ``7z a`` default — and raises a loud NotImplementedError for
-    filter chains / encryption rather than faking decompression.
+    pure-stdlib reader (:mod:`demy_spark.sevenzip`): single-coder
+    LZMA/LZMA2/BZip2/Deflate/Copy folders — the ``7z a`` default —
+    plus BCJ-x86/Delta chains over LZMA (executables, some mirrors);
+    BCJ2/PPMd/encryption raise a loud NotImplementedError rather than
+    faking decompression, and declared unpack sizes are bomb-capped.
     Every file lands via the atomic spool write. Returns the written
     paths."""
     _, body = fetch(url)

@@ -234,6 +234,7 @@ def blocklist_gate(
     strategy: str | None = None,
     bloom_m_bits: int = 1 << 23,
     bloom_n_hashes: int = 7,
+    reg_domain_col: str | None = None,
 ):
     """UT1-style domain blocklist gate — the standard curation filter
     that drops documents whose REGISTERED domain appears on a
@@ -296,7 +297,15 @@ def blocklist_gate(
         raise ValueError(f"unknown blocklist_gate strategy: {strategy!r}")
     h = F.col(host) if isinstance(host, str) else host
     canon = F.lower(F.regexp_replace(h, r"\.+$", ""))
-    rd = registered_domain(h, rules)["registered_domain"]
+    # pipelines that already materialized the registered domain
+    # (q131's rollup does) pass it through: the PSL extraction is the
+    # expensive per-row step, and the bloom strategy re-evaluates the
+    # key derivation in both of its map legs — pay it once upstream
+    rd = (
+        F.col(reg_domain_col)
+        if reg_domain_col is not None
+        else registered_domain(h, rules)["registered_domain"]
+    )
     keyed = df.withColumn("reg_domain", rd).withColumn(
         "_k_", F.coalesce(F.col("reg_domain"), canon)
     )
@@ -331,9 +340,22 @@ def _bloom_gate(keyed, bl, m_bits: int, n_hashes: int):
 
     words = np.zeros(m_bits // 32, dtype=np.int64)
     # the bitmap frame is m/32 rows MAX regardless of blocklist width —
-    # dictionary-sized driver state, the engine's collect policy
-    for row in bloom_bitmap(bl, "_k_", m_bits=m_bits, n_hashes=n_hashes).collect():
-        words[int(row["word"])] = int(row["bits"])
+    # dictionary-sized driver state, the engine's collect policy. A
+    # UT1-width bitmap (2^26 bits -> 2M words) must come back through
+    # Arrow: row-based collect spends ~8 s re-boxing what Arrow moves
+    # in ~0.5 s (measured, PLANS.md round-9)
+    bm = bloom_bitmap(bl, "_k_", m_bits=m_bits, n_hashes=n_hashes)
+    spark = bl.sparkSession
+    arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(arrow_key)
+    spark.conf.set(arrow_key, "true")
+    try:
+        pdf = bm.toPandas()
+    finally:
+        spark.conf.set(arrow_key, prev)
+    words[pdf["word"].to_numpy(dtype=np.int64)] = pdf["bits"].to_numpy(
+        dtype=np.int64
+    )
 
     @F.pandas_udf("boolean")
     def _maybe(h1: pd.Series, h2: pd.Series) -> pd.Series:

@@ -109,6 +109,11 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
         T.StructField("pixels", T.ArrayType(T.FloatType())),
+        # PERMANENT POLICY (COVERAGE.md, r9): fake pixels must be
+        # machine-visible in the DATA, not just the docs — False here
+        # means the deterministic keystream stood in for a codec this
+        # environment lacks (JPEG without Pillow)
+        T.StructField("decode_real", T.BooleanType()),
     ]
 )
 
@@ -355,18 +360,21 @@ def decode_image(
     to override detection."""
     dec = decoder or default_image_decoder()
     dh, dw = default_hw
+    realness = _decode_realness(dec)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             meta = pdf["meta"] if "meta" in pdf.columns else None
-            hs, ws, px = [], [], []
+            hs, ws, px, real = [], [], [], []
             for i in range(len(pdf)):
                 m = meta.iloc[i] if meta is not None else None
                 h = int(m["height"]) if m is not None and m["height"] else dh
                 w = int(m["width"]) if m is not None and m["width"] else dw
                 hs.append(h)
                 ws.append(w)
-                px.append(dec(pdf[payload_col].iloc[i], h, w, channels))
+                payload = pdf[payload_col].iloc[i]
+                px.append(dec(payload, h, w, channels))
+                real.append(realness(payload))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -374,10 +382,24 @@ def decode_image(
                     "width": ws,
                     "channels": channels,
                     "pixels": px,
+                    "decode_real": real,
                 }
             )
 
     return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def _decode_realness(dec):
+    """Per-payload realness predicate for the ``decode_real`` column:
+    the known decoders report exactly which payloads got REAL pixels
+    (_auto_decode: only PNG); an explicit caller-supplied decoder is
+    trusted as real — callers passing ``_fake_decode`` for
+    reproducible CI get the honest False."""
+    if dec is _fake_decode:
+        return lambda p: False
+    if dec is _auto_decode:
+        return lambda p: bool(p) and bytes(p[: len(_PNG_MAGIC)]) == _PNG_MAGIC
+    return lambda p: p is not None
 
 
 def resize_image(
@@ -410,6 +432,10 @@ def resize_image(
                     "width": out_w,
                     "channels": pdf["channels"],
                     "pixels": res,
+                    # resizing fake pixels does not make them real
+                    "decode_real": pdf.get(
+                        "decode_real", pd.Series([None] * len(pdf))
+                    ),
                 }
             )
 

@@ -95,7 +95,14 @@ def _gate_table(sql: str, table: str, alias: str, where: str) -> str:
         masked[idx + 4 : idx + 5].isalnum() or masked[idx + 4 : idx + 5] == "_"
     )
     if is_with:
-        masked = f"{masked[:idx + 4]} {cte},{masked[idx + 4:]}"
+        # RECURSIVE must directly follow WITH — the CTE goes AFTER it
+        # (inserting between them yields 'WITH <cte>, RECURSIVE ...',
+        # which does not parse; ADVICE r8)
+        head = idx + 4
+        m = re.match(r"(\s+|\x00\d+\x00)*RECURSIVE\b", masked[head:], re.I)
+        if m is not None:
+            head += m.end()
+        masked = f"{masked[:head]} {cte},{masked[head:]}"
     else:
         masked = f"WITH {cte}\n{masked}"
     return re.sub(r"\x00(\d+)\x00", lambda m: spans[int(m.group(1))], masked)

@@ -2,15 +2,18 @@
 
 The reference ingests ``.7z`` crawl payloads through commons-compress
 (`net2demy/src/main/scala/Execute.scala:25-26,319`); this module covers
-the overwhelmingly common archives a default ``7z a`` produces —
-single-coder folders compressed with LZMA1/LZMA2/BZip2/Deflate/Copy,
-solid or not, optionally with a compressed (EncodedHeader) metadata
-block — using only ``lzma``/``bz2``/``zlib``. Anything beyond that
-boundary (multi-coder chains such as BCJ+LZMA, delta filters, AES
-encryption, external streams-info) raises a loud
-``NotImplementedError`` naming the codec, never a silent wrong
+the overwhelmingly common archives ``7z a`` produces — single-coder
+folders compressed with LZMA1/LZMA2/BZip2/Deflate/Copy, solid or not,
+optionally with a compressed (EncodedHeader) metadata block, and (r9)
+the two-coder BCJ-x86 / Delta filter chains over LZMA1/LZMA2 that
+executables and some mirrors carry (liblzma decodes the whole chain
+raw, so this stays pure stdlib) — using only ``lzma``/``bz2``/
+``zlib``. Anything beyond that boundary (BCJ2, PPMd, AES encryption,
+filter chains over non-LZMA coders, external streams-info) raises a
+loud ``NotImplementedError`` naming the codec, never a silent wrong
 extraction; structural damage (bad signature, CRC mismatch, truncated
-header) raises ``ValueError``.
+header) raises ``ValueError``; declared unpack sizes above the
+decompression-bomb cap raise before any decompression.
 
 Container layout follows the public 7-Zip format documentation
 (``7zFormat.txt`` in the 7-Zip source distribution): a 32-byte
@@ -58,12 +61,15 @@ CODEC_LZMA1 = b"\x03\x01\x01"
 CODEC_LZMA2 = b"\x21"
 CODEC_BZIP2 = b"\x04\x02\x02"
 CODEC_DEFLATE = b"\x04\x01\x08"
+# branch/delta FILTERS, supported when chained with LZMA1/LZMA2 (the
+# pairing `7z a` actually writes) — liblzma decodes the whole chain in
+# one raw decompressor. BCJ x86 has an old long id and a new short one.
+CODEC_BCJ_X86 = (b"\x03\x03\x01\x03", b"\x04")
+CODEC_DELTA = b"\x03"
 
 _CODEC_NAMES = {
     b"\x06\xf1\x07\x01": "AES-256+SHA-256 (encrypted archive)",
-    b"\x03\x03\x01\x03": "BCJ x86 filter",
     b"\x03\x03\x01\x1b": "BCJ2",
-    b"\x03": "Delta filter",
     b"\x04\x01\x01": "Deflate64",
     b"\x03\x04\x01": "PPMd",
 }
@@ -111,7 +117,12 @@ class _Reader:
 class _Folder:
     codec_id: bytes = b""
     props: bytes = b""
+    # decode-side branch/delta filters applied AFTER the main
+    # decompressor (at most one today: BCJ x86 or Delta)
+    filters: list[tuple[bytes, bytes]] = field(default_factory=list)
     unpack_sizes: list[int] = field(default_factory=list)
+    final_out: int = 0  # index of the folder's final out-stream
+    num_out_streams: int = 1
     num_substreams: int = 1
     # None = the respective header block was absent (defaults apply);
     # [] is meaningful for a zero-substream folder
@@ -121,14 +132,20 @@ class _Folder:
 
     @property
     def unpack_size(self) -> int:
-        return self.unpack_sizes[-1] if self.unpack_sizes else 0
+        if not self.unpack_sizes:
+            return 0
+        return self.unpack_sizes[min(self.final_out, len(self.unpack_sizes) - 1)]
+
+
+_FILTER_IDS = set(CODEC_BCJ_X86) | {CODEC_DELTA}
+_LZMA_IDS = {CODEC_LZMA1, CODEC_LZMA2}
 
 
 def _read_folder(r: _Reader) -> _Folder:
     f = _Folder()
     num_coders = r.number()
-    total_in = total_out = 0
-    for ci in range(num_coders):
+    coders: list[tuple[bytes, bytes]] = []  # (codec_id, props)
+    for _ in range(num_coders):
         flags = r.byte()
         codec_id = r.bytes(flags & 0x0F)
         nin = nout = 1
@@ -137,25 +154,48 @@ def _read_folder(r: _Reader) -> _Folder:
         props = b""
         if flags & 0x20:
             props = r.bytes(r.number())
-        total_in += nin
-        total_out += nout
-        if ci == 0:
-            f.codec_id, f.props = codec_id, props
         if codec_id in _CODEC_NAMES:
             raise NotImplementedError(
                 f"7z codec not supported by the bounded stdlib reader: "
                 f"{_CODEC_NAMES[codec_id]}; decompress out-of-band"
             )
-    if num_coders != 1:
+        if nin != 1 or nout != 1:
+            raise NotImplementedError("7z coder with multiple streams")
+        coders.append((codec_id, props))
+    f.num_out_streams = num_coders  # all supported coders are 1-in/1-out
+    if num_coders == 1:
+        f.codec_id, f.props = coders[0]
+        return f  # 0 bind pairs, 1 packed stream, nothing else follows
+    if num_coders == 2:
+        # the one chain `7z a` writes beyond plain compression: a
+        # branch/delta filter over an LZMA-family coder (BCJ x86 is
+        # what executables get). liblzma decodes the whole chain, so
+        # this stays pure-stdlib; anything else is still loud below.
+        fidx = [i for i, (cid, _) in enumerate(coders) if cid in _FILTER_IDS]
+        cidx = [i for i, (cid, _) in enumerate(coders) if cid in _LZMA_IDS]
+        in_index, out_index = r.number(), r.number()  # the single bind pair
+        if len(fidx) == 1 and len(cidx) == 1:
+            fi, ci = fidx[0], cidx[0]
+            # decode path must be packed -> LZMA coder -> filter: the
+            # bind pair feeds the filter's in-stream from the LZMA
+            # coder's out-stream (streams are indexed in coder order;
+            # every supported coder is 1-in/1-out, so stream i == coder i)
+            if (in_index, out_index) == (fi, ci):
+                f.codec_id, f.props = coders[ci]
+                f.filters = [coders[fi]]
+                f.final_out = fi
+                return f
         raise NotImplementedError(
-            f"7z multi-coder folder ({num_coders} coders, e.g. a "
-            "BCJ/delta filter chain) is outside the bounded stdlib "
-            "reader; decompress out-of-band"
+            "7z 2-coder folder is outside the bounded stdlib reader "
+            f"(coders {[c.hex() for c, _ in coders]}, bind "
+            f"{(in_index, out_index)}; supported: BCJ x86 / Delta over "
+            "LZMA1/LZMA2); decompress out-of-band"
         )
-    # single coder: 0 bind pairs, 1 packed stream, nothing else follows
-    if total_in != 1 or total_out != 1:
-        raise NotImplementedError("7z coder with multiple streams")
-    return f
+    raise NotImplementedError(
+        f"7z multi-coder folder ({num_coders} coders, e.g. a BCJ2 "
+        "chain) is outside the bounded stdlib reader; decompress "
+        "out-of-band"
+    )
 
 
 def _decompress(folder: _Folder, packed: bytes) -> bytes:
@@ -167,8 +207,27 @@ def _decompress(folder: _Folder, packed: bytes) -> bytes:
         raise ValueError(f"corrupt 7z packed stream: {e}") from e
 
 
+def _branch_filter_spec(codec_id: bytes, props: bytes) -> dict:
+    """liblzma raw-chain spec for a supported 7z branch/delta filter.
+    BCJ x86 props are empty or a 4-byte little-endian start offset;
+    Delta props are one byte holding distance-1 (7zFormat.txt)."""
+    if codec_id in CODEC_BCJ_X86:
+        spec = {"id": lzma.FILTER_X86}
+        if len(props) >= 4:
+            spec["start_offset"] = int.from_bytes(props[:4], "little")
+        return spec
+    if codec_id == CODEC_DELTA:
+        if len(props) != 1:
+            raise ValueError("7z delta filter without 1-byte distance")
+        return {"id": lzma.FILTER_DELTA, "dist": props[0] + 1}
+    raise NotImplementedError(f"7z filter id {codec_id.hex()}")
+
+
 def _decompress_inner(folder: _Folder, packed: bytes) -> bytes:
     cid, size = folder.codec_id, folder.unpack_size
+    chain = [_branch_filter_spec(c, p) for c, p in folder.filters]
+    if chain and cid not in _LZMA_IDS:  # _read_folder already enforces
+        raise NotImplementedError("7z filter chain over a non-LZMA coder")
     if cid == CODEC_COPY:
         out = packed[:size]
     elif cid == CODEC_LZMA1:
@@ -182,7 +241,9 @@ def _decompress_inner(folder: _Folder, packed: bytes) -> bytes:
             "pb": b // 45,
             "dict_size": int.from_bytes(folder.props[1:5], "little"),
         }
-        dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=[filt])
+        dec = lzma.LZMADecompressor(
+            format=lzma.FORMAT_RAW, filters=chain + [filt]
+        )
         out = dec.decompress(packed, max_length=size)
     elif cid == CODEC_LZMA2:
         if len(folder.props) < 1:
@@ -191,7 +252,7 @@ def _decompress_inner(folder: _Folder, packed: bytes) -> bytes:
         dict_size = 0xFFFFFFFF if b >= 40 else (2 | (b & 1)) << (b // 2 + 11)
         dec = lzma.LZMADecompressor(
             format=lzma.FORMAT_RAW,
-            filters=[{"id": lzma.FILTER_LZMA2, "dict_size": dict_size}],
+            filters=chain + [{"id": lzma.FILTER_LZMA2, "dict_size": dict_size}],
         )
         out = dec.decompress(packed, max_length=size)
     elif cid == CODEC_BZIP2:
@@ -248,7 +309,10 @@ def _read_streams_info(r: _Reader) -> _StreamsInfo:
             if r.number() != K_CODERS_UNPACK_SIZE:
                 raise ValueError("UnpackInfo without CodersUnpackSize")
             for f in si.folders:
-                f.unpack_sizes = [r.number()]  # single out-stream per folder
+                # one size per OUT-stream; the folder's size is the
+                # final (unbound) stream's — equal for the supported
+                # length-preserving filters, but indexed correctly
+                f.unpack_sizes = [r.number() for _ in range(f.num_out_streams)]
             while True:
                 t2 = r.number()
                 if t2 == K_END:
@@ -364,11 +428,41 @@ def _read_files_info(r: _Reader) -> _FilesInfo:
     return fi
 
 
-def read_7z(body: bytes) -> list[tuple[str, bytes]]:
+def _default_unpack_cap(body_len: int) -> int:
+    """Decompression-bomb ceiling (ADVICE r8): unpack sizes come from
+    the UNTRUSTED header, and LZMA reaches 1000:1+ ratios — a tiny
+    hostile .7z fetched by the crawler could otherwise declare a
+    multi-GB unpack_size and have it materialized in memory. The
+    default allows 1000x the fetched body with a 64 MiB floor (so a
+    small archive of a legitimately sparse file still opens); callers
+    with bigger expectations pass ``max_unpack_bytes`` explicitly."""
+    return max(64 << 20, 1000 * body_len)
+
+
+def read_7z(
+    body: bytes, *, max_unpack_bytes: int | None = None
+) -> list[tuple[str, bytes]]:
     """Parse a 7z archive and return ``(member_name, content)`` for
     every FILE member (directories are dropped, empty files yield
     ``b""``), in archive order. Substream CRCs are verified when the
-    header carries them."""
+    header carries them. Declared unpack sizes above
+    ``max_unpack_bytes`` (default: :func:`_default_unpack_cap`) raise
+    ``ValueError`` BEFORE any decompression happens."""
+    cap = (
+        _default_unpack_cap(len(body))
+        if max_unpack_bytes is None
+        else max_unpack_bytes
+    )
+
+    def check_cap(total: int, what: str) -> None:
+        if total > cap:
+            raise ValueError(
+                f"7z {what} declares {total} unpacked bytes, over the "
+                f"{cap}-byte cap for a {len(body)}-byte archive "
+                "(decompression-bomb guard; raise max_unpack_bytes to "
+                "override)"
+            )
+
     if len(body) < 32 or body[:6] != SIGNATURE:
         raise ValueError("not a 7z archive (bad signature)")
     if zlib.crc32(body[12:32]) != int.from_bytes(body[8:12], "little"):
@@ -391,6 +485,7 @@ def read_7z(body: bytes) -> list[tuple[str, bytes]]:
         packed = _pack_slices(body, si)
         if len(si.folders) != 1:
             raise NotImplementedError("multi-folder 7z encoded header")
+        check_cap(si.folders[0].unpack_size, "encoded header")
         r = _Reader(_decompress(si.folders[0], packed[0]))
         t = r.number()
     if t != K_HEADER:
@@ -416,6 +511,7 @@ def read_7z(body: bytes) -> list[tuple[str, bytes]]:
             )
 
     # decompress folders and slice substreams, archive order
+    check_cap(sum(f.unpack_size for f in si.folders), "streams info")
     contents: list[bytes] = []
     for folder, packed in zip(si.folders, _pack_slices(body, si)):
         out = _decompress(folder, packed)
@@ -461,7 +557,7 @@ def read_7z(body: bytes) -> list[tuple[str, bytes]]:
 
 def _pack_slices(body: bytes, si: _StreamsInfo) -> list[bytes]:
     """Cut each folder's packed stream out of the archive body
-    (single-coder folders consume exactly one pack stream each)."""
+    (every supported folder consumes exactly one pack stream)."""
     if len(si.pack_sizes) != len(si.folders):
         raise NotImplementedError(
             "7z pack-stream/folder count mismatch (multi-stream folder)"

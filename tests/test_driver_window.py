@@ -94,3 +94,27 @@ def test_every_gated_oracle_has_no_stray_table_refs():
                 masked, _ = Q.mask_sql_spans(q.oracle)
                 raw = len(re.findall(rf"\b{table}\b", masked))
                 assert raw == 1, f"{name}: {raw} raw {table} refs (want CTE only)"
+
+
+def test_gate_table_handles_with_recursive():
+    """WITH RECURSIVE: the hygiene CTE must slot AFTER the RECURSIVE
+    token (RECURSIVE must directly follow WITH in both engines;
+    ADVICE r8 — latent until a recursive oracle is gated)."""
+    import duckdb
+
+    from demy_spark.queries import _gate_table
+
+    sql = (
+        "-- walk\nWITH RECURSIVE chain AS (\n"
+        "  SELECT doc_id, 1 AS depth FROM documents WHERE doc_id = 1\n"
+        "  UNION ALL\n"
+        "  SELECT d.doc_id, c.depth + 1 FROM documents d\n"
+        "  JOIN chain c ON d.doc_id = c.doc_id + 1 WHERE c.depth < 3)\n"
+        "SELECT max(depth) AS md FROM chain"
+    )
+    gated = _gate_table(sql, "documents", "doc_ok", "doc_id IS NOT NULL")
+    assert re.search(r"WITH(\s|--[^\n]*\n)+RECURSIVE doc_ok AS", gated)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id INT)")
+    con.execute("INSERT INTO documents VALUES (1), (2), (3), (NULL)")
+    assert con.execute(gated).fetchall() == [(3,)]

@@ -685,3 +685,34 @@ def test_streaming_quality_gate_matches_batch(spark, sf_dir, tmp_path):
     # quality assertion here is batch-equality, not a kept count
     assert any(not d for _, d, _, _ in got)
     assert any(d for _, d, _, _ in got)
+
+
+def test_decode_real_column_marks_fake_pixels(spark):
+    """PERMANENT POLICY (COVERAGE.md r9): substituted pixels must be
+    machine-visible in the data. The default decoder marks PNG rows
+    real and codec-less formats fake; an explicit _fake_decode marks
+    everything fake; resize carries the flag through."""
+    from demy_spark.operators.multimodal import (
+        _fake_decode,
+        encode_png,
+        pillow_available,
+        resize_image,
+    )
+
+    png = encode_png(bytes([0, 128, 255] * 4), 2, 2, 3)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(png), {"height": 2, "width": 2}),
+            (2, bytearray(b"\xff\xd8\xff\xe0 not-a-real-jpeg"), {"height": 2, "width": 2}),
+        ],
+        "media_id long, payload binary, meta map<string,int>",
+    )
+    out = {r["media_id"]: r for r in decode_image(media).collect()}
+    assert out[1]["decode_real"] is True
+    # without Pillow the JPEG payload got the fake keystream; with it,
+    # Pillow would RAISE on these corrupt bytes before returning rows
+    assert pillow_available() or out[2]["decode_real"] is False
+    forced = decode_image(media, decoder=_fake_decode)
+    assert {r["decode_real"] for r in forced.collect()} == {False}
+    rz = {r["media_id"]: r for r in resize_image(forced, 4, 4).collect()}
+    assert rz[1]["decode_real"] is False and len(rz[1]["pixels"]) == 48
