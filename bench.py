@@ -62,6 +62,32 @@ def data_probe(spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
+def _split32_twin(spark, sf_dir: str) -> str:
+    """A twin of ``sf_dir`` whose ``documents`` table is 32 part files
+    (written once, reused across runs); every other table symlinks the
+    original. Build cost is OUTSIDE the timed readings."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    twin = os.path.join(tempfile.gettempdir(), f"demy_bench_split32_{tag}")
+    docs_dir = os.path.join(twin, "documents.parquet")
+    if not os.path.isdir(docs_dir):
+        os.makedirs(twin, exist_ok=True)
+        for f in os.listdir(sf_dir):
+            if f.endswith(".parquet") and f != "documents.parquet":
+                link = os.path.join(twin, f)
+                if not os.path.exists(link):
+                    os.symlink(os.path.join(sf_dir, f), link)
+        (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(docs_dir)
+        )
+    return twin
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -161,6 +187,27 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             extra_timings[name] = min(extra_timings.get(name, dt), dt)
 
+    # split-parallel twin readings for the MAP-SHAPED extras (VERDICT
+    # r8 task 7): the sf0.1 fixture is one parquet file, so a pure
+    # narrow map runs as ONE task and the reading conflates per-row
+    # cost with parallelism (c4_filters: 3.3 s one-file vs ~0.5 s at 32
+    # splits, PLANS.md round-6). A 32-file twin of `documents` (built
+    # once under the tempdir, other tables symlinked) records what any
+    # real multi-file input gives for free; both readings ship in the
+    # artifact so regressions in map-shaped operators adjudicate
+    # against the right denominator.
+    split_dir = _split32_twin(spark, sf_dir)
+    split_timings: dict[str, float] = {}
+    for name in ("c4_filters", "repetition_profile", "script_profile"):
+        fn = extras[name]
+        spark.catalog.clearCache()
+        force(fn(spark, split_dir))  # warm-up
+        for _ in range(3):
+            t0 = time.perf_counter()
+            force(fn(spark, split_dir))
+            dt = round(time.perf_counter() - t0, 3)
+            split_timings[name] = min(split_timings.get(name, dt), dt)
+
     sched_end = sched_probe(spark)
 
     total = round(sum(timings.values()), 3)
@@ -173,6 +220,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extra_queries": extra_timings,
+                # same operators over the 32-split documents twin — the
+                # multi-file reality; compare against extra_queries to
+                # separate per-row cost from single-task serialization
+                "extra_queries_split32": split_timings,
                 # in-artifact calibration (BASELINE.md "In-artifact
                 # calibration protocol"): scheduling tax in ms/trivial
                 # job, measured after warm-up AND after the extras

@@ -30,6 +30,8 @@ filters raw URLs by regex and never needs domain grouping.
 
 from __future__ import annotations
 
+from functools import reduce
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -263,20 +265,20 @@ def blocklist_gate(
     Catalyst/AQE pick a plain shuffle join on the registered domain
     (one corpus shuffle; still no skew risk because the key is the
     deduped domain). At that width the better composition is
-    ``strategy="bloom"``: build the q135 bitmap
-    (``operators.sketches.bloom_bitmap``) over the blocklist domains
-    — a CONSTANT-size numpy word array whatever the list width —
-    ship it in an Arrow-UDF closure, and split the corpus map-side:
-    definite non-members (the ~99% of documents on unlisted domains)
-    keep ``category`` NULL with ZERO shuffle, and only the maybe-
-    member sliver shuffle-joins the blocklist to recover the category
-    (a Bloom false positive just finds no match there — correctness
-    never depends on the fpr). The corpus is scanned twice (two
-    narrow map legs) instead of shuffled once — the right trade at
-    100 TB, where the shuffle is the cost. Hash positions reuse the
-    EXACT ``bloom_bitmap`` derivation (md5-slice Kirsch-Mitzenmacher)
-    computed JVM-side; the Python side is pure vectorized numpy bit
-    tests.
+    ``strategy="bloom"``: a SPLIT-BLOCK Bloom filter over the
+    blocklist domains (one 512-bit block per key, the blocked layout
+    Impala/Parquet bloom filters use) reduced to a CONSTANT-size
+    ``(block, array<long>[8])`` frame whatever the list width, then
+    the corpus splits map-side on ONE broadcast join + bit tests —
+    all JVM, no driver collect: definite non-members (the ~99% of
+    documents on unlisted domains) keep ``category`` NULL with ZERO
+    corpus shuffle, and only the maybe-member sliver shuffle-joins
+    the blocklist to recover the category (a Bloom false positive
+    just finds no match there — correctness never depends on the
+    fpr). The corpus is scanned twice (two narrow map legs) instead
+    of shuffled once — the right trade at 100 TB, where the shuffle
+    is the cost; pass ``reg_domain_col`` (the q131 shape — PSL run
+    once upstream) so the key derivation isn't paid twice either.
 
     ``strategy`` defaults from the legacy ``broadcast`` flag
     ("broadcast" / "shuffle"); pass "bloom" explicitly for the wide-
@@ -327,65 +329,96 @@ def blocklist_gate(
     )
 
 
+def _block_cols(key: Column, m_bits: int, n_hashes: int) -> list[Column]:
+    """Split-block Bloom derivation, shared by build and probe: block
+    index + the ``n_hashes`` (word, bit) positions INSIDE the key's
+    single 512-bit block. Hashes are xxhash64 (seeded per position),
+    NOT the md5 oracle family: the sketch is internal — gate
+    correctness comes from the exact survivor join, never from bit
+    parity — and xxhash64 is the cheap JVM hash, which matters at two
+    evaluations per corpus row. NULL keys: xxhash64 skips NULL inputs
+    (hash of the seed alone), so they probe SOME block; a false
+    positive there still joins to nothing — guaranteed keep."""
+    n_blocks = max(1, m_bits // 512)
+    s = key.cast("string")
+    out = [F.pmod(F.xxhash64(s), F.lit(n_blocks)).alias("_blk_")]
+    for j in range(n_hashes):
+        pos = F.pmod(F.xxhash64(F.lit(j + 1), s), F.lit(512))
+        out.append((pos / 64).cast("int").alias(f"_w{j}_"))
+        out.append(F.pmod(pos, F.lit(64)).cast("int").alias(f"_b{j}_"))
+    return out
+
+
 def _bloom_gate(keyed, bl, m_bits: int, n_hashes: int):
-    """The wide-blocklist leg of :func:`blocklist_gate`: constant-size
-    bitmap in a UDF closure → map-side split → shuffle-join only the
-    maybe-member sliver. Output is column- and value-identical to the
-    broadcast leg."""
-    import numpy as np
-    import pandas as pd
-
-    from demy_spark.operators.dedup import _md5_long
-    from demy_spark.operators.sketches import bloom_bitmap
-
-    words = np.zeros(m_bits // 32, dtype=np.int64)
-    # the bitmap frame is m/32 rows MAX regardless of blocklist width —
-    # dictionary-sized driver state, the engine's collect policy. A
-    # UT1-width bitmap (2^26 bits -> 2M words) must come back through
-    # Arrow: row-based collect spends ~8 s re-boxing what Arrow moves
-    # in ~0.5 s (measured, PLANS.md round-9)
-    bm = bloom_bitmap(bl, "_k_", m_bits=m_bits, n_hashes=n_hashes)
-    spark = bl.sparkSession
-    arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
-    prev = spark.conf.get(arrow_key)
-    spark.conf.set(arrow_key, "true")
-    try:
-        pdf = bm.toPandas()
-    finally:
-        spark.conf.set(arrow_key, prev)
-    words[pdf["word"].to_numpy(dtype=np.int64)] = pdf["bits"].to_numpy(
-        dtype=np.int64
-    )
-
-    @F.pandas_udf("boolean")
-    def _maybe(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        # inputs are non-null (NULL keys coalesced to -1 JVM-side), so
-        # pandas hands exact int64 — a nullable column would arrive as
-        # float64 and ROUND the 60-bit hash (found by the identity test)
-        a = h1.to_numpy()
-        b = h2.to_numpy()
-        ok = a >= 0
-        ai = np.where(ok, a, 0)
-        bi = np.where(ok, b, 0)
-        for i in range(n_hashes):
-            pos = (ai + i * bi) % m_bits
-            ok &= (words[pos >> 5] >> (pos & 31)) & 1 == 1
-        return pd.Series(ok)
-
-    # the same Kirsch-Mitzenmacher inputs bloom_bitmap hashed, JVM-side
-    neg = F.lit(-1).cast("long")
-    probed = keyed.withColumn(
-        "_maybe_",
-        _maybe(
-            F.coalesce(_md5_long(F.col("_k_").cast("string"), 1, 15), neg),
-            F.coalesce(
-                _md5_long(F.col("_k_").cast("string"), 16, 8).bitwiseAND(
-                    0x7FFFFFFF
+    """The wide-blocklist leg of :func:`blocklist_gate`: a SPLIT-BLOCK
+    (register-blocked) Bloom filter — every key's ``n_hashes`` bits
+    live in ONE 512-bit block, the blocked layout Impala/Parquet bloom
+    filters use — reduced to a CONSTANT-size frame (m/512 rows of
+    ``array<long>[8]``, ~2 MiB per 2^23 bits whatever the blocklist
+    width: that compression is what lets the sketch broadcast where
+    the 4M-domain string list cannot). The probe is ONE map-side
+    broadcast join + pure bit arithmetic — all JVM, no Python, no
+    driver collect — and only the maybe-member sliver shuffle-joins
+    the blocklist to recover the category (a false positive just
+    finds no match there; correctness never depends on the fpr, which
+    the identity tests pin). The corpus is scanned twice (miss leg +
+    survivor leg, both narrow maps) instead of shuffled once — the
+    right trade when the corpus dwarfs the list."""
+    blocks = (
+        bl.select(*_block_cols(F.col("_k_"), m_bits, n_hashes))
+        .select(
+            "_blk_",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"_w{j}_").alias("w"), F.col(f"_b{j}_").alias("b")
+                        )
+                        for j in range(n_hashes)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .groupBy("_blk_", F.col("p.w").alias("_w_"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p.b AS INT))")
+            ).alias("_bits_")
+        )
+        .groupBy("_blk_")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("_w_"), F.collect_list("_bits_")
+            ).alias("_m_")
+        )
+        .select(
+            "_blk_",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                # try_: ANSI element_at raises on a missing map key
+                lambda w: F.coalesce(
+                    F.try_element_at("_m_", w.cast("int")), F.lit(0).cast("long")
                 ),
-                neg,
-            ),
-        ),
+            ).alias("_block_words_"),
+        )
     )
+    probed = keyed.select(
+        "*", *_block_cols(F.col("_k_"), m_bits, n_hashes)
+    ).join(F.broadcast(blocks), "_blk_", "left")
+    hits_j = [
+        F.coalesce(
+            F.expr(
+                f"(shiftright(element_at(_block_words_, _w{j}_ + 1), "
+                f"_b{j}_) & 1) = 1"
+            ),
+            F.lit(False),
+        )
+        for j in range(n_hashes)
+    ]
+    aux = [c for c in probed.columns if c not in keyed.columns]
+    probed = probed.withColumn(
+        "_maybe_", reduce(lambda a, b: a & b, hits_j)
+    ).drop(*aux)
     cat_type = bl.schema["category"].dataType
     misses = probed.where(~F.col("_maybe_")).select(
         *keyed.columns, F.lit(None).cast(cat_type).alias("category")

@@ -3,12 +3,16 @@
 
 Extends the r8 width probe with the now-real bloom strategy at 1M and
 4M domains (the real UT1 adult list is ~4M): broadcast (forced hint)
-vs shuffle (Catalyst/AQE) vs bloom (constant-size bitmap in an
-Arrow-UDF closure, map-side miss verdict, survivors-only exact join).
-Wall time is count()-forced on the blocked set, warm session, min of
-2 after one warm-up at each point; bloom timings EXCLUDE neither the
-bitmap build nor the collect — the whole gate is re-created per pass,
-like a real pipeline run. Table copied into PLANS.md round-9.
+vs shuffle (Catalyst/AQE) vs bloom (split-block filter, one broadcast
+join + JVM bit tests per corpus leg, survivors-only exact join). The
+corpus is a written-once local parquet with a ~380-byte
+low-compressibility payload and a MATERIALIZED reg_domain column (the
+q131 shape), and every pass noop-writes the FULL annotated output —
+a count() would let Catalyst prune the payload out of the join and
+hide exactly the data movement that separates the strategies. Wall
+is min of 2 after one warm-up; the bloom block-frame build is inside
+the timing, like a real per-batch run. Table + adjudication in
+PLANS.md round-9.
 """
 
 from __future__ import annotations
@@ -23,8 +27,7 @@ sys.path.insert(0, REPO)
 import pyspark.sql.functions as F  # noqa: E402
 
 from demy_spark.functions.domains import blocklist_gate  # noqa: E402
-from demy_spark.io import load_table  # noqa: E402
-from demy_spark.queries import _Q137_BLOCKLIST, _q131_host  # noqa: E402
+from demy_spark.queries import _Q137_BLOCKLIST  # noqa: E402
 from demy_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -520,26 +520,55 @@ def test_blocklist_gate_bloom_strategy_is_identical(spark):
     assert {tuple(r) for r in blm.select(cols).collect()} == {
         tuple(r) for r in ref.select(cols).collect()
     }
-    # a tiny bitmap forces false positives: the survivors' exact join
-    # must still return category NULL / keep=true for unlisted domains
-    fp = blocklist_gate(df, "host", bl, strategy="bloom", bloom_m_bits=64)
+    # a SATURATED block forces false positives (one 512-bit block, a
+    # dense blocklist sets ~every bit, so every unlisted corpus domain
+    # probes maybe=true): the survivors' exact join must still return
+    # category NULL / keep=true for them
+    bl_dense = bl.unionByName(
+        spark.createDataFrame(
+            [(f"filler{i}.net", "ads") for i in range(200)],
+            "domain string, category string",
+        )
+    )
+    ref_dense = blocklist_gate(df, "host", bl_dense)
+    fp = blocklist_gate(
+        df, "host", bl_dense, strategy="bloom", bloom_m_bits=512
+    )
     assert {tuple(r) for r in fp.select(cols).collect()} == {
-        tuple(r) for r in ref.select(cols).collect()
+        tuple(r) for r in ref_dense.select(cols).collect()
     }
     with pytest.raises(ValueError, match="unknown blocklist_gate strategy"):
         blocklist_gate(df, "host", bl, strategy="bogus")
 
 
-def test_blocklist_gate_bloom_misses_avoid_the_shuffle(spark):
-    """Plan shape: the bloom gate's miss leg must carry NO join at all
-    (map-side verdict), and the blocklist must not be broadcast-hinted
-    — the whole point is that the list is too wide to broadcast."""
+def test_blocklist_gate_bloom_probe_is_jvm_broadcast_joins(spark):
+    """Plan shape: the split-block bloom verdict must be ONE broadcast
+    hash join per corpus leg against the constant-size block frame —
+    all JVM (no Python/Arrow eval in the plan, no driver collect), and
+    the wide blocklist itself must never be broadcast-hinted (only the
+    block frame is; that compression is the point of the sketch)."""
     from demy_spark.functions.domains import blocklist_gate
 
-    df = spark.createDataFrame([(1, "good.com")], "id int, host string")
+    df = spark.createDataFrame(
+        [(1, "good.com", "good.com")], "id int, host string, reg_domain string"
+    )
     bl = spark.createDataFrame([("bad.com", "ads")], "domain string, category string")
-    out = blocklist_gate(df, "host", bl, strategy="bloom")
+    # reg_domain materialized upstream (the q131 shape): with the PSL
+    # UDF out of the way the WHOLE gate plan must be JVM-side
+    out = blocklist_gate(
+        df, "host", bl, strategy="bloom", bloom_n_hashes=7,
+        reg_domain_col="reg_domain",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # miss leg + survivor leg each probe the block frame once
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     analyzed = out._jdf.queryExecution().analyzed().toString()
-    assert "ResolvedHint" not in analyzed
-    # exactly ONE join in the whole plan: the survivors' category join
-    assert analyzed.count("Join ") == 1
+    # hints exist only on the block frame, never on the blocklist
+    import re as _re
+
+    hints = list(_re.finditer(r"ResolvedHint", analyzed))
+    assert hints, "expected the block frame to be broadcast-hinted"
+    for m in hints:
+        ctx = analyzed[m.start() : m.start() + 300]
+        assert "_blk_" in ctx or "_block_words_" in ctx, ctx
