@@ -2,21 +2,21 @@
 
 ``entry(spark)`` runs the flagship star-join query at sf0.001;
 ``queries()``/``oracle_sql()`` expose the full operator inventory from
-demy_spark.queries — 140 queries, ALL DuckDB-oracle-backed (zero
+demy_spark.queries — 143 queries, ALL DuckDB-oracle-backed (zero
 rows-only: formerly non-SQL operators are verified through seeded /
 frozen-weights replay — q38 one-vs-rest serving, q46/q66 POS decode,
 q47 genetic replay, q73 Platt, q76 tree spawning, q115/q116 BPE
-train/encode with unrolled merge rounds). The round-7 driver window
-(first 50 of queries()) leads with the never-rowed q137
-(registered-domain blocklist gate), q138 (hybrid sparse+dense RRF
-retrieval), q139 (metadata-filtered ANN) and q140 (token-budget
-selection) plus the queries whose executing
-code changed this round (q133/q136 degenerate-document oracle
-alignment; the q53/q89/q95/q100/q123 IVF family over the hashed
-sublist assignment), then rotates all 38 queries still resting on a
-round-4 row, then the oldest round-5 rows; every
-deferral is re-checked via the verify skill's full-registry driver
-simulation at sf0.01 (140/140 MATCH) and the sf0.001 parity suite.
+train/encode with unrolled merge rounds). The round-9 driver window
+(first 50 of queries()) leads with the never-rowed q141 (oracle-backed
+crawler run over the in-tree fixture site), q142 (shapefile CRS
+reprojection, Lambert-93 -> WGS84) and q143 (EpiFiles remote-store
+wire roundtrip — the last zero-oracle component closed), then the 15 r8 fixture-audit
+behavior-changed residents (q120 + the gated-embedding cohort), then
+32 of the 38 remaining r6-resting rows (the 6 deferred are headline
+queries re-executed by every bench run; arithmetic note at
+_DRIVER_PRIORITY); every deferral is re-checked via the verify
+skill's full-registry driver simulation at sf0.01 (143/143 MATCH) and
+the sf0.001 parity suite.
 COVERAGE.md maps each SURVEY §2 inventory row to its query and
 test."""
 

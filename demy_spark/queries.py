@@ -9508,12 +9508,84 @@ def q142_crs_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q143_remote_store",
+    """
+    WITH base AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS nkey,
+             'file_' || CAST(n_nationkey AS VARCHAR) || '.txt' AS name,
+             repeat(n_name || ';', CAST(5 + n_nationkey % 7 AS INT)) AS payload
+      FROM nation)
+    SELECT nkey, name,
+           CAST(length(payload) AS BIGINT) AS n_bytes,
+           CAST(ceil(length(payload) / 16.0) AS BIGINT) AS n_chunks,
+           md5(payload) AS content_md5,
+           'batch ' || CAST(nkey % 3 AS VARCHAR) AS comment
+    FROM base
+    """,
+)
+def q143_remote_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EpiFiles remote-store roundtrip with an oracle
+    (`core/src/main/scala/Storage/EpiFiles.scala:20-185`): one
+    closed-form payload per nation is UPLOADED through the chunked
+    multipart wire protocol to the in-module MemoryEpiServer
+    (chunk_size=16 so every file really multi-chunks), recovered via
+    the manifest (`find` by name regex — newest-first semantics,
+    `EpiFiles.scala:82-115`), chunk-downloaded, and landed in the
+    spool, where Spark takes over (binaryFile scan -> md5/size). The
+    oracle replays the payload closed-form from the nation table —
+    chunk split, base64+md5 chunk envelopes, manifest listing,
+    re-assembly order and the atomic spool write are all
+    value-verified. Driver-side by design like the crawler (SURVEY
+    §2.1): a chunked HTTP exchange has no distributed structure; the
+    spool is the engine handoff."""
+    import shutil
+
+    from demy_spark.remotestore import (
+        HttpFileStore,
+        MemoryEpiServer,
+        fetch_to_spool,
+    )
+
+    t = _t(spark, sf_dir)
+    nations = sorted(
+        t["nation"].select("n_nationkey", "n_name").collect(),
+        key=lambda r: r["n_nationkey"],
+    )
+    server = MemoryEpiServer()
+    store = HttpFileStore(
+        "http://epi.test", chunk_size=16, transport=server.transport
+    )
+    scratch = _layout_scratch(sf_dir, "q143")
+    shutil.rmtree(scratch, ignore_errors=True)
+    meta = []
+    for r in nations:
+        k = int(r["n_nationkey"])
+        name = f"file_{k}.txt"
+        payload = ((r["n_name"] + ";") * (5 + k % 7)).encode("utf-8")
+        store.upload(name, payload, comment=f"batch {k % 3}")
+        found = store.find(name_pattern=f"^{re.escape(name)}$")
+        n_chunks = len(server.files[found.id]["chunks"])
+        fetch_to_spool(store, found.id, os.path.join(scratch, name))
+        meta.append((k, name, n_chunks, found.comment))
+    meta_df = spark.createDataFrame(
+        meta, "nkey long, name string, n_chunks long, comment string"
+    )
+    spooled = spark.read.format("binaryFile").load(scratch).select(
+        F.substring_index("path", "/", -1).alias("name"),
+        F.md5("content").alias("content_md5"),
+        F.col("length").cast("long").alias("n_bytes"),
+    )
+    return spooled.join(F.broadcast(meta_df), "name")
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-9 window (VERDICT r8 task 1 — freshness rotation), in
 # order:
-#   0. the two NEW registrations (never-rowed must sit in-window):
+#   0. the three NEW registrations (never-rowed must sit in-window):
 #      q141 (crawler oracle, VERDICT r8 task 5), q142 (CRS
-#      reprojection, task 2).
+#      reprojection, task 2), q143 (remote-store wire roundtrip —
+#      closes the last zero-oracle component).
 #   1. the 15 behavior-changed residents VERDICT r8 named — the r8
 #      fixture-audit cohort (NULL-ts time-bucket exclusion +
 #      embedding well-formed gate) whose official rows were cut
@@ -9522,10 +9594,10 @@ def q142_crs_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      q123, q139.
 #   2. the r6-resting tail. ARITHMETIC NOTE: 43 queries rest on r6
 #      rows; 5 of them (q23/q38/q47/q95/q123) are already in tier 1,
-#      leaving 38 for the 33 remaining slots. The verdict's "zero
-#      rows older than r7" needs 53 slots + the 2 new registrations —
-#      it does not fit a 50-row window. The 5 deferred are the
-#      headline TPC-H/bench residents q01, q02, q03, q12, q24:
+#      leaving 38 for the 32 remaining slots. The verdict's "zero
+#      rows older than r7" needs 53 slots + the 3 new registrations —
+#      it does not fit a 50-row window. The 6 deferred are the
+#      headline TPC-H/bench residents q01, q02, q03, q12, q24, q26:
 #      semantics untouched since round 1, re-executed by every
 #      bench.py run and this session's full driver sim, so they are
 #      the lowest-risk stale rows; they lead the r10 window together
@@ -9535,6 +9607,7 @@ _DRIVER_PRIORITY = [
     # --- tier 0: new registrations (never-rowed)
     "q141_crawl_site",
     "q142_crs_reproject",
+    "q143_remote_store",
     # --- tier 1: r8 behavior-changed (fixture-audit contracts) on
     # pre-change rows
     "q120_events_sliding",
@@ -9552,13 +9625,12 @@ _DRIVER_PRIORITY = [
     "q114_knn_classify",
     "q123_knn_ivf",
     "q139_filtered_ann",
-    # --- tier 2: r6-resting rows (33 of 38; deferral note above)
+    # --- tier 2: r6-resting rows (32 of 38; deferral note above)
     "q10_cube_orders",
     "q14_top_parts_per_brand",
     "q18_exact_dedup",
     "q19_token_topk",
     "q21_quality_score",
-    "q26_minhash_dedup",
     "q51_fuzzy_standard",
     "q56_range_join",
     "q57_time_rollup",

@@ -5,72 +5,20 @@ client speaks (EpiFiles.scala:20-185)."""
 
 from __future__ import annotations
 
-import base64
-import hashlib
-import re
-
 import pytest
 
-from demy_spark.remotestore import HttpFileStore, RemoteFile, fetch_to_spool
+from demy_spark.remotestore import (
+    HttpFileStore,
+    MemoryEpiServer,
+    RemoteFile,
+    fetch_to_spool,
+)
 
 
-class FakeServer:
-    """Dict-backed EpiFiles server: chunked uploads keyed by
-    process_id, manifest listing, chunked download envelopes."""
-
-    def __init__(self):
-        self.files: dict[str, dict] = {}  # id -> {name, comment, date, chunks}
-        self.next_id = 100
-        self.calls: list[str] = []
-
-    def transport(self, method: str, url: str, fields):
-        self.calls.append(f"{method} {url}")
-        m = re.search(r"/manifestfile/id/([^/]+)/chunk_index/(\d+)$", url)
-        if method == "GET" and m:
-            fid, idx = m.group(1), int(m.group(2))
-            f = self.files.get(fid)
-            if f is None or idx > len(f["chunks"]):
-                return 404, b"not found"
-            chunk = f["chunks"][idx - 1]
-            xml = (
-                f"<file><filename>{f['name']}</filename>"
-                f"<total_chunks>{len(f['chunks'])}</total_chunks>"
-                f"<content>{base64.b64encode(chunk).decode()}</content></file>"
-            )
-            return 200, xml.encode()
-        if method == "GET" and url.endswith("/manifest/?version=2"):
-            parts = ["<manifests>"]
-            for fid, f in self.files.items():
-                parts.append(
-                    f"<manifest><comment>{f['comment']}</comment>"
-                    f"<creation_date>{f['date']}</creation_date>"
-                    f"<manifest_files><file><id>{fid}</id>"
-                    f"<name>{f['name']}</name></file></manifest_files>"
-                    "</manifest>"
-                )
-            parts.append("</manifests>")
-            return 200, "".join(parts).encode()
-        if method == "POST" and url.endswith("/manifestfile"):
-            chunk = base64.b64decode(fields["content"])
-            assert fields["hash"] == hashlib.md5(chunk).hexdigest()
-            fid = str(self.next_id)
-            self.next_id += 1
-            self.files[fid] = {
-                "name": fields["filename"],
-                "comment": fields.get("comment", ""),
-                "date": str(1000 + self.next_id),
-                "chunks": [chunk],
-            }
-            return 200, f"<resp><process_id>{fid}</process_id></resp>".encode()
-        m = re.search(r"/manifestfile/id/([^/]+)$", url)
-        if method == "POST" and m:
-            f = self.files[m.group(1)]
-            chunk = base64.b64decode(fields["content"])
-            assert fields["hash"] == hashlib.md5(chunk).hexdigest()
-            assert int(fields["chunk_index"]) == len(f["chunks"]) + 1
-            f["chunks"].append(chunk)
-            return 200, b"<resp>ok</resp>"
-        return 500, b"bad request"
+# The in-memory server now ships IN the module (MemoryEpiServer) so
+# the q143 oracle query, demos and these tests share one
+# implementation; FakeServer stays as the local name.
+FakeServer = MemoryEpiServer
 
 
 @pytest.fixture()
