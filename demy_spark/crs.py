@@ -9,7 +9,11 @@ every geometry, and emit ``BaseCoordinateSystem`` /
 native geo library: a minimal WKT-1 parser over the ``.prj`` sidecar
 plus the closed-form Lambert Conformal Conic (2SP) inverse from the
 public EPSG Guidance Note 7-2 — which covers EPSG:2154 (RGF93 /
-Lambert-93), the CRS the reference's actual IRIS shapefiles ship in.
+Lambert-93), the CRS the reference's actual IRIS shapefiles ship in —
+and the spherical Web/Pseudo-Mercator inverse (EPSG:3857, the
+projection scraped web geodata usually arrives in). Legacy WKTs on a
+non-Greenwich prime meridian (NTF/Paris) warn and pass through
+rather than reproject silently wrong by degrees.
 
 Datum note: RGF93 is ITRS-based and agrees with WGS84 at the
 sub-meter level, so — like the reference's ``lenient`` GeoTools
@@ -33,8 +37,10 @@ from dataclasses import dataclass
 __all__ = [
     "CRSInfo",
     "LambertConformalConic2SP",
+    "WebMercator",
     "parse_wkt",
     "LAMBERT93_WKT",
+    "WEBMERCATOR_WKT",
     "WGS84_WKT",
 ]
 
@@ -60,6 +66,24 @@ LAMBERT93_WKT = (
     'PARAMETER["false_northing",6600000],'
     'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
     'AUTHORITY["EPSG","2154"]]'
+)
+
+# Public EPSG-registry WKT-1 for WGS 84 / Pseudo-Mercator (EPSG:3857)
+WEBMERCATOR_WKT = (
+    'PROJCS["WGS 84 / Pseudo-Mercator",'
+    'GEOGCS["WGS 84",DATUM["WGS_1984",'
+    'SPHEROID["WGS 84",6378137,298.257223563,'
+    'AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
+    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
+    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
+    'AUTHORITY["EPSG","4326"]],'
+    'PROJECTION["Popular Visualisation Pseudo Mercator"],'
+    'PARAMETER["central_meridian",0],'
+    'PARAMETER["scale_factor",1],'
+    'PARAMETER["false_easting",0],'
+    'PARAMETER["false_northing",0],'
+    'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+    'AUTHORITY["EPSG","3857"]]'
 )
 
 WGS84_WKT = (
@@ -155,6 +179,30 @@ class LambertConformalConic2SP:
 
 
 @dataclass(frozen=True)
+class WebMercator:
+    """Spherical Web/Pseudo Mercator (EPSG:3857) — the projection
+    web tiles and most scraped geodata ship in. Closed form on the
+    WGS84 sphere radius (the EPSG 1024 method): x = R*lon,
+    y = R*ln(tan(pi/4 + lat/2))."""
+
+    a: float = 6378137.0
+    fe: float = 0.0
+    fn: float = 0.0
+
+    def forward(self, lon: float, lat: float) -> tuple[float, float]:
+        x = self.fe + self.a * math.radians(lon)
+        y = self.fn + self.a * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2))
+        return x, y
+
+    def inverse(self, e_coord: float, n_coord: float) -> tuple[float, float]:
+        lon = math.degrees((e_coord - self.fe) / self.a)
+        lat = math.degrees(
+            2 * math.atan(math.exp((n_coord - self.fn) / self.a)) - math.pi / 2
+        )
+        return lon, lat
+
+
+@dataclass(frozen=True)
 class CRSInfo:
     """Parsed .prj verdict: ``code`` is the EPSG identifier when the
     WKT carries one (the reference's ``CRS.lookupIdentifier`` result,
@@ -165,7 +213,7 @@ class CRSInfo:
 
     code: str
     is_geographic: bool
-    projection: LambertConformalConic2SP | None
+    projection: LambertConformalConic2SP | WebMercator | None
 
     @property
     def has_transform(self) -> bool:
@@ -254,6 +302,28 @@ _LCC_NAMES = {
     "lambert_conformal_conic_2sp",
     "lambert_conformal_conic",  # ESRI spelling (2SP when both parallels given)
 }
+_WEBMERC_NAMES = {
+    "popular visualisation pseudo mercator",  # EPSG 1024 method name
+    "popular_visualisation_pseudo_mercator",
+    "mercator_auxiliary_sphere",  # ESRI spelling for 3857
+    "mercator_1sp",  # spherical when the WKT carries the 3857 sphere
+}
+
+
+def _greenwich(geogcs: tuple[str, list] | None) -> bool:
+    """True unless the geographic CRS declares a NON-zero prime
+    meridian (e.g. PRIMEM["Paris", 2.3372...] in legacy NTF WKTs) —
+    reprojecting those without the meridian shift would be silently
+    wrong by degrees, so they must take the loud pass-through path."""
+    if geogcs is None:
+        return True
+    pm = _find(geogcs, "PRIMEM")
+    if pm is None or len(pm[1]) < 2:
+        return True
+    try:
+        return abs(float(pm[1][1])) < 1e-9
+    except (TypeError, ValueError):
+        return False
 
 
 def parse_wkt(wkt: str) -> CRSInfo:
@@ -269,6 +339,13 @@ def parse_wkt(wkt: str) -> CRSInfo:
     name = root[1][0] if root[1] and isinstance(root[1][0], str) else "Unknown"
     code = _authority_code(root) or name
     if root[0] == "GEOGCS":
+        if not _greenwich(root):
+            warnings.warn(
+                f"geographic CRS {name!r} uses a non-Greenwich prime "
+                "meridian: coordinates pass through untransformed",
+                stacklevel=2,
+            )
+            return CRSInfo(code=code, is_geographic=False, projection=None)
         return CRSInfo(code=code, is_geographic=True, projection=None)
     if root[0] != "PROJCS":
         warnings.warn(
@@ -289,6 +366,21 @@ def parse_wkt(wkt: str) -> CRSInfo:
         datum = _find(geogcs, "DATUM")
         if datum:
             spheroid = _find(datum, "SPHEROID")
+    if not _greenwich(geogcs):
+        warnings.warn(
+            f"projected CRS {name!r} sits on a non-Greenwich prime "
+            "meridian: coordinates pass through untransformed",
+            stacklevel=2,
+        )
+        return CRSInfo(code=code, is_geographic=False, projection=None)
+    if proj_name in _WEBMERC_NAMES:
+        merc = WebMercator(
+            a=float(spheroid[1][1]) if spheroid and len(spheroid[1]) >= 2
+            else 6378137.0,
+            fe=params.get("false_easting", 0.0),
+            fn=params.get("false_northing", 0.0),
+        )
+        return CRSInfo(code=code, is_geographic=False, projection=merc)
     if proj_name not in _LCC_NAMES or spheroid is None or len(spheroid[1]) < 3:
         warnings.warn(
             f"no transform for projection {proj_name or 'unknown'!r} "

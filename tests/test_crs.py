@@ -255,3 +255,104 @@ def test_reproject_false_keeps_source_coordinates(spark, tmp_path):
     assert row["base_crs"] == "EPSG:2154"
     assert row["transformed_to_wgs84"] is False
     assert row["x_min"] > 10_000
+
+
+# ---------------------------------------------------------------------------
+# Web Mercator (EPSG:3857) + prime-meridian guard (r9 second pass)
+# ---------------------------------------------------------------------------
+
+
+def test_web_mercator_published_constants():
+    """The 3857 world square is a PUBLISHED constant: lon 180 maps to
+    x = 20037508.342789244 m, and the square's top latitude
+    85.05112878 maps back to the same value on y."""
+    from demy_spark.crs import WEBMERCATOR_WKT
+
+    info = parse_wkt(WEBMERCATOR_WKT)
+    assert info.code == "EPSG:3857" and info.projection is not None
+    m = info.projection
+    x, y0 = m.forward(180.0, 0.0)
+    assert x == pytest.approx(20037508.342789244, abs=1e-6)
+    assert y0 == pytest.approx(0.0, abs=1e-6)
+    _, y = m.forward(0.0, 85.05112878)
+    assert y == pytest.approx(20037508.342789244, abs=1e-3)
+    lon, lat = m.inverse(2775690.0, 8437650.0)  # ~ Helsinki-ish
+    assert lon == pytest.approx(24.93, abs=0.01)
+    assert lat == pytest.approx(60.17, abs=0.01)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    lon=st.floats(min_value=-179.9, max_value=179.9),
+    lat=st.floats(min_value=-85.0, max_value=85.0),
+)
+def test_web_mercator_roundtrip_fuzz(lon, lat):
+    from demy_spark.crs import WebMercator
+
+    m = WebMercator()
+    lon2, lat2 = m.inverse(*m.forward(lon, lat))
+    assert math.isclose(lon, lon2, abs_tol=1e-9)
+    assert math.isclose(lat, lat2, abs_tol=1e-9)
+
+
+def test_esri_web_mercator_spelling():
+    wkt = (
+        'PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",'
+        'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+        'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Mercator_Auxiliary_Sphere"],'
+        'PARAMETER["False_Easting",0.0],'
+        'PARAMETER["False_Northing",0.0],'
+        'PARAMETER["Central_Meridian",0.0],'
+        'PARAMETER["Auxiliary_Sphere_Type",0.0],UNIT["Meter",1.0]]'
+    )
+    info = parse_wkt(wkt)
+    assert info.projection is not None
+    x, _ = info.projection.forward(180.0, 0.0)
+    assert x == pytest.approx(20037508.342789244, abs=1e-6)
+
+
+def test_paris_prime_meridian_passes_through_loudly():
+    """Legacy NTF WKTs sit on the Paris meridian: reprojecting without
+    the meridian shift would be silently wrong by 2.33 deg — these
+    must take the loud pass-through path instead (GEOGCS and PROJCS
+    forms both)."""
+    geo = (
+        'GEOGCS["NTF (Paris)",DATUM["Nouvelle_Triangulation_Francaise_Paris",'
+        'SPHEROID["Clarke 1880 (IGN)",6378249.2,293.4660212936269]],'
+        'PRIMEM["Paris",2.33722917],'
+        'UNIT["grad",0.01570796326794897],AUTHORITY["EPSG","4807"]]'
+    )
+    with pytest.warns(UserWarning, match="non-Greenwich"):
+        info = parse_wkt(geo)
+    assert not info.has_transform and info.code == "EPSG:4807"
+    proj = (
+        'PROJCS["NTF (Paris) / Lambert zone II",' + geo.rstrip("]")
+        + ']],PROJECTION["Lambert_Conformal_Conic_2SP"],'
+        'PARAMETER["standard_parallel_1",45.898918964419],'
+        'PARAMETER["standard_parallel_2",47.696014502038],'
+        'PARAMETER["latitude_of_origin",46.8],'
+        'PARAMETER["central_meridian",0],'
+        'PARAMETER["false_easting",600000],'
+        'PARAMETER["false_northing",2200000],'
+        'UNIT["metre",1],AUTHORITY["EPSG","27572"]]'
+    )
+    with pytest.warns(UserWarning, match="non-Greenwich"):
+        info2 = parse_wkt(proj)
+    assert not info2.has_transform and info2.code == "EPSG:27572"
+
+
+def test_read_shapefile_web_mercator_roundtrip(spark, tmp_path):
+    from demy_spark.crs import WEBMERCATOR_WKT, WebMercator
+    from demy_spark.shapefile import read_shapefile
+
+    m = WebMercator()
+    ring = [(2.0, 48.0), (2.1, 48.0), (2.1, 48.1), (2.0, 48.1), (2.0, 48.0)]
+    shp = _write_fixture(tmp_path, [[[m.forward(x, y) for x, y in ring]]],
+                         WEBMERCATOR_WKT)
+    (row,) = read_shapefile(spark, shp).collect()
+    assert row["base_crs"] == "EPSG:3857"
+    assert row["transformed_to_wgs84"] is True
+    assert row["x_min"] == pytest.approx(2.0, abs=1e-9)
+    assert row["y_max"] == pytest.approx(48.1, abs=1e-9)
