@@ -69,18 +69,27 @@ def _split32_twin(spark, sf_dir: str) -> str:
     import hashlib
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src_docs = os.path.join(sf_dir, "documents.parquet")
+    # the cache key carries the SOURCE's identity (mtime+size), so a
+    # regenerated fixture at the same path gets a fresh twin instead
+    # of silently benchmarking stale data (code-review r9); symlinks
+    # are re-pointed every run for the same reason
+    st = os.stat(src_docs)
+    tag = hashlib.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     twin = os.path.join(tempfile.gettempdir(), f"demy_bench_split32_{tag}")
     docs_dir = os.path.join(twin, "documents.parquet")
+    os.makedirs(twin, exist_ok=True)
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            link = os.path.join(twin, f)
+            if os.path.islink(link) or os.path.exists(link):
+                os.remove(link)
+            os.symlink(os.path.join(sf_dir, f), link)
     if not os.path.isdir(docs_dir):
-        os.makedirs(twin, exist_ok=True)
-        for f in os.listdir(sf_dir):
-            if f.endswith(".parquet") and f != "documents.parquet":
-                link = os.path.join(twin, f)
-                if not os.path.exists(link):
-                    os.symlink(os.path.join(sf_dir, f), link)
         (
-            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            spark.read.parquet(src_docs)
             .repartition(32)
             .write.mode("overwrite")
             .parquet(docs_dir)

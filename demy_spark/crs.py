@@ -29,6 +29,7 @@ dimension tables (IRIS ~50k polygons); the 100 TB side is points.
 
 from __future__ import annotations
 
+import functools
 import math
 import re
 import warnings
@@ -114,7 +115,13 @@ class LambertConformalConic2SP:
     fe: float  # false easting
     fn: float  # false northing
 
-    @property
+    # cached_property writes straight into __dict__, which frozen
+    # dataclasses allow: the derived constants depend only on frozen
+    # fields and forward/inverse run ONCE PER VERTEX during
+    # reprojection (millions of calls at IRIS scale — re-deriving the
+    # log/pow/sqrt constants per vertex multiplied driver time;
+    # code-review r9)
+    @functools.cached_property
     def _e(self) -> float:
         f = 1.0 / self.inv_f
         return math.sqrt(2 * f - f * f)
@@ -127,6 +134,10 @@ class LambertConformalConic2SP:
         e = self._e
         es = e * math.sin(phi)
         return math.tan(math.pi / 4 - phi / 2) / ((1 - es) / (1 + es)) ** (e / 2)
+
+    @functools.cached_property
+    def _konst(self) -> tuple[float, float, float]:
+        return self._constants()
 
     def _constants(self) -> tuple[float, float, float]:
         """(n, F, r0) per GN7-2: n from the two standard parallels, F
@@ -148,7 +159,7 @@ class LambertConformalConic2SP:
 
     def forward(self, lon: float, lat: float) -> tuple[float, float]:
         """(lon, lat) degrees → (easting, northing)."""
-        n, F, r0 = self._constants()
+        n, F, r0 = self._konst
         t = self._t(math.radians(lat))
         r = self.a * F * t**n
         theta = n * math.radians(lon - self.lon0)
@@ -157,7 +168,7 @@ class LambertConformalConic2SP:
     def inverse(self, e_coord: float, n_coord: float) -> tuple[float, float]:
         """(easting, northing) → (lon, lat) degrees; iterative latitude
         recovery converging to <1e-12 rad (~4 iterations)."""
-        n, F, r0 = self._constants()
+        n, F, r0 = self._konst
         e = self._e
         x = e_coord - self.fe
         y = r0 - (n_coord - self.fn)
@@ -182,20 +193,24 @@ class LambertConformalConic2SP:
 class WebMercator:
     """Spherical Web/Pseudo Mercator (EPSG:3857) — the projection
     web tiles and most scraped geodata ship in. Closed form on the
-    WGS84 sphere radius (the EPSG 1024 method): x = R*lon,
-    y = R*ln(tan(pi/4 + lat/2))."""
+    WGS84 sphere radius (the EPSG 1024 method): x = R*(lon - lon0),
+    y = R*ln(tan(pi/4 + lat/2)). SPHERICAL only — parse_wkt routes
+    ellipsoidal Mercator CRSs (EPSG:3395 etc.) to the loud
+    pass-through path instead (code-review r9: decoding those with
+    the spherical form is ~21 km wrong at mid latitudes)."""
 
     a: float = 6378137.0
+    lon0: float = 0.0
     fe: float = 0.0
     fn: float = 0.0
 
     def forward(self, lon: float, lat: float) -> tuple[float, float]:
-        x = self.fe + self.a * math.radians(lon)
+        x = self.fe + self.a * math.radians(lon - self.lon0)
         y = self.fn + self.a * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2))
         return x, y
 
     def inverse(self, e_coord: float, n_coord: float) -> tuple[float, float]:
-        lon = math.degrees((e_coord - self.fe) / self.a)
+        lon = self.lon0 + math.degrees((e_coord - self.fe) / self.a)
         lat = math.degrees(
             2 * math.atan(math.exp((n_coord - self.fn) / self.a)) - math.pi / 2
         )
@@ -226,18 +241,23 @@ class CRSInfo:
 
 
 def _split_args(body: str) -> list[str]:
-    """Split a WKT node body on top-level commas."""
-    out, depth, cur = [], 0, []
+    """Split a WKT node body on top-level commas — quote-aware, so a
+    comma or bracket INSIDE a quoted name never counts (code-review
+    r9: names like ``DATUM["D (custom, 1950)"]`` are legal WKT)."""
+    out, depth, cur, in_q = [], 0, [], False
     for ch in body:
-        if ch in "[(":
-            depth += 1
-        elif ch in "])":
-            depth -= 1
-        if ch == "," and depth == 0:
-            out.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
+        if ch == '"':
+            in_q = not in_q
+        elif not in_q:
+            if ch in "[(":
+                depth += 1
+            elif ch in "])":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append("".join(cur))
+                cur = []
+                continue
+        cur.append(ch)
     if cur:
         out.append("".join(cur))
     return out
@@ -251,16 +271,21 @@ def _parse_node(text: str) -> tuple[str, list]:
     if not m:
         raise ValueError(f"not a WKT node: {text[:40]!r}")
     keyword = m.group(1).upper()
-    # find the matching close bracket for the opener
-    depth, start, end = 1, m.end(), None
+    # find the matching close bracket for the opener (quote-aware:
+    # brackets inside quoted names must not shift the depth count)
+    depth, start, end, in_q = 1, m.end(), None, False
     for i in range(m.end(), len(text)):
-        if text[i] in "[(":
-            depth += 1
-        elif text[i] in "])":
-            depth -= 1
-            if depth == 0:
-                end = i
-                break
+        ch = text[i]
+        if ch == '"':
+            in_q = not in_q
+        elif not in_q:
+            if ch in "[(":
+                depth += 1
+            elif ch in "])":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
     if end is None:
         raise ValueError("unbalanced WKT brackets")
     args: list = []
@@ -302,11 +327,15 @@ _LCC_NAMES = {
     "lambert_conformal_conic_2sp",
     "lambert_conformal_conic",  # ESRI spelling (2SP when both parallels given)
 }
+# Method names that are spherical BY DEFINITION (EPSG method 1024 /
+# ESRI's auxiliary-sphere spelling). A plain "Mercator_1SP" is the
+# ELLIPSOIDAL method (EPSG:3395 et al.) and only decodes spherically
+# when the AUTHORITY pins it to 3857 — anything else passes through
+# loudly (code-review r9).
 _WEBMERC_NAMES = {
     "popular visualisation pseudo mercator",  # EPSG 1024 method name
     "popular_visualisation_pseudo_mercator",
     "mercator_auxiliary_sphere",  # ESRI spelling for 3857
-    "mercator_1sp",  # spherical when the WKT carries the 3857 sphere
 }
 
 
@@ -373,10 +402,21 @@ def parse_wkt(wkt: str) -> CRSInfo:
             stacklevel=2,
         )
         return CRSInfo(code=code, is_geographic=False, projection=None)
-    if proj_name in _WEBMERC_NAMES:
+    if proj_name in _WEBMERC_NAMES or (
+        proj_name == "mercator_1sp" and code == "EPSG:3857"
+    ):
+        if abs(params.get("scale_factor", 1.0) - 1.0) > 1e-12:
+            warnings.warn(
+                f"Mercator CRS {name!r} carries a non-unit scale factor "
+                "(ellipsoidal/zoned variant): coordinates pass through "
+                "untransformed",
+                stacklevel=2,
+            )
+            return CRSInfo(code=code, is_geographic=False, projection=None)
         merc = WebMercator(
             a=float(spheroid[1][1]) if spheroid and len(spheroid[1]) >= 2
             else 6378137.0,
+            lon0=params.get("central_meridian", 0.0),
             fe=params.get("false_easting", 0.0),
             fn=params.get("false_northing", 0.0),
         )

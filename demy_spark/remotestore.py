@@ -282,7 +282,9 @@ class MemoryEpiServer:
         if method == "GET" and m:
             fid, idx = m.group(1), int(m.group(2))
             f = self.files.get(fid)
-            if f is None or idx > len(f["chunks"]):
+            # chunk indexes are 1-based: index 0 must 404, not serve
+            # chunks[-1] (code-review r9)
+            if f is None or idx < 1 or idx > len(f["chunks"]):
                 return 404, b"not found"
             chunk = f["chunks"][idx - 1]
             xml = (
@@ -318,7 +320,9 @@ class MemoryEpiServer:
             return 200, f"<resp><process_id>{fid}</process_id></resp>".encode()
         m = re.search(r"/manifestfile/id/([^/]+)$", url)
         if method == "POST" and m:
-            f = self.files[m.group(1)]
+            f = self.files.get(m.group(1))
+            if f is None:  # stale/unknown process_id -> 404, not KeyError
+                return 404, b"unknown process id"
             chunk = base64.b64decode(fields["content"])
             if fields["hash"] != hashlib.md5(chunk).hexdigest():
                 return 400, b"chunk hash mismatch"

@@ -228,8 +228,16 @@ def _decompress_inner(folder: _Folder, packed: bytes) -> bytes:
     chain = [_branch_filter_spec(c, p) for c, p in folder.filters]
     if chain and cid not in _LZMA_IDS:  # _read_folder already enforces
         raise NotImplementedError("7z filter chain over a non-LZMA coder")
+    # every codec decompresses through a bounded incremental API with
+    # max_length = size + 1: the declared size caps the allocation
+    # (the bomb guard holds DURING decompression, not just before it),
+    # while the +1 keeps the len(out) != size check able to catch a
+    # stream whose real output EXCEEDS the declared size instead of
+    # silently truncating it (code-review r9: bz2.decompress()
+    # materialized the whole actual payload; the [:size] slices hid
+    # oversize streams)
     if cid == CODEC_COPY:
-        out = packed[:size]
+        out = packed[: size + 1]
     elif cid == CODEC_LZMA1:
         if len(folder.props) < 5:
             raise ValueError("LZMA1 coder without 5-byte properties")
@@ -244,7 +252,7 @@ def _decompress_inner(folder: _Folder, packed: bytes) -> bytes:
         dec = lzma.LZMADecompressor(
             format=lzma.FORMAT_RAW, filters=chain + [filt]
         )
-        out = dec.decompress(packed, max_length=size)
+        out = dec.decompress(packed, max_length=size + 1)
     elif cid == CODEC_LZMA2:
         if len(folder.props) < 1:
             raise ValueError("LZMA2 coder without properties")
@@ -254,11 +262,11 @@ def _decompress_inner(folder: _Folder, packed: bytes) -> bytes:
             format=lzma.FORMAT_RAW,
             filters=chain + [{"id": lzma.FILTER_LZMA2, "dict_size": dict_size}],
         )
-        out = dec.decompress(packed, max_length=size)
+        out = dec.decompress(packed, max_length=size + 1)
     elif cid == CODEC_BZIP2:
-        out = bz2.decompress(packed)[:size]
+        out = bz2.BZ2Decompressor().decompress(packed, max_length=size + 1)
     elif cid == CODEC_DEFLATE:
-        out = zlib.decompressobj(-15).decompress(packed, size)
+        out = zlib.decompressobj(-15).decompress(packed, size + 1)
     else:
         raise NotImplementedError(
             f"7z codec id {cid.hex()} is outside the bounded stdlib "

@@ -276,14 +276,30 @@ def read_shapefile(
         prj_path = cand if cand and os.path.exists(cand) else None
     base_crs, transformed = "Unknown", False
     if prj_path:
+        import warnings
+
         from demy_spark.crs import parse_wkt
 
-        info = parse_wkt(open(prj_path, encoding="utf-8").read())
-        base_crs = info.code
-        if reproject and info.has_transform:
-            transformed = True
-            if info.projection is not None:  # identity for geographic CRS
-                shapes = [_reproject(s, info.to_wgs84) for s in shapes]
+        try:
+            info = parse_wkt(
+                open(prj_path, encoding="utf-8", errors="replace").read()
+            )
+        except ValueError as exc:
+            # a corrupt/empty .prj must not abort ingestion — same
+            # warn-and-pass-through contract as an unknown CRS
+            # (code-review r9; the reference prints and continues)
+            warnings.warn(
+                f"unparseable .prj sidecar {prj_path!r} ({exc}): "
+                "coordinates pass through untransformed",
+                stacklevel=2,
+            )
+            info = None
+        if info is not None:
+            base_crs = info.code
+            if reproject and info.has_transform:
+                transformed = True
+                if info.projection is not None:  # identity for geographic
+                    shapes = [_reproject(s, info.to_wgs84) for s in shapes]
     if dbf_path:
         names, attrs = _parse_dbf(open(dbf_path, "rb").read())
         if len(attrs) != len(shapes):

@@ -356,3 +356,98 @@ def test_read_shapefile_web_mercator_roundtrip(spark, tmp_path):
     assert row["transformed_to_wgs84"] is True
     assert row["x_min"] == pytest.approx(2.0, abs=1e-9)
     assert row["y_max"] == pytest.approx(48.1, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# code-review r9 fixes
+# ---------------------------------------------------------------------------
+
+
+def test_ellipsoidal_mercator_passes_through_loudly():
+    """EPSG:3395 (World Mercator) is the ELLIPSOIDAL Mercator_1SP —
+    decoding it with the spherical form is ~21 km wrong at mid
+    latitudes, so it must take the loud pass-through path (the
+    spherical decode is reserved for by-definition-spherical method
+    names and authority-pinned 3857)."""
+    wkt = (
+        'PROJCS["WGS 84 / World Mercator",GEOGCS["WGS 84",'
+        'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Mercator_1SP"],PARAMETER["central_meridian",0],'
+        'PARAMETER["scale_factor",1],PARAMETER["false_easting",0],'
+        'PARAMETER["false_northing",0],UNIT["metre",1],'
+        'AUTHORITY["EPSG","3395"]]'
+    )
+    with pytest.warns(UserWarning, match="pass through"):
+        info = parse_wkt(wkt)
+    assert not info.has_transform and info.code == "EPSG:3395"
+
+
+def test_mercator_1sp_with_3857_authority_decodes_spherically():
+    wkt = (
+        'PROJCS["Pseudo-Mercator",GEOGCS["WGS 84",'
+        'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Mercator_1SP"],PARAMETER["central_meridian",0],'
+        'PARAMETER["scale_factor",1],UNIT["metre",1],'
+        'AUTHORITY["EPSG","3857"]]'
+    )
+    info = parse_wkt(wkt)
+    assert info.projection is not None
+    assert info.projection.forward(180.0, 0.0)[0] == pytest.approx(
+        20037508.342789244, abs=1e-6
+    )
+
+
+def test_mercator_non_unit_scale_factor_passes_through():
+    """A zoned/ellipsoidal Mercator variant (Makassar / NEIEZ has
+    scale_factor 0.997) must never be decoded spherically."""
+    wkt = (
+        'PROJCS["NEIEZ-like",GEOGCS["G",DATUM["D",'
+        'SPHEROID["S",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Popular Visualisation Pseudo Mercator"],'
+        'PARAMETER["central_meridian",110],'
+        'PARAMETER["scale_factor",0.997],UNIT["metre",1]]'
+    )
+    with pytest.warns(UserWarning, match="scale factor"):
+        info = parse_wkt(wkt)
+    assert not info.has_transform
+
+
+def test_web_mercator_central_meridian_honored():
+    from demy_spark.crs import WebMercator
+
+    m = WebMercator(lon0=110.0)
+    assert m.forward(110.0, 0.0) == pytest.approx((0.0, 0.0), abs=1e-9)
+    assert m.inverse(0.0, 0.0) == pytest.approx((110.0, 0.0), abs=1e-12)
+
+
+def test_quoted_names_with_brackets_and_commas_parse():
+    wkt = (
+        'GEOGCS["ED50 (with, commas) [brackets]",'
+        'DATUM["European_Datum_1950",'
+        'SPHEROID["International 1924",6378388,297]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]'
+    )
+    info = parse_wkt(wkt)
+    assert info.code == "ED50 (with, commas) [brackets]"
+    assert info.is_geographic
+
+
+def test_corrupt_prj_warns_and_passes_through(spark, tmp_path):
+    """A malformed .prj must not abort ingestion (the reference prints
+    and continues) — warn, base_crs='Unknown', source coordinates."""
+    shp = _write_fixture(tmp_path, [_lambert_square(3.0, 46.5)], "not wkt at all")
+    from demy_spark.shapefile import read_shapefile
+
+    with pytest.warns(UserWarning, match="unparseable .prj"):
+        (row,) = read_shapefile(spark, shp).collect()
+    assert row["base_crs"] == "Unknown"
+    assert row["transformed_to_wgs84"] is False
+    assert row["x_min"] > 10_000
+
+
+def test_lcc_constants_cached_per_instance():
+    one = parse_wkt(LAMBERT93_WKT).projection
+    assert one._konst is one._konst  # cached tuple, not re-derived

@@ -659,3 +659,60 @@ def test_crawler_download_extracts_bcj_7z(tmp_path):
     assert sorted(os.path.basename(p) for p in paths) == ["notes.txt", "tool.exe"]
     with open(os.path.join(dest, "tool.exe"), "rb") as f:
         assert f.read() == X86_BLOB
+
+
+def test_bzip2_bomb_is_bounded_during_decompression():
+    """code-review r9: the bomb cap must hold DURING decompression —
+    a BZip2 folder declaring a small size but actually expanding huge
+    must raise the size-mismatch error after at most size+1 bytes are
+    produced, never materialize the real payload, and an oversize
+    stream must not be silently truncated."""
+    big = b"\x00" * (8 << 20)  # 8 MiB of zeros -> tiny bz2 stream
+    packed = bz2.compress(big)
+    header = (
+        bytes([0x01, 0x04])
+        + streams_info(
+            0, [len(packed)], [folder_bytes(CODEC_BZIP2, b"")], [1024]
+        )
+        + bytes([0x05])
+        + files_info([("z.bin", b"\x00" * 1024)])
+        + bytes([0x00])
+    )
+    with pytest.raises(ValueError, match="header says 1024"):
+        read_7z(seal(packed, header))
+
+
+def test_oversize_stream_not_silently_truncated_any_codec():
+    for codec in (CODEC_LZMA1, CODEC_LZMA2, CODEC_BZIP2, CODEC_DEFLATE):
+        packed, props = compress(codec, PAYLOAD_A)
+        declared = len(PAYLOAD_A) - 7  # lie: smaller than reality
+        header = (
+            bytes([0x01, 0x04])
+            + streams_info(
+                0, [len(packed)], [folder_bytes(codec, props)], [declared]
+            )
+            + bytes([0x05])
+            + files_info([("a.csv", PAYLOAD_A[:declared])])
+            + bytes([0x00])
+        )
+        with pytest.raises(ValueError, match="header says"):
+            read_7z(seal(packed, header))
+
+
+def test_memory_server_chunk_index_zero_and_unknown_id():
+    from demy_spark.remotestore import HttpFileStore, MemoryEpiServer
+
+    server = MemoryEpiServer()
+    store = HttpFileStore("http://r", chunk_size=8, transport=server.transport)
+    fid = store.upload("f.bin", b"0123456789abcdef")
+    status, _ = server.transport(
+        "GET", f"http://r/epifiles/ws/manifestfile/id/{fid}/chunk_index/0", None
+    )
+    assert status == 404  # 1-based indexes: 0 must not serve chunks[-1]
+    status, body = server.transport(
+        "POST",
+        "http://r/epifiles/ws/manifestfile/id/nope",
+        {"content": "", "hash": "d41d8cd98f00b204e9800998ecf8427e",
+         "chunk_index": "2"},
+    )
+    assert status == 404 and b"unknown" in body
