@@ -9558,6 +9558,11 @@ def q143_remote_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scratch = _layout_scratch(sf_dir, "q143")
     shutil.rmtree(scratch, ignore_errors=True)
+    # the spool dir must exist even when the corpus is EMPTY (the
+    # empty-tables fuzz runs every query over zero-row schemas): an
+    # empty binaryFile scan of an existing dir is a valid empty frame,
+    # a missing path is an AnalysisException
+    os.makedirs(scratch, exist_ok=True)
     meta = []
     for r in nations:
         k = int(r["n_nationkey"])
