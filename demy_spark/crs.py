@@ -37,6 +37,7 @@ from dataclasses import dataclass
 
 __all__ = [
     "CRSInfo",
+    "EllipsoidalMercator",
     "LambertConformalConic2SP",
     "WebMercator",
     "parse_wkt",
@@ -218,6 +219,57 @@ class WebMercator:
 
 
 @dataclass(frozen=True)
+class EllipsoidalMercator:
+    """Ellipsoidal Mercator (EPSG methods 9804 '1SP' / 9805 '2SP' —
+    EPSG:3395 World Mercator and the zoned NEIEZ-style variants).
+    Shares the isometric-latitude ``t`` function with the Lambert
+    implementation (the function the IGN Lambert-93 constants pin):
+    E = FE + a*k0*(lon-lon0), N = FN - a*k0*ln(t(lat)); the inverse
+    latitude iteration is the Lambert one with r/t swapped for
+    exp(-N'/(a*k0)). For 2SP, k0 = m(lat1) derived from the standard
+    parallel."""
+
+    a: float
+    inv_f: float
+    lon0: float
+    k0: float
+    fe: float = 0.0
+    fn: float = 0.0
+
+    @functools.cached_property
+    def _lcc(self) -> LambertConformalConic2SP:
+        # host for the shared _e/_t/_m helpers (angles-only use)
+        return LambertConformalConic2SP(
+            a=self.a, inv_f=self.inv_f, lat0=0.0, lon0=self.lon0,
+            lat1=30.0, lat2=60.0, fe=0.0, fn=0.0,
+        )
+
+    def forward(self, lon: float, lat: float) -> tuple[float, float]:
+        t = self._lcc._t(math.radians(lat))
+        x = self.fe + self.a * self.k0 * math.radians(lon - self.lon0)
+        return x, self.fn - self.a * self.k0 * math.log(t)
+
+    def inverse(self, e_coord: float, n_coord: float) -> tuple[float, float]:
+        lcc = self._lcc
+        e = lcc._e
+        lon = self.lon0 + math.degrees(
+            (e_coord - self.fe) / (self.a * self.k0)
+        )
+        t = math.exp(-(n_coord - self.fn) / (self.a * self.k0))
+        phi = math.pi / 2 - 2 * math.atan(t)
+        for _ in range(15):
+            es = e * math.sin(phi)
+            phi_next = math.pi / 2 - 2 * math.atan(
+                t * ((1 - es) / (1 + es)) ** (e / 2)
+            )
+            if abs(phi_next - phi) < 1e-12:
+                phi = phi_next
+                break
+            phi = phi_next
+        return lon, math.degrees(phi)
+
+
+@dataclass(frozen=True)
 class CRSInfo:
     """Parsed .prj verdict: ``code`` is the EPSG identifier when the
     WKT carries one (the reference's ``CRS.lookupIdentifier`` result,
@@ -228,7 +280,7 @@ class CRSInfo:
 
     code: str
     is_geographic: bool
-    projection: LambertConformalConic2SP | WebMercator | None
+    projection: LambertConformalConic2SP | WebMercator | EllipsoidalMercator | None
 
     @property
     def has_transform(self) -> bool:
@@ -407,8 +459,8 @@ def parse_wkt(wkt: str) -> CRSInfo:
     ):
         if abs(params.get("scale_factor", 1.0) - 1.0) > 1e-12:
             warnings.warn(
-                f"Mercator CRS {name!r} carries a non-unit scale factor "
-                "(ellipsoidal/zoned variant): coordinates pass through "
+                f"Mercator CRS {name!r} mixes a spherical method name "
+                "with a non-unit scale factor: coordinates pass through "
                 "untransformed",
                 stacklevel=2,
             )
@@ -421,6 +473,29 @@ def parse_wkt(wkt: str) -> CRSInfo:
             fn=params.get("false_northing", 0.0),
         )
         return CRSInfo(code=code, is_geographic=False, projection=merc)
+    if (
+        proj_name in ("mercator_1sp", "mercator_2sp", "mercator")
+        and spheroid is not None
+        and len(spheroid[1]) >= 3
+    ):
+        # ellipsoidal Mercator (EPSG:3395 et al.): 1SP carries k0
+        # directly; 2SP (and ESRI's plain "Mercator") derives it from
+        # the standard parallel, k0 = m(lat1)
+        em = EllipsoidalMercator(
+            a=float(spheroid[1][1]),
+            inv_f=float(spheroid[1][2]),
+            lon0=params.get("central_meridian", 0.0),
+            k0=params.get("scale_factor", 1.0),
+            fe=params.get("false_easting", 0.0),
+            fn=params.get("false_northing", 0.0),
+        )
+        lat1 = params.get("standard_parallel_1")
+        if lat1 is not None and "scale_factor" not in params:
+            em = EllipsoidalMercator(
+                a=em.a, inv_f=em.inv_f, lon0=em.lon0,
+                k0=em._lcc._m(math.radians(lat1)), fe=em.fe, fn=em.fn,
+            )
+        return CRSInfo(code=code, is_geographic=False, projection=em)
     if proj_name not in _LCC_NAMES or spheroid is None or len(spheroid[1]) < 3:
         warnings.warn(
             f"no transform for projection {proj_name or 'unknown'!r} "

@@ -363,24 +363,71 @@ def test_read_shapefile_web_mercator_roundtrip(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def test_ellipsoidal_mercator_passes_through_loudly():
+EPSG3395_WKT = (
+    'PROJCS["WGS 84 / World Mercator",GEOGCS["WGS 84",'
+    'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Mercator_1SP"],PARAMETER["central_meridian",0],'
+    'PARAMETER["scale_factor",1],PARAMETER["false_easting",0],'
+    'PARAMETER["false_northing",0],UNIT["metre",1],'
+    'AUTHORITY["EPSG","3395"]]'
+)
+
+
+def test_ellipsoidal_mercator_decodes_3395():
     """EPSG:3395 (World Mercator) is the ELLIPSOIDAL Mercator_1SP —
-    decoding it with the spherical form is ~21 km wrong at mid
-    latitudes, so it must take the loud pass-through path (the
-    spherical decode is reserved for by-definition-spherical method
-    names and authority-pinned 3857)."""
-    wkt = (
-        'PROJCS["WGS 84 / World Mercator",GEOGCS["WGS 84",'
-        'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
-        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
-        'PROJECTION["Mercator_1SP"],PARAMETER["central_meridian",0],'
-        'PARAMETER["scale_factor",1],PARAMETER["false_easting",0],'
-        'PARAMETER["false_northing",0],UNIT["metre",1],'
-        'AUTHORITY["EPSG","3395"]]'
+    it must decode through the ellipsoidal form, which differs from
+    the spherical one by ~21 km (0.19 deg) at mid latitudes."""
+    from demy_spark.crs import EllipsoidalMercator, WebMercator
+
+    info = parse_wkt(EPSG3395_WKT)
+    assert info.code == "EPSG:3395"
+    assert isinstance(info.projection, EllipsoidalMercator)
+    lon, lat = info.projection.inverse(0.0, 5_000_000.0)
+    assert lon == 0.0
+    assert lat == pytest.approx(41.1067, abs=2e-3)  # ellipsoidal value
+    sph_lat = WebMercator().inverse(0.0, 5_000_000.0)[1]
+    assert abs(lat - sph_lat) > 0.15  # genuinely not the spherical form
+    # roundtrip through the same instance
+    e, n = info.projection.forward(12.5, -33.9)
+    assert info.projection.inverse(e, n) == pytest.approx(
+        (12.5, -33.9), abs=1e-9
     )
-    with pytest.warns(UserWarning, match="pass through"):
-        info = parse_wkt(wkt)
-    assert not info.has_transform and info.code == "EPSG:3395"
+
+
+def test_ellipsoidal_mercator_spherical_limit_matches_webmercator():
+    """With eccentricity -> 0 the ellipsoidal form must converge to
+    the INDEPENDENTLY implemented spherical WebMercator — a
+    cross-implementation anchor no shared bug can fake."""
+    from demy_spark.crs import EllipsoidalMercator, WebMercator
+
+    em = EllipsoidalMercator(a=6378137.0, inv_f=1e12, lon0=0.0, k0=1.0)
+    wm = WebMercator()
+    for lon, lat in [(0.0, 0.0), (12.3, 41.0), (-70.0, -33.5), (150.0, 60.0)]:
+        assert em.forward(lon, lat) == pytest.approx(
+            wm.forward(lon, lat), abs=1e-3
+        )
+        e, n = wm.forward(lon, lat)
+        assert em.inverse(e, n) == pytest.approx(wm.inverse(e, n), abs=1e-9)
+
+
+def test_mercator_2sp_standard_parallel_scale():
+    """2SP form: k0 = m(lat1). At the standard parallel the scale is
+    true, so easting per degree of longitude equals the parallel's
+    radius — and lat1=0 degenerates to the 1SP k0=1 form."""
+    wkt = (
+        'PROJCS["M2SP",GEOGCS["G",DATUM["D",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],PROJECTION["Mercator_2SP"],'
+        'PARAMETER["standard_parallel_1",42],'
+        'PARAMETER["central_meridian",51],UNIT["metre",1]]'
+    )
+    info = parse_wkt(wkt)
+    assert info.projection is not None and info.projection.k0 < 0.75
+    e, n = info.projection.forward(53.0, 53.0)
+    assert info.projection.inverse(e, n) == pytest.approx(
+        (53.0, 53.0), abs=1e-9
+    )
 
 
 def test_mercator_1sp_with_3857_authority_decodes_spherically():
