@@ -10,8 +10,11 @@ native geo library: a minimal WKT-1 parser over the ``.prj`` sidecar
 plus the closed-form Lambert Conformal Conic (2SP) inverse from the
 public EPSG Guidance Note 7-2 — which covers EPSG:2154 (RGF93 /
 Lambert-93), the CRS the reference's actual IRIS shapefiles ship in —
-and the spherical Web/Pseudo-Mercator inverse (EPSG:3857, the
-projection scraped web geodata usually arrives in). Legacy WKTs on a
+the spherical Web/Pseudo-Mercator inverse (EPSG:3857, the projection
+scraped web geodata usually arrives in), the ellipsoidal Mercator
+(EPSG:3395 World Mercator, 1SP/2SP variants) and Transverse Mercator
+(EPSG method 9807 — every UTM zone; Snyder PP-1395 series, pinned on
+the published WGS84 meridian quadrant). Legacy WKTs on a
 non-Greenwich prime meridian (NTF/Paris) warn and pass through
 rather than reproject silently wrong by degrees.
 
@@ -39,6 +42,7 @@ __all__ = [
     "CRSInfo",
     "EllipsoidalMercator",
     "LambertConformalConic2SP",
+    "TransverseMercator",
     "WebMercator",
     "parse_wkt",
     "LAMBERT93_WKT",
@@ -270,6 +274,119 @@ class EllipsoidalMercator:
 
 
 @dataclass(frozen=True)
+class TransverseMercator:
+    """Transverse Mercator (EPSG method 9807 — every UTM zone and
+    most national grids). Series forms from the public-domain USGS
+    Professional Paper 1395 (Snyder) eqs 3-21/8-9..8-25 — accurate to
+    well under a millimetre inside a UTM zone's +-3 deg validity.
+    Independent anchors in tests: the published WGS84 meridian
+    quadrant (10 001 965.729 m) pins the arc series, and the e->0
+    limit must match a separately implemented closed-form SPHERICAL
+    transverse Mercator."""
+
+    a: float
+    inv_f: float
+    lat0: float
+    lon0: float
+    k0: float
+    fe: float = 0.0
+    fn: float = 0.0
+
+    @functools.cached_property
+    def _e2(self) -> float:
+        f = 1.0 / self.inv_f
+        return 2 * f - f * f
+
+    def _m_arc(self, phi: float) -> float:
+        """Meridian arc length from the equator (Snyder 3-21)."""
+        e2 = self._e2
+        e4, e6 = e2 * e2, e2 * e2 * e2
+        return self.a * (
+            (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+            - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * phi)
+            + (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * phi)
+            - (35 * e6 / 3072) * math.sin(6 * phi)
+        )
+
+    def forward(self, lon: float, lat: float) -> tuple[float, float]:
+        e2 = self._e2
+        ep2 = e2 / (1 - e2)
+        phi = math.radians(lat)
+        lam = math.radians(lon - self.lon0)
+        sin_p, cos_p = math.sin(phi), math.cos(phi)
+        nu = self.a / math.sqrt(1 - e2 * sin_p * sin_p)
+        T = math.tan(phi) ** 2
+        C = ep2 * cos_p * cos_p
+        A = lam * cos_p
+        M = self._m_arc(phi)
+        M0 = self._m_arc(math.radians(self.lat0))
+        x = self.k0 * nu * (
+            A
+            + (1 - T + C) * A**3 / 6
+            + (5 - 18 * T + T * T + 72 * C - 58 * ep2) * A**5 / 120
+        )
+        y = self.k0 * (
+            M
+            - M0
+            + nu
+            * math.tan(phi)
+            * (
+                A * A / 2
+                + (5 - T + 9 * C + 4 * C * C) * A**4 / 24
+                + (61 - 58 * T + T * T + 600 * C - 330 * ep2) * A**6 / 720
+            )
+        )
+        return self.fe + x, self.fn + y
+
+    def inverse(self, e_coord: float, n_coord: float) -> tuple[float, float]:
+        e2 = self._e2
+        ep2 = e2 / (1 - e2)
+        x = e_coord - self.fe
+        y = n_coord - self.fn
+        M = self._m_arc(math.radians(self.lat0)) + y / self.k0
+        mu = M / (
+            self.a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2**3 / 256)
+        )
+        se = math.sqrt(1 - e2)
+        e1 = (1 - se) / (1 + se)
+        phi1 = (
+            mu
+            + (3 * e1 / 2 - 27 * e1**3 / 32) * math.sin(2 * mu)
+            + (21 * e1 * e1 / 16 - 55 * e1**4 / 32) * math.sin(4 * mu)
+            + (151 * e1**3 / 96) * math.sin(6 * mu)
+            + (1097 * e1**4 / 512) * math.sin(8 * mu)
+        )
+        sin1, cos1 = math.sin(phi1), math.cos(phi1)
+        C1 = ep2 * cos1 * cos1
+        T1 = math.tan(phi1) ** 2
+        nu1 = self.a / math.sqrt(1 - e2 * sin1 * sin1)
+        rho1 = self.a * (1 - e2) / (1 - e2 * sin1 * sin1) ** 1.5
+        D = x / (nu1 * self.k0)
+        phi = phi1 - (nu1 * math.tan(phi1) / rho1) * (
+            D * D / 2
+            - (5 + 3 * T1 + 10 * C1 - 4 * C1 * C1 - 9 * ep2) * D**4 / 24
+            + (
+                61
+                + 90 * T1
+                + 298 * C1
+                + 45 * T1 * T1
+                - 252 * ep2
+                - 3 * C1 * C1
+            )
+            * D**6
+            / 720
+        )
+        lam = (
+            D
+            - (1 + 2 * T1 + C1) * D**3 / 6
+            + (5 - 2 * C1 + 28 * T1 - 3 * C1 * C1 + 8 * ep2 + 24 * T1 * T1)
+            * D**5
+            / 120
+        ) / cos1
+        return self.lon0 + math.degrees(lam), math.degrees(phi)
+
+
+@dataclass(frozen=True)
 class CRSInfo:
     """Parsed .prj verdict: ``code`` is the EPSG identifier when the
     WKT carries one (the reference's ``CRS.lookupIdentifier`` result,
@@ -280,7 +397,13 @@ class CRSInfo:
 
     code: str
     is_geographic: bool
-    projection: LambertConformalConic2SP | WebMercator | EllipsoidalMercator | None
+    projection: (
+        LambertConformalConic2SP
+        | WebMercator
+        | EllipsoidalMercator
+        | TransverseMercator
+        | None
+    )
 
     @property
     def has_transform(self) -> bool:
@@ -496,6 +619,32 @@ def parse_wkt(wkt: str) -> CRSInfo:
                 k0=em._lcc._m(math.radians(lat1)), fe=em.fe, fn=em.fn,
             )
         return CRSInfo(code=code, is_geographic=False, projection=em)
+    if (
+        proj_name == "transverse_mercator"
+        and spheroid is not None
+        and len(spheroid[1]) >= 3
+    ):
+        lat0 = params.get(
+            "latitude_of_origin", params.get("latitude_of_center", 0.0)
+        )
+        lon0 = params.get("central_meridian")
+        if lon0 is None:
+            warnings.warn(
+                f"Transverse Mercator {name!r} missing central_meridian: "
+                "coordinates pass through untransformed",
+                stacklevel=2,
+            )
+            return CRSInfo(code=code, is_geographic=False, projection=None)
+        tm = TransverseMercator(
+            a=float(spheroid[1][1]),
+            inv_f=float(spheroid[1][2]),
+            lat0=lat0,
+            lon0=lon0,
+            k0=params.get("scale_factor", 1.0),
+            fe=params.get("false_easting", 0.0),
+            fn=params.get("false_northing", 0.0),
+        )
+        return CRSInfo(code=code, is_geographic=False, projection=tm)
     if proj_name not in _LCC_NAMES or spheroid is None or len(spheroid[1]) < 3:
         warnings.warn(
             f"no transform for projection {proj_name or 'unknown'!r} "

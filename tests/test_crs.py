@@ -113,7 +113,7 @@ def test_unknown_projection_warns_and_passes_through():
         'PROJCS["Weird",GEOGCS["GCS",DATUM["D",'
         'SPHEROID["S",6378137.0,298.257]],PRIMEM["Greenwich",0.0],'
         'UNIT["Degree",0.0174532925199433]],'
-        'PROJECTION["Transverse_Mercator"],'
+        'PROJECTION["Sinusoidal"],'
         'PARAMETER["Central_Meridian",9.0],UNIT["Meter",1.0]]'
     )
     with pytest.warns(UserWarning, match="pass through"):
@@ -498,3 +498,105 @@ def test_corrupt_prj_warns_and_passes_through(spark, tmp_path):
 def test_lcc_constants_cached_per_instance():
     one = parse_wkt(LAMBERT93_WKT).projection
     assert one._konst is one._konst  # cached tuple, not re-derived
+
+
+# ---------------------------------------------------------------------------
+# Transverse Mercator / UTM
+# ---------------------------------------------------------------------------
+
+UTM31N_WKT = (
+    'PROJCS["WGS 84 / UTM zone 31N",GEOGCS["WGS 84",'
+    'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Transverse_Mercator"],'
+    'PARAMETER["latitude_of_origin",0],'
+    'PARAMETER["central_meridian",3],'
+    'PARAMETER["scale_factor",0.9996],'
+    'PARAMETER["false_easting",500000],'
+    'PARAMETER["false_northing",0],UNIT["metre",1],'
+    'AUTHORITY["EPSG","32631"]]'
+)
+
+
+def test_meridian_quadrant_pins_the_arc_series():
+    """The WGS84 meridian quadrant (equator to pole) is a PUBLISHED
+    constant: 10 001 965.729 m — an independent anchor for the
+    Snyder 3-21 arc series no roundtrip can fake."""
+    from demy_spark.crs import TransverseMercator
+
+    tm = parse_wkt(UTM31N_WKT).projection
+    assert isinstance(tm, TransverseMercator)
+    assert tm._m_arc(math.pi / 2) == pytest.approx(10_001_965.729, abs=0.01)
+
+
+def test_utm_central_meridian_exactness():
+    tm = parse_wkt(UTM31N_WKT).projection
+    e, n = tm.forward(3.0, 46.5)
+    assert e == pytest.approx(500_000.0, abs=1e-6)  # on the meridian
+    # northing on the meridian is the scaled arc length exactly
+    assert n == pytest.approx(0.9996 * tm._m_arc(math.radians(46.5)), abs=1e-6)
+    assert tm.inverse(500_000.0, 5_000_000.0)[0] == pytest.approx(3.0, abs=1e-12)
+
+
+def _spherical_tm(lon, lat, lon0, R=6378137.0, k0=1.0):
+    """Closed-form SPHERICAL transverse Mercator (Snyder 8-5/8-6) —
+    the independent cross-implementation for the e->0 limit."""
+    lam = math.radians(lon - lon0)
+    phi = math.radians(lat)
+    B = math.cos(phi) * math.sin(lam)
+    x = k0 * R * math.atanh(B)
+    y = k0 * R * (math.atan2(math.tan(phi), math.cos(lam)))
+    return x, y
+
+
+def test_tm_spherical_limit_matches_closed_form():
+    from demy_spark.crs import TransverseMercator
+
+    tm = TransverseMercator(
+        a=6378137.0, inv_f=1e12, lat0=0.0, lon0=9.0, k0=1.0
+    )
+    for lon, lat in [(9.0, 0.0), (10.5, 47.0), (7.2, -33.0), (11.9, 62.5)]:
+        got = tm.forward(lon, lat)
+        want = _spherical_tm(lon, lat, 9.0)
+        # series truncation vs closed form: sub-mm at <=3 deg offsets
+        assert got == pytest.approx(want, abs=2e-3)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    dlon=st.floats(min_value=-3.0, max_value=3.0),
+    lat=st.floats(min_value=-80.0, max_value=80.0),
+)
+def test_tm_roundtrip_fuzz_inside_the_zone(dlon, lat):
+    tm = parse_wkt(UTM31N_WKT).projection
+    e, n = tm.forward(3.0 + dlon, lat)
+    lon2, lat2 = tm.inverse(e, n)
+    assert math.isclose(3.0 + dlon, lon2, abs_tol=1e-8)
+    assert math.isclose(lat, lat2, abs_tol=1e-8)
+
+
+def test_read_shapefile_utm_roundtrip(spark, tmp_path):
+    from demy_spark.shapefile import read_shapefile
+
+    tm = parse_wkt(UTM31N_WKT).projection
+    ring = [(2.0, 48.0), (2.1, 48.0), (2.1, 48.1), (2.0, 48.1), (2.0, 48.0)]
+    shp = _write_fixture(
+        tmp_path, [[[tm.forward(x, y) for x, y in ring]]], UTM31N_WKT
+    )
+    (row,) = read_shapefile(spark, shp).collect()
+    assert row["base_crs"] == "EPSG:32631"
+    assert row["transformed_to_wgs84"] is True
+    assert row["x_min"] == pytest.approx(2.0, abs=1e-8)
+    assert row["y_max"] == pytest.approx(48.1, abs=1e-8)
+
+
+def test_tm_missing_central_meridian_passes_through():
+    wkt = (
+        'PROJCS["TMnoCM",GEOGCS["G",DATUM["D",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],UNIT["metre",1]]'
+    )
+    with pytest.warns(UserWarning, match="central_meridian"):
+        info = parse_wkt(wkt)
+    assert not info.has_transform
