@@ -128,7 +128,9 @@ class LambertConformalConic2SP:
     # code-review r9)
     @functools.cached_property
     def _e(self) -> float:
-        f = 1.0 / self.inv_f
+        if self.inv_f <= 0:  # sphere (legacy auxiliary-sphere WKTs
+            return 0.0  # write inverse flattening 0): e = 0 degenerates
+        f = 1.0 / self.inv_f  # every formula correctly
         return math.sqrt(2 * f - f * f)
 
     def _m(self, phi: float) -> float:
@@ -174,13 +176,19 @@ class LambertConformalConic2SP:
         """(easting, northing) → (lon, lat) degrees; iterative latitude
         recovery converging to <1e-12 rad (~4 iterations)."""
         n, F, r0 = self._konst
-        e = self._e
         x = e_coord - self.fe
         y = r0 - (n_coord - self.fn)
         r = math.copysign(math.hypot(x, y), n)
         t = (r / (self.a * F)) ** (1.0 / n)
         theta = math.atan2(x, y)
         lon = math.degrees(theta / n + math.radians(self.lon0))
+        return lon, math.degrees(self._phi_from_t(t))
+
+    def _phi_from_t(self, t: float) -> float:
+        """Latitude (radians) from the isometric-latitude parameter t
+        — the GN7-2 fixed-point iteration shared by every conformal
+        inverse here (Lambert and ellipsoidal Mercator)."""
+        e = self._e
         phi = math.pi / 2 - 2 * math.atan(t)
         for _ in range(15):
             es = e * math.sin(phi)
@@ -191,7 +199,7 @@ class LambertConformalConic2SP:
                 phi = phi_next
                 break
             phi = phi_next
-        return lon, math.degrees(phi)
+        return phi
 
 
 @dataclass(frozen=True)
@@ -254,23 +262,11 @@ class EllipsoidalMercator:
         return x, self.fn - self.a * self.k0 * math.log(t)
 
     def inverse(self, e_coord: float, n_coord: float) -> tuple[float, float]:
-        lcc = self._lcc
-        e = lcc._e
         lon = self.lon0 + math.degrees(
             (e_coord - self.fe) / (self.a * self.k0)
         )
         t = math.exp(-(n_coord - self.fn) / (self.a * self.k0))
-        phi = math.pi / 2 - 2 * math.atan(t)
-        for _ in range(15):
-            es = e * math.sin(phi)
-            phi_next = math.pi / 2 - 2 * math.atan(
-                t * ((1 - es) / (1 + es)) ** (e / 2)
-            )
-            if abs(phi_next - phi) < 1e-12:
-                phi = phi_next
-                break
-            phi = phi_next
-        return lon, math.degrees(phi)
+        return lon, math.degrees(self._lcc._phi_from_t(t))
 
 
 @dataclass(frozen=True)
@@ -294,8 +290,30 @@ class TransverseMercator:
 
     @functools.cached_property
     def _e2(self) -> float:
+        if self.inv_f <= 0:  # sphere: the series degenerate correctly
+            return 0.0
         f = 1.0 / self.inv_f
         return 2 * f - f * f
+
+    # frozen-field-only constants, cached off the per-vertex hot path
+    # (the LCC cached_property rationale, code-review r9 second pass)
+    @functools.cached_property
+    def _ep2(self) -> float:
+        return self._e2 / (1 - self._e2)
+
+    @functools.cached_property
+    def _m0(self) -> float:
+        return self._m_arc(math.radians(self.lat0))
+
+    @functools.cached_property
+    def _mu_den(self) -> float:
+        e2 = self._e2
+        return self.a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2**3 / 256)
+
+    @functools.cached_property
+    def _e1(self) -> float:
+        se = math.sqrt(1 - self._e2)
+        return (1 - se) / (1 + se)
 
     def _m_arc(self, phi: float) -> float:
         """Meridian arc length from the equator (Snyder 3-21)."""
@@ -310,7 +328,7 @@ class TransverseMercator:
 
     def forward(self, lon: float, lat: float) -> tuple[float, float]:
         e2 = self._e2
-        ep2 = e2 / (1 - e2)
+        ep2 = self._ep2
         phi = math.radians(lat)
         lam = math.radians(lon - self.lon0)
         sin_p, cos_p = math.sin(phi), math.cos(phi)
@@ -319,7 +337,7 @@ class TransverseMercator:
         C = ep2 * cos_p * cos_p
         A = lam * cos_p
         M = self._m_arc(phi)
-        M0 = self._m_arc(math.radians(self.lat0))
+        M0 = self._m0
         x = self.k0 * nu * (
             A
             + (1 - T + C) * A**3 / 6
@@ -340,15 +358,12 @@ class TransverseMercator:
 
     def inverse(self, e_coord: float, n_coord: float) -> tuple[float, float]:
         e2 = self._e2
-        ep2 = e2 / (1 - e2)
+        ep2 = self._ep2
         x = e_coord - self.fe
         y = n_coord - self.fn
-        M = self._m_arc(math.radians(self.lat0)) + y / self.k0
-        mu = M / (
-            self.a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2**3 / 256)
-        )
-        se = math.sqrt(1 - e2)
-        e1 = (1 - se) / (1 + se)
+        M = self._m0 + y / self.k0
+        mu = M / self._mu_den
+        e1 = self._e1
         phi1 = (
             mu
             + (3 * e1 / 2 - 27 * e1**3 / 32) * math.sin(2 * mu)
@@ -622,7 +637,10 @@ def parse_wkt(wkt: str) -> CRSInfo:
             fe=params.get("false_easting", 0.0),
             fn=params.get("false_northing", 0.0),
         )
-        return CRSInfo(code=code, is_geographic=False, projection=merc)
+        return CRSInfo(
+            code=code, is_geographic=False, projection=merc,
+            lat_lon_order=_lat_first(root),
+        )
     if (
         proj_name in ("mercator_1sp", "mercator_2sp", "mercator")
         and spheroid is not None
@@ -631,21 +649,27 @@ def parse_wkt(wkt: str) -> CRSInfo:
         # ellipsoidal Mercator (EPSG:3395 et al.): 1SP carries k0
         # directly; 2SP (and ESRI's plain "Mercator") derives it from
         # the standard parallel, k0 = m(lat1)
+        lat1 = params.get("standard_parallel_1")
+        k0 = params.get("scale_factor")
+        if k0 is None and lat1 is not None:
+            # 2SP / ESRI "Mercator": k0 = m(lat1) on this ellipsoid
+            helper = LambertConformalConic2SP(
+                a=float(spheroid[1][1]), inv_f=float(spheroid[1][2]),
+                lat0=0.0, lon0=0.0, lat1=30.0, lat2=60.0, fe=0.0, fn=0.0,
+            )
+            k0 = helper._m(math.radians(lat1))
         em = EllipsoidalMercator(
             a=float(spheroid[1][1]),
             inv_f=float(spheroid[1][2]),
             lon0=params.get("central_meridian", 0.0),
-            k0=params.get("scale_factor", 1.0),
+            k0=k0 if k0 is not None else 1.0,
             fe=params.get("false_easting", 0.0),
             fn=params.get("false_northing", 0.0),
         )
-        lat1 = params.get("standard_parallel_1")
-        if lat1 is not None and "scale_factor" not in params:
-            em = EllipsoidalMercator(
-                a=em.a, inv_f=em.inv_f, lon0=em.lon0,
-                k0=em._lcc._m(math.radians(lat1)), fe=em.fe, fn=em.fn,
-            )
-        return CRSInfo(code=code, is_geographic=False, projection=em)
+        return CRSInfo(
+            code=code, is_geographic=False, projection=em,
+            lat_lon_order=_lat_first(root),
+        )
     if (
         proj_name == "transverse_mercator"
         and spheroid is not None
@@ -671,7 +695,10 @@ def parse_wkt(wkt: str) -> CRSInfo:
             fe=params.get("false_easting", 0.0),
             fn=params.get("false_northing", 0.0),
         )
-        return CRSInfo(code=code, is_geographic=False, projection=tm)
+        return CRSInfo(
+            code=code, is_geographic=False, projection=tm,
+            lat_lon_order=_lat_first(root),
+        )
     if proj_name not in _LCC_NAMES or spheroid is None or len(spheroid[1]) < 3:
         warnings.warn(
             f"no transform for projection {proj_name or 'unknown'!r} "

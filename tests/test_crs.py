@@ -643,3 +643,57 @@ def test_read_shapefile_lat_lon_ordered_prj(spark, tmp_path):
     assert row["transformed_to_wgs84"] is True
     assert row["x_min"] == 2.0 and row["x_max"] == 2.1  # lon back in x
     assert row["y_min"] == 48.0 and row["y_max"] == 48.1
+
+
+def test_sphere_based_spheroid_does_not_crash():
+    """Legacy ESRI auxiliary-sphere WKTs write inverse flattening 0:
+    e = 0 must degenerate the formulas (matching the independent
+    spherical WebMercator), not ZeroDivisionError out of parse_wkt
+    (code-review r9 second pass)."""
+    from demy_spark.crs import WebMercator
+
+    wkt = (
+        'PROJCS["WGS_1984_Web_Mercator",'
+        'GEOGCS["GCS_WGS_1984_Major_Auxiliary_Sphere",'
+        'DATUM["D_WGS_1984_Major_Auxiliary_Sphere",'
+        'SPHEROID["WGS_1984_Major_Auxiliary_Sphere",6378137.0,0.0]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Mercator"],PARAMETER["Central_Meridian",0.0],'
+        'PARAMETER["Standard_Parallel_1",0.0],UNIT["Meter",1.0]]'
+    )
+    info = parse_wkt(wkt)
+    got = info.projection.inverse(0.0, 5_000_000.0)
+    want = WebMercator().inverse(0.0, 5_000_000.0)
+    assert got == pytest.approx(want, abs=1e-9)
+    # sphere-based TM parses and roundtrips too
+    tm = parse_wkt(wkt.replace('PROJECTION["Mercator"]',
+                               'PROJECTION["Transverse_Mercator"]')).projection
+    assert tm.inverse(*tm.forward(1.5, 45.0)) == pytest.approx(
+        (1.5, 45.0), abs=1e-6
+    )
+
+
+def test_projected_axis_order_northing_first():
+    """EPSG-official projected WKTs can declare AXIS[Northing] first
+    (EPSG:2193 NZTM does): inputs must swap, or Wellington decodes to
+    lon 677 (code-review r9 second pass; expected values confirmed
+    against the published NZTM coordinates of Wellington)."""
+    nztm = (
+        'PROJCS["NZGD2000 / New Zealand Transverse Mercator 2000",'
+        'GEOGCS["NZGD2000",DATUM["New_Zealand_Geodetic_Datum_2000",'
+        'SPHEROID["GRS 1980",6378137,298.257222101]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],'
+        'PARAMETER["latitude_of_origin",0],'
+        'PARAMETER["central_meridian",173],'
+        'PARAMETER["scale_factor",0.9996],'
+        'PARAMETER["false_easting",1600000],'
+        'PARAMETER["false_northing",10000000],UNIT["metre",1],'
+        'AXIS["Northing",NORTH],AXIS["Easting",EAST],'
+        'AUTHORITY["EPSG","2193"]]'
+    )
+    info = parse_wkt(nztm)
+    assert info.lat_lon_order
+    lon, lat = info.to_wgs84(5_427_057.0, 1_749_263.0)  # N, E order
+    assert lon == pytest.approx(174.7827, abs=1e-3)
+    assert lat == pytest.approx(-41.2941, abs=1e-3)
