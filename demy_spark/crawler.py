@@ -45,6 +45,7 @@ import hashlib
 import re
 import tarfile
 import zipfile
+import zlib
 from collections.abc import Callable, Iterable
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
@@ -349,8 +350,26 @@ def download(
     BCJ2/PPMd/encryption raise a loud NotImplementedError rather than
     faking decompression, and declared unpack sizes are bomb-capped.
     Every file lands via the atomic spool write. Returns the written
-    paths."""
+    paths.
+
+    All archive branches share the 7z reader's decompression-bomb cap
+    (``sevenzip._default_unpack_cap``: max(64 MiB, 1000x the fetched
+    body), r9): gzip/bz2 decompress through bounded incremental APIs,
+    zip/tar reject members whose declared size exceeds the cap — a
+    hostile crawl target cannot make the driver materialize a multi-GB
+    payload from a tiny response."""
+    from demy_spark.sevenzip import _default_unpack_cap
+
     _, body = fetch(url)
+    cap = _default_unpack_cap(len(body))
+
+    def _bomb(kind: str, declared: int) -> ValueError:
+        return ValueError(
+            f"{kind} from {url} declares/produces {declared}+ unpacked "
+            f"bytes, over the {cap}-byte cap for a {len(body)}-byte "
+            "fetch (decompression-bomb guard)"
+        )
+
     lower = url.lower()
     if deflate and ".7z" in lower:
         from demy_spark.sevenzip import read_7z
@@ -374,6 +393,8 @@ def download(
             for info in zf.infolist():
                 if info.is_dir():
                     continue
+                if info.file_size > cap:
+                    raise _bomb("zip member", info.file_size)
                 flat = info.filename.replace("/", "-")
                 if flat in ("", ".", ".."):
                     continue  # hostile/degenerate entry name
@@ -383,10 +404,16 @@ def download(
                 out.append(path)
         return out
     if deflate and lower.endswith((".gz", ".tgz")):
-        body = gzip.decompress(body)
+        # wbits=31: zlib's gzip-wrapper mode, with a bounded read
+        d = zlib.decompressobj(31)
+        body = d.decompress(body, cap + 1)
+        if len(body) > cap:
+            raise _bomb("gzip stream", cap)
         lower = lower[:-4] + ".tar" if lower.endswith(".tgz") else lower[:-3]
     elif deflate and lower.endswith(".bz2"):
-        body = bz2.decompress(body)
+        body = bz2.BZ2Decompressor().decompress(body, max_length=cap + 1)
+        if len(body) > cap:
+            raise _bomb("bzip2 stream", cap)
         lower = lower[:-4]
     if deflate and lower.endswith(".tar"):
         out = []
@@ -395,6 +422,8 @@ def download(
             for m in tf:
                 if not m.isfile():
                     continue
+                if m.size > cap:
+                    raise _bomb("tar member", m.size)
                 name = m.name[2:] if m.name.startswith("./") else m.name
                 flat = name.replace("/", "-")
                 if flat in ("", ".", ".."):

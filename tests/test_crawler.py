@@ -566,3 +566,55 @@ def test_fixture_site_crawl_respects_robots_and_filters():
         "http://site.test/sub/c.html",
         "http://site.test/data/tarifs.csv",
     }
+
+
+def test_download_bomb_caps_every_archive_branch(tmp_path):
+    """r9 hardening beyond the 7z ADVICE item: gzip/bz2 streams and
+    zip/tar members share the decompression-bomb cap — a tiny hostile
+    response cannot make the driver materialize a multi-GB payload."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import tarfile as _tarfile
+    import zipfile as _zipfile
+
+    from demy_spark.crawler import download
+
+    big = b"\x00" * (70 << 20)  # 70 MiB of zeros: tiny on the wire
+
+    gz = _gzip.compress(big)
+    assert len(gz) < 1 << 20
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        download("http://m.test/x.gz", str(tmp_path / "a"),
+                 fetch=lambda u: ("application/gzip", gz))
+
+    bz = _bz2.compress(big)
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        download("http://m.test/x.bz2", str(tmp_path / "b"),
+                 fetch=lambda u: ("application/x-bzip2", bz))
+
+    buf = io.BytesIO()
+    with _zipfile.ZipFile(buf, "w", _zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("big.bin", big)
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        download("http://m.test/x.zip", str(tmp_path / "c"),
+                 fetch=lambda u: ("application/zip", buf.getvalue()))
+
+    tbuf = io.BytesIO()
+    with _tarfile.open(fileobj=tbuf, mode="w") as tf:
+        info = _tarfile.TarInfo("big.bin")
+        info.size = len(big)
+        tf.addfile(info, io.BytesIO(big))
+    # plain tar of 70 MiB zeros is 70 MiB on the wire -> gzip it so the
+    # FETCHED body is small and the cap is the binding constraint
+    tgz = _gzip.compress(tbuf.getvalue())
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        download("http://m.test/x.tar.gz", str(tmp_path / "d"),
+                 fetch=lambda u: ("application/gzip", tgz))
+
+    # a LEGITIMATE small archive still extracts on every branch
+    ok = io.BytesIO()
+    with _zipfile.ZipFile(ok, "w") as zf:
+        zf.writestr("a.txt", b"fine")
+    paths = download("http://m.test/ok.zip", str(tmp_path / "e"),
+                     fetch=lambda u: ("application/zip", ok.getvalue()))
+    assert len(paths) == 1
