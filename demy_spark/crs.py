@@ -462,27 +462,35 @@ def _split_args(body: str) -> list[str]:
     return out
 
 
-def _parse_node(text: str) -> tuple[str, list]:
+def _parse_node(text: str, depth: int = 0) -> tuple[str, list]:
     """Parse one WKT-1 node ``KEYWORD[arg, arg, ...]`` recursively;
-    args are nested nodes, quoted strings, or numbers."""
+    args are nested nodes, quoted strings, or numbers. Nesting is
+    bounded (real WKT is <10 deep; a hostile .prj must raise
+    ValueError — the class read_shapefile's pass-through guard
+    catches — not RecursionError)."""
+    if depth > 32:
+        raise ValueError("WKT nesting deeper than 32 levels")
     text = text.strip()
     m = re.match(r"^([A-Za-z_0-9]+)\s*[\[(]", text)
     if not m:
         raise ValueError(f"not a WKT node: {text[:40]!r}")
     keyword = m.group(1).upper()
     # find the matching close bracket for the opener (quote-aware:
-    # brackets inside quoted names must not shift the depth count)
-    depth, start, end, in_q = 1, m.end(), None, False
+    # brackets inside quoted names must not shift the count). NB the
+    # counter must not be named `depth` — it would shadow the
+    # recursion-depth parameter and neuter the nesting bound (found by
+    # the parser fuzz)
+    level, start, end, in_q = 1, m.end(), None, False
     for i in range(m.end(), len(text)):
         ch = text[i]
         if ch == '"':
             in_q = not in_q
         elif not in_q:
             if ch in "[(":
-                depth += 1
+                level += 1
             elif ch in "])":
-                depth -= 1
-                if depth == 0:
+                level -= 1
+                if level == 0:
                     end = i
                     break
     if end is None:
@@ -495,7 +503,7 @@ def _parse_node(text: str) -> tuple[str, list]:
         if raw.startswith('"'):
             args.append(raw.strip('"'))
         elif re.match(r"^[A-Za-z_0-9]+\s*[\[(]", raw):
-            args.append(_parse_node(raw))
+            args.append(_parse_node(raw, depth + 1))
         else:
             try:
                 args.append(float(raw))

@@ -697,3 +697,24 @@ def test_projected_axis_order_northing_first():
     lon, lat = info.to_wgs84(5_427_057.0, 1_749_263.0)  # N, E order
     assert lon == pytest.approx(174.7827, abs=1e-3)
     assert lat == pytest.approx(-41.2941, abs=1e-3)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet='ABCGEOPRS["],()0123456789._- \n', max_size=200))
+def test_parse_wkt_never_escapes_valueerror(junk):
+    """parse_wkt over arbitrary junk must return a CRSInfo or raise
+    ValueError — the ONLY class read_shapefile's pass-through guard
+    catches; any other escape (RecursionError on hostile deep nesting
+    was real) would crash shapefile ingestion."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        try:
+            parse_wkt(junk)
+        except ValueError:
+            pass
+
+
+def test_parse_wkt_hostile_deep_nesting_raises_valueerror():
+    deep = "A[" * 3000 + "0" + "]" * 3000
+    with pytest.raises(ValueError, match="nesting"):
+        parse_wkt(deep)
