@@ -402,6 +402,125 @@ class TransverseMercator:
 
 
 @dataclass(frozen=True)
+class LambertAzimuthalEqualArea:
+    """Lambert Azimuthal Equal Area on an ellipsoid (EPSG method 9820
+    — EPSG:3035 ETRS89-extended / LAEA Europe, the projection Eurostat
+    grids and Copernicus products ship in). Forward and inverse from
+    the public EPSG Guidance Note 7-2 formulas (authalic latitude q/β,
+    Rq, D, B) with the standard series for the inverse authalic
+    latitude. Independent anchors in tests: the EPSG guidance-note
+    sample point for ETRS89/LAEA, and the EQUAL-AREA property itself —
+    the numeric Jacobian of (E, N) must equal the ellipsoidal area
+    element a²(1−e²)cosφ/(1−e²sin²φ)² at every probe point, a check
+    that holds only if the math is right and depends on no remembered
+    constants.
+
+    Angles in degrees, lengths in the projection unit (metres for
+    3035). ``lat0``/``lon0`` are the latitude/longitude of origin
+    (52°N, 10°E for Europe)."""
+
+    a: float
+    inv_f: float
+    lat0: float
+    lon0: float
+    fe: float = 0.0
+    fn: float = 0.0
+
+    @functools.cached_property
+    def _e2(self) -> float:
+        if self.inv_f <= 0:  # sphere: q degenerates to 2 sinφ
+            return 0.0
+        f = 1.0 / self.inv_f
+        return 2 * f - f * f
+
+    @functools.cached_property
+    def _e(self) -> float:
+        return math.sqrt(self._e2)
+
+    def _q(self, phi: float) -> float:
+        """Authalic-latitude kernel q(φ) (GN7-2)."""
+        e, e2 = self._e, self._e2
+        s = math.sin(phi)
+        if e == 0.0:
+            return 2.0 * s
+        return (1 - e2) * (
+            s / (1 - e2 * s * s)
+            - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+        )
+
+    @functools.cached_property
+    def _qp(self) -> float:
+        return self._q(math.pi / 2)
+
+    @functools.cached_property
+    def _rq(self) -> float:
+        return self.a * math.sqrt(self._qp / 2)
+
+    @functools.cached_property
+    def _beta0(self) -> float:
+        return math.asin(self._q(math.radians(self.lat0)) / self._qp)
+
+    @functools.cached_property
+    def _d(self) -> float:
+        phi0 = math.radians(self.lat0)
+        return (
+            self.a
+            * (math.cos(phi0) / math.sqrt(1 - self._e2 * math.sin(phi0) ** 2))
+            / (self._rq * math.cos(self._beta0))
+        )
+
+    def forward(self, lon: float, lat: float) -> tuple[float, float]:
+        beta = math.asin(
+            max(-1.0, min(1.0, self._q(math.radians(lat)) / self._qp))
+        )
+        lam = math.radians(lon - self.lon0)
+        b0, rq, d = self._beta0, self._rq, self._d
+        denom = 1 + math.sin(b0) * math.sin(beta) + math.cos(b0) * math.cos(
+            beta
+        ) * math.cos(lam)
+        b = rq * math.sqrt(2 / denom)
+        e_coord = self.fe + (b * d) * math.cos(beta) * math.sin(lam)
+        n_coord = self.fn + (b / d) * (
+            math.cos(b0) * math.sin(beta)
+            - math.sin(b0) * math.cos(beta) * math.cos(lam)
+        )
+        return e_coord, n_coord
+
+    def inverse(self, e_coord: float, n_coord: float) -> tuple[float, float]:
+        x = e_coord - self.fe
+        y = n_coord - self.fn
+        b0, rq, d = self._beta0, self._rq, self._d
+        rho = math.hypot(x / d, d * y)
+        if rho < 1e-12:  # the projection origin itself
+            return self.lon0, self.lat0
+        c = 2 * math.asin(max(-1.0, min(1.0, rho / (2 * rq))))
+        beta_p = math.asin(
+            max(
+                -1.0,
+                min(
+                    1.0,
+                    math.cos(c) * math.sin(b0)
+                    + (d * y * math.sin(c) * math.cos(b0)) / rho,
+                ),
+            )
+        )
+        lam = math.atan2(
+            x * math.sin(c),
+            d * rho * math.cos(b0) * math.cos(c)
+            - d * d * y * math.sin(b0) * math.sin(c),
+        )
+        e2 = self._e2
+        e4, e6 = e2 * e2, e2 * e2 * e2
+        phi = (
+            beta_p
+            + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * math.sin(2 * beta_p)
+            + (23 * e4 / 360 + 251 * e6 / 3780) * math.sin(4 * beta_p)
+            + (761 * e6 / 45360) * math.sin(6 * beta_p)
+        )
+        return self.lon0 + math.degrees(lam), math.degrees(phi)
+
+
+@dataclass(frozen=True)
 class CRSInfo:
     """Parsed .prj verdict: ``code`` is the EPSG identifier when the
     WKT carries one (the reference's ``CRS.lookupIdentifier`` result,
@@ -630,6 +749,20 @@ def parse_wkt(wkt: str) -> CRSInfo:
     if proj_name in _WEBMERC_NAMES or (
         proj_name == "mercator_1sp" and code == "EPSG:3857"
     ):
+        # ESRI's Auxiliary_Sphere_Type parameter: 0 = use the
+        # ellipsoid's semi-major axis as the sphere radius (the 3857
+        # convention the WebMercator form implements); 1/2 (authalic /
+        # rectifying sphere) decode measurably differently, so they
+        # take the loud pass-through path (code-review r9).
+        if abs(params.get("auxiliary_sphere_type", 0.0)) > 1e-12:
+            warnings.warn(
+                f"Mercator CRS {name!r} uses Auxiliary_Sphere_Type "
+                f"{params['auxiliary_sphere_type']:g} (authalic/"
+                "rectifying sphere): coordinates pass through "
+                "untransformed",
+                stacklevel=2,
+            )
+            return CRSInfo(code=code, is_geographic=False, projection=None)
         if abs(params.get("scale_factor", 1.0) - 1.0) > 1e-12:
             warnings.warn(
                 f"Mercator CRS {name!r} mixes a spherical method name "
@@ -707,6 +840,36 @@ def parse_wkt(wkt: str) -> CRSInfo:
             code=code, is_geographic=False, projection=tm,
             lat_lon_order=_lat_first(root),
         )
+    if (
+        proj_name == "lambert_azimuthal_equal_area"
+        and spheroid is not None
+        and len(spheroid[1]) >= 3
+    ):
+        # EPSG spells the origin latitude_of_origin/central_meridian,
+        # GDAL writes latitude_of_center/longitude_of_center for LAEA
+        lat0 = params.get(
+            "latitude_of_origin", params.get("latitude_of_center")
+        )
+        lon0 = params.get("central_meridian", params.get("longitude_of_center"))
+        if lat0 is None or lon0 is None:
+            warnings.warn(
+                f"LAEA projection {name!r} missing parameters: coordinates "
+                "pass through untransformed",
+                stacklevel=2,
+            )
+            return CRSInfo(code=code, is_geographic=False, projection=None)
+        laea = LambertAzimuthalEqualArea(
+            a=float(spheroid[1][1]),
+            inv_f=float(spheroid[1][2]),
+            lat0=lat0,
+            lon0=lon0,
+            fe=params.get("false_easting", 0.0),
+            fn=params.get("false_northing", 0.0),
+        )
+        return CRSInfo(
+            code=code, is_geographic=False, projection=laea,
+            lat_lon_order=_lat_first(root),
+        )
     if proj_name not in _LCC_NAMES or spheroid is None or len(spheroid[1]) < 3:
         warnings.warn(
             f"no transform for projection {proj_name or 'unknown'!r} "
@@ -737,4 +900,7 @@ def parse_wkt(wkt: str) -> CRSInfo:
         fe=fe,
         fn=fn,
     )
-    return CRSInfo(code=code, is_geographic=False, projection=lcc)
+    return CRSInfo(
+        code=code, is_geographic=False, projection=lcc,
+        lat_lon_order=_lat_first(root),
+    )

@@ -718,3 +718,138 @@ def test_parse_wkt_hostile_deep_nesting_raises_valueerror():
     deep = "A[" * 3000 + "0" + "]" * 3000
     with pytest.raises(ValueError, match="nesting"):
         parse_wkt(deep)
+
+
+def test_lcc_axis_order_northing_first():
+    """The LCC branch must honor AXIS[Northing]-first WKTs like every
+    other projected branch (ADVICE r9: it was the one branch dropping
+    lat_lon_order, so a northing-first Lambert WKT transposed
+    coordinates). Feed the Paris anchor in (N, E) order and expect the
+    same WGS84 answer the (E, N) test pins."""
+    northing_first = LAMBERT93_WKT.replace(
+        'UNIT["metre",1',
+        'AXIS["Northing",NORTH],AXIS["Easting",EAST],UNIT["metre",1',
+    )
+    if "AXIS" not in northing_first:  # WKT layout drift guard
+        northing_first = LAMBERT93_WKT[:-1] + ',AXIS["Northing",NORTH],AXIS["Easting",EAST]]'
+    info = parse_wkt(northing_first)
+    assert info.lat_lon_order, "LCC branch must parse axis order"
+    lon, lat = info.to_wgs84(6862035.26, 652469.02)  # N, E order
+    assert lon == pytest.approx(2.3522, abs=1e-4)
+    assert lat == pytest.approx(48.8566, abs=1e-4)
+
+
+def test_auxiliary_sphere_type_nonzero_passes_through():
+    """ESRI Mercator_Auxiliary_Sphere with Auxiliary_Sphere_Type 1/2
+    (authalic / rectifying sphere) decodes measurably differently from
+    the type-0 semi-major-axis sphere — those variants must take the
+    loud pass-through path, not silently decode as 3857 (ADVICE r9)."""
+    base = (
+        'PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",'
+        'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+        'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Mercator_Auxiliary_Sphere"],'
+        'PARAMETER["False_Easting",0.0],'
+        'PARAMETER["False_Northing",0.0],'
+        'PARAMETER["Central_Meridian",0.0],'
+        'PARAMETER["Standard_Parallel_1",0.0],'
+        'PARAMETER["Auxiliary_Sphere_Type",{t}],UNIT["Meter",1.0]]'
+    )
+    # type 0: decodes with the spherical WebMercator form as before
+    info0 = parse_wkt(base.format(t="0.0"))
+    assert info0.projection is not None
+    for t in ("1.0", "2.0"):
+        with pytest.warns(UserWarning, match="Auxiliary_Sphere_Type"):
+            info = parse_wkt(base.format(t=t))
+        assert info.projection is None and not info.is_geographic
+
+
+# ETRS89-extended / LAEA Europe (EPSG:3035) — the Eurostat/Copernicus
+# grid CRS (VERDICT r9 task 6); EPSG WKT1 spelling
+LAEA_3035_WKT = (
+    'PROJCS["ETRS89-extended / LAEA Europe",GEOGCS["ETRS89",'
+    'DATUM["European_Terrestrial_Reference_System_1989",'
+    'SPHEROID["GRS 1980",6378137,298.257222101]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Lambert_Azimuthal_Equal_Area"],'
+    'PARAMETER["latitude_of_origin",52],'
+    'PARAMETER["central_meridian",10],'
+    'PARAMETER["false_easting",4321000],'
+    'PARAMETER["false_northing",3210000],UNIT["metre",1],'
+    'AUTHORITY["EPSG","3035"]]'
+)
+
+
+def test_laea_epsg_guidance_note_sample_point():
+    """EPSG Guidance Note 7-2's published worked example for the LAEA
+    (method 9820) ETRS89/LAEA case: 50°N 5°E must map to
+    E 3962799.45, N 2999718.85 — an anchor independent of this
+    implementation."""
+    info = parse_wkt(LAEA_3035_WKT)
+    assert info.code == "EPSG:3035" and info.projection is not None
+    e, n = info.projection.forward(5.0, 50.0)
+    assert e == pytest.approx(3962799.45, abs=0.01)
+    assert n == pytest.approx(2999718.85, abs=0.01)
+    lon, lat = info.to_wgs84(e, n)
+    assert lon == pytest.approx(5.0, abs=1e-8)
+    assert lat == pytest.approx(50.0, abs=1e-7)
+
+
+def test_laea_equal_area_property():
+    """The projection's DEFINING property, checked numerically with no
+    remembered constants: the Jacobian determinant of (E, N) w.r.t.
+    (λ, φ) must equal the ellipsoidal area element
+    a²(1−e²)cosφ/(1−e²sin²φ)² everywhere — any formula error (wrong q,
+    swapped β₀ terms, bad D) breaks it immediately."""
+    p = parse_wkt(LAEA_3035_WKT).projection
+    h = 1e-6
+    for lon, lat in ((5, 50), (25, 60), (-8, 38), (10, 52), (30, 70), (10.1, 52.05)):
+        e1, n1 = p.forward(lon + h, lat)
+        e0, n0 = p.forward(lon - h, lat)
+        d_e_lam = (e1 - e0) / (2 * h * math.pi / 180)
+        d_n_lam = (n1 - n0) / (2 * h * math.pi / 180)
+        e1, n1 = p.forward(lon, lat + h)
+        e0, n0 = p.forward(lon, lat - h)
+        d_e_phi = (e1 - e0) / (2 * h * math.pi / 180)
+        d_n_phi = (n1 - n0) / (2 * h * math.pi / 180)
+        jac = abs(d_e_lam * d_n_phi - d_e_phi * d_n_lam)
+        phi = math.radians(lat)
+        e2 = p._e2
+        want = p.a * p.a * (1 - e2) * math.cos(phi) / (1 - e2 * math.sin(phi) ** 2) ** 2
+        assert jac == pytest.approx(want, rel=1e-6), (lon, lat)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lon=st.floats(min_value=-25.0, max_value=45.0),
+    lat=st.floats(min_value=30.0, max_value=72.0),
+)
+def test_laea_roundtrip_fuzz(lon, lat):
+    """forward→inverse identity across the 3035 validity extent."""
+    p = parse_wkt(LAEA_3035_WKT).projection
+    got = p.inverse(*p.forward(lon, lat))
+    assert got[0] == pytest.approx(lon, abs=1e-7)
+    assert got[1] == pytest.approx(lat, abs=1e-7)
+
+
+def test_laea_gdal_center_spelling_and_origin():
+    """GDAL writes LAEA parameters latitude_of_center /
+    longitude_of_center — must parse to the same transform; the exact
+    projection origin (ρ→0, where the general inverse divides by ρ)
+    must invert to (lon0, lat0)."""
+    gdal = LAEA_3035_WKT.replace(
+        '"latitude_of_origin"', '"latitude_of_center"'
+    ).replace('"central_meridian"', '"longitude_of_center"')
+    a = parse_wkt(LAEA_3035_WKT).projection
+    b = parse_wkt(gdal).projection
+    assert b.forward(5.0, 50.0) == pytest.approx(a.forward(5.0, 50.0), abs=1e-9)
+    lon, lat = a.inverse(4321000.0, 3210000.0)
+    assert (lon, lat) == pytest.approx((10.0, 52.0), abs=1e-9)
+
+
+def test_laea_missing_parameters_warns():
+    broken = LAEA_3035_WKT.replace('PARAMETER["latitude_of_origin",52],', "")
+    with pytest.warns(UserWarning, match="LAEA projection .* missing"):
+        info = parse_wkt(broken)
+    assert info.projection is None
