@@ -123,8 +123,11 @@ def _file_fetch_path(url: str, root: str | None, host: str | None) -> str:
         raise FileNotFoundError(f"not a file-served URL: {url}")
     path = os.path.normpath(path)
     if base is not None:
-        base = os.path.normpath(os.path.abspath(base))
-        if os.path.commonpath([base, os.path.abspath(path)]) != base:
+        # realpath on BOTH sides so a symlink inside the site root
+        # pointing outside it cannot bypass the containment check
+        # (code-review r9)
+        base = os.path.realpath(os.path.abspath(base))
+        if os.path.commonpath([base, os.path.realpath(os.path.abspath(path))]) != base:
             raise FileNotFoundError(f"URL escapes the site root: {url}")
     return path
 

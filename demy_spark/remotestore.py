@@ -40,6 +40,7 @@ import base64
 import hashlib
 import re
 import xml.etree.ElementTree as ET
+from xml.sax.saxutils import escape as _xesc
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -288,7 +289,7 @@ class MemoryEpiServer:
                 return 404, b"not found"
             chunk = f["chunks"][idx - 1]
             xml = (
-                f"<file><filename>{f['name']}</filename>"
+                f"<file><filename>{_xesc(f['name'])}</filename>"
                 f"<total_chunks>{len(f['chunks'])}</total_chunks>"
                 f"<content>{base64.b64encode(chunk).decode()}</content></file>"
             )
@@ -297,10 +298,10 @@ class MemoryEpiServer:
             parts = ["<manifests>"]
             for fid, f in self.files.items():
                 parts.append(
-                    f"<manifest><comment>{f['comment']}</comment>"
+                    f"<manifest><comment>{_xesc(f['comment'])}</comment>"
                     f"<creation_date>{f['date']}</creation_date>"
                     f"<manifest_files><file><id>{fid}</id>"
-                    f"<name>{f['name']}</name></file></manifest_files>"
+                    f"<name>{_xesc(f['name'])}</name></file></manifest_files>"
                     "</manifest>"
                 )
             parts.append("</manifests>")

@@ -618,3 +618,24 @@ def test_download_bomb_caps_every_archive_branch(tmp_path):
     paths = download("http://m.test/ok.zip", str(tmp_path / "e"),
                      fetch=lambda u: ("application/zip", ok.getvalue()))
     assert len(paths) == 1
+
+
+def test_file_fetch_symlink_escape_is_blocked(tmp_path):
+    """A symlink INSIDE the site root pointing outside it must not
+    bypass the '../ cannot read outside the site' guard — the
+    containment check realpaths both sides (ADVICE r9)."""
+    import os
+
+    from demy_spark.crawler import make_file_fetch
+
+    outside = tmp_path / "outside.txt"
+    outside.write_bytes(b"secret")
+    root = tmp_path / "site"
+    root.mkdir()
+    (root / "ok.txt").write_bytes(b"fine")
+    os.symlink(str(outside), str(root / "leak.txt"))
+    fetch = make_file_fetch(root=str(root), host="http://site.test")
+    _ctype, body = fetch("http://site.test/ok.txt")
+    assert body == b"fine"
+    with pytest.raises(FileNotFoundError, match="escapes the site root"):
+        fetch("http://site.test/leak.txt")

@@ -80,3 +80,17 @@ def test_fetch_to_spool_then_spark_reads(store, spark, tmp_path):
     assert fetch_to_spool(store, fid, p) == p
     df = spark.read.option("header", "true").option("sep", ";").csv(p)
     assert df.count() == 2
+
+
+def test_xml_special_chars_in_name_and_comment_roundtrip(store):
+    """Filenames/comments containing &, <, > must survive the XML
+    envelopes intact — the server escapes on emit and the ET client
+    unescapes on parse (ADVICE r9: raw interpolation produced
+    malformed XML that broke manifest/chunk parsing)."""
+    name = "a&b <v2>.txt"
+    comment = "batch <2> & final"
+    fid = store.upload(name, b"payload", comment=comment)
+    assert store.download(fid) == b"payload"
+    got = store.find(name_pattern=r"a&b")
+    assert got is not None and got.name == name
+    assert got.comment == comment
