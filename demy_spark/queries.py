@@ -29,8 +29,17 @@ from demy_spark.operators.topk import top_k_per_group
 @dataclass
 class Query:
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # None → driver runs rows-only check
+    # str, or a zero-arg callable resolved (and cached) on first
+    # access — fixture-derived oracles (q141) defer their file reads
+    # so importing the module never touches fixture data (ADVICE r9).
+    _oracle: str | Callable[[], str] | None
     headline: bool = False  # included in bench.py
+
+    @property
+    def oracle(self) -> str | None:  # None → driver runs rows-only check
+        if callable(self._oracle):
+            self._oracle = self._oracle()
+        return self._oracle
 
 
 REGISTRY: dict[str, Query] = {}
@@ -136,12 +145,19 @@ def register(
     gate_doc_ids: bool = False,
 ):
     def deco(fn):
-        sql = oracle
-        if gate_embeddings and sql is not None:
-            sql = _gate_embeddings(sql)
-        if gate_doc_ids and sql is not None:
-            sql = _gate_doc_ids(sql)
-        REGISTRY[name] = Query(fn=fn, oracle=sql, headline=headline)
+        def _gated(s: str | None) -> str | None:
+            if gate_embeddings and s is not None:
+                s = _gate_embeddings(s)
+            if gate_doc_ids and s is not None:
+                s = _gate_doc_ids(s)
+            return s
+
+        sql: str | Callable[[], str] | None
+        if callable(oracle):
+            sql = lambda _raw=oracle: _gated(_raw())  # noqa: E731
+        else:
+            sql = _gated(oracle)
+        REGISTRY[name] = Query(fn=fn, _oracle=sql, headline=headline)
         return fn
 
     return deco
@@ -9354,7 +9370,7 @@ def _q141_oracle() -> str:
     )
 
 
-@register("q141_crawl_site", _q141_oracle())
+@register("q141_crawl_site", _q141_oracle)
 def q141_crawl_site(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end crawler run with an oracle (net2demy
     `Execute.scala:46-218`): BFS-crawl the in-tree fixture site
@@ -9584,85 +9600,350 @@ def q143_remote_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spooled.join(F.broadcast(meta_df), "name")
 
 
+def _murmur3_x86_32(data: bytes, seed: int = 42) -> int:
+    """Oracle-side MurmurHash3 x86_32 — an independent pure-Python
+    implementation of Austin Appleby's PUBLIC-DOMAIN reference
+    (https://github.com/aappleby/smhasher, MurmurHash3.cpp), the
+    algorithm Spark's ``HashingTF`` hashes terms with (UTF-8 bytes,
+    seed 42, standard tail accumulation). Written from the published
+    math, NOT from Spark's Java — that independence is the point:
+    this side of the q144 comparison never touches the engine.
+    Returns a SIGNED 32-bit int (the JVM convention), so bucket
+    assignment needs the same non-negative mod Spark applies."""
+    h1 = seed & 0xFFFFFFFF
+    n_aligned = len(data) - len(data) % 4
+    for i in range(0, n_aligned, 4):
+        k1 = int.from_bytes(data[i : i + 4], "little")
+        k1 = (k1 * 0xCC9E2D51) & 0xFFFFFFFF
+        k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+        k1 = (k1 * 0x1B873593) & 0xFFFFFFFF
+        h1 ^= k1
+        h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+        h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k1 = 0
+    for shift, i in enumerate(range(n_aligned, len(data))):
+        k1 ^= (data[i] & 0xFF) << (shift * 8)
+    k1 = (k1 * 0xCC9E2D51) & 0xFFFFFFFF
+    k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+    k1 = (k1 * 0x1B873593) & 0xFFFFFFFF
+    h1 ^= k1
+    h1 ^= len(data)
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+_Q144_BUCKETS = 1024
+# The hashed vocabulary is the documents table's CLOSED categorical
+# domain (TESTDATA.md: 5 langs × 20 sources at every SF) plus the
+# lang_source composites — 125 terms, enumerable without touching
+# data, so the oracle can carry the murmur3 bucket of every possible
+# term as a literal. A term in the data but outside this enumeration
+# would join-drop on the oracle side only and fail the row loudly.
+_Q144_LANGS = ["de", "en", "es", "fr", "zh"]
+_Q144_SOURCES = [f"src{i}" for i in range(20)]
+
+
+def _q144_oracle() -> str:
+    """Literal (term, bucket) lookup computed INDEPENDENTLY of the
+    engine: pure-Python murmur3 over the enumerable vocabulary with
+    Spark's documented non-negative mod. HashingTF's transform never
+    touches this side."""
+    terms = list(_Q144_LANGS) + list(_Q144_SOURCES) + [
+        f"{lg}_{sc}" for lg in _Q144_LANGS for sc in _Q144_SOURCES
+    ]
+    rows = ", ".join(
+        f"('{t}', {(_murmur3_x86_32(t.encode('utf-8')) % _Q144_BUCKETS + _Q144_BUCKETS) % _Q144_BUCKETS})"
+        for t in terms
+    )
+    return f"""
+    WITH lut(term, bucket) AS (VALUES {rows}),
+    toks AS (
+      SELECT term FROM (
+        SELECT lang AS term FROM documents
+        UNION ALL SELECT source AS term FROM documents
+        UNION ALL SELECT lang || '_' || source AS term FROM documents
+      ) WHERE term IS NOT NULL)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+    FROM toks JOIN lut USING (term)
+    GROUP BY bucket
+    """
+
+
+@register("q144_hashingtf_buckets", _q144_oracle)
+def q144_hashingtf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrayHasher bucket assignment, value-verified end-to-end
+    (VERDICT r9 task 3 — flips the last HashingTF tested-only row to
+    oracle-pass). The engine path is the REAL ``pyspark.ml`` HashingTF
+    (feature/ArrayHasher.scala:20-30 parity — murmur3 term hashing,
+    seed 42, non-negative mod): the corpus's categorical terms (lang,
+    source, lang_source composite) hash into 1024 buckets, and the
+    per-bucket occupancy (occurrence count + distinct-term count,
+    i.e. collisions made visible) is compared against an oracle whose
+    buckets come from an independent pure-Python murmur3
+    (:func:`_murmur3_x86_32`) over the same closed vocabulary.
+
+    Scale shape (the 100 TB path): the vocabulary is hashed ONCE on a
+    distinct-frame no larger than the domain (≤125 rows here; ≤ a few
+    M for a real tag vocabulary), then broadcast back onto the fact
+    table — the corpus itself never runs Python, never explodes the
+    1024-slot vector, and aggregates map-side on a bounded key."""
+    from pyspark.ml.functions import vector_to_array
+
+    from demy_spark.features import hashed_tf
+
+    docs = _t(spark, sf_dir)["documents"]
+    toks = docs.select(
+        F.explode(
+            F.array(
+                F.col("lang"),
+                F.col("source"),
+                F.concat(F.col("lang"), F.lit("_"), F.col("source")),
+            )
+        ).alias("term")
+    ).where(F.col("term").isNotNull())
+    vocab = toks.distinct().withColumn("arr", F.array("term"))
+    lut = hashed_tf(vocab, "arr", "vec", _Q144_BUCKETS).select(
+        "term",
+        (F.array_position(vector_to_array("vec"), F.lit(1.0)) - 1)
+        .cast("long")
+        .alias("bucket"),
+    )
+    return (
+        toks.join(F.broadcast(lut), "term")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.countDistinct("term").cast("long").alias("n_terms"),
+        )
+    )
+
+
+def _q145_oracle() -> str:
+    """Literal expected archive-crawl results, computed independently
+    of the crawler: spool names are hand-written from the documented
+    naming contract (``_crawl_dest`` prefix rewrite + archive-member
+    flattening), member bytes come from direct stdlib
+    zipfile/tarfile/gzip/bz2 reads of the fixture — the crawler's BFS,
+    archive branches, bomb cap and spool code never touch this side.
+    Lazy (callable) so importing the module never reads fixtures."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import hashlib as _hl
+    import io as _io
+    import tarfile as _tarfile
+    import zipfile as _zipfile
+
+    site = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "crawl_site"
+    )
+
+    def h8(u: str) -> str:
+        return _hl.md5(u.encode()).hexdigest()[:8]
+
+    def fx(rel: str) -> bytes:
+        with open(os.path.join(site, rel), "rb") as f:
+            return f.read()
+
+    rows: list[tuple[str, bytes]] = []
+    zdir = f"packs-bundle.zip-{h8('http://site.test/packs/bundle.zip')}"
+    with _zipfile.ZipFile(_io.BytesIO(fx("packs/bundle.zip"))) as zf:
+        for info in zf.infolist():
+            if not info.is_dir():
+                rows.append(
+                    (f"{zdir}/{info.filename.replace('/', '-')}", zf.read(info))
+                )
+    rows.append(
+        (
+            f"packs-log.txt.gz-{h8('http://site.test/packs/log.txt.gz')}",
+            _gzip.decompress(fx("packs/log.txt.gz")),
+        )
+    )
+    tdir = f"packs-multi.tar.gz-{h8('http://site.test/packs/multi.tar.gz')}"
+    with _tarfile.open(
+        fileobj=_io.BytesIO(_gzip.decompress(fx("packs/multi.tar.gz"))), mode="r:"
+    ) as tf:
+        for m in tf:
+            if m.isfile():
+                member = tf.extractfile(m)
+                assert member is not None
+                rows.append((f"{tdir}/{m.name.replace('/', '-')}", member.read()))
+    rows.append(
+        (
+            f"packs-note.bz2-{h8('http://site.test/packs/note.bz2')}",
+            _bz2.decompress(fx("packs/note.bz2")),
+        )
+    )
+    vals = [
+        f"('{name}', '{_hl.md5(body).hexdigest()}', CAST({len(body)} AS BIGINT))"
+        for name, body in sorted(rows)
+    ]
+    # the bomb decoy: never unpacked — the expected row carries the
+    # FETCHED body size and a rejection marker instead of content
+    vals.append(
+        "('packs/bomb.bz2', 'REJECTED:bomb-cap', "
+        f"CAST({len(fx('packs/bomb.bz2'))} AS BIGINT))"
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(name, content_md5, n_bytes)"
+    )
+
+
+@register("q145_crawl_archives", _q145_oracle)
+def q145_crawl_archives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler archive branches with an oracle (VERDICT r9 task 4;
+    reference behavior at net2demy `Execute.scala:292-319`): BFS from
+    the fixture site's archives page, downloading a zip (two members,
+    one nested — member flattening exercised), a single-file gzip, a
+    tar.gz (two members) and a single-file bz2 through the in-flight
+    deflate path; every decompressed spool file is value-verified
+    (flattened name, md5, size) against an oracle built from direct
+    stdlib reads of the fixture bytes. The decompression-bomb cap is
+    part of the row set: a 113-byte bz2 decoy declaring 100 MiB must
+    REJECT loudly (ValueError), recorded as a marker row the oracle
+    carries literally — if the cap ever stopped firing, the real md5
+    would surface and the row would mismatch. Driver-side by design
+    (SURVEY §2.1); Spark takes over at the spool."""
+    import shutil
+
+    from demy_spark.crawler import (
+        CrawlConfig,
+        download,
+        make_file_fetch,
+        sync_source,
+    )
+
+    site = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "crawl_site"
+    )
+    fetch = make_file_fetch(site, "http://site.test")
+    dest = _layout_scratch(sf_dir, "q145")
+    shutil.rmtree(dest, ignore_errors=True)
+    cfg = CrawlConfig(
+        name="fixture-archives",
+        href="http://site.test/archives.html",
+        dest=dest,
+        type="crawl",
+        policy="immutable",
+        crawling_filter=r"^http://site\.test/",
+        crawling_matching=r"\.(zip|gz|bz2)$",
+    )
+    sync_source(spark, cfg, fetch=fetch)
+    plen = len("file:" + dest + "/")
+    spooled = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(dest)
+        .select(
+            F.expr(f"substring(path, {plen + 1})").alias("name"),
+            F.md5("content").alias("content_md5"),
+            F.col("length").cast("long").alias("n_bytes"),
+        )
+    )
+    # the bomb decoy is NOT linked from archives.html (a raising
+    # download would abort the sync): fetch it directly and record the
+    # loud rejection as a row
+    bomb_url = "http://site.test/packs/bomb.bz2"
+    _, bomb_body = fetch(bomb_url)
+    try:
+        download(bomb_url, os.path.join(dest, "__bomb__"), fetch=fetch)
+        marker = "UNEXPECTED:unpacked"  # cap did not fire -> loud mismatch
+    except ValueError as e:
+        marker = (
+            "REJECTED:bomb-cap"
+            if "decompression-bomb" in str(e)
+            else f"UNEXPECTED:{e}"
+        )
+    bomb_df = spark.createDataFrame(
+        [("packs/bomb.bz2", marker, len(bomb_body))],
+        "name string, content_md5 string, n_bytes long",
+    )
+    out = spooled.where(~F.col("name").startswith("__bomb__")).unionByName(
+        bomb_df
+    )
+    pq = _layout_scratch(sf_dir, "q145_out")
+    out.write.mode("overwrite").parquet(pq)
+    return spark.read.parquet(pq)
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
-# order. Round-9 window (VERDICT r8 task 1 — freshness rotation), in
-# order:
-#   0. the three NEW registrations (never-rowed must sit in-window):
-#      q141 (crawler oracle, VERDICT r8 task 5), q142 (CRS
-#      reprojection, task 2), q143 (remote-store wire roundtrip —
-#      closes the last zero-oracle component).
-#   1. the 15 behavior-changed residents VERDICT r8 named — the r8
-#      fixture-audit cohort (NULL-ts time-bucket exclusion +
-#      embedding well-formed gate) whose official rows were cut
-#      before the change: q120, then the gated-embedding set q23,
-#      q28, q29, q38, q42, q43, q47, q53, q76, q95, q100, q114,
-#      q123, q139.
-#   2. the r6-resting tail. ARITHMETIC NOTE: 43 queries rest on r6
-#      rows; 5 of them (q23/q38/q47/q95/q123) are already in tier 1,
-#      leaving 38 for the 32 remaining slots. The verdict's "zero
-#      rows older than r7" needs 53 slots + the 3 new registrations —
-#      it does not fit a 50-row window. The 6 deferred are the
-#      headline TPC-H/bench residents q01, q02, q03, q12, q24, q26:
-#      semantics untouched since round 1, re-executed by every
-#      bench.py run and this session's full driver sim, so they are
-#      the lowest-risk stale rows; they lead the r10 window together
-#      with the gated-doc-id r7 residents (q37, q112, q118, q133,
-#      q136 — q88/q94 cross here).
+# order. Round-10 window (VERDICT r9 task 1 — the freshness endgame:
+# retire EVERY official row older than r8), in order:
+#   0. the two NEW registrations (never-rowed must sit in-window):
+#      q144 (independent murmur3 oracle for ArrayHasher, VERDICT r9
+#      task 3), q145 (crawler archive-branch oracle incl. the
+#      bomb-cap decoy, task 4).
+#   1. the 6 r6-resting headliners the r9 window had to defer
+#      (arithmetic note in the r9 history): q01, q02, q03, q12, q24,
+#      q26.
+#   2. ALL 37 r7-resting rows, leading with the gated-doc-id five the
+#      r8 verdict named (q37, q112, q118, q133, q136).
+#   3. 2 + 6 + 37 = 45; the remaining 5 slots go to the numerically
+#      first r8 residents (q04-q08), starting the r8 cohort's own
+#      rotation. Done criterion: the latest-round histogram
+#      (scripts/freshness.py) shows zero rows older than r8.
 _DRIVER_PRIORITY = [
     # --- tier 0: new registrations (never-rowed)
-    "q141_crawl_site",
-    "q142_crs_reproject",
-    "q143_remote_store",
-    # --- tier 1: r8 behavior-changed (fixture-audit contracts) on
-    # pre-change rows
-    "q120_events_sliding",
-    "q23_cosine_topk",
-    "q28_embedding_dedup",
-    "q29_lsh_ann_topk",
-    "q38_one_vs_rest",
-    "q42_seeded_kmeans",
-    "q43_topic_tree_walk",
-    "q47_genetic_prototypes",
-    "q53_ivf_ann_topk",
-    "q76_tree_spawn",
-    "q95_ann_recall",
-    "q100_semdedup",
-    "q114_knn_classify",
-    "q123_knn_ivf",
-    "q139_filtered_ann",
-    # --- tier 2: r6-resting rows (32 of 38; deferral note above)
-    "q10_cube_orders",
-    "q14_top_parts_per_brand",
-    "q18_exact_dedup",
-    "q19_token_topk",
-    "q21_quality_score",
-    "q51_fuzzy_standard",
-    "q56_range_join",
-    "q57_time_rollup",
-    "q62_skew_join",
-    "q64_bucketed_join",
-    "q82_analogy_score",
-    "q83_fuzzy_predict",
-    "q84_tweet_clean",
-    "q85_sparse_merge",
-    "q86_contamination_check",
-    "q87_canonical_docs",
-    "q88_mixture_sample",
-    "q89_pq_ann_topk",
-    "q90_histogram_quantiles",
-    "q91_pii_redaction",
-    "q94_sequence_pack",
-    "q98_lm_quality",
-    "q99_dsir_select",
-    "q101_incremental_dedup",
-    "q103_source_overlap",
-    "q105_weighted_sample",
-    "q106_distinctive_terms",
-    "q107_snapshot_diff",
-    "q109_sorted_neighborhood",
-    "q110_incremental_pipeline",
-    "q131_domain_rollup",
-    "q132_domain_holdout",
+    "q144_hashingtf_buckets",
+    "q145_crawl_archives",
+    # --- tier 1: the six r6-resting headliners
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders",
+    "q12_events_hourly",
+    "q24_fuzzy_lookup",
+    "q26_minhash_dedup",
+    # --- tier 2: every r7-resting row (gated-doc-id five first)
+    "q37_embed_apply",
+    "q112_tfidf_terms",
+    "q118_orc_roundtrip",
+    "q133_c4_filters",
+    "q136_fim_split",
+    "q27_simhash_dedup",
+    "q30_ngram_jaccard",
+    "q31_dup_clusters",
+    "q32_media_features",
+    "q33_hash_folds",
+    "q34_threshold_sweep",
+    "q35_oof_mean_model",
+    "q36_multi_hot",
+    "q41_locality_match",
+    "q44_entity_match",
+    "q45_entity_cooccurrence",
+    "q49_sentence_split",
+    "q54_binary_metrics",
+    "q61_bottom_k_sample",
+    "q63_salted_agg",
+    "q65_partition_prune",
+    "q66_pos_tag_greedy",
+    "q67_event_followup",
+    "q78_entity_refine",
+    "q92_gopher_rules",
+    "q93_curation_pipeline",
+    "q96_line_dedup",
+    "q97_duplicated_spans",
+    "q102_strip_spans",
+    "q108_record_linkage",
+    "q111_chunk_documents",
+    "q117_bm25_search",
+    "q119_group_median",
+    "q130_script_profile",
+    "q135_bloom_gate",
+    "q137_blocklist_gate",
+    "q140_budget_select",
+    # --- tier 3: the first five r8 residents (start the r8 rotation)
+    "q04_priority_exists",
+    "q05_customers_without_orders",
+    "q06_forecast_revenue",
+    "q07_top_orders_per_customer",
+    "q08_running_revenue",
 ]
 
 

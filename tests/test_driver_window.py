@@ -118,3 +118,26 @@ def test_gate_table_handles_with_recursive():
     con.execute("CREATE TABLE documents(doc_id INT)")
     con.execute("INSERT INTO documents VALUES (1), (2), (3), (NULL)")
     assert con.execute(gated).fetchall() == [(3,)]
+
+
+def test_q141_oracle_is_lazy_at_import():
+    """The q141 oracle reads fixture files — those reads must defer
+    past module import so importing demy_spark.queries never depends
+    on fixture data being present (ADVICE r9). Checked in a fresh
+    subprocess because the in-process registry may already have
+    resolved (and cached) the oracle."""
+    import subprocess
+    import sys
+
+    code = (
+        "from demy_spark import queries as Q\n"
+        "q = Q.REGISTRY['q141_crawl_site']\n"
+        "assert callable(q._oracle), 'oracle resolved at import time'\n"
+        "s = q.oracle\n"
+        "assert isinstance(s, str) and s\n"
+        "assert q._oracle == s, 'resolution must cache'\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO
+    )
+    assert r.returncode == 0, r.stderr

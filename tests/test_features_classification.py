@@ -83,3 +83,26 @@ def test_one_vs_rest_separable(spark):
     rows = pred.select("y", "predicted_label", "scores").collect()
     assert all(r["y"] == r["predicted_label"] for r in rows)
     assert all(0.0 <= s <= 1.0 for r in rows for s in r["scores"])
+
+
+def test_oracle_murmur3_matches_hashingtf_indexof():
+    """The q144 oracle's pure-Python murmur3_x86_32 (implemented from
+    Appleby's public-domain reference, independent of the JVM) must
+    agree with the REAL HashingTF bucket for terms covering every tail
+    length mod 4, multi-byte UTF-8 (2/3/4-byte sequences) and the
+    empty string — this equality is what makes the q144 row an
+    independent verification of ArrayHasher, not a self-check."""
+    from pyspark.ml.feature import HashingTF
+
+    from demy_spark.queries import _murmur3_x86_32
+
+    tf = HashingTF(numFeatures=1024, inputCol="a", outputCol="v")
+    terms = [
+        "", "a", "ab", "abc", "abcd", "abcde",
+        "en", "de", "src0", "src19", "REG AIR", "1-URGENT",
+        "é", "ñx", "日本語", "🙂", "zh_src7", "a b c d e",
+    ]
+    for t in terms:
+        want = tf.indexOf(t)
+        got = (_murmur3_x86_32(t.encode("utf-8")) % 1024 + 1024) % 1024
+        assert got == want, f"{t!r}: python {got} != spark {want}"
