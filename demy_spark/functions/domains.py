@@ -224,6 +224,18 @@ def holdout_split(key: Column | str, *, valid_permille: int = 100) -> Column:
     )
 
 
+# The auto-dispatch boundary: below this deduped-domain width the
+# broadcast leg measured fastest on every probe host (a ≤~60 MB
+# relation); above it the per-executor relation copy and the
+# driver-serialized broadcast build dominate and the constant-size
+# split-block bloom sketch wins (PLANS.md round-8 width table +
+# round-9 bloom table: broadcast 4.8-5.3 s vs bloom 11.1 s on
+# local[32] where all threads share ONE relation, but ~240 MB per
+# executor at 4 M domains on a real cluster — the r8-documented ≥2 M
+# fallback boundary).
+_AUTO_BLOOM_MIN_DOMAINS = 2_000_000
+
+
 def blocklist_gate(
     df,
     host: Column | str,
@@ -232,7 +244,7 @@ def blocklist_gate(
     rules: tuple[str, ...] = PSL_SAMPLE_RULES,
     domain_col: str = "domain",
     category_col: str = "category",
-    broadcast: bool = True,
+    broadcast: bool | None = None,
     strategy: str | None = None,
     bloom_m_bits: int = 1 << 23,
     bloom_n_hashes: int = 7,
@@ -280,11 +292,22 @@ def blocklist_gate(
     is the cost; pass ``reg_domain_col`` (the q131 shape — PSL run
     once upstream) so the key derivation isn't paid twice either.
 
-    ``strategy`` defaults from the legacy ``broadcast`` flag
-    ("broadcast" / "shuffle"); pass "bloom" explicitly for the wide-
-    list path. Returns ``df`` plus ``reg_domain``, ``category`` (NULL
-    when unlisted) and ``keep`` (category IS NULL) — identical output
-    under every strategy (test_domains pins the identity).
+    ``strategy`` defaults to **"auto"** (VERDICT r9 task 5): the gate
+    counts the deduplicated blocklist once (one tiny job over the
+    list, never the corpus) and dispatches on the MEASURED boundary
+    from the round-8/9 probes (PLANS.md tables,
+    scripts/probe_blocklist_{width_r8,bloom_r9}.py): ≤ 2 M domains →
+    "broadcast" (a ≤~60 MB relation broadcasts fine and is fastest
+    everywhere measured); above → "bloom" (at UT1's 4 M the relation
+    is ~240 MB per executor and the broadcast build serializes on the
+    driver — the r8-documented fallback boundary — while the
+    split-block sketch stays 1-16 MiB whatever the width). UT1-width
+    users no longer need to know the flag. The legacy ``broadcast``
+    bool still forces its leg ("broadcast"/"shuffle") when passed
+    explicitly; ``strategy`` always wins when given. Returns ``df``
+    plus ``reg_domain``, ``category`` (NULL when unlisted) and
+    ``keep`` (category IS NULL) — identical output under every
+    strategy (test_domains pins the identity, auto path included).
 
     The gate is ROW-PRESERVING: real UT1 lists place one domain in
     several categories (adult + redirector is common), so the
@@ -294,8 +317,11 @@ def blocklist_gate(
     whichever category matched).
     """
     if strategy is None:
-        strategy = "broadcast" if broadcast else "shuffle"
-    if strategy not in ("broadcast", "shuffle", "bloom"):
+        if broadcast is None:
+            strategy = "auto"
+        else:
+            strategy = "broadcast" if broadcast else "shuffle"
+    if strategy not in ("auto", "broadcast", "shuffle", "bloom"):
         raise ValueError(f"unknown blocklist_gate strategy: {strategy!r}")
     h = F.col(host) if isinstance(host, str) else host
     canon = F.lower(F.regexp_replace(h, r"\.+$", ""))
@@ -318,6 +344,13 @@ def blocklist_gate(
         .groupBy("_k_")
         .agg(F.min("category").alias("category"))
     )
+    if strategy == "auto":
+        # dispatch on the measured boundary (PLANS.md round-8/9 probe
+        # tables): one count over the DEDUPED list — the frame the
+        # broadcast leg would actually ship — never over the corpus
+        strategy = (
+            "broadcast" if bl.count() <= _AUTO_BLOOM_MIN_DOMAINS else "bloom"
+        )
     if strategy == "bloom":
         return _bloom_gate(keyed, bl, bloom_m_bits, bloom_n_hashes)
     if strategy == "broadcast":

@@ -165,10 +165,23 @@ def streaming_quality_gate(
     from demy_spark.functions.textstats import c4_rules
 
     rule_set = PSL_SAMPLE_RULES if rules is None else rules
+    # resolve the auto strategy ONCE at stream setup — the blocklist
+    # is fixed for the stream's lifetime, and the per-batch plan must
+    # stay free of the dispatch count job (r10: blocklist_gate
+    # defaults to strategy="auto")
+    from demy_spark.functions.domains import _AUTO_BLOOM_MIN_DOMAINS
+
+    gate_strategy = (
+        "broadcast"
+        if blocklist.select("domain").distinct().count()
+        <= _AUTO_BLOOM_MIN_DOMAINS
+        else "bloom"
+    )
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         gated = blocklist_gate(
-            batch_df, host_col, blocklist, rules=rule_set
+            batch_df, host_col, blocklist, rules=rule_set,
+            strategy=gate_strategy,
         ).withColumnRenamed("keep", "domain_keep")
         c4 = c4_rules(F.col(text_col), **c4_kwargs)
         out = (

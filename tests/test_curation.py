@@ -572,3 +572,56 @@ def test_blocklist_gate_bloom_probe_is_jvm_broadcast_joins(spark):
     for m in hints:
         ctx = analyzed[m.start() : m.start() + 300]
         assert "_blk_" in ctx or "_block_words_" in ctx, ctx
+
+
+def test_blocklist_gate_auto_dispatch(spark):
+    """strategy='auto' (the new default, VERDICT r9 task 5): the gate
+    counts the deduped blocklist and picks the measured-fastest leg —
+    broadcast at fixture width, the split-block bloom above the 2M
+    boundary (asserted via plan at 4M synthetic domains: the bloom
+    probe's xxhash64 block derivation appears; at small width it must
+    not). Output identity on the small fixture pins that auto is a
+    pure plan change."""
+    import pyspark.sql.functions as F
+
+    from demy_spark.functions.domains import blocklist_gate
+
+    df = spark.createDataFrame(
+        [(1, "www.bad.com"), (2, "good.com"), (3, None)],
+        "id int, host string",
+    )
+    bl = spark.createDataFrame(
+        [("bad.com", "ads")], "domain string, category string"
+    )
+    # small width: auto == broadcast, row-identical, no bloom plumbing
+    auto = blocklist_gate(df, "host", bl)  # default strategy is auto
+    ref = blocklist_gate(df, "host", bl, strategy="broadcast")
+    cols = sorted(ref.columns)
+    assert {tuple(r) for r in auto.select(cols).collect()} == {
+        tuple(r) for r in ref.select(cols).collect()
+    }
+    assert "xxhash64" not in auto._jdf.queryExecution().executedPlan().toString()
+    # 4M-domain width: auto must pick the bloom leg (plan-visible:
+    # block-frame broadcast joins + xxhash64 derivation, and the wide
+    # list itself never broadcast-hinted)
+    wide = spark.range(4_000_000).select(
+        F.concat(F.lit("d"), F.col("id"), F.lit(".com")).alias("domain"),
+        F.lit("ads").alias("category"),
+    )
+    probe = spark.createDataFrame(
+        [(1, "d7.com", "d7.com"), (2, "good.org", "good.org")],
+        "id int, host string, reg_domain string",
+    )
+    out = blocklist_gate(probe, "host", wide, reg_domain_col="reg_domain")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan, "auto at 4M width must take the bloom leg"
+    assert plan.count("BroadcastHashJoin") >= 2
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    import re as _re
+
+    for m in _re.finditer(r"ResolvedHint", analyzed):
+        ctx = analyzed[m.start() : m.start() + 300]
+        assert "_blk_" in ctx or "_block_words_" in ctx, ctx
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["category"] == "ads" and not rows[1]["keep"]
+    assert rows[2]["category"] is None and rows[2]["keep"]
