@@ -41,8 +41,28 @@ def _nanos_ts_fields(path: str) -> list[str]:
     path = first_parquet_file(path)
     if path is None:
         return []
-    schema = pq.read_schema(path)
-    return [n for n in schema.names if str(schema.field(n).type) == "timestamp[ns]"]
+    # probe the PARQUET schema, not the arrow view: pyarrow reports
+    # legacy INT96 timestamps (Spark's spark.sql.parquet.int96* write
+    # path) as timestamp[ns] too, and those Spark reads natively — the
+    # nanosAsLong escape hatch is only for true INT64
+    # TIMESTAMP(NANOS) columns (found by the r10 scale-ladder twin,
+    # which re-reads Spark-written tables through load_table)
+    md = pq.ParquetFile(path).metadata.schema
+    out = []
+    for i in range(len(md)):
+        col = md.column(i)
+        lt = col.logical_type
+        if (
+            col.physical_type == "INT64"
+            and lt is not None
+            and lt.type == "TIMESTAMP"
+            and "timeUnit=nanoseconds" in str(lt)
+        ):
+            # metadata path names are dotted for nesting; top-level
+            # timestamp columns (the only case the fixtures carry)
+            # keep their plain name
+            out.append(col.path.split(".")[0])
+    return out
 
 
 def first_parquet_file(path: str) -> str | None:

@@ -69,3 +69,48 @@ def test_orc_roundtrip_pushdown(spark, tmp_path):
     )
     assert "PushedFilters: [" in plan and "bucket" in plan.split("PushedFilters")[1][:80]
     assert "text" not in plan.split("ReadSchema")[1][:120]
+
+
+def test_nanos_probe_distinguishes_int96_from_true_nanos(spark, tmp_path):
+    """The nanosAsLong escape hatch must fire ONLY for true INT64
+    TIMESTAMP(NANOS) columns. pyarrow's arrow-level schema reports
+    legacy INT96 timestamps (Spark's int96 write path) as
+    timestamp[ns] too — the old arrow-schema probe false-positived on
+    Spark-written tables re-read through load_table, and the rescale
+    then failed on an already-TIMESTAMP column (found by the r10
+    scale-ladder twin). Three-way contract: true ns detected, micros
+    not, INT96 not — and the INT96 table round-trips through
+    load_table with the timestamp intact."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from demy_spark.io import _nanos_ts_fields, load_table
+
+    ns = tmp_path / "ns.parquet"
+    pq.write_table(
+        pa.table({"ts": pa.array([1, 2, 3], pa.timestamp("ns"))}), str(ns)
+    )
+    assert _nanos_ts_fields(str(ns)) == ["ts"]
+    us = tmp_path / "us.parquet"
+    pq.write_table(
+        pa.table({"ts": pa.array([1, 2, 3], pa.timestamp("us"))}), str(us)
+    )
+    assert _nanos_ts_fields(str(us)) == []
+    # Spark INT96 write path -> re-read through load_table
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        sf = tmp_path / "twin"
+        os.makedirs(sf)
+        df = spark.createDataFrame(
+            [(1, datetime.datetime(2026, 1, 2, 3, 4, 5))], "event_id long, ts timestamp"
+        )
+        df.write.parquet(str(sf / "events.parquet"))
+    finally:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    assert _nanos_ts_fields(str(sf / "events.parquet")) == []
+    back = load_table(spark, str(sf), "events")
+    row = back.collect()[0]
+    assert row["ts"] == datetime.datetime(2026, 1, 2, 3, 4, 5)
