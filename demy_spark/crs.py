@@ -521,6 +521,93 @@ class LambertAzimuthalEqualArea:
 
 
 @dataclass(frozen=True)
+class AlbersEqualAreaConic:
+    """Albers Equal Area Conic on an ellipsoid (EPSG method 9822 —
+    EPSG:5070 NAD83 / Conus Albers, the projection USGS and Census
+    CONUS products ship in). Forward and inverse from the public EPSG
+    Guidance Note 7-2 / Snyder (USGS PP 1395 eqs 14-3..14-12) closed
+    forms, sharing the authalic-latitude kernel and inverse series
+    with :class:`LambertAzimuthalEqualArea`. Anchored in tests by
+    Snyder's published worked example and the equal-area Jacobian
+    property (constant-free).
+
+    Angles in degrees, lengths in the projection unit. ``lat1``/
+    ``lat2`` are the standard parallels, ``lat0``/``lon0`` the false
+    origin."""
+
+    a: float
+    inv_f: float
+    lat0: float
+    lon0: float
+    lat1: float
+    lat2: float
+    fe: float = 0.0
+    fn: float = 0.0
+
+    @functools.cached_property
+    def _laea(self) -> LambertAzimuthalEqualArea:
+        # shares q(φ), qP and the inverse authalic series
+        return LambertAzimuthalEqualArea(
+            a=self.a, inv_f=self.inv_f, lat0=self.lat0, lon0=self.lon0
+        )
+
+    def _m(self, phi: float) -> float:
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1 - self._laea._e2 * s * s)
+
+    @functools.cached_property
+    def _n(self) -> float:
+        p1, p2 = math.radians(self.lat1), math.radians(self.lat2)
+        m1, m2 = self._m(p1), self._m(p2)
+        q1, q2 = self._laea._q(p1), self._laea._q(p2)
+        if abs(q2 - q1) < 1e-12:  # 1SP degenerate: n = sinφ1
+            return math.sin(p1)
+        return (m1 * m1 - m2 * m2) / (q2 - q1)
+
+    @functools.cached_property
+    def _c(self) -> float:
+        p1 = math.radians(self.lat1)
+        return self._m(p1) ** 2 + self._n * self._laea._q(p1)
+
+    def _rho(self, q: float) -> float:
+        return self.a * math.sqrt(max(0.0, self._c - self._n * q)) / self._n
+
+    @functools.cached_property
+    def _rho0(self) -> float:
+        return self._rho(self._laea._q(math.radians(self.lat0)))
+
+    def forward(self, lon: float, lat: float) -> tuple[float, float]:
+        rho = self._rho(self._laea._q(math.radians(lat)))
+        theta = self._n * math.radians(lon - self.lon0)
+        return (
+            self.fe + rho * math.sin(theta),
+            self.fn + self._rho0 - rho * math.cos(theta),
+        )
+
+    def inverse(self, e_coord: float, n_coord: float) -> tuple[float, float]:
+        x = e_coord - self.fe
+        y = self._rho0 - (n_coord - self.fn)
+        n = self._n
+        rho = math.hypot(x, y)
+        if n < 0:  # southern cone: ρ and the atan2 operands flip sign
+            rho, x, y = -rho, -x, -y
+        q = (self._c - (rho * n / self.a) ** 2) / n
+        theta = math.atan2(x, y)
+        lam = theta / n
+        qp = self._laea._qp
+        beta_p = math.asin(max(-1.0, min(1.0, q / qp)))
+        e2 = self._laea._e2
+        e4, e6 = e2 * e2, e2 * e2 * e2
+        phi = (
+            beta_p
+            + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * math.sin(2 * beta_p)
+            + (23 * e4 / 360 + 251 * e6 / 3780) * math.sin(4 * beta_p)
+            + (761 * e6 / 45360) * math.sin(6 * beta_p)
+        )
+        return self.lon0 + math.degrees(lam), math.degrees(phi)
+
+
+@dataclass(frozen=True)
 class CRSInfo:
     """Parsed .prj verdict: ``code`` is the EPSG identifier when the
     WKT carries one (the reference's ``CRS.lookupIdentifier`` result,
@@ -868,6 +955,38 @@ def parse_wkt(wkt: str) -> CRSInfo:
         )
         return CRSInfo(
             code=code, is_geographic=False, projection=laea,
+            lat_lon_order=_lat_first(root),
+        )
+    if (
+        proj_name in ("albers_conic_equal_area", "albers")
+        and spheroid is not None
+        and len(spheroid[1]) >= 3
+    ):
+        lat1 = params.get("standard_parallel_1")
+        lat2 = params.get("standard_parallel_2", lat1)
+        lat0 = params.get(
+            "latitude_of_origin", params.get("latitude_of_center")
+        )
+        lon0 = params.get("central_meridian", params.get("longitude_of_center"))
+        if lat1 is None or lat0 is None or lon0 is None:
+            warnings.warn(
+                f"Albers projection {name!r} missing parameters: "
+                "coordinates pass through untransformed",
+                stacklevel=2,
+            )
+            return CRSInfo(code=code, is_geographic=False, projection=None)
+        aea = AlbersEqualAreaConic(
+            a=float(spheroid[1][1]),
+            inv_f=float(spheroid[1][2]),
+            lat0=lat0,
+            lon0=lon0,
+            lat1=lat1,
+            lat2=lat2,
+            fe=params.get("false_easting", 0.0),
+            fn=params.get("false_northing", 0.0),
+        )
+        return CRSInfo(
+            code=code, is_geographic=False, projection=aea,
             lat_lon_order=_lat_first(root),
         )
     if proj_name not in _LCC_NAMES or spheroid is None or len(spheroid[1]) < 3:

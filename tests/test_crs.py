@@ -853,3 +853,108 @@ def test_laea_missing_parameters_warns():
     with pytest.warns(UserWarning, match="LAEA projection .* missing"):
         info = parse_wkt(broken)
     assert info.projection is None
+
+
+# NAD83 / Conus Albers (EPSG:5070) — USGS/Census CONUS products
+ALBERS_5070_WKT = (
+    'PROJCS["NAD83 / Conus Albers",GEOGCS["NAD83",'
+    'DATUM["North_American_Datum_1983",'
+    'SPHEROID["GRS 1980",6378137,298.257222101]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Albers_Conic_Equal_Area"],'
+    'PARAMETER["latitude_of_center",23],'
+    'PARAMETER["longitude_of_center",-96],'
+    'PARAMETER["standard_parallel_1",29.5],'
+    'PARAMETER["standard_parallel_2",45.5],'
+    'PARAMETER["false_easting",0],'
+    'PARAMETER["false_northing",0],UNIT["metre",1],'
+    'AUTHORITY["EPSG","5070"]]'
+)
+
+
+def test_albers_snyder_published_example():
+    """Snyder (USGS PP 1395, the public-domain projection reference)
+    publishes the ellipsoidal Albers worked example on Clarke 1866
+    (parallels 29.5/45.5, origin 23N 96W): 35N 75W must map to
+    x=1885472.7, y=1535925.0 — an anchor independent of this
+    implementation."""
+    from demy_spark.crs import AlbersEqualAreaConic
+
+    p = AlbersEqualAreaConic(
+        a=6378206.4, inv_f=294.9786982,
+        lat0=23.0, lon0=-96.0, lat1=29.5, lat2=45.5,
+    )
+    x, y = p.forward(-75.0, 35.0)
+    assert x == pytest.approx(1885472.7, abs=0.5)
+    assert y == pytest.approx(1535925.0, abs=0.5)
+    lon, lat = p.inverse(x, y)
+    assert lon == pytest.approx(-75.0, abs=1e-7)
+    assert lat == pytest.approx(35.0, abs=1e-7)
+
+
+def test_albers_equal_area_property():
+    """Constant-free anchor: the Jacobian of (E, N) must equal the
+    ellipsoidal area element everywhere in the CONUS extent."""
+    p = parse_wkt(ALBERS_5070_WKT).projection
+    assert p is not None
+    h = 1e-6
+    for lon, lat in ((-75, 35), (-120, 40), (-96, 23), (-85, 50)):
+        e1, n1 = p.forward(lon + h, lat)
+        e0, n0 = p.forward(lon - h, lat)
+        a1 = (e1 - e0) / (2 * h * math.pi / 180)
+        a2 = (n1 - n0) / (2 * h * math.pi / 180)
+        e1, n1 = p.forward(lon, lat + h)
+        e0, n0 = p.forward(lon, lat - h)
+        b1 = (e1 - e0) / (2 * h * math.pi / 180)
+        b2 = (n1 - n0) / (2 * h * math.pi / 180)
+        jac = abs(a1 * b2 - b1 * a2)
+        phi = math.radians(lat)
+        e2 = p._laea._e2
+        want = (
+            p.a * p.a * (1 - e2) * math.cos(phi)
+            / (1 - e2 * math.sin(phi) ** 2) ** 2
+        )
+        assert jac == pytest.approx(want, rel=1e-6), (lon, lat)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lon=st.floats(min_value=-125.0, max_value=-66.0),
+    lat=st.floats(min_value=24.0, max_value=50.0),
+)
+def test_albers_roundtrip_fuzz(lon, lat):
+    p = parse_wkt(ALBERS_5070_WKT).projection
+    got = p.inverse(*p.forward(lon, lat))
+    assert got[0] == pytest.approx(lon, abs=1e-7)
+    assert got[1] == pytest.approx(lat, abs=1e-7)
+
+
+def test_albers_southern_cone_and_one_parallel():
+    """n < 0 (both parallels in the southern hemisphere) flips the
+    inverse's ρ/atan2 signs — roundtrip must still hold; a single
+    standard parallel degenerates to the 1SP cone (n = sin φ1)."""
+    from demy_spark.crs import AlbersEqualAreaConic
+
+    south = AlbersEqualAreaConic(
+        a=6378137.0, inv_f=298.257222101,
+        lat0=-32.0, lon0=-60.0, lat1=-5.0, lat2=-42.0,
+    )
+    for lon, lat in ((-58.4, -34.6), (-70.7, -33.5), (-47.9, -15.8)):
+        got = south.inverse(*south.forward(lon, lat))
+        assert got == pytest.approx((lon, lat), abs=1e-7)
+    one = AlbersEqualAreaConic(
+        a=6378137.0, inv_f=298.257222101,
+        lat0=40.0, lon0=0.0, lat1=40.0, lat2=40.0,
+    )
+    assert one._n == pytest.approx(math.sin(math.radians(40.0)), abs=1e-9)
+    got = one.inverse(*one.forward(5.0, 45.0))
+    assert got == pytest.approx((5.0, 45.0), abs=1e-7)
+
+
+def test_albers_missing_parameters_warns():
+    broken = ALBERS_5070_WKT.replace(
+        'PARAMETER["standard_parallel_1",29.5],', ""
+    )
+    with pytest.warns(UserWarning, match="Albers projection .* missing"):
+        info = parse_wkt(broken)
+    assert info.projection is None
