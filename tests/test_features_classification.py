@@ -106,3 +106,16 @@ def test_oracle_murmur3_matches_hashingtf_indexof():
         want = tf.indexOf(t)
         got = (_murmur3_x86_32(t.encode("utf-8")) % 1024 + 1024) % 1024
         assert got == want, f"{t!r}: python {got} != spark {want}"
+
+
+def test_q144_plan_is_broadcast_vocab_no_python(spark):
+    """q144's scale shape (the reason it never explodes the 1024-slot
+    vector): the corpus leg must join the hashed vocabulary via ONE
+    broadcast hash join and carry zero Python/Arrow evaluation — the
+    HashingTF transform runs only on the distinct-vocab frame."""
+    from demy_spark.queries import REGISTRY
+
+    out = REGISTRY["q144_hashingtf_buckets"].fn(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
