@@ -9779,6 +9779,16 @@ def _q145_oracle() -> str:
             _bz2.decompress(fx("packs/note.bz2")),
         )
     )
+    bdir = f"packs-pair.tar.bz2-{h8('http://site.test/packs/pair.tar.bz2')}"
+    with _tarfile.open(
+        fileobj=_io.BytesIO(_bz2.decompress(fx("packs/pair.tar.bz2"))),
+        mode="r:",
+    ) as tf:
+        for m in tf:
+            if m.isfile():
+                member = tf.extractfile(m)
+                assert member is not None
+                rows.append((f"{bdir}/{m.name.replace('/', '-')}", member.read()))
     vals = [
         f"('{name}', '{_hl.md5(body).hexdigest()}', CAST({len(body)} AS BIGINT))"
         for name, body in sorted(rows)
@@ -9802,8 +9812,8 @@ def q145_crawl_archives(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference behavior at net2demy `Execute.scala:292-319`): BFS from
     the fixture site's archives page, downloading a zip (two members,
     one nested — member flattening exercised), a single-file gzip, a
-    tar.gz (two members) and a single-file bz2 through the in-flight
-    deflate path; every decompressed spool file is value-verified
+    tar.gz (two members), a single-file bz2 and a tar.bz2 (two
+    members) through the in-flight deflate path; every decompressed spool file is value-verified
     (flattened name, md5, size) against an oracle built from direct
     stdlib reads of the fixture bytes. The decompression-bomb cap is
     part of the row set: a 113-byte bz2 decoy declaring 100 MiB must

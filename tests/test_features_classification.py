@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from demy_spark.features import (
@@ -119,3 +121,37 @@ def test_q144_plan_is_broadcast_vocab_no_python(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+_TF_CACHE: list = []  # built lazily: HashingTF needs a live SparkContext
+
+
+def _tf_1024():
+    if not _TF_CACHE:
+        from pyspark.ml.feature import HashingTF
+
+        _TF_CACHE.append(
+            HashingTF(numFeatures=1024, inputCol="a", outputCol="v")
+        )
+    return _TF_CACHE[0]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    term=st.text(
+        alphabet=st.characters(
+            codec="utf-8", blacklist_categories=("Cs",)
+        ),
+        max_size=24,
+    )
+)
+def test_oracle_murmur3_fuzz_matches_hashingtf(spark, term):
+    """Hypothesis twin of the fixed-list pin: arbitrary non-surrogate
+    unicode terms (any tail length, any byte width) must bucket
+    identically between the q144 oracle's pure-Python murmur3 and the
+    real HashingTF."""
+    from demy_spark.queries import _murmur3_x86_32
+
+    want = _tf_1024().indexOf(term)
+    got = (_murmur3_x86_32(term.encode("utf-8")) % 1024 + 1024) % 1024
+    assert got == want, repr(term)
