@@ -457,8 +457,23 @@ class LambertAzimuthalEqualArea:
         return self.a * math.sqrt(self._qp / 2)
 
     @functools.cached_property
+    def _polar(self) -> int:
+        """+1 north-polar aspect, -1 south-polar, 0 oblique. The
+        oblique form's D degenerates at the poles (cos φ0 / cos β0 is
+        a ratio of floating-point residues there — measured ~7 km of
+        silent error for EASE-Grid-style lat0=90 WKTs, code-review
+        r10), so polar aspects take Snyder's exact polar equations."""
+        if abs(self.lat0 - 90.0) < 1e-9:
+            return 1
+        if abs(self.lat0 + 90.0) < 1e-9:
+            return -1
+        return 0
+
+    @functools.cached_property
     def _beta0(self) -> float:
-        return math.asin(self._q(math.radians(self.lat0)) / self._qp)
+        return math.asin(
+            max(-1.0, min(1.0, self._q(math.radians(self.lat0)) / self._qp))
+        )
 
     @functools.cached_property
     def _d(self) -> float:
@@ -469,15 +484,37 @@ class LambertAzimuthalEqualArea:
             / (self._rq * math.cos(self._beta0))
         )
 
-    def forward(self, lon: float, lat: float) -> tuple[float, float]:
-        beta = math.asin(
-            max(-1.0, min(1.0, self._q(math.radians(lat)) / self._qp))
+    def _phi_from_beta(self, beta_p: float) -> float:
+        e2 = self._e2
+        e4, e6 = e2 * e2, e2 * e2 * e2
+        return (
+            beta_p
+            + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * math.sin(2 * beta_p)
+            + (23 * e4 / 360 + 251 * e6 / 3780) * math.sin(4 * beta_p)
+            + (761 * e6 / 45360) * math.sin(6 * beta_p)
         )
+
+    def forward(self, lon: float, lat: float) -> tuple[float, float]:
+        q = self._q(math.radians(lat))
         lam = math.radians(lon - self.lon0)
+        if self._polar:
+            # Snyder 24-23/24-25: ρ = a sqrt(qP ∓ q), pole at ρ = 0
+            rho = self.a * math.sqrt(max(0.0, self._qp - self._polar * q))
+            return (
+                self.fe + rho * math.sin(lam),
+                self.fn - self._polar * rho * math.cos(lam),
+            )
+        beta = math.asin(max(-1.0, min(1.0, q / self._qp)))
         b0, rq, d = self._beta0, self._rq, self._d
         denom = 1 + math.sin(b0) * math.sin(beta) + math.cos(b0) * math.cos(
             beta
         ) * math.cos(lam)
+        if denom < 1e-14:
+            # the antipode of the projection origin: the point maps to
+            # the (unbounded) bounding circle — return infinities
+            # rather than crash mid-ingest on out-of-extent vertices
+            # (code-review r10)
+            return math.inf, math.inf
         b = rq * math.sqrt(2 / denom)
         e_coord = self.fe + (b * d) * math.cos(beta) * math.sin(lam)
         n_coord = self.fn + (b / d) * (
@@ -489,6 +526,16 @@ class LambertAzimuthalEqualArea:
     def inverse(self, e_coord: float, n_coord: float) -> tuple[float, float]:
         x = e_coord - self.fe
         y = n_coord - self.fn
+        if self._polar:
+            rho = math.hypot(x, y)
+            if rho < 1e-12:
+                return self.lon0, self.lat0
+            q = self._polar * (self._qp - (rho / self.a) ** 2)
+            beta_p = math.asin(max(-1.0, min(1.0, q / self._qp)))
+            lam = math.atan2(x, -self._polar * y)
+            return self.lon0 + math.degrees(lam), math.degrees(
+                self._phi_from_beta(beta_p)
+            )
         b0, rq, d = self._beta0, self._rq, self._d
         rho = math.hypot(x / d, d * y)
         if rho < 1e-12:  # the projection origin itself
@@ -509,15 +556,9 @@ class LambertAzimuthalEqualArea:
             d * rho * math.cos(b0) * math.cos(c)
             - d * d * y * math.sin(b0) * math.sin(c),
         )
-        e2 = self._e2
-        e4, e6 = e2 * e2, e2 * e2 * e2
-        phi = (
-            beta_p
-            + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * math.sin(2 * beta_p)
-            + (23 * e4 / 360 + 251 * e6 / 3780) * math.sin(4 * beta_p)
-            + (761 * e6 / 45360) * math.sin(6 * beta_p)
+        return self.lon0 + math.degrees(lam), math.degrees(
+            self._phi_from_beta(beta_p)
         )
-        return self.lon0 + math.degrees(lam), math.degrees(phi)
 
 
 @dataclass(frozen=True)
@@ -623,6 +664,8 @@ class CRSInfo:
         | WebMercator
         | EllipsoidalMercator
         | TransverseMercator
+        | LambertAzimuthalEqualArea
+        | AlbersEqualAreaConic
         | None
     )
     # geographic CRS declared LAT,LON-ordered via AXIS nodes (the
@@ -985,6 +1028,19 @@ def parse_wkt(wkt: str) -> CRSInfo:
             fe=params.get("false_easting", 0.0),
             fn=params.get("false_northing", 0.0),
         )
+        if abs(aea._n) < 1e-12:
+            # symmetric parallels (lat2 = -lat1) or an equatorial 1SP
+            # cone give n = 0: the cone degenerates to a cylinder and
+            # every ρ divides by zero — take the loud pass-through
+            # path instead of returning a projection that crashes on
+            # first use (code-review r10)
+            warnings.warn(
+                f"Albers projection {name!r} has degenerate (symmetric "
+                "or equatorial) standard parallels: coordinates pass "
+                "through untransformed",
+                stacklevel=2,
+            )
+            return CRSInfo(code=code, is_geographic=False, projection=None)
         return CRSInfo(
             code=code, is_geographic=False, projection=aea,
             lat_lon_order=_lat_first(root),

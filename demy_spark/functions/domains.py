@@ -236,6 +236,23 @@ def holdout_split(key: Column | str, *, valid_permille: int = 100) -> Column:
 _AUTO_BLOOM_MIN_DOMAINS = 2_000_000
 
 
+def resolve_blocklist_strategy(blocklist, domain_col: str = "domain") -> str:
+    """The strategy="auto" dispatch, shared by the batch gate and the
+    streaming quality gate (which resolves ONCE at stream setup so
+    per-batch plans carry no count job). Counts the RAW blocklist — a
+    narrow scan, no shuffle — rather than the deduped frame: raw ≤
+    boundary implies distinct ≤ boundary, so the broadcast pick is
+    always sound; a list duplicated past the boundary (raw > 2M,
+    distinct far below — rare for real UT1-shaped lists, which carry
+    ~1 category per domain) dispatches bloom where broadcast might
+    have edged it, a perf-only conservatism that avoids shuffling the
+    list twice per gate call (code-review r10: the deduped count
+    re-ran the groupBy aggregation once for the count and again for
+    the join/bloom build)."""
+    n = blocklist.select(domain_col).count()
+    return "broadcast" if n <= _AUTO_BLOOM_MIN_DOMAINS else "bloom"
+
+
 def blocklist_gate(
     df,
     host: Column | str,
@@ -262,9 +279,9 @@ def blocklist_gate(
     blocklist entry naming them directly — UT1 lists bare hosts too.
 
     Scale shape: the PSL extraction is a pure per-row map (rule dict
-    in the UDF closure) and with ``broadcast=True`` (default) the
-    deduplicated blocklist is BROADCAST, so the whole gate is
-    shuffle-free regardless of corpus size. Broadcast is right far
+    in the UDF closure) and on the broadcast leg (what "auto" picks
+    below 2 M domains) the deduplicated blocklist is BROADCAST, so
+    the whole gate is shuffle-free regardless of corpus size. Broadcast is right far
     wider than the defaults suggest: the deduped (domain, category)
     frame is ~30 B/row, so gate wall time is flat from the 9-row
     fixture through 100 k domains and a 1 M-domain list (~30 MB
@@ -293,8 +310,9 @@ def blocklist_gate(
     once upstream) so the key derivation isn't paid twice either.
 
     ``strategy`` defaults to **"auto"** (VERDICT r9 task 5): the gate
-    counts the deduplicated blocklist once (one tiny job over the
-    list, never the corpus) and dispatches on the MEASURED boundary
+    counts the blocklist once (:func:`resolve_blocklist_strategy` — a
+    narrow scan over the list, never the corpus, never a shuffle) and
+    dispatches on the MEASURED boundary
     from the round-8/9 probes (PLANS.md tables,
     scripts/probe_blocklist_{width_r8,bloom_r9}.py): ≤ 2 M domains →
     "broadcast" (a ≤~60 MB relation broadcasts fine and is fastest
@@ -345,12 +363,7 @@ def blocklist_gate(
         .agg(F.min("category").alias("category"))
     )
     if strategy == "auto":
-        # dispatch on the measured boundary (PLANS.md round-8/9 probe
-        # tables): one count over the DEDUPED list — the frame the
-        # broadcast leg would actually ship — never over the corpus
-        strategy = (
-            "broadcast" if bl.count() <= _AUTO_BLOOM_MIN_DOMAINS else "bloom"
-        )
+        strategy = resolve_blocklist_strategy(blocklist, domain_col)
     if strategy == "bloom":
         return _bloom_gate(keyed, bl, bloom_m_bits, bloom_n_hashes)
     if strategy == "broadcast":

@@ -57,11 +57,15 @@ def _nanos_ts_fields(path: str) -> list[str]:
             and lt is not None
             and lt.type == "TIMESTAMP"
             and "timeUnit=nanoseconds" in str(lt)
+            # nested fields have dotted paths (struct.member) — the
+            # top-level rescale cannot apply to those, and flagging
+            # the root would run timestamp arithmetic on a struct
+            # column (code-review r10); only plain top-level
+            # timestamp columns qualify (the arrow-schema probe this
+            # replaced had the same top-level-only reach)
+            and "." not in col.path
         ):
-            # metadata path names are dotted for nesting; top-level
-            # timestamp columns (the only case the fixtures carry)
-            # keep their plain name
-            out.append(col.path.split(".")[0])
+            out.append(col.path)
     return out
 
 

@@ -168,15 +168,10 @@ def streaming_quality_gate(
     # resolve the auto strategy ONCE at stream setup — the blocklist
     # is fixed for the stream's lifetime, and the per-batch plan must
     # stay free of the dispatch count job (r10: blocklist_gate
-    # defaults to strategy="auto")
-    from demy_spark.functions.domains import _AUTO_BLOOM_MIN_DOMAINS
+    # defaults to strategy="auto"); the rule lives in ONE place
+    from demy_spark.functions.domains import resolve_blocklist_strategy
 
-    gate_strategy = (
-        "broadcast"
-        if blocklist.select("domain").distinct().count()
-        <= _AUTO_BLOOM_MIN_DOMAINS
-        else "bloom"
-    )
+    gate_strategy = resolve_blocklist_strategy(blocklist)
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         gated = blocklist_gate(

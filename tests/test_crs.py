@@ -958,3 +958,71 @@ def test_albers_missing_parameters_warns():
     with pytest.warns(UserWarning, match="Albers projection .* missing"):
         info = parse_wkt(broken)
     assert info.projection is None
+
+
+def test_laea_polar_aspect_exact():
+    """EASE-Grid-style polar WKTs (lat0 = ±90) must take Snyder's
+    exact polar equations — the oblique form's D degenerates at the
+    poles into a ratio of floating-point residues (~7 km of silent
+    error at 70N, found by the r10 review). Pinned against the
+    closed-form polar ρ = a·sqrt(qP − q), the equal-area Jacobian,
+    and south-polar roundtrips."""
+    from demy_spark.crs import LambertAzimuthalEqualArea
+
+    p = LambertAzimuthalEqualArea(
+        a=6378137.0, inv_f=298.257223563, lat0=90.0, lon0=0.0
+    )
+    q70 = p._q(math.radians(70.0))
+    rho = p.a * math.sqrt(p._qp - q70)
+    e, n = p.forward(45.0, 70.0)
+    assert e == pytest.approx(rho * math.sin(math.radians(45.0)), abs=1e-6)
+    assert n == pytest.approx(-rho * math.cos(math.radians(45.0)), abs=1e-6)
+    assert p.inverse(e, n) == pytest.approx((45.0, 70.0), abs=1e-7)
+    assert p.forward(123.0, 90.0) == pytest.approx((0.0, 0.0), abs=1e-6)
+    assert p.inverse(0.0, 0.0) == pytest.approx((0.0, 90.0), abs=1e-9)
+    # equal-area property holds on the polar branch too
+    h = 1e-6
+    for lon, lat in ((45, 70), (0, 85), (-100, 60)):
+        e1, n1 = p.forward(lon + h, lat)
+        e0, n0 = p.forward(lon - h, lat)
+        a1 = (e1 - e0) / (2 * h * math.pi / 180)
+        a2 = (n1 - n0) / (2 * h * math.pi / 180)
+        e1, n1 = p.forward(lon, lat + h)
+        e0, n0 = p.forward(lon, lat - h)
+        b1 = (e1 - e0) / (2 * h * math.pi / 180)
+        b2 = (n1 - n0) / (2 * h * math.pi / 180)
+        jac = abs(a1 * b2 - b1 * a2)
+        phi = math.radians(lat)
+        e2 = p._e2
+        want = (
+            p.a * p.a * (1 - e2) * math.cos(phi)
+            / (1 - e2 * math.sin(phi) ** 2) ** 2
+        )
+        assert jac == pytest.approx(want, rel=1e-6), (lon, lat)
+    south = LambertAzimuthalEqualArea(
+        a=6378137.0, inv_f=298.257223563, lat0=-90.0, lon0=0.0
+    )
+    for lon, lat in ((45, -70), (-120, -80), (10, -55)):
+        got = south.inverse(*south.forward(lon, lat))
+        assert got == pytest.approx((lon, lat), abs=1e-7)
+
+
+def test_laea_antipode_returns_inf_not_crash():
+    """The antipode of the projection origin sits on the unbounded
+    bounding circle: out-of-extent vertices must map to infinities,
+    never raise mid-ingest (review r10)."""
+    p = parse_wkt(LAEA_3035_WKT).projection
+    e, n = p.forward(-170.0, -52.0)
+    assert math.isinf(e) and math.isinf(n)
+
+
+def test_albers_degenerate_parallels_pass_through():
+    """Symmetric standard parallels (lat2 = -lat1) give cone constant
+    n = 0 — the WKT must warn and pass through instead of returning a
+    projection that divides by zero on first use (review r10)."""
+    degenerate = ALBERS_5070_WKT.replace(
+        '"standard_parallel_1",29.5', '"standard_parallel_1",-45.5'
+    )
+    with pytest.warns(UserWarning, match="degenerate"):
+        info = parse_wkt(degenerate)
+    assert info.projection is None and not info.has_transform

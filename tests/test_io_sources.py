@@ -114,3 +114,25 @@ def test_nanos_probe_distinguishes_int96_from_true_nanos(spark, tmp_path):
     back = load_table(spark, str(sf), "events")
     row = back.collect()[0]
     assert row["ts"] == datetime.datetime(2026, 1, 2, 3, 4, 5)
+
+
+def test_nanos_probe_ignores_nested_timestamp_fields(tmp_path):
+    """A TIMESTAMP(NANOS) buried inside a struct must NOT flag the
+    top-level column: the rescale is top-level arithmetic and would
+    fail analysis on a struct (review r10)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from demy_spark.io import _nanos_ts_fields
+
+    t = pa.table(
+        {
+            "meta": pa.array(
+                [{"created": 1}], pa.struct([("created", pa.timestamp("ns"))])
+            ),
+            "ts": pa.array([5], pa.timestamp("ns")),
+        }
+    )
+    p = tmp_path / "nested.parquet"
+    pq.write_table(t, str(p))
+    assert _nanos_ts_fields(str(p)) == ["ts"]
