@@ -1026,3 +1026,48 @@ def test_albers_degenerate_parallels_pass_through():
     with pytest.warns(UserWarning, match="degenerate"):
         info = parse_wkt(degenerate)
     assert info.projection is None and not info.has_transform
+
+
+def test_laea_polar_wkt_parses_to_polar_branch():
+    """An EASE-Grid 2.0 North WKT (EPSG:6933-family, lat0=90) must
+    wire parse_wkt into the polar branch — the parse-level twin of the
+    direct-construction polar test."""
+    ease = (
+        'PROJCS["WGS 84 / NSIDC EASE-Grid 2.0 North",GEOGCS["WGS 84",'
+        'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Lambert_Azimuthal_Equal_Area"],'
+        'PARAMETER["latitude_of_origin",90],'
+        'PARAMETER["central_meridian",0],'
+        'PARAMETER["false_easting",0],'
+        'PARAMETER["false_northing",0],UNIT["metre",1],'
+        'AUTHORITY["EPSG","6931"]]'
+    )
+    info = parse_wkt(ease)
+    assert info.code == "EPSG:6931" and info.projection is not None
+    assert info.projection._polar == 1
+    q70 = info.projection._q(math.radians(70.0))
+    rho = info.projection.a * math.sqrt(info.projection._qp - q70)
+    e, n = info.projection.forward(45.0, 70.0)
+    assert (e, n) == pytest.approx(
+        (rho * math.sin(math.radians(45.0)), -rho * math.cos(math.radians(45.0))),
+        abs=1e-6,
+    )
+
+
+def test_read_shapefile_laea_roundtrip(spark, tmp_path):
+    """End-to-end: a shapefile carrying a 3035 .prj must land in
+    WGS84 with base_crs preserved — the integration twin the other
+    five families already have."""
+    from demy_spark.shapefile import read_shapefile
+
+    laea = parse_wkt(LAEA_3035_WKT).projection
+    ring = [(5.0, 50.0), (5.1, 50.0), (5.1, 50.1), (5.0, 50.1), (5.0, 50.0)]
+    shp = _write_fixture(
+        tmp_path, [[[laea.forward(x, y) for x, y in ring]]], LAEA_3035_WKT
+    )
+    (row,) = read_shapefile(spark, shp).collect()
+    assert row["base_crs"] == "EPSG:3035"
+    assert row["transformed_to_wgs84"] is True
+    assert row["x_min"] == pytest.approx(5.0, abs=1e-8)
+    assert row["y_max"] == pytest.approx(50.1, abs=1e-8)
