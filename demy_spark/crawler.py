@@ -349,8 +349,9 @@ def download(
     else lands verbatim. ``.7z`` extracts through the bounded
     pure-stdlib reader (:mod:`demy_spark.sevenzip`): single-coder
     LZMA/LZMA2/BZip2/Deflate/Copy folders — the ``7z a`` default —
-    plus BCJ-x86/Delta chains over LZMA (executables, some mirrors);
-    BCJ2/PPMd/encryption raise a loud NotImplementedError rather than
+    plus BCJ-x86/Delta chains over LZMA (executables, some mirrors)
+    and (r10) 4-stream BCJ2 folders via :mod:`demy_spark.bcj2`;
+    PPMd/encryption raise a loud NotImplementedError rather than
     faking decompression, and declared unpack sizes are bomb-capped.
     Every file lands via the atomic spool write. Returns the written
     paths.

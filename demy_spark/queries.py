@@ -9779,6 +9779,14 @@ def _q145_oracle() -> str:
             _bz2.decompress(fx("packs/note.bz2")),
         )
     )
+    # the BCJ2 .7z (r10): expected member bytes live as PLAIN files
+    # under private/expected_7z/ (robots-disallowed, never crawled),
+    # written at fixture-generation time
+    # (scripts/gen_crawl_7z_fixture.py) — the 7z/BCJ2 decode path
+    # never touches this side of the comparison
+    sdir = f"packs-prog.7z-{h8('http://site.test/packs/prog.7z')}"
+    for flat in ("tool.exe", "docs-readme.txt"):
+        rows.append((f"{sdir}/{flat}", fx(f"private/expected_7z/{flat}")))
     bdir = f"packs-pair.tar.bz2-{h8('http://site.test/packs/pair.tar.bz2')}"
     with _tarfile.open(
         fileobj=_io.BytesIO(_bz2.decompress(fx("packs/pair.tar.bz2"))),
@@ -9812,8 +9820,12 @@ def q145_crawl_archives(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference behavior at net2demy `Execute.scala:292-319`): BFS from
     the fixture site's archives page, downloading a zip (two members,
     one nested — member flattening exercised), a single-file gzip, a
-    tar.gz (two members), a single-file bz2 and a tar.bz2 (two
-    members) through the in-flight deflate path; every decompressed spool file is value-verified
+    tar.gz (two members), a single-file bz2, a tar.bz2 (two members)
+    and (r10) a 7z whose single folder is a genuine 4-stream BCJ2
+    mixer over LZMA2 sub-coders — decoded by demy_spark.bcj2 under the
+    container's CRCs, value-verified against plain expected-member
+    copies the crawler never sees (private/ is robots-disallowed) —
+    through the in-flight deflate path; every decompressed spool file is value-verified
     (flattened name, md5, size) against an oracle built from direct
     stdlib reads of the fixture bytes. The decompression-bomb cap is
     part of the row set: a 113-byte bz2 decoy declaring 100 MiB must
@@ -9843,7 +9855,7 @@ def q145_crawl_archives(spark: SparkSession, sf_dir: str) -> DataFrame:
         type="crawl",
         policy="immutable",
         crawling_filter=r"^http://site\.test/",
-        crawling_matching=r"\.(zip|gz|bz2)$",
+        crawling_matching=r"\.(zip|gz|bz2|7z)$",
     )
     sync_source(spark, cfg, fetch=fetch)
     plen = len("file:" + dest + "/")

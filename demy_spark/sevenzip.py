@@ -8,9 +8,13 @@ optionally with a compressed (EncodedHeader) metadata block, and (r9)
 the two-coder BCJ-x86 / Delta filter chains over LZMA1/LZMA2 that
 executables and some mirrors carry (liblzma decodes the whole chain
 raw, so this stays pure stdlib) — using only ``lzma``/``bz2``/
-``zlib``. Anything beyond that boundary (BCJ2, PPMd, AES encryption,
-filter chains over non-LZMA coders, external streams-info) raises a
-loud ``NotImplementedError`` naming the codec, never a silent wrong
+``zlib`` — and (r10) the four-stream BCJ2 folders ``7z a -m0=BCJ2``
+writes, recombined by the pure-Python ``demy_spark.bcj2`` decoder
+under the container's CRC checks. Anything beyond that boundary
+(PPMd, AES encryption, Deflate64, filter chains over non-LZMA coders,
+coder graphs deeper than a depth-1 BCJ2 mixer, external streams-info)
+raises a loud ``NotImplementedError`` naming the codec, never a
+silent wrong
 extraction; structural damage (bad signature, CRC mismatch, truncated
 header) raises ``ValueError``; declared unpack sizes above the
 decompression-bomb cap raise before any decompression.
@@ -66,10 +70,12 @@ CODEC_DEFLATE = b"\x04\x01\x08"
 # one raw decompressor. BCJ x86 has an old long id and a new short one.
 CODEC_BCJ_X86 = (b"\x03\x03\x01\x03", b"\x04")
 CODEC_DELTA = b"\x03"
+# BCJ2: the 4-stream x86 branch converter (main/call/jump + range-coded
+# control stream), decoded by demy_spark.bcj2 (r10)
+CODEC_BCJ2 = b"\x03\x03\x01\x1b"
 
 _CODEC_NAMES = {
     b"\x06\xf1\x07\x01": "AES-256+SHA-256 (encrypted archive)",
-    b"\x03\x03\x01\x1b": "BCJ2",
     b"\x04\x01\x01": "Deflate64",
     b"\x03\x04\x01": "PPMd",
 }
@@ -123,7 +129,15 @@ class _Folder:
     unpack_sizes: list[int] = field(default_factory=list)
     final_out: int = 0  # index of the folder's final out-stream
     num_out_streams: int = 1
+    num_pack_streams: int = 1
     num_substreams: int = 1
+    # BCJ2 folder graph (None for the single-coder / chain shapes):
+    # coders as (codec_id, props, nin, nout), bind pairs as
+    # (in_stream, out_stream) global indices, packed_indices mapping
+    # this folder's pack streams (in PackInfo order) to in-streams
+    coders: list[tuple[bytes, bytes, int, int]] | None = None
+    bind_pairs: list[tuple[int, int]] | None = None
+    packed_indices: list[int] | None = None
     # None = the respective header block was absent (defaults apply);
     # [] is meaningful for a zero-substream folder
     substream_sizes: list[int] | None = None
@@ -136,6 +150,16 @@ class _Folder:
             return 0
         return self.unpack_sizes[min(self.final_out, len(self.unpack_sizes) - 1)]
 
+    @property
+    def materialized_size(self) -> int:
+        """Bytes this folder materializes in memory while decoding —
+        the bomb-cap basis. Single-coder and liblzma-chain folders
+        stream (only the final output lands); a BCJ2 folder first
+        materializes each intermediate stream, so ALL out sizes count."""
+        if self.coders is not None:
+            return sum(self.unpack_sizes)
+        return self.unpack_size
+
 
 _FILTER_IDS = set(CODEC_BCJ_X86) | {CODEC_DELTA}
 _LZMA_IDS = {CODEC_LZMA1, CODEC_LZMA2}
@@ -144,7 +168,8 @@ _LZMA_IDS = {CODEC_LZMA1, CODEC_LZMA2}
 def _read_folder(r: _Reader) -> _Folder:
     f = _Folder()
     num_coders = r.number()
-    coders: list[tuple[bytes, bytes]] = []  # (codec_id, props)
+    coders: list[tuple[bytes, bytes, int, int]] = []
+    total_in = total_out = 0
     for _ in range(num_coders):
         flags = r.byte()
         codec_id = r.bytes(flags & 0x0F)
@@ -159,48 +184,87 @@ def _read_folder(r: _Reader) -> _Folder:
                 f"7z codec not supported by the bounded stdlib reader: "
                 f"{_CODEC_NAMES[codec_id]}; decompress out-of-band"
             )
-        if nin != 1 or nout != 1:
+        if codec_id == CODEC_BCJ2:
+            if (nin, nout) != (4, 1):
+                raise ValueError(
+                    f"7z BCJ2 coder declares {nin}-in/{nout}-out "
+                    "(must be 4-in/1-out)"
+                )
+        elif nin != 1 or nout != 1:
             raise NotImplementedError("7z coder with multiple streams")
-        coders.append((codec_id, props))
-    f.num_out_streams = num_coders  # all supported coders are 1-in/1-out
+        coders.append((codec_id, props, nin, nout))
+        total_in += nin
+        total_out += nout
+    f.num_out_streams = total_out
+    # bind pairs tie one coder's out-stream to another's in-stream;
+    # the remaining unbound in-streams are fed by pack streams
+    bind_pairs = [(r.number(), r.number()) for _ in range(total_out - 1)]
+    num_pack = total_in - len(bind_pairs)
+    f.num_pack_streams = num_pack
+    bound_ins = {i for i, _ in bind_pairs}
+    bound_outs = {o for _, o in bind_pairs}
+    if num_pack > 1:
+        packed_indices = [r.number() for _ in range(num_pack)]
+    else:  # the single pack stream feeds the one unbound in-stream
+        packed_indices = [i for i in range(total_in) if i not in bound_ins]
+    finals = [o for o in range(total_out) if o not in bound_outs]
+
     if num_coders == 1:
-        f.codec_id, f.props = coders[0]
-        return f  # 0 bind pairs, 1 packed stream, nothing else follows
+        f.codec_id, f.props = coders[0][0], coders[0][1]
+        return f
     if num_coders == 2:
-        # the one chain `7z a` writes beyond plain compression: a
-        # branch/delta filter over an LZMA-family coder (BCJ x86 is
+        # the one 2-coder chain `7z a` writes beyond plain compression:
+        # a branch/delta filter over an LZMA-family coder (BCJ x86 is
         # what executables get). liblzma decodes the whole chain, so
         # this stays pure-stdlib; anything else is still loud below.
-        fidx = [i for i, (cid, _) in enumerate(coders) if cid in _FILTER_IDS]
-        cidx = [i for i, (cid, _) in enumerate(coders) if cid in _LZMA_IDS]
-        in_index, out_index = r.number(), r.number()  # the single bind pair
+        fidx = [i for i, (cid, _, _, _) in enumerate(coders) if cid in _FILTER_IDS]
+        cidx = [i for i, (cid, _, _, _) in enumerate(coders) if cid in _LZMA_IDS]
         if len(fidx) == 1 and len(cidx) == 1:
             fi, ci = fidx[0], cidx[0]
             # decode path must be packed -> LZMA coder -> filter: the
             # bind pair feeds the filter's in-stream from the LZMA
             # coder's out-stream (streams are indexed in coder order;
-            # every supported coder is 1-in/1-out, so stream i == coder i)
-            if (in_index, out_index) == (fi, ci):
-                f.codec_id, f.props = coders[ci]
-                f.filters = [coders[fi]]
+            # every 1-in/1-out coder's stream i == coder i)
+            if bind_pairs == [(fi, ci)]:
+                f.codec_id, f.props = coders[ci][0], coders[ci][1]
+                f.filters = [(coders[fi][0], coders[fi][1])]
                 f.final_out = fi
                 return f
         raise NotImplementedError(
             "7z 2-coder folder is outside the bounded stdlib reader "
-            f"(coders {[c.hex() for c, _ in coders]}, bind "
-            f"{(in_index, out_index)}; supported: BCJ x86 / Delta over "
+            f"(coders {[c.hex() for c, _, _, _ in coders]}, bind "
+            f"{bind_pairs[0]}; supported: BCJ x86 / Delta over "
             "LZMA1/LZMA2); decompress out-of-band"
         )
+    # multi-coder: the only supported graph is a BCJ2 mixer whose
+    # inputs come from depth-1 simple coders or directly from pack
+    # streams (the shape `7z a -m0=BCJ2` writes)
+    if sum(cid == CODEC_BCJ2 for cid, _, _, _ in coders) == 1:
+        if len(finals) != 1:
+            raise ValueError("7z BCJ2 folder without a single final out-stream")
+        if len(set(packed_indices)) != num_pack or not (
+            set(packed_indices) | bound_ins == set(range(total_in))
+            and not (set(packed_indices) & bound_ins)
+        ):
+            raise ValueError("7z BCJ2 folder with inconsistent stream wiring")
+        f.final_out = finals[0]
+        f.coders = coders
+        f.bind_pairs = bind_pairs
+        f.packed_indices = packed_indices
+        return f
     raise NotImplementedError(
-        f"7z multi-coder folder ({num_coders} coders, e.g. a BCJ2 "
-        "chain) is outside the bounded stdlib reader; decompress "
+        f"7z multi-coder folder ({num_coders} coders, "
+        f"{[c.hex() for c, _, _, _ in coders]}) is outside the bounded "
+        "stdlib reader (supported: a single BCJ2 mixer); decompress "
         "out-of-band"
     )
 
 
-def _decompress(folder: _Folder, packed: bytes) -> bytes:
+def _decompress(folder: _Folder, packs: list[bytes]) -> bytes:
     try:
-        return _decompress_inner(folder, packed)
+        if folder.coders is not None:
+            return _decompress_bcj2(folder, packs)
+        return _decompress_inner(folder, packs[0])
     except (lzma.LZMAError, zlib.error, OSError, EOFError) as e:
         # codec-level damage surfaces as the same ValueError contract
         # as a CRC mismatch — callers see one "corrupt archive" class
@@ -224,10 +288,17 @@ def _branch_filter_spec(codec_id: bytes, props: bytes) -> dict:
 
 
 def _decompress_inner(folder: _Folder, packed: bytes) -> bytes:
-    cid, size = folder.codec_id, folder.unpack_size
     chain = [_branch_filter_spec(c, p) for c, p in folder.filters]
-    if chain and cid not in _LZMA_IDS:  # _read_folder already enforces
+    if chain and folder.codec_id not in _LZMA_IDS:  # _read_folder enforces
         raise NotImplementedError("7z filter chain over a non-LZMA coder")
+    return _decode_stream(
+        folder.codec_id, folder.props, chain, packed, folder.unpack_size
+    )
+
+
+def _decode_stream(
+    cid: bytes, props: bytes, chain: list[dict], packed: bytes, size: int
+) -> bytes:
     # every codec decompresses through a bounded incremental API with
     # max_length = size + 1: the declared size caps the allocation
     # (the bomb guard holds DURING decompression, not just before it),
@@ -239,24 +310,24 @@ def _decompress_inner(folder: _Folder, packed: bytes) -> bytes:
     if cid == CODEC_COPY:
         out = packed[: size + 1]
     elif cid == CODEC_LZMA1:
-        if len(folder.props) < 5:
+        if len(props) < 5:
             raise ValueError("LZMA1 coder without 5-byte properties")
-        b = folder.props[0]
+        b = props[0]
         filt = {
             "id": lzma.FILTER_LZMA1,
             "lc": b % 9,
             "lp": (b // 9) % 5,
             "pb": b // 45,
-            "dict_size": int.from_bytes(folder.props[1:5], "little"),
+            "dict_size": int.from_bytes(props[1:5], "little"),
         }
         dec = lzma.LZMADecompressor(
             format=lzma.FORMAT_RAW, filters=chain + [filt]
         )
         out = dec.decompress(packed, max_length=size + 1)
     elif cid == CODEC_LZMA2:
-        if len(folder.props) < 1:
+        if len(props) < 1:
             raise ValueError("LZMA2 coder without properties")
-        b = folder.props[0]
+        b = props[0]
         dict_size = 0xFFFFFFFF if b >= 40 else (2 | (b & 1)) << (b // 2 + 11)
         dec = lzma.LZMADecompressor(
             format=lzma.FORMAT_RAW,
@@ -275,8 +346,60 @@ def _decompress_inner(folder: _Folder, packed: bytes) -> bytes:
         )
     if len(out) != size:
         raise ValueError(
-            f"7z folder decompressed to {len(out)} bytes, header says {size}"
+            f"7z stream decompressed to {len(out)} bytes, header says {size}"
         )
+    return out
+
+
+def _decompress_bcj2(folder: _Folder, packs: list[bytes]) -> bytes:
+    """Decode a BCJ2 folder: resolve each of the mixer's four inputs
+    (main/call/jump/control) to either a directly-packed stream or the
+    output of a depth-1 simple coder, then recombine via
+    :func:`demy_spark.bcj2.bcj2_decode`. Deeper coder graphs stay loud."""
+    from demy_spark.bcj2 import bcj2_decode
+
+    coders = folder.coders
+    # global stream numbering: in/out streams are indexed across coders
+    # in declaration order (7zFormat.txt)
+    in_base, out_base = [], []
+    ti = to = 0
+    for _, _, nin, nout in coders:
+        in_base.append(ti)
+        out_base.append(to)
+        ti += nin
+        to += nout
+    pack_by_in = {g: packs[k] for k, g in enumerate(folder.packed_indices)}
+    bind_by_in = dict(folder.bind_pairs)
+    bcj2_ci = next(
+        i for i, (cid, _, _, _) in enumerate(coders) if cid == CODEC_BCJ2
+    )
+
+    def resolve(gin: int) -> bytes:
+        if gin in pack_by_in:
+            return pack_by_in[gin]
+        out_idx = bind_by_in[gin]
+        ci = out_base.index(out_idx)  # every supported coder is 1-out
+        cid, props, nin, _ = coders[ci]
+        if ci == bcj2_ci or nin != 1:
+            raise NotImplementedError(
+                "7z BCJ2 folder with a nested multi-stream coder"
+            )
+        gin2 = in_base[ci]
+        if gin2 not in pack_by_in:
+            raise NotImplementedError(
+                "7z BCJ2 folder with a coder chain deeper than one"
+            )
+        return _decode_stream(
+            cid, props, [], pack_by_in[gin2], folder.unpack_sizes[out_idx]
+        )
+
+    base = in_base[bcj2_ci]
+    main, call, jump, rc = (resolve(base + k) for k in range(4))
+    out = bcj2_decode(
+        main, call, jump, rc, folder.unpack_sizes[out_base[bcj2_ci]]
+    )
+    if len(call) % 4 or len(jump) % 4:
+        raise ValueError("7z BCJ2 call/jump stream length not a multiple of 4")
     return out
 
 
@@ -493,7 +616,7 @@ def read_7z(
         packed = _pack_slices(body, si)
         if len(si.folders) != 1:
             raise NotImplementedError("multi-folder 7z encoded header")
-        check_cap(si.folders[0].unpack_size, "encoded header")
+        check_cap(si.folders[0].materialized_size, "encoded header")
         r = _Reader(_decompress(si.folders[0], packed[0]))
         t = r.number()
     if t != K_HEADER:
@@ -519,7 +642,7 @@ def read_7z(
             )
 
     # decompress folders and slice substreams, archive order
-    check_cap(sum(f.unpack_size for f in si.folders), "streams info")
+    check_cap(sum(f.materialized_size for f in si.folders), "streams info")
     contents: list[bytes] = []
     for folder, packed in zip(si.folders, _pack_slices(body, si)):
         out = _decompress(folder, packed)
@@ -563,18 +686,25 @@ def read_7z(
     return out_members
 
 
-def _pack_slices(body: bytes, si: _StreamsInfo) -> list[bytes]:
-    """Cut each folder's packed stream out of the archive body
-    (every supported folder consumes exactly one pack stream)."""
-    if len(si.pack_sizes) != len(si.folders):
-        raise NotImplementedError(
-            "7z pack-stream/folder count mismatch (multi-stream folder)"
+def _pack_slices(body: bytes, si: _StreamsInfo) -> list[list[bytes]]:
+    """Cut each folder's packed streams out of the archive body.
+    Folders consume pack streams in order; single-coder and chain
+    folders take one each, a BCJ2 folder takes four."""
+    if len(si.pack_sizes) != sum(f.num_pack_streams for f in si.folders):
+        raise ValueError(
+            f"7z pack-stream count {len(si.pack_sizes)} does not match "
+            "the folders' declared input streams"
         )
-    slices = []
+    slices: list[list[bytes]] = []
     pos = 32 + si.pack_pos
-    for size in si.pack_sizes:
-        if pos + size > len(body):
-            raise ValueError("7z packed stream runs past end of archive")
-        slices.append(body[pos : pos + size])
-        pos += size
+    it = iter(si.pack_sizes)
+    for f in si.folders:
+        per_folder = []
+        for _ in range(f.num_pack_streams):
+            size = next(it)
+            if pos + size > len(body):
+                raise ValueError("7z packed stream runs past end of archive")
+            per_folder.append(body[pos : pos + size])
+            pos += size
+        slices.append(per_folder)
     return slices

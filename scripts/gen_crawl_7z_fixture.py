@@ -1,0 +1,65 @@
+"""Regenerate the crawl-site BCJ2 fixture: packs/prog.7z plus the
+plain expected-member copies under private/expected_7z/ that q145's
+oracle reads (private/ is robots-disallowed, so the crawler never
+sees them). Deterministic — rerunning produces identical bytes.
+
+The archive is a genuine 4-stream BCJ2 folder (LZMA2 sub-coders for
+main/call/jump, range-coded control stream packed directly) built by
+demy_spark.bcj2 + the same spec-following header writer the 7z tests
+use, so the crawler exercises the full BCJ2 decode path under CRC.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+from test_sevenzip import make_bcj2_7z  # noqa: E402  (in-test 7z writer)
+
+SITE = os.path.join(REPO, "demy_spark", "fixtures", "crawl_site")
+
+
+def x86ish(n_sites: int) -> bytes:
+    """Deterministic x86-looking bytes: prologue + E8/E9/Jcc sites with
+    varied rel32 fields, so all three BCJ2 branch classes convert."""
+    out = bytearray(b"\x55\x89\xe5")
+    for i in range(n_sites):
+        out += b"\x90" * (i % 5)
+        kind = i % 3
+        rel = ((i * 2654435761) ^ (i << 7)) & 0xFFFFFFFF
+        if kind == 0:
+            out += b"\xe8" + rel.to_bytes(4, "little")
+        elif kind == 1:
+            out += b"\xe9" + rel.to_bytes(4, "little")
+        else:
+            out += bytes([0x0F, 0x80 + (i % 16)]) + rel.to_bytes(4, "little")
+        out += b"\xc3"
+    return bytes(out)
+
+
+def main() -> None:
+    members = [
+        ("tool.exe", x86ish(300)),
+        (
+            "docs/readme.txt",
+            b"BCJ2 fixture archive for the crawler oracle (q145).\n"
+            b"Members are value-verified against private/expected_7z/.\n",
+        ),
+    ]
+    body = make_bcj2_7z(members, bcj2_first=False)
+    with open(os.path.join(SITE, "packs", "prog.7z"), "wb") as f:
+        f.write(body)
+    exp = os.path.join(SITE, "private", "expected_7z")
+    os.makedirs(exp, exist_ok=True)
+    for name, content in members:
+        with open(os.path.join(exp, name.replace("/", "-")), "wb") as f:
+            f.write(content)
+    print(f"wrote packs/prog.7z ({len(body)} bytes) + {len(members)} expected")
+
+
+if __name__ == "__main__":
+    main()

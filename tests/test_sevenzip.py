@@ -716,3 +716,232 @@ def test_memory_server_chunk_index_zero_and_unknown_id():
          "chunk_index": "2"},
     )
     assert status == 404 and b"unknown" in body
+
+
+# ------------------------------------------------- BCJ2 folders (r10)
+
+BCJ2_ID = b"\x03\x03\x01\x1b"
+
+
+def bcj2_streams(blob: bytes):
+    from demy_spark.bcj2 import bcj2_encode
+
+    return bcj2_encode(blob)  # (main, call, jump, rc)
+
+
+def make_bcj2_7z(
+    files: list[tuple[str, bytes]],
+    sub_codec: bytes = CODEC_LZMA2,
+    bcj2_first: bool = False,
+    substream_crcs: bool = True,
+) -> bytes:
+    """Archive one folder shaped like `7z a -m0=BCJ2` output: three
+    sub-coders compressing the main/call/jump streams, the range-coded
+    control stream packed directly, a 4-in/1-out BCJ2 mixer on top.
+    ``bcj2_first`` flips the coder declaration order (the graph is the
+    same; readers must not assume an order)."""
+    blob = b"".join(c for _, c in files)
+    main, call, jump, rc = bcj2_streams(blob)
+    packs, subs = [], []
+    for stream in (main, call, jump):
+        p, props = compress(sub_codec, stream)
+        packs.append(p)
+        subs.append((p, props, len(stream)))
+    bcj2_coder = bytes([len(BCJ2_ID) | 0x10]) + BCJ2_ID + enc_num(4) + enc_num(1)
+    sub_coders = b"".join(coder_bytes(sub_codec, props) for _, props, _ in subs)
+    if not bcj2_first:
+        # coders: sub0 sub1 sub2 bcj2 — global ins 0,1,2 then 3..6;
+        # outs 0,1,2,3; bind bcj2.in(3+k) <- sub_k.out(k); rc packed at 6
+        folder = enc_num(4) + sub_coders + bcj2_coder
+        binds = [(3, 0), (4, 1), (5, 2)]
+        packed_idx = [0, 1, 2, 6]
+        unpack = [len(main), len(call), len(jump), len(blob)]
+    else:
+        # coders: bcj2 sub0 sub1 sub2 — bcj2 ins 0..3, sub ins 4,5,6;
+        # outs: bcj2=0, subs=1,2,3; rc is bcj2.in3, packed directly
+        folder = enc_num(4) + bcj2_coder + sub_coders
+        binds = [(0, 1), (1, 2), (2, 3)]
+        packed_idx = [4, 5, 6, 3]
+        unpack = [len(blob), len(main), len(call), len(jump)]
+    folder += b"".join(enc_num(i) + enc_num(o) for i, o in binds)
+    folder += b"".join(enc_num(i) for i in packed_idx)
+    pack_streams = packs + [rc]
+    header = (
+        bytes([0x01, 0x04])
+        + streams_info(
+            0,
+            [len(p) for p in pack_streams],
+            [folder],
+            unpack,
+            [[c for _, c in files]] if len(files) > 1 else None,
+            folder_blobs=[blob],
+            sub_crc=substream_crcs,
+        )
+        + bytes([0x05])
+        + files_info(files)
+        + bytes([0x00])
+    )
+    return seal(b"".join(pack_streams), header)
+
+
+@pytest.mark.parametrize("sub_codec", [CODEC_LZMA1, CODEC_LZMA2, CODEC_COPY])
+@pytest.mark.parametrize("bcj2_first", [False, True])
+def test_bcj2_folder_roundtrip(sub_codec, bcj2_first):
+    body = make_bcj2_7z(
+        [("prog.exe", X86_BLOB), ("readme.txt", PAYLOAD_B)],
+        sub_codec=sub_codec,
+        bcj2_first=bcj2_first,
+    )
+    assert dict(read_7z(body)) == {
+        "prog.exe": X86_BLOB,
+        "readme.txt": PAYLOAD_B,
+    }
+
+
+def test_bcj2_folder_is_not_a_passthrough():
+    """The main stream alone must NOT equal the original bytes — the
+    mixer really reconstructs converted fields from call/jump."""
+    main, call, jump, rc = bcj2_streams(X86_BLOB)
+    assert main != X86_BLOB and len(main) < len(X86_BLOB)
+    assert len(call) == 4 * 400  # every E8 site converted
+
+
+def test_bcj2_crc_catches_control_stream_damage():
+    body = bytearray(make_bcj2_7z([("prog.exe", X86_BLOB)]))
+    main, call, jump, rc = bcj2_streams(X86_BLOB)
+    # flip a bit inside the rc stream (stored verbatim as the final
+    # pack stream, right before the end header)
+    idx = bytes(body).rindex(rc)
+    body[idx + 2] ^= 0x40
+    with pytest.raises(ValueError):
+        read_7z(bytes(body))
+
+
+def test_bcj2_substream_crc_verified_per_member():
+    body = make_bcj2_7z(
+        [("a.exe", X86_BLOB[:2000]), ("b.exe", X86_BLOB[2000:])],
+        substream_crcs=True,
+    )
+    members = dict(read_7z(body))
+    assert members["a.exe"] + members["b.exe"] == X86_BLOB
+
+
+def test_bcj2_bomb_cap_counts_intermediate_streams():
+    from demy_spark.sevenzip import _Folder
+
+    f = _Folder()
+    f.coders = [(BCJ2_ID, b"", 4, 1)]
+    f.unpack_sizes = [100, 8, 8, 116]
+    f.final_out = 3
+    assert f.materialized_size == 232  # BCJ2 materializes every stream
+    single = _Folder()
+    single.unpack_sizes = [116]
+    assert single.materialized_size == 116
+
+
+def test_bcj2_declared_bomb_rejected_before_decode():
+    body = bytearray(make_bcj2_7z([("prog.exe", X86_BLOB)]))
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        read_7z(bytes(body), max_unpack_bytes=10)
+
+
+def test_crawler_download_extracts_bcj2_7z(tmp_path):
+    from demy_spark.crawler import download
+
+    body = make_bcj2_7z([("tool.exe", X86_BLOB), ("notes.txt", PAYLOAD_B)])
+    dest = str(tmp_path / "drop")
+    paths = download(
+        "http://m.test/tool.7z", dest, fetch=lambda u: ("application/x-7z", body)
+    )
+    assert sorted(os.path.basename(p) for p in paths) == ["notes.txt", "tool.exe"]
+    with open(os.path.join(dest, "tool.exe"), "rb") as f:
+        assert f.read() == X86_BLOB
+
+
+def test_bcj2_deep_coder_chain_stays_loud():
+    """BCJ2 whose call stream is fed by a 2-coder chain (depth 2) is
+    outside the bounded reader — must raise, not mis-decode."""
+    blob = X86_BLOB[:512]
+    main, call, jump, rc = bcj2_streams(blob)
+    packs = []
+    coders = b""
+    # sub0 compresses main; sub1+sub2 form a delta->lzma chain for call
+    p, props = compress(CODEC_LZMA2, main)
+    packs.append(p)
+    coders += coder_bytes(CODEC_LZMA2, props)
+    p, props = compress(CODEC_LZMA2, call)
+    packs.append(p)
+    coders += coder_bytes(CODEC_LZMA2, props)
+    coders += coder_bytes(DELTA, bytes([3]))
+    p, props = compress(CODEC_LZMA2, jump)
+    packs.append(p)
+    coders += coder_bytes(CODEC_LZMA2, props)
+    bcj2_coder = bytes([len(BCJ2_ID) | 0x10]) + BCJ2_ID + enc_num(4) + enc_num(1)
+    folder = enc_num(5) + coders + bcj2_coder
+    # coders: lzma(main)=0, lzma(call-packed)=1, delta=2, lzma(jump)=3,
+    # bcj2=4. ins: 0,1,2,3,4..7; outs: 0,1,2,3,4.
+    # delta.in(2) <- lzma1.out(1); bcj2 ins 4,5,6 <- outs 0,2,3
+    binds = [(2, 1), (4, 0), (5, 2), (6, 3)]
+    packed_idx = [0, 1, 3, 7]
+    folder += b"".join(enc_num(i) + enc_num(o) for i, o in binds)
+    folder += b"".join(enc_num(i) for i in packed_idx)
+    pack_streams = packs + [rc]
+    header = (
+        bytes([0x01, 0x04])
+        + streams_info(
+            0,
+            [len(p) for p in pack_streams],
+            [folder],
+            [len(main), len(call), len(call), len(jump), len(blob)],
+        )
+        + bytes([0x05])
+        + files_info([("prog.exe", blob)])
+        + bytes([0x00])
+    )
+    with pytest.raises(NotImplementedError, match="deeper than one"):
+        read_7z(seal(b"".join(pack_streams), header))
+
+
+def test_ppmd_still_raises_loudly():
+    ppmd = b"\x03\x04\x01"
+    folder = enc_num(1) + bytes([len(ppmd)]) + ppmd
+    header = (
+        bytes([0x01, 0x04])
+        + streams_info(0, [4], [folder], [4])
+        + bytes([0x05])
+        + files_info([("doc.txt", b"xxxx")])
+        + bytes([0x00])
+    )
+    with pytest.raises(NotImplementedError, match="PPMd"):
+        read_7z(seal(b"\x00\x00\x00\x00", header))
+
+
+def test_crawl_site_prog7z_fixture_is_genuinely_bcj2():
+    """q145's .7z fixture must keep exercising the BCJ2 path: parse
+    its folder graph and assert the mixer is present, and that the
+    members match the plain expected copies the oracle reads."""
+    import demy_spark
+    from demy_spark.sevenzip import _Reader, _read_streams_info, read_7z
+
+    site = os.path.join(
+        os.path.dirname(os.path.abspath(demy_spark.__file__)),
+        "fixtures",
+        "crawl_site",
+    )
+    with open(os.path.join(site, "packs", "prog.7z"), "rb") as f:
+        body = f.read()
+    # locate the end header (same arithmetic as read_7z)
+    off = int.from_bytes(body[12:20], "little")
+    size = int.from_bytes(body[20:28], "little")
+    r = _Reader(body[32 + off : 32 + off + size])
+    assert r.number() == 0x01  # kHeader (plain, not encoded)
+    assert r.number() == 0x04  # kMainStreams
+    si = _read_streams_info(r)
+    assert len(si.folders) == 1 and si.folders[0].coders is not None
+    assert any(cid == BCJ2_ID for cid, _, _, _ in si.folders[0].coders)
+    assert si.folders[0].num_pack_streams == 4
+    members = dict(read_7z(body))
+    for member, flat in [("tool.exe", "tool.exe"),
+                         ("docs/readme.txt", "docs-readme.txt")]:
+        with open(os.path.join(site, "private", "expected_7z", flat), "rb") as f:
+            assert members[member] == f.read()
