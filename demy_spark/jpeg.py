@@ -1,0 +1,757 @@
+"""Pure-Python baseline JPEG codec (numpy for the DCT only).
+
+Gives the multimodal operators REAL pixels for baseline JPEG payloads
+in codec-library-less containers, the way the vendored PNG codec
+already does for PNG (multimodal.py r7): the reference pipelines
+treat images as opaque binaries plus decode UDFs, and this container
+ships neither Pillow nor libjpeg. Implemented from the public ITU-T
+T.81 / ISO 10918-1 specification (baseline sequential DCT, Annex F)
+and the JFIF colour conventions — original code, no decoder source
+consulted.
+
+Scope — decode (:func:`decode_jpeg`):
+
+- SOF0/SOF1 (baseline / extended sequential Huffman, 8-bit), 1- or
+  3-component (grayscale / JFIF YCbCr), any sampling factors whose
+  planes nearest-upsample (1x1, 2x1, 1x2, 2x2, 4x1, ...), interleaved
+  or per-component scans, restart intervals, 8- and 16-bit DQT.
+- Loud ``NotImplementedError`` for progressive (SOF2), lossless /
+  hierarchical / arithmetic variants (SOF3+, DAC), 12-bit precision,
+  and 4-component (Adobe CMYK) files; malformed streams raise
+  ``ValueError``. NEVER a silent wrong image for an unsupported
+  feature class.
+
+Scope — encode (:func:`encode_jpeg`): baseline, 4:4:4 or 4:2:0, file-
+carried canonical Huffman tables (flat code lengths — valid, not
+Annex K; decoders read tables from DHT so interop is unaffected),
+quality-scaled Annex-K-style quantisation. Exists for tests and for
+writing thumbnails from the multimodal pipeline.
+
+Conformance posture (mirrors COVERAGE.md "Dependency-gated test
+policy"): enc/dec identity is fuzz-tested with error bounds derived
+from the quantisation step; the IDCT is cross-checked against a
+direct O(N^4) DCT-III sum; single-block wire vectors are hand-derived
+from the spec; and when Pillow IS importable a cross-validation test
+auto-activates comparing this decoder against libjpeg on every
+fixture (tests/test_jpeg.py). JPEG carries no payload CRC, so unlike
+the 7z path a decoder bug cannot be caught by the container — hence
+the hand-derived vectors and the strict loud-unsupported boundary.
+
+Performance: entropy decode is per-symbol Python (the DCT and colour
+transform are vectorised numpy). Fine for the thumbnail-scale media
+the operators test with; production pipelines with Pillow installed
+automatically take the libjpeg path instead (multimodal.py
+``default_image_decoder``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ------------------------------------------------------------- tables
+
+
+def _zigzag_order() -> list[int]:
+    """Natural index for each zigzag position (T.81 Figure 5)."""
+    out = []
+    r = c = 0
+    for _ in range(64):
+        out.append(r * 8 + c)
+        if (r + c) % 2 == 0:
+            if c == 7:
+                r += 1
+            elif r == 0:
+                c += 1
+            else:
+                r -= 1
+                c += 1
+        else:
+            if r == 7:
+                c += 1
+            elif c == 0:
+                r += 1
+            else:
+                r += 1
+                c -= 1
+    return out
+
+
+ZIGZAG = _zigzag_order()
+
+# orthonormal 8x8 DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1)u*pi/16);
+# forward F = A f A^T, inverse f = A^T F A
+_A = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _cu = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+        _A[_u, _x] = 0.5 * _cu * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+# Annex K luminance/chrominance quantisation tables (natural order),
+# the public base tables every quality-scaled encoder derives from
+_QL_BASE = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+)
+_QC_BASE = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+)
+
+
+def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG-convention quality scaling of the Annex K tables (public
+    formula: scale = 5000/q below 50, 200-2q above)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    ql = np.clip((_QL_BASE * scale + 50) // 100, 1, 255)
+    qc = np.clip((_QC_BASE * scale + 50) // 100, 1, 255)
+    return ql.astype(np.int32), qc.astype(np.int32)
+
+
+# ------------------------------------------------------- huffman sides
+
+
+class _HuffDecoder:
+    """Canonical Huffman decoder from a DHT (bits[16] + values)."""
+
+    def __init__(self, bits: list[int], values: bytes):
+        self.lut: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                if k >= len(values):
+                    raise ValueError("JPEG DHT: fewer values than bits declare")
+                self.lut[(length, code)] = values[k]
+                code += 1
+                k += 1
+            code <<= 1
+        if k != len(values):
+            raise ValueError("JPEG DHT: more values than bits declare")
+
+
+def _build_encoder_table(symbols: list[int], length: int) -> tuple[
+    list[int], list[int], dict[int, tuple[int, int]]
+]:
+    """Flat canonical table: every symbol gets ``length`` bits. Valid
+    whenever len(symbols) < 2**length (keeps the all-ones code free,
+    which some strict decoders reserve). Returns (bits, values,
+    symbol -> (code, length))."""
+    if len(symbols) >= (1 << length):
+        raise ValueError("too many symbols for flat code length")
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    enc = {s: (i, length) for i, s in enumerate(symbols)}
+    return bits, list(symbols), enc
+
+
+class _BitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, stops AT markers
+    (position left on the 0xFF)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("JPEG entropy data truncated")
+        b = d[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("JPEG entropy data truncated at 0xFF")
+            if d[self.pos + 1] == 0x00:
+                self.pos += 2
+            else:  # a marker — the scan is over; bytes must not be read
+                raise ValueError(
+                    "JPEG entropy decoder ran into marker "
+                    f"0xFF{d[self.pos + 1]:02X} mid-block"
+                )
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def byte_align(self) -> None:
+        self.nbits = 0
+        self.bitbuf = 0
+
+    def decode_symbol(self, table: _HuffDecoder) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.lut.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG Huffman code longer than 16 bits")
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = self.bits(s)
+        if v < (1 << (s - 1)):  # negative branch (T.81 F.2.2.1 EXTEND)
+            v -= (1 << s) - 1
+        return v
+
+
+class _BitWriter:
+    """Entropy-segment bit writer with 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:  # pad with 1-bits (T.81 F.1.2.3)
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+# --------------------------------------------------------------- decode
+
+
+class _Component:
+    __slots__ = ("cid", "h", "v", "tq", "dc_id", "ac_id", "blocks",
+                 "bw", "bh", "pred")
+
+    def __init__(self, cid: int, h: int, v: int, tq: int):
+        self.cid, self.h, self.v, self.tq = cid, h, v, tq
+        self.dc_id = self.ac_id = 0
+        self.blocks: dict[tuple[int, int], np.ndarray] = {}
+        self.bw = self.bh = 0
+        self.pred = 0
+
+
+def sniff_baseline(payload: bytes) -> bool:
+    """True when the payload is a JPEG this module can decode for real
+    (SOF0/SOF1, 8-bit, <=3 components) — the multimodal ``decode_real``
+    predicate. Marker scan only; no entropy decode."""
+    if not payload or payload[:3] != b"\xff\xd8\xff":
+        return False
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            return False
+        marker = payload[pos + 1]
+        if marker in (0xC0, 0xC1):
+            if pos + 10 > n:
+                return False
+            precision = payload[pos + 4]
+            ncomp = payload[pos + 9]
+            return precision == 8 and ncomp in (1, 3)
+        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                      0xCD, 0xCE, 0xCF):
+            return False
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        pos += 2 + struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+    return False
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode baseline JPEG bytes to an (h, w, c) uint8 array (c = 1
+    grayscale or 3 RGB via the JFIF BT.601 transform)."""
+    if not payload or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    n = len(payload)
+    qt: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, _HuffDecoder] = {}
+    ac_tables: dict[int, _HuffDecoder] = {}
+    comps: list[_Component] = []
+    height = width = 0
+    restart_interval = 0
+    saw_frame = saw_scan = False
+
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # TEM / stray RST: parameterless
+        if pos + 2 > n:
+            raise ValueError("JPEG segment length truncated")
+        seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if seglen < 2 or pos + seglen > n:
+            raise ValueError("JPEG segment runs past end of data")
+        seg = payload[pos + 2 : pos + seglen]
+        pos += seglen
+
+        if marker == 0xDB:  # DQT
+            s = 0
+            while s < len(seg):
+                pq, tq = seg[s] >> 4, seg[s] & 0x0F
+                s += 1
+                if pq == 0:
+                    vals = np.frombuffer(seg[s : s + 64], dtype=np.uint8)
+                    s += 64
+                elif pq == 1:
+                    vals = np.frombuffer(seg[s : s + 128], dtype=">u2")
+                    s += 128
+                else:
+                    raise ValueError(f"JPEG DQT precision {pq}")
+                if len(vals) != 64:
+                    raise ValueError("JPEG DQT table truncated")
+                nat = np.zeros(64, dtype=np.int32)
+                nat[ZIGZAG] = vals  # DQT values arrive in zigzag order
+                qt[tq] = nat.reshape(8, 8)
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline sequential
+            saw_frame = True
+            precision, height, width, ncomp = struct.unpack(
+                ">BHHB", seg[:6]
+            )
+            if precision != 8:
+                raise NotImplementedError(
+                    f"JPEG {precision}-bit precision (baseline decoder is 8-bit)"
+                )
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG {ncomp}-component frame (grayscale/YCbCr only; "
+                    "CMYK needs a codec library)"
+                )
+            if height == 0:
+                raise NotImplementedError("JPEG DNL-deferred height")
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq))
+            if any(c.h < 1 or c.v < 1 for c in comps):
+                raise ValueError("JPEG zero sampling factor")
+        elif marker == 0xC2:
+            raise NotImplementedError(
+                "progressive JPEG (SOF2) — install Pillow for this file"
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG frame type 0xFF{marker:02X} (lossless/hierarchical/"
+                "arithmetic) — install Pillow for this file"
+            )
+        elif marker == 0xCC:
+            raise NotImplementedError("JPEG arithmetic coding (DAC)")
+        elif marker == 0xC4:  # DHT
+            s = 0
+            while s < len(seg):
+                tc, th = seg[s] >> 4, seg[s] & 0x0F
+                bits = list(seg[s + 1 : s + 17])
+                cnt = sum(bits)
+                values = bytes(seg[s + 17 : s + 17 + cnt])
+                table = _HuffDecoder(bits, values)
+                (dc_tables if tc == 0 else ac_tables)[th] = table
+                s += 17 + cnt
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if not saw_frame:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
+                comp = next((c for c in comps if c.cid == cs), None)
+                if comp is None:
+                    raise ValueError(f"JPEG scan references component {cs}")
+                comp.dc_id, comp.ac_id = tdta >> 4, tdta & 0x0F
+                scan_comps.append(comp)
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            if (ss, se, ahal) != (0, 63, 0):
+                raise NotImplementedError(
+                    "JPEG spectral selection / successive approximation "
+                    "(progressive scan parameters) in a sequential frame"
+                )
+            pos = _decode_scan(
+                payload, pos, scan_comps, comps, dc_tables, ac_tables,
+                qt, width, height, restart_interval,
+            )
+            saw_scan = True
+        elif 0xE0 <= marker <= 0xEF or marker == 0xFE:
+            continue  # APPn / COM
+        elif marker == 0xDC:
+            continue  # DNL: height already known from SOF (0 rejected)
+        else:
+            raise ValueError(f"unexpected JPEG marker 0xFF{marker:02X}")
+
+    if not saw_scan:
+        raise ValueError("JPEG ended without a scan")
+    return _assemble(comps, qt, width, height)
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    scan_comps: list[_Component],
+    all_comps: list[_Component],
+    dc_tables: dict[int, _HuffDecoder],
+    ac_tables: dict[int, _HuffDecoder],
+    qt: dict[int, np.ndarray],
+    width: int,
+    height: int,
+    restart_interval: int,
+) -> int:
+    hmax = max(c.h for c in all_comps)
+    vmax = max(c.v for c in all_comps)
+    for c in all_comps:
+        if c.tq not in qt:
+            raise ValueError(f"JPEG component uses undefined DQT {c.tq}")
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        mcus_x = -(-width // (8 * hmax))
+        mcus_y = -(-height // (8 * vmax))
+        units = [(c, bx, by) for c in scan_comps
+                 for by in range(c.v) for bx in range(c.h)]
+    else:
+        c = scan_comps[0]
+        cw = -(-width * c.h // hmax)
+        ch = -(-height * c.v // vmax)
+        mcus_x = -(-cw // 8)
+        mcus_y = -(-ch // 8)
+        units = [(c, 0, 0)]
+    for c in scan_comps:
+        c.pred = 0
+        if c.dc_id not in dc_tables or c.ac_id not in ac_tables:
+            raise ValueError("JPEG scan uses undefined Huffman table")
+
+    br = _BitReader(data, pos)
+    to_go = restart_interval
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and to_go == 0:
+                br.byte_align()
+                p = br.pos
+                if p + 2 > len(data) or data[p] != 0xFF or not (
+                    0xD0 <= data[p + 1] <= 0xD7
+                ):
+                    raise ValueError("JPEG restart marker missing")
+                br.pos = p + 2
+                for c in scan_comps:
+                    c.pred = 0
+                to_go = restart_interval
+            for c, bx, by in units:
+                block = _decode_block(
+                    br, dc_tables[c.dc_id], ac_tables[c.ac_id], c
+                )
+                if interleaved:
+                    key = (my * c.v + by, mx * c.h + bx)
+                else:
+                    key = (my, mx)
+                c.blocks[key] = block
+            if restart_interval:
+                to_go -= 1
+    # register plane block-grid extents
+    for c in scan_comps:
+        if interleaved:
+            c.bh = max(c.bh, mcus_y * c.v)
+            c.bw = max(c.bw, mcus_x * c.h)
+        else:
+            c.bh = max(c.bh, mcus_y)
+            c.bw = max(c.bw, mcus_x)
+    br.byte_align()
+    return br.pos
+
+
+def _decode_block(
+    br: _BitReader, dc: _HuffDecoder, ac: _HuffDecoder, comp: _Component
+) -> np.ndarray:
+    coef = np.zeros(64, dtype=np.int32)
+    t = br.decode_symbol(dc)
+    if t > 11:
+        raise ValueError(f"JPEG DC category {t} out of range")
+    comp.pred += br.receive_extend(t)
+    coef[0] = comp.pred
+    k = 1
+    while k <= 63:
+        rs = br.decode_symbol(ac)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run past end of block")
+        coef[ZIGZAG[k]] = br.receive_extend(s)
+        k += 1
+    return coef
+
+
+def _assemble(
+    comps: list[_Component],
+    qt: dict[int, np.ndarray],
+    width: int,
+    height: int,
+) -> np.ndarray:
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    planes = []
+    for c in comps:
+        if not c.blocks:
+            raise ValueError(f"JPEG component {c.cid} never scanned")
+        grid = np.zeros((c.bh, c.bw, 64), dtype=np.int32)
+        for (by, bx), coef in c.blocks.items():
+            grid[by, bx] = coef
+        deq = grid.reshape(-1, 8, 8) * qt[c.tq][None, :, :]
+        # inverse DCT over the whole block stack: f = A^T F A
+        pix = np.einsum("ux,nuv,vy->nxy", _A, deq.astype(np.float64), _A)
+        pix = np.clip(np.round(pix) + 128, 0, 255)
+        plane = (
+            pix.reshape(c.bh, c.bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c.bh * 8, c.bw * 8)
+        )
+        cw = -(-width * c.h // hmax)
+        ch = -(-height * c.v // vmax)
+        plane = plane[:ch, :cw]
+        # nearest upsample to the frame grid
+        ys = np.minimum(np.arange(height) * c.v // vmax, ch - 1)
+        xs = np.minimum(np.arange(width) * c.h // hmax, cw - 1)
+        planes.append(plane[ys][:, xs])
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8)[:, :, None]
+    y, cb, cr = (p.astype(np.float64) for p in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------- encode
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    *,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w), (h, w, 1) or (h, w, 3) uint8 array as a
+    baseline JFIF JPEG (4:4:4, or 4:2:0 when ``subsample``)."""
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 3):
+        raise ValueError("encode_jpeg wants (h, w[, 1|3]) uint8")
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("encode_jpeg: empty image")
+    a = a.astype(np.float64)
+    ql, qc = quality_tables(quality)
+    gray = a.shape[2] == 1
+    if gray:
+        planes = [a[:, :, 0]]
+        samp = [(1, 1)]
+        qids = [0]
+        qtabs = {0: ql.reshape(8, 8)}
+    else:
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            cb = _box2(cb)
+            cr = _box2(cr)
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qids = [0, 1, 1]
+        qtabs = {0: ql.reshape(8, 8), 1: qc.reshape(8, 8)}
+
+    # Huffman tables: flat canonical codes carried in the file
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    dc_bits, dc_vals, dc_enc = _build_encoder_table(dc_syms, 4)
+    ac_bits, ac_vals, ac_enc = _build_encoder_table(ac_syms, 8)
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # per-component padded block grids of quantised zigzag coefficients
+    comp_blocks = []
+    for plane, (sh, sv), qid in zip(planes, samp, qids):
+        cw = -(-w * sh // hmax)
+        ch = -(-h * sv // vmax)
+        p = plane[
+            np.minimum(np.arange(ch), plane.shape[0] - 1)[:, None],
+            np.minimum(np.arange(cw), plane.shape[1] - 1)[None, :],
+        ]
+        bw, bh = mcus_x * sh, mcus_y * sv
+        padded = np.empty((bh * 8, bw * 8))
+        padded[:ch, :cw] = p
+        padded[ch:, :cw] = p[-1:, :]  # edge-replicate pad
+        padded[:, cw:] = padded[:, cw - 1 : cw]
+        blocks = (
+            padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        f = np.einsum("ux,nmxy,vy->nmuv", _A, blocks, _A)
+        q = np.round(f / qtabs[qid][None, None, :, :]).astype(np.int32)
+        comp_blocks.append(q.reshape(bh, bw, 64)[:, :, ZIGZAG])
+    # NB: reshape(bh,bw,64) flattens each 8x8 natural-order; [:, :, ZIGZAG]
+    # reorders into zigzag scan order.
+
+    bw_ = _BitWriter()
+    preds = [0] * len(planes)
+    to_go = restart_interval
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and to_go == 0:
+                bw_.flush()
+                bw_.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                preds = [0] * len(planes)
+                to_go = restart_interval
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = comp_blocks[ci][my * sv + by, mx * sh + bx]
+                        preds[ci] = _encode_block(
+                            bw_, zz, preds[ci], dc_enc, ac_enc
+                        )
+            if restart_interval:
+                to_go -= 1
+    bw_.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _app0_jfif()
+    for tq, tab in qtabs.items():
+        zz = tab.reshape(-1)[ZIGZAG].astype(np.uint8)
+        out += _segment(0xDB, bytes([tq]) + zz.tobytes())
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i, ((sh, sv), qid) in enumerate(zip(samp, qids)):
+        sof += bytes([i + 1, (sh << 4) | sv, qid])
+    out += _segment(0xC0, sof)
+    out += _segment(
+        0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+    )
+    out += _segment(
+        0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    )
+    if restart_interval:
+        out += _segment(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])  # DC table 0, AC table 0 for all
+    sos += bytes([0, 63, 0])
+    out += _segment(0xDA, sos)
+    out += bw_.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _box2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box-filter downsample with edge replication for odd dims."""
+    h, w = plane.shape
+    p = plane
+    if h % 2:
+        p = np.vstack([p, p[-1:, :]])
+    if w % 2:
+        p = np.hstack([p, p[:, -1:]])
+    return (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0
+
+
+def _bit_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_block(
+    bw: _BitWriter,
+    zz: np.ndarray,
+    pred: int,
+    dc_enc: dict[int, tuple[int, int]],
+    ac_enc: dict[int, tuple[int, int]],
+) -> int:
+    dc = int(zz[0])
+    diff = dc - pred
+    s = _bit_category(diff)
+    code, ln = dc_enc[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = _bit_category(v)
+        if s > 10:
+            raise ValueError("JPEG AC coefficient out of baseline range")
+        code, ln = ac_enc[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, ln = ac_enc[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def _segment(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _app0_jfif() -> bytes:
+    return _segment(
+        0xE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )

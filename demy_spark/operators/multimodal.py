@@ -6,13 +6,16 @@ next to structured metadata; decode/feature-extraction runs as
 Arrow-batched ``mapInPandas`` so bytes never round-trip through Python
 row objects. Image decode auto-detects Pillow at runtime
 (``pillow_available()``): when present, ``decode_image`` decodes real
-JPEG/PNG bytes; when absent (this container), PNG payloads still
-decode for REAL through the vendored pure-stdlib PNG codec
+JPEG/PNG bytes via libjpeg; when absent (this container), PNG
+payloads decode for REAL through the vendored pure-stdlib PNG codec
 (``encode_png``/``_png_decode`` — the public ISO/IEC 15948 spec, all
-five scanline filters), and only codec-library formats (JPEG, video,
-audio) fall back to a clearly-marked deterministic fake keystream
-with the identical schema/batch shape, so the Spark-side plumbing —
-schema, batching, partitioning — is real and tested either way.
+five scanline filters) and baseline-JPEG payloads decode for REAL
+through the vendored pure-Python codec (``demy_spark.jpeg``, r10 —
+ITU-T T.81 baseline sequential, numpy IDCT); only the remaining
+codec-library formats (progressive JPEG, video, audio) fall back to
+a clearly-marked deterministic fake keystream with the identical
+schema/batch shape — machine-visible per row via ``decode_real`` —
+so the Spark-side plumbing is real and tested either way.
 """
 
 from __future__ import annotations
@@ -319,13 +322,36 @@ def _pillow_decode(payload: bytes | None, h: int, w: int, c: int = 3) -> list[fl
     return (np.asarray(img, dtype=np.float32) / 255.0).ravel().tolist()
 
 
+def _jpeg_decode(payload: bytes | None, h: int, w: int, c: int = 3) -> list[float]:
+    """REAL baseline-JPEG decode without any codec dependency
+    (demy_spark.jpeg, r10 — pure Python + numpy IDCT), then the same
+    channel-convert / nearest-resize / [0,1]-scale contract as the
+    PNG and Pillow paths."""
+    import numpy as np
+
+    from demy_spark.jpeg import decode_jpeg
+
+    arr = _convert_channels(decode_jpeg(payload or b""), c)
+    ah, aw = arr.shape[:2]
+    if (ah, aw) != (h, w):
+        ys = (np.arange(h) * ah // h).clip(0, ah - 1)
+        xs = (np.arange(w) * aw // w).clip(0, aw - 1)
+        arr = arr[ys][:, xs]
+    return (arr.astype(np.float32) / 255.0).ravel().tolist()
+
+
 def _auto_decode(payload: bytes | None, h: int, w: int, c: int = 3) -> list[float]:
     """Dependency-free default: REAL pure-Python decode for PNG
-    payloads (the one format the stdlib can carry end-to-end), the
-    deterministic fake for everything else (JPEG/video codecs are
+    payloads and (r10) baseline-JPEG payloads; the deterministic fake
+    for everything else (progressive JPEG, video and audio codecs are
     C libraries this container does not ship)."""
     if payload and payload.startswith(_PNG_MAGIC):
         return _png_decode(payload, h, w, c)
+    if payload and payload.startswith(b"\xff\xd8\xff"):
+        from demy_spark.jpeg import sniff_baseline
+
+        if sniff_baseline(bytes(payload)):
+            return _jpeg_decode(payload, h, w, c)
     return _fake_decode(payload, h, w, c)
 
 
@@ -392,13 +418,18 @@ def decode_image(
 def _decode_realness(dec):
     """Per-payload realness predicate for the ``decode_real`` column:
     the known decoders report exactly which payloads got REAL pixels
-    (_auto_decode: only PNG); an explicit caller-supplied decoder is
-    trusted as real — callers passing ``_fake_decode`` for
-    reproducible CI get the honest False."""
+    (_auto_decode: PNG + baseline JPEG since r10); an explicit
+    caller-supplied decoder is trusted as real — callers passing
+    ``_fake_decode`` for reproducible CI get the honest False."""
     if dec is _fake_decode:
         return lambda p: False
     if dec is _auto_decode:
-        return lambda p: bool(p) and bytes(p[: len(_PNG_MAGIC)]) == _PNG_MAGIC
+        from demy_spark.jpeg import sniff_baseline
+
+        return lambda p: bool(p) and (
+            bytes(p[: len(_PNG_MAGIC)]) == _PNG_MAGIC
+            or sniff_baseline(bytes(p))
+        )
     return lambda p: p is not None
 
 
