@@ -132,22 +132,31 @@ def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 class _HuffDecoder:
-    """Canonical Huffman decoder from a DHT (bits[16] + values)."""
+    """Canonical Huffman decoder from a DHT (bits[16] + values),
+    compiled to a flat 16-bit-prefix LUT: entry = (symbol << 5) |
+    code_length, 0 = invalid prefix — one list index per symbol
+    instead of one dict probe per bit."""
 
     def __init__(self, bits: list[int], values: bytes):
-        self.lut: dict[tuple[int, int], int] = {}
+        lut = np.zeros(1 << 16, dtype=np.int32)
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
                 if k >= len(values):
                     raise ValueError("JPEG DHT: fewer values than bits declare")
-                self.lut[(length, code)] = values[k]
+                start = code << (16 - length)
+                lut[start : start + (1 << (16 - length))] = (
+                    int(values[k]) << 5
+                ) | length
                 code += 1
                 k += 1
+            if code > (1 << length):
+                raise ValueError("JPEG DHT: oversubscribed code lengths")
             code <<= 1
         if k != len(values):
             raise ValueError("JPEG DHT: more values than bits declare")
+        self.lut16 = lut.tolist()  # plain-list indexing is fastest here
 
 
 def _build_encoder_table(symbols: list[int], length: int) -> tuple[
@@ -165,65 +174,78 @@ def _build_encoder_table(symbols: list[int], length: int) -> tuple[
     return bits, list(symbols), enc
 
 
-class _BitReader:
-    """Entropy-segment bit reader: unstuffs 0xFF00, stops AT markers
-    (position left on the 0xFF)."""
-
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.bitbuf = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        d = self.data
-        if self.pos >= len(d):
-            raise ValueError("JPEG entropy data truncated")
-        b = d[self.pos]
-        if b == 0xFF:
-            if self.pos + 1 >= len(d):
-                raise ValueError("JPEG entropy data truncated at 0xFF")
-            if d[self.pos + 1] == 0x00:
-                self.pos += 2
-            else:  # a marker — the scan is over; bytes must not be read
-                raise ValueError(
-                    "JPEG entropy decoder ran into marker "
-                    f"0xFF{d[self.pos + 1]:02X} mid-block"
-                )
+def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Pre-scan one entropy-coded segment: unstuff 0xFF00 in bulk,
+    split at restart markers (RST0-7), skip 0xFF fill bytes, and stop
+    at the first real marker. Returns (clean byte segments — one per
+    restart interval — and the offset of the terminating 0xFF)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    n = len(data)
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            raise ValueError("JPEG entropy data ended without a marker")
+        cur += data[i:j]
+        m = data[j + 1]
+        if m == 0x00:  # stuffed data byte
+            cur += b"\xff"
+            i = j + 2
+        elif m == 0xFF:  # fill byte before a marker
+            i = j + 1
+        elif 0xD0 <= m <= 0xD7:  # restart: segment boundary
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i = j + 2
         else:
-            self.pos += 1
-        self.bitbuf = (self.bitbuf << 8) | b
-        self.nbits += 8
+            segs.append(bytes(cur))
+            return segs, j
 
-    def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.bitbuf >> self.nbits) & 1
 
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+class _FastBits:
+    """Bulk bit reader over a CLEAN (unstuffed) entropy segment.
+    Reads past the real end are fed 1-bits (the encoder's pad value);
+    more than four synthetic bytes means genuine truncation."""
 
-    def byte_align(self) -> None:
+    __slots__ = ("data", "n", "pos", "acc", "nbits", "synth")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.n = len(data)
+        self.pos = 0
+        self.acc = 0
         self.nbits = 0
-        self.bitbuf = 0
+        self.synth = 0
 
-    def decode_symbol(self, table: _HuffDecoder) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.bit()
-            sym = table.lut.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("JPEG Huffman code longer than 16 bits")
+    def _need(self, want: int) -> None:
+        # trim consumed high bits so acc stays a small int
+        self.acc &= (1 << self.nbits) - 1
+        while self.nbits < want:
+            if self.pos < self.n:
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                self.synth += 1
+                if self.synth > 4:
+                    raise ValueError("JPEG entropy data truncated")
+                self.acc = (self.acc << 8) | 0xFF
+            self.nbits += 8
+
+    def symbol(self, lut16: list[int]) -> int:
+        if self.nbits < 16:
+            self._need(16)
+        entry = lut16[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+        if entry == 0:
+            raise ValueError("JPEG invalid Huffman code")
+        self.nbits -= entry & 31
+        return entry >> 5
 
     def receive_extend(self, s: int) -> int:
-        if s == 0:
-            return 0
-        v = self.bits(s)
+        if self.nbits < s:
+            self._need(s)
+        self.nbits -= s
+        v = (self.acc >> self.nbits) & ((1 << s) - 1)
         if v < (1 << (s - 1)):  # negative branch (T.81 F.2.2.1 EXTEND)
             v -= (1 << s) - 1
         return v
@@ -314,6 +336,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at {pos}")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         pos += 2
         if marker == 0xD9:  # EOI
             break
@@ -460,25 +485,29 @@ def _decode_scan(
         if c.dc_id not in dc_tables or c.ac_id not in ac_tables:
             raise ValueError("JPEG scan uses undefined Huffman table")
 
-    br = _BitReader(data, pos)
+    segs, end = _split_entropy(data, pos)
+    if restart_interval == 0 and len(segs) > 1:
+        raise ValueError("JPEG restart marker without a DRI interval")
+    seg_it = iter(segs)
+    br = _FastBits(next(seg_it))
+    # bind the hot lookups once per scan
+    units_fast = [
+        (c, bx, by, dc_tables[c.dc_id].lut16, ac_tables[c.ac_id].lut16)
+        for c, bx, by in units
+    ]
     to_go = restart_interval
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and to_go == 0:
-                br.byte_align()
-                p = br.pos
-                if p + 2 > len(data) or data[p] != 0xFF or not (
-                    0xD0 <= data[p + 1] <= 0xD7
-                ):
+                nxt = next(seg_it, None)
+                if nxt is None:
                     raise ValueError("JPEG restart marker missing")
-                br.pos = p + 2
+                br = _FastBits(nxt)
                 for c in scan_comps:
                     c.pred = 0
                 to_go = restart_interval
-            for c, bx, by in units:
-                block = _decode_block(
-                    br, dc_tables[c.dc_id], ac_tables[c.ac_id], c
-                )
+            for c, bx, by, dc_lut, ac_lut in units_fast:
+                block = _decode_block(br, dc_lut, ac_lut, c)
                 if interleaved:
                     key = (my * c.v + by, mx * c.h + bx)
                 else:
@@ -486,6 +515,8 @@ def _decode_scan(
                 c.blocks[key] = block
             if restart_interval:
                 to_go -= 1
+    if next(seg_it, None) is not None:
+        raise ValueError("JPEG restart marker after the final MCU")
     # register plane block-grid extents
     for c in scan_comps:
         if interleaved:
@@ -494,32 +525,33 @@ def _decode_scan(
         else:
             c.bh = max(c.bh, mcus_y)
             c.bw = max(c.bw, mcus_x)
-    br.byte_align()
-    return br.pos
+    return end
 
 
 def _decode_block(
-    br: _BitReader, dc: _HuffDecoder, ac: _HuffDecoder, comp: _Component
-) -> np.ndarray:
-    coef = np.zeros(64, dtype=np.int32)
-    t = br.decode_symbol(dc)
-    if t > 11:
-        raise ValueError(f"JPEG DC category {t} out of range")
-    comp.pred += br.receive_extend(t)
+    br: _FastBits, dc_lut: list[int], ac_lut: list[int], comp: _Component
+) -> list[int]:
+    coef = [0] * 64
+    t = br.symbol(dc_lut)
+    if t:
+        if t > 11:
+            raise ValueError(f"JPEG DC category {t} out of range")
+        comp.pred += br.receive_extend(t)
     coef[0] = comp.pred
     k = 1
+    zz = ZIGZAG
     while k <= 63:
-        rs = br.decode_symbol(ac)
-        r, s = rs >> 4, rs & 0x0F
+        rs = br.symbol(ac_lut)
+        s = rs & 0x0F
         if s == 0:
-            if r == 15:  # ZRL: sixteen zeros
+            if rs == 0xF0:  # ZRL: sixteen zeros
                 k += 16
                 continue
             break  # EOB
-        k += r
+        k += rs >> 4
         if k > 63:
             raise ValueError("JPEG AC run past end of block")
-        coef[ZIGZAG[k]] = br.receive_extend(s)
+        coef[zz[k]] = br.receive_extend(s)
         k += 1
     return coef
 

@@ -9895,26 +9895,287 @@ def q145_crawl_archives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(pq)
 
 
+_Q146_MEDIA = [
+    # (media_id, h, w, gray_level, encode kwargs) — solid R=G=B=v
+    # images at quality=100: Y=v and Cb=Cr=128 are EXACT integers, the
+    # q100 quantisers are 1, so the decoded block is bit-exact v at
+    # every pixel whatever the sampling/restart layout. That exactness
+    # is what lets the oracle carry constructed literals.
+    (1, 8, 8, 0, {}),
+    (2, 16, 24, 37, {}),
+    (3, 7, 5, 128, {}),
+    (4, 31, 47, 200, {"subsample": True}),
+    (5, 33, 49, 64, {"subsample": True, "restart_interval": 2}),
+    (6, 9, 10, 255, {"grayscale": True}),
+]
+
+
+def _q146_media_rows():
+    """Driver-built media payloads: solid JPEGs from the table above,
+    one PNG (vendored codec), one progressive-marked JPEG that must
+    take the marked-fake path."""
+    import numpy as np
+
+    from demy_spark.jpeg import encode_jpeg
+    from demy_spark.operators.multimodal import encode_png
+
+    rows = []
+    for mid, h, w, v, kw in _Q146_MEDIA:
+        kw = dict(kw)
+        if kw.pop("grayscale", False):
+            img = np.full((h, w), v, dtype=np.uint8)
+        else:
+            img = np.full((h, w, 3), v, dtype=np.uint8)
+        rows.append(
+            (mid, bytearray(encode_jpeg(img, quality=100, **kw)),
+             ("image/jpeg", w, h, 0))
+        )
+    # PNG through the same operator: 2x2 RGB with known min 0 / max 255
+    png = encode_png(bytes([0, 128, 255, 255, 0, 128, 128, 255, 0, 0, 0, 255]), 2, 2, 3)
+    rows.append((7, bytearray(png), ("image/png", 2, 2, 0)))
+    # progressive-marked JPEG: SOF0 -> SOF2; sniff_baseline must route
+    # it to the deterministic fake with decode_real = false
+    base = bytes(rows[0][1])
+    i = base.index(b"\xff\xc0")
+    rows.append(
+        (8, bytearray(base[:i] + b"\xff\xc2" + base[i + 2 :]),
+         ("image/jpeg", 8, 8, 0))
+    )
+    return rows
+
+
+def _q146_oracle() -> str:
+    """Constructed literals — every value comes from the CONSTRUCTION
+    of the media set (gray level v, dims, the PNG byte pattern), never
+    from running the decoder: solid q100 JPEGs decode bit-exactly to v
+    (DC-only blocks over unit quantisers), so px_min = px_max = v; the
+    progressive row is fake-decoded with NULL pixel stats."""
+    vals = [
+        f"(CAST({mid} AS BIGINT), {h}, {w}, 3, true, {v}, {v})"
+        for mid, h, w, v, _ in _Q146_MEDIA
+    ]
+    vals.append("(CAST(7 AS BIGINT), 2, 2, 3, true, 0, 255)")
+    vals.append(
+        "(CAST(8 AS BIGINT), 8, 8, 3, false, "
+        "CAST(NULL AS INTEGER), CAST(NULL AS INTEGER))"
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(media_id, height, width, channels, decode_real, px_min, px_max)"
+    )
+
+
+@register("q146_jpeg_decode", _q146_oracle)
+def q146_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG decode value-verified end-to-end (r10 — the
+    pure-Python T.81 codec behind multimodal's dependency-free path;
+    reference treats media as binary + decode UDFs, SURVEY §2 LLM
+    extensions). Solid-gray JPEGs across even/odd dims, 4:2:0
+    subsampling, restart intervals and a 1-channel encode are decoded
+    by the REAL ``decode_image`` operator (Arrow ``mapInPandas``);
+    because a solid image at quality 100 decodes bit-exactly, the
+    per-media pixel min/max must equal the constructed gray level —
+    any Huffman/dequant/IDCT/upsample defect shifts at least one
+    pixel and fails the row. A PNG rides the same operator (vendored
+    codec) and a progressive-marked JPEG must take the
+    machine-visible fake path (decode_real = false, stats NULL).
+    Media generation is driver-side by design; Spark decodes
+    distributed."""
+    from demy_spark.operators.multimodal import MEDIA_SCHEMA, decode_image
+
+    media = spark.createDataFrame(_q146_media_rows(), MEDIA_SCHEMA)
+    decoded = decode_image(media)
+    px255 = lambda f: F.round(f(F.col("pixels")) * 255.0, 0).cast("int")  # noqa: E731
+    return decoded.select(
+        "media_id",
+        "height",
+        "width",
+        "channels",
+        "decode_real",
+        F.when(F.col("decode_real"), px255(F.array_min)).alias("px_min"),
+        F.when(F.col("decode_real"), px255(F.array_max)).alias("px_max"),
+    )
+
+
+_Q147_AUDIO = [
+    # (media_id, sample_rate, n_channels, width_bytes, amplitude_num,
+    #  amplitude_den_pow2, n_frames) — square waves (odd media) and DC
+    #  signals (even media) whose full-scale-normalised RMS and peak
+    #  are EXACTLY amplitude/2^den: every sample has |x| = amp, so
+    #  rms = peak = amp exactly in binary floating point.
+    (1, 16000, 1, 2, 8192, 15, 16000),   # 0.25, 1s mono 16-bit
+    (2, 8000, 1, 1, 32, 7, 800),         # 0.25, 100ms 8-bit
+    (3, 44100, 1, 3, 1 << 21, 23, 441),  # 0.25, 10ms 24-bit
+    (4, 48000, 2, 4, 1 << 29, 31, 96),   # 0.25, 2ms stereo 32-bit
+    (5, 22050, 1, 2, 16384, 15, 2205),   # 0.5, 100ms
+    (6, 11025, 1, 2, 0, 15, 512),        # silence: rms = peak = 0
+]
+
+
+def _q147_media_rows():
+    from demy_spark.operators.multimodal import encode_wav
+
+    rows = []
+    for mid, rate, nch, width, amp, _pw, nframes in _Q147_AUDIO:
+        total = nframes * nch
+        if mid % 2 == 0:  # DC signal
+            samples = [amp] * total
+        else:  # square wave
+            samples = [amp if i % 2 == 0 else -amp for i in range(total)]
+        rows.append(
+            (mid, bytearray(encode_wav(samples, rate, nch, width)),
+             ("audio/wav", 0, 0, 0))
+        )
+    # a compressed-format payload: must take the NULL/fake row
+    rows.append((7, bytearray(b"ID3\x04\x00" + b"\x00" * 64), ("audio/mpeg", 0, 0, 0)))
+    return rows
+
+
+def _q147_oracle() -> str:
+    """Constructed literals: every feature follows from the synthesis
+    parameters (square/DC at amplitude amp over full scale 2^k ->
+    rms = peak = amp/2^k exactly; duration = 1000*frames//rate). The
+    wave-parsing path under test never touches this side."""
+    vals = []
+    for mid, rate, nch, width, amp, pw, nframes in _Q147_AUDIO:
+        level = amp / (1 << pw)
+        vals.append(
+            f"(CAST({mid} AS BIGINT), {rate}, {nch}, "
+            f"CAST({nframes} AS BIGINT), CAST({nframes * 1000 // rate} AS BIGINT), "
+            f"CAST({level!r} AS DOUBLE), CAST({level!r} AS DOUBLE), true)"
+        )
+    vals.append(
+        "(CAST(7 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), "
+        "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), "
+        "CAST(NULL AS DOUBLE), false)"
+    )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(vals) + ") AS t(media_id, "
+        "sample_rate, n_channels, n_samples, duration_ms, rms, peak, "
+        "decode_real)"
+    )
+
+
+@register("q147_audio_features", _q147_oracle)
+def q147_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM-WAV audio features value-verified end-to-end (r10 —
+    multimodal extension; the reference treats media as binary +
+    decode UDFs). Square-wave and DC fixtures across 8/16/24/32-bit
+    widths and mono/stereo run through the REAL stdlib-``wave``
+    extractor (Arrow ``mapInPandas``); amplitudes are powers-of-two
+    fractions of full scale so RMS and peak are exactly representable
+    doubles the oracle carries as constructed literals. A compressed
+    (mp3-marked) payload must land on the honest NULL row with
+    ``decode_real = false``. Media generation is driver-side by
+    design; Spark extracts distributed."""
+    from demy_spark.operators.multimodal import MEDIA_SCHEMA, extract_audio_features
+
+    media = spark.createDataFrame(_q147_media_rows(), MEDIA_SCHEMA)
+    return extract_audio_features(media)
+
+
+_Q148_VIDEO = [
+    # (media_id, brand, timescale, duration_units, [(w, h)]) — mvhd
+    # duration_ms = 1000*duration//timescale exactly by construction
+    (1, "isom", 1000, 7500, [(640, 360)]),
+    (2, "mp42", 90000, 2700000, [(1920, 1080), (0, 0)]),  # audio trak 0x0
+    (3, "qt  ", 600, 3601, [(1280, 720)]),
+    (4, "isom", 1000, 0, []),  # moov with no tracks
+]
+
+
+def _q148_media_rows():
+    import struct as _struct
+
+    def box(t: bytes, body: bytes) -> bytes:
+        return _struct.pack(">I", len(body) + 8) + t + body
+
+    rows = []
+    for mid, brand, ts, dur, tracks in _Q148_VIDEO:
+        ftyp = box(b"ftyp", brand.encode("latin-1") + _struct.pack(">I", 0) + b"isom")
+        mvhd = box(
+            b"mvhd",
+            bytes(4) + _struct.pack(">II", 0, 0)
+            + _struct.pack(">II", ts, dur) + bytes(80),
+        )
+        traks = b"".join(
+            box(b"trak", box(b"tkhd", bytes(4) + bytes(72)
+                             + _struct.pack(">II", w << 16, h << 16)))
+            for w, h in tracks
+        )
+        payload = ftyp + box(b"moov", mvhd + traks)
+        rows.append((mid, bytearray(payload), ("video/mp4", 0, 0, 0)))
+    # a non-BMFF payload: honest NULL row
+    rows.append((5, bytearray(b"RIFFxxxxAVI LIST"), ("video/avi", 0, 0, 0)))
+    return rows
+
+
+def _q148_oracle() -> str:
+    """Constructed literals from the box-synthesis parameters —
+    duration_ms = 1000*duration//timescale, dims = the largest tkhd
+    pair, track count = emitted traks. The box parser under test
+    never touches this side."""
+    vals = []
+    for mid, brand, ts, dur, tracks in _Q148_VIDEO:
+        w, h = max(tracks) if tracks else (0, 0)
+        vals.append(
+            f"(CAST({mid} AS BIGINT), '{brand}', "
+            f"CAST({dur * 1000 // ts} AS BIGINT), {w}, {h}, {len(tracks)}, true)"
+        )
+    vals.append(
+        "(CAST(5 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), "
+        "CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), "
+        "CAST(NULL AS INTEGER), false)"
+    )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(vals) + ") AS t(media_id, "
+        "brand, duration_ms, width, height, n_tracks, parse_real)"
+    )
+
+
+@register("q148_video_metadata", _q148_oracle)
+def q148_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO BMFF (MP4) container metadata value-verified end-to-end
+    (r10): hand-constructed ftyp/moov/mvhd/trak/tkhd boxes across
+    brands, timescales and track layouts run through the REAL pure
+    struct-walking parser (no codec library); the oracle carries the
+    construction parameters as literals. A non-BMFF payload must land
+    on the honest NULL row with ``parse_real = false`` — the metadata
+    a curation pipeline filters on (duration, resolution, track
+    count) is real even where frame decode stays stubbed."""
+    from demy_spark.operators.multimodal import MEDIA_SCHEMA, extract_video_metadata
+
+    media = spark.createDataFrame(_q148_media_rows(), MEDIA_SCHEMA)
+    return extract_video_metadata(media)
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-10 window (VERDICT r9 task 1 — the freshness endgame:
 # retire EVERY official row older than r8), in order:
-#   0. the two NEW registrations (never-rowed must sit in-window):
+#   0. the five NEW registrations (never-rowed must sit in-window):
 #      q144 (independent murmur3 oracle for ArrayHasher, VERDICT r9
 #      task 3), q145 (crawler archive-branch oracle incl. the
-#      bomb-cap decoy, task 4).
+#      bomb-cap decoy, task 4; extended late-r10 with the BCJ2 .7z),
+#      and the late-r10 media trio q146 (JPEG decode), q147 (WAV
+#      features), q148 (MP4 metadata).
 #   1. the 6 r6-resting headliners the r9 window had to defer
 #      (arithmetic note in the r9 history): q01, q02, q03, q12, q24,
 #      q26.
 #   2. ALL 37 r7-resting rows, leading with the gated-doc-id five the
 #      r8 verdict named (q37, q112, q118, q133, q136).
-#   3. 2 + 6 + 37 = 45; the remaining 5 slots go to the numerically
-#      first r8 residents (q04-q08), starting the r8 cohort's own
-#      rotation. Done criterion: the latest-round histogram
-#      (scripts/freshness.py) shows zero rows older than r8.
+#   3. 5 + 6 + 37 = 48; the remaining 2 slots go to the numerically
+#      first r8 residents (q04, q05), starting the r8 cohort's own
+#      rotation (q06-q08 listed below stay outside the 50-row window
+#      this round and lead it next). Done criterion: the latest-round
+#      histogram (scripts/freshness.py) shows zero rows older than r8.
 _DRIVER_PRIORITY = [
     # --- tier 0: new registrations (never-rowed)
     "q144_hashingtf_buckets",
     "q145_crawl_archives",
+    "q146_jpeg_decode",
+    "q147_audio_features",
+    "q148_video_metadata",
     # --- tier 1: the six r6-resting headliners
     "q01_pricing_summary",
     "q02_revenue_by_nation",

@@ -154,8 +154,9 @@ def test_idct_matches_direct_sum():
 def test_zigzag_is_the_published_order():
     # first and last entries of T.81 Figure 5 (natural indexes)
     assert ZIGZAG[:10] == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
-    assert ZIGZAG[-4:] == [53, 60, 61, 54] + [63][:0] or True
-    assert ZIGZAG[-1] == 63 and sorted(ZIGZAG) == list(range(64))
+    # tail of T.81 Figure 5: ... 61 54 47 55 62 63
+    assert ZIGZAG[-6:] == [61, 54, 47, 55, 62, 63]
+    assert sorted(ZIGZAG) == list(range(64))
 
 
 def test_quality_tables_follow_ijg_formula():
@@ -342,3 +343,15 @@ def test_multimodal_auto_decode_uses_real_jpeg_path():
     assert realness(prog) is False
     fake = _auto_decode(prog, 8, 8, 3)
     assert len(fake) == 8 * 8 * 3
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker — both the top-level parser and the entropy splitter must
+    skip them."""
+    img = mkimg(16, 16)
+    enc = encode_jpeg(img, quality=95)
+    i = enc.index(b"\xff\xdb")
+    j = enc.index(b"\xff\xd9")
+    padded = enc[:i] + b"\xff\xff" + enc[i:j] + b"\xff" + enc[j:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(enc))

@@ -1,0 +1,202 @@
+"""Audio (PCM WAV via stdlib wave) and video (ISO BMFF metadata)
+extraction — the r10 multimodal extensions. Codec-free REAL paths:
+wave-header + sample math for WAV, pure box-walking for MP4; honest
+NULL + flag rows for compressed formats. Edge cases beyond the
+q147/q148 oracle fixtures: 64-bit largesize boxes, version-1
+mvhd/tkhd, size-0 (to-end) boxes, truncation, and malformed payloads
+that must map to the fake row rather than raise mid-batch.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from demy_spark.operators.multimodal import (
+    _mp4_metadata,
+    _wav_features,
+    encode_wav,
+)
+
+
+def box(t: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + t + body
+
+
+def mvhd_v0(ts: int, dur: int) -> bytes:
+    return box(b"mvhd", bytes(4) + struct.pack(">II", 0, 0)
+               + struct.pack(">II", ts, dur) + bytes(80))
+
+
+def tkhd_v0(w: int, h: int) -> bytes:
+    return box(b"tkhd", bytes(4) + bytes(72) + struct.pack(">II", w << 16, h << 16))
+
+
+# ----------------------------------------------------------------- WAV
+
+
+def test_wav_widths_and_channels():
+    # square wave at amp = quarter full scale for every width
+    for width, amp in [(1, 32), (2, 8192), (3, 1 << 21), (4, 1 << 29)]:
+        sq = [amp if i % 2 == 0 else -amp for i in range(200)]
+        rate, nch, ns, dur, rms, peak = _wav_features(
+            encode_wav(sq, 10000, 1, width)
+        )
+        assert (rate, nch, ns, dur) == (10000, 1, 200, 20)
+        assert rms == 0.25 and peak == 0.25, width
+    # stereo interleave: frames = samples / channels
+    st = _wav_features(encode_wav([100, -100] * 64, 8000, 2, 2))
+    assert st[1] == 2 and st[2] == 64
+
+
+def test_wav_sine_rms_matches_theory():
+    n, amp = 8000, 16384
+    x = np.round(amp * np.sin(2 * np.pi * np.arange(n) * 50 / n)).astype(int)
+    _, _, _, _, rms, peak = _wav_features(encode_wav(list(x), 8000, 1, 2))
+    assert abs(rms - (amp / 32768) / np.sqrt(2)) < 1e-3
+    assert abs(peak - amp / 32768) < 1e-3
+
+
+def test_wav_empty_and_malformed():
+    assert _wav_features(encode_wav([], 8000, 1, 2))[2:] == (0, 0, 0.0, 0.0)
+    assert _wav_features(b"RIFF\x00\x00\x00\x00WAVEjunk") is None
+    assert _wav_features(b"ID3 not wav at all") is None
+    assert _wav_features(b"") is None
+    # RIFF but truncated mid-header
+    good = encode_wav([1, 2, 3], 8000, 1, 2)
+    assert _wav_features(good[:20]) is None
+
+
+def test_wav_nonstandard_width_rejected():
+    # hand-craft RIFF bytes claiming 40-bit samples (stdlib wave reads
+    # the header fine); the extractor must refuse to fake a
+    # normalisation rather than return wrong RMS
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 5, 5, 40)
+    data = b"\x00" * 10
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert _wav_features(payload) is None
+
+
+# ----------------------------------------------------------------- MP4
+
+
+def test_mp4_versioned_boxes():
+    # version-1 mvhd (64-bit duration) and version-1 tkhd
+    mvhd1 = box(b"mvhd", bytes([1]) + bytes(3) + struct.pack(">QQ", 0, 0)
+                + struct.pack(">IQ", 90000, 450000) + bytes(80))
+    tkhd1 = box(b"tkhd", bytes([1]) + bytes(3) + bytes(84)
+                + struct.pack(">II", 320 << 16, 240 << 16))
+    payload = box(b"ftyp", b"mp42" + bytes(4)) + box(
+        b"moov", mvhd1 + box(b"trak", tkhd1)
+    )
+    assert _mp4_metadata(payload) == ("mp42", 5000, 320, 240, 1)
+
+
+def test_mp4_largesize_and_size_zero():
+    inner = mvhd_v0(1000, 2000)
+    body = inner
+    large_moov = struct.pack(">I", 1) + b"moov" + struct.pack(
+        ">Q", len(body) + 16
+    ) + body
+    payload = box(b"ftyp", b"isom" + bytes(4)) + large_moov
+    assert _mp4_metadata(payload) == ("isom", 2000, 0, 0, 0)
+    # size 0 = box extends to end of file
+    tail_moov = struct.pack(">I", 0) + b"moov" + mvhd_v0(500, 250)
+    payload = box(b"ftyp", b"isom" + bytes(4)) + tail_moov
+    assert _mp4_metadata(payload) == ("isom", 500, 0, 0, 0)
+
+
+def test_mp4_multi_track_picks_largest_dims():
+    payload = box(b"ftyp", b"isom" + bytes(4)) + box(
+        b"moov",
+        mvhd_v0(1000, 1000)
+        + box(b"trak", tkhd_v0(640, 360))
+        + box(b"trak", tkhd_v0(1920, 1080))
+        + box(b"trak", tkhd_v0(0, 0)),  # audio track
+    )
+    assert _mp4_metadata(payload) == ("isom", 1000, 1920, 1080, 3)
+
+
+def test_mp4_malformed_returns_none_not_raises():
+    assert _mp4_metadata(b"") is None
+    assert _mp4_metadata(b"\x00\x00\x00\x03zz") is None  # size < 8
+    assert _mp4_metadata(b"RIFFxxxxAVI ") is None
+    # box size past end of payload
+    bad = struct.pack(">I", 4096) + b"moov" + b"short"
+    assert _mp4_metadata(bad) is None
+    # mvhd body truncated before timescale
+    trunc = box(b"ftyp", b"isom" + bytes(4)) + box(
+        b"moov", box(b"mvhd", bytes(6))
+    )
+    assert _mp4_metadata(trunc) is None
+    # zero timescale: duration 0, no crash
+    z = box(b"ftyp", b"isom" + bytes(4)) + box(b"moov", mvhd_v0(0, 99))
+    assert _mp4_metadata(z) == ("isom", 0, 0, 0, 0)
+
+
+# ------------------------------------------------------------ operators
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .appName("test_multimodal_av")
+        .getOrCreate()
+    )
+    yield s
+
+
+def test_extract_audio_features_operator(spark):
+    from demy_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+
+    wav = encode_wav([8192, -8192] * 100, 8000, 1, 2)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(wav), ("audio/wav", 0, 0, 0)),
+            (2, bytearray(b"ID3 mp3 payload"), ("audio/mpeg", 0, 0, 0)),
+            (3, None, (None, 0, 0, 0)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert out[1]["decode_real"] and out[1]["rms"] == 0.25
+    assert out[1]["n_samples"] == 200 and out[1]["duration_ms"] == 25
+    assert not out[2]["decode_real"] and out[2]["rms"] is None
+    assert not out[3]["decode_real"]
+
+
+def test_extract_video_metadata_operator(spark):
+    from demy_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_video_metadata,
+    )
+
+    payload = box(b"ftyp", b"isom" + bytes(4)) + box(
+        b"moov", mvhd_v0(1000, 4000) + box(b"trak", tkhd_v0(640, 480))
+    )
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(payload), ("video/mp4", 0, 0, 0)),
+            (2, bytearray(b"not a video"), (None, 0, 0, 0)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in extract_video_metadata(media).collect()}
+    assert out[1]["parse_real"] and out[1]["duration_ms"] == 4000
+    assert (out[1]["width"], out[1]["height"], out[1]["n_tracks"]) == (640, 480, 1)
+    assert not out[2]["parse_real"] and out[2]["brand"] is None
