@@ -342,10 +342,13 @@ def download(
     `Execute.scala:319-459`; tar matching at `Execute.scala:111` via
     commons-compress): ``.zip`` explodes into ``dest`` as a directory
     (entry names flattened ``/``→``-``, as the reference does),
-    ``.tar`` / ``.tar.gz`` / ``.tgz`` / ``.tar.bz2`` extract their
+    ``.tar`` / ``.tar.gz`` / ``.tgz`` / ``.tar.bz2`` / ``.tar.xz`` /
+    ``.txz`` extract their
     MEMBERS into ``dest`` the same way (stdlib ``tarfile``; member
     names are flattened, so a hostile ``../`` can never escape the
-    spool), ``.gz``/``.bz2`` decompress to a single file, anything
+    spool), ``.gz``/``.bz2``/``.xz``/``.lzma`` decompress to a single
+    file (r10: the xz/lzma-alone containers the reference reads via
+    org.tukaani:xz + CompressorStreamFactory), anything
     else lands verbatim. ``.7z`` extracts through the bounded
     pure-stdlib reader (:mod:`demy_spark.sevenzip`): single-coder
     LZMA/LZMA2/BZip2/Deflate/Copy folders — the ``7z a`` default —
@@ -419,6 +422,23 @@ def download(
         if len(body) > cap:
             raise _bomb("bzip2 stream", cap)
         lower = lower[:-4]
+    elif deflate and lower.endswith((".xz", ".txz", ".lzma")):
+        # r10: the reference's CompressorStreamFactory auto-detects
+        # xz/lzma-alone (org.tukaani:xz is an explicit net2demy
+        # dependency); stdlib lzma reads both containers with the
+        # same bounded incremental contract as gz/bz2
+        import lzma as _lzma
+
+        fmt = _lzma.FORMAT_ALONE if lower.endswith(".lzma") else _lzma.FORMAT_XZ
+        body = _lzma.LZMADecompressor(format=fmt).decompress(
+            body, max_length=cap + 1
+        )
+        if len(body) > cap:
+            raise _bomb("xz/lzma stream", cap)
+        if lower.endswith(".txz"):
+            lower = lower[:-4] + ".tar"
+        else:
+            lower = lower[: -3 if lower.endswith(".xz") else -5]
     if deflate and lower.endswith(".tar"):
         out = []
         seen = {}

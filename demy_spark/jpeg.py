@@ -305,8 +305,11 @@ def sniff_baseline(payload: bytes) -> bool:
             if pos + 10 > n:
                 return False
             precision = payload[pos + 4]
+            height = int.from_bytes(payload[pos + 5 : pos + 7], "big")
             ncomp = payload[pos + 9]
-            return precision == 8 and ncomp in (1, 3)
+            # height 0 = DNL-deferred, a feature class decode_jpeg
+            # rejects — sniff must agree (r10 review)
+            return precision == 8 and height > 0 and ncomp in (1, 3)
         if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             return False

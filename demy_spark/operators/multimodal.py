@@ -296,19 +296,27 @@ def _convert_channels(arr, c: int):
     return arr
 
 
-def _png_decode(payload: bytes | None, h: int, w: int, c: int = 3) -> list[float]:
-    """REAL PNG decode without any codec dependency: the pure-stdlib
-    parser above, then the same channel-convert / nearest-resize /
-    [0,1]-scale contract as ``_pillow_decode``."""
+def _finish_decode(arr, h: int, w: int, c: int) -> list[float]:
+    """Shared tail of every real decode path: channel conversion,
+    nearest-resize to the requested dims, [0,1] row-major floats —
+    ONE implementation so the PNG/JPEG/Pillow contracts cannot
+    drift (r10 review)."""
     import numpy as np
 
-    arr = _convert_channels(_png_decode_array(payload or b""), c)
+    arr = _convert_channels(arr, c)
     ah, aw = arr.shape[:2]
     if (ah, aw) != (h, w):
         ys = (np.arange(h) * ah // h).clip(0, ah - 1)
         xs = (np.arange(w) * aw // w).clip(0, aw - 1)
         arr = arr[ys][:, xs]
     return (arr.astype(np.float32) / 255.0).ravel().tolist()
+
+
+def _png_decode(payload: bytes | None, h: int, w: int, c: int = 3) -> list[float]:
+    """REAL PNG decode without any codec dependency: the pure-stdlib
+    parser above, then the shared channel-convert / nearest-resize /
+    [0,1]-scale tail."""
+    return _finish_decode(_png_decode_array(payload or b""), h, w, c)
 
 
 def _pillow_decode(payload: bytes | None, h: int, w: int, c: int = 3) -> list[float]:
@@ -332,35 +340,53 @@ def _pillow_decode(payload: bytes | None, h: int, w: int, c: int = 3) -> list[fl
 
 def _jpeg_decode(payload: bytes | None, h: int, w: int, c: int = 3) -> list[float]:
     """REAL baseline-JPEG decode without any codec dependency
-    (demy_spark.jpeg, r10 — pure Python + numpy IDCT), then the same
-    channel-convert / nearest-resize / [0,1]-scale contract as the
-    PNG and Pillow paths."""
-    import numpy as np
-
+    (demy_spark.jpeg, r10 — pure Python + numpy IDCT), then the
+    shared channel-convert / nearest-resize / [0,1]-scale tail."""
     from demy_spark.jpeg import decode_jpeg
 
-    arr = _convert_channels(decode_jpeg(payload or b""), c)
-    ah, aw = arr.shape[:2]
-    if (ah, aw) != (h, w):
-        ys = (np.arange(h) * ah // h).clip(0, ah - 1)
-        xs = (np.arange(w) * aw // w).clip(0, aw - 1)
-        arr = arr[ys][:, xs]
-    return (arr.astype(np.float32) / 255.0).ravel().tolist()
+    return _finish_decode(decode_jpeg(payload or b""), h, w, c)
+
+
+def _auto_kind(payload: bytes | None) -> str:
+    """Classify a payload for the dependency-free decoder: 'png' and
+    'jpeg' take the REAL pure-Python paths, everything else the
+    marked fake. ONE classification shared by decode and the
+    decode_real column (r10 review: the JPEG marker walk used to run
+    twice per row)."""
+    if not payload:
+        return "fake"
+    if bytes(payload[: len(_PNG_MAGIC)]) == _PNG_MAGIC:
+        return "png"
+    if bytes(payload[:3]) == b"\xff\xd8\xff":
+        from demy_spark.jpeg import sniff_baseline
+
+        if sniff_baseline(bytes(payload)):
+            return "jpeg"
+    return "fake"
+
+
+def _auto_decode_ex(
+    payload: bytes | None, h: int, w: int, c: int = 3
+) -> tuple[list[float], bool]:
+    """(pixels, decode_real) in one pass — the decode_image fast path
+    for the default decoder."""
+    kind = _auto_kind(payload)
+    if kind == "png":
+        return _png_decode(payload, h, w, c), True
+    if kind == "jpeg":
+        return _jpeg_decode(payload, h, w, c), True
+    return _fake_decode(payload, h, w, c), False
 
 
 def _auto_decode(payload: bytes | None, h: int, w: int, c: int = 3) -> list[float]:
     """Dependency-free default: REAL pure-Python decode for PNG
     payloads and (r10) baseline-JPEG payloads; the deterministic fake
-    for everything else (progressive JPEG, video and audio codecs are
-    C libraries this container does not ship)."""
-    if payload and payload.startswith(_PNG_MAGIC):
-        return _png_decode(payload, h, w, c)
-    if payload and payload.startswith(b"\xff\xd8\xff"):
-        from demy_spark.jpeg import sniff_baseline
-
-        if sniff_baseline(bytes(payload)):
-            return _jpeg_decode(payload, h, w, c)
-    return _fake_decode(payload, h, w, c)
+    for UNSUPPORTED FORMAT CLASSES (progressive JPEG, video and audio
+    codecs are C libraries this container does not ship). CORRUPT
+    payloads of a supported class (truncated JPEG entropy, damaged
+    PNG) raise — same surfaced-error contract as ``_pillow_decode``;
+    quarantine corrupt media upstream."""
+    return _auto_decode_ex(payload, h, w, c)[0]
 
 
 def default_image_decoder():
@@ -394,6 +420,9 @@ def decode_image(
     to override detection."""
     dec = decoder or default_image_decoder()
     dh, dw = default_hw
+    # the default decoder classifies each payload ONCE and returns
+    # (pixels, real) together; explicit decoders use the predicate
+    ex = _auto_decode_ex if dec is _auto_decode else None
     realness = _decode_realness(dec)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -407,8 +436,12 @@ def decode_image(
                 hs.append(h)
                 ws.append(w)
                 payload = pdf[payload_col].iloc[i]
-                px.append(dec(payload, h, w, channels))
-                real.append(realness(payload))
+                if ex is not None:
+                    p, r = ex(payload, h, w, channels)
+                else:
+                    p, r = dec(payload, h, w, channels), realness(payload)
+                px.append(p)
+                real.append(r)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -432,12 +465,7 @@ def _decode_realness(dec):
     if dec is _fake_decode:
         return lambda p: False
     if dec is _auto_decode:
-        from demy_spark.jpeg import sniff_baseline
-
-        return lambda p: bool(p) and (
-            bytes(p[: len(_PNG_MAGIC)]) == _PNG_MAGIC
-            or sniff_baseline(bytes(p))
-        )
+        return lambda p: _auto_kind(p) != "fake"
     return lambda p: p is not None
 
 
@@ -665,6 +693,8 @@ def _mp4_metadata(payload: bytes) -> tuple | None:
 
     def walk(lo: int, hi: int, depth: int) -> None:
         nonlocal brand, duration_ms, n_tracks, saw_moov
+        if depth > 8:  # hostile nesting (r10 review: moov/trak also
+            raise ValueError("mp4 box nesting too deep")  # recurse)
         pos = lo
         while pos + 8 <= hi:
             size = int.from_bytes(payload[pos : pos + 4], "big")
@@ -700,7 +730,7 @@ def _mp4_metadata(payload: bytes) -> tuple | None:
                 w16, h16 = _struct.unpack_from(">II", payload, off)
                 if w16 or h16:
                     dims.append((w16 >> 16, h16 >> 16))
-            elif btype in _MP4_CONTAINERS and depth < 8:
+            elif btype in _MP4_CONTAINERS:
                 walk(body, pos + size, depth + 1)
             pos += size
 

@@ -9779,6 +9779,26 @@ def _q145_oracle() -> str:
             _bz2.decompress(fx("packs/note.bz2")),
         )
     )
+    # xz branches (r10): single-file .xz and a two-member .tar.xz,
+    # oracle side decompressed by direct stdlib lzma/tarfile reads
+    import lzma as _lzma
+
+    rows.append(
+        (
+            f"packs-notes.txt.xz-{h8('http://site.test/packs/notes.txt.xz')}",
+            _lzma.decompress(fx("packs/notes.txt.xz")),
+        )
+    )
+    xdir = f"packs-duo.tar.xz-{h8('http://site.test/packs/duo.tar.xz')}"
+    with _tarfile.open(
+        fileobj=_io.BytesIO(_lzma.decompress(fx("packs/duo.tar.xz"))),
+        mode="r:",
+    ) as tf:
+        for m in tf:
+            if m.isfile():
+                member = tf.extractfile(m)
+                assert member is not None
+                rows.append((f"{xdir}/{m.name.replace('/', '-')}", member.read()))
     # the BCJ2 .7z (r10): expected member bytes live as PLAIN files
     # under private/expected_7z/ (robots-disallowed, never crawled),
     # written at fixture-generation time
@@ -9820,7 +9840,9 @@ def q145_crawl_archives(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference behavior at net2demy `Execute.scala:292-319`): BFS from
     the fixture site's archives page, downloading a zip (two members,
     one nested — member flattening exercised), a single-file gzip, a
-    tar.gz (two members), a single-file bz2, a tar.bz2 (two members)
+    tar.gz (two members), a single-file bz2, a tar.bz2 (two members),
+    (r10) a single-file xz and a tar.xz (two members — the containers
+    the reference reads via org.tukaani:xz),
     and (r10) a 7z whose single folder is a genuine 4-stream BCJ2
     mixer over LZMA2 sub-coders — decoded by demy_spark.bcj2 under the
     container's CRCs, value-verified against plain expected-member
@@ -9855,7 +9877,7 @@ def q145_crawl_archives(spark: SparkSession, sf_dir: str) -> DataFrame:
         type="crawl",
         policy="immutable",
         crawling_filter=r"^http://site\.test/",
-        crawling_matching=r"\.(zip|gz|bz2|7z)$",
+        crawling_matching=r"\.(zip|gz|bz2|7z|xz)$",
     )
     sync_source(spark, cfg, fetch=fetch)
     plen = len("file:" + dest + "/")
@@ -9981,11 +10003,19 @@ def q146_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec) and a progressive-marked JPEG must take the
     machine-visible fake path (decode_real = false, stats NULL).
     Media generation is driver-side by design; Spark decodes
-    distributed."""
-    from demy_spark.operators.multimodal import MEDIA_SCHEMA, decode_image
+    distributed. The decoder is pinned to the pure-Python path
+    explicitly (r10 review): under Pillow auto-detection the
+    progressive-marked row would raise in libjpeg and the realness
+    column would flip, so the oracle literals are only the
+    _auto_decode contract — which is exactly the path under test."""
+    from demy_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _auto_decode,
+        decode_image,
+    )
 
     media = spark.createDataFrame(_q146_media_rows(), MEDIA_SCHEMA)
-    decoded = decode_image(media)
+    decoded = decode_image(media, decoder=_auto_decode)
     px255 = lambda f: F.round(f(F.col("pixels")) * 255.0, 0).cast("int")  # noqa: E731
     return decoded.select(
         "media_id",
@@ -10221,12 +10251,10 @@ _DRIVER_PRIORITY = [
     "q135_bloom_gate",
     "q137_blocklist_gate",
     "q140_budget_select",
-    # --- tier 3: the first five r8 residents (start the r8 rotation)
+    # --- tier 3: the first two r8 residents (start the r8 rotation;
+    # q06-q08 lead the r11 window)
     "q04_priority_exists",
     "q05_customers_without_orders",
-    "q06_forecast_revenue",
-    "q07_top_orders_per_customer",
-    "q08_running_revenue",
 ]
 
 

@@ -209,6 +209,23 @@ def _read_folder(r: _Reader) -> _Folder:
         packed_indices = [i for i in range(total_in) if i not in bound_ins]
     finals = [o for o in range(total_out) if o not in bound_outs]
 
+    # a BCJ2 mixer routes to the graph decoder whatever the coder
+    # count (r10 review: `7z a` writes it with three sub-coders, but
+    # 1- and 2-coder BCJ2 folders — raw or partially-compressed
+    # streams — are equally valid archives)
+    if sum(cid == CODEC_BCJ2 for cid, _, _, _ in coders) == 1:
+        if len(finals) != 1:
+            raise ValueError("7z BCJ2 folder without a single final out-stream")
+        if len(set(packed_indices)) != num_pack or not (
+            set(packed_indices) | bound_ins == set(range(total_in))
+            and not (set(packed_indices) & bound_ins)
+        ):
+            raise ValueError("7z BCJ2 folder with inconsistent stream wiring")
+        f.final_out = finals[0]
+        f.coders = coders
+        f.bind_pairs = bind_pairs
+        f.packed_indices = packed_indices
+        return f
     if num_coders == 1:
         f.codec_id, f.props = coders[0][0], coders[0][1]
         return f
@@ -236,22 +253,6 @@ def _read_folder(r: _Reader) -> _Folder:
             f"{bind_pairs[0]}; supported: BCJ x86 / Delta over "
             "LZMA1/LZMA2); decompress out-of-band"
         )
-    # multi-coder: the only supported graph is a BCJ2 mixer whose
-    # inputs come from depth-1 simple coders or directly from pack
-    # streams (the shape `7z a -m0=BCJ2` writes)
-    if sum(cid == CODEC_BCJ2 for cid, _, _, _ in coders) == 1:
-        if len(finals) != 1:
-            raise ValueError("7z BCJ2 folder without a single final out-stream")
-        if len(set(packed_indices)) != num_pack or not (
-            set(packed_indices) | bound_ins == set(range(total_in))
-            and not (set(packed_indices) & bound_ins)
-        ):
-            raise ValueError("7z BCJ2 folder with inconsistent stream wiring")
-        f.final_out = finals[0]
-        f.coders = coders
-        f.bind_pairs = bind_pairs
-        f.packed_indices = packed_indices
-        return f
     raise NotImplementedError(
         f"7z multi-coder folder ({num_coders} coders, "
         f"{[c.hex() for c, _, _, _ in coders]}) is outside the bounded "

@@ -1,4 +1,4 @@
-"""Regenerate the crawl-site BCJ2 fixture: packs/prog.7z plus the
+"""Regenerate the crawl-site BCJ2 + xz fixtures: packs/prog.7z plus the
 plain expected-member copies under private/expected_7z/ that q145's
 oracle reads (private/ is robots-disallowed, so the crawler never
 sees them). Deterministic — rerunning produces identical bytes.
@@ -41,6 +41,32 @@ def x86ish(n_sites: int) -> bytes:
     return bytes(out)
 
 
+def gen_xz_fixtures() -> None:
+    """The r10 xz-branch fixtures: a single-file .xz and a two-member
+    .tar.xz (tar mtimes zeroed; lzma.compress is deterministic at a
+    fixed preset, so regeneration is byte-identical)."""
+    import io
+    import lzma
+    import tarfile
+
+    packs = os.path.join(SITE, "packs")
+    notes = b"xz-compressed field notes for the crawler oracle (q145).\n" * 12
+    with open(os.path.join(packs, "notes.txt.xz"), "wb") as f:
+        f.write(lzma.compress(notes, preset=6))
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in [
+            ("duo/first.csv", b"k;v\n1;aa\n2;bb\n" * 25),
+            ("second.txt", b"second member of the tar.xz fixture\n" * 9),
+        ]:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(data))
+    with open(os.path.join(packs, "duo.tar.xz"), "wb") as f:
+        f.write(lzma.compress(buf.getvalue(), preset=6))
+
+
 def main() -> None:
     members = [
         ("tool.exe", x86ish(300)),
@@ -58,7 +84,9 @@ def main() -> None:
     for name, content in members:
         with open(os.path.join(exp, name.replace("/", "-")), "wb") as f:
             f.write(content)
-    print(f"wrote packs/prog.7z ({len(body)} bytes) + {len(members)} expected")
+    gen_xz_fixtures()
+    print(f"wrote packs/prog.7z ({len(body)} bytes) + {len(members)} expected "
+          "+ notes.txt.xz + duo.tar.xz")
 
 
 if __name__ == "__main__":

@@ -639,3 +639,43 @@ def test_file_fetch_symlink_escape_is_blocked(tmp_path):
     assert body == b"fine"
     with pytest.raises(FileNotFoundError, match="escapes the site root"):
         fetch("http://site.test/leak.txt")
+
+
+def test_download_xz_variants(tmp_path):
+    """r10: .xz / .lzma single files and .tar.xz/.txz member
+    extraction through the in-flight deflate, incl. the bomb cap."""
+    import io
+    import lzma
+    import tarfile
+
+    import pytest
+
+    from demy_spark.crawler import download
+
+    payload = b"alpha beta gamma\n" * 200
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in [("x/one.txt", payload), ("two.txt", b"zzz")]:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+    def fetch_for(body):
+        return lambda u: ("application/octet-stream", body)
+
+    p = download("http://m.test/doc.txt.xz", str(tmp_path / "a"),
+                 fetch=fetch_for(lzma.compress(payload)))
+    with open(p[0], "rb") as f:
+        assert f.read() == payload
+    p = download("http://m.test/doc.lzma", str(tmp_path / "b"),
+                 fetch=fetch_for(lzma.compress(payload, format=lzma.FORMAT_ALONE)))
+    with open(p[0], "rb") as f:
+        assert f.read() == payload
+    for ext in ("pair.tar.xz", "pair.txz"):
+        p = download(f"http://m.test/{ext}", str(tmp_path / ext),
+                     fetch=fetch_for(lzma.compress(buf.getvalue())))
+        assert sorted(os.path.basename(x) for x in p) == ["two.txt", "x-one.txt"]
+    bomb = lzma.compress(b"\x00" * (200 << 20))
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        download("http://m.test/bomb.xz", str(tmp_path / "e"),
+                 fetch=fetch_for(bomb))

@@ -170,9 +170,9 @@ def test_quality_tables_follow_ijg_formula():
 
 def test_hand_built_single_block_gray():
     """Hand-assembled minimal JPEG (one 8x8 grayscale block, all
-    quantisers 1, DC category 2 diff +2, EOB): must decode to the
-    constant 130 block — pins marker parsing, Huffman decode, EXTEND,
-    dequant and the IDCT DC path with no encoder involved.
+    quantisers 1, DC diff +16, EOB): must decode to the constant 130
+    block — pins marker parsing, Huffman decode, EXTEND, dequant and
+    the IDCT DC path with no encoder involved.
 
     Stream derivation: DC table maps category c to code c (4 bits);
     AC table maps EOB (0x00) to code 0 (8 bits). DC diff +16 =>
@@ -355,3 +355,30 @@ def test_fill_bytes_before_markers_are_skipped():
     j = enc.index(b"\xff\xd9")
     padded = enc[:i] + b"\xff\xff" + enc[i:j] + b"\xff" + enc[j:]
     assert np.array_equal(decode_jpeg(padded), decode_jpeg(enc))
+
+
+def test_dnl_deferred_height_sniffs_as_unsupported():
+    """r10 review: sniff_baseline must agree with decode_jpeg about
+    the DNL-deferred (height 0) feature class, so _auto_decode routes
+    such files to the marked fake instead of crashing the batch."""
+    jpg = bytearray(encode_jpeg(mkimg(16, 16), quality=90))
+    i = bytes(jpg).index(b"\xff\xc0")
+    jpg[i + 5 : i + 7] = b"\x00\x00"  # height := 0 in the SOF
+    assert not sniff_baseline(bytes(jpg))
+    from demy_spark.operators.multimodal import _auto_decode_ex
+
+    px, real = _auto_decode_ex(bytes(jpg), 4, 4, 3)
+    assert real is False and len(px) == 48
+    with pytest.raises(NotImplementedError, match="DNL"):
+        decode_jpeg(bytes(jpg))
+
+
+def test_corrupt_baseline_jpeg_raises_through_auto_decode():
+    """Corruption within a SUPPORTED class stays loud (same contract
+    as _pillow_decode) — only unsupported format classes take the
+    marked fake."""
+    from demy_spark.operators.multimodal import _auto_decode
+
+    jpg = encode_jpeg(mkimg(16, 16), quality=90)
+    with pytest.raises(ValueError):
+        _auto_decode(jpg[: len(jpg) - 40] , 4, 4, 3)

@@ -200,3 +200,14 @@ def test_extract_video_metadata_operator(spark):
     assert out[1]["parse_real"] and out[1]["duration_ms"] == 4000
     assert (out[1]["width"], out[1]["height"], out[1]["n_tracks"]) == (640, 480, 1)
     assert not out[2]["parse_real"] and out[2]["brand"] is None
+
+
+def test_mp4_hostile_deep_nesting_maps_to_fake_row():
+    """r10 review: ~2000 nested trak boxes used to blow the recursion
+    limit PAST the except clause; the guard must turn it into the
+    None/fake classification, never an escaped RecursionError."""
+    payload = b""
+    for _ in range(2000):
+        payload = box(b"trak", payload)
+    payload = box(b"ftyp", b"isom" + bytes(4)) + box(b"moov", payload)
+    assert _mp4_metadata(payload) is None

@@ -945,3 +945,52 @@ def test_crawl_site_prog7z_fixture_is_genuinely_bcj2():
                          ("docs/readme.txt", "docs-readme.txt")]:
         with open(os.path.join(site, "private", "expected_7z", flat), "rb") as f:
             assert members[member] == f.read()
+
+
+def test_bcj2_two_coder_folder_roundtrip():
+    """r10 review: a BCJ2 folder with a single LZMA2 sub-coder (main
+    compressed, call/jump/rc packed raw) is a valid 2-coder graph and
+    must decode, not fall into the filter-chain NotImplementedError."""
+    blob = X86_BLOB[:1024] + PAYLOAD_B
+    main, call, jump, rc = bcj2_streams(blob)
+    pmain, props = compress(CODEC_LZMA2, main)
+    bcj2_coder = bytes([len(BCJ2_ID) | 0x10]) + BCJ2_ID + enc_num(4) + enc_num(1)
+    # coders: lzma2(main)=0 (in 0, out 0), bcj2=1 (ins 1-4, out 1)
+    folder = (
+        enc_num(2) + coder_bytes(CODEC_LZMA2, props) + bcj2_coder
+        + enc_num(1) + enc_num(0)  # bind: bcj2.in(1) <- lzma.out(0)
+        + b"".join(enc_num(i) for i in (0, 2, 3, 4))  # packed indices
+    )
+    pack_streams = [pmain, call, jump, rc]
+    header = (
+        bytes([0x01, 0x04])
+        + streams_info(0, [len(p) for p in pack_streams], [folder],
+                       [len(main), len(blob)], folder_blobs=[blob])
+        + bytes([0x05])
+        + files_info([("prog.exe", blob)])
+        + bytes([0x00])
+    )
+    body = seal(b"".join(pack_streams), header)
+    assert read_7z(body) == [("prog.exe", blob)]
+
+
+def test_bcj2_single_coder_folder_all_raw():
+    """r10 review: a 1-coder folder that IS the BCJ2 mixer (all four
+    streams packed raw) must route to the graph decoder, not the
+    single-codec path."""
+    blob = X86_BLOB[:512]
+    main, call, jump, rc = bcj2_streams(blob)
+    bcj2_coder = bytes([len(BCJ2_ID) | 0x10]) + BCJ2_ID + enc_num(4) + enc_num(1)
+    folder = enc_num(1) + bcj2_coder + b"".join(
+        enc_num(i) for i in (0, 1, 2, 3)
+    )
+    pack_streams = [main, call, jump, rc]
+    header = (
+        bytes([0x01, 0x04])
+        + streams_info(0, [len(p) for p in pack_streams], [folder],
+                       [len(blob)], folder_blobs=[blob])
+        + bytes([0x05])
+        + files_info([("raw.bin", blob)])
+        + bytes([0x00])
+    )
+    assert read_7z(seal(b"".join(pack_streams), header)) == [("raw.bin", blob)]
