@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship star-join query at sf0.001;
 ``queries()``/``oracle_sql()`` expose the full operator inventory from
-demy_spark.queries — 148 queries, ALL DuckDB-oracle-backed (zero
+demy_spark.queries — 150 queries, ALL DuckDB-oracle-backed (zero
 rows-only: formerly non-SQL operators are verified through seeded /
 frozen-weights replay — q38 one-vs-rest serving, q46/q66 POS decode,
 q47 genetic replay, q73 Platt, q76 tree spawning, q115/q116 BPE
@@ -15,7 +15,7 @@ behavior-changed residents (q120 + the gated-embedding cohort), then
 32 of the 38 remaining r6-resting rows (the 6 deferred are headline
 queries re-executed by every bench run; arithmetic note at
 _DRIVER_PRIORITY); every deferral is re-checked via the verify
-skill's full-registry driver simulation at sf0.01 (148/148 MATCH) and
+skill's full-registry driver simulation at sf0.01 (150/150 MATCH) and
 the sf0.001 parity suite.
 COVERAGE.md maps each SURVEY §2 inventory row to its query and
 test."""

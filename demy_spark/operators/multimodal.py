@@ -515,8 +515,181 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("ts_ms", T.LongType()),
         T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_real", T.BooleanType()),
     ]
 )
+
+
+def _iter_boxes(payload: bytes, lo: int, hi: int):
+    """Yield ``(type, body_lo, box_end)`` for the ISO BMFF boxes in
+    ``payload[lo:hi]`` (shared by the metadata and sample walkers)."""
+    pos = lo
+    while pos + 8 <= hi:
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        btype = payload[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > hi:
+                raise ValueError("mp4 largesize truncated")
+            size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = hi - pos
+        if size < 8 or pos + size > hi:
+            raise ValueError("mp4 box size out of bounds")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _find_box(payload: bytes, lo: int, hi: int, btype: bytes):
+    for t, body, end in _iter_boxes(payload, lo, hi):
+        if t == btype:
+            return body, end
+    return None
+
+
+def _mp4_video_samples(payload: bytes):
+    """REAL ISO BMFF sample-table walk for the first VIDEO track:
+    resolve every sample's (timestamp, byte offset, byte size) from
+    stts/stsz/stsc/stco(co64), plus the stss sync-sample set. Returns
+    ``(timescale, samples, sync_set)`` with samples as a list of
+    ``(ts_units, offset, size)``, or None when the payload is not a
+    parseable BMFF file with a video track. This is EXTRACTION, not
+    decode: the bytes are the still-encoded access units a GPU-decode
+    stage consumes."""
+    try:
+        moov = _find_box(payload, 0, len(payload), b"moov")
+        if moov is None:
+            return None
+        for t, trak_lo, trak_hi in _iter_boxes(payload, *moov):
+            if t != b"trak":
+                continue
+            mdia = _find_box(payload, trak_lo, trak_hi, b"mdia")
+            if mdia is None:
+                continue
+            hdlr = _find_box(payload, *mdia, b"hdlr")
+            if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+                continue
+            mdhd = _find_box(payload, *mdia, b"mdhd")
+            if mdhd is None:
+                return None
+            ver = payload[mdhd[0]]
+            timescale = int.from_bytes(
+                payload[mdhd[0] + (20 if ver == 1 else 12) :][:4], "big"
+            )
+            minf = _find_box(payload, *mdia, b"minf")
+            if minf is None:
+                return None
+            stbl = _find_box(payload, *minf, b"stbl")
+            if stbl is None:
+                return None
+
+            def full(btype: bytes):
+                box = _find_box(payload, *stbl, btype)
+                return None if box is None else box[0] + 4  # skip ver/flags
+
+            def counted(pos: int, entry_bytes: int) -> int:
+                """A table's declared entry count, bounded by the
+                bytes that could actually hold it — hostile counts
+                must fail fast, not allocate (r10: a corrupt stco
+                count OOM-looped before this guard)."""
+                n = int.from_bytes(payload[pos : pos + 4], "big")
+                if n * entry_bytes > len(payload):
+                    raise ValueError("mp4 sample-table count exceeds payload")
+                return n
+
+            def be32s(pos: int, n: int) -> list[int]:
+                return [
+                    int.from_bytes(payload[pos + 4 * i : pos + 4 * i + 4], "big")
+                    for i in range(n)
+                ]
+
+            p = full(b"stsz")
+            if p is None:
+                return None
+            fixed = int.from_bytes(payload[p : p + 4], "big")
+            if fixed:
+                # fixed-size samples carry no size table: bound the
+                # count by the payload bytes the samples occupy
+                count = int.from_bytes(payload[p + 4 : p + 8], "big")
+                if count * max(fixed, 1) > len(payload):
+                    raise ValueError("mp4 stsz count exceeds payload")
+                sizes = [fixed] * count
+            else:
+                count = counted(p + 4, 4)
+                sizes = be32s(p + 8, count)
+
+            co = full(b"stco")
+            if co is not None:
+                n_chunks = counted(co, 4)
+                offsets = be32s(co + 4, n_chunks)
+            else:
+                co = full(b"co64")
+                if co is None:
+                    return None
+                n_chunks = counted(co, 8)
+                offsets = [
+                    int.from_bytes(payload[co + 4 + 8 * i : co + 12 + 8 * i], "big")
+                    for i in range(n_chunks)
+                ]
+
+            p = full(b"stsc")
+            if p is None:
+                return None
+            n_runs = counted(p, 12)
+            runs = [
+                (
+                    int.from_bytes(payload[p + 4 + 12 * i : p + 8 + 12 * i], "big"),
+                    int.from_bytes(payload[p + 8 + 12 * i : p + 12 + 12 * i], "big"),
+                )
+                for i in range(n_runs)
+            ]
+
+            p = full(b"stts")
+            if p is None:
+                return None
+            n_tt = counted(p, 8)
+            deltas: list[int] = []
+            for i in range(n_tt):
+                cnt = int.from_bytes(payload[p + 4 + 8 * i : p + 8 + 8 * i], "big")
+                delta = int.from_bytes(payload[p + 8 + 8 * i : p + 12 + 8 * i], "big")
+                if cnt > count:
+                    raise ValueError("mp4 stts run exceeds sample count")
+                deltas.extend([delta] * min(cnt, count - len(deltas)))
+            while len(deltas) < count:
+                deltas.append(deltas[-1] if deltas else 0)
+
+            sync: set[int] | None = None
+            p = full(b"stss")
+            if p is not None:
+                n_sync = counted(p, 4)
+                sync = set(be32s(p + 4, n_sync))  # 1-based sample numbers
+
+            samples = []
+            ts = 0
+            si = 0
+            for ci in range(n_chunks):
+                spc = 1
+                for first, per in runs:
+                    if first <= ci + 1:
+                        spc = per
+                off = offsets[ci]
+                for _ in range(spc):
+                    if si >= count:
+                        break
+                    size = sizes[si]
+                    if off + size > len(payload):
+                        raise ValueError("mp4 sample runs past end of payload")
+                    samples.append((ts, off, size))
+                    ts += deltas[si]
+                    off += size
+                    si += 1
+            if si < count:
+                raise ValueError("mp4 chunk map covers fewer samples than stsz")
+            return timescale, samples, sync
+        return None  # BMFF but no video track
+    except (ValueError, IndexError):
+        return None
 
 
 def sample_video_frames(
@@ -525,20 +698,60 @@ def sample_video_frames(
     *,
     every_ms: int = 1000,
     frame_size: int = 256,
+    keyframes_only: bool = False,
 ) -> DataFrame:
     """Sample frames from video payloads at ``every_ms`` intervals —
     a fan-out (1 → N rows) mapInPandas, the plan shape a real ffmpeg
-    sampler has. Without codec libs the payload is treated as
-    fixed-size frame chunks against the meta duration (DETERMINISTIC
-    FAKE, clearly marked); swap the chunker for ffmpeg bindings in
-    production — the schema, batch fan-out and timestamps stay."""
+    sampler has.
+
+    REAL for ISO BMFF payloads (r10): the stbl sample tables resolve
+    every encoded sample's (timestamp, offset, size), and each target
+    timestamp yields the last sample at-or-before it (restricted to
+    stss sync samples when ``keyframes_only``) — the frame BYTES are
+    the still-encoded access units a downstream GPU decoder consumes,
+    with ``frame_real = true``. Non-BMFF payloads keep the clearly
+    marked deterministic chunker against the meta duration
+    (``frame_real = false``); swap ffmpeg bindings in for actual
+    pixel decode — the schema, fan-out and timestamps stay."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, idxs, tss, frames = [], [], [], []
+            ids, idxs, tss, frames, real = [], [], [], [], []
             for i in range(len(pdf)):
-                payload = pdf[payload_col].iloc[i] or b""
+                payload = bytes(pdf[payload_col].iloc[i] or b"")
                 meta = pdf["meta"].iloc[i] if "meta" in pdf.columns else None
+                parsed = _mp4_video_samples(payload) if payload else None
+                if parsed and parsed[1]:
+                    timescale, samples, sync = parsed
+                    if keyframes_only and sync:
+                        cand = [
+                            s for k, s in enumerate(samples) if (k + 1) in sync
+                        ] or samples
+                    else:
+                        cand = samples
+                    ts_ms_list = [
+                        (t * 1000) // timescale if timescale else 0
+                        for t, _, _ in cand
+                    ]
+                    total_ms = (
+                        (samples[-1][0] * 1000) // timescale if timescale else 0
+                    )
+                    n_frames = max(total_ms // every_ms, 0) + 1
+                    for k in range(int(n_frames)):
+                        target = k * every_ms
+                        j = 0
+                        for m, t in enumerate(ts_ms_list):
+                            if t <= target:
+                                j = m
+                            else:
+                                break
+                        _, off, size = cand[j]
+                        ids.append(pdf["media_id"].iloc[i])
+                        idxs.append(k)
+                        tss.append(ts_ms_list[j])
+                        frames.append(payload[off : off + size])
+                        real.append(True)
+                    continue
                 duration = (
                     int(meta["duration_ms"]) if meta is not None and meta["duration_ms"] else 0
                 )
@@ -549,12 +762,14 @@ def sample_video_frames(
                     idxs.append(k)
                     tss.append(k * every_ms)
                     frames.append(bytes(payload[off : off + frame_size]))
+                    real.append(False)
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
                     "frame_idx": pd.Series(idxs, dtype="int32"),
                     "ts_ms": pd.Series(tss, dtype="int64"),
                     "frame_bytes": frames,
+                    "frame_real": pd.Series(real, dtype="bool"),
                 }
             )
 
@@ -575,12 +790,13 @@ AUDIO_SCHEMA = T.StructType(
 )
 
 
-def _wav_features(payload: bytes) -> tuple | None:
-    """REAL PCM WAV decode via the stdlib ``wave`` module: sample
-    rate / channels / frame count from the header, RMS and peak over
-    the full-scale-normalised samples (8-bit unsigned, 16/24/32-bit
-    signed little-endian). Returns None for non-WAV or compressed-WAV
-    payloads (the caller marks those rows fake)."""
+def _wav_samples(payload: bytes):
+    """REAL PCM WAV decode via the stdlib ``wave`` module. Returns
+    ``(sample_rate, n_channels, x)`` with ``x`` the full-scale-
+    normalised float64 samples as a (frames, channels) array
+    (8-bit unsigned, 16/24/32-bit signed little-endian), or None for
+    non-WAV / compressed-WAV payloads (callers mark those rows
+    fake)."""
     import io
     import wave
 
@@ -608,9 +824,23 @@ def _wav_features(payload: bytes) -> tuple | None:
         x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / float(1 << 31)
     else:
         return None
-    n = len(x)
-    rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
-    peak = float(np.abs(x).max()) if n else 0.0
+    if nch < 1:
+        return None
+    return rate, nch, x.reshape(-1, nch)
+
+
+def _wav_features(payload: bytes) -> tuple | None:
+    """Header metadata plus RMS/peak over the normalised samples —
+    the stats layer over :func:`_wav_samples`."""
+    import numpy as np
+
+    decoded = _wav_samples(payload)
+    if decoded is None:
+        return None
+    rate, nch, x = decoded
+    nframes = x.shape[0]
+    rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+    peak = float(np.abs(x).max()) if x.size else 0.0
     return (
         rate,
         nch,
@@ -657,6 +887,92 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload") -> DataF
             yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
 
     return df.mapInPandas(batches, AUDIO_SCHEMA)
+
+
+DECODED_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("samples", T.ArrayType(T.FloatType())),
+        T.StructField("decode_real", T.BooleanType()),
+    ]
+)
+
+
+def _fake_audio(payload: bytes | None, n: int = 256) -> list[float]:
+    """Deterministic fake waveform (sha256 keystream mapped to
+    [-1, 1]) for payloads that need a codec library — same contract
+    as ``_fake_decode`` for pixels: shape-compatible, clearly marked
+    via ``decode_real``."""
+    seed = hashlib.sha256(bytes(payload or b"")).digest()
+    out = []
+    block = seed
+    while len(out) < n:
+        block = hashlib.sha256(block).digest()
+        out.extend(b / 127.5 - 1.0 for b in block)
+    return out[:n]
+
+
+def decode_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    target_rate: int | None = None,
+    mono: bool = False,
+) -> DataFrame:
+    """Decode audio payloads to waveform tensors (media_id,
+    sample_rate, n_channels, n_samples, samples array<float>
+    interleaved frame-major, decode_real) — the audio twin of
+    ``decode_image``. REAL for PCM WAV (:func:`_wav_samples`);
+    compressed formats get the deterministic fake keystream with
+    ``decode_real = false``. ``mono`` mixes channels by arithmetic
+    mean; ``target_rate`` nearest-resamples (the same index-mapping
+    convention as the image resize — swap in a windowed-sinc UDF for
+    production fidelity, only this body changes). Arrow-batched
+    ``mapInPandas``; pure map shape."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = {k: [] for k in ("sample_rate", "n_channels",
+                                    "n_samples", "samples", "decode_real")}
+            for i in range(len(pdf)):
+                payload = pdf[payload_col].iloc[i]
+                decoded = (
+                    _wav_samples(bytes(payload))
+                    if payload is not None and bytes(payload[:4]) == b"RIFF"
+                    else None
+                )
+                if decoded is None:
+                    cols["sample_rate"].append(8000)
+                    cols["n_channels"].append(1)
+                    cols["n_samples"].append(256)
+                    cols["samples"].append(_fake_audio(payload))
+                    cols["decode_real"].append(False)
+                    continue
+                rate, nch, x = decoded
+                if mono and nch > 1:
+                    x = x.mean(axis=1, keepdims=True)
+                    nch = 1
+                if target_rate and rate and target_rate != rate:
+                    n_out = (x.shape[0] * target_rate) // rate
+                    idx = (np.arange(n_out) * rate // target_rate).clip(
+                        0, max(x.shape[0] - 1, 0)
+                    )
+                    x = x[idx] if x.shape[0] else x[:0]
+                    rate = target_rate
+                cols["sample_rate"].append(rate)
+                cols["n_channels"].append(nch)
+                cols["n_samples"].append(x.shape[0])
+                cols["samples"].append(
+                    x.astype(np.float32).ravel().tolist()
+                )
+                cols["decode_real"].append(True)
+            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
+
+    return df.mapInPandas(batches, DECODED_AUDIO_SCHEMA)
 
 
 VIDEO_META_SCHEMA = T.StructType(

@@ -10164,6 +10164,61 @@ def _q148_oracle() -> str:
     )
 
 
+def _q149_oracle() -> str:
+    """Constructed literals from the q147 synthesis parameters: a DC
+    signal decodes to samples all exactly +level (min = max = level),
+    a square wave to exactly ±level; power-of-two levels are exact in
+    float32 AND float64, so the min/max compare carries no rounding.
+    The fake (mp3) row is decode_real = false with NULL stats."""
+    vals = []
+    for mid, rate, nch, width, amp, pw, nframes in _Q147_AUDIO:
+        level = amp / (1 << pw)
+        smin = level if mid % 2 == 0 else -level  # DC vs square wave
+        vals.append(
+            f"(CAST({mid} AS BIGINT), {rate}, {nch}, "
+            f"CAST({nframes} AS BIGINT), CAST({smin!r} AS DOUBLE), "
+            f"CAST({level!r} AS DOUBLE), true)"
+        )
+    vals.append(
+        "(CAST(7 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), "
+        "CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+        "false)"
+    )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(vals) + ") AS t(media_id, "
+        "sample_rate, n_channels, n_samples, samp_min, samp_max, "
+        "decode_real)"
+    )
+
+
+@register("q149_audio_decode", _q149_oracle)
+def q149_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform-tensor decode value-verified end-to-end (r10 —
+    ``decode_audio``, the audio twin of ``decode_image``): the q147
+    media set decodes to interleaved float samples whose min/max must
+    equal the constructed ±level exactly (power-of-two amplitudes are
+    exact in every float width); the mp3-marked payload takes the
+    deterministic fake with ``decode_real = false`` and NULL stats.
+    Stats are nulled via decode_real so the oracle never depends on
+    the fake keystream's internals."""
+    from demy_spark.operators.multimodal import MEDIA_SCHEMA, decode_audio
+
+    media = spark.createDataFrame(_q147_media_rows(), MEDIA_SCHEMA)
+    decoded = decode_audio(media)
+    stat = lambda f, col: F.when(  # noqa: E731
+        F.col("decode_real"), f(F.col(col)).cast("double")
+    )
+    return decoded.select(
+        "media_id",
+        F.when(F.col("decode_real"), F.col("sample_rate")).alias("sample_rate"),
+        F.when(F.col("decode_real"), F.col("n_channels")).alias("n_channels"),
+        F.when(F.col("decode_real"), F.col("n_samples")).alias("n_samples"),
+        stat(F.array_min, "samples").alias("samp_min"),
+        stat(F.array_max, "samples").alias("samp_max"),
+        "decode_real",
+    )
+
+
 @register("q148_video_metadata", _q148_oracle)
 def q148_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO BMFF (MP4) container metadata value-verified end-to-end
@@ -10180,6 +10235,129 @@ def q148_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_video_metadata(media)
 
 
+_Q150_FRAMES = [bytes([65 + i]) * (10 + i) for i in range(6)]  # A..F blobs
+_Q150_SYNC = (1, 5)  # 1-based keyframe sample numbers (stss)
+
+
+def _q150_mp4() -> bytes:
+    """Deterministic one-video-trak BMFF: 6 encoded samples at
+    timescale 1000 / delta 500 (2 fps), split 4+2 across two chunks
+    so the stsc/stco map is non-trivial, stss marking samples 1 and 5
+    as keyframes. Two-pass build: offsets depend on header size."""
+    import struct as _struct
+
+    def b(t: bytes, body: bytes) -> bytes:
+        return _struct.pack(">I", len(body) + 8) + t + body
+
+    def fb(t: bytes, body: bytes) -> bytes:
+        return b(t, bytes(4) + body)
+
+    frames = _Q150_FRAMES
+    stsd = fb(b"stsd", _struct.pack(">I", 1) + b(b"avc1", bytes(70)))
+    stts = fb(b"stts", _struct.pack(">III", 1, 6, 500))
+    stsc = fb(
+        b"stsc",
+        _struct.pack(">I", 2)
+        + _struct.pack(">III", 1, 4, 1)
+        + _struct.pack(">III", 2, 2, 1),
+    )
+    stsz = fb(
+        b"stsz",
+        _struct.pack(">II", 0, 6)
+        + b"".join(_struct.pack(">I", len(f)) for f in frames),
+    )
+    stss = fb(b"stss", _struct.pack(">I", 2) + _struct.pack(">II", *_Q150_SYNC))
+
+    def build(off1: int, off2: int) -> tuple[bytes, int]:
+        stco = fb(b"stco", _struct.pack(">I", 2) + _struct.pack(">II", off1, off2))
+        stbl = b(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+        hdlr = fb(b"hdlr", bytes(4) + b"vide" + bytes(12))
+        mdhd = fb(b"mdhd", _struct.pack(">II", 0, 0)
+                  + _struct.pack(">II", 1000, 3000) + bytes(4))
+        mdia = b(b"mdia", mdhd + hdlr + b(b"minf", stbl))
+        tkhd = fb(b"tkhd", bytes(72) + _struct.pack(">II", 320 << 16, 240 << 16))
+        moov = b(
+            b"moov",
+            fb(b"mvhd", _struct.pack(">II", 0, 0)
+               + _struct.pack(">II", 1000, 3000) + bytes(76))
+            + b(b"trak", tkhd + mdia),
+        )
+        head = b(b"ftyp", b"isom" + bytes(4)) + moov
+        return head + b(b"mdat", b"".join(frames)), len(head) + 8
+
+    _, data_start = build(0, 0)
+    off2 = data_start + sum(len(f) for f in frames[:4])
+    payload, check = build(data_start, off2)
+    assert check == data_start
+    return payload
+
+
+def _q150_oracle() -> str:
+    """Constructed literals: sampling at 1000 ms picks the last
+    sample at-or-before each target (samples tick at 500 ms), so
+    'all' mode picks samples 0/2/4 and 'key' mode (sync = samples
+    1 and 5, i.e. indexes 0 and 4) picks 0/0/4; md5/size come from
+    the _Q150_FRAMES construction, never from the extractor. The AVI
+    decoy contributes frame_real = false rows with NULL stats."""
+    import hashlib as _hl
+
+    f = _Q150_FRAMES
+    rows = []
+    for mode, picks in (("all", [0, 2, 4]), ("key", [0, 0, 4])):
+        for k, s in enumerate(picks):
+            rows.append(
+                f"('{mode}', CAST(1 AS BIGINT), {k}, CAST({s * 500} AS BIGINT), "
+                f"'{_hl.md5(f[s]).hexdigest()}', CAST({len(f[s])} AS BIGINT), true)"
+            )
+    for k in (0, 1):  # AVI decoy: meta duration 2500 ms -> 2 fake rows
+        rows.append(
+            f"('all', CAST(2 AS BIGINT), {k}, CAST({k * 1000} AS BIGINT), "
+            "CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), false)"
+        )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(mode, media_id, "
+        "frame_idx, ts_ms, frame_md5, n_bytes, frame_real)"
+    )
+
+
+@register("q150_video_sampling", _q150_oracle)
+def q150_video_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoded-frame sampling from real MP4 sample tables (r10 —
+    ``sample_video_frames``): the stbl walk resolves every sample's
+    timestamp/offset/size and each 1000 ms target yields the encoded
+    access-unit BYTES (what a downstream GPU decoder consumes), in
+    both all-samples and keyframes-only (stss) modes; md5 and size
+    are value-verified against the construction literals. A non-BMFF
+    payload keeps the clearly-marked deterministic chunker with
+    ``frame_real = false`` and NULL stats."""
+    from demy_spark.operators.multimodal import MEDIA_SCHEMA, sample_video_frames
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_q150_mp4()), ("video/mp4", 320, 240, 3000)),
+            (2, bytearray(b"RIFFxxxxAVI LIST not a bmff"),
+             ("video/avi", 0, 0, 2500)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    all_mode = sample_video_frames(media, every_ms=1000).withColumn(
+        "mode", F.lit("all")
+    )
+    key_mode = sample_video_frames(
+        media.where(F.col("media_id") == 1), every_ms=1000, keyframes_only=True
+    ).withColumn("mode", F.lit("key"))
+    stat = lambda col: F.when(F.col("frame_real"), col)  # noqa: E731
+    return all_mode.unionByName(key_mode).select(
+        "mode",
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        stat(F.md5("frame_bytes")).alias("frame_md5"),
+        stat(F.length("frame_bytes").cast("long")).alias("n_bytes"),
+        "frame_real",
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-10 window (VERDICT r9 task 1 — the freshness endgame:
 # retire EVERY official row older than r8), in order:
@@ -10194,11 +10372,11 @@ def q148_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      q26.
 #   2. ALL 37 r7-resting rows, leading with the gated-doc-id five the
 #      r8 verdict named (q37, q112, q118, q133, q136).
-#   3. 5 + 6 + 37 = 48; the remaining 2 slots go to the numerically
-#      first r8 residents (q04, q05), starting the r8 cohort's own
-#      rotation (q06-q08 listed below stay outside the 50-row window
-#      this round and lead it next). Done criterion: the latest-round
-#      histogram (scripts/freshness.py) shows zero rows older than r8.
+#   3. 7 + 6 + 37 = 50 exactly — the late-r10 media registrations
+#      (q146-q150) consumed the tail slots, so the r8 cohort's own
+#      rotation (q04-q08 first) leads the r11 window instead. Done
+#      criterion unchanged: the latest-round histogram
+#      (scripts/freshness.py) shows zero rows older than r8.
 _DRIVER_PRIORITY = [
     # --- tier 0: new registrations (never-rowed)
     "q144_hashingtf_buckets",
@@ -10206,6 +10384,8 @@ _DRIVER_PRIORITY = [
     "q146_jpeg_decode",
     "q147_audio_features",
     "q148_video_metadata",
+    "q149_audio_decode",
+    "q150_video_sampling",
     # --- tier 1: the six r6-resting headliners
     "q01_pricing_summary",
     "q02_revenue_by_nation",
@@ -10251,10 +10431,6 @@ _DRIVER_PRIORITY = [
     "q135_bloom_gate",
     "q137_blocklist_gate",
     "q140_budget_select",
-    # --- tier 3: the first two r8 residents (start the r8 rotation;
-    # q06-q08 lead the r11 window)
-    "q04_priority_exists",
-    "q05_customers_without_orders",
 ]
 
 

@@ -13,6 +13,7 @@ import struct
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from demy_spark.operators.multimodal import (
     _mp4_metadata,
@@ -211,3 +212,110 @@ def test_mp4_hostile_deep_nesting_maps_to_fake_row():
         payload = box(b"trak", payload)
     payload = box(b"ftyp", b"isom" + bytes(4)) + box(b"moov", payload)
     assert _mp4_metadata(payload) is None
+
+
+def test_decode_audio_waveform_tensor(spark):
+    from demy_spark.operators.multimodal import MEDIA_SCHEMA, decode_audio
+
+    # stereo: L = +0.25 DC, R = -0.25 DC (interleaved)
+    wav = encode_wav([8192, -8192] * 50, 8000, 2, 2)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(wav), ("audio/wav", 0, 0, 0)),
+            (2, bytearray(b"ID3 mp3"), ("audio/mpeg", 0, 0, 0)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in decode_audio(media).collect()}
+    stereo = out[1]
+    assert stereo["decode_real"] and stereo["n_channels"] == 2
+    assert stereo["n_samples"] == 50 and len(stereo["samples"]) == 100
+    assert stereo["samples"][0] == 0.25 and stereo["samples"][1] == -0.25
+    fake = out[2]
+    assert not fake["decode_real"] and len(fake["samples"]) == 256
+    assert all(-1.0 <= s <= 1.0 for s in fake["samples"])
+    # deterministic fake: same payload -> same keystream
+    again = {r["media_id"]: r for r in decode_audio(media).collect()}
+    assert again[2]["samples"] == fake["samples"]
+
+    # mono mixdown: mean of +0.25/-0.25 = 0.0 exactly
+    mono = {r["media_id"]: r
+            for r in decode_audio(media, mono=True).collect()}[1]
+    assert mono["n_channels"] == 1 and mono["n_samples"] == 50
+    assert set(mono["samples"]) == {0.0}
+
+    # nearest resample to half rate: exactly half the frames
+    res = {r["media_id"]: r
+           for r in decode_audio(media, target_rate=4000).collect()}[1]
+    assert res["sample_rate"] == 4000 and res["n_samples"] == 25
+    assert res["samples"][:2] == [0.25, -0.25]
+
+
+def test_mp4_sample_table_extraction():
+    """The stbl walk resolves every sample's bytes exactly (two-chunk
+    stsc map, per-sample stsz sizes, stss keyframes)."""
+    from demy_spark.operators.multimodal import _mp4_video_samples
+    from demy_spark.queries import _Q150_FRAMES, _q150_mp4
+
+    payload = _q150_mp4()
+    timescale, samples, sync = _mp4_video_samples(payload)
+    assert timescale == 1000 and sync == {1, 5}
+    assert [t for t, _, _ in samples] == [0, 500, 1000, 1500, 2000, 2500]
+    for k, (_, off, size) in enumerate(samples):
+        assert payload[off : off + size] == _Q150_FRAMES[k]
+
+
+def test_mp4_sample_extraction_hostile_tables():
+    from demy_spark.operators.multimodal import _mp4_video_samples
+    from demy_spark.queries import _q150_mp4
+
+    payload = bytearray(_q150_mp4())
+    # corrupt the first stco OFFSET (type..4 ver/flags..8 count..12
+    # offsets..) to point past the payload end
+    i = bytes(payload).index(b"stco")
+    payload[i + 12 : i + 16] = (1 << 30).to_bytes(4, "big")
+    assert _mp4_video_samples(bytes(payload)) is None
+    # hostile COUNTS must fail fast without allocating (this exact
+    # corruption OOM-looped before the counted() guard): stco, stsz
+    for tag, off in ((b"stco", 8), (b"stsz", 12)):
+        payload = bytearray(_q150_mp4())
+        i = bytes(payload).index(tag)
+        payload[i + off : i + off + 4] = (1 << 28).to_bytes(4, "big")
+        assert _mp4_video_samples(bytes(payload)) is None, tag
+    # audio-only track (hdlr != vide) -> None, not misextraction
+    payload = bytearray(_q150_mp4())
+    i = bytes(payload).index(b"vide")
+    payload[i : i + 4] = b"soun"
+    assert _mp4_video_samples(bytes(payload)) is None
+
+
+def test_sample_video_frames_real_and_fake_paths(spark):
+    from demy_spark.operators.multimodal import MEDIA_SCHEMA, sample_video_frames
+    from demy_spark.queries import _Q150_FRAMES, _q150_mp4
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_q150_mp4()), ("video/mp4", 320, 240, 3000)),
+            (2, bytearray(b"not a container"), ("video/avi", 0, 0, 2000)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = sample_video_frames(media, every_ms=1000).collect()
+    real = sorted(
+        [r for r in rows if r["media_id"] == 1], key=lambda r: r["frame_idx"]
+    )
+    assert [bytes(r["frame_bytes"]) for r in real] == [
+        _Q150_FRAMES[0], _Q150_FRAMES[2], _Q150_FRAMES[4]
+    ]
+    assert all(r["frame_real"] for r in real)
+    assert [r["ts_ms"] for r in real] == [0, 1000, 2000]
+    fake = [r for r in rows if r["media_id"] == 2]
+    assert len(fake) == 2 and not any(r["frame_real"] for r in fake)
+    # keyframes_only: sync samples are 1 and 5 (ts 0 and 2000)
+    key = sorted(
+        sample_video_frames(
+            media.where(F.col("media_id") == 1), keyframes_only=True
+        ).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["ts_ms"] for r in key] == [0, 0, 2000]
