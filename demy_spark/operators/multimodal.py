@@ -699,6 +699,7 @@ def sample_video_frames(
     every_ms: int = 1000,
     frame_size: int = 256,
     keyframes_only: bool = False,
+    max_frames: int = 10_000,
 ) -> DataFrame:
     """Sample frames from video payloads at ``every_ms`` intervals —
     a fan-out (1 → N rows) mapInPandas, the plan shape a real ffmpeg
@@ -712,7 +713,17 @@ def sample_video_frames(
     with ``frame_real = true``. Non-BMFF payloads keep the clearly
     marked deterministic chunker against the meta duration
     (``frame_real = false``); swap ffmpeg bindings in for actual
-    pixel decode — the schema, fan-out and timestamps stay."""
+    pixel decode — the schema, fan-out and timestamps stay.
+
+    ``keyframes_only`` with no stss box samples everything (ISO
+    14496-12: absent stss means every sample is sync); an stss box
+    that marks NO valid samples yields zero rows for that payload
+    rather than silently degrading to non-keyframes. The per-payload
+    fan-out is capped at ``max_frames`` rows — the timeline length is
+    computed from UNTRUSTED header fields (stts deltas x timescale),
+    so one corrupt 4-byte delta must not fan a row into billions
+    (r10 review); raise the cap for legitimately long footage."""
+    from bisect import bisect_right
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -723,10 +734,12 @@ def sample_video_frames(
                 parsed = _mp4_video_samples(payload) if payload else None
                 if parsed and parsed[1]:
                     timescale, samples, sync = parsed
-                    if keyframes_only and sync:
+                    if keyframes_only and sync is not None:
                         cand = [
                             s for k, s in enumerate(samples) if (k + 1) in sync
-                        ] or samples
+                        ]
+                        if not cand:
+                            continue  # no keyframes: nothing to sample
                     else:
                         cand = samples
                     ts_ms_list = [
@@ -736,15 +749,12 @@ def sample_video_frames(
                     total_ms = (
                         (samples[-1][0] * 1000) // timescale if timescale else 0
                     )
-                    n_frames = max(total_ms // every_ms, 0) + 1
+                    n_frames = min(max(total_ms // every_ms, 0) + 1, max_frames)
                     for k in range(int(n_frames)):
-                        target = k * every_ms
-                        j = 0
-                        for m, t in enumerate(ts_ms_list):
-                            if t <= target:
-                                j = m
-                            else:
-                                break
+                        # ts_ms_list is nondecreasing (unsigned stts
+                        # deltas): binary-search the last sample
+                        # at-or-before the target
+                        j = max(bisect_right(ts_ms_list, k * every_ms) - 1, 0)
                         _, off, size = cand[j]
                         ids.append(pdf["media_id"].iloc[i])
                         idxs.append(k)
@@ -811,6 +821,13 @@ def _wav_samples(payload: bytes):
             raw = wf.readframes(nframes)
     except (wave.Error, EOFError):
         return None
+    if nch < 1 or width < 1:
+        return None
+    # a truncated data chunk can hand back a partial trailing frame:
+    # trim to whole samples, then whole frames, instead of letting
+    # frombuffer/reshape kill the batch (r10 review)
+    frame_bytes = width * nch
+    raw = raw[: (len(raw) // frame_bytes) * frame_bytes]
     if width == 1:  # 8-bit unsigned, full scale 128 around bias 128
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     elif width == 2:
@@ -823,8 +840,6 @@ def _wav_samples(payload: bytes):
     elif width == 4:
         x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / float(1 << 31)
     else:
-        return None
-    if nch < 1:
         return None
     return rate, nch, x.reshape(-1, nch)
 
@@ -1008,28 +1023,17 @@ def _mp4_metadata(payload: bytes) -> tuple | None:
     saw_moov = False
 
     def walk(lo: int, hi: int, depth: int) -> None:
+        # box framing is ONE implementation (_iter_boxes — r10 review:
+        # this walker used to carry its own largesize/size-0 copy)
         nonlocal brand, duration_ms, n_tracks, saw_moov
         if depth > 8:  # hostile nesting (r10 review: moov/trak also
             raise ValueError("mp4 box nesting too deep")  # recurse)
-        pos = lo
-        while pos + 8 <= hi:
-            size = int.from_bytes(payload[pos : pos + 4], "big")
-            btype = payload[pos + 4 : pos + 8]
-            body = pos + 8
-            if size == 1:  # 64-bit largesize
-                if pos + 16 > hi:
-                    raise ValueError("mp4 largesize truncated")
-                size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
-                body = pos + 16
-            elif size == 0:  # box extends to end of enclosing scope
-                size = hi - pos
-            if size < 8 or pos + size > hi:
-                raise ValueError("mp4 box size out of bounds")
+        for btype, body, end in _iter_boxes(payload, lo, hi):
             if btype == b"ftyp" and brand is None:
                 brand = payload[body : body + 4].decode("latin-1")
             elif btype == b"moov":
                 saw_moov = True
-                walk(body, pos + size, depth + 1)
+                walk(body, end, depth + 1)
             elif btype == b"mvhd":
                 ver = payload[body]
                 if ver == 1:
@@ -1039,7 +1043,7 @@ def _mp4_metadata(payload: bytes) -> tuple | None:
                 duration_ms = (dur * 1000) // ts if ts else 0
             elif btype == b"trak":
                 n_tracks += 1
-                walk(body, pos + size, depth + 1)
+                walk(body, end, depth + 1)
             elif btype == b"tkhd":
                 ver = payload[body]
                 off = body + (88 if ver == 1 else 76)
@@ -1047,8 +1051,7 @@ def _mp4_metadata(payload: bytes) -> tuple | None:
                 if w16 or h16:
                     dims.append((w16 >> 16, h16 >> 16))
             elif btype in _MP4_CONTAINERS:
-                walk(body, pos + size, depth + 1)
-            pos += size
+                walk(body, end, depth + 1)
 
     try:
         walk(0, n, 0)

@@ -319,3 +319,77 @@ def test_sample_video_frames_real_and_fake_paths(spark):
         key=lambda r: r["frame_idx"],
     )
     assert [r["ts_ms"] for r in key] == [0, 0, 2000]
+
+
+def test_wav_truncated_stereo_trims_instead_of_crashing():
+    """r10 review: a stereo WAV whose data chunk loses 2 bytes used to
+    raise out of reshape and kill the batch; partial trailing frames
+    are trimmed instead."""
+    wav = bytearray(encode_wav([8192, -8192] * 50, 8000, 2, 2))
+    # shrink the data chunk payload by one int16 (keep header sizes)
+    out = _wav_features(bytes(wav)[:-2])
+    assert out is not None and out[1] == 2 and out[2] == 49
+    from demy_spark.operators.multimodal import _wav_samples
+
+    decoded = _wav_samples(bytes(wav)[:-2])
+    assert decoded is not None and decoded[2].shape == (49, 2)
+
+
+def test_frame_fanout_bounded_against_hostile_timeline():
+    """r10 review: a corrupt stts delta (0xFFFFFFFF) parses fine and
+    used to compute a ~21M-row fan-out from ONE payload; the
+    max_frames cap bounds it."""
+    from demy_spark.operators.multimodal import _mp4_video_samples
+    from demy_spark.queries import _q150_mp4
+
+    payload = bytearray(_q150_mp4())
+    i = bytes(payload).index(b"stts")
+    # stts: type..4 ver/flags..8 count..12 (sample_count, DELTA) runs
+    payload[i + 16 : i + 20] = (0xFFFFFFFF).to_bytes(4, "big")
+    parsed = _mp4_video_samples(bytes(payload))
+    assert parsed is not None  # the tables themselves are valid
+    # operator-level: bounded rows, not 21M
+    from pyspark.sql import SparkSession
+
+    from demy_spark.operators.multimodal import MEDIA_SCHEMA, sample_video_frames
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[2]"
+    ).config("spark.ui.enabled", "false").getOrCreate()
+    media = spark.createDataFrame(
+        [(1, bytearray(bytes(payload)), ("video/mp4", 0, 0, 0))], MEDIA_SCHEMA
+    )
+    n = sample_video_frames(media, every_ms=1000, max_frames=500).count()
+    assert n == 500
+
+
+def test_keyframes_only_contract(spark):
+    """Empty/no-match stss yields ZERO rows (never silent all-sample
+    degradation); absent stss samples everything per ISO 14496-12."""
+    import struct as _struct
+
+    from demy_spark.operators.multimodal import MEDIA_SCHEMA, sample_video_frames
+    from demy_spark.queries import _q150_mp4
+
+    base = _q150_mp4()
+    # stss marking only sample 99 (out of range) -> no keyframes
+    nomatch = bytearray(base)
+    i = bytes(nomatch).index(b"stss")
+    nomatch[i + 8 : i + 16] = _struct.pack(">II", 1, 99)
+    # drop stss entirely by renaming the box -> every sample is sync
+    nostss = bytearray(base)
+    i = bytes(nostss).index(b"stss")
+    nostss[i : i + 4] = b"free"
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(bytes(nomatch)), ("video/mp4", 0, 0, 0)),
+            (2, bytearray(bytes(nostss)), ("video/mp4", 0, 0, 0)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = sample_video_frames(media, keyframes_only=True).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert 1 not in by_id  # no valid keyframes -> zero rows
+    assert len(by_id[2]) == 3  # absent stss -> all samples eligible
