@@ -393,3 +393,45 @@ def test_keyframes_only_contract(spark):
         by_id.setdefault(r["media_id"], []).append(r)
     assert 1 not in by_id  # no valid keyframes -> zero rows
     assert len(by_id[2]) == 3  # absent stss -> all samples eligible
+
+
+def test_streaming_media_ops_match_batch(spark, tmp_path):
+    """decode_audio / extract_audio_features / sample_video_frames are
+    stateless mapInPandas transforms, so they compose with readStream
+    unchanged — the media twins of the curation streaming tests."""
+    from demy_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio,
+        sample_video_frames,
+    )
+    from demy_spark.queries import _q150_mp4
+    from demy_spark.streaming.windows import run_stream_to_memory
+
+    wav = encode_wav([4096, -4096] * 800, 8000, 1, 2)
+    rows = [
+        (1, bytearray(wav), ("audio/wav", 0, 0, 0)),
+        (2, bytearray(_q150_mp4()), ("video/mp4", 320, 240, 3000)),
+        (3, bytearray(b"ID3 not decodable"), ("audio/mpeg", 0, 0, 0)),
+    ]
+    batch = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    stage = str(tmp_path / "media_stage")
+    batch.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(batch.schema).parquet(stage)
+    assert stream.isStreaming
+
+    got_audio = run_stream_to_memory(decode_audio(stream), "audio_stream")
+    s = {(r["media_id"], r["n_samples"], r["decode_real"],
+          tuple(r["samples"][:4])) for r in got_audio.collect()}
+    b = {(r["media_id"], r["n_samples"], r["decode_real"],
+          tuple(r["samples"][:4])) for r in decode_audio(batch).collect()}
+    assert s == b and len(s) == 3
+
+    got_frames = run_stream_to_memory(
+        sample_video_frames(stream, every_ms=1000), "frame_stream"
+    )
+    s = {(r["media_id"], r["frame_idx"], r["ts_ms"], bytes(r["frame_bytes"]),
+          r["frame_real"]) for r in got_frames.collect()}
+    b = {(r["media_id"], r["frame_idx"], r["ts_ms"], bytes(r["frame_bytes"]),
+          r["frame_real"])
+         for r in sample_video_frames(batch, every_ms=1000).collect()}
+    assert s == b and any(real for *_, real in s)
