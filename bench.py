@@ -178,6 +178,10 @@ def main() -> None:
         # a shuffle pattern no other extra times)
         "hybrid_rrf": _q.REGISTRY["q138_hybrid_rrf"].fn,
         "budget_select": _q.REGISTRY["q140_budget_select"].fn,
+        # round-10 addition: the media decode paths under load (512
+        # WAV waveform decodes + 512 BMFF sample-table walks — the
+        # per-payload parser cost the fixture-scale oracles can't see)
+        "media_decode": _q.bench_media_decode,
     }
     extra_timings: dict[str, float] = {}
     for name, fn in extras.items():

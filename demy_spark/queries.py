@@ -1080,6 +1080,48 @@ def q24_fuzzy_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bench_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (NOT registered): the r10 media decode paths under
+    load — 512 one-second 16-bit WAVs through ``decode_audio`` (full
+    waveform tensors) and 512 BMFF containers through
+    ``sample_video_frames`` (sample-table walk + slices), unioned
+    counts. Times the Arrow mapInPandas media path the fixture-scale
+    q147/q149/q150 oracles cannot: a per-payload cost regression in
+    the wave/box parsers surfaces here. Deterministic payloads; pure
+    map shape (the count is the only shuffle)."""
+    from demy_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio,
+        encode_wav,
+        sample_video_frames,
+    )
+
+    wav = encode_wav(
+        [((i * 37) % 8192) - 4096 for i in range(16000)], 16000, 1, 2
+    )
+    mp4 = _q150_mp4()
+    rows = [
+        (
+            i,
+            bytearray(wav if i % 2 == 0 else mp4),
+            ("audio/wav" if i % 2 == 0 else "video/mp4", 0, 0, 3000),
+        )
+        for i in range(1024)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(16)
+    audio = decode_audio(media.where(F.col("media_id") % 2 == 0))
+    frames = sample_video_frames(
+        media.where(F.col("media_id") % 2 == 1), every_ms=500
+    )
+    return audio.select(
+        F.col("media_id"), F.size("samples").cast("long").alias("n")
+    ).unionByName(
+        frames.select(
+            F.col("media_id"), F.length("frame_bytes").cast("long").alias("n")
+        )
+    ).groupBy().agg(F.count(F.lit(1)).alias("rows"), F.sum("n").alias("units"))
+
+
 def bench_fuzzy_probe_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only (NOT registered): q24's fuzzy lookup with 10× the
     probe volume — every document probes the phrase dictionary instead
