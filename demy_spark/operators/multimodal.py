@@ -765,7 +765,13 @@ def sample_video_frames(
                 duration = (
                     int(meta["duration_ms"]) if meta is not None and meta["duration_ms"] else 0
                 )
-                n_frames = max(duration // every_ms, 1) if payload else 0
+                # the meta duration is as untrusted as the BMFF header
+                # fields: the cap bounds BOTH fan-out branches
+                n_frames = (
+                    min(max(duration // every_ms, 1), max_frames)
+                    if payload
+                    else 0
+                )
                 for k in range(n_frames):
                     off = (k * frame_size) % max(len(payload), 1)
                     ids.append(pdf["media_id"].iloc[i])

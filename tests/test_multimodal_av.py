@@ -335,11 +335,16 @@ def test_wav_truncated_stereo_trims_instead_of_crashing():
     assert decoded is not None and decoded[2].shape == (49, 2)
 
 
-def test_frame_fanout_bounded_against_hostile_timeline():
+def test_frame_fanout_bounded_against_hostile_timeline(spark):
     """r10 review: a corrupt stts delta (0xFFFFFFFF) parses fine and
     used to compute a ~21M-row fan-out from ONE payload; the
-    max_frames cap bounds it."""
-    from demy_spark.operators.multimodal import _mp4_video_samples
+    max_frames cap bounds it — on BOTH branches (the fake chunker's
+    meta.duration_ms is just as untrusted as the BMFF timeline)."""
+    from demy_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _mp4_video_samples,
+        sample_video_frames,
+    )
     from demy_spark.queries import _q150_mp4
 
     payload = bytearray(_q150_mp4())
@@ -348,19 +353,18 @@ def test_frame_fanout_bounded_against_hostile_timeline():
     payload[i + 16 : i + 20] = (0xFFFFFFFF).to_bytes(4, "big")
     parsed = _mp4_video_samples(bytes(payload))
     assert parsed is not None  # the tables themselves are valid
-    # operator-level: bounded rows, not 21M
-    from pyspark.sql import SparkSession
-
-    from demy_spark.operators.multimodal import MEDIA_SCHEMA, sample_video_frames
-
-    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
-        "local[2]"
-    ).config("spark.ui.enabled", "false").getOrCreate()
     media = spark.createDataFrame(
-        [(1, bytearray(bytes(payload)), ("video/mp4", 0, 0, 0))], MEDIA_SCHEMA
+        [
+            (1, bytearray(bytes(payload)), ("video/mp4", 0, 0, 0)),
+            # non-BMFF payload with a hostile meta duration (10^12 ms)
+            (2, bytearray(b"not a container"), ("video/avi", 0, 0, 10**12)),
+        ],
+        MEDIA_SCHEMA,
     )
-    n = sample_video_frames(media, every_ms=1000, max_frames=500).count()
-    assert n == 500
+    out = sample_video_frames(media, every_ms=1000, max_frames=500)
+    counts = {r["media_id"]: r["n"] for r in
+              out.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {1: 500, 2: 500}
 
 
 def test_keyframes_only_contract(spark):
