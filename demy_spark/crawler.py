@@ -416,11 +416,19 @@ def download(
         body = d.decompress(body, cap + 1)
         if len(body) > cap:
             raise _bomb("gzip stream", cap)
+        if not d.eof:
+            # a truncated download must be loud, never a silently
+            # partial spool file (ADVICE r10; the reference's
+            # commons-compress stream throws here)
+            raise ValueError(f"truncated gzip stream: {url}")
         lower = lower[:-4] + ".tar" if lower.endswith(".tgz") else lower[:-3]
     elif deflate and lower.endswith(".bz2"):
-        body = bz2.BZ2Decompressor().decompress(body, max_length=cap + 1)
+        d = bz2.BZ2Decompressor()
+        body = d.decompress(body, max_length=cap + 1)
         if len(body) > cap:
             raise _bomb("bzip2 stream", cap)
+        if not d.eof:
+            raise ValueError(f"truncated bzip2 stream: {url}")
         lower = lower[:-4]
     elif deflate and lower.endswith((".xz", ".txz", ".lzma")):
         # r10: the reference's CompressorStreamFactory auto-detects
@@ -430,11 +438,14 @@ def download(
         import lzma as _lzma
 
         fmt = _lzma.FORMAT_ALONE if lower.endswith(".lzma") else _lzma.FORMAT_XZ
-        body = _lzma.LZMADecompressor(format=fmt).decompress(
-            body, max_length=cap + 1
-        )
+        d = _lzma.LZMADecompressor(format=fmt)
+        body = d.decompress(body, max_length=cap + 1)
         if len(body) > cap:
             raise _bomb("xz/lzma stream", cap)
+        if not d.eof:
+            raise ValueError(f"truncated xz/lzma stream: {url}")
+        if d.unused_data:
+            raise ValueError(f"trailing garbage after xz/lzma stream: {url}")
         if lower.endswith(".txz"):
             lower = lower[:-4] + ".tar"
         else:

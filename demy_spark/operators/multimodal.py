@@ -942,6 +942,7 @@ def decode_audio(
     *,
     target_rate: int | None = None,
     mono: bool = False,
+    decoder=None,
 ) -> DataFrame:
     """Decode audio payloads to waveform tensors (media_id,
     sample_rate, n_channels, n_samples, samples array<float>
@@ -952,7 +953,16 @@ def decode_audio(
     mean; ``target_rate`` nearest-resamples (the same index-mapping
     convention as the image resize — swap in a windowed-sinc UDF for
     production fidelity, only this body changes). Arrow-batched
-    ``mapInPandas``; pure map shape."""
+    ``mapInPandas``; pure map shape.
+
+    ``decoder`` is the compressed-codec upgrade injection point (the
+    ``decode_image(decoder=...)`` analog — COVERAGE.md compressed-audio
+    policy): ``decoder(payload: bytes) -> (rate, n_channels,
+    np.ndarray[frames, channels]) | None``. It is tried FIRST for every
+    payload and trusted as real when it returns; ``None`` falls back to
+    the built-in PCM-WAV path, then the flagged fake. Wrap soundfile /
+    audioread / ffmpeg here on clusters that ship a codec library —
+    only this argument changes, the plan shape stays pure map."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -961,11 +971,12 @@ def decode_audio(
                                     "n_samples", "samples", "decode_real")}
             for i in range(len(pdf)):
                 payload = pdf[payload_col].iloc[i]
-                decoded = (
-                    _wav_samples(bytes(payload))
-                    if payload is not None and bytes(payload[:4]) == b"RIFF"
-                    else None
-                )
+                decoded = None
+                if payload is not None:
+                    if decoder is not None:
+                        decoded = decoder(bytes(payload))
+                    if decoded is None and bytes(payload[:4]) == b"RIFF":
+                        decoded = _wav_samples(bytes(payload))
                 if decoded is None:
                     cols["sample_rate"].append(8000)
                     cols["n_channels"].append(1)

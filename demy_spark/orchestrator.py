@@ -61,12 +61,30 @@ class Model:
         *,
         snapshot_dir: str | None = None,
         reuse_snapshots: bool = True,
+        config: "Configuration | None" = None,
     ) -> None:
         self.name = name
         self.steps = steps
         self.snapshot_dir = snapshot_dir
         self.reuse_snapshots = reuse_snapshots
+        self.config = config
         self.metrics: list[dict[str, Any]] = []
+
+    def _cfg(self, step: str, key: str, value: Any) -> Any:
+        """Resolve a ``Cfg`` marker param through the app configuration
+        (Configuration.scala:11-35 wired into the plan — SURVEY §3 EP1:
+        the reference's app run loads a JSON config and its models read
+        properties from it)."""
+        from demy_spark.config import Cfg
+
+        if not isinstance(value, Cfg):
+            return value
+        if self.config is None:
+            raise ValueError(
+                f"step {step}: param {key} is Cfg({value.prop!r}) but the "
+                "model has no configuration"
+            )
+        return self.config.get_or_default(value.prop)
 
     def _resolve(
         self, ref: str, externals: dict[str, DataFrame], produced: dict[str, DataFrame]
@@ -95,6 +113,7 @@ class Model:
             t0 = time.perf_counter()
             dfs = [self._resolve(r, inputs, produced) for r in step.inputs]
             params = {**step.params, **(overrides or {}).get(step.name, {})}
+            params = {k: self._cfg(step.name, k, v) for k, v in params.items()}
             df = step.op(*dfs, **params)
             if step.select:
                 df = df.select(*step.select)

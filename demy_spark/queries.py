@@ -10401,78 +10401,69 @@ def q150_video_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
-# order. Round-10 window (VERDICT r9 task 1 — the freshness endgame:
-# retire EVERY official row older than r8), in order:
-#   0. the five NEW registrations (never-rowed must sit in-window):
-#      q144 (independent murmur3 oracle for ArrayHasher, VERDICT r9
-#      task 3), q145 (crawler archive-branch oracle incl. the
-#      bomb-cap decoy, task 4; extended late-r10 with the BCJ2 .7z),
-#      and the late-r10 media trio q146 (JPEG decode), q147 (WAV
-#      features), q148 (MP4 metadata).
-#   1. the 6 r6-resting headliners the r9 window had to defer
-#      (arithmetic note in the r9 history): q01, q02, q03, q12, q24,
-#      q26.
-#   2. ALL 37 r7-resting rows, leading with the gated-doc-id five the
-#      r8 verdict named (q37, q112, q118, q133, q136).
-#   3. 7 + 6 + 37 = 50 exactly — the late-r10 media registrations
-#      (q146-q150) consumed the tail slots, so the r8 cohort's own
-#      rotation (q04-q08 first) leads the r11 window instead. Done
-#      criterion unchanged: the latest-round histogram
-#      (scripts/freshness.py) shows zero rows older than r8.
+# order. Round-11 window (VERDICT r10 task 2 — retire the r8 cohort):
+# the 50 queries whose latest official row is r8 fit the window EXACTLY
+# (scripts/freshness.py `stale_vs_newest` == this list), so the r11
+# window is that cohort verbatim with zero new registrations — the
+# round's behavior-delta (q146 gains real progressive-JPEG rows) is a
+# fixture/oracle extension to an r10-rowed query, verified by the
+# judge's independent full-registry sim and the pytest oracle twins.
+# Ordering: the relational q04-q11 cohort freshness.window_next named
+# first, then the BPE family, then the remainder in query order. Done
+# criterion: the latest-round histogram shows nothing older than r9.
 _DRIVER_PRIORITY = [
-    # --- tier 0: new registrations (never-rowed)
-    "q144_hashingtf_buckets",
-    "q145_crawl_archives",
-    "q146_jpeg_decode",
-    "q147_audio_features",
-    "q148_video_metadata",
-    "q149_audio_decode",
-    "q150_video_sampling",
-    # --- tier 1: the six r6-resting headliners
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_top_orders",
-    "q12_events_hourly",
-    "q24_fuzzy_lookup",
-    "q26_minhash_dedup",
-    # --- tier 2: every r7-resting row (gated-doc-id five first)
-    "q37_embed_apply",
-    "q112_tfidf_terms",
-    "q118_orc_roundtrip",
-    "q133_c4_filters",
-    "q136_fim_split",
-    "q27_simhash_dedup",
-    "q30_ngram_jaccard",
-    "q31_dup_clusters",
-    "q32_media_features",
-    "q33_hash_folds",
-    "q34_threshold_sweep",
-    "q35_oof_mean_model",
-    "q36_multi_hot",
-    "q41_locality_match",
-    "q44_entity_match",
-    "q45_entity_cooccurrence",
-    "q49_sentence_split",
-    "q54_binary_metrics",
-    "q61_bottom_k_sample",
-    "q63_salted_agg",
-    "q65_partition_prune",
-    "q66_pos_tag_greedy",
-    "q67_event_followup",
-    "q78_entity_refine",
-    "q92_gopher_rules",
-    "q93_curation_pipeline",
-    "q96_line_dedup",
-    "q97_duplicated_spans",
-    "q102_strip_spans",
-    "q108_record_linkage",
-    "q111_chunk_documents",
-    "q117_bm25_search",
-    "q119_group_median",
-    "q130_script_profile",
-    "q135_bloom_gate",
-    "q137_blocklist_gate",
-    "q140_budget_select",
+    # --- the window_next ten (oldest-rowed outside the r10 window)
+    "q04_priority_exists",
+    "q05_customers_without_orders",
+    "q06_forecast_revenue",
+    "q07_top_orders_per_customer",
+    "q08_running_revenue",
+    "q09_rollup_returns",
+    "q104_phrase_merges",
+    "q113_bpe_apply",
+    "q115_bpe_train",
+    "q116_bpe_encode",
+    # --- the rest of the r8-resting cohort, in query order
+    "q11_repeat_customers",
+    "q13_sessionize",
+    "q15_acctbal_folds",
+    "q16_distinct_parts",
+    "q17_doc_stats",
+    "q20_language_id",
+    "q22_label_centroids",
+    "q25_lexicon_lookup",
+    "q39_admin_flatten",
+    "q40_parse_address",
+    "q46_pos_tag",
+    "q48_simplify_text",
+    "q50_fuzzy_typos",
+    "q52_word_categories",
+    "q55_asof_join",
+    "q58_hll_distinct",
+    "q59_heavy_hitters",
+    "q60_stratified_sample",
+    "q68_zorder_key",
+    "q69_center_hierarchy",
+    "q70_span_detect",
+    "q71_online_centers",
+    "q72_point_in_polygon",
+    "q73_platt_calibration",
+    "q74_embed_options",
+    "q75_shapefile_flatten",
+    "q77_split_doc",
+    "q79_pipeline_grid",
+    "q80_source_scan",
+    "q81_phonetic_simplify",
+    "q121_incremental_rollup",
+    "q122_fuzzy_typed_filter",
+    "q124_repetition_profile",
+    "q125_unicode_hygiene",
+    "q126_html_strip",
+    "q127_winnow_pairs",
+    "q128_json_props",
+    "q129_url_parse",
+    "q134_phrase_search",
+    "q138_hybrid_rrf",
 ]
 
 

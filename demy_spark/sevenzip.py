@@ -216,6 +216,22 @@ def _read_folder(r: _Reader) -> _Folder:
     if sum(cid == CODEC_BCJ2 for cid, _, _, _ in coders) == 1:
         if len(finals) != 1:
             raise ValueError("7z BCJ2 folder without a single final out-stream")
+        # the folder's final out-stream must be the BCJ2 mixer's own
+        # output (every supported coder is 1-out, so coder i's global
+        # out-stream index is i). A graph that binds the BCJ2 output
+        # INTO a downstream coder would otherwise decode to the
+        # mixer's intermediate bytes and slice substreams against the
+        # larger declared final size — a silent wrong extraction when
+        # no CRCs are present (ADVICE r10, medium).
+        bcj2_out = next(
+            i for i, (cid, _, _, _) in enumerate(coders) if cid == CODEC_BCJ2
+        )
+        if finals[0] != bcj2_out:
+            raise NotImplementedError(
+                "7z BCJ2 folder whose final out-stream is not the BCJ2 "
+                "mixer's output (downstream coder after BCJ2); "
+                "decompress out-of-band"
+            )
         if len(set(packed_indices)) != num_pack or not (
             set(packed_indices) | bound_ins == set(range(total_in))
             and not (set(packed_indices) & bound_ins)
@@ -264,7 +280,15 @@ def _read_folder(r: _Reader) -> _Folder:
 def _decompress(folder: _Folder, packs: list[bytes]) -> bytes:
     try:
         if folder.coders is not None:
-            return _decompress_bcj2(folder, packs)
+            out = _decompress_bcj2(folder, packs)
+            # same size contract _decode_stream enforces for simple
+            # folders: short/long output must be loud, never sliced
+            if len(out) != folder.unpack_size:
+                raise ValueError(
+                    f"7z BCJ2 folder decoded {len(out)} bytes where "
+                    f"{folder.unpack_size} were declared"
+                )
+            return out
         return _decompress_inner(folder, packs[0])
     except (lzma.LZMAError, zlib.error, OSError, EOFError) as e:
         # codec-level damage surfaces as the same ValueError contract

@@ -679,3 +679,40 @@ def test_download_xz_variants(tmp_path):
     with pytest.raises(ValueError, match="decompression-bomb"):
         download("http://m.test/bomb.xz", str(tmp_path / "e"),
                  fetch=fetch_for(bomb))
+
+
+def test_download_truncated_compressed_streams_are_loud(tmp_path):
+    """ADVICE r10: a truncated or garbage-tailed compressed download
+    must raise, never spool a silently partial file (the reference's
+    commons-compress stream throws here)."""
+    import bz2
+    import gzip
+    import lzma
+
+    import pytest
+
+    from demy_spark.crawler import download
+
+    payload = b"the quick brown fox jumps over the lazy dog\n" * 64
+
+    def fetch_for(body):
+        return lambda u: ("application/octet-stream", body)
+
+    cases = [
+        ("doc.txt.xz", lzma.compress(payload), "truncated xz/lzma"),
+        ("doc.lzma", lzma.compress(payload, format=lzma.FORMAT_ALONE),
+         "truncated xz/lzma"),
+        ("doc.txt.gz", gzip.compress(payload), "truncated gzip"),
+        ("doc.txt.bz2", bz2.compress(payload), "truncated bzip2"),
+    ]
+    for name, body, msg in cases:
+        with pytest.raises(ValueError, match=msg):
+            download(f"http://m.test/{name}", str(tmp_path / ("t-" + name)),
+                     fetch=fetch_for(body[:-6]))
+    # a valid xz stream followed by trailing garbage is equally loud
+    with pytest.raises(ValueError, match="trailing garbage"):
+        download("http://m.test/doc.txt.xz", str(tmp_path / "tail"),
+                 fetch=fetch_for(lzma.compress(payload) + b"JUNKJUNK"))
+    # and nothing was spooled for any of the failures
+    spooled = [p for p in tmp_path.rglob("*") if p.is_file()]
+    assert spooled == []

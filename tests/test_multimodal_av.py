@@ -251,6 +251,47 @@ def test_decode_audio_waveform_tensor(spark):
     assert res["samples"][:2] == [0.25, -0.25]
 
 
+def test_decode_audio_custom_decoder_injection(spark):
+    """COVERAGE.md compressed-audio policy: ``decoder=`` is the codec
+    upgrade path — tried FIRST, trusted as real when it returns, None
+    falls back to built-in WAV then the flagged fake. The injected
+    callable runs inside the Arrow batches on executors, so it must be
+    a plain picklable function."""
+    import numpy as np
+
+    from demy_spark.operators.multimodal import MEDIA_SCHEMA, decode_audio
+
+    wav = encode_wav([8192, -8192] * 50, 8000, 2, 2)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(wav), ("audio/wav", 0, 0, 0)),
+            (2, bytearray(b"ID3 mp3-ish payload"), ("audio/mpeg", 0, 0, 0)),
+            (3, bytearray(b"OggS opus"), ("audio/ogg", 0, 0, 0)),
+        ],
+        MEDIA_SCHEMA,
+    )
+
+    def mp3_stub(payload: bytes):
+        # stands in for soundfile/audioread: handles only ID3 payloads
+        if not payload.startswith(b"ID3"):
+            return None
+        return 44100, 1, (np.arange(4, dtype=np.float32) / 8).reshape(4, 1)
+
+    out = {r["media_id"]: r
+           for r in decode_audio(media, decoder=mp3_stub).collect()}
+    assert out[2]["decode_real"] and out[2]["sample_rate"] == 44100
+    assert out[2]["samples"] == [0.0, 0.125, 0.25, 0.375]
+    # WAV still reaches the built-in real path when the decoder declines
+    assert out[1]["decode_real"] and out[1]["n_channels"] == 2
+    # undecodable payloads still land on the flagged fake
+    assert not out[3]["decode_real"] and len(out[3]["samples"]) == 256
+    # mono/resample post-processing applies to injected decodes too
+    res = {r["media_id"]: r
+           for r in decode_audio(media, decoder=mp3_stub,
+                                 target_rate=22050).collect()}[2]
+    assert res["sample_rate"] == 22050 and res["n_samples"] == 2
+
+
 def test_mp4_sample_table_extraction():
     """The stbl walk resolves every sample's bytes exactly (two-chunk
     stsc map, per-sample stsz sizes, stss keyframes)."""

@@ -81,3 +81,90 @@ def test_grid_search_picks_best(spark):
     assert result["best_version"] == "2"  # min_id=9 → total 18
     assert result["best_score"] == 18.0
     assert len(result["scores"]) == 3
+
+
+# ------------------------------------------------ app config (r11, §3 EP1)
+
+
+def test_load_config_object_and_list_forms(tmp_path):
+    """Configuration.scala:11-35: one JSON object or a list of objects
+    (merged left-to-right); values stringified; file values do NOT
+    merge with defaults — defaults only serve get_or_default."""
+    import json
+
+    import pytest
+
+    from demy_spark.config import load_config
+
+    obj = tmp_path / "conf.json"
+    obj.write_text(json.dumps({"storage.root": "/data", "folds": 5, "ansi": True}))
+    cfg = load_config(str(obj), defaults={"folds": 3, "mode": "fast"})
+    assert cfg.get("storage.root") == "/data"
+    assert cfg.get("folds") == "5"  # stringified like the reference's .toString
+    assert cfg.get("ansi") == "true"  # JVM-style lowercase boolean
+    assert cfg.get("mode") is None  # defaults are NOT merged into values
+    assert cfg.get_or_default("mode") == "fast"
+    assert cfg.get_or_default("folds") == "5"  # file wins over default
+    with pytest.raises(KeyError, match="neither|Cannot find"):
+        cfg.get_or_default("absent.prop")
+
+    lst = tmp_path / "list.json"
+    lst.write_text(json.dumps([{"a": 1}, {"b": 2, "a": 9}]))
+    cfg2 = load_config(str(lst))
+    assert cfg2.get("a") == "9" and cfg2.get("b") == "2"  # later elems win
+
+    # no file: the defaults ARE the values (the missing-FSNode branch)
+    cfg3 = load_config(None, defaults={"x": 1})
+    assert cfg3.get("x") == "1"
+
+
+def test_load_config_rejects_non_json_and_scalar(tmp_path):
+    import pytest
+
+    from demy_spark.config import load_config
+
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    with pytest.raises(ValueError, match="as json"):
+        load_config(str(bad))
+    scalar = tmp_path / "scalar.json"
+    scalar.write_text('"just-a-string"')
+    with pytest.raises(ValueError, match="problem loading"):
+        load_config(str(scalar))
+    lst = tmp_path / "lst.json"
+    lst.write_text("[1, 2]")
+    with pytest.raises(ValueError, match="cannot interpret"):
+        load_config(str(lst))
+
+
+def test_model_resolves_cfg_params(spark, tmp_path):
+    """A Step param marked Cfg('prop') resolves through the model's
+    Configuration at run time (the reference's models reading
+    properties out of the app config)."""
+    import json
+
+    import pytest
+
+    from demy_spark.config import Cfg, load_config
+
+    conf = tmp_path / "app.json"
+    conf.write_text(json.dumps({"filter.min_id": 7}))
+    cfg = load_config(str(conf), defaults={"filter.min_id": 0})
+
+    def flt(df, min_id):
+        return df.filter(F.col("id") >= int(min_id))
+
+    m = Model(
+        "cfgm",
+        [Step("f", flt, inputs=["#base"], params={"min_id": Cfg("filter.min_id")})],
+        config=cfg,
+    )
+    out = m.run(spark, {"base": spark.range(10)})
+    assert out["output"].count() == 3  # ids 7, 8, 9
+
+    bare = Model(
+        "nocfg",
+        [Step("f", flt, inputs=["#base"], params={"min_id": Cfg("filter.min_id")})],
+    )
+    with pytest.raises(ValueError, match="no configuration"):
+        bare.run(spark, {"base": spark.range(10)})

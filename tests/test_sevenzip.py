@@ -427,6 +427,14 @@ def test_unpack_cap_guards_the_encoded_header_as_well():
 
 REAL_FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "real_7z")
 
+# x86-looking payload: NOP sleds with E8 (call rel32) sites — the bytes
+# the BCJ/BCJ2 filters actually rewrite (defined before _real_archives,
+# which the skipif gate evaluates at module-load time)
+X86_BLOB = b"".join(
+    b"\x90" * 5 + b"\xe8" + (i * 16).to_bytes(4, "little") + b"\xc3"
+    for i in range(400)
+)
+
 
 def _real_archives():
     import glob as _glob
@@ -441,7 +449,8 @@ def _real_archives():
     if exe is None:
         return []
     d = tempfile.mkdtemp(prefix="real7z_")
-    for name, payload in (("a.csv", PAYLOAD_A), ("b.txt", PAYLOAD_B)):
+    for name, payload in (("a.csv", PAYLOAD_A), ("b.txt", PAYLOAD_B),
+                          ("prog.exe", X86_BLOB)):
         with open(os.path.join(d, name), "wb") as f:
             f.write(payload)
     arc = os.path.join(d, "real.7z")
@@ -450,7 +459,22 @@ def _real_archives():
         check=True,
         capture_output=True,
     )
-    return [arc]
+    out = [arc]
+    # ADVICE r10: BCJ2 wire conventions are otherwise only ever tested
+    # against this repo's own encoder — when a real binary is present,
+    # also produce a genuine `-m0=BCJ2` archive (full method spec from
+    # the public 7-Zip -m switch docs) so subtle mismatches (tail
+    # control-bit rule, range-coder normalization order) surface here.
+    bcj2_arc = os.path.join(d, "real_bcj2.7z")
+    r = subprocess.run(
+        [exe, "a", bcj2_arc, os.path.join(d, "prog.exe"),
+         "-m0=BCJ2", "-m1=LZMA:d=1m", "-m2=LZMA:d=1m", "-m3=LZMA:d=1m",
+         "-mb0:1", "-mb0s1:2", "-mb0s2:3"],
+        capture_output=True,
+    )
+    if r.returncode == 0:
+        out.append(bcj2_arc)
+    return out
 
 
 @pytest.mark.skipif(
@@ -465,9 +489,29 @@ def test_real_7z_archive_extracts_byte_exactly():
     a committed fixture produced by one): a shared misinterpretation
     of the container layout between reader and in-test writer cannot
     pass this."""
+    from demy_spark.sevenzip import _Reader, _read_streams_info
+
     for arc in _real_archives():
         with open(arc, "rb") as f:
-            members = dict(read_7z(f.read()))
+            body = f.read()
+        members = dict(read_7z(body))
+        is_bcj2 = "bcj2" in os.path.basename(arc).lower()
+        if is_bcj2:
+            # the fixture must genuinely exercise the mixer path — a
+            # plain-LZMA2 archive renamed *bcj2* would pass the byte
+            # compare without testing anything (ADVICE r10)
+            off = int.from_bytes(body[12:20], "little")
+            size = int.from_bytes(body[20:28], "little")
+            r = _Reader(body[32 + off: 32 + off + size])
+            t = r.number()
+            if t == 0x01:  # plain header (EncodedHeader parses too,
+                assert r.number() == 0x04  # but 7z a writes plain here)
+                si = _read_streams_info(r)
+                assert any(
+                    f.coders is not None
+                    and any(c == BCJ2_ID for c, _, _, _ in f.coders)
+                    for f in si.folders
+                ), f"{arc} does not contain a BCJ2 folder"
         manifest = arc[:-3] + ".manifest.json"
         if os.path.exists(manifest):
             import hashlib
@@ -476,7 +520,9 @@ def test_real_7z_archive_extracts_byte_exactly():
             want = _json.load(open(manifest))
             got = {n: hashlib.md5(c).hexdigest() for n, c in members.items()}
             assert got == want
-        else:  # generated on the fly by the local binary
+        elif is_bcj2:  # generated on the fly by the local binary
+            assert members == {"prog.exe": X86_BLOB}
+        else:
             assert members == {"a.csv": PAYLOAD_A, "b.txt": PAYLOAD_B}
 
 
@@ -485,13 +531,6 @@ def test_real_7z_archive_extracts_byte_exactly():
 BCJ_X86_OLD = b"\x03\x03\x01\x03"
 BCJ_X86_NEW = b"\x04"
 DELTA = b"\x03"
-
-# x86-looking payload: NOP sleds with E8 (call rel32) sites — the bytes
-# the BCJ filter actually rewrites
-X86_BLOB = b"".join(
-    b"\x90" * 5 + b"\xe8" + (i * 16).to_bytes(4, "little") + b"\xc3"
-    for i in range(400)
-)
 
 
 def coder_bytes(codec: bytes, props: bytes) -> bytes:
@@ -994,3 +1033,33 @@ def test_bcj2_single_coder_folder_all_raw():
         + bytes([0x00])
     )
     assert read_7z(seal(b"".join(pack_streams), header)) == [("raw.bin", blob)]
+
+
+def test_bcj2_output_into_downstream_coder_stays_loud():
+    """ADVICE r10 (medium): a folder that binds the BCJ2 mixer's output
+    INTO a downstream coder (here: Copy) used to return the mixer's
+    intermediate bytes and slice members against the larger declared
+    final size — a silent short extraction when no CRCs are present.
+    The reader must refuse the graph, not mis-extract."""
+    blob = X86_BLOB[:512]
+    main, call, jump, rc = bcj2_streams(blob)
+    bcj2_coder = bytes([len(BCJ2_ID) | 0x10]) + BCJ2_ID + enc_num(4) + enc_num(1)
+    # coders: bcj2=0 (ins 0-3, out 0), copy=1 (in 4, out 1);
+    # bind copy.in(4) <- bcj2.out(0); finals = [1] != bcj2's out
+    folder = (
+        enc_num(2) + bcj2_coder + coder_bytes(CODEC_COPY, b"")
+        + enc_num(4) + enc_num(0)
+        + b"".join(enc_num(i) for i in (0, 1, 2, 3))
+    )
+    pack_streams = [main, call, jump, rc]
+    declared = len(blob) + 40  # lies: larger than the mixer's output
+    header = (
+        bytes([0x01, 0x04])
+        + streams_info(0, [len(p) for p in pack_streams], [folder],
+                       [len(blob), declared])
+        + bytes([0x05])
+        + files_info([("prog.exe", blob + b"\x00" * 40)])
+        + bytes([0x00])
+    )
+    with pytest.raises(NotImplementedError, match="not the BCJ2 mixer"):
+        read_7z(seal(b"".join(pack_streams), header))
