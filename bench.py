@@ -62,6 +62,30 @@ def data_probe(spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
+# the documented quiet-host band for data_calib_sec (BASELINE.md): on
+# this container an idle host reads 0.055-0.066; official artifacts
+# repeatedly landed at 0.075+ and needed post-hoc adjudication
+# (VERDICT r10 task 3). The gate keeps that adjudication out of the
+# artifact: wait out transient load, or stamp the run degraded.
+QUIET_CALIB = float(os.environ.get("SPARK_GRAFT_QUIET_CALIB", "0.07"))
+
+
+def preflight_gate(spark, sf_dir: str) -> tuple[list[float], bool]:
+    """Run the data-bound probe FIRST and back off while the host is
+    busy: up to three readings with 20 s / 40 s waits between them.
+    Returns (all readings, host_degraded) — degraded means every
+    reading stayed above QUIET_CALIB and the artifact should be read
+    through its calibration numbers rather than at face value."""
+    readings: list[float] = []
+    for wait in (0, 20, 40):
+        if wait:
+            time.sleep(wait)
+        readings.append(data_probe(spark, sf_dir))
+        if readings[-1] <= QUIET_CALIB:
+            return readings, False
+    return readings, True
+
+
 def _split32_twin(spark, sf_dir: str) -> str:
     """A twin of ``sf_dir`` whose ``documents`` table is 32 part files
     (written once, reused across runs); every other table symlinks the
@@ -110,6 +134,10 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=min(cpus, 16),
     )
+
+    # quiet-host gate BEFORE any timed work (VERDICT r10 task 3): the
+    # probe doubles as the parquet-footer warm-up for lineitem
+    preflight, host_degraded = preflight_gate(spark, sf_dir)
 
     names = sorted(_q.headline_queries())
     # two warm-up passes: JVM + codegen + parquet footer caches; one
@@ -245,6 +273,12 @@ def main() -> None:
                 "sched_ms_per_job": sched_end,
                 "sched_ms_per_job_start": sched_start,
                 "data_calib_sec": data_calib,
+                # pre-flight gate (VERDICT r10 task 3): the readings
+                # the run opened with, and whether it ever reached the
+                # quiet band; a true host_degraded means adjudicate
+                # via the calibration ratio, not face-value timings
+                "data_calib_preflight": preflight,
+                "host_degraded": host_degraded,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -15,17 +15,29 @@ Scope — decode (:func:`decode_jpeg`):
   3-component (grayscale / JFIF YCbCr), any sampling factors whose
   planes nearest-upsample (1x1, 2x1, 1x2, 2x2, 4x1, ...), interleaved
   or per-component scans, restart intervals, 8- and 16-bit DQT.
-- Loud ``NotImplementedError`` for progressive (SOF2), lossless /
-  hierarchical / arithmetic variants (SOF3+, DAC), 12-bit precision,
-  and 4-component (Adobe CMYK) files; malformed streams raise
-  ``ValueError``. NEVER a silent wrong image for an unsupported
-  feature class.
+- SOF2 (progressive Huffman, 8-bit — r11, T.81 Annex G): spectral
+  selection and successive approximation, DC first/refinement scans
+  (interleaved or single-component), AC first/refinement scans with
+  EOB runs and ZRL-over-history, restart intervals inside progressive
+  scans. Coefficients accumulate across scans into per-component
+  grids; a stream truncated mid-script decodes the scans it carries
+  (the format's own partial-display semantics).
+- Loud ``NotImplementedError`` for lossless / hierarchical /
+  arithmetic variants (SOF3+, DAC), 12-bit precision, and 4-component
+  (Adobe CMYK) files; malformed streams raise ``ValueError``. NEVER a
+  silent wrong image for an unsupported feature class.
 
 Scope — encode (:func:`encode_jpeg`): baseline, 4:4:4 or 4:2:0, file-
 carried canonical Huffman tables (flat code lengths — valid, not
 Annex K; decoders read tables from DHT so interop is unaffected),
 quality-scaled Annex-K-style quantisation. Exists for tests and for
 writing thumbnails from the multimodal pipeline.
+:func:`encode_progressive_jpeg` (r11) writes the same quantised
+coefficients as a progressive scan script (interleaved DC first +
+refinements, per-component per-band AC first + refinements, optional
+restart markers) — which yields the strongest conformance check this
+container can run: progressive and baseline encodings of one image
+carry IDENTICAL coefficients, so their decodes must agree bit-exactly.
 
 Conformance posture (mirrors COVERAGE.md "Dependency-gated test
 policy"): enc/dec identity is fuzz-tested with error bounds derived
@@ -250,6 +262,16 @@ class _FastBits:
             v -= (1 << s) - 1
         return v
 
+    def bits(self, n: int) -> int:
+        """n raw bits, MSB first, no sign extension (progressive EOB-run
+        extensions, refinement correction/sign bits — T.81 G.1.2)."""
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._need(n)
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
 
 class _BitWriter:
     """Entropy-segment bit writer with 0xFF byte stuffing."""
@@ -289,10 +311,18 @@ class _Component:
         self.pred = 0
 
 
+# default decompression-bomb guard: the largest frame decode_jpeg will
+# open without an explicit opt-in (sniff_baseline agrees, so payloads
+# beyond it take the marked-fake path instead of raising mid-operator)
+MAX_PIXELS_DEFAULT = 32_000_000
+
+
 def sniff_baseline(payload: bytes) -> bool:
     """True when the payload is a JPEG this module can decode for real
-    (SOF0/SOF1, 8-bit, <=3 components) — the multimodal ``decode_real``
-    predicate. Marker scan only; no entropy decode."""
+    (SOF0/SOF1 sequential or — r11 — SOF2 progressive, 8-bit, <=3
+    components) — the multimodal ``decode_real`` predicate. Marker
+    scan only; no entropy decode. The name predates progressive
+    support; it answers "really decodable here", not "baseline"."""
     if not payload or payload[:3] != b"\xff\xd8\xff":
         return False
     pos = 2
@@ -301,16 +331,23 @@ def sniff_baseline(payload: bytes) -> bool:
         if payload[pos] != 0xFF:
             return False
         marker = payload[pos + 1]
-        if marker in (0xC0, 0xC1):
+        if marker in (0xC0, 0xC1, 0xC2):
             if pos + 10 > n:
                 return False
             precision = payload[pos + 4]
             height = int.from_bytes(payload[pos + 5 : pos + 7], "big")
             ncomp = payload[pos + 9]
             # height 0 = DNL-deferred, a feature class decode_jpeg
-            # rejects — sniff must agree (r10 review)
-            return precision == 8 and height > 0 and ncomp in (1, 3)
-        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            # rejects — sniff must agree (r10 review); same for the
+            # max-pixels bomb guard (r11)
+            width = int.from_bytes(payload[pos + 7 : pos + 9], "big")
+            return (
+                precision == 8
+                and height > 0
+                and ncomp in (1, 3)
+                and height * width <= MAX_PIXELS_DEFAULT
+            )
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             return False
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
@@ -320,9 +357,16 @@ def sniff_baseline(payload: bytes) -> bool:
     return False
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes to an (h, w, c) uint8 array (c = 1
-    grayscale or 3 RGB via the JFIF BT.601 transform)."""
+def decode_jpeg(
+    payload: bytes, *, max_pixels: int = MAX_PIXELS_DEFAULT
+) -> np.ndarray:
+    """Decode baseline or progressive JPEG bytes to an (h, w, c) uint8
+    array (c = 1 grayscale or 3 RGB via the JFIF BT.601 transform).
+
+    ``max_pixels`` bounds the SOF-declared frame area BEFORE any block
+    grid is allocated — a crafted 65535x65535 header must fail fast,
+    not materialize a multi-GB coefficient grid from a tiny payload
+    (the same hostile-count lesson as the r10 MP4 sample tables)."""
     if not payload or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -334,6 +378,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     height = width = 0
     restart_interval = 0
     saw_frame = saw_scan = False
+    progressive = False
 
     while pos + 2 <= n:
         if payload[pos] != 0xFF:
@@ -373,14 +418,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 nat = np.zeros(64, dtype=np.int32)
                 nat[ZIGZAG] = vals  # DQT values arrive in zigzag order
                 qt[tq] = nat.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             saw_frame = True
+            progressive = marker == 0xC2
             precision, height, width, ncomp = struct.unpack(
                 ">BHHB", seg[:6]
             )
             if precision != 8:
                 raise NotImplementedError(
-                    f"JPEG {precision}-bit precision (baseline decoder is 8-bit)"
+                    f"JPEG {precision}-bit precision (this decoder is 8-bit)"
                 )
             if ncomp not in (1, 3):
                 raise NotImplementedError(
@@ -389,15 +435,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 )
             if height == 0:
                 raise NotImplementedError("JPEG DNL-deferred height")
+            if height * width > max_pixels:
+                raise ValueError(
+                    f"JPEG frame {width}x{height} exceeds max_pixels="
+                    f"{max_pixels} (decompression-bomb guard)"
+                )
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq))
             if any(c.h < 1 or c.v < 1 for c in comps):
                 raise ValueError("JPEG zero sampling factor")
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2) — install Pillow for this file"
-            )
+            if progressive:
+                # coefficients accumulate across scans: fix each
+                # component's block-grid extent now (MCU-padded, so an
+                # interleaved DC scan's padding blocks have a home)
+                hmax = max(c.h for c in comps)
+                vmax = max(c.v for c in comps)
+                for c in comps:
+                    c.bw = -(-width // (8 * hmax)) * c.h
+                    c.bh = -(-height // (8 * vmax)) * c.v
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -431,15 +487,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comp.dc_id, comp.ac_id = tdta >> 4, tdta & 0x0F
                 scan_comps.append(comp)
             ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
-            if (ss, se, ahal) != (0, 63, 0):
-                raise NotImplementedError(
-                    "JPEG spectral selection / successive approximation "
-                    "(progressive scan parameters) in a sequential frame"
+            if progressive:
+                pos = _decode_scan_prog(
+                    payload, pos, scan_comps, comps, dc_tables,
+                    ac_tables, width, height, restart_interval,
+                    ss, se, ahal >> 4, ahal & 0x0F,
                 )
-            pos = _decode_scan(
-                payload, pos, scan_comps, comps, dc_tables, ac_tables,
-                qt, width, height, restart_interval,
-            )
+            else:
+                if (ss, se, ahal) != (0, 63, 0):
+                    raise NotImplementedError(
+                        "JPEG spectral selection / successive approximation "
+                        "(progressive scan parameters) in a sequential frame"
+                    )
+                pos = _decode_scan(
+                    payload, pos, scan_comps, comps, dc_tables, ac_tables,
+                    qt, width, height, restart_interval,
+                )
             saw_scan = True
         elif 0xE0 <= marker <= 0xEF or marker == 0xFE:
             continue  # APPn / COM
@@ -559,6 +622,203 @@ def _decode_block(
     return coef
 
 
+def _decode_scan_prog(
+    data: bytes,
+    pos: int,
+    scan_comps: list[_Component],
+    all_comps: list[_Component],
+    dc_tables: dict[int, _HuffDecoder],
+    ac_tables: dict[int, _HuffDecoder],
+    width: int,
+    height: int,
+    restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """One progressive scan (T.81 Annex G): DC (Ss=0) first/refinement
+    over MCUs, or AC (Ss>0) first/refinement over one component's true
+    block grid with EOB runs. Coefficients accumulate into the
+    components' block dicts; restart markers reset predictors and the
+    EOB run."""
+    if se > 63 or ss > se:
+        raise ValueError(f"JPEG progressive scan band {ss}..{se}")
+    if al > 13 or (ah and ah != al + 1):
+        raise ValueError(
+            f"JPEG successive approximation Ah={ah} Al={al} "
+            "(refinement must step one bit: Ah = Al + 1)"
+        )
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG progressive DC scan with Se != 0")
+    if ss > 0 and len(scan_comps) != 1:
+        raise ValueError("JPEG progressive AC scan with multiple components")
+
+    segs, end = _split_entropy(data, pos)
+    if restart_interval == 0 and len(segs) > 1:
+        raise ValueError("JPEG restart marker without a DRI interval")
+    seg_it = iter(segs)
+    br = _FastBits(next(seg_it))
+    hmax = max(c.h for c in all_comps)
+    vmax = max(c.v for c in all_comps)
+
+    def blk_of(c: _Component, key: tuple[int, int]) -> list[int]:
+        b = c.blocks.get(key)
+        if b is None:
+            b = c.blocks[key] = [0] * 64
+        return b
+
+    if ss == 0:  # ---- DC scan
+        if ah == 0:
+            for c in scan_comps:
+                if c.dc_id not in dc_tables:
+                    raise ValueError("JPEG scan uses undefined Huffman table")
+                c.pred = 0
+        interleaved = len(scan_comps) > 1
+        if interleaved:
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            units = [(c, bx, by) for c in scan_comps
+                     for by in range(c.v) for bx in range(c.h)]
+        else:
+            c0 = scan_comps[0]
+            mcus_x = -(- -(-width * c0.h // hmax) // 8)
+            mcus_y = -(- -(-height * c0.v // vmax) // 8)
+            units = [(c0, 0, 0)]
+        units_fast = [
+            (c, bx, by,
+             dc_tables[c.dc_id].lut16 if ah == 0 else None)
+            for c, bx, by in units
+        ]
+        to_go = restart_interval
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and to_go == 0:
+                    nxt = next(seg_it, None)
+                    if nxt is None:
+                        raise ValueError("JPEG restart marker missing")
+                    br = _FastBits(nxt)
+                    for c in scan_comps:
+                        c.pred = 0
+                    to_go = restart_interval
+                for c, bx, by, dc_lut in units_fast:
+                    key = (
+                        (my * c.v + by, mx * c.h + bx)
+                        if interleaved
+                        else (my, mx)
+                    )
+                    blk = blk_of(c, key)
+                    if ah == 0:
+                        t = br.symbol(dc_lut)
+                        if t > 11:
+                            raise ValueError(
+                                f"JPEG DC category {t} out of range"
+                            )
+                        if t:
+                            c.pred += br.receive_extend(t)
+                        blk[0] = c.pred << al
+                    elif br.bits(1):
+                        blk[0] |= 1 << al
+                if restart_interval:
+                    to_go -= 1
+    else:  # ---- AC scan (single component)
+        c = scan_comps[0]
+        if c.ac_id not in ac_tables:
+            raise ValueError("JPEG scan uses undefined Huffman table")
+        ac_lut = ac_tables[c.ac_id].lut16
+        bw = -(- -(-width * c.h // hmax) // 8)
+        bh = -(- -(-height * c.v // vmax) // 8)
+        zz = ZIGZAG
+        p1, m1 = 1 << al, -1 << al
+        eobrun = 0
+        to_go = restart_interval
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and to_go == 0:
+                    nxt = next(seg_it, None)
+                    if nxt is None:
+                        raise ValueError("JPEG restart marker missing")
+                    br = _FastBits(nxt)
+                    eobrun = 0
+                    to_go = restart_interval
+                if restart_interval:
+                    to_go -= 1
+                if ah == 0:  # -------- first pass (G.1.2.2)
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    blk = blk_of(c, (by, bx))
+                    k = ss
+                    while k <= se:
+                        rs = br.symbol(ac_lut)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1 + br.bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC run past end of band")
+                        blk[zz[k]] = br.receive_extend(s) << al
+                        k += 1
+                    continue
+                # ------------------ refinement pass (G.1.2.3)
+                blk = blk_of(c, (by, bx))
+                if eobrun:
+                    eobrun -= 1
+                    for k in range(ss, se + 1):
+                        v = blk[zz[k]]
+                        if v and br.bits(1) and not (v & p1):
+                            blk[zz[k]] = v + (p1 if v > 0 else m1)
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.symbol(ac_lut)
+                    r, s = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r < 15:  # EOBn: covers this block too
+                            eobrun = (1 << r) + br.bits(r)
+                            break
+                        # r == 15: pass 16 zero-history coefficients
+                    elif s == 1:
+                        newval = p1 if br.bits(1) else m1
+                    else:
+                        raise ValueError(
+                            "JPEG AC refinement magnitude must be 1"
+                        )
+                    while k <= se:
+                        v = blk[zz[k]]
+                        if v:
+                            if br.bits(1) and not (v & p1):
+                                blk[zz[k]] = v + (p1 if v > 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise ValueError(
+                                "JPEG AC refinement run past end of band"
+                            )
+                        blk[zz[k]] = newval
+                    k += 1
+                if eobrun:
+                    # the EOBn covered the rest of THIS block: refine
+                    # its remaining nonzero-history coefficients
+                    for kk in range(k, se + 1):
+                        v = blk[zz[kk]]
+                        if v and br.bits(1) and not (v & p1):
+                            blk[zz[kk]] = v + (p1 if v > 0 else m1)
+                    eobrun -= 1
+    if next(seg_it, None) is not None:
+        raise ValueError("JPEG restart marker after the final MCU")
+    return end
+
+
 def _assemble(
     comps: list[_Component],
     qt: dict[int, np.ndarray],
@@ -567,6 +827,9 @@ def _assemble(
 ) -> np.ndarray:
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
+    for c in comps:
+        if c.tq not in qt:
+            raise ValueError(f"JPEG component uses undefined DQT {c.tq}")
     planes = []
     for c in comps:
         if not c.blocks:
@@ -603,15 +866,14 @@ def _assemble(
 # --------------------------------------------------------------- encode
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    *,
-    quality: int = 90,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode an (h, w), (h, w, 1) or (h, w, 3) uint8 array as a
-    baseline JFIF JPEG (4:4:4, or 4:2:0 when ``subsample``)."""
+def _quantised_planes(
+    arr: np.ndarray, quality: int, subsample: bool
+) -> tuple[list[np.ndarray], list[tuple[int, int]], list[int],
+           dict[int, np.ndarray], int, int, int, int]:
+    """Shared encoder front half: colour transform, optional 4:2:0,
+    per-component MCU-padded block grids of quantised ZIGZAG-order
+    coefficients. Returns (comp_blocks, samp, qids, qtabs, mcus_x,
+    mcus_y, h, w)."""
     a = np.asarray(arr)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -622,8 +884,7 @@ def encode_jpeg(
         raise ValueError("encode_jpeg: empty image")
     a = a.astype(np.float64)
     ql, qc = quality_tables(quality)
-    gray = a.shape[2] == 1
-    if gray:
+    if a.shape[2] == 1:
         planes = [a[:, :, 0]]
         samp = [(1, 1)]
         qids = [0]
@@ -643,20 +904,11 @@ def encode_jpeg(
         qids = [0, 1, 1]
         qtabs = {0: ql.reshape(8, 8), 1: qc.reshape(8, 8)}
 
-    # Huffman tables: flat canonical codes carried in the file
-    dc_syms = list(range(12))
-    ac_syms = [0x00, 0xF0] + [
-        (r << 4) | s for r in range(16) for s in range(1, 11)
-    ]
-    dc_bits, dc_vals, dc_enc = _build_encoder_table(dc_syms, 4)
-    ac_bits, ac_vals, ac_enc = _build_encoder_table(ac_syms, 8)
-
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
 
-    # per-component padded block grids of quantised zigzag coefficients
     comp_blocks = []
     for plane, (sh, sv), qid in zip(planes, samp, qids):
         cw = -(-w * sh // hmax)
@@ -678,6 +930,29 @@ def encode_jpeg(
         comp_blocks.append(q.reshape(bh, bw, 64)[:, :, ZIGZAG])
     # NB: reshape(bh,bw,64) flattens each 8x8 natural-order; [:, :, ZIGZAG]
     # reorders into zigzag scan order.
+    return comp_blocks, samp, qids, qtabs, mcus_x, mcus_y, h, w
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    *,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w), (h, w, 1) or (h, w, 3) uint8 array as a
+    baseline JFIF JPEG (4:4:4, or 4:2:0 when ``subsample``)."""
+    (comp_blocks, samp, qids, qtabs,
+     mcus_x, mcus_y, h, w) = _quantised_planes(arr, quality, subsample)
+    planes = comp_blocks
+
+    # Huffman tables: flat canonical codes carried in the file
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    dc_bits, dc_vals, dc_enc = _build_encoder_table(dc_syms, 4)
+    ac_bits, ac_vals, ac_enc = _build_encoder_table(ac_syms, 8)
 
     bw_ = _BitWriter()
     preds = [0] * len(planes)
@@ -727,6 +1002,316 @@ def encode_jpeg(
     out += _segment(0xDA, sos)
     out += bw_.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_progressive_jpeg(
+    arr: np.ndarray,
+    *,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    spectral_bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    dc_al: int = 1,
+    ac_al: int = 1,
+) -> bytes:
+    """Encode as a progressive (SOF2) JFIF JPEG — T.81 Annex G.
+
+    Scan script: interleaved DC first scan at ``Al=dc_al``, then for
+    each component and each ``spectral_bands`` entry an AC first scan
+    at ``Al=ac_al``, then DC refinement scans down to 0, then AC
+    refinement scans down to 0. ``dc_al=ac_al=0`` degenerates to pure
+    spectral selection. The quantised coefficients are IDENTICAL to
+    :func:`encode_jpeg`'s for the same image/quality/subsampling, so
+    the two decodes must agree bit-exactly — the conformance property
+    tests/test_jpeg.py leans on. ``restart_interval`` applies to every
+    scan (MCUs for the DC scans, blocks for the AC scans)."""
+    (comp_blocks, samp, qids, qtabs,
+     mcus_x, mcus_y, h, w) = _quantised_planes(arr, quality, subsample)
+    if not 0 <= dc_al <= 13 or not 0 <= ac_al <= 13:
+        raise ValueError("successive-approximation Al out of range")
+    lo = 0
+    for b0, b1 in spectral_bands:
+        if b0 != lo + 1 or b1 < b0 or b1 > 63:
+            raise ValueError("spectral_bands must tile 1..63 in order")
+        lo = b1
+    if lo != 63:
+        raise ValueError("spectral_bands must end at 63")
+
+    # one flat DC table and one flat AC table covering every symbol any
+    # scan kind needs (EOBn r=0..14, ZRL, (r<<4)|s for s=1..10)
+    dc_syms = list(range(12))
+    ac_syms = (
+        [r << 4 for r in range(15)]
+        + [0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+    dc_bits, dc_vals, dc_enc = _build_encoder_table(dc_syms, 4)
+    ac_bits, ac_vals, ac_enc = _build_encoder_table(ac_syms, 8)
+
+    ncomp = len(comp_blocks)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    out = bytearray(b"\xff\xd8")
+    out += _app0_jfif()
+    for tq, tab in qtabs.items():
+        zz = tab.reshape(-1)[ZIGZAG].astype(np.uint8)
+        out += _segment(0xDB, bytes([tq]) + zz.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i, ((sh, sv), qid) in enumerate(zip(samp, qids)):
+        sof += bytes([i + 1, (sh << 4) | sv, qid])
+    out += _segment(0xC2, sof)
+    out += _segment(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += _segment(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    if restart_interval:
+        out += _segment(0xDD, struct.pack(">H", restart_interval))
+
+    def sos_header(comp_ids: list[int], ss: int, se: int,
+                   ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])  # DC table 0 / AC table 0
+        body += bytes([ss, se, (ah << 4) | al])
+        return _segment(0xDA, body)
+
+    def emit_dc_first(al: int) -> bytes:
+        bw_ = _BitWriter()
+        preds = [0] * ncomp
+        to_go = restart_interval
+        rst = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and to_go == 0:
+                    bw_.flush()
+                    bw_.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                    rst += 1
+                    preds = [0] * ncomp
+                    to_go = restart_interval
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            dc = int(
+                                comp_blocks[ci][my * sv + by, mx * sh + bx, 0]
+                            ) >> al  # arithmetic shift (G.1.2.1)
+                            diff = dc - preds[ci]
+                            preds[ci] = dc
+                            s = _bit_category(diff)
+                            code, ln = dc_enc[s]
+                            bw_.write(code, ln)
+                            if s:
+                                bw_.write(
+                                    diff if diff >= 0
+                                    else diff + (1 << s) - 1, s,
+                                )
+                if restart_interval:
+                    to_go -= 1
+        bw_.flush()
+        return bytes(bw_.out)
+
+    def emit_dc_refine(al: int) -> bytes:
+        bw_ = _BitWriter()
+        to_go = restart_interval
+        rst = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and to_go == 0:
+                    bw_.flush()
+                    bw_.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                    rst += 1
+                    to_go = restart_interval
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            dc = int(
+                                comp_blocks[ci][my * sv + by, mx * sh + bx, 0]
+                            )
+                            bw_.write((dc >> al) & 1, 1)
+                if restart_interval:
+                    to_go -= 1
+        bw_.flush()
+        return bytes(bw_.out)
+
+    def comp_true_grid(ci: int) -> tuple[int, int]:
+        sh, sv = samp[ci]
+        return (-(- -(-w * sh // hmax) // 8), -(- -(-h * sv // vmax) // 8))
+
+    def emit_ac_first(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw_ = _BitWriter()
+        grid = comp_blocks[ci]
+        bwv, bhv = comp_true_grid(ci)
+        eobrun = 0
+        rst = 0
+        to_go = restart_interval
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_enc[r << 4]
+                bw_.write(code, ln)
+                if r:
+                    bw_.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for by in range(bhv):
+            for bx in range(bwv):
+                if restart_interval and to_go == 0:
+                    flush_eob()
+                    bw_.flush()
+                    bw_.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                    rst += 1
+                    to_go = restart_interval
+                if restart_interval:
+                    to_go -= 1
+                zzb = grid[by, bx]
+                # point transform: truncation toward zero (G.1.2.2)
+                ts = [
+                    (int(v) >> al) if v >= 0 else -((-int(v)) >> al)
+                    for v in zzb[ss : se + 1]
+                ]
+                last = -1
+                for i, t in enumerate(ts):
+                    if t:
+                        last = i
+                if last < 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for t in ts[: last + 1]:
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_enc[0xF0]
+                        bw_.write(code, ln)
+                        run -= 16
+                    s = _bit_category(t)
+                    if s > 10:
+                        raise ValueError(
+                            "JPEG AC coefficient out of baseline range"
+                        )
+                    code, ln = ac_enc[(run << 4) | s]
+                    bw_.write(code, ln)
+                    bw_.write(t if t >= 0 else t + (1 << s) - 1, s)
+                    run = 0
+                if last < len(ts) - 1:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        bw_.flush()
+        return bytes(bw_.out)
+
+    def emit_ac_refine(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw_ = _BitWriter()
+        grid = comp_blocks[ci]
+        bwv, bhv = comp_true_grid(ci)
+        eobrun = 0
+        pend: list[int] = []  # correction bits owed to the next symbol
+        rst = 0
+        to_go = restart_interval
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_enc[r << 4]
+                bw_.write(code, ln)
+                if r:
+                    bw_.write(eobrun - (1 << r), r)
+                eobrun = 0
+            for b in pend:
+                bw_.write(b, 1)
+            pend.clear()
+
+        for by in range(bhv):
+            for bx in range(bwv):
+                if restart_interval and to_go == 0:
+                    flush_eob()
+                    bw_.flush()
+                    bw_.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                    rst += 1
+                    to_go = restart_interval
+                if restart_interval:
+                    to_go -= 1
+                zzb = grid[by, bx]
+                # a = |trunc(v / 2^al)|: 0 zero-history, 1 newly
+                # significant this scan, >=2 refined-history
+                a = [abs(int(v)) >> al for v in zzb[ss : se + 1]]
+                signs = [1 if v > 0 else 0 for v in zzb[ss : se + 1]]
+                corr = [(abs(int(v)) >> al) & 1 for v in zzb[ss : se + 1]]
+                last = -1
+                for i, ai in enumerate(a):
+                    if ai == 1:
+                        last = i
+                if last < 0:
+                    # no newly-significant coefficient: the whole block
+                    # joins the EOB run; its history bits ride with it
+                    eobrun += 1
+                    pend.extend(
+                        corr[i] for i, ai in enumerate(a) if ai >= 2
+                    )
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                buf: list[int] = []
+                for i in range(last + 1):
+                    if a[i] >= 2:
+                        buf.append(corr[i])
+                    elif a[i] == 0:
+                        run += 1
+                        if run == 16:
+                            code, ln = ac_enc[0xF0]
+                            bw_.write(code, ln)
+                            for b in buf:
+                                bw_.write(b, 1)
+                            buf = []
+                            run = 0
+                    else:  # newly significant
+                        code, ln = ac_enc[(run << 4) | 1]
+                        bw_.write(code, ln)
+                        bw_.write(signs[i], 1)
+                        for b in buf:
+                            bw_.write(b, 1)
+                        buf = []
+                        run = 0
+                if buf:
+                    raise AssertionError("refinement bit misattribution")
+                if last < len(a) - 1:
+                    eobrun += 1
+                    pend.extend(
+                        corr[i]
+                        for i in range(last + 1, len(a))
+                        if a[i] >= 2
+                    )
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        bw_.flush()
+        return bytes(bw_.out)
+
+    all_ids = [i + 1 for i in range(ncomp)]
+    out += sos_header(all_ids, 0, 0, 0, dc_al)
+    out += emit_dc_first(dc_al)
+    for ci in range(ncomp):
+        for b0, b1 in spectral_bands:
+            out += sos_header([ci + 1], b0, b1, 0, ac_al)
+            out += emit_ac_first(ci, b0, b1, ac_al)
+    for lvl in range(dc_al, 0, -1):
+        out += sos_header(all_ids, 0, 0, lvl, lvl - 1)
+        out += emit_dc_refine(lvl - 1)
+    for lvl in range(ac_al, 0, -1):
+        for ci in range(ncomp):
+            for b0, b1 in spectral_bands:
+                out += sos_header([ci + 1], b0, b1, lvl, lvl - 1)
+                out += emit_ac_refine(ci, b0, b1, lvl - 1)
+    out += b"\xff\xd9"
     return bytes(out)
 
 

@@ -9,10 +9,11 @@ row objects. Image decode auto-detects Pillow at runtime
 JPEG/PNG bytes via libjpeg; when absent (this container), PNG
 payloads decode for REAL through the vendored pure-stdlib PNG codec
 (``encode_png``/``_png_decode`` — the public ISO/IEC 15948 spec, all
-five scanline filters) and baseline-JPEG payloads decode for REAL
-through the vendored pure-Python codec (``demy_spark.jpeg``, r10 —
-ITU-T T.81 baseline sequential, numpy IDCT); only the remaining
-codec-library formats (progressive JPEG, video, audio) fall back to
+five scanline filters) and JPEG payloads decode for REAL through the
+vendored pure-Python codec (``demy_spark.jpeg`` — ITU-T T.81 baseline
+sequential r10, progressive/Annex G r11, numpy IDCT); only the
+remaining codec-library formats (lossless/arithmetic JPEG variants,
+video, audio) fall back to
 a clearly-marked deterministic fake keystream with the identical
 schema/batch shape — machine-visible per row via ``decode_real`` —
 so the Spark-side plumbing is real and tested either way.
@@ -339,9 +340,10 @@ def _pillow_decode(payload: bytes | None, h: int, w: int, c: int = 3) -> list[fl
 
 
 def _jpeg_decode(payload: bytes | None, h: int, w: int, c: int = 3) -> list[float]:
-    """REAL baseline-JPEG decode without any codec dependency
-    (demy_spark.jpeg, r10 — pure Python + numpy IDCT), then the
-    shared channel-convert / nearest-resize / [0,1]-scale tail."""
+    """REAL JPEG decode without any codec dependency (demy_spark.jpeg
+    — pure Python + numpy IDCT; baseline since r10, progressive/SOF2
+    since r11), then the shared channel-convert / nearest-resize /
+    [0,1]-scale tail."""
     from demy_spark.jpeg import decode_jpeg
 
     return _finish_decode(decode_jpeg(payload or b""), h, w, c)
@@ -380,12 +382,13 @@ def _auto_decode_ex(
 
 def _auto_decode(payload: bytes | None, h: int, w: int, c: int = 3) -> list[float]:
     """Dependency-free default: REAL pure-Python decode for PNG
-    payloads and (r10) baseline-JPEG payloads; the deterministic fake
-    for UNSUPPORTED FORMAT CLASSES (progressive JPEG, video and audio
-    codecs are C libraries this container does not ship). CORRUPT
-    payloads of a supported class (truncated JPEG entropy, damaged
-    PNG) raise — same surfaced-error contract as ``_pillow_decode``;
-    quarantine corrupt media upstream."""
+    payloads and JPEG payloads (baseline r10, progressive r11); the
+    deterministic fake for UNSUPPORTED FORMAT CLASSES
+    (lossless/arithmetic JPEG variants, video and audio codecs are C
+    libraries this container does not ship). CORRUPT payloads of a
+    supported class (truncated JPEG entropy, damaged PNG) raise —
+    same surfaced-error contract as ``_pillow_decode``; quarantine
+    corrupt media upstream."""
     return _auto_decode_ex(payload, h, w, c)[0]
 
 

@@ -9973,14 +9973,26 @@ _Q146_MEDIA = [
     (6, 9, 10, 255, {"grayscale": True}),
 ]
 
+_Q146_PROG = [
+    # (media_id, h, w, gray_level, encode_progressive kwargs) — the
+    # same solid-at-q100 exactness theorem holds for progressive
+    # encodes (r11): the full scan script refines every coefficient
+    # bit back down to Al=0, so the decoded coefficients equal the
+    # baseline-quantised ones exactly and px_min = px_max = v.
+    (9, 21, 17, 90, {}),
+    (10, 9, 10, 200, {"grayscale": True, "dc_al": 2, "ac_al": 2}),
+    (11, 33, 49, 64, {"subsample": True, "restart_interval": 2}),
+]
+
 
 def _q146_media_rows():
-    """Driver-built media payloads: solid JPEGs from the table above,
-    one PNG (vendored codec), one progressive-marked JPEG that must
-    take the marked-fake path."""
+    """Driver-built media payloads: solid baseline JPEGs, one PNG
+    (vendored codec), one arithmetic-marked JPEG that must take the
+    marked-fake path, and (r11) solid progressive JPEGs that must
+    take the REAL SOF2 decode path."""
     import numpy as np
 
-    from demy_spark.jpeg import encode_jpeg
+    from demy_spark.jpeg import encode_jpeg, encode_progressive_jpeg
     from demy_spark.operators.multimodal import encode_png
 
     rows = []
@@ -9997,23 +10009,36 @@ def _q146_media_rows():
     # PNG through the same operator: 2x2 RGB with known min 0 / max 255
     png = encode_png(bytes([0, 128, 255, 255, 0, 128, 128, 255, 0, 0, 0, 255]), 2, 2, 3)
     rows.append((7, bytearray(png), ("image/png", 2, 2, 0)))
-    # progressive-marked JPEG: SOF0 -> SOF2; sniff_baseline must route
-    # it to the deterministic fake with decode_real = false
+    # arithmetic-marked JPEG: SOF0 -> SOF9, a permanently-unsupported
+    # class; sniff_baseline must route it to the deterministic fake
+    # with decode_real = false (progressive stopped being the fake
+    # probe in r11 — it decodes for real now)
     base = bytes(rows[0][1])
     i = base.index(b"\xff\xc0")
     rows.append(
-        (8, bytearray(base[:i] + b"\xff\xc2" + base[i + 2 :]),
+        (8, bytearray(base[:i] + b"\xff\xc9" + base[i + 2 :]),
          ("image/jpeg", 8, 8, 0))
     )
+    for mid, h, w, v, kw in _Q146_PROG:
+        kw = dict(kw)
+        if kw.pop("grayscale", False):
+            img = np.full((h, w), v, dtype=np.uint8)
+        else:
+            img = np.full((h, w, 3), v, dtype=np.uint8)
+        rows.append(
+            (mid, bytearray(encode_progressive_jpeg(img, quality=100, **kw)),
+             ("image/jpeg", w, h, 0))
+        )
     return rows
 
 
 def _q146_oracle() -> str:
     """Constructed literals — every value comes from the CONSTRUCTION
     of the media set (gray level v, dims, the PNG byte pattern), never
-    from running the decoder: solid q100 JPEGs decode bit-exactly to v
-    (DC-only blocks over unit quantisers), so px_min = px_max = v; the
-    progressive row is fake-decoded with NULL pixel stats."""
+    from running the decoder: solid q100 JPEGs (baseline AND
+    progressive — the full scan script refines to Al=0) decode
+    bit-exactly to v, so px_min = px_max = v; the arithmetic-marked
+    row is fake-decoded with NULL pixel stats."""
     vals = [
         f"(CAST({mid} AS BIGINT), {h}, {w}, 3, true, {v}, {v})"
         for mid, h, w, v, _ in _Q146_MEDIA
@@ -10022,6 +10047,10 @@ def _q146_oracle() -> str:
     vals.append(
         "(CAST(8 AS BIGINT), 8, 8, 3, false, "
         "CAST(NULL AS INTEGER), CAST(NULL AS INTEGER))"
+    )
+    vals.extend(
+        f"(CAST({mid} AS BIGINT), {h}, {w}, 3, true, {v}, {v})"
+        for mid, h, w, v, _ in _Q146_PROG
     )
     return (
         "SELECT * FROM (VALUES "
@@ -10032,22 +10061,25 @@ def _q146_oracle() -> str:
 
 @register("q146_jpeg_decode", _q146_oracle)
 def q146_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Baseline-JPEG decode value-verified end-to-end (r10 — the
-    pure-Python T.81 codec behind multimodal's dependency-free path;
-    reference treats media as binary + decode UDFs, SURVEY §2 LLM
-    extensions). Solid-gray JPEGs across even/odd dims, 4:2:0
-    subsampling, restart intervals and a 1-channel encode are decoded
-    by the REAL ``decode_image`` operator (Arrow ``mapInPandas``);
-    because a solid image at quality 100 decodes bit-exactly, the
-    per-media pixel min/max must equal the constructed gray level —
-    any Huffman/dequant/IDCT/upsample defect shifts at least one
-    pixel and fails the row. A PNG rides the same operator (vendored
-    codec) and a progressive-marked JPEG must take the
+    """JPEG decode value-verified end-to-end (r10 baseline, r11
+    progressive — the pure-Python T.81 codec behind multimodal's
+    dependency-free path; reference treats media as binary + decode
+    UDFs, SURVEY §2 LLM extensions). Solid-gray JPEGs across even/odd
+    dims, 4:2:0 subsampling, restart intervals, a 1-channel encode,
+    and (r11) SOF2 progressive encodes — spectral selection +
+    successive approximation, incl. a 2-bit approximation script and
+    an in-scan restart interval — are decoded by the REAL
+    ``decode_image`` operator (Arrow ``mapInPandas``); because a
+    solid image at quality 100 decodes bit-exactly, the per-media
+    pixel min/max must equal the constructed gray level — any
+    Huffman/dequant/IDCT/upsample/refinement defect shifts at least
+    one pixel and fails the row. A PNG rides the same operator
+    (vendored codec) and an arithmetic-marked JPEG must take the
     machine-visible fake path (decode_real = false, stats NULL).
     Media generation is driver-side by design; Spark decodes
     distributed. The decoder is pinned to the pure-Python path
     explicitly (r10 review): under Pillow auto-detection the
-    progressive-marked row would raise in libjpeg and the realness
+    arithmetic-marked row would raise in libjpeg and the realness
     column would flip, so the oracle literals are only the
     _auto_decode contract — which is exactly the path under test."""
     from demy_spark.operators.multimodal import (

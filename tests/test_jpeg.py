@@ -262,13 +262,20 @@ def _marker_swap(jpg: bytes, frm: int, to: int) -> bytes:
     return jpg[:i] + bytes([0xFF, to]) + jpg[i + 2 :]
 
 
-def test_progressive_and_friends_raise_loudly():
+def test_unsupported_frame_types_raise_loudly():
+    """r11: progressive (SOF2) is REAL now; the loud boundary moved to
+    lossless/hierarchical/arithmetic. A baseline entropy stream whose
+    marker is merely PATCHED to SOF2 is malformed under progressive
+    scan rules and must raise (ValueError), never decode quietly."""
     jpg = encode_jpeg(mkimg(16, 16), quality=90)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="DC scan with Se"):
         decode_jpeg(_marker_swap(jpg, 0xC0, 0xC2))
     with pytest.raises(NotImplementedError, match="lossless|hierarchical|arith"):
         decode_jpeg(_marker_swap(jpg, 0xC0, 0xC3))
-    assert not sniff_baseline(_marker_swap(jpg, 0xC0, 0xC2))
+    with pytest.raises(NotImplementedError, match="lossless|hierarchical|arith"):
+        decode_jpeg(_marker_swap(jpg, 0xC0, 0xC9))  # arithmetic sequential
+    assert not sniff_baseline(_marker_swap(jpg, 0xC0, 0xC9))
+    assert sniff_baseline(_marker_swap(jpg, 0xC0, 0xC2))  # marker-level
     assert sniff_baseline(jpg)
 
 
@@ -322,6 +329,21 @@ def test_pillow_cross_validation_when_available():
         decode_jpeg(buf.getvalue()).astype(int)
         - np.asarray(Image.open(buf).convert("RGB")).astype(int)
     ).max() <= 1
+    # progressive both ways (r11): libjpeg reads our SOF2 scan script,
+    # and our decoder reads libjpeg's own progressive output
+    from demy_spark.jpeg import encode_progressive_jpeg
+
+    ours_prog = encode_progressive_jpeg(img, quality=92)
+    theirs = np.asarray(Image.open(BytesIO(ours_prog)).convert("RGB"))
+    assert np.abs(
+        theirs.astype(int) - decode_jpeg(ours_prog).astype(int)
+    ).max() <= 1
+    buf = BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=92, progressive=True)
+    assert np.abs(
+        decode_jpeg(buf.getvalue()).astype(int)
+        - np.asarray(Image.open(buf).convert("RGB")).astype(int)
+    ).max() <= 1
 
 
 # --------------------------------------------------- operator wiring
@@ -338,10 +360,17 @@ def test_multimodal_auto_decode_uses_real_jpeg_path():
     realness = _decode_realness(dec)
     assert realness(payload) is True
     assert realness(b"\xff\xd8\xff\xe0 junk") is False
-    # progressive payloads stay on the marked fake path
-    prog = _marker_swap(payload, 0xC0, 0xC2)
-    assert realness(prog) is False
-    fake = _auto_decode(prog, 8, 8, 3)
+    # a REAL progressive encode takes the real path (r11) ...
+    from demy_spark.jpeg import encode_progressive_jpeg
+
+    prog = encode_progressive_jpeg(img, quality=95)
+    assert realness(prog) is True
+    arr = (np.array(_auto_decode(prog, 8, 8, 3)).reshape(8, 8, 3) * 255.0).round()
+    assert np.abs(arr - img.astype(np.float64)).max() <= 6
+    # ... while arithmetic-coded payloads stay on the marked fake path
+    arith = _marker_swap(payload, 0xC0, 0xC9)
+    assert realness(arith) is False
+    fake = _auto_decode(arith, 8, 8, 3)
     assert len(fake) == 8 * 8 * 3
 
 
@@ -382,3 +411,198 @@ def test_corrupt_baseline_jpeg_raises_through_auto_decode():
     jpg = encode_jpeg(mkimg(16, 16), quality=90)
     with pytest.raises(ValueError):
         _auto_decode(jpg[: len(jpg) - 40] , 4, 4, 3)
+
+
+# ----------------------------------------------------- progressive (r11)
+
+
+def test_progressive_matches_baseline_bit_exactly():
+    """encode_progressive_jpeg carries the SAME quantised coefficients
+    as encode_jpeg, so both decodes must agree bit-for-bit — across
+    sampling, restarts, band splits and approximation depths. This is
+    the strongest conformance property available without golden files:
+    a defect in ANY progressive scan kind (DC/AC, first/refinement,
+    EOB runs, ZRL-over-history) shifts at least one coefficient."""
+    from demy_spark.jpeg import encode_progressive_jpeg
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (8, 8, 1, {}),
+        (16, 24, 3, {}),
+        (7, 5, 3, {}),
+        (31, 47, 3, {"subsample": True}),
+        (33, 49, 3, {"subsample": True, "restart_interval": 2}),
+        (9, 10, 1, {"restart_interval": 3}),
+        (40, 40, 3, {"spectral_bands": ((1, 1), (2, 9), (10, 63))}),
+        (24, 24, 3, {"dc_al": 2, "ac_al": 3}),
+        (24, 24, 3, {"dc_al": 0, "ac_al": 0}),  # pure spectral selection
+    ]
+    for h, w, c, kw in cases:
+        shape = (h, w, c) if c == 3 else (h, w)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for q in (50, 90, 100):
+            bkw = {k: v for k, v in kw.items()
+                   if k in ("subsample", "restart_interval")}
+            db = decode_jpeg(encode_jpeg(img, quality=q, **bkw))
+            dp = decode_jpeg(encode_progressive_jpeg(img, quality=q, **kw))
+            assert np.array_equal(db, dp), (h, w, c, q, kw)
+
+
+def test_progressive_long_eob_runs_and_sparse_ac():
+    """A mostly-flat image with a few spikes produces long cross-block
+    EOB runs (EOBn with extension bits) and ZRL-over-history spans in
+    the refinement scans — the bookkeeping-heaviest paths."""
+    from demy_spark.jpeg import encode_progressive_jpeg
+
+    img = np.full((64, 72, 3), 128, dtype=np.uint8)
+    rng = np.random.default_rng(3)
+    for _ in range(9):
+        y, x = int(rng.integers(0, 64)), int(rng.integers(0, 72))
+        img[y, x] = rng.integers(0, 256, 3)
+    for q in (85, 100):
+        db = decode_jpeg(encode_jpeg(img, quality=q))
+        dp = decode_jpeg(
+            encode_progressive_jpeg(img, quality=q)
+        )
+        assert np.array_equal(db, dp), q
+
+
+def test_progressive_solid_colors_bit_exact_at_q100():
+    """The q146 oracle theorem extends to progressive: a solid image
+    at quality 100 (unit quantisers, DC-only blocks) decodes to the
+    exact gray level after the full scan script refines every bit."""
+    from demy_spark.jpeg import encode_progressive_jpeg
+
+    for h, w, v, kw in [(8, 8, 0, {}), (21, 17, 90, {}), (9, 10, 255, {}),
+                        (33, 49, 64, {"subsample": True,
+                                      "restart_interval": 2}),
+                        (7, 5, 128, {"dc_al": 2, "ac_al": 2})]:
+        img = np.full((h, w, 3), v, dtype=np.uint8)
+        out = decode_jpeg(encode_progressive_jpeg(img, quality=100, **kw))
+        assert out.shape == (h, w, 3)
+        assert out.min() == out.max() == v, (h, w, v, kw)
+    g = np.full((9, 10), 180, dtype=np.uint8)
+    out = decode_jpeg(encode_progressive_jpeg(g, quality=100))
+    assert out.shape == (9, 10, 1) and out.min() == out.max() == 180
+
+
+def test_progressive_hand_built_wire_vector():
+    """Hand-assembled single-block grayscale progressive stream (all
+    quantisers 1): DC first at Al=1 (point-transformed DC 8 = cat 4
+    '0100' + bits '1000'), AC first at Al=1 carrying trunc(-3/2) = -1
+    at zigzag 1 (sym 0x01 '00000001' + sign bit '0', then EOB), DC
+    refinement bit 0, AC refinement EOB(1) + correction bit 1 turning
+    the stored -2 into -3. Final coefficients DC=16, F(0,1)=-3 — no
+    encoder in the loop, so enc/dec-symmetric bugs cannot cancel."""
+    dqt = bytes([0]) + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    dc_bits = [0] * 16
+    dc_bits[3] = 12  # twelve 4-bit codes: categories 0..11
+    dht_dc = bytes([0x00]) + bytes(dc_bits) + bytes(range(12))
+    ac_bits = [0] * 16
+    ac_bits[7] = 2  # two 8-bit codes: 0x00 -> EOB, 0x01 -> (0,1)
+    dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes([0x00, 0x01])
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def ent(bitstr):
+        bitstr += "1" * (-len(bitstr) % 8)
+        raw = int(bitstr, 2).to_bytes(len(bitstr) // 8, "big")
+        return raw.replace(b"\xff", b"\xff\x00")  # byte stuffing
+
+    jpg = (
+        b"\xff\xd8"
+        + seg(0xDB, dqt)
+        + seg(0xC2, sof)
+        + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))   # DC first, Al=1
+        + ent("0100" + "1000")
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))  # AC first, Al=1
+        + ent("00000001" + "0" + "00000000")
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))   # DC refine
+        + ent("0")
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))  # AC refine
+        + ent("00000000" + "1")
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(jpg)[:, :, 0].astype(np.float64) - 128.0
+    expect = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            expect[x, y] = (
+                0.25 * (1 / np.sqrt(2)) * 16.0 / np.sqrt(2)  # DC term
+                + 0.25 * (1 / np.sqrt(2)) * (-3.0)
+                * np.cos((2 * y + 1) * 1 * np.pi / 16)
+            )
+    assert np.abs(out - np.round(expect)).max() <= 1
+
+
+def test_progressive_truncation_and_corruption_raise():
+    from demy_spark.jpeg import encode_progressive_jpeg
+
+    img = mkimg(24, 24, "noise", seed=4)
+    p = encode_progressive_jpeg(img, quality=90)
+    for cut in range(len(p) // 3, len(p) - 2, 41):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(p[:cut])
+    rng = np.random.default_rng(6)
+    escaped = []
+    for seed in range(120):
+        q = bytearray(p)
+        for _ in range(int(rng.integers(1, 4))):
+            q[int(rng.integers(2, len(q)))] ^= int(rng.integers(1, 256))
+        try:
+            out = decode_jpeg(bytes(q))
+            assert out.dtype == np.uint8  # wrong pixels allowed, crash not
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as e:  # pragma: no cover
+            escaped.append((seed, type(e).__name__))
+    assert not escaped
+
+
+def test_progressive_scan_header_validation():
+    """Malformed scan scripts are loud: Se!=0 on a DC scan, multi-
+    component AC scans, Ah != Al+1 refinements, bands past 63."""
+    from demy_spark.jpeg import encode_progressive_jpeg
+
+    img = mkimg(16, 16)
+    p = bytearray(encode_progressive_jpeg(img, quality=90))
+    # locate the first SOS and corrupt its (Ss, Se, AhAl) tail
+    i = bytes(p).index(b"\xff\xda")
+    ln = struct.unpack(">H", p[i + 2 : i + 4])[0]
+    tail = i + 2 + ln - 3  # Ss offset
+    for ss, se, ahal, msg in [
+        (0, 5, 0x01, "DC scan with Se"),
+        (1, 0, 0x01, "band"),
+        (5, 70, 0x01, "band"),
+        (0, 0, 0x31, "Ah = Al"),
+    ]:
+        q = bytearray(p)
+        q[tail], q[tail + 1], q[tail + 2] = ss, se, ahal
+        with pytest.raises(ValueError, match=msg):
+            decode_jpeg(bytes(q))
+    # a multi-component AC scan: rebuild the first SOS as 3-component
+    # with Ss=1 (the encoder writes it single-component)
+    body = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 1, 63, 0x01])
+    q = p[:i] + bytes([0xFF, 0xDA]) + struct.pack(">H", len(body) + 2) + body
+    with pytest.raises(ValueError, match="multiple components"):
+        decode_jpeg(bytes(q))
+
+
+def test_jpeg_max_pixels_bomb_guard():
+    """A crafted SOF declaring a huge frame must fail fast before any
+    coefficient grid is allocated (the r10 MP4 sample-table lesson);
+    sniff_baseline agrees so the operator path takes the marked fake
+    instead of raising mid-batch."""
+    jpg = bytearray(encode_jpeg(mkimg(16, 16), quality=90))
+    i = bytes(jpg).index(b"\xff\xc0")
+    struct.pack_into(">HH", jpg, i + 5, 65535, 65535)
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        decode_jpeg(bytes(jpg))
+    assert not sniff_baseline(bytes(jpg))
+    # explicit opt-in still available for trusted large media
+    with pytest.raises(ValueError):  # entropy data is of course short
+        decode_jpeg(bytes(jpg), max_pixels=1 << 33)
