@@ -1122,6 +1122,50 @@ def bench_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy().agg(F.count(F.lit(1)).alias("rows"), F.sum("n").alias("units"))
 
 
+def bench_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (NOT registered): the pure-Python JPEG decoder under
+    load — 256 baseline + 256 progressive decodes of a dense 64x64
+    photo-like image through ``decode_image`` pinned to
+    ``_auto_decode`` (r11: the fixture-scale q146 oracle value-checks
+    correctness; this times the per-payload entropy-decode cost where
+    a Huffman/refinement regression would surface). Deterministic
+    payloads; pure map shape (the count is the only shuffle)."""
+    import numpy as np
+
+    from demy_spark.jpeg import encode_jpeg, encode_progressive_jpeg
+    from demy_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _auto_decode,
+        decode_image,
+    )
+
+    x = np.linspace(0.0, 25.13, 64)
+    plane = (
+        (np.sin(x)[:, None] * np.cos(x)[None, :] * 0.5 + 0.5) * 200.0
+        + (np.arange(64)[:, None] * 31 + np.arange(64)[None, :] * 17) % 56
+    ).clip(0, 255).astype(np.uint8)
+    img = np.stack(
+        [plane, np.roll(plane, 3, 0), np.roll(plane, 7, 1)], axis=2
+    )
+    base = encode_jpeg(img, quality=90)
+    prog = encode_progressive_jpeg(img, quality=90)
+    rows = [
+        (
+            i,
+            bytearray(base if i % 2 == 0 else prog),
+            ("image/jpeg", 64, 64, 3000),
+        )
+        for i in range(512)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(16)
+    decoded = decode_image(media, decoder=_auto_decode)
+    return decoded.groupBy().agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("decode_real").cast("long")).alias("real"),
+        F.sum(F.size("pixels").cast("long")).alias("px"),
+    )
+
+
 def bench_fuzzy_probe_10x(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only (NOT registered): q24's fuzzy lookup with 10× the
     probe volume — every document probes the phrase dictionary instead

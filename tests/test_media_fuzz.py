@@ -70,6 +70,30 @@ def test_mutated_valid_jpeg_is_decoded_or_loud():
     assert outcomes["loud"] > 0 and sum(outcomes.values()) == 120
 
 
+def test_mutated_valid_progressive_jpeg_is_decoded_or_loud():
+    """r11: the progressive scan decoder under the same mutation
+    battery as baseline — refinement bookkeeping (EOB runs, correction
+    bits) must degrade to ValueError/NotImplementedError or a wrong
+    image, never a crash, hang or unbounded allocation."""
+    import numpy as np
+
+    from demy_spark.jpeg import encode_progressive_jpeg
+
+    img = np.clip(np.mgrid[0:16, 0:24][0] * 9, 0, 255).astype(np.uint8)
+    base = encode_progressive_jpeg(np.stack([img] * 3, axis=2), quality=90)
+    rnd = random.Random(202)
+    outcomes = {"ok": 0, "loud": 0}
+    for _ in range(120):
+        mutated = _mutate(base, rnd, rnd.randrange(1, 4))
+        try:
+            out = decode_jpeg(mutated)
+            assert out.shape[2] in (1, 3)
+            outcomes["ok"] += 1
+        except JPEG_OK:
+            outcomes["loud"] += 1
+    assert outcomes["loud"] > 0 and sum(outcomes.values()) == 120
+
+
 def test_mutated_valid_bmff_never_escapes_none_or_tuple():
     base = _q150_mp4()
     rnd = random.Random(77)

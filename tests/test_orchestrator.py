@@ -168,3 +168,41 @@ def test_model_resolves_cfg_params(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no configuration"):
         bare.run(spark, {"base": spark.range(10)})
+
+
+def test_application_bootstrap_end_to_end(spark, tmp_path):
+    """Application.scala parity (§3 EP1): key=value args parsed
+    case-insensitively, config loaded over defaults, run() invoked
+    with (session, Configuration); malformed args print usage and
+    return None without invoking run."""
+    import json
+
+    from demy_spark.app import parse_app_args, run_application
+
+    assert parse_app_args(["Master=local[2]", "appName=x"]) == {
+        "master": "local[2]", "appname": "x"}
+    for bad in (["=x"], ["master="], ["nope"], ["other=1"]):
+        assert parse_app_args(bad) is None
+
+    conf = tmp_path / "app.json"
+    conf.write_text(json.dumps({"threshold": 7}))
+    seen = {}
+
+    def body(session, configuration):
+        seen["n"] = session.range(
+            int(configuration.get_or_default("threshold"))).count()
+        seen["mode"] = configuration.get_or_default("mode")
+        return "done"
+
+    out = run_application(
+        body,
+        [f"config={conf}", "appname=t"],
+        default_conf_values={"threshold": 3, "mode": "fast"},
+        spark=spark,
+    )
+    assert out == "done" and seen == {"n": 7, "mode": "fast"}
+
+    # malformed arg: usage path, run never called
+    seen.clear()
+    assert run_application(body, ["bogus"], spark=spark) is None
+    assert seen == {}
