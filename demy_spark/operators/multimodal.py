@@ -18,13 +18,17 @@ a clearly-marked deterministic fake keystream with the identical
 schema/batch shape — machine-visible per row via ``decode_real`` —
 so the Spark-side plumbing is real and tested either way.
 
-Audio and video (r10): PCM WAV features are REAL via the stdlib
+Audio and video (r10/r11): PCM WAV features are REAL via the stdlib
 ``wave`` module (``extract_audio_features``: 8/16/24/32-bit widths,
-full-scale-normalised RMS/peak), and MP4/MOV container metadata is
-REAL via a pure ISO/IEC 14496-12 box walk
-(``extract_video_metadata``: brand, mvhd duration, tkhd dims, track
+full-scale-normalised RMS/peak), and container metadata is REAL for
+the three dominant crawled containers — MP4/MOV via a pure ISO/IEC
+14496-12 box walk (r10), AVI via the RIFF ``avih`` main header and
+Matroska/WebM via an EBML walk (r11) — through
+``extract_video_metadata`` (brand/doctype, duration, dims, track
 count). Compressed audio and actual video FRAME decode stay behind
-honest NULL/fake rows flagged per row until codec bindings exist.
+honest NULL/fake rows flagged per row until codec bindings exist
+(COVERAGE.md policy; ``decode_audio(decoder=...)`` is the injection
+point).
 """
 
 from __future__ import annotations
@@ -1083,14 +1087,176 @@ def _mp4_metadata(payload: bytes) -> tuple | None:
     return (brand, duration_ms if duration_ms is not None else 0, w, h, n_tracks)
 
 
+def _avi_metadata(payload: bytes) -> tuple | None:
+    """REAL AVI (RIFF) container-metadata parse — pure struct walk of
+    the public RIFF/AVI layout (r11, the BMFF analog for the second
+    most common crawled container): 'avih' main header carries
+    dwMicroSecPerFrame, dwTotalFrames, dwStreams, dwWidth, dwHeight.
+    Chunks are (fourcc, u32-LE size, data, even padding); 'LIST'
+    chunks nest. Returns the same 5-tuple shape as ``_mp4_metadata``
+    or None when the payload is not a parseable AVI."""
+    import struct as _struct
+
+    n = len(payload)
+    if n < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    found: list[tuple] = []
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        if depth > 8:
+            raise ValueError("avi chunk nesting too deep")
+        pos = lo
+        while pos + 8 <= hi:
+            fourcc = payload[pos : pos + 4]
+            (size,) = _struct.unpack_from("<I", payload, pos + 4)
+            body = pos + 8
+            end = body + size
+            if end > hi:
+                raise ValueError("avi chunk runs past its parent")
+            if fourcc == b"LIST" and size >= 4:
+                walk(body + 4, end, depth + 1)
+            elif fourcc == b"avih":
+                if size < 40:
+                    raise ValueError("avi main header truncated")
+                (usec_pf, _mbps, _pad, _flags, total_frames, _init,
+                 streams, _sugg, w, h) = _struct.unpack_from(
+                    "<10I", payload, body
+                )
+                found.append((usec_pf, total_frames, streams, w, h))
+            pos = end + (end & 1)  # chunks pad to even offsets
+
+    try:
+        walk(12, n, 0)
+    except (ValueError, IndexError, _struct.error):
+        return None
+    if not found:
+        return None
+    usec_pf, total_frames, streams, w, h = found[0]
+    duration_ms = (total_frames * usec_pf) // 1000
+    return ("AVI ", duration_ms, w, h, streams)
+
+
+def _ebml_vint(payload: bytes, pos: int, hi: int, keep_marker: bool) -> tuple[int, int]:
+    """One EBML variable-length integer at ``pos``: element IDs keep
+    the length-marker bit (matroska convention), sizes strip it.
+    Returns (value, next_pos); all-ones value bits with the marker
+    stripped mean 'unknown size' and return -1."""
+    if pos >= hi:
+        raise ValueError("ebml vint past end")
+    first = payload[pos]
+    if first == 0:
+        raise ValueError("ebml vint length > 8")
+    length = 8 - first.bit_length() + 1
+    if pos + length > hi:
+        raise ValueError("ebml vint truncated")
+    if keep_marker:
+        v = int.from_bytes(payload[pos : pos + length], "big")
+    else:
+        v = first & ((1 << (8 - length)) - 1)
+        for i in range(1, length):
+            v = (v << 8) | payload[pos + i]
+        if v == (1 << (7 * length)) - 1:
+            v = -1  # unknown size: element extends to parent end
+    return v, pos + length
+
+
+# EBML element IDs (public Matroska/WebM spec, with length marker)
+_EBML_HEADER = 0x1A45DFA3
+_EBML_DOCTYPE = 0x4282
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TS_SCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_VIDEO = 0xE0
+_MKV_PIX_W = 0xB0
+_MKV_PIX_H = 0xBA
+_EBML_CONTAINERS = {_EBML_HEADER, _MKV_SEGMENT, _MKV_INFO, _MKV_TRACKS,
+                    _MKV_TRACK_ENTRY, _MKV_VIDEO}
+
+
+def _ebml_metadata(payload: bytes) -> tuple | None:
+    """REAL Matroska/WebM container-metadata parse — pure walk of the
+    public EBML layout (r11): DocType as the brand, Info's
+    TimestampScale (default 1,000,000 ns) x Duration (float) as the
+    duration, TrackEntry count, Video PixelWidth/PixelHeight as dims.
+    Unknown-size elements (streamed files) extend to the parent end.
+    Returns the ``_mp4_metadata`` 5-tuple or None."""
+    import struct as _struct
+
+    n = len(payload)
+    if n < 4 or payload[:4] != bytes.fromhex("1A45DFA3"):
+        return None
+    state = {"doctype": None, "scale": 1_000_000, "dur": None,
+             "tracks": 0, "dims": []}
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        if depth > 8:
+            raise ValueError("ebml nesting too deep")
+        pos = lo
+        while pos < hi:
+            eid, pos = _ebml_vint(payload, pos, hi, True)
+            size, pos = _ebml_vint(payload, pos, hi, False)
+            end = hi if size == -1 else pos + size
+            if end > hi:
+                raise ValueError("ebml element runs past its parent")
+            if eid in _EBML_CONTAINERS:
+                if eid == _MKV_TRACK_ENTRY:
+                    state["tracks"] += 1
+                walk(pos, end, depth + 1)
+            elif eid == _EBML_DOCTYPE:
+                state["doctype"] = (
+                    payload[pos:end].split(b"\x00")[0].decode("ascii")
+                )
+            elif eid == _MKV_TS_SCALE:
+                if end - pos > 8:
+                    raise ValueError("ebml integer too wide")
+                state["scale"] = int.from_bytes(payload[pos:end], "big")
+            elif eid == _MKV_DURATION:
+                if end - pos == 4:
+                    state["dur"] = _struct.unpack_from(">f", payload, pos)[0]
+                elif end - pos == 8:
+                    state["dur"] = _struct.unpack_from(">d", payload, pos)[0]
+                else:
+                    raise ValueError("ebml duration width")
+            elif eid == _MKV_PIX_W:
+                if end - pos > 8:
+                    raise ValueError("ebml integer too wide")
+                state["dims"].append(
+                    ("w", int.from_bytes(payload[pos:end], "big"))
+                )
+            elif eid == _MKV_PIX_H:
+                if end - pos > 8:
+                    raise ValueError("ebml integer too wide")
+                state["dims"].append(
+                    ("h", int.from_bytes(payload[pos:end], "big"))
+                )
+            pos = end
+
+    try:
+        walk(0, n, 0)
+    except (ValueError, IndexError, UnicodeDecodeError, _struct.error):
+        return None
+    if state["doctype"] is None:
+        return None
+    dur_ms = 0
+    if state["dur"] is not None:
+        dur_ms = int(state["dur"] * state["scale"] // 1_000_000)
+    w = max((v for k, v in state["dims"] if k == "w"), default=0)
+    h = max((v for k, v in state["dims"] if k == "h"), default=0)
+    return (state["doctype"], dur_ms, w, h, state["tracks"])
+
+
 def extract_video_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Video container metadata over binary payloads — REAL for ISO
-    BMFF (MP4/MOV; pure struct parse, no codec): major brand,
-    mvhd duration, largest track presentation dims, track count.
-    Non-BMFF payloads get NULLs with ``parse_real = false``. Frame
-    decode remains behind ``sample_video_frames``'s documented fake
-    until codec bindings exist; the metadata a curation pipeline
-    filters on (duration/resolution) is real."""
+    BMFF (MP4/MOV), AVI/RIFF and Matroska/WebM (r11; all pure struct
+    parses, no codec): brand/doctype, duration, largest presentation
+    dims, track count. Other payloads get NULLs with ``parse_real =
+    false``. Frame DECODE remains the codec-library boundary
+    (COVERAGE.md policy); the metadata a curation pipeline filters on
+    (duration/resolution/container) is real for the three dominant
+    crawled containers."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1098,7 +1264,14 @@ def extract_video_metadata(df: DataFrame, payload_col: str = "payload") -> DataF
                                     "height", "n_tracks", "parse_real")}
             for i in range(len(pdf)):
                 payload = pdf[payload_col].iloc[i]
-                meta = _mp4_metadata(bytes(payload)) if payload is not None else None
+                meta = None
+                if payload is not None:
+                    raw = bytes(payload)
+                    meta = (
+                        _mp4_metadata(raw)
+                        or _avi_metadata(raw)
+                        or _ebml_metadata(raw)
+                    )
                 if meta is None:
                     for k in cols:
                         cols[k].append(False if k == "parse_real" else None)
@@ -1113,6 +1286,91 @@ def extract_video_metadata(df: DataFrame, payload_col: str = "payload") -> DataF
             yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
 
     return df.mapInPandas(batches, VIDEO_META_SCHEMA)
+
+
+def encode_avi_stub(
+    width: int,
+    height: int,
+    total_frames: int,
+    usec_per_frame: int,
+    n_streams: int = 1,
+) -> bytes:
+    """Header-only AVI (RIFF) for fixtures: a LIST('hdrl') carrying
+    the 56-byte 'avih' main header — everything ``_avi_metadata``
+    reads, no movi payload (metadata parsing is the scope)."""
+    import struct as _struct
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        out = fourcc + _struct.pack("<I", len(data)) + data
+        return out + (b"\x00" if len(data) & 1 else b"")
+
+    avih = chunk(
+        b"avih",
+        _struct.pack(
+            "<14I", usec_per_frame, 0, 0, 0, total_frames, 0,
+            n_streams, 0, width, height, 0, 0, 0, 0,
+        ),
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + avih)
+    return b"RIFF" + _struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+
+
+def _ebml_size_bytes(n: int) -> bytes:
+    """Minimal EBML size encoding (fixtures): 1 byte to 126, 2 bytes
+    to 16381."""
+    if n < 0x7F:  # 0x7F would be the 1-byte unknown-size pattern
+        return bytes([0x80 | n])
+    if n < 0x3FFF:
+        return bytes([0x40 | (n >> 8), n & 0xFF])
+    raise ValueError("fixture element too large")
+
+
+def encode_mkv_stub(
+    doctype: str,
+    duration: float,
+    width: int,
+    height: int,
+    n_tracks: int = 1,
+    timestamp_scale: int | None = None,
+    unknown_segment_size: bool = False,
+) -> bytes:
+    """Minimal Matroska/WebM for fixtures: EBML header with DocType,
+    Segment(Info(TimestampScale?, Duration as double), Tracks(video
+    TrackEntry with PixelWidth/PixelHeight + bare audio entries)).
+    ``unknown_segment_size`` writes the streamed-file convention (the
+    all-ones size VINT) that ``_ebml_metadata`` must treat as
+    extends-to-end."""
+    import struct as _struct
+
+    def elt(eid: bytes, body: bytes) -> bytes:
+        return eid + _ebml_size_bytes(len(body)) + body
+
+    def uint(v: int) -> bytes:
+        return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+    header = elt(
+        bytes.fromhex("1A45DFA3"),
+        elt(bytes.fromhex("4282"), doctype.encode("ascii")),
+    )
+    info_body = b""
+    if timestamp_scale is not None:
+        info_body += elt(bytes.fromhex("2AD7B1"), uint(timestamp_scale))
+    info_body += elt(bytes.fromhex("4489"), _struct.pack(">d", duration))
+    info = elt(bytes.fromhex("1549A966"), info_body)
+    video = elt(
+        b"\xe0",
+        elt(b"\xb0", uint(width)) + elt(b"\xba", uint(height)),
+    )
+    entries = elt(b"\xae", video)
+    for _ in range(n_tracks - 1):
+        entries += elt(b"\xae", b"")
+    tracks = elt(bytes.fromhex("1654AE6B"), entries)
+    seg_body = info + tracks
+    if unknown_segment_size:
+        segment = bytes.fromhex("18538067") + b"\xff" + seg_body
+    else:
+        segment = elt(bytes.fromhex("18538067"), seg_body)
+    return header + segment
 
 
 def encode_wav(

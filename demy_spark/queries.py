@@ -10254,9 +10254,31 @@ def _q148_media_rows():
         )
         payload = ftyp + box(b"moov", mvhd + traks)
         rows.append((mid, bytearray(payload), ("video/mp4", 0, 0, 0)))
-    # a non-BMFF payload: honest NULL row
-    rows.append((5, bytearray(b"RIFFxxxxAVI LIST"), ("video/avi", 0, 0, 0)))
+    # an unsupported container (FLV): honest NULL row (r11 — AVI
+    # stopped being the NULL probe when its metadata went real)
+    rows.append((5, bytearray(b"FLV\x01\x05\x00\x00\x00\x09"),
+                 ("video/x-flv", 0, 0, 0)))
+    # r11: the other two dominant crawled containers, parsed for REAL
+    # (pure struct walks — _avi_metadata / _ebml_metadata); literals
+    # below come from these construction parameters
+    from demy_spark.operators.multimodal import encode_avi_stub, encode_mkv_stub
+
+    for mid, payload, mime in [
+        (6, encode_avi_stub(*_Q148_AVI[1:]), "video/avi"),
+        (7, encode_mkv_stub("matroska", *_Q148_MKV[1:]), "video/x-matroska"),
+        (8, encode_mkv_stub("webm", *_Q148_WEBM[1:], timestamp_scale=500000,
+                            unknown_segment_size=True), "video/webm"),
+    ]:
+        rows.append((mid, bytearray(payload), (mime, 0, 0, 0)))
     return rows
+
+
+# (media_id, width/height/frames/usec_pf/streams) and (media_id,
+# duration, w, h, n_tracks) construction parameters shared by the
+# fixture builders above and the oracle literals below
+_Q148_AVI = (6, 640, 360, 250, 40000, 2)  # 250 x 40ms = 10000 ms
+_Q148_MKV = (7, 12345.0, 1280, 720, 2)  # default scale: ms units
+_Q148_WEBM = (8, 5000.0, 1920, 1080, 1)  # scale 500us: 2500 ms
 
 
 def _q148_oracle() -> str:
@@ -10275,6 +10297,25 @@ def _q148_oracle() -> str:
         "(CAST(5 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), "
         "CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), "
         "CAST(NULL AS INTEGER), false)"
+    )
+    # r11 rows: AVI duration = frames x usec_pf / 1000; Matroska
+    # duration = value x scale / 1e6 (default scale 1e6 ns = ms
+    # units; the webm row pins a non-default 500us scale AND the
+    # unknown-segment-size streamed layout)
+    _, w, h, frames, usec, streams = _Q148_AVI
+    vals.append(
+        f"(CAST(6 AS BIGINT), 'AVI ', CAST({frames * usec // 1000} AS "
+        f"BIGINT), {w}, {h}, {streams}, true)"
+    )
+    _, dur, w, h, nt = _Q148_MKV
+    vals.append(
+        f"(CAST(7 AS BIGINT), 'matroska', CAST({int(dur)} AS BIGINT), "
+        f"{w}, {h}, {nt}, true)"
+    )
+    _, dur, w, h, nt = _Q148_WEBM
+    vals.append(
+        f"(CAST(8 AS BIGINT), 'webm', CAST({int(dur * 500000 / 1e6)} AS "
+        f"BIGINT), {w}, {h}, {nt}, true)"
     )
     return (
         "SELECT * FROM (VALUES " + ", ".join(vals) + ") AS t(media_id, "
@@ -10339,14 +10380,18 @@ def q149_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q148_video_metadata", _q148_oracle)
 def q148_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ISO BMFF (MP4) container metadata value-verified end-to-end
-    (r10): hand-constructed ftyp/moov/mvhd/trak/tkhd boxes across
-    brands, timescales and track layouts run through the REAL pure
-    struct-walking parser (no codec library); the oracle carries the
-    construction parameters as literals. A non-BMFF payload must land
-    on the honest NULL row with ``parse_real = false`` — the metadata
-    a curation pipeline filters on (duration, resolution, track
-    count) is real even where frame decode stays stubbed."""
+    """Video container metadata value-verified end-to-end (r10 BMFF,
+    r11 AVI + Matroska/WebM): hand-constructed ftyp/moov/mvhd/trak/
+    tkhd boxes across brands, timescales and track layouts, an AVI
+    'avih' main header, and EBML fixtures (default AND non-default
+    TimestampScale, sized AND unknown-size/streamed Segment) run
+    through the REAL pure struct-walking parsers (no codec library);
+    the oracle carries the construction parameters as literals. An
+    unsupported container (FLV) must land on the honest NULL row with
+    ``parse_real = false`` — the metadata a curation pipeline filters
+    on (duration, resolution, track count) is real for the three
+    dominant crawled containers even where frame decode stays
+    stubbed."""
     from demy_spark.operators.multimodal import MEDIA_SCHEMA, extract_video_metadata
 
     media = spark.createDataFrame(_q148_media_rows(), MEDIA_SCHEMA)

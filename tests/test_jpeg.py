@@ -606,3 +606,66 @@ def test_jpeg_max_pixels_bomb_guard():
     # explicit opt-in still available for trusted large media
     with pytest.raises(ValueError):  # entropy data is of course short
         decode_jpeg(bytes(jpg), max_pixels=1 << 33)
+
+
+def test_progressive_hand_built_cross_block_eob_run():
+    """Hand-assembled TWO-block grayscale progressive stream pinning
+    the cross-block EOB-run refinement convention (the analog of the
+    BCJ2 wire-convention concern): AC refinement scan consists of ONE
+    EOBn(2) symbol — r=1 code + one extension bit 0 — followed by two
+    correction bits, the first for the CURRENT block's remaining
+    history coefficient, the second for the SKIPPED block's. Block 1
+    carries AC zz1 = -5 (stored -4 after the Al=1 first scan, refined
+    to -5), block 2 carries +3 (stored 2, refined to 3); DC = 8 in
+    both (diff 0 for block 2). No encoder in the loop."""
+    dqt = bytes([0]) + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0])
+    dc_bits = [0] * 16
+    dc_bits[3] = 12
+    dht_dc = bytes([0x00]) + bytes(dc_bits) + bytes(range(12))
+    ac_bits = [0] * 16
+    ac_bits[7] = 4  # 8-bit codes 0..3 -> EOB, (0,1), (0,2), EOBn r=1
+    dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes([0x00, 0x01, 0x02, 0x10])
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def ent(bitstr):
+        bitstr += "1" * (-len(bitstr) % 8)
+        raw = int(bitstr, 2).to_bytes(len(bitstr) // 8, "big")
+        return raw.replace(b"\xff", b"\xff\x00")
+
+    jpg = (
+        b"\xff\xd8"
+        + seg(0xDB, dqt)
+        + seg(0xC2, sof)
+        + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+        # DC first at Al=0: blk1 cat4 '0100'+'1000' (+8), blk2 cat0
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+        + ent("0100" + "1000" + "0000")
+        # AC first at Al=1: blk1 (0,2) '00000010' + '01' (= -2), EOB;
+        # blk2 (0,1) '00000001' + '1' (= +1), EOB
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+        + ent("00000010" + "01" + "00000000"
+              + "00000001" + "1" + "00000000")
+        # AC refine Ah=1 Al=0: EOBn(2) = code '00000011' + ext '0',
+        # then correction bits: blk1's history ('1': -4 -> -5), then
+        # blk2's ('1': 2 -> 3)
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+        + ent("00000011" + "0" + "1" + "1")
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(jpg)[:, :, 0].astype(np.float64) - 128.0
+    from demy_spark.jpeg import _A
+
+    def idct(coef_nat):
+        F_ = np.zeros((8, 8))
+        for (u, v), val in coef_nat.items():
+            F_[u, v] = val
+        return _A.T @ F_ @ _A
+
+    b1 = idct({(0, 0): 8, (0, 1): -5})
+    b2 = idct({(0, 0): 8, (0, 1): 3})
+    expect = np.hstack([b1, b2])
+    assert np.abs(out - np.round(expect)).max() <= 1

@@ -30,10 +30,14 @@ JPEG_OK = (ValueError, NotImplementedError)
 @settings(max_examples=150, deadline=None)
 @given(st.binary(max_size=400))
 def test_random_bytes_never_crash_parsers(data):
+    from demy_spark.operators.multimodal import _avi_metadata, _ebml_metadata
+
     assert _mp4_metadata(data) is None or isinstance(_mp4_metadata(data), tuple)
     assert _mp4_video_samples(data) is None or isinstance(
         _mp4_video_samples(data), tuple
     )
+    assert _avi_metadata(data) is None or isinstance(_avi_metadata(data), tuple)
+    assert _ebml_metadata(data) is None or isinstance(_ebml_metadata(data), tuple)
     out = _wav_features(data)
     assert out is None or isinstance(out, tuple)
     assert sniff_baseline(data) in (True, False)
@@ -68,6 +72,29 @@ def test_mutated_valid_jpeg_is_decoded_or_loud():
             outcomes["loud"] += 1
     # both outcomes occur; what never occurs is a crash or hang
     assert outcomes["loud"] > 0 and sum(outcomes.values()) == 120
+
+
+def test_mutated_valid_avi_and_ebml_never_escape():
+    """r11: the AVI/EBML metadata parsers under the mutation battery —
+    None or a tuple, never an exception or unbounded walk (sizes are
+    parent-bounded, nesting capped)."""
+    from demy_spark.operators.multimodal import (
+        _avi_metadata,
+        _ebml_metadata,
+        encode_avi_stub,
+        encode_mkv_stub,
+    )
+
+    rnd = random.Random(55)
+    avi = encode_avi_stub(640, 360, 250, 40000, 2)
+    mkv = encode_mkv_stub("matroska", 12345.0, 1280, 720, 2)
+    for base, parse in ((avi, _avi_metadata), (mkv, _ebml_metadata)):
+        real = 0
+        for _ in range(200):
+            out = parse(_mutate(base, rnd, rnd.randrange(1, 6)))
+            assert out is None or isinstance(out, tuple)
+            real += out is not None
+        assert real > 0  # some mutations leave the header parseable
 
 
 def test_mutated_valid_progressive_jpeg_is_decoded_or_loud():

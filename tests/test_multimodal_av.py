@@ -480,3 +480,66 @@ def test_streaming_media_ops_match_batch(spark, tmp_path):
           r["frame_real"])
          for r in sample_video_frames(batch, every_ms=1000).collect()}
     assert s == b and any(real for *_, real in s)
+
+
+def test_avi_and_ebml_metadata_parsers():
+    """r11: AVI (RIFF/avih) and Matroska/WebM (EBML) metadata parse
+    for REAL — construction-parameter roundtrips incl. a non-default
+    TimestampScale, the unknown-segment-size streamed layout, bare
+    audio TrackEntries, and the None contract on foreign/corrupt
+    payloads."""
+    from demy_spark.operators.multimodal import (
+        _avi_metadata,
+        _ebml_metadata,
+        _mp4_metadata,
+        encode_avi_stub,
+        encode_mkv_stub,
+    )
+
+    avi = encode_avi_stub(640, 360, 250, 40000, 2)
+    assert _avi_metadata(avi) == ("AVI ", 10000, 640, 360, 2)
+    mkv = encode_mkv_stub("matroska", 12345.0, 1280, 720, 2)
+    assert _ebml_metadata(mkv) == ("matroska", 12345, 1280, 720, 2)
+    webm = encode_mkv_stub("webm", 5000.0, 1920, 1080, 1,
+                           timestamp_scale=500000)
+    assert _ebml_metadata(webm) == ("webm", 2500, 1920, 1080, 1)
+    unk = encode_mkv_stub("webm", 750.0, 64, 48, 3,
+                          unknown_segment_size=True)
+    assert _ebml_metadata(unk) == ("webm", 750, 64, 48, 3)
+    # cross-format and corrupt payloads: None, never a wrong tuple
+    for parse in (_avi_metadata, _ebml_metadata, _mp4_metadata):
+        assert parse(b"") is None and parse(b"FLV\x01\x05") is None
+    assert _avi_metadata(mkv) is None and _ebml_metadata(avi) is None
+    assert _avi_metadata(b"RIFFxxxxAVI LIST") is None  # truncated header
+    # a child chunk lying about its size must be loud-to-None
+    bad = bytearray(avi)
+    bad[16:20] = (2 ** 31).to_bytes(4, "little")  # hdrl LIST size bomb
+    assert _avi_metadata(bytes(bad)) is None
+
+
+def test_extract_video_metadata_dispatches_all_containers(spark):
+    from demy_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_avi_stub,
+        encode_mkv_stub,
+        extract_video_metadata,
+    )
+    from demy_spark.queries import _q150_mp4
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_q150_mp4()), ("video/mp4", 0, 0, 0)),
+            (2, bytearray(encode_avi_stub(320, 240, 50, 20000)),
+             ("video/avi", 0, 0, 0)),
+            (3, bytearray(encode_mkv_stub("webm", 900.0, 640, 480)),
+             ("video/webm", 0, 0, 0)),
+            (4, bytearray(b"FLV\x01\x05"), ("video/x-flv", 0, 0, 0)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in extract_video_metadata(media).collect()}
+    assert out[1]["parse_real"] and out[1]["brand"] == "isom"
+    assert out[2]["brand"] == "AVI " and out[2]["duration_ms"] == 1000
+    assert out[2]["n_tracks"] == 1 and (out[2]["width"], out[2]["height"]) == (320, 240)
+    assert out[3]["brand"] == "webm" and out[3]["duration_ms"] == 900
+    assert not out[4]["parse_real"] and out[4]["brand"] is None
