@@ -312,6 +312,62 @@ def spool_write(path: str, data: bytes) -> None:
     os.replace(tmp, path)
 
 
+def zstd_frame_content_size(body: bytes) -> int | None:
+    """Declared decompressed size from an RFC 8878 zstd frame header,
+    or None when the frame omits it (streaming writers) / the magic is
+    wrong. Pure header math — no decompression."""
+    if len(body) < 6 or body[:4] != b"\x28\xb5\x2f\xfd":
+        return None
+    fhd = body[4]
+    fcs_code = fhd >> 6
+    single_segment = (fhd >> 5) & 1
+    did_size = (0, 1, 2, 4)[fhd & 3]
+    pos = 5 + (0 if single_segment else 1) + did_size
+    try:
+        if fcs_code == 0:
+            # one FCS byte only in single-segment frames; unknown else
+            return body[pos] if single_segment else None
+        if fcs_code == 1:
+            return int.from_bytes(body[pos : pos + 2], "little") + 256
+        if fcs_code == 2:
+            return int.from_bytes(body[pos : pos + 4], "little")
+        return int.from_bytes(body[pos : pos + 8], "little")
+    except IndexError:
+        return None
+
+
+def _zstd_decompress(body: bytes, cap: int, url: str) -> bytes:
+    """Bounded one-shot zstd via pyarrow's bundled codec: the frame
+    header's declared content size gates the bomb cap BEFORE any
+    decompression, and the codec enforces that size exactly, so a
+    lying header or truncated stream raises instead of spooling wrong
+    bytes. Size-less (streaming-written) and multi-frame files stay
+    loud — decompress out-of-band."""
+    try:
+        import pyarrow as pa
+    except ImportError as e:  # pragma: no cover - pyarrow is baked in
+        raise NotImplementedError(
+            "zstd download needs pyarrow's codec; decompress out-of-band"
+        ) from e
+    size = zstd_frame_content_size(body)
+    if size is None:
+        raise NotImplementedError(
+            f"zstd frame without a declared content size (streaming "
+            f"writer): {url}; decompress out-of-band"
+        )
+    if size > cap:
+        raise ValueError(
+            f"zstd stream from {url} declares {size} unpacked bytes, "
+            f"over the {cap}-byte cap for a {len(body)}-byte fetch "
+            "(decompression-bomb guard)"
+        )
+    try:
+        out = pa.Codec("zstd").decompress(body, size)
+    except (OSError, pa.lib.ArrowException) as e:
+        raise ValueError(f"corrupt zstd stream from {url}: {e}") from e
+    return out if isinstance(out, bytes) else out.to_pybytes()
+
+
 def _check_flatten_collision(
     seen: dict[str, str], flat: str, member: str, url: str
 ) -> None:
@@ -450,6 +506,14 @@ def download(
             lower = lower[:-4] + ".tar"
         else:
             lower = lower[: -3 if lower.endswith(".xz") else -5]
+    elif deflate and lower.endswith((".zst", ".tzst")):
+        # r11: zstd via pyarrow's bundled codec (modern LLM corpora —
+        # Dolma, RedPajama — ship .zst). The RFC 8878 frame header's
+        # declared content size gates the bomb cap BEFORE any
+        # decompression, and pyarrow enforces the size EXACTLY, so a
+        # lying header fails loudly rather than truncating silently.
+        body = _zstd_decompress(body, cap, url)
+        lower = lower[:-5] + ".tar" if lower.endswith(".tzst") else lower[:-4]
     if deflate and lower.endswith(".tar"):
         out = []
         seen = {}

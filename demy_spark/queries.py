@@ -9903,6 +9903,33 @@ def _q145_oracle() -> str:
                 member = tf.extractfile(m)
                 assert member is not None
                 rows.append((f"{bdir}/{m.name.replace('/', '-')}", member.read()))
+    # zstd branches (r11): single-file .zst and a two-member .tar.zst,
+    # oracle side decompressed by a direct pyarrow-codec read of the
+    # fixture bytes — the crawler's header-size bomb gate, naming and
+    # spool code never touch this side
+    import pyarrow as _pa
+
+    def zd(raw: bytes) -> bytes:
+        from demy_spark.crawler import zstd_frame_content_size
+
+        out = _pa.Codec("zstd").decompress(raw, zstd_frame_content_size(raw))
+        return out if isinstance(out, bytes) else out.to_pybytes()
+
+    rows.append(
+        (
+            f"packs-report.txt.zst-{h8('http://site.test/packs/report.txt.zst')}",
+            zd(fx("packs/report.txt.zst")),
+        )
+    )
+    zsdir = f"packs-trio.tar.zst-{h8('http://site.test/packs/trio.tar.zst')}"
+    with _tarfile.open(
+        fileobj=_io.BytesIO(zd(fx("packs/trio.tar.zst"))), mode="r:"
+    ) as tf:
+        for m in tf:
+            if m.isfile():
+                member = tf.extractfile(m)
+                assert member is not None
+                rows.append((f"{zsdir}/{m.name.replace('/', '-')}", member.read()))
     vals = [
         f"('{name}', '{_hl.md5(body).hexdigest()}', CAST({len(body)} AS BIGINT))"
         for name, body in sorted(rows)
@@ -9929,6 +9956,9 @@ def q145_crawl_archives(spark: SparkSession, sf_dir: str) -> DataFrame:
     tar.gz (two members), a single-file bz2, a tar.bz2 (two members),
     (r10) a single-file xz and a tar.xz (two members — the containers
     the reference reads via org.tukaani:xz),
+    (r11) a single-file zstd and a tar.zst (two members — pyarrow's
+    bundled codec behind the RFC 8878 header-size bomb gate; the
+    container modern LLM corpora ship),
     and (r10) a 7z whose single folder is a genuine 4-stream BCJ2
     mixer over LZMA2 sub-coders — decoded by demy_spark.bcj2 under the
     container's CRCs, value-verified against plain expected-member
@@ -9963,7 +9993,7 @@ def q145_crawl_archives(spark: SparkSession, sf_dir: str) -> DataFrame:
         type="crawl",
         policy="immutable",
         crawling_filter=r"^http://site\.test/",
-        crawling_matching=r"\.(zip|gz|bz2|7z|xz)$",
+        crawling_matching=r"\.(zip|gz|bz2|7z|xz|zst)$",
     )
     sync_source(spark, cfg, fetch=fetch)
     plen = len("file:" + dest + "/")

@@ -67,6 +67,37 @@ def gen_xz_fixtures() -> None:
         f.write(lzma.compress(buf.getvalue(), preset=6))
 
 
+def gen_zst_fixtures() -> None:
+    """The r11 zstd-branch fixtures (pyarrow's bundled codec at a
+    pinned level, so regeneration stays deterministic within this
+    container): a single-file .zst and a two-member .tar.zst."""
+    import io
+    import tarfile
+
+    import pyarrow as pa
+
+    def zc(b: bytes) -> bytes:
+        out = pa.Codec("zstd", compression_level=3).compress(b)
+        return out.to_pybytes() if hasattr(out, "to_pybytes") else bytes(out)
+
+    packs = os.path.join(SITE, "packs")
+    report = b"zstd-compressed crawl report for the oracle (q145).\n" * 14
+    with open(os.path.join(packs, "report.txt.zst"), "wb") as f:
+        f.write(zc(report))
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in [
+            ("trio/alpha.csv", b"k;v\n7;gg\n8;hh\n" * 21),
+            ("trio/beta.txt", b"second member of the tar.zst fixture\n" * 11),
+        ]:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(data))
+    with open(os.path.join(packs, "trio.tar.zst"), "wb") as f:
+        f.write(zc(buf.getvalue()))
+
+
 def main() -> None:
     members = [
         ("tool.exe", x86ish(300)),
@@ -85,8 +116,9 @@ def main() -> None:
         with open(os.path.join(exp, name.replace("/", "-")), "wb") as f:
             f.write(content)
     gen_xz_fixtures()
+    gen_zst_fixtures()
     print(f"wrote packs/prog.7z ({len(body)} bytes) + {len(members)} expected "
-          "+ notes.txt.xz + duo.tar.xz")
+          "+ notes.txt.xz + duo.tar.xz + report.txt.zst + trio.tar.zst")
 
 
 if __name__ == "__main__":

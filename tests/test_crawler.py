@@ -716,3 +716,56 @@ def test_download_truncated_compressed_streams_are_loud(tmp_path):
     # and nothing was spooled for any of the failures
     spooled = [p for p in tmp_path.rglob("*") if p.is_file()]
     assert spooled == []
+
+
+def test_download_zstd_via_pyarrow_codec(tmp_path):
+    """r11: .zst/.tar.zst downloads decompress through pyarrow's
+    bundled zstd codec. Bomb gate runs on the RFC 8878 declared
+    content size BEFORE decompression; the codec enforces the size
+    exactly so lying headers and truncation raise; size-less
+    (streaming-written) frames stay loud NotImplementedError."""
+    import io
+    import tarfile
+
+    import pyarrow as pa
+    import pytest
+
+    from demy_spark.crawler import download, zstd_frame_content_size
+
+    def zc(b):
+        out = pa.Codec("zstd").compress(b)
+        return out.to_pybytes() if hasattr(out, "to_pybytes") else bytes(out)
+
+    payload = b"dolma-style document line\n" * 400
+    z = zc(payload)
+    assert zstd_frame_content_size(z) == len(payload)
+
+    p = download("http://m.test/doc.txt.zst", str(tmp_path / "a"),
+                 fetch=lambda u: ("application/zstd", z))
+    with open(p[0], "rb") as f:
+        assert f.read() == payload
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        info = tarfile.TarInfo("x/one.txt")
+        info.size = len(payload)
+        tf.addfile(info, io.BytesIO(payload))
+    for name in ("pack.tar.zst", "pack.tzst"):
+        p = download(f"http://m.test/{name}", str(tmp_path / name),
+                     fetch=lambda u: ("application/zstd", zc(buf.getvalue())))
+        assert [os.path.basename(x) for x in p] == ["x-one.txt"]
+
+    with pytest.raises(ValueError, match="corrupt zstd"):
+        download("http://m.test/doc.txt.zst", str(tmp_path / "t"),
+                 fetch=lambda u: ("application/zstd", z[:-4]))
+    # declared-size bomb: rejected from the header, nothing decompressed
+    bomb = zc(b"\x00" * (200 << 20))
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        download("http://m.test/bomb.zst", str(tmp_path / "bb"),
+                 fetch=lambda u: ("application/zstd", bomb))
+    # size-less frame (streaming writer): loud, never a guess
+    sizeless = b"\x28\xb5\x2f\xfd\x00\x00" + b"\x01\x00\x00"
+    assert zstd_frame_content_size(sizeless) is None
+    with pytest.raises(NotImplementedError, match="content size"):
+        download("http://m.test/doc.txt.zst", str(tmp_path / "s"),
+                 fetch=lambda u: ("application/zstd", sizeless))
