@@ -555,6 +555,162 @@ def _find_box(payload: bytes, lo: int, hi: int, btype: bytes):
     return None
 
 
+def _mp4_fragment_samples(payload: bytes, track_id: int):
+    """REAL fragmented-MP4 sample walk (ISO/IEC 14496-12 §8.8 — the
+    moof/traf/trun shape DASH/HLS captures and streamed recordings
+    produce, r11): trex defaults from moov/mvex, per-fragment tfhd
+    overrides (explicit base-data-offset, default-base-is-moof, or
+    the legacy first-traf-at-moof rule with subsequent trafs chained
+    off the previous traf's data end), tfdt decode times, and trun
+    sample rows (signed data offset, optional per-sample duration/
+    size/flags, first-sample-flags). Returns ``(samples, sync_set)``
+    like the stbl walk — sync derived from the non-sync sample-flag
+    bit when any flag information exists, None (= all sync) when
+    none does. Hostile counts are byte-bounded before any list is
+    built (the stco lesson)."""
+    n = len(payload)
+
+    def be32(pos: int) -> int:
+        return int.from_bytes(payload[pos : pos + 4], "big")
+
+    d_dur = d_size = d_flags = 0
+    flags_seen = False
+    moov = _find_box(payload, 0, n, b"moov")
+    if moov is not None:
+        mvex = _find_box(payload, *moov, b"mvex")
+        if mvex is not None:
+            for t, lo, hi in _iter_boxes(payload, *mvex):
+                if t == b"trex" and hi - lo >= 24:
+                    if be32(lo + 4) in (track_id, 0) or track_id == 0:
+                        d_dur = be32(lo + 12)
+                        d_size = be32(lo + 16)
+                        d_flags = be32(lo + 20)
+                        flags_seen = flags_seen or d_flags != 0
+
+    samples: list[tuple[int, int, int]] = []
+    sync: set[int] = set()
+    decode_ts = 0  # continues across fragments unless tfdt resets it
+    for t, moof_body, moof_end in _iter_boxes(payload, 0, n):
+        if t != b"moof":
+            continue
+        # the box START (base for default-base-is-moof / legacy rule):
+        # 8-byte header normally, 16 when size==1 carried a largesize
+        moof_start = moof_body - 8
+        if (
+            moof_body >= 16
+            and payload[moof_body - 16 + 4 : moof_body - 16 + 8] == b"moof"
+            and int.from_bytes(payload[moof_body - 16 : moof_body - 12], "big") == 1
+        ):
+            moof_start = moof_body - 16
+        legacy_base = moof_start
+        for t2, traf_body, traf_end in _iter_boxes(payload, moof_body, moof_end):
+            if t2 != b"traf":
+                continue
+            tfhd = _find_box(payload, traf_body, traf_end, b"tfhd")
+            if tfhd is None:
+                raise ValueError("mp4 traf without tfhd")
+            fl = int.from_bytes(payload[tfhd[0] + 1 : tfhd[0] + 4], "big")
+            pos = tfhd[0] + 4
+            tid = be32(pos)
+            pos += 4
+            if track_id and tid != track_id:
+                continue
+            base = None
+            if fl & 0x01:
+                base = int.from_bytes(payload[pos : pos + 8], "big")
+                pos += 8
+            if fl & 0x02:
+                pos += 4  # sample-description-index
+            tf_dur = d_dur
+            if fl & 0x08:
+                tf_dur = be32(pos)
+                pos += 4
+            tf_size = d_size
+            if fl & 0x10:
+                tf_size = be32(pos)
+                pos += 4
+            tf_flags = d_flags
+            if fl & 0x20:
+                tf_flags = be32(pos)
+                pos += 4
+                flags_seen = True
+            if base is None:
+                # default-base-is-moof (0x20000) and the legacy rule
+                # both start at the moof for the FIRST traf; legacy
+                # subsequent trafs chain off the previous data end
+                base = moof_start if fl & 0x20000 else legacy_base
+            tfdt = _find_box(payload, traf_body, traf_end, b"tfdt")
+            if tfdt is not None:
+                ver = payload[tfdt[0]]
+                decode_ts = int.from_bytes(
+                    payload[tfdt[0] + 4 : tfdt[0] + (12 if ver == 1 else 8)],
+                    "big",
+                )
+            for t3, trun_body, trun_end in _iter_boxes(
+                payload, traf_body, traf_end
+            ):
+                if t3 != b"trun":
+                    continue
+                tfl = int.from_bytes(payload[trun_body + 1 : trun_body + 4], "big")
+                pos = trun_body + 4
+                cnt = be32(pos)
+                pos += 4
+                data_off = 0
+                if tfl & 0x01:
+                    data_off = int.from_bytes(
+                        payload[pos : pos + 4], "big", signed=True
+                    )
+                    pos += 4
+                first_flags = None
+                if tfl & 0x04:
+                    first_flags = be32(pos)
+                    pos += 4
+                    flags_seen = True
+                per = sum(
+                    4 for bit in (0x100, 0x200, 0x400, 0x800) if tfl & bit
+                )
+                # hostile-count guards BEFORE building any list: row
+                # bytes must fit the trun body; an all-defaults trun
+                # is bounded by the payload itself
+                if per and cnt * per > trun_end - pos:
+                    raise ValueError("mp4 trun rows exceed box size")
+                if not per and cnt > n:
+                    raise ValueError("mp4 trun count exceeds payload")
+                if tfl & 0x400:
+                    flags_seen = True
+                off = base + data_off
+                for si in range(cnt):
+                    dur = tf_dur
+                    if tfl & 0x100:
+                        dur = be32(pos)
+                        pos += 4
+                    size = tf_size
+                    if tfl & 0x200:
+                        size = be32(pos)
+                        pos += 4
+                    sflags = tf_flags
+                    if tfl & 0x400:
+                        sflags = be32(pos)
+                        pos += 4
+                    elif si == 0 and first_flags is not None:
+                        sflags = first_flags
+                    if tfl & 0x800:
+                        pos += 4  # composition-time offset: unused
+                    if off + size > n:
+                        raise ValueError(
+                            "mp4 fragment sample runs past end of payload"
+                        )
+                    samples.append((decode_ts, off, size))
+                    if not sflags & 0x10000:  # not non-sync => keyframe
+                        sync.add(len(samples))
+                    decode_ts += dur
+                    off += size
+                legacy_base = max(legacy_base, off)
+    if not samples:
+        return None
+    return samples, (sync if flags_seen else None)
+
+
 def _mp4_video_samples(payload: bytes):
     """REAL ISO BMFF sample-table walk for the first VIDEO track:
     resolve every sample's (timestamp, byte offset, byte size) from
@@ -584,6 +740,12 @@ def _mp4_video_samples(payload: bytes):
             timescale = int.from_bytes(
                 payload[mdhd[0] + (20 if ver == 1 else 12) :][:4], "big"
             )
+            tkhd = _find_box(payload, trak_lo, trak_hi, b"tkhd")
+            track_id = 0
+            if tkhd is not None:
+                tv = payload[tkhd[0]]
+                tid_off = tkhd[0] + (20 if tv == 1 else 12)
+                track_id = int.from_bytes(payload[tid_off : tid_off + 4], "big")
             minf = _find_box(payload, *mdia, b"minf")
             if minf is None:
                 return None
@@ -611,89 +773,112 @@ def _mp4_video_samples(payload: bytes):
                     for i in range(n)
                 ]
 
-            p = full(b"stsz")
-            if p is None:
-                return None
-            fixed = int.from_bytes(payload[p : p + 4], "big")
-            if fixed:
-                # fixed-size samples carry no size table: bound the
-                # count by the payload bytes the samples occupy
-                count = int.from_bytes(payload[p + 4 : p + 8], "big")
-                if count * max(fixed, 1) > len(payload):
-                    raise ValueError("mp4 stsz count exceeds payload")
-                sizes = [fixed] * count
-            else:
-                count = counted(p + 4, 4)
-                sizes = be32s(p + 8, count)
-
-            co = full(b"stco")
-            if co is not None:
-                n_chunks = counted(co, 4)
-                offsets = be32s(co + 4, n_chunks)
-            else:
-                co = full(b"co64")
-                if co is None:
+            def stbl_walk():
+                """(samples, sync) from the classic sample tables, or
+                None when the required tables are absent — the
+                fragmented-MP4 (fMP4) shape, where moov carries an
+                empty/missing stbl and samples live in moof/trun."""
+                p = full(b"stsz")
+                if p is None:
                     return None
-                n_chunks = counted(co, 8)
-                offsets = [
-                    int.from_bytes(payload[co + 4 + 8 * i : co + 12 + 8 * i], "big")
-                    for i in range(n_chunks)
+                fixed = int.from_bytes(payload[p : p + 4], "big")
+                if fixed:
+                    # fixed-size samples carry no size table: bound the
+                    # count by the payload bytes the samples occupy
+                    count = int.from_bytes(payload[p + 4 : p + 8], "big")
+                    if count * max(fixed, 1) > len(payload):
+                        raise ValueError("mp4 stsz count exceeds payload")
+                    sizes = [fixed] * count
+                else:
+                    count = counted(p + 4, 4)
+                    sizes = be32s(p + 8, count)
+
+                co = full(b"stco")
+                if co is not None:
+                    n_chunks = counted(co, 4)
+                    offsets = be32s(co + 4, n_chunks)
+                else:
+                    co = full(b"co64")
+                    if co is None:
+                        return None
+                    n_chunks = counted(co, 8)
+                    offsets = [
+                        int.from_bytes(
+                            payload[co + 4 + 8 * i : co + 12 + 8 * i], "big"
+                        )
+                        for i in range(n_chunks)
+                    ]
+
+                p = full(b"stsc")
+                if p is None:
+                    return None
+                n_runs = counted(p, 12)
+                runs = [
+                    (
+                        int.from_bytes(payload[p + 4 + 12 * i : p + 8 + 12 * i], "big"),
+                        int.from_bytes(payload[p + 8 + 12 * i : p + 12 + 12 * i], "big"),
+                    )
+                    for i in range(n_runs)
                 ]
 
-            p = full(b"stsc")
-            if p is None:
-                return None
-            n_runs = counted(p, 12)
-            runs = [
-                (
-                    int.from_bytes(payload[p + 4 + 12 * i : p + 8 + 12 * i], "big"),
-                    int.from_bytes(payload[p + 8 + 12 * i : p + 12 + 12 * i], "big"),
-                )
-                for i in range(n_runs)
-            ]
+                p = full(b"stts")
+                if p is None:
+                    return None
+                n_tt = counted(p, 8)
+                deltas: list[int] = []
+                for i in range(n_tt):
+                    cnt = int.from_bytes(payload[p + 4 + 8 * i : p + 8 + 8 * i], "big")
+                    delta = int.from_bytes(payload[p + 8 + 8 * i : p + 12 + 8 * i], "big")
+                    if cnt > count:
+                        raise ValueError("mp4 stts run exceeds sample count")
+                    deltas.extend([delta] * min(cnt, count - len(deltas)))
+                while len(deltas) < count:
+                    deltas.append(deltas[-1] if deltas else 0)
 
-            p = full(b"stts")
-            if p is None:
-                return None
-            n_tt = counted(p, 8)
-            deltas: list[int] = []
-            for i in range(n_tt):
-                cnt = int.from_bytes(payload[p + 4 + 8 * i : p + 8 + 8 * i], "big")
-                delta = int.from_bytes(payload[p + 8 + 8 * i : p + 12 + 8 * i], "big")
-                if cnt > count:
-                    raise ValueError("mp4 stts run exceeds sample count")
-                deltas.extend([delta] * min(cnt, count - len(deltas)))
-            while len(deltas) < count:
-                deltas.append(deltas[-1] if deltas else 0)
+                sync: set[int] | None = None
+                p = full(b"stss")
+                if p is not None:
+                    n_sync = counted(p, 4)
+                    sync = set(be32s(p + 4, n_sync))  # 1-based numbers
 
-            sync: set[int] | None = None
-            p = full(b"stss")
-            if p is not None:
-                n_sync = counted(p, 4)
-                sync = set(be32s(p + 4, n_sync))  # 1-based sample numbers
+                samples = []
+                ts = 0
+                si = 0
+                for ci in range(n_chunks):
+                    spc = 1
+                    for first, per in runs:
+                        if first <= ci + 1:
+                            spc = per
+                    off = offsets[ci]
+                    for _ in range(spc):
+                        if si >= count:
+                            break
+                        size = sizes[si]
+                        if off + size > len(payload):
+                            raise ValueError(
+                                "mp4 sample runs past end of payload"
+                            )
+                        samples.append((ts, off, size))
+                        ts += deltas[si]
+                        off += size
+                        si += 1
+                if si < count:
+                    raise ValueError(
+                        "mp4 chunk map covers fewer samples than stsz"
+                    )
+                return samples, sync
 
-            samples = []
-            ts = 0
-            si = 0
-            for ci in range(n_chunks):
-                spc = 1
-                for first, per in runs:
-                    if first <= ci + 1:
-                        spc = per
-                off = offsets[ci]
-                for _ in range(spc):
-                    if si >= count:
-                        break
-                    size = sizes[si]
-                    if off + size > len(payload):
-                        raise ValueError("mp4 sample runs past end of payload")
-                    samples.append((ts, off, size))
-                    ts += deltas[si]
-                    off += size
-                    si += 1
-            if si < count:
-                raise ValueError("mp4 chunk map covers fewer samples than stsz")
-            return timescale, samples, sync
+            walked = stbl_walk()
+            if walked is not None and walked[0]:
+                return timescale, walked[0], walked[1]
+            # fMP4 (r11): empty/absent sample tables — samples live in
+            # movie fragments (moof/traf/trun)
+            frag = _mp4_fragment_samples(payload, track_id)
+            if frag is not None and frag[0]:
+                return timescale, frag[0], frag[1]
+            if walked is not None:
+                return timescale, walked[0], walked[1]  # genuinely empty
+            return None
         return None  # BMFF but no video track
     except (ValueError, IndexError):
         return None
@@ -712,19 +897,23 @@ def sample_video_frames(
     a fan-out (1 → N rows) mapInPandas, the plan shape a real ffmpeg
     sampler has.
 
-    REAL for ISO BMFF payloads (r10): the stbl sample tables resolve
-    every encoded sample's (timestamp, offset, size), and each target
-    timestamp yields the last sample at-or-before it (restricted to
-    stss sync samples when ``keyframes_only``) — the frame BYTES are
+    REAL for ISO BMFF payloads: the stbl sample tables (r10) — or,
+    for fragmented MP4 (r11), the moof/traf/trun fragment tables the
+    DASH/HLS capture shape uses — resolve every encoded sample's
+    (timestamp, offset, size), and each target timestamp yields the
+    last sample at-or-before it (restricted to sync samples when
+    ``keyframes_only``: stss for classic files, the non-sync
+    sample-flag bit for fragmented ones) — the frame BYTES are
     the still-encoded access units a downstream GPU decoder consumes,
     with ``frame_real = true``. Non-BMFF payloads keep the clearly
     marked deterministic chunker against the meta duration
     (``frame_real = false``); swap ffmpeg bindings in for actual
     pixel decode — the schema, fan-out and timestamps stay.
 
-    ``keyframes_only`` with no stss box samples everything (ISO
-    14496-12: absent stss means every sample is sync); an stss box
-    that marks NO valid samples yields zero rows for that payload
+    ``keyframes_only`` with no sync information samples everything
+    (ISO 14496-12: absent stss means every sample is sync; fragments
+    with no flag fields anywhere read the same way); sync info that
+    marks NO valid samples yields zero rows for that payload
     rather than silently degrading to non-keyframes. The per-payload
     fan-out is capped at ``max_frames`` rows — the timeline length is
     computed from UNTRUSTED header fields (stts deltas x timescale),

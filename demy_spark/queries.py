@@ -10485,13 +10485,88 @@ def _q150_mp4() -> bytes:
     return payload
 
 
+_Q150F_FRAMES = [bytes([71 + i]) * (8 + i) for i in range(6)]  # G..L blobs
+
+
+def _q150_fmp4() -> bytes:
+    """Deterministic fragmented-MP4 twin of :func:`_q150_mp4` (r11 —
+    the moof/traf/trun shape DASH/HLS captures produce): moov carries
+    only mvex/trex defaults (duration 500 at timescale 1000, non-sync
+    default sample flags) over an empty stbl; two moof+mdat pairs
+    carry 3 samples each, with keyframes marked two different ways —
+    sample 1 via per-sample trun flags, sample 4 via
+    first-sample-flags — and tfdt resetting the decode time per
+    fragment. default-base-is-moof addressing; the trun data offset
+    is patched to the mdat payload after the moof size is known."""
+    import struct as _struct
+
+    def b(t: bytes, body: bytes) -> bytes:
+        return _struct.pack(">I", len(body) + 8) + t + body
+
+    def fb(t: bytes, body: bytes) -> bytes:
+        return b(t, bytes(4) + body)
+
+    frames = _Q150F_FRAMES
+    stbl = b(
+        b"stbl",
+        fb(b"stsz", _struct.pack(">II", 0, 0))
+        + fb(b"stts", _struct.pack(">I", 0))
+        + fb(b"stsc", _struct.pack(">I", 0))
+        + fb(b"stco", _struct.pack(">I", 0)),
+    )
+    hdlr = fb(b"hdlr", bytes(4) + b"vide" + bytes(12))
+    mdhd = fb(b"mdhd", _struct.pack(">II", 0, 0)
+              + _struct.pack(">II", 1000, 0) + bytes(4))
+    mdia = b(b"mdia", mdhd + hdlr + b(b"minf", stbl))
+    tkhd = fb(b"tkhd", _struct.pack(">II", 0, 0) + _struct.pack(">I", 1)
+              + bytes(60) + _struct.pack(">II", 320 << 16, 240 << 16))
+    trex = fb(b"trex", _struct.pack(">IIIII", 1, 1, 500, 0, 0x10000))
+    moov = b(
+        b"moov",
+        fb(b"mvhd", _struct.pack(">II", 0, 0)
+           + _struct.pack(">II", 1000, 3000) + bytes(76))
+        + b(b"trak", tkhd + mdia)
+        + b(b"mvex", trex),
+    )
+    out = bytearray(b(b"ftyp", b"isom" + bytes(4)) + moov)
+    for seq, (fr, bt, key_mode) in enumerate(
+        [(frames[:3], 0, "per-sample"), (frames[3:], 1500, "first-flags")], 1
+    ):
+        mfhd = fb(b"mfhd", _struct.pack(">I", seq))
+        tfdt = fb(b"tfdt", _struct.pack(">I", bt))
+        if key_mode == "per-sample":
+            tfl = 0x01 | 0x200 | 0x400
+            rows = b"".join(
+                _struct.pack(">II", len(f), 0 if i == 0 else 0x10000)
+                for i, f in enumerate(fr)
+            )
+            ff = b""
+        else:
+            tfl = 0x01 | 0x200 | 0x04
+            ff = _struct.pack(">I", 0)
+            rows = b"".join(_struct.pack(">I", len(f)) for f in fr)
+        tfhd = b(b"tfhd", bytes([0]) + (0x20000).to_bytes(3, "big")
+                 + _struct.pack(">I", 1))
+        trun = b(b"trun", bytes([0]) + tfl.to_bytes(3, "big")
+                 + _struct.pack(">I", len(fr)) + b"\x00" * 4 + ff + rows)
+        traf = b(b"traf", tfhd + tfdt + trun)
+        moof = bytearray(b(b"moof", mfhd + traf))
+        _struct.pack_into(
+            ">i", moof, len(moof) - len(rows) - len(ff) - 4, len(moof) + 8
+        )
+        out += bytes(moof) + b(b"mdat", b"".join(fr))
+    return bytes(out)
+
+
 def _q150_oracle() -> str:
     """Constructed literals: sampling at 1000 ms picks the last
     sample at-or-before each target (samples tick at 500 ms), so
     'all' mode picks samples 0/2/4 and 'key' mode (sync = samples
     1 and 5, i.e. indexes 0 and 4) picks 0/0/4; md5/size come from
     the _Q150_FRAMES construction, never from the extractor. The AVI
-    decoy contributes frame_real = false rows with NULL stats."""
+    decoy contributes frame_real = false rows with NULL stats. The
+    fragmented twin (media 3, r11) keyframes samples 1 and 4, so its
+    'key' picks are indexes 0/0/3 at ts 0/0/1500."""
     import hashlib as _hl
 
     f = _Q150_FRAMES
@@ -10507,6 +10582,13 @@ def _q150_oracle() -> str:
             f"('all', CAST(2 AS BIGINT), {k}, CAST({k * 1000} AS BIGINT), "
             "CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), false)"
         )
+    g = _Q150F_FRAMES
+    for mode, picks in (("all", [0, 2, 4]), ("key", [0, 0, 3])):
+        for k, s in enumerate(picks):
+            rows.append(
+                f"('{mode}', CAST(3 AS BIGINT), {k}, CAST({s * 500} AS BIGINT), "
+                f"'{_hl.md5(g[s]).hexdigest()}', CAST({len(g[s])} AS BIGINT), true)"
+            )
     return (
         "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(mode, media_id, "
         "frame_idx, ts_ms, frame_md5, n_bytes, frame_real)"
@@ -10520,9 +10602,13 @@ def q150_video_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp/offset/size and each 1000 ms target yields the encoded
     access-unit BYTES (what a downstream GPU decoder consumes), in
     both all-samples and keyframes-only (stss) modes; md5 and size
-    are value-verified against the construction literals. A non-BMFF
-    payload keeps the clearly-marked deterministic chunker with
-    ``frame_real = false`` and NULL stats."""
+    are value-verified against the construction literals. r11 adds
+    the fragmented-MP4 twin (moof/traf/trun with trex defaults, tfdt
+    decode times, keyframes via per-sample AND first-sample flags —
+    the DASH/HLS capture shape) through the same operator and the
+    same literal discipline. A non-BMFF payload keeps the
+    clearly-marked deterministic chunker with ``frame_real = false``
+    and NULL stats."""
     from demy_spark.operators.multimodal import MEDIA_SCHEMA, sample_video_frames
 
     media = spark.createDataFrame(
@@ -10530,6 +10616,8 @@ def q150_video_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1, bytearray(_q150_mp4()), ("video/mp4", 320, 240, 3000)),
             (2, bytearray(b"RIFFxxxxAVI LIST not a bmff"),
              ("video/avi", 0, 0, 2500)),
+            # r11: the fragmented (moof/trun) twin — DASH/HLS shape
+            (3, bytearray(_q150_fmp4()), ("video/mp4", 320, 240, 3000)),
         ],
         MEDIA_SCHEMA,
     )
@@ -10537,7 +10625,9 @@ def q150_video_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mode", F.lit("all")
     )
     key_mode = sample_video_frames(
-        media.where(F.col("media_id") == 1), every_ms=1000, keyframes_only=True
+        media.where(F.col("media_id").isin(1, 3)),
+        every_ms=1000,
+        keyframes_only=True,
     ).withColumn("mode", F.lit("key"))
     stat = lambda col: F.when(F.col("frame_real"), col)  # noqa: E731
     return all_mode.unionByName(key_mode).select(

@@ -543,3 +543,156 @@ def test_extract_video_metadata_dispatches_all_containers(spark):
     assert out[2]["n_tracks"] == 1 and (out[2]["width"], out[2]["height"]) == (320, 240)
     assert out[3]["brand"] == "webm" and out[3]["duration_ms"] == 900
     assert not out[4]["parse_real"] and out[4]["brand"] is None
+
+
+def fmp4(frames, *, explicit_base=False, omit_flags=False):
+    """Hand-built fragmented MP4: moov carries only defaults (mvex/
+    trex, empty stbl) and two moof+mdat pairs carry 3 samples each at
+    timescale 1000 / duration 500. Keyframes: sample 1 via per-sample
+    trun flags, sample 4 via first-sample-flags. ``explicit_base``
+    writes tfhd base-data-offset (u64) instead of
+    default-base-is-moof; ``omit_flags`` drops every flag field so
+    sync must come back None (= all sync)."""
+    def fb(t, body):
+        return box(t, bytes(4) + body)
+
+    stbl = box(b"stbl",
+               fb(b"stsz", struct.pack(">II", 0, 0))
+               + fb(b"stts", struct.pack(">I", 0))
+               + fb(b"stsc", struct.pack(">I", 0))
+               + fb(b"stco", struct.pack(">I", 0)))
+    hdlr = fb(b"hdlr", bytes(4) + b"vide" + bytes(12))
+    mdhd = fb(b"mdhd", struct.pack(">II", 0, 0)
+              + struct.pack(">II", 1000, 0) + bytes(4))
+    mdia = box(b"mdia", mdhd + hdlr + box(b"minf", stbl))
+    tkhd = fb(b"tkhd", struct.pack(">II", 0, 0) + struct.pack(">I", 1)
+              + bytes(60) + struct.pack(">II", 320 << 16, 240 << 16))
+    trex = fb(b"trex", struct.pack(">IIIII", 1, 1, 500, 0,
+                                   0 if omit_flags else 0x10000))
+    moov = box(b"moov",
+               fb(b"mvhd", struct.pack(">II", 0, 0)
+                  + struct.pack(">II", 1000, 0) + bytes(76))
+               + box(b"trak", tkhd + mdia)
+               + box(b"mvex", trex))
+    head = box(b"ftyp", b"isom" + bytes(4)) + moov
+
+    def fragment(seq, fr, base_time, key_mode):
+        mfhd = fb(b"mfhd", struct.pack(">I", seq))
+        tfdt = fb(b"tfdt", struct.pack(">I", base_time))
+        if key_mode == "per-sample" and not omit_flags:
+            tfl = 0x01 | 0x200 | 0x400
+            rows = b"".join(
+                struct.pack(">II", len(f), 0 if i == 0 else 0x10000)
+                for i, f in enumerate(fr)
+            )
+            ff = b""
+        else:
+            tfl = 0x01 | 0x200
+            if key_mode == "first-flags" and not omit_flags:
+                tfl |= 0x04
+                ff = struct.pack(">I", 0)
+            else:
+                ff = b""
+            rows = b"".join(struct.pack(">I", len(f)) for f in fr)
+        tf_flags = 0x20000  # default-base-is-moof
+        tfhd_body = struct.pack(">I", 1)
+        if explicit_base:
+            tf_flags = 0x01
+            tfhd_body += b"\x00" * 8  # patched below
+        tfhd = box(b"tfhd", bytes([0]) + tf_flags.to_bytes(3, "big")
+                   + tfhd_body)
+        trun = box(b"trun", bytes([0]) + tfl.to_bytes(3, "big")
+                   + struct.pack(">I", len(fr)) + b"\x00" * 4 + ff + rows)
+        traf = box(b"traf", tfhd + tfdt + trun)
+        moof = box(b"moof", mfhd + traf)
+        # data_offset: from the moof start to the mdat payload
+        moof = bytearray(moof)
+        doff_pos = len(moof) - len(rows) - len(ff) - 4
+        struct.pack_into(">i", moof, doff_pos, len(moof) + 8)
+        return bytes(moof), box(b"mdat", b"".join(fr))
+
+    out = bytearray(head)
+    for seq, (fr, bt, mode) in enumerate(
+        [(frames[:3], 0, "per-sample"), (frames[3:], 1500, "first-flags")],
+        start=1,
+    ):
+        moof, mdat = fragment(seq, fr, bt, mode)
+        if explicit_base:
+            # patch the absolute base-data-offset now that the moof's
+            # file position is known (points at the mdat payload)
+            moof = bytearray(moof)
+            tf_pos = bytes(moof).index(b"tfhd") + 4 + 4 + 4
+            struct.pack_into(">Q", moof, tf_pos, len(out) + len(moof) + 8)
+            # data_offset becomes 0 relative to the explicit base
+            doff = bytes(moof).index(b"trun") + 4 + 4 + 4
+            struct.pack_into(">i", moof, doff, 0)
+            moof = bytes(moof)
+        out += moof + mdat
+    return bytes(out)
+
+
+def test_mp4_fragmented_samples():
+    """r11: the moof/traf/trun walk — trex defaults, tfdt decode
+    times, per-sample AND first-sample keyframe flags, both
+    default-base-is-moof and explicit base-data-offset addressing."""
+    from demy_spark.operators.multimodal import _mp4_video_samples
+
+    frames = [bytes([70 + i]) * (9 + i) for i in range(6)]
+    for explicit in (False, True):
+        payload = fmp4(frames, explicit_base=explicit)
+        ts, samples, sync = _mp4_video_samples(payload)
+        assert ts == 1000
+        assert [s[0] for s in samples] == [0, 500, 1000, 1500, 2000, 2500]
+        assert [payload[o:o + z] for _, o, z in samples] == frames, explicit
+        assert sync == {1, 4}
+    # no flag information anywhere: sync None = every sample is sync
+    payload = fmp4(frames, omit_flags=True)
+    _, samples, sync = _mp4_video_samples(payload)
+    assert len(samples) == 6 and sync is None
+
+
+def test_mp4_fragmented_through_operator(spark):
+    from demy_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_video_frames,
+    )
+
+    frames = [bytes([70 + i]) * (9 + i) for i in range(6)]
+    payload = fmp4(frames)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), ("video/mp4", 320, 240, 3000))],
+        MEDIA_SCHEMA,
+    )
+    rows = sorted(
+        (r["frame_idx"], r["ts_ms"], bytes(r["frame_bytes"]), r["frame_real"])
+        for r in sample_video_frames(media, every_ms=1000).collect()
+    )
+    # samples tick at 500 ms: targets 0/1000/2000 pick samples 0/2/4
+    assert rows == [(0, 0, frames[0], True), (1, 1000, frames[2], True),
+                    (2, 2000, frames[4], True)]
+    keys = sorted(
+        (r["frame_idx"], r["ts_ms"], bytes(r["frame_bytes"]))
+        for r in sample_video_frames(
+            media, every_ms=1000, keyframes_only=True
+        ).collect()
+    )
+    # keyframes at samples 1 and 4 (ts 0 / 1500)
+    assert keys == [(0, 0, frames[0]), (1, 0, frames[0]), (2, 1500, frames[3])]
+
+
+def test_mp4_fragmented_hostile_counts_fail_fast():
+    """A corrupt trun count must be rejected from box-size math before
+    any list is built; a sample running past the payload is loud."""
+    from demy_spark.operators.multimodal import _mp4_video_samples
+
+    frames = [bytes([70 + i]) * (9 + i) for i in range(6)]
+    base = bytearray(fmp4(frames))
+    i = bytes(base).index(b"trun") + 4 + 4  # first trun's sample count
+    bomb = bytearray(base)
+    struct.pack_into(">I", bomb, i, 1 << 30)
+    assert _mp4_video_samples(bytes(bomb)) is None  # ValueError -> None
+    # size field pointing past the payload end
+    big = bytearray(base)
+    j = bytes(base).index(b"trun") + 4 + 4 + 4 + 4  # first size row
+    struct.pack_into(">I", big, j, 1 << 28)
+    assert _mp4_video_samples(bytes(big)) is None
