@@ -6,17 +6,16 @@ demy_spark.queries — 150 queries, ALL DuckDB-oracle-backed (zero
 rows-only: formerly non-SQL operators are verified through seeded /
 frozen-weights replay — q38 one-vs-rest serving, q46/q66 POS decode,
 q47 genetic replay, q73 Platt, q76 tree spawning, q115/q116 BPE
-train/encode with unrolled merge rounds). The round-9 driver window
-(first 50 of queries()) leads with the never-rowed q141 (oracle-backed
-crawler run over the in-tree fixture site), q142 (shapefile CRS
-reprojection, Lambert-93 -> WGS84) and q143 (EpiFiles remote-store
-wire roundtrip — the last zero-oracle component closed), then the 15 r8 fixture-audit
-behavior-changed residents (q120 + the gated-embedding cohort), then
-32 of the 38 remaining r6-resting rows (the 6 deferred are headline
-queries re-executed by every bench run; arithmetic note at
-_DRIVER_PRIORITY); every deferral is re-checked via the verify
-skill's full-registry driver simulation at sf0.01 (150/150 MATCH) and
-the sf0.001 parity suite.
+train/encode with unrolled merge rounds). The round-11 driver window
+(first 50 of queries()) is EXACTLY the 50 queries whose latest
+official row is r8 — the cohort whose retirement closes the 3-round
+freshness rotation (scripts/freshness.py; arithmetic note at
+_DRIVER_PRIORITY). Zero new registrations this round: the r11
+behavior deltas (q145 +zst rows, q146 +progressive-JPEG rows, q148
++AVI/Matroska/WebM rows, q150 +fragmented-MP4 rows) extend
+already-rowed queries and are re-verified via the verify skill's
+full-registry driver simulation at sf0.01 (150/150 MATCH) and the
+sf0.001 parity suite.
 COVERAGE.md maps each SURVEY §2 inventory row to its query and
 test."""
 

@@ -141,6 +141,29 @@ def test_mutated_valid_bmff_never_escapes_none_or_tuple():
     assert real > 0  # some mutations leave the tables intact
 
 
+def test_mutated_valid_fmp4_never_escapes():
+    """r11: the fragment walk (moof/traf/trun) under the same battery
+    — None or an in-bounds sample map, never a crash or an offset
+    escaping the payload."""
+    from demy_spark.queries import _q150_fmp4
+
+    base = _q150_fmp4()
+    rnd = random.Random(88)
+    real = 0
+    for _ in range(200):
+        mutated = _mutate(base, rnd, rnd.randrange(1, 6))
+        samp = _mp4_video_samples(mutated)
+        assert samp is None or isinstance(samp, tuple)
+        if samp is not None:
+            _, samples, sync = samp
+            assert all(
+                off + size <= len(mutated) for _, off, size in samples
+            )
+            assert sync is None or all(1 <= k <= len(samples) + 6 for k in sync)
+            real += 1
+    assert real > 0
+
+
 def test_mutated_bcj2_streams_decode_or_raise_valueerror():
     data = bytes([0xE8, 1, 2, 3, 4, 0x90, 0x0F, 0x85, 9, 9, 9, 9]) * 30
     main, call, jump, rc = bcj2_encode(data)
