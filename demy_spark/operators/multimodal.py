@@ -1002,17 +1002,121 @@ AUDIO_SCHEMA = T.StructType(
 )
 
 
+def _pcm_normalize(raw: bytes, width: int):
+    """Full-scale-normalised float64 samples from little-endian PCM
+    bytes (8-bit unsigned, 16/24/32-bit signed), or None for widths
+    PCM does not define."""
+    import numpy as np
+
+    if width == 1:  # 8-bit unsigned, full scale 128 around bias 128
+        return (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    if width == 2:
+        return np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if width == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        return v.astype(np.float64) / float(1 << 23)
+    if width == 4:
+        return np.frombuffer(raw, dtype="<i4").astype(np.float64) / float(1 << 31)
+    return None
+
+
+def _ulaw_to_i16(b: int) -> int:
+    """ITU-T G.711 mu-law expansion to 16-bit (the published segment
+    formula at audioop's <<2 scaling: byte 0x00 -> -32124)."""
+    u = ~b & 0xFF
+    x = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+    return -x if u & 0x80 else x
+
+
+def _alaw_to_i16(b: int) -> int:
+    """ITU-T G.711 A-law expansion to 16-bit (published formula at
+    audioop's <<3 scaling: byte 0x55 -> -8; the SET sign bit is
+    positive in A-law)."""
+    a = b ^ 0x55
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    x = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+    return x if a & 0x80 else -x
+
+
+_G711_LUTS: dict[int, "object"] = {}
+
+
+def _wav_samples_manual(payload: bytes):
+    """RIFF fallback for WAV formats the stdlib ``wave`` module
+    rejects (r11): WAVE_FORMAT_EXTENSIBLE (0xFFFE — how 24-bit PCM
+    usually ships; the wrapped format is the SubFormat GUID's first
+    two bytes per the published WAVEFORMATEXTENSIBLE layout), IEEE
+    float32/float64 (tag 3), and ITU-T G.711 A-law/mu-law (tags 6/7 —
+    telephony speech corpora; expansion cross-checked against audioop
+    in tests). Same (rate, n_channels, frames x channels) contract as
+    the stdlib path."""
+    import numpy as np
+
+    n = len(payload)
+    if n < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = pos + 8
+        end = min(body + size, n)
+        if cid == b"fmt " and fmt is None:
+            fmt = payload[body:end]
+        elif cid == b"data" and data is None:
+            data = payload[body:end]
+        pos = body + size + (size & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    import struct as _struct
+
+    tag, nch, rate, _br, _ba, bits = _struct.unpack("<HHIIHH", fmt[:16])
+    if tag == 0xFFFE:
+        if len(fmt) < 26:
+            return None
+        tag = int.from_bytes(fmt[24:26], "little")
+    if nch < 1 or bits < 8:
+        return None
+    width = bits // 8
+    frame = width * nch
+    data = data[: (len(data) // frame) * frame]
+    if tag == 1:  # PCM under an extensible wrapper
+        x = _pcm_normalize(data, width)
+        if x is None:
+            return None
+    elif tag == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(data, dtype="<f8")
+        else:
+            return None
+    elif tag in (6, 7):  # G.711
+        if bits != 8:
+            return None
+        lut = _G711_LUTS.get(tag)
+        if lut is None:
+            expand = _alaw_to_i16 if tag == 6 else _ulaw_to_i16
+            lut = np.array([expand(b) for b in range(256)], dtype=np.float64)
+            _G711_LUTS[tag] = lut
+        x = lut[np.frombuffer(data, dtype=np.uint8)] / 32768.0
+    else:
+        return None
+    return rate, nch, x.astype(np.float64).reshape(-1, nch)
+
+
 def _wav_samples(payload: bytes):
-    """REAL PCM WAV decode via the stdlib ``wave`` module. Returns
-    ``(sample_rate, n_channels, x)`` with ``x`` the full-scale-
-    normalised float64 samples as a (frames, channels) array
-    (8-bit unsigned, 16/24/32-bit signed little-endian), or None for
-    non-WAV / compressed-WAV payloads (callers mark those rows
-    fake)."""
+    """REAL WAV decode. Returns ``(sample_rate, n_channels, x)`` with
+    ``x`` the full-scale-normalised float64 samples as a (frames,
+    channels) array, or None for non-WAV / codec-compressed payloads
+    (callers mark those rows fake). Plain PCM goes through the stdlib
+    ``wave`` module; formats it rejects fall back to the manual RIFF
+    parser (extensible / IEEE float / G.711 — r11)."""
     import io
     import wave
-
-    import numpy as np
 
     try:
         with wave.open(io.BytesIO(payload)) as wf:
@@ -1022,7 +1126,7 @@ def _wav_samples(payload: bytes):
             width = wf.getsampwidth()
             raw = wf.readframes(nframes)
     except (wave.Error, EOFError):
-        return None
+        return _wav_samples_manual(payload)
     if nch < 1 or width < 1:
         return None
     # a truncated data chunk can hand back a partial trailing frame:
@@ -1030,18 +1134,8 @@ def _wav_samples(payload: bytes):
     # frombuffer/reshape kill the batch (r10 review)
     frame_bytes = width * nch
     raw = raw[: (len(raw) // frame_bytes) * frame_bytes]
-    if width == 1:  # 8-bit unsigned, full scale 128 around bias 128
-        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
-    elif width == 2:
-        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-    elif width == 3:
-        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
-        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
-        v = np.where(v >= 1 << 23, v - (1 << 24), v)
-        x = v.astype(np.float64) / float(1 << 23)
-    elif width == 4:
-        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / float(1 << 31)
-    else:
+    x = _pcm_normalize(raw, width)
+    if x is None:
         return None
     return rate, nch, x.reshape(-1, nch)
 
@@ -1560,6 +1654,68 @@ def encode_mkv_stub(
     else:
         segment = elt(bytes.fromhex("18538067"), seg_body)
     return header + segment
+
+
+def encode_wav_ext(
+    payload_samples,
+    sample_rate: int,
+    n_channels: int = 1,
+    *,
+    fmt: str = "float32",
+) -> bytes:
+    """Hand-assembled WAV writer for the formats the stdlib ``wave``
+    module cannot write (fixtures for the r11 manual-parser path):
+    ``float32``/``float64`` (IEEE tag 3), ``ulaw``/``alaw`` (G.711
+    tags 7/6 — samples are the RAW codeword bytes), and
+    ``ext-pcm16``/``ext-pcm24`` (the same PCM bytes wrapped in a
+    WAVEFORMATEXTENSIBLE header with the published PCM SubFormat
+    GUID)."""
+    import struct as _struct
+
+    if fmt == "float32":
+        tag, bits = 3, 32
+        data = _struct.pack(f"<{len(payload_samples)}f", *payload_samples)
+    elif fmt == "float64":
+        tag, bits = 3, 64
+        data = _struct.pack(f"<{len(payload_samples)}d", *payload_samples)
+    elif fmt == "ulaw":
+        tag, bits = 7, 8
+        data = bytes(payload_samples)
+    elif fmt == "alaw":
+        tag, bits = 6, 8
+        data = bytes(payload_samples)
+    elif fmt in ("ext-pcm16", "ext-pcm24"):
+        bits = 16 if fmt.endswith("16") else 24
+        tag = 0xFFFE
+        if bits == 16:
+            data = _struct.pack(
+                f"<{len(payload_samples)}h",
+                *[int(s) for s in payload_samples],
+            )
+        else:
+            data = b"".join(
+                int(s).to_bytes(3, "little", signed=True)
+                for s in payload_samples
+            )
+    else:
+        raise ValueError(f"encode_wav_ext: unknown fmt {fmt!r}")
+    width = bits // 8
+    block = width * n_channels
+    fmt_body = _struct.pack(
+        "<HHIIHH", tag, n_channels, sample_rate, sample_rate * block,
+        block, bits,
+    )
+    if tag == 0xFFFE:
+        # cbSize, wValidBitsPerSample, dwChannelMask, PCM SubFormat
+        # GUID (KSDATAFORMAT_SUBTYPE_PCM, published constant)
+        guid = bytes.fromhex("0100000000001000800000aa00389b71")
+        fmt_body += _struct.pack("<HHI", 22, bits, 0) + guid
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
 
 
 def encode_wav(

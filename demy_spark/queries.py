@@ -10191,8 +10191,22 @@ _Q147_AUDIO = [
 ]
 
 
+_Q147_EXT = [
+    # (media_id, fmt, rate, nch, n_frames, level_num, level_den_pow2,
+    #  shape) — the r11 manual-RIFF-parser formats (stdlib wave
+    #  rejects all four): IEEE float32, extensible-wrapped 24-bit PCM,
+    #  G.711 mu-law (byte 0x00 decodes to exactly -32124 by the
+    #  published expansion) and A-law (0x55/0xD5 = -8/+8). Every
+    #  level is a dyadic rational, so rms/peak/min/max stay exact.
+    (8, "float32", 8000, 1, 400, 1, 2, "square"),
+    (9, "ext-pcm24", 48000, 2, 96, 1, 2, "square"),
+    (10, "ulaw", 8000, 1, 800, 32124, 15, "dc-neg"),
+    (11, "alaw", 16000, 1, 256, 8, 15, "square"),
+]
+
+
 def _q147_media_rows():
-    from demy_spark.operators.multimodal import encode_wav
+    from demy_spark.operators.multimodal import encode_wav, encode_wav_ext
 
     rows = []
     for mid, rate, nch, width, amp, _pw, nframes in _Q147_AUDIO:
@@ -10207,6 +10221,22 @@ def _q147_media_rows():
         )
     # a compressed-format payload: must take the NULL/fake row
     rows.append((7, bytearray(b"ID3\x04\x00" + b"\x00" * 64), ("audio/mpeg", 0, 0, 0)))
+    for mid, fmt, rate, nch, nframes, _num, _pw, shape in _Q147_EXT:
+        total = nframes * nch
+        if fmt == "float32":
+            samples = [0.25 if i % 2 == 0 else -0.25 for i in range(total)]
+        elif fmt == "ext-pcm24":
+            samples = [(1 << 21) if i % 2 == 0 else -(1 << 21)
+                       for i in range(total)]
+        elif fmt == "ulaw":
+            samples = bytes([0x00] * total)  # decodes to -32124 each
+        else:  # alaw square: 0x55 = -8, 0xD5 = +8
+            samples = bytes([0x55 if i % 2 == 0 else 0xD5
+                             for i in range(total)])
+        rows.append(
+            (mid, bytearray(encode_wav_ext(samples, rate, nch, fmt=fmt)),
+             ("audio/wav", 0, 0, 0))
+        )
     return rows
 
 
@@ -10228,6 +10258,15 @@ def _q147_oracle() -> str:
         "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), "
         "CAST(NULL AS DOUBLE), false)"
     )
+    # r11 manual-parser rows: |x| is constant per fixture, so rms =
+    # peak = level exactly (dyadic levels square and sqrt exactly)
+    for mid, _fmt, rate, nch, nframes, num, pw, _shape in _Q147_EXT:
+        level = num / (1 << pw)
+        vals.append(
+            f"(CAST({mid} AS BIGINT), {rate}, {nch}, "
+            f"CAST({nframes} AS BIGINT), CAST({nframes * 1000 // rate} AS BIGINT), "
+            f"CAST({level!r} AS DOUBLE), CAST({level!r} AS DOUBLE), true)"
+        )
     return (
         "SELECT * FROM (VALUES " + ", ".join(vals) + ") AS t(media_id, "
         "sample_rate, n_channels, n_samples, duration_ms, rms, peak, "
@@ -10237,16 +10276,20 @@ def _q147_oracle() -> str:
 
 @register("q147_audio_features", _q147_oracle)
 def q147_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCM-WAV audio features value-verified end-to-end (r10 —
+    """WAV audio features value-verified end-to-end (r10 —
     multimodal extension; the reference treats media as binary +
     decode UDFs). Square-wave and DC fixtures across 8/16/24/32-bit
-    widths and mono/stereo run through the REAL stdlib-``wave``
-    extractor (Arrow ``mapInPandas``); amplitudes are powers-of-two
-    fractions of full scale so RMS and peak are exactly representable
-    doubles the oracle carries as constructed literals. A compressed
-    (mp3-marked) payload must land on the honest NULL row with
-    ``decode_real = false``. Media generation is driver-side by
-    design; Spark extracts distributed."""
+    PCM widths and mono/stereo run through the REAL stdlib-``wave``
+    extractor, and (r11) the manual-RIFF-parser formats stdlib wave
+    rejects — IEEE float32, WAVE_FORMAT_EXTENSIBLE-wrapped 24-bit
+    PCM, and G.711 mu-law/A-law (the telephony speech-corpus
+    encodings, expansion audioop-cross-checked) — join the same
+    operator (Arrow ``mapInPandas``); every amplitude is a dyadic
+    rational so RMS and peak are exactly representable doubles the
+    oracle carries as constructed literals. A compressed (mp3-marked)
+    payload must land on the honest NULL row with ``decode_real =
+    false``. Media generation is driver-side by design; Spark
+    extracts distributed."""
     from demy_spark.operators.multimodal import MEDIA_SCHEMA, extract_audio_features
 
     media = spark.createDataFrame(_q147_media_rows(), MEDIA_SCHEMA)
@@ -10373,6 +10416,17 @@ def _q149_oracle() -> str:
         "CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
         "false)"
     )
+    # r11 manual-parser rows (see _Q147_EXT): square fixtures swing
+    # exactly +/-level, the mu-law DC fixture sits at exactly -level
+    for mid, _fmt, rate, nch, nframes, num, pw, shape in _Q147_EXT:
+        level = num / (1 << pw)
+        smin = -level
+        smax = -level if shape == "dc-neg" else level
+        vals.append(
+            f"(CAST({mid} AS BIGINT), {rate}, {nch}, "
+            f"CAST({nframes} AS BIGINT), CAST({smin!r} AS DOUBLE), "
+            f"CAST({smax!r} AS DOUBLE), true)"
+        )
     return (
         "SELECT * FROM (VALUES " + ", ".join(vals) + ") AS t(media_id, "
         "sample_rate, n_channels, n_samples, samp_min, samp_max, "
@@ -10384,12 +10438,13 @@ def _q149_oracle() -> str:
 def q149_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Waveform-tensor decode value-verified end-to-end (r10 —
     ``decode_audio``, the audio twin of ``decode_image``): the q147
-    media set decodes to interleaved float samples whose min/max must
-    equal the constructed ±level exactly (power-of-two amplitudes are
-    exact in every float width); the mp3-marked payload takes the
-    deterministic fake with ``decode_real = false`` and NULL stats.
-    Stats are nulled via decode_real so the oracle never depends on
-    the fake keystream's internals."""
+    media set — incl. the r11 float/extensible/G.711 fixtures —
+    decodes to interleaved float samples whose min/max must equal the
+    constructed ±level exactly (dyadic amplitudes are exact in every
+    float width); the mp3-marked payload takes the deterministic fake
+    with ``decode_real = false`` and NULL stats. Stats are nulled via
+    decode_real so the oracle never depends on the fake keystream's
+    internals."""
     from demy_spark.operators.multimodal import MEDIA_SCHEMA, decode_audio
 
     media = spark.createDataFrame(_q147_media_rows(), MEDIA_SCHEMA)

@@ -696,3 +696,108 @@ def test_mp4_fragmented_hostile_counts_fail_fast():
     j = bytes(base).index(b"trun") + 4 + 4 + 4 + 4  # first size row
     struct.pack_into(">I", big, j, 1 << 28)
     assert _mp4_video_samples(bytes(big)) is None
+
+
+def test_wav_manual_parser_formats():
+    """r11: formats stdlib wave rejects decode for REAL through the
+    manual RIFF parser — IEEE float, WAVE_FORMAT_EXTENSIBLE-wrapped
+    PCM (identical values to plain PCM), and G.711 A-law/mu-law whose
+    pure-Python expansion must agree with audioop (the in-container
+    independent implementation) on EVERY codeword byte."""
+    from demy_spark.operators.multimodal import (
+        _wav_samples,
+        encode_wav_ext,
+    )
+
+    # IEEE float32/float64: values come back exactly
+    for fmt in ("float32", "float64"):
+        rate, nch, x = _wav_samples(
+            encode_wav_ext([0.25, -0.25, 0.5, -0.5], 8000, 1, fmt=fmt)
+        )
+        assert (rate, nch) == (8000, 1)
+        assert x.ravel().tolist() == [0.25, -0.25, 0.5, -0.5]
+
+    # extensible-wrapped PCM equals the plain PCM decode
+    plain = _wav_samples(encode_wav([8192, -8192] * 10, 16000, 2, 2))
+    wrapped = _wav_samples(
+        encode_wav_ext([8192, -8192] * 10, 16000, 2, fmt="ext-pcm16")
+    )
+    assert wrapped[0] == plain[0] and wrapped[1] == plain[1]
+    assert (wrapped[2] == plain[2]).all()
+    p24 = _wav_samples(encode_wav([1 << 21, -(1 << 21)] * 8, 44100, 1, 3))
+    w24 = _wav_samples(
+        encode_wav_ext([1 << 21, -(1 << 21)] * 8, 44100, 1, fmt="ext-pcm24")
+    )
+    assert (w24[2] == p24[2]).all()
+
+    # G.711 vs audioop on all 256 codewords, both laws
+    import audioop
+    import struct
+
+    from demy_spark.operators.multimodal import _alaw_to_i16, _ulaw_to_i16
+
+    for law, expand, conv in (("ulaw", _ulaw_to_i16, audioop.ulaw2lin),
+                              ("alaw", _alaw_to_i16, audioop.alaw2lin)):
+        ours = [expand(b) for b in range(256)]
+        theirs = list(struct.unpack("<256h", conv(bytes(range(256)), 2)))
+        assert ours == theirs, law
+        rate, nch, x = _wav_samples(
+            encode_wav_ext(bytes(range(256)), 8000, 1, fmt=law)
+        )
+        assert (rate, nch) == (8000, 1)
+        assert x.ravel().tolist() == [v / 32768.0 for v in theirs]
+
+
+def test_wav_manual_parser_hostile_inputs():
+    from demy_spark.operators.multimodal import (
+        _wav_samples,
+        _wav_samples_manual,
+        encode_wav_ext,
+    )
+
+    assert _wav_samples_manual(b"RIFF\x04\x00\x00\x00WAVE") is None
+    assert _wav_samples_manual(b"not riff at all") is None
+    # unknown tag stays None (fake path), never a guess
+    bad = bytearray(encode_wav_ext([0.0], 8000, 1, fmt="float32"))
+    i = bytes(bad).index(b"fmt ") + 8
+    bad[i:i + 2] = (99).to_bytes(2, "little")
+    assert _wav_samples(bytes(bad)) is None
+    # truncated data chunk: whole frames only, no crash
+    good = encode_wav_ext([0.25] * 8, 8000, 2, fmt="float32")
+    rate, nch, x = _wav_samples(good[:-6])
+    assert nch == 2 and x.shape == (3, 2)
+    # extensible header too short for the SubFormat GUID
+    short = bytearray(encode_wav_ext([100], 8000, 1, fmt="ext-pcm16"))
+    j = bytes(short).index(b"fmt ") + 4
+    # shrink the declared fmt size under 26 bytes
+    short[j:j + 4] = (18).to_bytes(4, "little")
+    assert _wav_samples(bytes(short)) is None
+
+
+def test_decode_audio_and_features_cover_manual_formats(spark):
+    from demy_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio,
+        encode_wav_ext,
+        extract_audio_features,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav_ext([0.25, -0.25] * 50, 8000, 1,
+                                         fmt="float32")),
+             ("audio/wav", 0, 0, 0)),
+            (2, bytearray(encode_wav_ext(bytes([0x00, 0x80]) * 50, 8000, 1,
+                                         fmt="ulaw")),
+             ("audio/wav", 0, 0, 0)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r
+             for r in extract_audio_features(media).collect()}
+    assert feats[1]["decode_real"] and feats[1]["rms"] == 0.25
+    assert feats[2]["decode_real"]
+    assert abs(feats[2]["peak"] - 32124 / 32768) < 1e-12
+    out = {r["media_id"]: r for r in decode_audio(media).collect()}
+    assert out[1]["decode_real"] and out[1]["samples"][0] == 0.25
+    assert out[2]["decode_real"] and len(out[2]["samples"]) == 100
