@@ -141,6 +141,22 @@ def main() -> None:
     )
     mp4 = _q150_mp4()
 
+    import numpy as np
+
+    from demy_spark.jpeg import encode_progressive_jpeg
+    from demy_spark.operators.multimodal import _auto_decode, decode_image
+    from demy_spark.queries import _q150_fmp4
+
+    x = np.linspace(0.0, 25.13, 64)
+    plane = (
+        (np.sin(x)[:, None] * np.cos(x)[None, :] * 0.5 + 0.5) * 200.0
+        + (np.arange(64)[:, None] * 31 + np.arange(64)[None, :] * 17) % 56
+    ).clip(0, 255).astype(np.uint8)
+    prog_jpg = encode_progressive_jpeg(
+        np.stack([plane, np.roll(plane, 3, 0), np.roll(plane, 7, 1)], axis=2),
+        quality=90,
+    )
+
     ops = [
         ("decode_audio", wav, "audio/wav", lambda df: decode_audio(df)),
         ("audio_features", wav, "audio/wav",
@@ -149,6 +165,12 @@ def main() -> None:
          lambda df: extract_video_metadata(df)),
         ("video_sampling", mp4, "video/mp4",
          lambda df: sample_video_frames(df, every_ms=500)),
+        # r11 late additions: fragmented-MP4 sampling and the
+        # pure-Python progressive-JPEG decode under payload load
+        ("video_sampling_fmp4", _q150_fmp4(), "video/mp4",
+         lambda df: sample_video_frames(df, every_ms=500)),
+        ("image_decode_prog", prog_jpg, "image/jpeg",
+         lambda df: decode_image(df, decoder=_auto_decode)),
     ]
     print(f"sched_ms_per_job(start): {sched_probe(spark)}")
     print("| op | 1x=512 (s) | 10x=5120 (s) | ratio |")
