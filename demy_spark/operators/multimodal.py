@@ -1108,13 +1108,96 @@ def _wav_samples_manual(payload: bytes):
     return rate, nch, x.astype(np.float64).reshape(-1, nch)
 
 
+def _ext80_pack(x: int) -> bytes:
+    """80-bit x87 extended float for an integer (AIFF sample rates —
+    the published IEEE 754 double-extended layout: 15-bit biased
+    exponent, explicit-integer-bit 64-bit mantissa)."""
+    import struct as _struct
+
+    if x == 0:
+        return bytes(10)
+    e = x.bit_length() - 1
+    return _struct.pack(">HQ", 16383 + e, x << (63 - e))
+
+
+def _ext80_unpack(b: bytes) -> float:
+    se = int.from_bytes(b[:2], "big")
+    m = int.from_bytes(b[2:10], "big")
+    if m == 0 and (se & 0x7FFF) == 0:
+        return 0.0
+    sign = -1.0 if se & 0x8000 else 1.0
+    return sign * m * 2.0 ** ((se & 0x7FFF) - 16383 - 63)
+
+
+def _aiff_samples(payload: bytes):
+    """REAL AIFF/AIFC decode (r11 — the other codec-free audio
+    container): IFF chunk walk of the published AIFF-1.3 layout —
+    COMM (channels, frames, sampleSize, ext80 sampleRate, AIFC
+    compressionType) + SSND (offset/blockSize header then sample
+    data). 'NONE' is big-endian signed PCM, 'sowt' little-endian;
+    8-bit AIFF PCM is SIGNED (unlike WAV). Same tuple contract as
+    ``_wav_samples``; anything else (compressed AIFC, odd widths)
+    returns None for the flagged fake."""
+    import numpy as np
+
+    n = len(payload)
+    if n < 12 or payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
+        return None
+    is_aifc = payload[8:12] == b"AIFC"
+    pos, comm, ssnd = 12, None, None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "big")
+        body = pos + 8
+        end = min(body + size, n)
+        if cid == b"COMM" and comm is None:
+            comm = payload[body:end]
+        elif cid == b"SSND" and ssnd is None:
+            ssnd = payload[body:end]
+        pos = body + size + (size & 1)
+    if comm is None or ssnd is None or len(comm) < 18 or len(ssnd) < 8:
+        return None
+    nch = int.from_bytes(comm[0:2], "big")
+    bits = int.from_bytes(comm[6:8], "big")
+    rate = int(round(_ext80_unpack(comm[8:18])))
+    little = False
+    if is_aifc:
+        ctype = comm[18:22] if len(comm) >= 22 else b""
+        if ctype == b"sowt":
+            little = True
+        elif ctype != b"NONE":
+            return None  # compressed AIFC needs a codec library
+    if nch < 1 or bits not in (8, 16, 24, 32) or rate <= 0:
+        return None
+    width = bits // 8
+    ssnd_off = int.from_bytes(ssnd[0:4], "big")
+    raw = ssnd[8 + ssnd_off :]
+    frame = width * nch
+    raw = raw[: (len(raw) // frame) * frame]
+    order = "<" if little else ">"
+    if width == 1:  # SIGNED 8-bit (WAV's is unsigned)
+        x = np.frombuffer(raw, dtype=np.int8).astype(np.float64) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype=f"{order}i2").astype(np.float64) / 32768.0
+    elif width == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        lo, mid, hi = ((0, 1, 2) if little else (2, 1, 0))
+        v = b[:, lo] | (b[:, mid] << 8) | (b[:, hi] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        x = v.astype(np.float64) / float(1 << 23)
+    else:
+        x = np.frombuffer(raw, dtype=f"{order}i4").astype(np.float64) / float(1 << 31)
+    return rate, nch, x.reshape(-1, nch)
+
+
 def _wav_samples(payload: bytes):
-    """REAL WAV decode. Returns ``(sample_rate, n_channels, x)`` with
-    ``x`` the full-scale-normalised float64 samples as a (frames,
-    channels) array, or None for non-WAV / codec-compressed payloads
-    (callers mark those rows fake). Plain PCM goes through the stdlib
-    ``wave`` module; formats it rejects fall back to the manual RIFF
-    parser (extensible / IEEE float / G.711 — r11)."""
+    """REAL uncompressed-audio decode. Returns ``(sample_rate,
+    n_channels, x)`` with ``x`` the full-scale-normalised float64
+    samples as a (frames, channels) array, or None for
+    codec-compressed payloads (callers mark those rows fake). Plain
+    PCM WAV goes through the stdlib ``wave`` module; formats it
+    rejects fall back to the manual RIFF parser (extensible / IEEE
+    float / G.711 — r11) and then the AIFF/AIFC parser (r11)."""
     import io
     import wave
 
@@ -1126,7 +1209,10 @@ def _wav_samples(payload: bytes):
             width = wf.getsampwidth()
             raw = wf.readframes(nframes)
     except (wave.Error, EOFError):
-        return _wav_samples_manual(payload)
+        out = _wav_samples_manual(payload)
+        if out is None:
+            out = _aiff_samples(payload)
+        return out
     if nch < 1 or width < 1:
         return None
     # a truncated data chunk can hand back a partial trailing frame:
@@ -1180,7 +1266,8 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload") -> DataF
                 payload = pdf[payload_col].iloc[i]
                 feats = (
                     _wav_features(bytes(payload))
-                    if payload is not None and bytes(payload[:4]) == b"RIFF"
+                    if payload is not None
+                    and bytes(payload[:4]) in (b"RIFF", b"FORM")
                     else None
                 )
                 if feats is None:
@@ -1265,7 +1352,7 @@ def decode_audio(
                 if payload is not None:
                     if decoder is not None:
                         decoded = decoder(bytes(payload))
-                    if decoded is None and bytes(payload[:4]) == b"RIFF":
+                    if decoded is None and bytes(payload[:4]) in (b"RIFF", b"FORM"):
                         decoded = _wav_samples(bytes(payload))
                 if decoded is None:
                     cols["sample_rate"].append(8000)
@@ -1716,6 +1803,51 @@ def encode_wav_ext(
         + b"data" + _struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def encode_aiff(
+    samples,
+    sample_rate: int,
+    n_channels: int = 1,
+    width: int = 2,
+    *,
+    compression: bytes = b"",
+) -> bytes:
+    """Hand-assembled AIFF (or AIFC when ``compression`` is b'NONE' /
+    b'sowt') writer for fixtures: COMM with the ext80 sample rate +
+    SSND. ``samples`` are interleaved SIGNED ints at the given byte
+    width (AIFF 8-bit is signed, unlike WAV)."""
+    import struct as _struct
+
+    nframes = len(samples) // n_channels
+    little = compression == b"sowt"
+    if width == 3:
+        data = b"".join(
+            int(s).to_bytes(3, "little" if little else "big", signed=True)
+            for s in samples
+        )
+    else:
+        fmt = {1: "b", 2: "h", 4: "i"}[width]
+        data = _struct.pack(
+            f"{'<' if little else '>'}{len(samples)}{fmt}",
+            *[int(s) for s in samples],
+        )
+    comm = (
+        _struct.pack(">HIH", n_channels, nframes, width * 8)
+        + _ext80_pack(sample_rate)
+    )
+    form_type = b"AIFF"
+    if compression:
+        comm += compression + b"\x00\x00"  # pstring name (empty, even)
+        form_type = b"AIFC"
+    ssnd = _struct.pack(">II", 0, 0) + data
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        out = cid + _struct.pack(">I", len(body)) + body
+        return out + (b"\x00" if len(body) & 1 else b"")
+
+    body = form_type + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + _struct.pack(">I", len(body)) + body
 
 
 def encode_wav(

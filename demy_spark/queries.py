@@ -10202,6 +10202,11 @@ _Q147_EXT = [
     (9, "ext-pcm24", 48000, 2, 96, 1, 2, "square"),
     (10, "ulaw", 8000, 1, 800, 32124, 15, "dc-neg"),
     (11, "alaw", 16000, 1, 256, 8, 15, "square"),
+    # AIFF/AIFC (r11 — the other codec-free audio container; 8-bit is
+    # SIGNED there, unlike WAV): big-endian 16-bit square, and 'sowt'
+    # little-endian signed-8-bit DC
+    (12, "aiff16", 22050, 1, 441, 1, 2, "square"),
+    (13, "aifc-sowt8", 11025, 1, 512, 1, 2, "dc-neg"),
 ]
 
 
@@ -10221,6 +10226,8 @@ def _q147_media_rows():
         )
     # a compressed-format payload: must take the NULL/fake row
     rows.append((7, bytearray(b"ID3\x04\x00" + b"\x00" * 64), ("audio/mpeg", 0, 0, 0)))
+    from demy_spark.operators.multimodal import encode_aiff
+
     for mid, fmt, rate, nch, nframes, _num, _pw, shape in _Q147_EXT:
         total = nframes * nch
         if fmt == "float32":
@@ -10230,9 +10237,21 @@ def _q147_media_rows():
                        for i in range(total)]
         elif fmt == "ulaw":
             samples = bytes([0x00] * total)  # decodes to -32124 each
-        else:  # alaw square: 0x55 = -8, 0xD5 = +8
+        elif fmt == "alaw":  # alaw square: 0x55 = -8, 0xD5 = +8
             samples = bytes([0x55 if i % 2 == 0 else 0xD5
                              for i in range(total)])
+        elif fmt == "aiff16":
+            payload = encode_aiff(
+                [8192 if i % 2 == 0 else -8192 for i in range(total)],
+                rate, nch, 2,
+            )
+            rows.append((mid, bytearray(payload), ("audio/aiff", 0, 0, 0)))
+            continue
+        else:  # aifc-sowt8: signed 8-bit DC at -32 (= -0.25 exactly)
+            payload = encode_aiff([-32] * total, rate, nch, 1,
+                                  compression=b"sowt")
+            rows.append((mid, bytearray(payload), ("audio/aiff", 0, 0, 0)))
+            continue
         rows.append(
             (mid, bytearray(encode_wav_ext(samples, rate, nch, fmt=fmt)),
              ("audio/wav", 0, 0, 0))
@@ -10280,10 +10299,11 @@ def q147_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal extension; the reference treats media as binary +
     decode UDFs). Square-wave and DC fixtures across 8/16/24/32-bit
     PCM widths and mono/stereo run through the REAL stdlib-``wave``
-    extractor, and (r11) the manual-RIFF-parser formats stdlib wave
+    extractor, and (r11) the manual-parser formats stdlib wave
     rejects — IEEE float32, WAVE_FORMAT_EXTENSIBLE-wrapped 24-bit
-    PCM, and G.711 mu-law/A-law (the telephony speech-corpus
-    encodings, expansion audioop-cross-checked) — join the same
+    PCM, G.711 mu-law/A-law (the telephony speech-corpus encodings,
+    expansion audioop-cross-checked), and AIFF/AIFC big- and
+    little-endian PCM (stdlib-aifc-cross-checked) — join the same
     operator (Arrow ``mapInPandas``); every amplitude is a dyadic
     rational so RMS and peak are exactly representable doubles the
     oracle carries as constructed literals. A compressed (mp3-marked)

@@ -801,3 +801,63 @@ def test_decode_audio_and_features_cover_manual_formats(spark):
     out = {r["media_id"]: r for r in decode_audio(media).collect()}
     assert out[1]["decode_real"] and out[1]["samples"][0] == 0.25
     assert out[2]["decode_real"] and len(out[2]["samples"]) == 100
+
+
+def test_aiff_parser_and_stdlib_cross_validation():
+    """r11: AIFF/AIFC decode for REAL through the manual IFF parser —
+    ext80 sample-rate roundtrip, big-endian 'NONE' and little-endian
+    'sowt' PCM, SIGNED 8-bit (unlike WAV), 24-bit both orders — and
+    every fixture our encoder writes must ALSO parse identically in
+    the stdlib aifc module (the in-container independent reader, the
+    audioop-gate pattern)."""
+    import io
+    import struct
+    import warnings
+
+    from demy_spark.operators.multimodal import (
+        _aiff_samples,
+        _ext80_pack,
+        _ext80_unpack,
+        _wav_samples,
+        encode_aiff,
+    )
+
+    for r in (8000, 11025, 22050, 44100, 48000, 96000, 1):
+        assert int(round(_ext80_unpack(_ext80_pack(r)))) == r, r
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # aifc is deprecated, test-only
+        import aifc
+
+        sq = [8192 if i % 2 == 0 else -8192 for i in range(100)]
+        payload = encode_aiff(sq, 8000, 1, 2)
+        rate, nch, x = _wav_samples(payload)  # routes via the fallback
+        assert (rate, nch) == (8000, 1)
+        assert x.ravel()[0] == 0.25 and x.ravel()[1] == -0.25
+        with aifc.open(io.BytesIO(payload)) as af:
+            assert (af.getframerate(), af.getnchannels(),
+                    af.getnframes(), af.getsampwidth()) == (8000, 1, 100, 2)
+            assert list(struct.unpack(">100h", af.readframes(100))) == sq
+
+        p = encode_aiff([-32] * 64, 11025, 1, 1, compression=b"sowt")
+        rate, nch, x = _aiff_samples(p)
+        assert rate == 11025 and set(x.ravel()) == {-0.25}
+
+        p = encode_aiff([1 << 21, -(1 << 21)] * 16, 44100, 2, 3,
+                        compression=b"NONE")
+        rate, nch, x = _aiff_samples(p)
+        assert nch == 2 and x.shape == (16, 2) and x.ravel()[0] == 0.25
+        with aifc.open(io.BytesIO(p)) as af:
+            assert af.getnframes() == 16 and af.getsampwidth() == 3
+
+    # compressed AIFC and malformed payloads stay None (fake path)
+    p = bytearray(encode_aiff(sq, 8000, 1, 2, compression=b"NONE"))
+    i = bytes(p).index(b"NONE")
+    p[i : i + 4] = b"ima4"
+    assert _aiff_samples(bytes(p)) is None
+    assert _aiff_samples(b"FORM\x00\x00\x00\x04AIFF") is None
+    assert _aiff_samples(b"RIFF not aiff") is None
+    # truncated SSND trims to whole frames
+    good = encode_aiff([100, -100] * 10, 8000, 2, 2)
+    rate, nch, x = _aiff_samples(good[:-6])
+    assert nch == 2 and x.shape == (8, 2)
