@@ -323,17 +323,19 @@ def zstd_frame_content_size(body: bytes) -> int | None:
     single_segment = (fhd >> 5) & 1
     did_size = (0, 1, 2, 4)[fhd & 3]
     pos = 5 + (0 if single_segment else 1) + did_size
-    try:
-        if fcs_code == 0:
-            # one FCS byte only in single-segment frames; unknown else
-            return body[pos] if single_segment else None
-        if fcs_code == 1:
-            return int.from_bytes(body[pos : pos + 2], "little") + 256
-        if fcs_code == 2:
-            return int.from_bytes(body[pos : pos + 4], "little")
-        return int.from_bytes(body[pos : pos + 8], "little")
-    except IndexError:
+    if fcs_code == 0 and not single_segment:
+        # one FCS byte only in single-segment frames; unknown else
         return None
+    fcs_width = (1, 2, 4, 8)[fcs_code]
+    if pos + fcs_width > len(body):
+        # truncated header: a short slice would silently understate
+        # the size — take the explicit size-unknown path instead
+        return None
+    if fcs_code == 0:
+        return body[pos]
+    if fcs_code == 1:
+        return int.from_bytes(body[pos : pos + 2], "little") + 256
+    return int.from_bytes(body[pos : pos + fcs_width], "little")
 
 
 def _zstd_decompress(body: bytes, cap: int, url: str) -> bytes:

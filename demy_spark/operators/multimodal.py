@@ -696,6 +696,14 @@ def _mp4_fragment_samples(payload: bytes, track_id: int):
                         sflags = first_flags
                     if tfl & 0x800:
                         pos += 4  # composition-time offset: unused
+                    # data_offset is SIGNED (ISO 14496-12 8.8.8.2): a
+                    # hostile negative offset must fail loud here, not
+                    # reach a Python negative-index slice that would
+                    # return wrong bytes with frame_real=true
+                    if off < 0:
+                        raise ValueError(
+                            "mp4 fragment sample offset before payload start"
+                        )
                     if off + size > n:
                         raise ValueError(
                             "mp4 fragment sample runs past end of payload"
@@ -1078,12 +1086,17 @@ def _wav_samples_manual(payload: bytes):
         if len(fmt) < 26:
             return None
         tag = int.from_bytes(fmt[24:26], "little")
-    if nch < 1 or bits < 8:
+    # non-byte-multiple depths (extensible 12/20-bit pack bits across
+    # byte boundaries) would floor to the wrong width and misparse the
+    # PCM data — refuse them so the caller takes the flagged-fake path
+    if nch < 1 or bits < 8 or bits % 8:
         return None
     width = bits // 8
     frame = width * nch
     data = data[: (len(data) // frame) * frame]
     if tag == 1:  # PCM under an extensible wrapper
+        if width not in (1, 2, 3, 4):
+            return None
         x = _pcm_normalize(data, width)
         if x is None:
             return None

@@ -769,3 +769,12 @@ def test_download_zstd_via_pyarrow_codec(tmp_path):
     with pytest.raises(NotImplementedError, match="content size"):
         download("http://m.test/doc.txt.zst", str(tmp_path / "s"),
                  fetch=lambda u: ("application/zstd", sizeless))
+    # ADVICE r11: a header TRUNCATED inside the FCS field must return
+    # None (size-unknown path), never a short-slice understated size
+    for fcs_code, fhd, width in ((3, 0xE0, 8), (1, 0x40, 2)):
+        hdr = bytes([0x28, 0xB5, 0x2F, 0xFD, fhd])
+        pos = 5 if fhd & 0x20 else 6
+        cut = hdr + b"\x00" * (pos - 5) + b"\xff" * (width - 1)
+        assert zstd_frame_content_size(cut) is None, fcs_code
+        exact = hdr + b"\x00" * (pos - 5) + b"\x40" + b"\x00" * (width - 1)
+        assert zstd_frame_content_size(exact) is not None, fcs_code

@@ -698,6 +698,35 @@ def test_mp4_fragmented_hostile_counts_fail_fast():
     assert _mp4_video_samples(bytes(big)) is None
 
 
+def test_mp4_fragmented_negative_data_offset_is_loud():
+    """ADVICE r11: trun data_offset is SIGNED; a hostile negative
+    offset that lands the sample before the payload start must raise
+    (-> None through the operator), never reach a Python negative-
+    index slice that would return wrong bytes with frame_real=true."""
+    import pytest
+
+    from demy_spark.operators.multimodal import (
+        _mp4_fragment_samples,
+        _mp4_video_samples,
+    )
+
+    frames = [bytes([70 + i]) * (9 + i) for i in range(6)]
+    base = bytearray(fmp4(frames))
+    k = bytes(base).index(b"trun") + 4 + 4 + 4  # first data_offset
+    hostile = bytearray(base)
+    struct.pack_into(">i", hostile, k, -(1 << 20))
+    with pytest.raises(ValueError, match="before payload start"):
+        _mp4_fragment_samples(bytes(hostile), 1)
+    assert _mp4_video_samples(bytes(hostile)) is None
+    # the boundary case: an offset whose negative-index slice WOULD be
+    # in-bounds for Python (-1 => payload end) is exactly the silent-
+    # wrong-bytes trap — must also go loud
+    trap = bytearray(base)
+    moof_base = bytes(base).index(b"moof") - 4
+    struct.pack_into(">i", trap, k, -(moof_base + 1))  # off == -1
+    assert _mp4_video_samples(bytes(trap)) is None
+
+
 def test_wav_manual_parser_formats():
     """r11: formats stdlib wave rejects decode for REAL through the
     manual RIFF parser — IEEE float, WAVE_FORMAT_EXTENSIBLE-wrapped
@@ -772,6 +801,19 @@ def test_wav_manual_parser_hostile_inputs():
     # shrink the declared fmt size under 26 bytes
     short[j:j + 4] = (18).to_bytes(4, "little")
     assert _wav_samples(bytes(short)) is None
+    # ADVICE r11: non-byte-multiple depths (extensible 12/20-bit pack
+    # bits across byte boundaries) must refuse, not floor to the wrong
+    # width and misparse the PCM bytes
+    for bad_bits in (12, 20):
+        odd = bytearray(encode_wav_ext([100, -100], 8000, 1, fmt="ext-pcm16"))
+        i = bytes(odd).index(b"fmt ") + 8 + 14  # wBitsPerSample
+        odd[i:i + 2] = bad_bits.to_bytes(2, "little")
+        assert _wav_samples_manual(bytes(odd)) is None
+    # tag-1 PCM wider than 4 bytes: no such layout, refuse
+    wide = bytearray(encode_wav_ext([100, -100], 8000, 1, fmt="ext-pcm16"))
+    i = bytes(wide).index(b"fmt ") + 8 + 14
+    wide[i:i + 2] = (40).to_bytes(2, "little")
+    assert _wav_samples_manual(bytes(wide)) is None
 
 
 def test_decode_audio_and_features_cover_manual_formats(spark):
