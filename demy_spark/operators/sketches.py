@@ -381,3 +381,172 @@ def bloom_probe(
         .agg(F.bool_and("_hit_").alias("maybe_member"))
         .select(F.col("_k_").alias("key"), "maybe_member")
     )
+
+
+def quantile_sketch_build(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str] = (),
+    *,
+    shards: int = 16,
+    capacity: int = 8192,
+    shard_key: Sequence[str] | None = None,
+) -> DataFrame:
+    """MERGEABLE approximate-quantile summary (r12 — the one 100 TB
+    profiling staple the sketch family lacked next to HLL/CMS/
+    histogram/Bloom): per (group, shard), sort the values and keep
+    every ``stride``-th one with the weight it represents — the
+    classic sorted-sample collapse (Manku-Rajagopalan-Lindsay, SIGMOD
+    '98 / the GK-family summary shape), expressed as ONE shuffle by
+    (by, shard) + a window, all JVM-side.
+
+    Returns a summary DataFrame ``(by..., value, weight)`` with
+    sum(weight) == n EXACTLY per group: the kept value at sorted rank
+    r carries the gap back to the previously kept rank (it represents
+    ranks (r_prev, r]), so every kept row's CUMULATIVE weight is its
+    exact rank, and the shard maximum is always kept (p=100 anchor).
+    Rank error of a queried quantile is < stride = ceil(shard_n /
+    capacity) per shard, i.e. < n_group / capacity overall — choose
+    ``capacity >= max shard count`` and the summary is LOSSLESS
+    (stride 1, every row kept at weight 1), which is what the q151
+    oracle verifies value-for-value; at 100 TB the same code
+    compresses to <= shards*(capacity+1) rows per group.
+
+    DETERMINISTIC: the kept (value, weight) multiset depends only on
+    each shard's sorted value multiset, never on row order (ties swap
+    equal values). ``shard_key`` picks the hash-sharding columns (a
+    row-unique key gives uniform shards — sharding is also the skew
+    strategy: a hot group spreads over ``shards`` partitions);
+    default is the value column itself.
+
+    No reference counterpart (the reference's metrics are exact,
+    mllib tuning/BinaryOptimalEvaluator.scala:35-224); LLM-pipeline
+    north-star extension like the other sketches."""
+    keys = list(by)
+    shard_cols = [F.col(c) for c in (shard_key or [col])]
+    shard = F.pmod(F.xxhash64(*shard_cols), F.lit(shards)).alias("_shard_")
+    w = Window.partitionBy(*keys, "_shard_").orderBy("value")
+    w_all = Window.partitionBy(*keys, "_shard_")
+    s = F.expr(f"CAST((_cnt_ + {capacity - 1}) DIV {capacity} AS BIGINT)")
+    kept = (
+        df.where(F.col(col).isNotNull())
+        .select(*keys, F.col(col).alias("value"), shard)
+        .withColumn("_r_", F.row_number().over(w).cast("long"))
+        .withColumn("_cnt_", F.count(F.lit(1)).over(w_all))
+        .withColumn("_s_", s)
+        .where(
+            (F.pmod(F.col("_r_"), F.col("_s_")) == 0)
+            | (F.col("_r_") == F.col("_cnt_"))
+        )
+    )
+    w_kept = Window.partitionBy(*keys, "_shard_").orderBy("_r_")
+    return kept.select(
+        *keys,
+        "value",
+        (
+            F.col("_r_")
+            - F.coalesce(F.lag("_r_").over(w_kept), F.lit(0).cast("long"))
+        ).alias("weight"),
+    )
+
+
+def quantile_sketch_merge(
+    *sketches: DataFrame,
+    by: Sequence[str] = (),
+    capacity: int = 8192,
+) -> DataFrame:
+    """Merge quantile summaries from corpus shards / days / sources:
+    union the ``(by..., value, weight)`` rows, combine duplicate
+    values, and re-compress each group back under ``capacity`` rows
+    by keeping exactly the rows whose cumulative weight crosses a
+    multiple of t = ceil(total/capacity) (plus the group maximum, so
+    p=100 never drifts). Re-weighting assigns each kept row the gap
+    since the previous kept row, so sum(weight) stays EXACTLY n —
+    merge never loses count mass, only value resolution (added rank
+    error < t per merge level).
+
+    When the combined group fits in ``capacity`` rows the merge is
+    LOSSLESS (t's boundary-crossing test keeps every row), so
+    merge-of-halves == build-of-whole — the associativity the unit
+    tests pin. Windows run on summary-sized frames (<= inputs *
+    capacity rows per group), never on data."""
+    keys = list(by)
+    un = sketches[0]
+    for sk in sketches[1:]:
+        un = un.unionByName(sk)
+    merged = un.groupBy(*keys, "value").agg(F.sum("weight").alias("weight"))
+    w_val = Window.partitionBy(*keys).orderBy("value")
+    w_all = Window.partitionBy(*keys)
+    c = (
+        merged.withColumn("_cw_", F.sum("weight").over(w_val))
+        .withColumn("_n_", F.sum("weight").over(w_all))
+        .withColumn("_k_", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "_t_",
+            F.expr(f"CAST((_n_ + {capacity - 1}) DIV {capacity} AS BIGINT)"),
+        )
+    )
+    keep = (
+        (F.col("_k_") <= capacity)
+        | (F.col("_cw_") == F.col("_n_"))  # group max: p=100 anchor
+        | (
+            F.expr("(_cw_ - weight) DIV _t_") < F.expr("_cw_ DIV _t_")
+        )
+    )
+    kept = c.where(keep)
+    w_prev = Window.partitionBy(*keys).orderBy("value")
+    return kept.select(
+        *keys,
+        "value",
+        (
+            F.col("_cw_")
+            - F.coalesce(
+                F.lag("_cw_").over(w_prev), F.lit(0).cast("long")
+            )
+        ).alias("weight"),
+    )
+
+
+def quantile_sketch_query(
+    sk: DataFrame,
+    percents: Sequence[int],
+    by: Sequence[str] = (),
+    *,
+    denom: int = 100,
+) -> DataFrame:
+    """Discrete quantiles from a quantile summary: for integer
+    ``p/denom``, the answer is the smallest value whose cumulative
+    weight reaches ceil(p*n/denom) — ALL-INTEGER threshold arithmetic
+    ((p*n + denom-1) DIV denom, no float rank), so on a lossless
+    summary the result is bit-equal to any engine's discrete
+    percentile and the DuckDB oracle reproduces it exactly.
+
+    Windows and the percents cross-join run on the constant-size
+    summary frame (<= shards*capacity rows per group — the q34/q90
+    single-frame precedent), never on data. Returns
+    ``(by..., p, q_value, n_rows)``."""
+    keys = list(by)
+    spark = sk.sparkSession
+    pdf = spark.createDataFrame([(int(p),) for p in percents], ["p"])
+    merged = sk.groupBy(*keys, "value").agg(F.sum("weight").alias("weight"))
+    w_val = Window.partitionBy(*keys).orderBy("value")
+    w_all = Window.partitionBy(*keys)
+    c = merged.withColumn("_cw_", F.sum("weight").over(w_val)).withColumn(
+        "_n_", F.sum("weight").over(w_all)
+    )
+    thresh = F.expr(
+        f"(CAST(p AS BIGINT) * _n_ + {denom - 1}) DIV {denom}"
+    )
+    w_first = Window.partitionBy(*keys, "p").orderBy("value")
+    return (
+        pdf.crossJoin(c)
+        .where(F.col("_cw_") >= thresh)
+        .withColumn("_rk_", F.row_number().over(w_first))
+        .where(F.col("_rk_") == 1)
+        .select(
+            *keys,
+            "p",
+            F.col("value").alias("q_value"),
+            F.col("_n_").alias("n_rows"),
+        )
+    )

@@ -10716,70 +10716,142 @@ def q150_video_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q151_quantile_sketch",
+    """
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem),
+    d AS (SELECT l_returnflag, cents, count(*) AS c FROM v GROUP BY 1, 2),
+    cum AS (
+      SELECT l_returnflag, cents,
+             sum(c) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cw,
+             sum(c) OVER (PARTITION BY l_returnflag) AS n
+      FROM d),
+    ps AS (SELECT unnest([1, 10, 25, 50, 75, 90, 99, 100]) AS p)
+    SELECT l_returnflag, CAST(p AS INT) AS p, min(cents) AS q_cents,
+           CAST(min(n) AS BIGINT) AS n_rows
+    FROM cum, ps
+    WHERE cw >= (CAST(p AS BIGINT) * n + 99) // 100
+    GROUP BY 1, 2
+    """,
+)
+def q151_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag price percentiles via the MERGEABLE quantile
+    summary (operators/sketches.quantile_sketch_* — r12, the 100 TB
+    profiling staple beside HLL/CMS/histogram/Bloom). The summary's
+    threshold arithmetic is all-integer (ceil(p*n/100) as
+    (p*n+99) DIV 100 — no float ranks), and at this scale every
+    (group, shard) fits ``capacity`` so the summary is LOSSLESS: the
+    sketch's answer IS the discrete percentile, which the oracle
+    recomputes exactly from cumulative distinct-value counts — the
+    q58 pattern of an approximate operator under an exact check. At
+    100 TB the identical plan compresses each shard to <= capacity+1
+    weighted rows (rank error < n/capacity) and the query windows run
+    on the constant-size summary, never on data.
+
+    No reference counterpart (the reference's metrics are exact —
+    mllib tuning/BinaryOptimalEvaluator.scala:35-224); LLM-pipeline
+    extension. One shuffle by (group, shard); the row-unique
+    (l_orderkey, l_linenumber) shard key spreads hot groups evenly."""
+    from demy_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_query,
+    )
+
+    t = _t(spark, sf_dir)
+    v = t["lineitem"].select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    sk = quantile_sketch_build(
+        v,
+        "cents",
+        ["l_returnflag"],
+        shards=16,
+        capacity=8192,
+        shard_key=["l_orderkey", "l_linenumber"],
+    )
+    out = quantile_sketch_query(
+        sk, [1, 10, 25, 50, 75, 90, 99, 100], ["l_returnflag"]
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("p").cast("int").alias("p"),
+        F.col("q_value").alias("q_cents"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
-# order. Round-11 window (VERDICT r10 task 2 — retire the r8 cohort):
-# the 50 queries whose latest official row is r8 fit the window EXACTLY
-# (scripts/freshness.py `stale_vs_newest` == this list), so the r11
-# window is that cohort verbatim with zero new registrations — the
-# round's behavior-delta (q146 gains real progressive-JPEG rows) is a
-# fixture/oracle extension to an r10-rowed query, verified by the
-# judge's independent full-registry sim and the pytest oracle twins.
-# Ordering: the relational q04-q11 cohort freshness.window_next named
-# first, then the BPE family, then the remainder in query order. Done
-# criterion: the latest-round histogram shows nothing older than r9.
+# order. Round-12 window (VERDICT r11 task 1 — retire the r9 cohort,
+# the freshness contract's third rotation): 49 of the 50 queries whose
+# latest official row is r9 (scripts/freshness.py `stale_vs_newest`),
+# plus the round's ONE new registration q151 (never-rowed queries must
+# sit inside the window — test_driver_window pins it). Registering
+# consumed a slot, so q99_dsir_select slips one round and leads the
+# r13 window, exactly as VERDICT r11 task 2 budgeted. Ordering: the
+# freshness.window_next ten first, then q151, then the remainder in
+# query order. Done criterion: the latest-round histogram shows
+# nothing older than r10 except the single budgeted q99 slip.
 _DRIVER_PRIORITY = [
-    # --- the window_next ten (oldest-rowed outside the r10 window)
-    "q04_priority_exists",
-    "q05_customers_without_orders",
-    "q06_forecast_revenue",
-    "q07_top_orders_per_customer",
-    "q08_running_revenue",
-    "q09_rollup_returns",
-    "q104_phrase_merges",
-    "q113_bpe_apply",
-    "q115_bpe_train",
-    "q116_bpe_encode",
-    # --- the rest of the r8-resting cohort, in query order
-    "q11_repeat_customers",
-    "q13_sessionize",
-    "q15_acctbal_folds",
-    "q16_distinct_parts",
-    "q17_doc_stats",
-    "q20_language_id",
-    "q22_label_centroids",
-    "q25_lexicon_lookup",
-    "q39_admin_flatten",
-    "q40_parse_address",
-    "q46_pos_tag",
-    "q48_simplify_text",
-    "q50_fuzzy_typos",
-    "q52_word_categories",
-    "q55_asof_join",
-    "q58_hll_distinct",
-    "q59_heavy_hitters",
-    "q60_stratified_sample",
-    "q68_zorder_key",
-    "q69_center_hierarchy",
-    "q70_span_detect",
-    "q71_online_centers",
-    "q72_point_in_polygon",
-    "q73_platt_calibration",
-    "q74_embed_options",
-    "q75_shapefile_flatten",
-    "q77_split_doc",
-    "q79_pipeline_grid",
-    "q80_source_scan",
-    "q81_phonetic_simplify",
-    "q121_incremental_rollup",
-    "q122_fuzzy_typed_filter",
-    "q124_repetition_profile",
-    "q125_unicode_hygiene",
-    "q126_html_strip",
-    "q127_winnow_pairs",
-    "q128_json_props",
-    "q129_url_parse",
-    "q134_phrase_search",
-    "q138_hybrid_rrf",
+    # --- the window_next ten (oldest-rowed outside the r11 window)
+    "q100_semdedup",
+    "q101_incremental_dedup",
+    "q103_source_overlap",
+    "q105_weighted_sample",
+    "q106_distinctive_terms",
+    "q107_snapshot_diff",
+    "q109_sorted_neighborhood",
+    "q10_cube_orders",
+    "q110_incremental_pipeline",
+    "q114_knn_classify",
+    # --- the round-12 registration (never rowed -> must be in-window)
+    "q151_quantile_sketch",
+    # --- the rest of the r9-resting cohort, in query order (q99 slips
+    # to lead r13 -- the slot q151 consumed)
+    "q14_top_parts_per_brand",
+    "q18_exact_dedup",
+    "q19_token_topk",
+    "q21_quality_score",
+    "q23_cosine_topk",
+    "q28_embedding_dedup",
+    "q29_lsh_ann_topk",
+    "q38_one_vs_rest",
+    "q42_seeded_kmeans",
+    "q43_topic_tree_walk",
+    "q47_genetic_prototypes",
+    "q51_fuzzy_standard",
+    "q53_ivf_ann_topk",
+    "q56_range_join",
+    "q57_time_rollup",
+    "q62_skew_join",
+    "q64_bucketed_join",
+    "q76_tree_spawn",
+    "q82_analogy_score",
+    "q83_fuzzy_predict",
+    "q84_tweet_clean",
+    "q85_sparse_merge",
+    "q86_contamination_check",
+    "q87_canonical_docs",
+    "q88_mixture_sample",
+    "q89_pq_ann_topk",
+    "q90_histogram_quantiles",
+    "q91_pii_redaction",
+    "q94_sequence_pack",
+    "q95_ann_recall",
+    "q98_lm_quality",
+    "q120_events_sliding",
+    "q123_knn_ivf",
+    "q131_domain_rollup",
+    "q132_domain_holdout",
+    "q139_filtered_ann",
+    "q141_crawl_site",
+    "q142_crs_reproject",
+    "q143_remote_store",
 ]
 
 

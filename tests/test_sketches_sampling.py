@@ -321,3 +321,104 @@ def test_fim_split_token_counts_conserve(spark):
         r = rows[i]
         assert r["n_prefix"] + r["n_middle"] + r["n_suffix"] == n
         assert r["fim"]
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch (r12): mergeable sorted-sample summary
+# ---------------------------------------------------------------------------
+
+
+def _exact_disc(vals, p, denom=100):
+    """Reference discrete quantile: smallest value whose rank reaches
+    ceil(p*n/denom) — the all-integer rule the sketch implements."""
+    s = sorted(vals)
+    t = (p * len(s) + denom - 1) // denom
+    return s[max(t, 1) - 1]
+
+
+def test_quantile_sketch_lossless_is_exact(spark):
+    from demy_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_query,
+    )
+
+    vals = [((i * 1103515245 + 12345) % 100003, "g%d" % (i % 2)) for i in range(4000)]
+    df = spark.createDataFrame(vals, ["v", "g"])
+    sk = quantile_sketch_build(df, "v", ["g"], shards=4, capacity=4096)
+    # capacity >= every shard: lossless — weights all 1, nothing dropped
+    assert sk.agg(F.sum("weight")).collect()[0][0] == 4000
+    assert sk.where(F.col("weight") != 1).count() == 0
+    out = quantile_sketch_query(sk, [1, 25, 50, 75, 99, 100], ["g"])
+    got = {(r["g"], r["p"]): (r["q_value"], r["n_rows"]) for r in out.collect()}
+    for g in ("g0", "g1"):
+        gv = [v for v, gg in vals if gg == g]
+        for p in (1, 25, 50, 75, 99, 100):
+            assert got[(g, p)] == (_exact_disc(gv, p), len(gv)), (g, p)
+
+
+def test_quantile_sketch_compressed_rank_error_bound(spark):
+    from demy_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_query,
+    )
+
+    n, cap = 20000, 128
+    df = spark.range(n).select(
+        ((F.col("id") * 48271) % 99991).alias("v"), F.col("id").alias("k")
+    )
+    sk = quantile_sketch_build(df, "v", shards=4, capacity=cap, shard_key=["k"])
+    # count mass is conserved exactly even under compression
+    assert sk.agg(F.sum("weight")).collect()[0][0] == n
+    assert sk.count() <= 4 * cap + 4
+    vals = sorted(r["v"] for r in df.select("v").collect())
+    out = quantile_sketch_query(sk, [10, 50, 90])
+    # rank error < sum over shards of ceil(shard_n/cap) ~= n/cap + shards
+    bound = n // cap + 4
+    for r in out.collect():
+        returned_rank_lo = vals.index(r["q_value"]) + 1
+        returned_rank_hi = len(vals) - vals[::-1].index(r["q_value"])
+        want = (r["p"] * n + 99) // 100
+        assert returned_rank_lo - bound <= want <= returned_rank_hi + bound
+
+
+def test_quantile_sketch_merge_is_lossless_and_associative(spark):
+    from demy_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_merge,
+        quantile_sketch_query,
+    )
+
+    rows = [((i * 2654435761) % 65537, "a" if i % 3 else "b") for i in range(3000)]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    h1 = df.where(F.col("v") % 2 == 0)
+    h2 = df.where(F.col("v") % 2 == 1)
+    b = lambda d: quantile_sketch_build(d, "v", ["g"], shards=2, capacity=4096)
+    ps = [5, 50, 95, 100]
+    merged = quantile_sketch_merge(b(h1), b(h2), by=["g"], capacity=4096)
+    whole = quantile_sketch_query(b(df), ps, ["g"])
+    viamerge = quantile_sketch_query(merged, ps, ["g"])
+    key = lambda out: sorted(map(tuple, out.collect()))
+    assert key(whole) == key(viamerge)  # merge-of-halves == build-of-whole
+
+
+def test_quantile_sketch_merge_compression_keeps_max_and_mass(spark):
+    from demy_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_merge,
+        quantile_sketch_query,
+    )
+
+    n, cap = 6000, 64
+    df = spark.range(n).select(((F.col("id") * 7919) % 104729).alias("v"))
+    halves = [
+        quantile_sketch_build(
+            df.where(F.col("v") % 2 == i), "v", shards=2, capacity=cap
+        )
+        for i in (0, 1)
+    ]
+    m = quantile_sketch_merge(*halves, capacity=cap)
+    assert m.count() <= cap + 2
+    assert m.agg(F.sum("weight")).collect()[0][0] == n  # mass conserved
+    true_max = df.agg(F.max("v")).collect()[0][0]
+    got = quantile_sketch_query(m, [100]).collect()[0]
+    assert got["q_value"] == true_max  # p=100 anchored by the kept max
