@@ -69,6 +69,25 @@ def data_probe(spark, sf_dir: str) -> float:
 # artifact: wait out transient load, or stamp the run degraded.
 QUIET_CALIB = float(os.environ.get("SPARK_GRAFT_QUIET_CALIB", "0.07"))
 
+# Host-class bands (VERDICT r11 task 3 — BASELINE.md "Round-12
+# host-class-indexed pins"): the stamped letter names WHICH pin column
+# the artifact compares against at face value, ending the per-round
+# ratio arithmetic when the host class simply isn't the pin-era one.
+# Bands are on the post-gate data_calib_sec; pin_scale is the band
+# ceiling over the pin-era reference calib (0.060), the same ratio
+# every prior adjudication used. Class C has no face-value column —
+# compare via the calib ratio, as before.
+HOST_CLASS_BANDS = (("A", 0.070, 1.0), ("B", 0.105, 1.75), ("C", None, None))
+
+
+def host_class(calib: float) -> tuple[str, float | None]:
+    """(class letter, face-value pin multiplier) for a post-gate
+    data_calib_sec reading."""
+    for name, ceiling, scale in HOST_CLASS_BANDS:
+        if ceiling is None or calib <= ceiling:
+            return name, scale
+    return "C", None  # pragma: no cover - the None ceiling catches all
+
 
 def preflight_gate(spark, sf_dir: str) -> tuple[list[float], bool]:
     """Run the data-bound probe BEFORE the timed sections and back off
@@ -263,6 +282,7 @@ def main() -> None:
 
     sched_end = sched_probe(spark)
 
+    hclass, pin_scale = host_class(data_calib)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -291,6 +311,12 @@ def main() -> None:
                 # via the calibration ratio, not face-value timings
                 "data_calib_preflight": preflight,
                 "host_degraded": host_degraded,
+                # host class (r12): which BASELINE.md pin column this
+                # artifact compares against at face value — "A" = the
+                # pin-era quiet band, "B" = pins x pin_scale, "C" =
+                # no face-value column, use the calib ratio
+                "host_class": hclass,
+                "pin_scale": pin_scale,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
