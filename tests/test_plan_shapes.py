@@ -85,6 +85,10 @@ PLANNABLE = [
     "q137_blocklist_gate",
     "q138_hybrid_rrf",
     "q140_budget_select",
+    # round-12 additions (q89's one Lloyd round is in-plan — the only
+    # driver-side work in its builder is a .first() for the dim)
+    "q89_pq_ann_topk",
+    "q151_quantile_sketch",
 ]
 
 
@@ -297,3 +301,50 @@ def test_c4_and_fim_are_pure_maps(plans):
     # maps: any exchange is a regression
     assert "Exchange" not in plans["q136_fim_split"]
     assert "Exchange" not in plans["q133_c4_filters"]
+
+
+def test_line_dedup_banded_shuffle_count(plans):
+    """q96 (the line_dedup bench extra): the load-bearing shape is
+    exactly three banded shuffles — (hash, id) distinct-ify, hash
+    frequency count, id regroup — with the frequency table
+    BROADCAST back onto the lines (never a corpus-vs-corpus sort-merge
+    join). A fourth exchange or an SMJ means a refactor silently
+    degraded the 100 TB plan (VERDICT r11 task 5)."""
+    p = plans["q96_line_dedup"]
+    assert p.count("Exchange hashpartitioning") <= 3
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_pq_ann_scan_joins_all_broadcast(plans):
+    """q89 (the pq_ann bench extra): every join in the PQ path is
+    against a dictionary-sized frame (codebook m*ksub rows, ADC LUT
+    queries*m*ksub rows) and must BROADCAST — a SortMergeJoin
+    anywhere means a constant-size frame started shuffling the
+    codes/points side, the exact scan-cost story PQ exists for. The
+    codes side's only exchanges are its aggregations/windows."""
+    p = plans["q89_pq_ann_topk"]
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    # the final rank window keys on query_id (SinglePartition data
+    # windows are covered parameterized; this pins the partition KEY)
+    assert re.search(r"Window \[row_number\(\).*query_id", p)
+
+
+def test_quantile_sketch_one_data_shuffle(plans):
+    """q151: the DATA shuffles exactly once — by (group, shard) for
+    the build — and both build windows plus the kept-row gap window
+    REUSE that partitioning. Every other exchange runs on the
+    constant-size summary frame. A second `_shard_` exchange means
+    the gap-weight window stopped sharing the build's partitioning;
+    more than four total means a summary window stopped being
+    summary-sized."""
+    p = plans["q151_quantile_sketch"]
+    shard_exchanges = [
+        ln
+        for ln in p.splitlines()
+        if "Exchange hashpartitioning" in ln and "_shard_" in ln
+    ]
+    assert len(shard_exchanges) == 1, shard_exchanges
+    assert p.count("Exchange hashpartitioning") <= 4
+    assert "SortMergeJoin" not in p
