@@ -241,6 +241,11 @@ def main() -> None:
         # (256 baseline + 256 progressive decodes of a dense 64x64 —
         # times the entropy-decode hot loop the q146 oracle can't)
         "image_decode": _q.bench_image_decode,
+        # round-12 addition: the mergeable quantile summary at sf0.1 —
+        # unlike the sf0.01 oracle run, the shard counts here EXCEED
+        # capacity, so this times the compaction path (stride-2 build
+        # + gap re-weighting), not the lossless one
+        "quantile_sketch": _q.REGISTRY["q151_quantile_sketch"].fn,
     }
     extra_timings: dict[str, float] = {}
     for name, fn in extras.items():

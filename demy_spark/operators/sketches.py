@@ -1,7 +1,8 @@
 """Approximate sketches, hand-rolled so they are DETERMINISTIC and
 bit-reproducible in plain SQL (the DuckDB correctness oracle recomputes
-the same registers/buckets): HyperLogLog distinct counting and a
-count-min sketch for heavy hitters.
+the same registers/buckets): HyperLogLog distinct counting, a count-min
+sketch for heavy hitters, a mergeable equi-width histogram, a Bloom
+membership gate, and a mergeable quantile summary (r12).
 
 Spark's built-ins (``approx_count_distinct``, ``count_min_sketch``)
 use engine-private hash seeds, so an external oracle can never verify
@@ -9,10 +10,11 @@ them value-for-value. These operators trade those for the md5-slice
 hash family (operators/dedup.py:31) + Kirsch-Mitzenmacher seed
 derivation — the same estimates fall out of any engine that can md5.
 
-Scale shape: both sketches are one narrow shuffle over the raw keys
-followed by constant-size (m or d*w rows) frames; the estimate math
-runs on the constant-size frame. At 100 TB the register/bucket tables
-are still 256 / 4096 rows.
+Scale shape: the counting sketches are one narrow shuffle over the raw
+keys followed by constant-size (m or d*w rows) frames; the estimate
+math runs on the constant-size frame. At 100 TB the register/bucket
+tables are still 256 / 4096 rows, and the quantile summary is
+<= shards*(capacity+1) weighted rows per group.
 
 No reference counterpart (the reference counts exactly,
 e.g. feature/GroupBy.scala:10-117); this is a north-star extension.
@@ -383,6 +385,47 @@ def bloom_probe(
     )
 
 
+def _compress_summary(
+    merged: DataFrame, part: Sequence[str], capacity: int
+) -> DataFrame:
+    """Re-compress a weighted summary — ``(part..., value, weight)``
+    rows, distinct per (part..., value) — to <= capacity+1 rows per
+    partition group: keep exactly the rows whose cumulative weight
+    crosses a multiple of t = ceil(total/capacity), plus the group
+    maximum (the p=100 anchor), then re-weight each kept row with the
+    gap since the previous kept row so sum(weight) is conserved
+    EXACTLY and every kept row's cumulative weight stays exact. When
+    the group already fits ``capacity`` rows, every row is kept
+    (lossless). Shared by the weighted build and the merge path; all
+    windows run on summary-sized frames."""
+    keys = list(part)
+    w_val = Window.partitionBy(*keys).orderBy("value")
+    w_all = Window.partitionBy(*keys)
+    c = (
+        merged.withColumn("_cw_", F.sum("weight").over(w_val))
+        .withColumn("_n_", F.sum("weight").over(w_all))
+        .withColumn("_k_", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "_t_",
+            F.expr(f"CAST((_n_ + {capacity - 1}) DIV {capacity} AS BIGINT)"),
+        )
+    )
+    keep = (
+        (F.col("_k_") <= capacity)
+        | (F.col("_cw_") == F.col("_n_"))  # group max: p=100 anchor
+        | (F.expr("(_cw_ - weight) DIV _t_") < F.expr("_cw_ DIV _t_"))
+    )
+    kept = c.where(keep)
+    return kept.select(
+        *keys,
+        "value",
+        (
+            F.col("_cw_")
+            - F.coalesce(F.lag("_cw_").over(w_val), F.lit(0).cast("long"))
+        ).alias("weight"),
+    )
+
+
 def quantile_sketch_build(
     df: DataFrame,
     col: str,
@@ -391,6 +434,7 @@ def quantile_sketch_build(
     shards: int = 16,
     capacity: int = 8192,
     shard_key: Sequence[str] | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """MERGEABLE approximate-quantile summary (r12 — the one 100 TB
     profiling staple the sketch family lacked next to HLL/CMS/
@@ -419,12 +463,38 @@ def quantile_sketch_build(
     strategy: a hot group spreads over ``shards`` partitions);
     default is the value column itself.
 
+    ``weight_col`` (integer weights — token counts, pre-aggregated
+    histogram counts) switches to the WEIGHTED build: duplicate values
+    combine per shard first, then the same boundary-crossing
+    compression the merge path uses keeps <= capacity+1 rows. All the
+    invariants carry (sum(weight) == total mass exactly, max kept,
+    cum weight exact at kept rows); lossless when each shard's
+    DISTINCT-value count fits ``capacity``. The unweighted path keeps
+    its cheaper single-shuffle row_number plan.
+
     No reference counterpart (the reference's metrics are exact,
     mllib tuning/BinaryOptimalEvaluator.scala:35-224); LLM-pipeline
     north-star extension like the other sketches."""
     keys = list(by)
     shard_cols = [F.col(c) for c in (shard_key or [col])]
     shard = F.pmod(F.xxhash64(*shard_cols), F.lit(shards)).alias("_shard_")
+    if weight_col is not None:
+        merged = (
+            df.where(
+                F.col(col).isNotNull() & (F.col(weight_col) > 0)
+            )
+            .select(
+                *keys,
+                F.col(col).alias("value"),
+                shard,
+                F.col(weight_col).cast("long").alias("weight"),
+            )
+            .groupBy(*keys, "_shard_", "value")
+            .agg(F.sum("weight").alias("weight"))
+        )
+        return _compress_summary(
+            merged, keys + ["_shard_"], capacity
+        ).select(*keys, "value", "weight")
     w = Window.partitionBy(*keys, "_shard_").orderBy("value")
     w_all = Window.partitionBy(*keys, "_shard_")
     s = F.expr(f"CAST((_cnt_ + {capacity - 1}) DIV {capacity} AS BIGINT)")
@@ -475,36 +545,7 @@ def quantile_sketch_merge(
     for sk in sketches[1:]:
         un = un.unionByName(sk)
     merged = un.groupBy(*keys, "value").agg(F.sum("weight").alias("weight"))
-    w_val = Window.partitionBy(*keys).orderBy("value")
-    w_all = Window.partitionBy(*keys)
-    c = (
-        merged.withColumn("_cw_", F.sum("weight").over(w_val))
-        .withColumn("_n_", F.sum("weight").over(w_all))
-        .withColumn("_k_", F.count(F.lit(1)).over(w_all))
-        .withColumn(
-            "_t_",
-            F.expr(f"CAST((_n_ + {capacity - 1}) DIV {capacity} AS BIGINT)"),
-        )
-    )
-    keep = (
-        (F.col("_k_") <= capacity)
-        | (F.col("_cw_") == F.col("_n_"))  # group max: p=100 anchor
-        | (
-            F.expr("(_cw_ - weight) DIV _t_") < F.expr("_cw_ DIV _t_")
-        )
-    )
-    kept = c.where(keep)
-    w_prev = Window.partitionBy(*keys).orderBy("value")
-    return kept.select(
-        *keys,
-        "value",
-        (
-            F.col("_cw_")
-            - F.coalesce(
-                F.lag("_cw_").over(w_prev), F.lit(0).cast("long")
-            )
-        ).alias("weight"),
-    )
+    return _compress_summary(merged, keys, capacity)
 
 
 def quantile_sketch_query(
@@ -549,4 +590,54 @@ def quantile_sketch_query(
             F.col("value").alias("q_value"),
             F.col("_n_").alias("n_rows"),
         )
+    )
+
+
+def quantile_sketch_query_cont(
+    sk: DataFrame,
+    percents: Sequence[int],
+    by: Sequence[str] = (),
+    *,
+    denom: int = 100,
+) -> DataFrame:
+    """Continuous (linear-interpolated) quantiles from a quantile
+    summary — the ``percentile_cont`` twin of
+    ``quantile_sketch_query``: the continuous 0-indexed rank
+    h = p*(n-1)/denom splits into ALL-INTEGER parts
+    (floor = (p*(n-1)) DIV denom, frac = (p*(n-1)) MOD denom), the
+    order statistics at 1-indexed ranks floor+1 and floor+2 come from
+    the cumulative weights (exact ranks on a lossless summary), and
+    the answer interpolates v_lo + frac/denom * (v_hi - v_lo) — the
+    standard "linear" method, bit-equal to numpy.percentile /
+    percentile_cont on a lossless summary over integers. One
+    conditional-min aggregation over the percents-cross-summary frame;
+    returns ``(by..., p, q_value DOUBLE, n_rows)``."""
+    keys = list(by)
+    spark = sk.sparkSession
+    pdf = spark.createDataFrame([(int(p),) for p in percents], ["p"])
+    merged = sk.groupBy(*keys, "value").agg(F.sum("weight").alias("weight"))
+    w_val = Window.partitionBy(*keys).orderBy("value")
+    w_all = Window.partitionBy(*keys)
+    c = merged.withColumn("_cw_", F.sum("weight").over(w_val)).withColumn(
+        "_n_", F.sum("weight").over(w_all)
+    )
+    hnum = f"(CAST(p AS BIGINT) * (_n_ - 1))"  # h = hnum/denom, 0-indexed
+    lo = F.expr(f"{hnum} DIV {denom} + 1")  # 1-indexed lower order stat
+    frac = F.expr(f"({hnum} % {denom})")
+    joined = pdf.crossJoin(c).withColumn("_lo_", lo).withColumn("_fr_", frac)
+    agg = joined.groupBy(*keys, "p").agg(
+        F.min(
+            F.when(F.col("_cw_") >= F.col("_lo_"), F.col("value"))
+        ).alias("_vlo_"),
+        F.min(
+            F.when(F.col("_cw_") >= F.col("_lo_") + 1, F.col("value"))
+        ).alias("_vhi_"),
+        F.max("_n_").alias("n_rows"),
+        F.max("_fr_").alias("_frn_"),
+    )
+    val = F.col("_vlo_") + F.col("_frn_") / F.lit(float(denom)) * (
+        F.coalesce(F.col("_vhi_"), F.col("_vlo_")) - F.col("_vlo_")
+    )
+    return agg.select(
+        *keys, "p", val.cast("double").alias("q_value"), "n_rows"
     )

@@ -67,9 +67,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from demy_spark.operators.temporal import aggregate_partials, merge_partials
 
 __all__ = [
+    "apply_quantile_batch",
     "apply_rollup_batch",
     "prune_rollup_store",
     "read_rollup_store",
+    "streaming_quantile_update",
     "streaming_rollup_update",
 ]
 
@@ -167,6 +169,45 @@ def apply_rollup_batch(
     Directly callable for batch backfills and unit tests; the streaming
     updater passes its checkpoint dir as ``txn_id``.
     """
+    def delta_fn(b: DataFrame) -> DataFrame:
+        return aggregate_partials(b, list(keys), sums=sums, mins=mins,
+                                  maxs=maxs, count_col=count_col)
+
+    def merge_fn(stored: DataFrame, delta: DataFrame) -> DataFrame:
+        return merge_partials(
+            stored,
+            delta,
+            list(keys),
+            sum_cols=list(sums or ()),
+            min_cols=list(mins or ()),
+            max_cols=list(maxs or ()),
+            count_col=count_col,
+        )
+
+    return _apply_versioned_batch(
+        batch_df, store_path, txn_id, epoch_id, delta_fn, merge_fn,
+        keep_versions=keep_versions,
+    )
+
+
+def _apply_versioned_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    txn_id: str,
+    epoch_id: int,
+    delta_fn,
+    merge_fn,
+    *,
+    keep_versions: int = 2,
+) -> bool:
+    """The generic fold-into-versioned-store skeleton behind every
+    foreachBatch summary twin (rollup partials, quantile summaries):
+    ``delta_fn(batch)`` reduces the batch to its mergeable summary,
+    ``merge_fn(stored, delta)`` folds it into the newest same-
+    transaction snapshot. Everything else — the txn/epoch idempotence
+    contract, staged atomic rename commit, same-transaction retention,
+    orphan GC — is the module-docstring durability protocol, shared
+    verbatim so a new summary type can never fork it."""
     if keep_versions < 1:
         raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
     spark = batch_df.sparkSession
@@ -177,19 +218,10 @@ def apply_rollup_batch(
     same_txn = last_txn is not None and last_txn["txn_id"] == txn_id
     if same_txn and epoch_id <= last_txn["epoch"]:
         return False  # at-least-once redelivery of an applied batch
-    delta = aggregate_partials(batch_df, list(keys), sums=sums, mins=mins,
-                               maxs=maxs, count_col=count_col)
+    delta = delta_fn(batch_df)
     if same_txn:
         stored = spark.read.parquet(f"{store_path}/v={versions[-1]}")
-        merged = merge_partials(
-            stored,
-            delta,
-            list(keys),
-            sum_cols=list(sums or ()),
-            min_cols=list(mins or ()),
-            max_cols=list(maxs or ()),
-            count_col=count_col,
-        )
+        merged = merge_fn(stored, delta)
         # same-txn snapshots superseded beyond the retention window;
         # clamp — during warm-up fewer exist than the window holds
         same_txn_versions = [
@@ -262,6 +294,102 @@ def streaming_rollup_update(
             mins=mins,
             maxs=maxs,
             count_col=count_col,
+            keep_versions=keep_versions,
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def apply_quantile_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    col: str,
+    keys: Sequence[str],
+    txn_id: str,
+    epoch_id: int,
+    *,
+    shards: int = 16,
+    capacity: int = 8192,
+    shard_key: Sequence[str] | None = None,
+    weight_col: str | None = None,
+    keep_versions: int = 2,
+) -> bool:
+    """Fold one batch into a versioned QUANTILE-summary store — the
+    streaming twin of ``operators/sketches.quantile_sketch_build`` +
+    ``quantile_sketch_merge`` (r12), sharing the rollup store's
+    durability protocol verbatim through ``_apply_versioned_batch``.
+    Each epoch costs O(batch) to summarize plus one merge of two
+    summary-sized frames (<= shards*(capacity+1) rows per group);
+    history is never re-scanned. Because the summary is mergeable and
+    mass-conserving, the store read through ``read_rollup_store`` and
+    queried with ``quantile_sketch_query`` equals the from-scratch
+    batch sketch after ANY micro-batch slicing whenever the summaries
+    stay lossless (capacity >= shard counts — the same exactness
+    contract q151's oracle verifies), and stays within the documented
+    rank-error bounds under compression."""
+    from demy_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_merge,
+    )
+
+    def delta_fn(b: DataFrame) -> DataFrame:
+        return quantile_sketch_build(
+            b,
+            col,
+            list(keys),
+            shards=shards,
+            capacity=capacity,
+            shard_key=shard_key,
+            weight_col=weight_col,
+        )
+
+    def merge_fn(stored: DataFrame, delta: DataFrame) -> DataFrame:
+        return quantile_sketch_merge(
+            stored, delta, by=list(keys), capacity=capacity
+        )
+
+    return _apply_versioned_batch(
+        batch_df, store_path, txn_id, epoch_id, delta_fn, merge_fn,
+        keep_versions=keep_versions,
+    )
+
+
+def streaming_quantile_update(
+    events_stream: DataFrame,
+    store_path: str,
+    col: str,
+    keys: Sequence[str],
+    *,
+    checkpoint_dir: str,
+    shards: int = 16,
+    capacity: int = 8192,
+    shard_key: Sequence[str] | None = None,
+    weight_col: str | None = None,
+    keep_versions: int = 2,
+):
+    """Start an availableNow stream that maintains the quantile-summary
+    store (see ``apply_quantile_batch``; read it back with
+    ``read_rollup_store`` and query with ``quantile_sketch_query``).
+    Same transaction-identity / rebuild semantics as
+    ``streaming_rollup_update``."""
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_quantile_batch(
+            batch_df,
+            store_path,
+            col,
+            keys,
+            checkpoint_dir,
+            epoch_id,
+            shards=shards,
+            capacity=capacity,
+            shard_key=shard_key,
+            weight_col=weight_col,
             keep_versions=keep_versions,
         )
 

@@ -422,3 +422,81 @@ def test_quantile_sketch_merge_compression_keeps_max_and_mass(spark):
     true_max = df.agg(F.max("v")).collect()[0][0]
     got = quantile_sketch_query(m, [100]).collect()[0]
     assert got["q_value"] == true_max  # p=100 anchored by the kept max
+
+
+def test_quantile_sketch_weighted_build_matches_unweighted(spark):
+    """The weighted build on (value, count) rows must answer exactly
+    like the unweighted build on the exploded multiset when both are
+    lossless — same thresholds, same discrete quantiles."""
+    from demy_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_query,
+    )
+
+    pairs = [((i * 48271) % 997, i % 7 + 1, "g%d" % (i % 2)) for i in range(800)]
+    wdf = spark.createDataFrame(pairs, ["v", "w", "g"])
+    exploded = wdf.selectExpr("v", "g", "explode(sequence(1, w)) AS _").select(
+        "v", "g"
+    )
+    ps = [1, 25, 50, 75, 99, 100]
+    ws = quantile_sketch_build(
+        wdf, "v", ["g"], shards=4, capacity=4096, weight_col="w"
+    )
+    us = quantile_sketch_build(exploded, "v", ["g"], shards=4, capacity=8192)
+    n = sum(w for _, w, _ in pairs)
+    assert ws.agg(F.sum("weight")).collect()[0][0] == n
+    assert us.agg(F.sum("weight")).collect()[0][0] == n
+    key = lambda out: sorted(map(tuple, out.collect()))
+    assert key(quantile_sketch_query(ws, ps, ["g"])) == key(
+        quantile_sketch_query(us, ps, ["g"])
+    )
+
+
+def test_quantile_sketch_weighted_build_compresses_and_anchors(spark):
+    from demy_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_query,
+    )
+
+    n, cap = 5000, 32
+    df = spark.range(n).select(
+        ((F.col("id") * 7919) % 49999).alias("v"),
+        (F.col("id") % 3 + 1).alias("w"),
+    )
+    sk = quantile_sketch_build(df, "v", shards=2, capacity=cap, weight_col="w")
+    total = df.agg(F.sum("w")).collect()[0][0]
+    assert sk.count() <= 2 * (cap + 1)
+    assert sk.agg(F.sum("weight")).collect()[0][0] == total
+    got = quantile_sketch_query(sk, [100]).collect()[0]
+    assert got["q_value"] == df.agg(F.max("v")).collect()[0][0]
+    assert got["n_rows"] == total
+    # zero/negative weights are excluded, never counted
+    df2 = df.withColumn("w", F.when(F.col("v") % 2 == 0, -1).otherwise(F.col("w")))
+    sk2 = quantile_sketch_build(df2, "v", shards=2, capacity=cap, weight_col="w")
+    pos = df2.where(F.col("w") > 0).agg(F.sum("w")).collect()[0][0]
+    assert sk2.agg(F.sum("weight")).collect()[0][0] == pos
+
+
+def test_quantile_sketch_cont_matches_numpy_linear(spark):
+    """The interpolated query on a lossless summary must be bit-equal
+    to numpy.percentile(..., method='linear') — the percentile_cont
+    contract — including the p=0/p=100 endpoints and exact-integer
+    rank splits."""
+    import numpy as np
+
+    from demy_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_query_cont,
+    )
+
+    vals = [int((i * 48271) % 9973) for i in range(501)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    sk = quantile_sketch_build(df, "v", shards=4, capacity=4096)
+    ps = [0, 1, 10, 50, 90, 99, 100]
+    got = {
+        r["p"]: r["q_value"]
+        for r in quantile_sketch_query_cont(sk, ps).collect()
+    }
+    for p in ps:
+        want = float(np.percentile(np.array(vals), p, method="linear"))
+        assert got[p] == want, (p, got[p], want)

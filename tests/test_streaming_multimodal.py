@@ -716,3 +716,79 @@ def test_decode_real_column_marks_fake_pixels(spark):
     assert {r["decode_real"] for r in forced.collect()} == {False}
     rz = {r["media_id"]: r for r in resize_image(forced, 4, 4).collect()}
     assert rz[1]["decode_real"] is False and len(rz[1]["pixels"]) == 48
+
+
+def test_streaming_quantile_summary_matches_batch(spark, sf_dir, tmp_path):
+    """r12: the quantile-summary store maintained over micro-batches
+    (one file per trigger) must answer EXACTLY like the from-scratch
+    batch sketch when the summaries stay lossless — the mergeable-
+    summary identity quantile_sketch_merge proves batch-side, here
+    under arbitrary stream slicing and the store's txn protocol."""
+    import pyspark.sql.functions as F
+
+    from demy_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_query,
+    )
+    from demy_spark.streaming.rollup import (
+        read_rollup_store,
+        streaming_quantile_update,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        "event_id",
+    )
+    stream_dir = str(tmp_path / "ev_q_stream")
+    ev.repartition(5).write.parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    store = str(tmp_path / "quantile_store")
+    q = streaming_quantile_update(
+        stream,
+        store,
+        "cents",
+        ["event_type"],
+        shards=4,
+        capacity=8192,
+        shard_key=["event_id"],
+        checkpoint_dir=str(tmp_path / "qckpt"),
+    )
+    q.awaitTermination(120)
+
+    ps = [1, 25, 50, 75, 99, 100]
+    summary = read_rollup_store(spark, store)
+    # mass conservation across all epochs/merges
+    assert (
+        summary.agg(F.sum("weight")).collect()[0][0] == ev.count()
+    )
+    got = sorted(
+        map(tuple, quantile_sketch_query(summary, ps, ["event_type"]).collect())
+    )
+    batch_sk = quantile_sketch_build(
+        ev, "cents", ["event_type"], shards=4, capacity=8192,
+        shard_key=["event_id"],
+    )
+    want = sorted(
+        map(tuple, quantile_sketch_query(batch_sk, ps, ["event_type"]).collect())
+    )
+    assert got == want and len(got) >= 2 * len(ps)
+
+    # replay: re-applying an already-applied epoch must be a no-op
+    from demy_spark.streaming.rollup import apply_quantile_batch
+
+    before = sorted(map(tuple, read_rollup_store(spark, store).collect()))
+    assert (
+        apply_quantile_batch(
+            ev.limit(50), store, "cents", ["event_type"],
+            str(tmp_path / "qckpt"), 0, shards=4, capacity=8192,
+            shard_key=["event_id"],
+        )
+        is False
+    )
+    after = sorted(map(tuple, read_rollup_store(spark, store).collect()))
+    assert before == after
