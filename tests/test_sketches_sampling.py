@@ -500,3 +500,67 @@ def test_quantile_sketch_cont_matches_numpy_linear(spark):
     for p in ps:
         want = float(np.percentile(np.array(vals), p, method="linear"))
         assert got[p] == want, (p, got[p], want)
+
+
+def test_quantile_sketch_randomized_group_invariants(spark):
+    """50 random groups (sizes 1-400, duplicate-heavy and spread value
+    domains, random weights) through ONE build+compress pass at a
+    small capacity: per-group mass conservation, max anchoring,
+    row-count bound, and cumulative-weight-equals-exact-rank at every
+    kept row, each checked against a pure-Python recomputation.
+    Deterministic seed — the multi-case twin of the single-case tests
+    above."""
+    import random
+
+    from demy_spark.operators.sketches import quantile_sketch_build
+
+    rnd = random.Random(1207)
+    rows, truth = [], {}
+    for g in range(50):
+        size = rnd.choice([1, 2, 3, 7, 40, 133, 400])
+        domain = rnd.choice([5, 37, 10_000])
+        vals = [rnd.randrange(domain) for _ in range(size)]
+        ws = [rnd.randrange(1, 6) for _ in range(size)]
+        gid = f"g{g}"
+        truth[gid] = (vals, ws)
+        rows += [(gid, v, w, i) for i, (v, w) in enumerate(zip(vals, ws))]
+    df = spark.createDataFrame(rows, ["g", "v", "w", "rid"])
+    cap = 16
+    sk = quantile_sketch_build(
+        df, "v", ["g"], shards=2, capacity=cap, weight_col="w",
+        shard_key=["rid"],
+    )
+    got: dict[str, list] = {}
+    for r in sk.collect():
+        got.setdefault(r["g"], []).append((r["value"], r["weight"]))
+    assert set(got) == set(truth)
+    for gid, (vals, ws) in truth.items():
+        kept = sorted(got[gid])
+        total = sum(ws)
+        assert sum(w for _, w in kept) == total, gid  # mass conserved
+        assert kept[-1][0] == max(vals), gid  # p=100 anchor
+        assert len(kept) <= 2 * (cap + 1), gid  # bound per shard
+        # cum weight at each kept value must equal the EXACT rank of
+        # some element with that value (ranks are 1..total over the
+        # weight-expanded multiset) — the gap re-weighting contract
+        expanded = sorted(
+            v for v, w in zip(vals, ws) for _ in range(w)
+        )
+        # exact cumulative count of elements <= x, per distinct value
+        import bisect
+
+        # gap re-weighting attributes compressed-away mass to the kept
+        # value at the TOP of its gap: mass only ever moves UP in
+        # value, so the running cum at value v can never exceed the
+        # exact count of elements <= v, and can undershoot it by at
+        # most the documented rank error (one stride per shard)
+        slack = 2 * -(-total // cap)  # shards * ceil(total/cap)
+        by_value: dict[int, int] = {}
+        for v, w in kept:  # same value kept by both shards: combine,
+            by_value[v] = by_value.get(v, 0) + w  # as the query does
+        cum = 0
+        for v in sorted(by_value):
+            cum += by_value[v]
+            hi = bisect.bisect_right(expanded, v)
+            assert cum <= hi, (gid, v, cum, hi)
+            assert cum > hi - slack - 1, (gid, v, cum, hi, slack)
