@@ -435,6 +435,7 @@ def quantile_sketch_build(
     capacity: int = 8192,
     shard_key: Sequence[str] | None = None,
     weight_col: str | None = None,
+    shard_hash: str = "xxhash64",
 ) -> DataFrame:
     """MERGEABLE approximate-quantile summary (r12 — the one 100 TB
     profiling staple the sketch family lacked next to HLL/CMS/
@@ -461,7 +462,12 @@ def quantile_sketch_build(
     equal values). ``shard_key`` picks the hash-sharding columns (a
     row-unique key gives uniform shards — sharding is also the skew
     strategy: a hot group spreads over ``shards`` partitions);
-    default is the value column itself.
+    default is the value column itself. ``shard_hash="md5"`` swaps the
+    engine-private xxhash64 for the md5-slice family the other
+    sketches use, so an external SQL engine can replay the shard
+    assignment and hence the ENTIRE compressed summary row-for-row —
+    q151's "sketch64" mode oracle does exactly that; keep the cheaper
+    xxhash64 default when external replay isn't needed.
 
     ``weight_col`` (integer weights — token counts, pre-aggregated
     histogram counts) switches to the WEIGHTED build: duplicate values
@@ -477,7 +483,17 @@ def quantile_sketch_build(
     north-star extension like the other sketches."""
     keys = list(by)
     shard_cols = [F.col(c) for c in (shard_key or [col])]
-    shard = F.pmod(F.xxhash64(*shard_cols), F.lit(shards)).alias("_shard_")
+    if shard_hash == "md5":
+        joined = F.concat_ws("|", *[c.cast("string") for c in shard_cols])
+        shard = F.pmod(_md5_long(joined, 1, 15), F.lit(shards)).alias(
+            "_shard_"
+        )
+    elif shard_hash == "xxhash64":
+        shard = F.pmod(F.xxhash64(*shard_cols), F.lit(shards)).alias(
+            "_shard_"
+        )
+    else:
+        raise ValueError(f"unknown shard_hash {shard_hash!r}")
     if weight_col is not None:
         merged = (
             df.where(

@@ -10721,40 +10721,88 @@ def q150_video_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (
       SELECT l_returnflag,
-             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 4 AS shard
       FROM lineitem),
+    ps AS (SELECT unnest([1, 10, 25, 50, 75, 90, 99, 100]) AS p),
+    -- mode 'exact': the true discrete percentile from cumulative
+    -- distinct-value counts (verifies the LOSSLESS summary's answer)
     d AS (SELECT l_returnflag, cents, count(*) AS c FROM v GROUP BY 1, 2),
     cum AS (
       SELECT l_returnflag, cents,
              sum(c) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cw,
              sum(c) OVER (PARTITION BY l_returnflag) AS n
       FROM d),
-    ps AS (SELECT unnest([1, 10, 25, 50, 75, 90, 99, 100]) AS p)
-    SELECT l_returnflag, CAST(p AS INT) AS p, min(cents) AS q_cents,
-           CAST(min(n) AS BIGINT) AS n_rows
-    FROM cum, ps
-    WHERE cw >= (CAST(p AS BIGINT) * n + 99) // 100
-    GROUP BY 1, 2
+    exact AS (
+      SELECT 'exact' AS mode, l_returnflag, CAST(p AS INT) AS p,
+             min(cents) AS q_cents, CAST(min(n) AS BIGINT) AS n_rows
+      FROM cum, ps
+      WHERE cw >= (CAST(p AS BIGINT) * n + 99) // 100
+      GROUP BY 1, 2, 3),
+    -- mode 'sketch64': replay the COMPRESSED build row-for-row —
+    -- md5 shard, per-shard sorted ranks, stride keep (+ the shard
+    -- max), gap re-weighting, merged cumulative thresholds
+    r AS (
+      SELECT l_returnflag AS g, shard, cents,
+             row_number() OVER (PARTITION BY l_returnflag, shard
+                                ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag, shard) AS cnt
+      FROM v),
+    kept AS (
+      SELECT g, shard, cents, rn
+      FROM r WHERE rn % ((cnt + 63) // 64) = 0 OR rn = cnt),
+    w AS (
+      SELECT g, cents,
+             rn - coalesce(lag(rn) OVER (PARTITION BY g, shard
+                                         ORDER BY rn), 0) AS wt
+      FROM kept),
+    m AS (SELECT g, cents, sum(wt) AS wt FROM w GROUP BY 1, 2),
+    scum AS (
+      SELECT g, cents,
+             sum(wt) OVER (PARTITION BY g ORDER BY cents) AS cw,
+             sum(wt) OVER (PARTITION BY g) AS n
+      FROM m),
+    sk AS (
+      SELECT 'sketch64' AS mode, g AS l_returnflag, CAST(p AS INT) AS p,
+             min(cents) AS q_cents, CAST(min(n) AS BIGINT) AS n_rows
+      FROM scum, ps
+      WHERE cw >= (CAST(p AS BIGINT) * n + 99) // 100
+      GROUP BY 1, 2, 3)
+    SELECT * FROM exact UNION ALL SELECT * FROM sk
     """,
 )
 def q151_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag price percentiles via the MERGEABLE quantile
     summary (operators/sketches.quantile_sketch_* — r12, the 100 TB
-    profiling staple beside HLL/CMS/histogram/Bloom). The summary's
-    threshold arithmetic is all-integer (ceil(p*n/100) as
-    (p*n+99) DIV 100 — no float ranks), and at this scale every
-    (group, shard) fits ``capacity`` so the summary is LOSSLESS: the
-    sketch's answer IS the discrete percentile, which the oracle
-    recomputes exactly from cumulative distinct-value counts — the
-    q58 pattern of an approximate operator under an exact check. At
-    100 TB the identical plan compresses each shard to <= capacity+1
-    weighted rows (rank error < n/capacity) and the query windows run
-    on the constant-size summary, never on data.
+    profiling staple beside HLL/CMS/histogram/Bloom), verified on BOTH
+    of its regimes in one result:
+
+    - mode 'exact': capacity 8192 over 16 xxhash64 shards — every
+      (group, shard) fits, the summary is LOSSLESS, and the sketch's
+      answer IS the discrete percentile, which the oracle recomputes
+      from cumulative distinct-value counts. All-integer thresholds
+      (ceil(p*n/100) as (p*n+99) DIV 100 — no float ranks).
+    - mode 'sketch64': capacity 64 over 4 md5 shards — compression
+      HEAVILY engaged (stride ~80 per shard at sf0.01), and the md5
+      shard hash lets the oracle replay the entire compressed build
+      row-for-row (sorted per-shard ranks, stride keep + shard max,
+      gap re-weighting, merged cumulative thresholds) — the q58
+      pattern of an approximate operator under an exact bit-level
+      check, here for the compressed code path the unit tests
+      otherwise bound only statistically.
+
+    Both modes conserve mass exactly, so n_rows agrees across them —
+    an invariant the oracle reproduces too. At 100 TB the identical
+    plan compresses each shard to <= capacity+1 weighted rows (rank
+    error < n/capacity) and the query windows run on the
+    constant-size summary, never on data.
 
     No reference counterpart (the reference's metrics are exact —
     mllib tuning/BinaryOptimalEvaluator.scala:35-224); LLM-pipeline
-    extension. One shuffle by (group, shard); the row-unique
-    (l_orderkey, l_linenumber) shard key spreads hot groups evenly."""
+    extension. One data shuffle by (group, shard) per mode; the
+    row-unique (l_orderkey, l_linenumber) shard key spreads hot
+    groups evenly."""
     from demy_spark.operators.sketches import (
         quantile_sketch_build,
         quantile_sketch_query,
@@ -10767,22 +10815,24 @@ def q151_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    sk = quantile_sketch_build(
-        v,
-        "cents",
-        ["l_returnflag"],
-        shards=16,
-        capacity=8192,
-        shard_key=["l_orderkey", "l_linenumber"],
-    )
-    out = quantile_sketch_query(
-        sk, [1, 10, 25, 50, 75, 90, 99, 100], ["l_returnflag"]
-    )
-    return out.select(
-        "l_returnflag",
-        F.col("p").cast("int").alias("p"),
-        F.col("q_value").alias("q_cents"),
-        F.col("n_rows").cast("long").alias("n_rows"),
+    ps = [1, 10, 25, 50, 75, 90, 99, 100]
+
+    def run(mode: str, **kw) -> DataFrame:
+        sk = quantile_sketch_build(
+            v, "cents", ["l_returnflag"],
+            shard_key=["l_orderkey", "l_linenumber"], **kw
+        )
+        out = quantile_sketch_query(sk, ps, ["l_returnflag"])
+        return out.select(
+            F.lit(mode).alias("mode"),
+            "l_returnflag",
+            F.col("p").cast("int").alias("p"),
+            F.col("q_value").alias("q_cents"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+
+    return run("exact", shards=16, capacity=8192).unionByName(
+        run("sketch64", shards=4, capacity=64, shard_hash="md5")
     )
 
 

@@ -331,20 +331,20 @@ def test_pq_ann_scan_joins_all_broadcast(plans):
     assert re.search(r"Window \[row_number\(\).*query_id", p)
 
 
-def test_quantile_sketch_one_data_shuffle(plans):
-    """q151: the DATA shuffles exactly once — by (group, shard) for
-    the build — and both build windows plus the kept-row gap window
-    REUSE that partitioning. Every other exchange runs on the
-    constant-size summary frame. A second `_shard_` exchange means
-    the gap-weight window stopped sharing the build's partitioning;
-    more than four total means a summary window stopped being
-    summary-sized."""
+def test_quantile_sketch_one_data_shuffle_per_mode(plans):
+    """q151 (two modes unioned): per mode, the DATA shuffles exactly
+    once — by (group, shard) for the build — and both build windows
+    plus the kept-row gap window REUSE that partitioning. Every other
+    exchange runs on the constant-size summary frame. A third
+    `_shard_` exchange means a gap-weight window stopped sharing its
+    build's partitioning; more than eight total means a summary
+    window stopped being summary-sized."""
     p = plans["q151_quantile_sketch"]
     shard_exchanges = [
         ln
         for ln in p.splitlines()
         if "Exchange hashpartitioning" in ln and "_shard_" in ln
     ]
-    assert len(shard_exchanges) == 1, shard_exchanges
-    assert p.count("Exchange hashpartitioning") <= 4
+    assert len(shard_exchanges) == 2, shard_exchanges  # one per mode
+    assert p.count("Exchange hashpartitioning") <= 8
     assert "SortMergeJoin" not in p
