@@ -575,8 +575,11 @@ def quantile_sketch_query(
     ``p/denom``, the answer is the smallest value whose cumulative
     weight reaches ceil(p*n/denom) — ALL-INTEGER threshold arithmetic
     ((p*n + denom-1) DIV denom, no float rank), so on a lossless
-    summary the result is bit-equal to any engine's discrete
-    percentile and the DuckDB oracle reproduces it exactly.
+    summary the result is exactly the nearest-rank discrete
+    percentile, and any engine applying the same integer rule (the
+    DuckDB oracle does, verbatim) reproduces it bit-for-bit — float-
+    rank implementations can differ at exact p*n/denom boundaries,
+    which is why the rule is pinned in integers on both sides.
 
     Windows and the percents cross-join run on the constant-size
     summary frame (<= shards*capacity rows per group — the q34/q90
