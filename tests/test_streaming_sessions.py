@@ -155,3 +155,42 @@ def test_streaming_hll_registers_match_batch(spark, sf_dir):
         for r in hll_distinct(batch, "user_id", ["event_type"], p=6).collect()
     }
     assert est_s == est_b and len(est_s) >= 2
+
+
+def test_streaming_histogram_quantiles_match_batch(spark, sf_dir):
+    """r12: the equi-width histogram's bin stage is a plain streaming
+    aggregation (count per literal-derived bin), so histograms build
+    incrementally over a stream exactly like the HLL registers above;
+    the interpolated quantiles applied to the streamed bins equal the
+    batch path bit-for-bit — the last sketch in the family to get its
+    stream/batch equality pinned."""
+    import pyspark.sql.functions as F
+
+    from demy_spark.io import load_table
+    from demy_spark.operators.sketches import (
+        equi_width_histogram,
+        histogram_quantiles,
+    )
+    from demy_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    kw = dict(bins=32, lo=0.0, hi=1000.0)
+    stream = read_events_stream(spark, sf_dir)
+    bins_s = equi_width_histogram(stream.select("value"), "value", **kw)
+    got_bins = run_stream_to_memory(bins_s, "hist_bins", output_mode="complete")
+    qs = [0.1, 0.5, 0.9]
+    got = sorted(
+        map(tuple, histogram_quantiles(got_bins, qs, **kw).collect())
+    )
+    batch = load_table(spark, sf_dir, "events").select("value")
+    want_bins = equi_width_histogram(batch, "value", **kw)
+    want = sorted(
+        map(tuple, histogram_quantiles(want_bins, qs, **kw).collect())
+    )
+    assert got == want and len(got) == 3
+    # and the streamed bins themselves are the batch bins
+    assert sorted(map(tuple, got_bins.collect())) == sorted(
+        map(tuple, want_bins.collect())
+    )
