@@ -194,3 +194,37 @@ def test_streaming_histogram_quantiles_match_batch(spark, sf_dir):
     assert sorted(map(tuple, got_bins.collect())) == sorted(
         map(tuple, want_bins.collect())
     )
+
+
+def test_streaming_bloom_bitmap_matches_batch(spark, sf_dir):
+    """r12: the Bloom bitmap's word stage is a bit_or streaming
+    aggregation, so the membership gate builds incrementally over a
+    stream (the continuously-updated dedup-gate deployment); the
+    streamed bitmap is word-for-word the batch bitmap, and probing
+    against it gives identical verdicts."""
+    import pyspark.sql.functions as F
+
+    from demy_spark.io import load_table
+    from demy_spark.operators.sketches import bloom_bitmap, bloom_probe
+    from demy_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    kw = dict(m_bits=1 << 12, n_hashes=5)
+    stream = read_events_stream(spark, sf_dir)
+    bm_s = bloom_bitmap(stream.select("user_id"), "user_id", **kw)
+    got_bm = run_stream_to_memory(bm_s, "bloom_words", output_mode="complete")
+    batch = load_table(spark, sf_dir, "events").select("user_id")
+    want_bm = bloom_bitmap(batch, "user_id", **kw)
+    assert sorted(map(tuple, got_bm.collect())) == sorted(
+        map(tuple, want_bm.collect())
+    )
+    probes = spark.range(0, 2000).select(F.col("id").alias("k"))
+    got = sorted(
+        map(tuple, bloom_probe(probes, "k", got_bm, **kw).collect())
+    )
+    want = sorted(
+        map(tuple, bloom_probe(probes, "k", want_bm, **kw).collect())
+    )
+    assert got == want and any(m for _, m in got) and not all(m for _, m in got)
