@@ -119,6 +119,51 @@ def hll_estimate_from_registers(
     return agg.select(*gcols, F.round(est, 2).alias("est_distinct"))
 
 
+def countmin_counters(
+    df: DataFrame,
+    key: str | Column,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """The count-min counter table (_i_, _bkt_, _c_): ``depth`` hash
+    rows of ``width`` counters, Kirsch-Mitzenmacher seeds from two md5
+    slices. SUM-mergeable — union counter tables from shards and
+    re-sum, or build it as a plain streaming aggregation over raw
+    events (weight 1 per row); ``weight_col`` feeds pre-aggregated
+    (key, count) frames, which is how ``countmin_heavy_hitters``
+    routes its exact tf frame through the same code path. Identical
+    totals either way — sum is associative."""
+    k = (F.col(key) if isinstance(key, str) else key).alias("_k_")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    ).alias("_w_")
+    hashed = df.select(k, w).select(
+        "_w_",
+        _md5_long(F.col("_k_").cast("string"), 1, 15).alias("_h1_"),
+        _md5_long(F.col("_k_").cast("string"), 16, 8)
+        .bitwiseAND(0x7FFFFFFF)
+        .alias("_h2_"),
+    )
+    return (
+        hashed.select(
+            "_w_",
+            "_h1_",
+            "_h2_",
+            F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("_i_"),
+        )
+        .withColumn(
+            "_bkt_",
+            F.pmod(F.col("_h1_") + F.col("_i_") * F.col("_h2_"), F.lit(width)),
+        )
+        .groupBy("_i_", "_bkt_")
+        .agg(F.sum("_w_").alias("_c_"))
+    )
+
+
 def countmin_heavy_hitters(
     df: DataFrame,
     key: str | Column,
@@ -166,7 +211,9 @@ def countmin_heavy_hitters(
         )
         .drop("_h1_", "_h2_")
     )
-    counters = rows.groupBy("_i_", "_bkt_").agg(F.sum("_tf_").alias("_c_"))
+    counters = countmin_counters(
+        tf, "_k_", depth=depth, width=width, weight_col="_tf_"
+    )
     est = (
         rows.join(F.broadcast(counters), on=["_i_", "_bkt_"])
         .groupBy("_k_", "_tf_")

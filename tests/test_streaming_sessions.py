@@ -228,3 +228,35 @@ def test_streaming_bloom_bitmap_matches_batch(spark, sf_dir):
         map(tuple, bloom_probe(probes, "k", want_bm, **kw).collect())
     )
     assert got == want and any(m for _, m in got) and not all(m for _, m in got)
+
+
+def test_streaming_countmin_counters_match_batch(spark, sf_dir):
+    """r12: the count-min counter table is a sum streaming
+    aggregation (one weight-1 update fan-out per event), so frequency
+    sketches build incrementally; the streamed counter table equals
+    the batch operator's (which routes its exact-tf frame through the
+    SAME countmin_counters code path) cell-for-cell."""
+    from demy_spark.io import load_table
+    from demy_spark.operators.sketches import countmin_counters
+    from demy_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    kw = dict(depth=4, width=256)
+    stream = read_events_stream(spark, sf_dir)
+    cnt_s = countmin_counters(stream.select("event_type"), "event_type", **kw)
+    got = run_stream_to_memory(cnt_s, "cm_counters", output_mode="complete")
+    batch = load_table(spark, sf_dir, "events").select("event_type")
+    want = countmin_counters(batch, "event_type", **kw)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # and per-key weighted routing (what heavy_hitters uses) agrees
+    import pyspark.sql.functions as F
+
+    tf = batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("tf"))
+    via_tf = countmin_counters(tf, "event_type", weight_col="tf", **kw)
+    assert sorted(map(tuple, via_tf.collect())) == sorted(
+        map(tuple, want.collect())
+    )
