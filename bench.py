@@ -77,7 +77,17 @@ QUIET_CALIB = float(os.environ.get("SPARK_GRAFT_QUIET_CALIB", "0.07"))
 # ceiling over the pin-era reference calib (0.060), the same ratio
 # every prior adjudication used. Class C has no face-value column —
 # compare via the calib ratio, as before.
-HOST_CLASS_BANDS = (("A", 0.070, 1.0), ("B", 0.105, 1.75), ("C", None, None))
+# DERIVED from QUIET_CALIB (ADVICE r12): overriding
+# SPARK_GRAFT_QUIET_CALIB moves the preflight gate AND the class
+# bands in lockstep, so one artifact can't mix the two
+# classifications. Defaults are unchanged: A <= 0.070 face-value,
+# B <= 0.105 at pin_scale 1.75.
+PIN_ERA_CALIB = 0.060
+HOST_CLASS_BANDS = (
+    ("A", QUIET_CALIB, 1.0),
+    ("B", QUIET_CALIB * 1.5, round(QUIET_CALIB * 1.5 / PIN_ERA_CALIB, 4)),
+    ("C", None, None),
+)
 
 
 def host_class(calib: float) -> tuple[str, float | None]:
@@ -241,13 +251,17 @@ def main() -> None:
         # (256 baseline + 256 progressive decodes of a dense 64x64 —
         # times the entropy-decode hot loop the q146 oracle can't)
         "image_decode": _q.bench_image_decode,
-        # round-12 addition: the mergeable quantile summary at sf0.1 —
-        # unlike the sf0.01 oracle run, the shard counts here EXCEED
-        # capacity, so this times the compaction path (stride-2 build
-        # + gap re-weighting), not the lossless one
+        # round-12 addition: the mergeable quantile summary at sf0.1.
+        # Since the ADVICE-r12 fix the 'exact' mode derives capacity
+        # from a count() so it stays LOSSLESS at any SF (times the
+        # full-retention build + the derivation count job); the
+        # 'sketch64' mode (capacity 64) is the one that times the
+        # compaction path (stride keep + gap re-weighting) here.
         "quantile_sketch": _q.REGISTRY["q151_quantile_sketch"].fn,
     }
     extra_timings: dict[str, float] = {}
+    extra_jobs: dict[str, int] = {}
+    sc = spark.sparkContext
     for name, fn in extras.items():
         # clearing between extras keeps each reading independent of
         # OTHER extras' persisted frames (in-plan persists ARE
@@ -258,11 +272,23 @@ def main() -> None:
         # the steady-state semantics the headline loop also measures.
         spark.catalog.clearCache()
         force(fn(spark, sf_dir))  # warm-up
-        for _ in range(3):
+        for i in range(3):
+            # job-count stamp on the LAST (steady-state) pass
+            # (VERDICT r12 task 3): the "subtract jobs x
+            # sched_ms_per_job" adjudication rule assumed the job
+            # count never regresses silently — now the artifact
+            # records it, and test_bench_contract pins the known
+            # counts for the multi-job extras
+            if i == 2:
+                sc.setJobGroup(f"extra-jobs-{name}", name)
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
             dt = round(time.perf_counter() - t0, 3)
             extra_timings[name] = min(extra_timings.get(name, dt), dt)
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        extra_jobs[name] = len(
+            sc.statusTracker().getJobIdsForGroup(f"extra-jobs-{name}")
+        )
 
     # split-parallel twin readings for the MAP-SHAPED extras (VERDICT
     # r8 task 7): the sf0.1 fixture is one parquet file, so a pure
@@ -298,6 +324,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extra_queries": extra_timings,
+                # Spark jobs per extra on the steady-state pass
+                # (VERDICT r12 task 3): the denominator for the
+                # "jobs x sched_ms_per_job" adjudication rule, so a
+                # silent job-count regression is visible in the
+                # artifact itself
+                "extra_jobs": extra_jobs,
                 # same operators over the 32-split documents twin — the
                 # multi-file reality; compare against extra_queries to
                 # separate per-row cost from single-task serialization

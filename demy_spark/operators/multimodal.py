@@ -679,6 +679,17 @@ def _mp4_fragment_samples(payload: bytes, track_id: int):
                 if tfl & 0x400:
                     flags_seen = True
                 off = base + data_off
+                # data_offset is SIGNED (ISO 14496-12 8.8.8.2): a
+                # hostile negative offset must fail loud before any
+                # sample slice reads wrong bytes with frame_real=true.
+                # off only grows by unsigned sizes past this point,
+                # so the one check here covers every sample (ADVICE
+                # r12: the former in-loop check could only ever trip
+                # on the first iteration).
+                if off < 0:
+                    raise ValueError(
+                        "mp4 fragment sample offset before payload start"
+                    )
                 for si in range(cnt):
                     dur = tf_dur
                     if tfl & 0x100:
@@ -696,14 +707,6 @@ def _mp4_fragment_samples(payload: bytes, track_id: int):
                         sflags = first_flags
                     if tfl & 0x800:
                         pos += 4  # composition-time offset: unused
-                    # data_offset is SIGNED (ISO 14496-12 8.8.8.2): a
-                    # hostile negative offset must fail loud here, not
-                    # reach a Python negative-index slice that would
-                    # return wrong bytes with frame_real=true
-                    if off < 0:
-                        raise ValueError(
-                            "mp4 fragment sample offset before payload start"
-                        )
                     if off + size > n:
                         raise ValueError(
                             "mp4 fragment sample runs past end of payload"

@@ -513,8 +513,11 @@ def quantile_sketch_build(
     engine-private xxhash64 for the md5-slice family the other
     sketches use, so an external SQL engine can replay the shard
     assignment and hence the ENTIRE compressed summary row-for-row —
-    q151's "sketch64" mode oracle does exactly that; keep the cheaper
-    xxhash64 default when external replay isn't needed.
+    q151's "sketch64" mode oracle does exactly that (NULL key columns
+    enter the hash as a chr(0) sentinel so distinct tuples never
+    collide — replay with coalesce(CAST(c AS VARCHAR), chr(0)));
+    keep the cheaper xxhash64 default when external replay isn't
+    needed.
 
     ``weight_col`` (integer weights — token counts, pre-aggregated
     histogram counts) switches to the WEIGHTED build: duplicate values
@@ -531,7 +534,21 @@ def quantile_sketch_build(
     keys = list(by)
     shard_cols = [F.col(c) for c in (shard_key or [col])]
     if shard_hash == "md5":
-        joined = F.concat_ws("|", *[c.cast("string") for c in shard_cols])
+        # NULL shard-key columns map to a chr(0) sentinel BEFORE the
+        # join: concat_ws silently skips NULLs, which would collide
+        # distinct key tuples (a, NULL) / (a,) into one shard and
+        # break the advertised row-for-row external replay for
+        # nullable keys (ADVICE r12). Replay side:
+        # coalesce(CAST(c AS VARCHAR), chr(0)). A real string value
+        # equal to chr(0) would still collide — don't use chr(0) as
+        # data in md5-replay shard keys.
+        joined = F.concat_ws(
+            "|",
+            *[
+                F.coalesce(c.cast("string"), F.lit("\x00"))
+                for c in shard_cols
+            ],
+        )
         shard = F.pmod(_md5_long(joined, 1, 15), F.lit(shards)).alias(
             "_shard_"
         )

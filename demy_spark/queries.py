@@ -10778,10 +10778,14 @@ def q151_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiling staple beside HLL/CMS/histogram/Bloom), verified on BOTH
     of its regimes in one result:
 
-    - mode 'exact': capacity 8192 over 16 xxhash64 shards — every
-      (group, shard) fits, the summary is LOSSLESS, and the sketch's
-      answer IS the discrete percentile, which the oracle recomputes
-      from cumulative distinct-value counts. All-integer thresholds
+    - mode 'exact': capacity = count(lineitem) over 16 xxhash64
+      shards — capacity is DERIVED from the data (one count job), so
+      every (group, shard) fits BY CONSTRUCTION at any scale factor
+      (ADVICE r12: the former fixed 8192 was lossless only below
+      ~sf0.03 — above that the mode named 'exact' silently
+      compressed). The summary is LOSSLESS and the sketch's answer IS
+      the discrete percentile, which the oracle recomputes from
+      cumulative distinct-value counts. All-integer thresholds
       (ceil(p*n/100) as (p*n+99) DIV 100 — no float ranks).
     - mode 'sketch64': capacity 64 over 4 md5 shards — compression
       HEAVILY engaged (stride ~80 per shard at sf0.01), and the md5
@@ -10831,77 +10835,83 @@ def q151_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_rows").cast("long").alias("n_rows"),
         )
 
-    return run("exact", shards=16, capacity=8192).unionByName(
+    # 'exact' capacity derived from the data: any (group, shard) holds
+    # at most count(v) rows, so the build never compresses — lossless
+    # at ANY verification scale factor, not just sf<=0.01 (ADVICE r12).
+    lossless_cap = max(int(v.count()), 1)
+    return run("exact", shards=16, capacity=lossless_cap).unionByName(
         run("sketch64", shards=4, capacity=64, shard_hash="md5")
     )
 
 
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
-# order. Round-12 window (VERDICT r11 task 1 — retire the r9 cohort,
-# the freshness contract's third rotation): 49 of the 50 queries whose
-# latest official row is r9 (scripts/freshness.py `stale_vs_newest`),
-# plus the round's ONE new registration q151 (never-rowed queries must
-# sit inside the window — test_driver_window pins it). Registering
-# consumed a slot, so q99_dsir_select slips one round and leads the
-# r13 window, exactly as VERDICT r11 task 2 budgeted. Ordering: the
-# freshness.window_next ten first, then q151, then the remainder in
-# query order. Done criterion: the latest-round histogram shows
-# nothing older than r10 except the single budgeted q99 slip.
+# order. Round-13 window (VERDICT r12 task 1 — rotate in the r10-resting
+# cohort, the freshness contract's fourth rotation): q99_dsir_select
+# leads (the budgeted r12 slip — its latest official row is r9, the
+# oldest in the registry), then 49 of the 50 queries whose latest
+# official row is r10, in freshness rotation (name) order. 51 stale
+# names for 50 slots means the LAST in rotation order,
+# q97_duplicated_spans, carries to lead the r14 window — surfaced
+# explicitly by scripts/freshness.py `carried_over` (VERDICT r12
+# task 6). No new registration this round (coverage is 100%; a
+# registration would consume a slot and push a second carry). Done
+# criterion: CORRECTNESS_r13 is 50/50 green, q99 officially rowed,
+# histogram shows nothing older than r11 except the single carried
+# q97.
 _DRIVER_PRIORITY = [
-    # --- the window_next ten (oldest-rowed outside the r11 window)
-    "q100_semdedup",
-    "q101_incremental_dedup",
-    "q103_source_overlap",
-    "q105_weighted_sample",
-    "q106_distinctive_terms",
-    "q107_snapshot_diff",
-    "q109_sorted_neighborhood",
-    "q10_cube_orders",
-    "q110_incremental_pipeline",
-    "q114_knn_classify",
-    # --- the round-12 registration (never rowed -> must be in-window)
-    "q151_quantile_sketch",
-    # --- the rest of the r9-resting cohort, in query order (q99 slips
-    # to lead r13 -- the slot q151 consumed)
-    "q14_top_parts_per_brand",
-    "q18_exact_dedup",
-    "q19_token_topk",
-    "q21_quality_score",
-    "q23_cosine_topk",
-    "q28_embedding_dedup",
-    "q29_lsh_ann_topk",
-    "q38_one_vs_rest",
-    "q42_seeded_kmeans",
-    "q43_topic_tree_walk",
-    "q47_genetic_prototypes",
-    "q51_fuzzy_standard",
-    "q53_ivf_ann_topk",
-    "q56_range_join",
-    "q57_time_rollup",
-    "q62_skew_join",
-    "q64_bucketed_join",
-    "q76_tree_spawn",
-    "q82_analogy_score",
-    "q83_fuzzy_predict",
-    "q84_tweet_clean",
-    "q85_sparse_merge",
-    "q86_contamination_check",
-    "q87_canonical_docs",
-    "q88_mixture_sample",
-    "q89_pq_ann_topk",
-    "q90_histogram_quantiles",
-    "q91_pii_redaction",
-    "q94_sequence_pack",
-    "q95_ann_recall",
-    "q98_lm_quality",
-    "q120_events_sliding",
-    "q123_knn_ivf",
-    "q131_domain_rollup",
-    "q132_domain_holdout",
-    "q139_filtered_ann",
-    "q141_crawl_site",
-    "q142_crs_reproject",
-    "q143_remote_store",
+    # --- the budgeted r12 slip leads (latest row r9)
+    "q99_dsir_select",
+    # --- the r10-resting cohort in rotation order (q97_duplicated_spans
+    # carries to r14 -- the 51st stale name for the 50th slot)
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders",
+    "q102_strip_spans",
+    "q108_record_linkage",
+    "q111_chunk_documents",
+    "q112_tfidf_terms",
+    "q117_bm25_search",
+    "q118_orc_roundtrip",
+    "q119_group_median",
+    "q12_events_hourly",
+    "q130_script_profile",
+    "q133_c4_filters",
+    "q135_bloom_gate",
+    "q136_fim_split",
+    "q137_blocklist_gate",
+    "q140_budget_select",
+    "q144_hashingtf_buckets",
+    "q145_crawl_archives",
+    "q146_jpeg_decode",
+    "q147_audio_features",
+    "q148_video_metadata",
+    "q149_audio_decode",
+    "q150_video_sampling",
+    "q24_fuzzy_lookup",
+    "q26_minhash_dedup",
+    "q27_simhash_dedup",
+    "q30_ngram_jaccard",
+    "q31_dup_clusters",
+    "q32_media_features",
+    "q33_hash_folds",
+    "q34_threshold_sweep",
+    "q35_oof_mean_model",
+    "q36_multi_hot",
+    "q37_embed_apply",
+    "q41_locality_match",
+    "q44_entity_match",
+    "q45_entity_cooccurrence",
+    "q49_sentence_split",
+    "q54_binary_metrics",
+    "q61_bottom_k_sample",
+    "q63_salted_agg",
+    "q65_partition_prune",
+    "q66_pos_tag_greedy",
+    "q67_event_followup",
+    "q78_entity_refine",
+    "q92_gopher_rules",
+    "q93_curation_pipeline",
+    "q96_line_dedup",
 ]
 
 

@@ -37,3 +37,76 @@ def test_host_class_b_scale_is_the_band_ceiling_ratio():
     # 1.75 == 0.105 / 0.060 — the ratio every prior adjudication used
     _, ceiling_b, scale_b = b.HOST_CLASS_BANDS[1]
     assert abs(scale_b - ceiling_b / 0.060) < 0.01
+
+def test_quiet_calib_override_moves_class_bands_in_lockstep():
+    """ADVICE r12: SPARK_GRAFT_QUIET_CALIB must shift the preflight
+    gate AND the host-class bands together — one artifact can never
+    mix a moved gate with the default A/B ceilings. Checked in a
+    subprocess because QUIET_CALIB is read at import."""
+    import json
+    import subprocess
+    import sys
+
+    code = (
+        "import importlib.util, json, os\n"
+        f"spec = importlib.util.spec_from_file_location('bench', {os.path.join(REPO, 'bench.py')!r})\n"
+        "b = importlib.util.module_from_spec(spec)\n"
+        "spec.loader.exec_module(b)\n"
+        "print(json.dumps([b.host_class(0.055), b.host_class(0.074),"
+        " b.host_class(0.076), b.QUIET_CALIB]))\n"
+    )
+    env = dict(os.environ, SPARK_GRAFT_QUIET_CALIB="0.05")
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env
+    )
+    assert out.returncode == 0, out.stderr
+    a, b_, c, quiet = json.loads(out.stdout)
+    assert quiet == 0.05
+    # A ceiling = 0.05, B ceiling = 0.075: 0.055 is now class B,
+    # 0.074 still B, 0.076 falls to C
+    assert a[0] == "B" and b_[0] == "B" and c[0] == "C"
+    # B's pin_scale tracks its moved ceiling over the pin-era calib
+    assert abs(a[1] - 0.075 / 0.060) < 0.01
+
+
+# Steady-state Spark-job counts for the multi-job bench extras at the
+# bench SF (VERDICT r12 task 3): the "subtract jobs x sched_ms_per_job"
+# adjudication rule assumes the job count itself never regresses
+# silently. bench.py now stamps `extra_jobs` in the artifact; this pin
+# fails loudly if a code change moves a count, so a bench breach
+# adjudicates from the artifact + this table alone. Known counts
+# (r13): bpe_train's 13 = corpus reduction + 6 merge rounds + lineage
+# truncation; quantile_sketch's 12 includes the ADVICE-r12 lossless-
+# capacity derivation count job; pq_ann's 24 spans codebook train +
+# assign + ADC scan stages.
+EXTRA_JOB_PINS = {
+    "q115_bpe_train": 13,
+    "q151_quantile_sketch": 12,
+    "q89_pq_ann_topk": 24,
+    "q93_curation_pipeline": 8,
+    "q101_incremental_dedup": 10,
+}
+
+
+def test_multi_job_extra_job_counts_are_pinned(spark):
+    import demy_spark.queries as _q
+
+    sf_dir = "/root/testdata/sf0.1"
+    sc = spark.sparkContext
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    got = {}
+    for name in EXTRA_JOB_PINS:
+        fn = _q.REGISTRY[name].fn
+        spark.catalog.clearCache()
+        force(fn(spark, sf_dir))  # warm-up: in-plan persists populate
+        force(fn(spark, sf_dir))  # steady state (bench times pass 3)
+        sc.setJobGroup(f"jobpin-{name}", name)
+        force(fn(spark, sf_dir))
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        got[name] = len(
+            sc.statusTracker().getJobIdsForGroup(f"jobpin-{name}")
+        )
+    assert got == EXTRA_JOB_PINS

@@ -759,9 +759,16 @@ def test_wav_manual_parser_formats():
     )
     assert (w24[2] == p24[2]).all()
 
-    # G.711 vs audioop on all 256 codewords, both laws
-    import audioop
+    # G.711 vs audioop on all 256 codewords, both laws. audioop is
+    # REMOVED in Python 3.13 — skip-with-rationale there instead of a
+    # collection-time error (VERDICT r12 watch item; the shapely/
+    # Pillow gate idiom). Our expansion tables stay covered by the
+    # hand-pinned vectors above either way.
     import struct
+
+    audioop = pytest.importorskip(
+        "audioop", reason="audioop removed in Python 3.13+"
+    )
 
     from demy_spark.operators.multimodal import _alaw_to_i16, _ulaw_to_i16
 
@@ -869,7 +876,11 @@ def test_aiff_parser_and_stdlib_cross_validation():
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")  # aifc is deprecated, test-only
-        import aifc
+        # aifc is REMOVED in Python 3.13 — skip-with-rationale there
+        # (VERDICT r12 watch item; the shapely/Pillow gate idiom)
+        aifc = pytest.importorskip(
+            "aifc", reason="aifc removed in Python 3.13+"
+        )
 
         sq = [8192 if i % 2 == 0 else -8192 for i in range(100)]
         payload = encode_aiff(sq, 8000, 1, 2)

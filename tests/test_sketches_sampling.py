@@ -585,3 +585,53 @@ def test_quantile_sketch_randomized_group_invariants(spark):
             hi = bisect.bisect_right(expanded, v)
             assert cum <= hi, (gid, v, cum, hi)
             assert cum > hi - slack - 1, (gid, v, cum, hi, slack)
+
+
+def test_quantile_sketch_md5_null_shard_keys_replayable(spark):
+    """ADVICE r12: concat_ws silently skips NULLs, so the distinct
+    shard-key tuples ('a', NULL) and (NULL, 'a') used to hash the same
+    md5 input 'a' — colliding into one shard AND diverging from any
+    external NULL-propagating replay. NULL keys now enter the hash as
+    a chr(0) sentinel; this replays the ENTIRE compressed md5-mode
+    build in pure Python (sentinel join -> md5 shard -> per-shard
+    sorted stride keep + max -> gap weights) and pins row-for-row
+    equality on data full of NULL key columns."""
+    import hashlib
+    import math
+
+    from demy_spark.operators.sketches import quantile_sketch_build
+
+    keys = [("a", None), (None, "a"), ("a", "b"), (None, None), ("b", None)]
+    rows = [
+        (k1, k2, (i * 2654435761 + j) % 10007)
+        for j, (k1, k2) in enumerate(keys)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["k1", "k2", "v"])
+    shards, capacity = 4, 8
+    sk = quantile_sketch_build(
+        df, "v", [], shards=shards, capacity=capacity,
+        shard_key=["k1", "k2"], shard_hash="md5",
+    )
+    got = sorted((r["value"], r["weight"]) for r in sk.collect())
+
+    def shard_of(k1, k2):
+        s = "|".join("\x00" if k is None else k for k in (k1, k2))
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % shards
+
+    per_shard: dict[int, list[int]] = {}
+    for k1, k2, v in rows:
+        per_shard.setdefault(shard_of(k1, k2), []).append(v)
+    # the sentinel must actually separate the would-have-collided
+    # tuples for the test to mean anything
+    assert len({shard_of(k1, k2) for k1, k2 in keys}) > 1
+    want = []
+    for vals in per_shard.values():
+        vals.sort()
+        stride = math.ceil(len(vals) / capacity)
+        prev = 0
+        for rn in range(1, len(vals) + 1):
+            if rn % stride == 0 or rn == len(vals):
+                want.append((vals[rn - 1], rn - prev))
+                prev = rn
+    assert got == sorted(want)
