@@ -55,7 +55,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     def frame(sf_dir: str):
-        li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+        li = load_tables(spark, sf_dir)["lineitem"]
         u = (
             F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(1000000))
             + 1
