@@ -88,6 +88,33 @@ EXTRA_JOB_PINS = {
 }
 
 
+def test_remaining_multijob_extras_job_counts_are_pinned(spark):
+    """The other two extras the BASELINE.md multi-job note names
+    (fuzzy_probe_10x, media_decode) — same pin, separate test so a
+    count move localizes. Values match the r13 artifact stamps."""
+    import demy_spark.queries as _q
+
+    sc = spark.sparkContext
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    pins = {"fuzzy_probe_10x": (_q.bench_fuzzy_probe_10x, 8),
+            "media_decode": (_q.bench_media_decode, 4)}
+    got = {}
+    for name, (fn, _) in pins.items():
+        spark.catalog.clearCache()
+        force(fn(spark, "/root/testdata/sf0.1"))
+        force(fn(spark, "/root/testdata/sf0.1"))
+        sc.setJobGroup(f"jobpin-{name}", name)
+        force(fn(spark, "/root/testdata/sf0.1"))
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        got[name] = len(
+            sc.statusTracker().getJobIdsForGroup(f"jobpin-{name}")
+        )
+    assert got == {n: c for n, (_, c) in pins.items()}
+
+
 def test_multi_job_extra_job_counts_are_pinned(spark):
     import demy_spark.queries as _q
 
@@ -110,3 +137,57 @@ def test_multi_job_extra_job_counts_are_pinned(spark):
             sc.statusTracker().getJobIdsForGroup(f"jobpin-{name}")
         )
     assert got == EXTRA_JOB_PINS
+
+
+# The complete job-count table (r13 bench stamps, all 24 extras).
+# Single-job extras don't read the sched-tax rule, but a count move in
+# ANY extra is a plan regression worth failing loudly on.
+FULL_EXTRA_JOB_TABLE = {
+    "fuzzy_probe_10x": 8,
+    "contamination": 8,
+    "pq_ann": 24,
+    "sequence_pack": 3,
+    "curation_pipeline": 8,
+    "line_dedup": 5,
+    "lm_quality": 9,
+    "semdedup": 18,
+    "incremental_probe": 10,
+    "chunking": 1,
+    "knn_classify": 3,
+    "bpe_train": 13,
+    "bm25_search": 13,
+    "repetition_profile": 1,
+    "winnow_pairs": 3,
+    "script_profile": 1,
+    "domain_rollup": 2,
+    "phrase_search": 18,
+    "c4_filters": 1,
+    "hybrid_rrf": 15,
+    "budget_select": 2,
+    "media_decode": 4,
+    "image_decode": 3,
+    "quantile_sketch": 12,
+}
+
+
+def test_latest_bench_artifact_job_counts_match_table():
+    """Adjudicate the FULL extra set from the newest committed bench
+    artifact that carries `extra_jobs` (stamped since r13) — no Spark
+    session needed, so every extra's job count is regression-guarded
+    at zero test cost. Skips until the first stamped artifact lands."""
+    import json
+    import re
+
+    import pytest
+
+    stamped = []
+    for f in os.listdir(REPO):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if m:
+            art = json.load(open(os.path.join(REPO, f)))
+            if "extra_jobs" in art:
+                stamped.append((int(m.group(1)), art["extra_jobs"]))
+    if not stamped:
+        pytest.skip("no committed bench artifact carries extra_jobs yet")
+    _, jobs = max(stamped)
+    assert jobs == FULL_EXTRA_JOB_TABLE

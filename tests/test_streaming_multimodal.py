@@ -792,3 +792,67 @@ def test_streaming_quantile_summary_matches_batch(spark, sf_dir, tmp_path):
     )
     after = sorted(map(tuple, read_rollup_store(spark, store).collect()))
     assert before == after
+
+
+def test_streaming_weighted_quantile_summary_matches_batch(spark, sf_dir, tmp_path):
+    """r13: the WEIGHTED build was the one sketch configuration
+    without a pinned stream/batch equality (the r12 pin covered the
+    unweighted store). Same contract: a weight-carrying stream folded
+    epoch-by-epoch into the versioned store answers exactly like the
+    from-scratch weighted batch sketch while summaries stay lossless,
+    and the store's mass equals sum(weights), not row count."""
+    import pyspark.sql.functions as F
+
+    from demy_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_query,
+    )
+    from demy_spark.streaming.rollup import (
+        read_rollup_store,
+        streaming_quantile_update,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        "event_id",
+        (1 + F.pmod(F.col("event_id"), F.lit(7))).cast("long").alias("w"),
+    )
+    stream_dir = str(tmp_path / "ev_wq_stream")
+    ev.repartition(4).write.parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    store = str(tmp_path / "wq_store")
+    q = streaming_quantile_update(
+        stream,
+        store,
+        "cents",
+        ["event_type"],
+        shards=4,
+        capacity=8192,
+        shard_key=["event_id"],
+        weight_col="w",
+        checkpoint_dir=str(tmp_path / "wqckpt"),
+    )
+    q.awaitTermination(120)
+
+    ps = [1, 25, 50, 75, 99, 100]
+    summary = read_rollup_store(spark, store)
+    total_w = ev.agg(F.sum("w")).collect()[0][0]
+    assert (
+        summary.agg(F.sum("weight")).collect()[0][0] == total_w
+    ), "store mass must be sum(weights)"
+    got = sorted(
+        map(tuple, quantile_sketch_query(summary, ps, ["event_type"]).collect())
+    )
+    batch_sk = quantile_sketch_build(
+        ev, "cents", ["event_type"], shards=4, capacity=8192,
+        shard_key=["event_id"], weight_col="w",
+    )
+    want = sorted(
+        map(tuple, quantile_sketch_query(batch_sk, ps, ["event_type"]).collect())
+    )
+    assert got == want and len(got) >= 2 * len(ps)
