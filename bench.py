@@ -80,11 +80,15 @@ QUIET_CALIB = float(os.environ.get("SPARK_GRAFT_QUIET_CALIB", "0.07"))
 # DERIVED from QUIET_CALIB (ADVICE r12): overriding
 # SPARK_GRAFT_QUIET_CALIB moves the preflight gate AND the class
 # bands in lockstep, so one artifact can't mix the two
-# classifications. Defaults are unchanged: A <= 0.070 face-value,
-# B <= 0.105 at pin_scale 1.75.
+# classifications. Defaults are unchanged: A <= 0.070 at face value
+# 1.0, B <= 0.105 at pin_scale 1.75. Under an override BOTH
+# pin_scales track their moved ceilings proportionally — an upward
+# override must NOT re-letter a slow host as face-value class A
+# (the A multiplier stays 1.0 only at the default ceiling the pins
+# were set under).
 PIN_ERA_CALIB = 0.060
 HOST_CLASS_BANDS = (
-    ("A", QUIET_CALIB, 1.0),
+    ("A", QUIET_CALIB, round(QUIET_CALIB / 0.07, 4)),
     ("B", QUIET_CALIB * 1.5, round(QUIET_CALIB * 1.5 / PIN_ERA_CALIB, 4)),
     ("C", None, None),
 )

@@ -685,8 +685,10 @@ def _mp4_fragment_samples(payload: bytes, track_id: int):
                 # off only grows by unsigned sizes past this point,
                 # so the one check here covers every sample (ADVICE
                 # r12: the former in-loop check could only ever trip
-                # on the first iteration).
-                if off < 0:
+                # on the first iteration). cnt-gated to stay exactly
+                # equivalent: an EMPTY trun never slices, and the old
+                # in-loop check never executed for it.
+                if cnt and off < 0:
                     raise ValueError(
                         "mp4 fragment sample offset before payload start"
                     )

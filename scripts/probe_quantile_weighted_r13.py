@@ -68,10 +68,11 @@ def main() -> int:
 
     def run(sf_dir: str) -> tuple[float, dict]:
         df = frame(sf_dir)
+        n = df.count()
         stats = {
-            "rows": df.count(),
+            "rows": n,
             "hot_share": round(
-                df.where(F.col("v") == 1).count() / df.count(), 3
+                df.where(F.col("v") == 1).count() / n, 3
             ),
         }
         best = None

@@ -68,81 +68,31 @@ def test_quiet_calib_override_moves_class_bands_in_lockstep():
     # B's pin_scale tracks its moved ceiling over the pin-era calib
     assert abs(a[1] - 0.075 / 0.060) < 0.01
 
+    # UPWARD override: a slow host re-lettered A must NOT get
+    # face-value pins — the A multiplier scales with its moved
+    # ceiling (review r13: with a fixed 1.0 an override of 0.12 would
+    # compare a 0.11-calib host against pins set at 0.060-0.070)
+    env = dict(os.environ, SPARK_GRAFT_QUIET_CALIB="0.12")
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env
+    )
+    assert out.returncode == 0, out.stderr
+    rows = json.loads(out.stdout)
+    a_slow = rows[0]  # host_class(0.055)
+    assert a_slow[0] == "A" and abs(a_slow[1] - 0.12 / 0.07) < 0.01
 
-# Steady-state Spark-job counts for the multi-job bench extras at the
-# bench SF (VERDICT r12 task 3): the "subtract jobs x sched_ms_per_job"
+
+# Steady-state Spark-job counts for the bench extras at the bench SF
+# (VERDICT r12 task 3): the "subtract jobs x sched_ms_per_job"
 # adjudication rule assumes the job count itself never regresses
-# silently. bench.py now stamps `extra_jobs` in the artifact; this pin
-# fails loudly if a code change moves a count, so a bench breach
-# adjudicates from the artifact + this table alone. Known counts
-# (r13): bpe_train's 13 = corpus reduction + 6 merge rounds + lineage
-# truncation; quantile_sketch's 12 includes the ADVICE-r12 lossless-
-# capacity derivation count job; pq_ann's 24 spans codebook train +
-# assign + ADC scan stages.
-EXTRA_JOB_PINS = {
-    "q115_bpe_train": 13,
-    "q151_quantile_sketch": 12,
-    "q89_pq_ann_topk": 24,
-    "q93_curation_pipeline": 8,
-    "q101_incremental_dedup": 10,
-}
-
-
-def test_remaining_multijob_extras_job_counts_are_pinned(spark):
-    """The other two extras the BASELINE.md multi-job note names
-    (fuzzy_probe_10x, media_decode) — same pin, separate test so a
-    count move localizes. Values match the r13 artifact stamps."""
-    import demy_spark.queries as _q
-
-    sc = spark.sparkContext
-
-    def force(df):
-        df.write.format("noop").mode("overwrite").save()
-
-    pins = {"fuzzy_probe_10x": (_q.bench_fuzzy_probe_10x, 8),
-            "media_decode": (_q.bench_media_decode, 4)}
-    got = {}
-    for name, (fn, _) in pins.items():
-        spark.catalog.clearCache()
-        force(fn(spark, "/root/testdata/sf0.1"))
-        force(fn(spark, "/root/testdata/sf0.1"))
-        sc.setJobGroup(f"jobpin-{name}", name)
-        force(fn(spark, "/root/testdata/sf0.1"))
-        sc.setLocalProperty("spark.jobGroup.id", None)
-        got[name] = len(
-            sc.statusTracker().getJobIdsForGroup(f"jobpin-{name}")
-        )
-    assert got == {n: c for n, (_, c) in pins.items()}
-
-
-def test_multi_job_extra_job_counts_are_pinned(spark):
-    import demy_spark.queries as _q
-
-    sf_dir = "/root/testdata/sf0.1"
-    sc = spark.sparkContext
-
-    def force(df):
-        df.write.format("noop").mode("overwrite").save()
-
-    got = {}
-    for name in EXTRA_JOB_PINS:
-        fn = _q.REGISTRY[name].fn
-        spark.catalog.clearCache()
-        force(fn(spark, sf_dir))  # warm-up: in-plan persists populate
-        force(fn(spark, sf_dir))  # steady state (bench times pass 3)
-        sc.setJobGroup(f"jobpin-{name}", name)
-        force(fn(spark, sf_dir))
-        sc.setLocalProperty("spark.jobGroup.id", None)
-        got[name] = len(
-            sc.statusTracker().getJobIdsForGroup(f"jobpin-{name}")
-        )
-    assert got == EXTRA_JOB_PINS
-
-
-# The complete job-count table (r13 bench stamps, all 24 extras).
-# Single-job extras don't read the sched-tax rule, but a count move in
-# ANY extra is a plan regression worth failing loudly on.
-FULL_EXTRA_JOB_TABLE = {
+# silently. bench.py stamps `extra_jobs` in the artifact; this ONE
+# table (bench extra names, r13 stamps — verified identical across
+# three independent sessions) is the single source of truth for every
+# job-count check below. Notable counts: bpe_train's 13 = corpus
+# reduction + 6 merge rounds + lineage truncation; quantile_sketch's
+# 12 includes the ADVICE-r12 lossless-capacity derivation count job;
+# pq_ann's 24 spans codebook train + assign + ADC scan stages.
+EXTRA_JOB_TABLE = {
     "fuzzy_probe_10x": 8,
     "contamination": 8,
     "pq_ann": 24,
@@ -169,6 +119,57 @@ FULL_EXTRA_JOB_TABLE = {
     "quantile_sketch": 12,
 }
 
+# the extras BASELINE.md's multi-job note names — these get a LIVE
+# probe (the artifact check below covers the rest at zero cost)
+MULTI_JOB_EXTRAS = (
+    "bpe_train",
+    "quantile_sketch",
+    "pq_ann",
+    "curation_pipeline",
+    "incremental_probe",
+    "fuzzy_probe_10x",
+    "media_decode",
+)
+
+# bench extra name -> the same callable bench.py wires up
+EXTRA_FNS = {
+    "fuzzy_probe_10x": lambda q: q.bench_fuzzy_probe_10x,
+    "media_decode": lambda q: q.bench_media_decode,
+    "image_decode": lambda q: q.bench_image_decode,
+    "bpe_train": lambda q: q.REGISTRY["q115_bpe_train"].fn,
+    "quantile_sketch": lambda q: q.REGISTRY["q151_quantile_sketch"].fn,
+    "pq_ann": lambda q: q.REGISTRY["q89_pq_ann_topk"].fn,
+    "curation_pipeline": lambda q: q.REGISTRY["q93_curation_pipeline"].fn,
+    "incremental_probe": lambda q: q.REGISTRY["q101_incremental_dedup"].fn,
+}
+
+
+def _measure_jobs(spark, fn, name: str) -> int:
+    """bench.py's stamp semantics: two passes to steady state, count
+    Spark jobs on the third."""
+    sc = spark.sparkContext
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    spark.catalog.clearCache()
+    force(fn(spark, "/root/testdata/sf0.1"))
+    force(fn(spark, "/root/testdata/sf0.1"))
+    sc.setJobGroup(f"jobpin-{name}", name)
+    force(fn(spark, "/root/testdata/sf0.1"))
+    sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(f"jobpin-{name}"))
+
+
+def test_multi_job_extra_job_counts_are_pinned(spark):
+    import demy_spark.queries as _q
+
+    got = {
+        name: _measure_jobs(spark, EXTRA_FNS[name](_q), name)
+        for name in MULTI_JOB_EXTRAS
+    }
+    assert got == {n: EXTRA_JOB_TABLE[n] for n in MULTI_JOB_EXTRAS}
+
 
 def test_latest_bench_artifact_job_counts_match_table():
     """Adjudicate the FULL extra set from the newest committed bench
@@ -190,4 +191,4 @@ def test_latest_bench_artifact_job_counts_match_table():
     if not stamped:
         pytest.skip("no committed bench artifact carries extra_jobs yet")
     _, jobs = max(stamped)
-    assert jobs == FULL_EXTRA_JOB_TABLE
+    assert jobs == EXTRA_JOB_TABLE

@@ -87,9 +87,12 @@ def test_double_carry_lists_both():
     latest = _state(
         {12: [f"a{i}" for i in range(50)], 10: ["old1", "old2", "old3"]}
     )
+    # boundary: all three rest on the newest stale cohort itself, so
+    # the strictly-older rule keeps them out even though two sit
+    # outside the window
     rep = freshness.compute(latest, list(latest), ["old3"])
-    # newest stale cohort is 10 itself -> strictly-older rule keeps
-    # same-cohort names out; push one older to force the carry shape
+    assert rep["carried_over"] == []
+    # push two older: both become carries, neither masks the other
     latest["old1"] = 9
     latest["old2"] = 9
     rep = freshness.compute(latest, list(latest), ["old3"])

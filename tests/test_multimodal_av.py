@@ -727,6 +727,24 @@ def test_mp4_fragmented_negative_data_offset_is_loud():
     assert _mp4_video_samples(bytes(trap)) is None
 
 
+def test_mp4_fragmented_empty_trun_negative_offset_still_parses():
+    """r13: the hoisted negative-offset guard is cnt-gated — an EMPTY
+    trun never slices, so a negative data_offset on it is dead weight,
+    not an attack; the pre-hoist in-loop check never executed for it
+    and a file carrying such a degenerate fragment must keep parsing
+    its REAL fragments instead of falling to frame_real=false."""
+    from demy_spark.operators.multimodal import _mp4_fragment_samples
+
+    frames = [bytes([70 + i]) * (9 + i) for i in range(6)]
+    degenerate = bytearray(fmp4(frames))
+    t = bytes(degenerate).index(b"trun")
+    struct.pack_into(">I", degenerate, t + 4 + 4, 0)  # sample_count=0
+    struct.pack_into(">i", degenerate, t + 4 + 4 + 4, -(1 << 20))
+    samples, sync = _mp4_fragment_samples(bytes(degenerate), 1)
+    # fragment 1 contributes nothing; fragment 2's 3 samples survive
+    assert [s[2] for s in samples] == [len(f) for f in frames[3:]]
+
+
 def test_wav_manual_parser_formats():
     """r11: formats stdlib wave rejects decode for REAL through the
     manual RIFF parser — IEEE float, WAVE_FORMAT_EXTENSIBLE-wrapped
