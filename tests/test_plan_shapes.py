@@ -348,3 +348,30 @@ def test_quantile_sketch_one_data_shuffle_per_mode(plans):
     assert len(shard_exchanges) == 2, shard_exchanges  # one per mode
     assert p.count("Exchange hashpartitioning") <= 8
     assert "SortMergeJoin" not in p
+
+
+def test_quantile_sketch_weighted_build_two_exchange_shape(spark, sf_dir):
+    """r13: the WEIGHTED build's plan is exactly two data exchanges —
+    the (keys, shard, value) pre-aggregation groupBy (whose map-side
+    partial agg is what absorbs a hot (group, value) pair — the
+    flat-at-10x probe result in PLANS.md round-13) and the
+    (keys, shard) compression window. A third exchange means the
+    compression stopped reusing the pre-agg's output or a window went
+    data-sized; a SinglePartition window is the scale-killer."""
+    from pyspark.sql import functions as F
+
+    from demy_spark.io import load_tables
+    from demy_spark.operators.sketches import quantile_sketch_build
+
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("v"),
+        (1 + F.col("l_linenumber")).cast("long").alias("w"),
+    )
+    sk = quantile_sketch_build(
+        li, "v", ["l_returnflag"], shards=4, capacity=16, weight_col="w"
+    )
+    p = sk._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert not re.search(r"Window .*, SinglePartition", p)
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
