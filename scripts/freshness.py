@@ -22,8 +22,9 @@ window-rotation debt visible per round without judge archaeology
   lands; an ACCIDENTAL registration slip shows up the same way
   instead of hiding inside stale_vs_newest. Empty means every
   overdue query is in the current window.
-- window_next: the oldest-rowed queries NOT in the current window —
-  the natural candidates for the next rotation
+- window_next: the oldest-rowed queries NOT in the current window
+  (up to 60 — a full 50-slot rotation cohort plus spillover), in
+  rotation order: the next window is literally this list's head
 
 Run from the repo root: python scripts/freshness.py
 """
@@ -72,7 +73,7 @@ def compute(
         "stale_vs_newest": stale,
         "unrowed": unrowed,
         "carried_over": carried,
-        "window_next": outside[:10],
+        "window_next": outside[:60],
     }
 
 
