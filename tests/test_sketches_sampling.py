@@ -635,3 +635,57 @@ def test_quantile_sketch_md5_null_shard_keys_replayable(spark):
                 want.append((vals[rn - 1], rn - prev))
                 prev = rn
     assert got == sorted(want)
+
+
+def test_md5_shard_replay_formula_agrees_with_duckdb(spark):
+    """The docstring's advertised EXTERNAL replay — shard =
+    ('0x' || substring(md5(concat_ws('|', coalesce(c::varchar,
+    chr(0)), ...)), 1, 15))::BIGINT % shards — must agree with the
+    engine's shard expression ON THE SECOND ENGINE, NUL sentinel
+    included (the pure-Python replay above can't catch a DuckDB
+    varchar/NUL divergence)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from demy_spark.operators.sketches import _md5_long
+
+    rows = [("a", None), (None, "a"), ("a", "b"), (None, None),
+            ("x|y", None), (None, ""), ("", None), ("0", "0")]
+    shards = 5
+    df = spark.createDataFrame(rows, ["k1", "k2"])
+    joined = F.concat_ws(
+        "|",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+          for c in ("k1", "k2")],
+    )
+    got = [
+        r["s"]
+        for r in df.select(
+            F.pmod(_md5_long(joined, 1, 15), F.lit(shards)).alias("s")
+        ).collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k1 VARCHAR, k2 VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = [
+        r[0]
+        for r in con.execute(
+            "SELECT ('0x' || substring(md5(concat_ws('|',"
+            " coalesce(k1, chr(0)), coalesce(k2, chr(0)))), 1, 15))"
+            f"::BIGINT % {shards} FROM t"
+        ).fetchall()
+    ]
+    assert got == want
+    # the sentinel must keep every distinct tuple's hash INPUT
+    # distinct — NULL vs empty string, and a literal '|' in the data,
+    # may still collide mod shards but never pre-hash
+    full = [
+        r[0]
+        for r in con.execute(
+            "SELECT md5(concat_ws('|', coalesce(k1, chr(0)),"
+            " coalesce(k2, chr(0)))) FROM t"
+        ).fetchall()
+    ]
+    assert len(set(full)) == len(rows)
