@@ -651,7 +651,10 @@ def test_md5_shard_replay_formula_agrees_with_duckdb(spark):
     from demy_spark.operators.sketches import _md5_long
 
     rows = [("a", None), (None, "a"), ("a", "b"), (None, None),
-            ("x|y", None), (None, ""), ("", None), ("0", "0")]
+            ("x|y", None), (None, ""), ("", None), ("0", "0"),
+            # non-ASCII: both engines must hash the same UTF-8 bytes
+            ("été", None), (None, "中文"),
+            ("\U0001f600", "a")]
     shards = 5
     df = spark.createDataFrame(rows, ["k1", "k2"])
     joined = F.concat_ws(
