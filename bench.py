@@ -262,6 +262,12 @@ def main() -> None:
         # 'sketch64' mode (capacity 64) is the one that times the
         # compaction path (stride keep + gap re-weighting) here.
         "quantile_sketch": _q.REGISTRY["q151_quantile_sketch"].fn,
+        # round-13 addition: integer fixed-point PageRank over the
+        # supplier co-order graph at sf0.1 (~380k weighted edges,
+        # 1000 nodes, 2 modes x 5 iterations — times the iterative
+        # join+agg loop with per-iteration lineage truncation, a
+        # shuffle pattern no other extra exercises)
+        "pagerank": _q.REGISTRY["q152_supplier_pagerank"].fn,
     }
     extra_timings: dict[str, float] = {}
     extra_jobs: dict[str, int] = {}

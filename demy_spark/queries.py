@@ -10844,20 +10844,156 @@ def q151_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q152_SCALE = 10**12
+_Q152_ITERS = 5
+
+
+def _q152_oracle() -> str:
+    """Unrolled exact replay of the integer fixed-point PageRank: per
+    mode, one CTE chain of (edges, out-totals, transition, dangling
+    set, r0) followed by _Q152_ITERS blocks of (mass_i, contrib_i,
+    r_{i+1}) — every quantity BIGINT, every division floor division,
+    so the replay is hash-exact (no float ranks anywhere). Generated
+    by loop because the iteration blocks are mechanically identical;
+    the recurrence is documented on operators/graph.pagerank."""
+    s, k = _Q152_SCALE, _Q152_ITERS
+    chains = []
+    for mode, pred in (("full", "true"), ("dag", "src < dst")):
+        m = mode
+        chains.append(
+            f"""e_{m} AS (SELECT src, dst, w FROM e WHERE {pred}),
+    tw_{m} AS (SELECT src, CAST(sum(w) AS BIGINT) AS tot
+               FROM e_{m} GROUP BY src),
+    tr_{m} AS (SELECT e.src, e.dst, e.w, tw.tot
+               FROM e_{m} e JOIN tw_{m} tw USING (src)),
+    dg_{m} AS (SELECT v FROM n0
+               WHERE v NOT IN (SELECT src FROM e_{m})),
+    r0_{m} AS (SELECT v, {s} // (SELECT n FROM nn) AS r FROM n0)"""
+        )
+        for i in range(k):
+            chains.append(
+                f"""m{i}_{m} AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS m
+               FROM r{i}_{m} WHERE v IN (SELECT v FROM dg_{m})),
+    c{i}_{m} AS (SELECT tr.dst AS v,
+                        CAST(sum((r.r * tr.w) // tr.tot) AS BIGINT) AS c
+                 FROM tr_{m} tr JOIN r{i}_{m} r ON tr.src = r.v
+                 GROUP BY tr.dst),
+    r{i + 1}_{m} AS (SELECT b.v,
+          (15 * {s}) // (100 * (SELECT n FROM nn))
+        + (85 * ((SELECT m FROM m{i}_{m}) // (SELECT n FROM nn))) // 100
+        + (85 * coalesce(c.c, 0)) // 100 AS r
+        FROM n0 b LEFT JOIN c{i}_{m} c USING (v))"""
+            )
+    body = ",\n    ".join(chains)
+    return f"""
+    WITH su AS (
+      SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'),
+    e AS (
+      SELECT a.s AS src, b.s AS dst, CAST(count(*) AS BIGINT) AS w
+      FROM su a JOIN su b ON a.ok = b.ok AND a.s <> b.s
+      GROUP BY 1, 2),
+    n0 AS (SELECT s_suppkey AS v FROM supplier
+           WHERE s_suppkey IS NOT NULL),
+    nn AS (SELECT count(*) AS n FROM n0),
+    {body}
+    SELECT 'full' AS mode, v AS s_suppkey, CAST(r AS BIGINT) AS rank_fp
+    FROM r{k}_full
+    UNION ALL
+    SELECT 'dag' AS mode, v AS s_suppkey, CAST(r AS BIGINT) AS rank_fp
+    FROM r{k}_dag
+    """
+
+
+@register("q152_supplier_pagerank", _q152_oracle())
+def q152_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier influence via integer fixed-point PageRank
+    (operators/graph.pagerank — r13, the link-graph staple the
+    crawl/curation family was missing: Common Crawl weights its hosts
+    with exactly this ranking family). The graph: suppliers co-filling
+    an URGENT order, an edge per co-occurrence (weight = number of
+    shared urgent orders), derived with one distinct + one per-order
+    self-join (bounded by TPC-H's <= 7 lines/order). Verified on BOTH
+    graph regimes in one result:
+
+    - mode 'full': both orientations kept — every supplier has
+      out-edges on this data, so the recurrence's join/agg path is
+      what's exercised (the dangling term is replayed but zero);
+    - mode 'dag': edges oriented low key -> high key, which
+      guarantees sinks (the global max suppkey among co-order pairs
+      can never be a src), so the dangling-mass redistribution is
+      exercised with real mass every iteration.
+
+    All arithmetic is BIGINT micro-units (scale 1e12) with floor
+    division — the q01 exact-cents discipline applied to an ITERATIVE
+    algorithm — so the oracle replays all 5 iterations hash-exactly in
+    unrolled CTEs. No float ranks exist on either side.
+
+    No reference counterpart (the reference has no graph operators);
+    LLM-pipeline extension. Scale shape: the transition frame is
+    persisted once per mode and each iteration is one equi-join + one
+    hash agg + a 1-row broadcast (graph.py's 100 TB contract); the
+    co-occurrence self-join keys on l_orderkey so it never leaves the
+    order's partition group."""
+    from demy_spark.operators.graph import pagerank
+
+    t = _t(spark, sf_dir)
+    urgent = (
+        t["orders"]
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    su = (
+        t["lineitem"]
+        .join(urgent, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    pairs = (
+        su.alias("a")
+        .join(
+            su.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") != F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .persist()  # derived once, consumed by both modes
+    )
+    nodes = t["supplier"].where(F.col("s_suppkey").isNotNull()).select(
+        "s_suppkey"
+    )
+
+    def run(mode: str, p: DataFrame) -> DataFrame:
+        return pagerank(
+            p,
+            nodes,
+            src="src",
+            dst="dst",
+            node_col="s_suppkey",
+            iterations=_Q152_ITERS,
+            scale=_Q152_SCALE,
+        ).select(F.lit(mode).alias("mode"), "s_suppkey", "rank_fp")
+
+    return run("full", pairs).unionByName(
+        run("dag", pairs.where(F.col("src") < F.col("dst")))
+    )
+
+
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-13 window (VERDICT r12 task 1 — rotate in the r10-resting
 # cohort, the freshness contract's fourth rotation): q99_dsir_select
 # leads (the budgeted r12 slip — its latest official row is r9, the
-# oldest in the registry), then 49 of the 50 queries whose latest
-# official row is r10, in freshness rotation (name) order. 51 stale
-# names for 50 slots means the LAST in rotation order,
-# q97_duplicated_spans, carries to lead the r14 window — surfaced
+# oldest in the registry), then 48 of the 51 queries whose latest
+# official row is r10, in freshness rotation (name) order, plus the
+# r13 registration q152_supplier_pagerank (a never-rowed registration
+# MUST sit in the window — test_driver_window pins it; the q151/r12
+# precedent). The slot q152 consumes means TWO stale names carry to
+# lead the r14 window — q96_line_dedup (displaced by q152) and
+# q97_duplicated_spans (the 51st rotation name) — both surfaced
 # explicitly by scripts/freshness.py `carried_over` (VERDICT r12
-# task 6). No new registration this round (coverage is 100%; a
-# registration would consume a slot and push a second carry). Done
-# criterion: CORRECTNESS_r13 is 50/50 green, q99 officially rowed,
-# histogram shows nothing older than r11 except the single carried
-# q97.
+# task 6). Done criterion: CORRECTNESS_r13 is 50/50 green, q99 and
+# q152 officially rowed, histogram shows nothing older than r11
+# except the two budgeted carries q96/q97.
 _DRIVER_PRIORITY = [
     # --- the budgeted r12 slip leads (latest row r9)
     "q99_dsir_select",
@@ -10911,7 +11047,9 @@ _DRIVER_PRIORITY = [
     "q78_entity_refine",
     "q92_gopher_rules",
     "q93_curation_pipeline",
-    "q96_line_dedup",
+    # --- the r13 registration (never-rowed -> must be in-window;
+    # displaces q96_line_dedup, which carries to r14 with q97)
+    "q152_supplier_pagerank",
 ]
 
 

@@ -91,7 +91,11 @@ def test_quiet_calib_override_moves_class_bands_in_lockstep():
 # job-count check below. Notable counts: bpe_train's 13 = corpus
 # reduction + 6 merge rounds + lineage truncation; quantile_sketch's
 # 12 includes the ADVICE-r12 lossless-capacity derivation count job;
-# pq_ann's 24 spans codebook train + assign + ADC scan stages.
+# pq_ann's 24 spans codebook train + assign + ADC scan stages;
+# pagerank's 68 = 2 modes x (1 node-stats probe + 5 EAGER per-
+# iteration checkpoints and their AQE stages) — eager is what makes
+# this count deterministic (graph.py's ``lineage`` contract: a lazy
+# checkpoint's materialization races and the count flickers 54-58).
 EXTRA_JOB_TABLE = {
     "fuzzy_probe_10x": 8,
     "contamination": 8,
@@ -117,6 +121,7 @@ EXTRA_JOB_TABLE = {
     "media_decode": 4,
     "image_decode": 3,
     "quantile_sketch": 12,
+    "pagerank": 68,
 }
 
 # the extras BASELINE.md's multi-job note names — these get a LIVE
@@ -124,6 +129,7 @@ EXTRA_JOB_TABLE = {
 MULTI_JOB_EXTRAS = (
     "bpe_train",
     "quantile_sketch",
+    "pagerank",
     "pq_ann",
     "curation_pipeline",
     "incremental_probe",
@@ -138,6 +144,7 @@ EXTRA_FNS = {
     "image_decode": lambda q: q.bench_image_decode,
     "bpe_train": lambda q: q.REGISTRY["q115_bpe_train"].fn,
     "quantile_sketch": lambda q: q.REGISTRY["q151_quantile_sketch"].fn,
+    "pagerank": lambda q: q.REGISTRY["q152_supplier_pagerank"].fn,
     "pq_ann": lambda q: q.REGISTRY["q89_pq_ann_topk"].fn,
     "curation_pipeline": lambda q: q.REGISTRY["q93_curation_pipeline"].fn,
     "incremental_probe": lambda q: q.REGISTRY["q101_incremental_dedup"].fn,
