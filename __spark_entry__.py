@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship star-join query at sf0.001;
 ``queries()``/``oracle_sql()`` expose the full operator inventory from
-demy_spark.queries — 151 queries, ALL DuckDB-oracle-backed (zero
+demy_spark.queries — 152 queries, ALL DuckDB-oracle-backed (zero
 rows-only: formerly non-SQL operators are verified through seeded /
 frozen-weights replay — q38 one-vs-rest serving, q46/q66 POS decode,
 q47 genetic replay, q73 Platt, q76 tree spawning, q115/q116 BPE
@@ -14,7 +14,7 @@ _DRIVER_PRIORITY). Zero new registrations this round: the r11
 behavior deltas (q145 +zst rows, q146 +progressive-JPEG rows, q148
 +AVI/Matroska/WebM rows, q150 +fragmented-MP4 rows) extend
 already-rowed queries and are re-verified via the verify skill's
-full-registry driver simulation at sf0.01 (151/151 MATCH) and the
+full-registry driver simulation at sf0.01 (152/152 MATCH) and the
 sf0.001 parity suite.
 COVERAGE.md maps each SURVEY §2 inventory row to its query and
 test."""

@@ -91,11 +91,16 @@ def test_quiet_calib_override_moves_class_bands_in_lockstep():
 # job-count check below. Notable counts: bpe_train's 13 = corpus
 # reduction + 6 merge rounds + lineage truncation; quantile_sketch's
 # 12 includes the ADVICE-r12 lossless-capacity derivation count job;
-# pq_ann's 24 spans codebook train + assign + ADC scan stages;
-# pagerank's 68 = 2 modes x (1 node-stats probe + 5 EAGER per-
-# iteration checkpoints and their AQE stages) — eager is what makes
-# this count deterministic (graph.py's ``lineage`` contract: a lazy
-# checkpoint's materialization races and the count flickers 54-58).
+# pq_ann's 24 spans codebook train + assign + ADC scan stages.
+# pagerank is the one BAND pin: its eager per-iteration checkpoints
+# make the query SEQUENCE deterministic (graph.py's ``lineage``
+# contract — a lazy checkpoint's materialization races and reads
+# 54-58), but each checkpoint query's AQE stage-materialization job
+# count still moves with shuffle partitioning and exchange reuse
+# (observed 64-68 across shuffle=8/16/32 sessions). The band below
+# still catches the structural regressions the pin exists for — a
+# lost persist or dropped checkpoint roughly doubles the count, a
+# skipped iteration removes ~6 jobs.
 EXTRA_JOB_TABLE = {
     "fuzzy_probe_10x": 8,
     "contamination": 8,
@@ -121,7 +126,11 @@ EXTRA_JOB_TABLE = {
     "media_decode": 4,
     "image_decode": 3,
     "quantile_sketch": 12,
-    "pagerank": 68,
+}
+
+# inclusive (lo, hi) job-count bands for the AQE-sensitive extras
+EXTRA_JOB_BANDS = {
+    "pagerank": (58, 74),
 }
 
 # the extras BASELINE.md's multi-job note names — these get a LIVE
@@ -175,7 +184,11 @@ def test_multi_job_extra_job_counts_are_pinned(spark):
         name: _measure_jobs(spark, EXTRA_FNS[name](_q), name)
         for name in MULTI_JOB_EXTRAS
     }
-    assert got == {n: EXTRA_JOB_TABLE[n] for n in MULTI_JOB_EXTRAS}
+    exact = {n: v for n, v in got.items() if n in EXTRA_JOB_TABLE}
+    assert exact == {n: EXTRA_JOB_TABLE[n] for n in exact}
+    for n, (lo, hi) in EXTRA_JOB_BANDS.items():
+        if n in got:
+            assert lo <= got[n] <= hi, (n, got[n], (lo, hi))
 
 
 def test_latest_bench_artifact_job_counts_match_table():
@@ -198,4 +211,8 @@ def test_latest_bench_artifact_job_counts_match_table():
     if not stamped:
         pytest.skip("no committed bench artifact carries extra_jobs yet")
     _, jobs = max(stamped)
+    banded = {n: jobs.pop(n) for n in list(EXTRA_JOB_BANDS) if n in jobs}
     assert jobs == EXTRA_JOB_TABLE
+    for n, v in banded.items():
+        lo, hi = EXTRA_JOB_BANDS[n]
+        assert lo <= v <= hi, (n, v, (lo, hi))
