@@ -6,16 +6,16 @@ demy_spark.queries — 152 queries, ALL DuckDB-oracle-backed (zero
 rows-only: formerly non-SQL operators are verified through seeded /
 frozen-weights replay — q38 one-vs-rest serving, q46/q66 POS decode,
 q47 genetic replay, q73 Platt, q76 tree spawning, q115/q116 BPE
-train/encode with unrolled merge rounds). The round-11 driver window
-(first 50 of queries()) is EXACTLY the 50 queries whose latest
-official row is r8 — the cohort whose retirement closes the 3-round
-freshness rotation (scripts/freshness.py; arithmetic note at
-_DRIVER_PRIORITY). Zero new registrations this round: the r11
-behavior deltas (q145 +zst rows, q146 +progressive-JPEG rows, q148
-+AVI/Matroska/WebM rows, q150 +fragmented-MP4 rows) extend
-already-rowed queries and are re-verified via the verify skill's
-full-registry driver simulation at sf0.01 (152/152 MATCH) and the
-sf0.001 parity suite.
+train/encode with unrolled merge rounds). The round-13 driver window
+(first 50 of queries()) is q99_dsir_select (the budgeted r12 slip),
+48 of the 50 r10-resting queries, and the one r13 registration
+q152_supplier_pagerank (integer fixed-point PageRank — a never-rowed
+registration must sit in-window); q96_line_dedup and
+q97_duplicated_spans carry to lead the r14 window (arithmetic note
+at _DRIVER_PRIORITY; scripts/freshness.py names the carries). The
+full registry is re-verified each round via the verify skill's
+driver simulation at sf0.01 (152/152 MATCH) and the sf0.001 parity
+suite.
 COVERAGE.md maps each SURVEY §2 inventory row to its query and
 test."""
 

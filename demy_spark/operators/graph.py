@@ -108,6 +108,11 @@ def pagerank(
     the FULL iterated plan stays inspectable (plan-shape tests; any
     checkpoint replaces the logical plan with an RDD scan node) —
     plan size grows with iterations, so only for small ``iterations``.
+    Cache ownership follows the mode: ``"eager"`` releases the
+    internal persisted frames before returning (the result is already
+    materialized); under ``"lazy"``/``"keep"`` the returned plan still
+    reads them, so the caller releases (``spark.catalog.clearCache()``
+    or session end) after its final action.
     """
     if lineage not in ("eager", "lazy", "keep"):
         raise ValueError(f"lineage must be eager|lazy|keep, got {lineage!r}")
@@ -157,7 +162,8 @@ def pagerank(
     n = int(n_nodes) if n_nodes is not None else int(stats["_n_"])
     has_dangling = int(stats["_nd_"]) > 0
     if n <= 0:
-        base.unpersist()
+        trans.unpersist(blocking=True)
+        base.unpersist(blocking=True)
         return raw.select(
             F.col("_v_").alias(node_col),
             F.lit(0).cast("long").alias("rank_fp"),
@@ -194,6 +200,25 @@ def pagerank(
         )
         if lineage != "keep":
             ranks = ranks.localCheckpoint(eager=lineage == "eager")
+    # cache ownership: with eager checkpoints the final rank frame is
+    # already materialized and references neither persisted frame, so
+    # both release here; iterations == 0 leaves ranks reading base
+    # directly (trans is unused either way). Under "lazy"/"keep" the
+    # returned plan still reads them — the CALLER owns the release
+    # after its final action (the similarity.py ownership contract).
+    # NOTE the bench consequence: Spark's cache is keyed by the
+    # semantic logical plan, so before this release landed,
+    # back-to-back bench passes of the same query silently REUSED the
+    # previous pass's cached transition/base blocks and read ~33
+    # jobs/call; with the release every pass rebuilds cold (~44
+    # jobs/call) — the steadier regression signal, and the only
+    # correct behavior for a long-lived session running many queries
+    # (the 152-query driver sim). blocking=True keeps the next
+    # same-plan persist from racing the deferred drop.
+    if lineage == "eager":
+        trans.unpersist(blocking=True)
+        if iterations > 0:
+            base.unpersist(blocking=True)
     return ranks.select(
         F.col("_v_").alias(node_col), F.col("_r_").alias("rank_fp")
     )

@@ -10974,16 +10974,21 @@ def q152_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             scale=_Q152_SCALE,
         ).select(F.lit(mode).alias("mode"), "s_suppkey", "rank_fp")
 
-    return run("full", pairs).unionByName(
-        run("dag", pairs.where(F.col("src") < F.col("dst")))
-    )
+    full = run("full", pairs)
+    dag = run("dag", pairs.where(F.col("src") < F.col("dst")))
+    # pagerank's default eager lineage has materialized both modes by
+    # now, so the shared edge frame releases here (cache hygiene: the
+    # driver sim runs 152 queries in ONE session; blocking for the
+    # same same-plan re-persist race graph.py documents)
+    pairs.unpersist(blocking=True)
+    return full.unionByName(dag)
 
 
 # The correctness driver verifies the FIRST 50 entries of queries() in dict
 # order. Round-13 window (VERDICT r12 task 1 — rotate in the r10-resting
 # cohort, the freshness contract's fourth rotation): q99_dsir_select
 # leads (the budgeted r12 slip — its latest official row is r9, the
-# oldest in the registry), then 48 of the 51 queries whose latest
+# oldest in the registry), then 48 of the 50 queries whose latest
 # official row is r10, in freshness rotation (name) order, plus the
 # r13 registration q152_supplier_pagerank (a never-rowed registration
 # MUST sit in the window — test_driver_window pins it; the q151/r12
