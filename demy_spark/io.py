@@ -142,6 +142,37 @@ def load_tables(spark: SparkSession, sf_dir: str) -> TableCatalog:
     return _catalog_cache[key]
 
 
+def spread_narrow_scan(df: DataFrame, *, target: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan that cannot split — ONLY when it
+    under-parallelizes the session.
+
+    The "one huge unsplittable input" case (optimization guide §2.5:
+    gzip text, single-row-group parquet — the local fixtures are one
+    row group, so every scan is ONE task): any per-row-heavy operator
+    downstream runs serial on one core while the other N-1 idle. When
+    the scan yields at least half the session's cores the exchange
+    would buy <2x and is pure shuffle cost, so this is a NO-OP — which
+    is exactly the production case (a 100 TB table is thousands of
+    row groups), keeping the 100 TB plan exchange-free. Use it only in
+    front of compute-bound per-row work; a scan feeding a cheap
+    filter/partial-agg is better left serial (measured r13: q01's
+    agg-to-6-groups REGRESSED 0.36 -> 0.84 under an unconditional
+    rebalance, while c4_filters' HOF chain improved 3.98 -> 1.10).
+
+    Row content is unchanged (round-robin only moves rows); every
+    consumer downstream is row-order-independent by the oracle
+    contract (sorted comparison).
+    """
+    spark = df.sparkSession
+    want = target or spark.sparkContext.defaultParallelism
+    # physical scan partition count: cheap (~5 ms warm) driver-side
+    # planning; no job runs
+    have = df.rdd.getNumPartitions()
+    if have * 2 >= want:
+        return df
+    return df.repartition(want)
+
+
 def read_text_corpus(spark: SparkSession, path: str, *, line_col: str = "line") -> DataFrame:
     """Text scan (≈ text/Corpus.scala:27, Word2VecApplier.scala:94-98):
     one row per line."""

@@ -20,7 +20,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from demy_spark.io import load_tables
+from demy_spark.io import load_tables, spread_narrow_scan
 from demy_spark.functions import textstats
 from demy_spark.functions.vectors import cosine_similarity
 from demy_spark.operators.topk import top_k_per_group
@@ -6126,7 +6126,11 @@ def q96_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     toks = textstats.norm_tokens(F.col("text"))
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(6))
-    docs_nl = t["documents"].select(
+    # line synthesis + per-line hashing is compute-bound per row:
+    # spread an unsplittable scan across cores before it (no-op on
+    # production multi-row-group input — guide §2.5; measured r13:
+    # 2.78 -> 1.75 on the one-row-group sf0.1 fixture)
+    docs_nl = spread_narrow_scan(t["documents"]).select(
         "doc_id",
         F.concat_ws(
             "\n",
@@ -7312,7 +7316,14 @@ def q114_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
     )
     queries = emb.where(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
-    return knn_classify(emb, queries, "embedding", "vec_id", "label", k=5)
+    # the corpus side scores |queries| cosines per row — compute-bound:
+    # spread an unsplittable scan across cores (no-op on production
+    # multi-row-group input — guide §2.5; measured r13: 1.89 -> 0.81 on
+    # the one-row-group sf0.1 fixture). The broadcast query side stays
+    # on the raw scan (an exchange there would only delay the build).
+    return knn_classify(
+        spread_narrow_scan(emb), queries, "embedding", "vec_id", "label", k=5
+    )
 
 
 def _bpe_round_sql(i: int, pair_src: str | None = None) -> str:
@@ -8159,8 +8170,11 @@ def q124_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = textstats.repetition_profile(
         F.col("text"), top_ns=(2, 3, 4), dup_ns=(2, 3)
     )
+    # per-row O(G log G) gram fold: spread an unsplittable scan across
+    # cores (no-op on production multi-row-group input — guide §2.5;
+    # measured r13: 3.28 -> 1.80 on the one-row-group sf0.1 fixture)
     return (
-        _docw(t)
+        spread_narrow_scan(_docw(t))
         .select("doc_id", F.explode(F.array(prof)).alias("p"))
         .select(
             "doc_id",
@@ -8845,8 +8859,12 @@ def q133_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     doc = F.concat(F.array_join(F.transform(lines, decorate), "\n"), tail)
     c4 = textstats.c4_rules(doc)
+    # the HOF chain is compute-bound per row: spread an unsplittable
+    # scan across the session's cores (no-op on multi-row-group
+    # production input — guide §2.5; measured r13: 3.98 -> 1.10 on the
+    # one-row-group sf0.1 fixture)
     return (
-        _docw(t)
+        spread_narrow_scan(_docw(t))
         .select("doc_id", c4.alias("_c4_"))
         .select(
             "doc_id",

@@ -106,26 +106,31 @@ def test_quiet_calib_override_moves_class_bands_in_lockstep():
 # ceiling. Iteration count and checkpoint SEMANTICS do not need the
 # band: a skipped iteration changes VALUES and fails test_graph's
 # exact-equality cases and the q152 oracle.
+
+# r13 optimization note: line_dedup / knn_classify / repetition_profile
+# / c4_filters each gained exactly +1 job — the conditional
+# io.spread_narrow_scan rebalance of their one-row-group fixture scan
+# (a no-op stage-wise at production row-group counts).
 EXTRA_JOB_TABLE = {
     "fuzzy_probe_10x": 8,
     "contamination": 8,
     "pq_ann": 24,
     "sequence_pack": 3,
     "curation_pipeline": 8,
-    "line_dedup": 5,
+    "line_dedup": 6,
     "lm_quality": 9,
     "semdedup": 18,
     "incremental_probe": 10,
     "chunking": 1,
-    "knn_classify": 3,
+    "knn_classify": 4,
     "bpe_train": 13,
     "bm25_search": 13,
-    "repetition_profile": 1,
+    "repetition_profile": 2,
     "winnow_pairs": 3,
     "script_profile": 1,
     "domain_rollup": 2,
     "phrase_search": 18,
-    "c4_filters": 1,
+    "c4_filters": 2,
     "hybrid_rrf": 15,
     "budget_select": 2,
     "media_decode": 4,

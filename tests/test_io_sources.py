@@ -136,3 +136,36 @@ def test_nanos_probe_ignores_nested_timestamp_fields(tmp_path):
     p = tmp_path / "nested.parquet"
     pq.write_table(t, str(p))
     assert _nanos_ts_fields(str(p)) == ["ts"]
+
+
+def test_spread_narrow_scan_fires_only_on_narrow_input(spark, sf_dir):
+    """r13 optimization: a single-row-group fixture scan spreads to the
+    session's cores; an input already at (or within 2x of) the core
+    count passes through UNTOUCHED — the production multi-row-group
+    case carries no exchange."""
+    from demy_spark.io import load_table, spread_narrow_scan
+
+    cores = spark.sparkContext.defaultParallelism
+    narrow = load_table(spark, sf_dir, "documents")
+    assert narrow.rdd.getNumPartitions() == 1
+    spread = spread_narrow_scan(narrow)
+    assert spread.rdd.getNumPartitions() == cores
+    assert "Exchange RoundRobinPartitioning" in (
+        spread._jdf.queryExecution().executedPlan().toString()
+    )
+
+    wide = narrow.repartition(cores)
+    assert spread_narrow_scan(wide) is wide  # no-op, not even a new plan
+    half = narrow.repartition(max(cores // 2, 1))
+    assert spread_narrow_scan(half) is half  # within 2x: not worth it
+
+
+def test_spread_narrow_scan_preserves_rows(spark, sf_dir):
+    from demy_spark.io import load_table, spread_narrow_scan
+
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = sorted((r["doc_id"], r["text"]) for r in df.collect())
+    b = sorted(
+        (r["doc_id"], r["text"]) for r in spread_narrow_scan(df).collect()
+    )
+    assert a == b

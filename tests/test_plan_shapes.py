@@ -247,7 +247,6 @@ def test_per_row_maps_have_no_exchange(plans):
     # maps: ANY exchange in their plans is a regression (a shuffle
     # where a 100 TB scan needs none)
     for name in (
-        "q124_repetition_profile",
         "q125_unicode_hygiene",
         "q126_html_strip",
         "q128_json_props",
@@ -255,6 +254,14 @@ def test_per_row_maps_have_no_exchange(plans):
         "q130_script_profile",
     ):
         assert "Exchange" not in plans[name], name
+    # q124's O(G log G) gram fold is compute-bound per row, so it
+    # spreads an unsplittable scan (io.spread_narrow_scan — r13):
+    # exactly ONE round-robin rebalance is allowed, and still no
+    # keyed shuffle (at production row-group counts the rebalance is
+    # a conditional no-op — pinned in test_io's spread tests)
+    p = plans["q124_repetition_profile"]
+    assert "Exchange hashpartitioning" not in p
+    assert p.count("Exchange RoundRobinPartitioning") <= 1
 
 
 def test_winnow_pairs_cokeyed_join_partial_agg(plans):
@@ -298,9 +305,14 @@ def test_bloom_bitmap_broadcasts_to_probe(plans):
 
 def test_c4_and_fim_are_pure_maps(plans):
     # line-level C4 cleanup and the FIM rewrite are narrow per-row
-    # maps: any exchange is a regression
+    # maps: any KEYED exchange is a regression. q133's HOF chain is
+    # compute-bound per row, so it spreads an unsplittable scan
+    # (io.spread_narrow_scan — r13): one round-robin rebalance
+    # allowed there, conditional no-op at production row-group counts.
     assert "Exchange" not in plans["q136_fim_split"]
-    assert "Exchange" not in plans["q133_c4_filters"]
+    p = plans["q133_c4_filters"]
+    assert "Exchange hashpartitioning" not in p
+    assert p.count("Exchange RoundRobinPartitioning") <= 1
 
 
 def test_line_dedup_banded_shuffle_count(plans):
