@@ -17,6 +17,7 @@ import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
+from pyspark import InheritableThread
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -10992,14 +10993,45 @@ def q152_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             scale=_Q152_SCALE,
         ).select(F.lit(mode).alias("mode"), "s_suppkey", "rank_fp")
 
-    full = run("full", pairs)
-    dag = run("dag", pairs.where(F.col("src") < F.col("dst")))
+    # materialize the shared edge frame ONCE before the modes start:
+    # both overlapped calls would otherwise race its first-touch cache
+    # build and redundantly compute the same partitions
+    pairs.count()
+    # the two modes are independent graphs over the same edge frame —
+    # overlap them so the second mode's jobs back-fill the scheduler
+    # gaps of the first's eager per-iteration checkpoints (the
+    # optimization guide's concurrent-jobs recipe; pagerank's
+    # _iteration_conf is refcounted for exactly this). InheritableThread
+    # propagates the caller's job group/description, keeping the bench
+    # job-count stamp attributed (r13: wall 5.1 s -> 3.2 s, job count
+    # unchanged).
+    out: dict = {}
+
+    def _mode(mode: str, p: DataFrame) -> None:
+        try:
+            out[mode] = run(mode, p)
+        except BaseException as exc:  # re-raised on the caller thread
+            out[mode] = exc
+
+    threads = [
+        InheritableThread(target=_mode, args=("full", pairs)),
+        InheritableThread(
+            target=_mode, args=("dag", pairs.where(F.col("src") < F.col("dst")))
+        ),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for mode in ("full", "dag"):
+        if isinstance(out[mode], BaseException):
+            raise out[mode]
     # pagerank's default eager lineage has materialized both modes by
     # now, so the shared edge frame releases here (cache hygiene: the
     # driver sim runs 152 queries in ONE session; blocking for the
     # same same-plan re-persist race graph.py documents)
     pairs.unpersist(blocking=True)
-    return full.unionByName(dag)
+    return out["full"].unionByName(out["dag"])
 
 
 # The correctness driver verifies the FIRST 50 entries of queries() in dict

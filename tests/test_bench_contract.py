@@ -93,14 +93,17 @@ def test_quiet_calib_override_moves_class_bands_in_lockstep():
 # 12 includes the ADVICE-r12 lossless-capacity derivation count job;
 # pq_ann's 24 spans codebook train + assign + ADC scan stages.
 # pagerank is the one BAND pin: its eager per-iteration checkpoints
-# make the query SEQUENCE deterministic (graph.py's ``lineage``
-# contract — a lazy checkpoint's materialization races and reads
-# lower, variably), and the operator's cache release means every
-# bench pass rebuilds COLD (no cross-pass plan-cache reuse — the
-# review-r13 hygiene fix; warm passes read ~64-68 before it), but
-# each checkpoint query's AQE stage-materialization job count still
-# moves a few jobs with shuffle partitioning (observed 83-92 across
-# shuffle=8/16/32 sessions). The band can therefore only catch GROSS
+# make each mode's query SEQUENCE deterministic (graph.py's
+# ``lineage`` contract — a lazy checkpoint's materialization races
+# and reads lower, variably), and the operator's cache release means
+# every bench pass rebuilds COLD (no cross-pass plan-cache reuse —
+# the review-r13 hygiene fix). r13 optimization moved the count from
+# 83-92 to ~48: _iteration_conf pins AQE off inside the loop (each
+# checkpoint is ONE job instead of one per materialized exchange)
+# and q152 overlaps its two modes on InheritableThreads (job COUNT
+# unchanged by the overlap; the pairs pre-materialization adds its
+# own few AQE jobs, which still vary with shuffle partitioning —
+# hence a band, not an exact pin). The band catches GROSS
 # job-structure regressions — a lost persist or duplicated action
 # roughly doubles the count, runaway extra jobs overshoot the
 # ceiling. Iteration count and checkpoint SEMANTICS do not need the
@@ -140,7 +143,7 @@ EXTRA_JOB_TABLE = {
 
 # inclusive (lo, hi) job-count bands for the AQE-sensitive extras
 EXTRA_JOB_BANDS = {
-    "pagerank": (78, 98),
+    "pagerank": (42, 56),
 }
 
 # the extras BASELINE.md's multi-job note names — these get a LIVE
