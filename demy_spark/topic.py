@@ -44,6 +44,23 @@ def _centers_df(spark, centers: list[list[float]]) -> DataFrame:
     return spark.createDataFrame(rows, ["_c_", "_d_", "_w_"])
 
 
+def _nearest_centers(X, C, Cn):
+    """The ONE nearest-center-by-cosine kernel (ties → lowest cluster
+    id; zero-norm centers never win; all-NaN rows → cluster 0), shared
+    by assign_to_centers and the fused Lloyd update so the two paths
+    cannot drift. Returns (best cluster indices, full sims matrix)."""
+    import numpy as np
+
+    dots = X @ C.T
+    denom = np.outer(np.linalg.norm(X, axis=1), Cn)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = np.where(denom > 0.0, dots / denom, np.nan)
+    key = np.where(np.isnan(sims), -np.inf, sims)
+    best = key.argmax(axis=1)  # first max → lowest cluster on ties
+    best[np.isnan(sims).all(axis=1)] = 0
+    return best, sims
+
+
 def assign_to_centers(
     df: DataFrame,
     id_col: str,
@@ -87,14 +104,10 @@ def assign_to_centers(
             if len(pdf) == 0:
                 continue
             X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            dots = X @ C.T
-            denom = np.outer(np.linalg.norm(X, axis=1), Cn)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.where(denom > 0.0, dots / denom, np.nan)
-            key = np.where(np.isnan(sims), -np.inf, sims)
-            best = key.argmax(axis=1)  # first max → lowest cluster on ties
+            best, sims = _nearest_centers(X, C, Cn)
+            # all-NaN rows were redirected to cluster 0, whose sim is
+            # NaN too — identical to indexing before the redirect
             best_sim = sims[np.arange(len(X)), best]
-            best[np.isnan(sims).all(axis=1)] = 0
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -145,22 +158,30 @@ def _assign_to_centers_sql(
 
 
 def _update_centers(
-    df: DataFrame, id_col: str, vec_col: str, assigned: DataFrame, k: int, dim: int
+    df: DataFrame, vec_col: str, centers: list[list[float]], k: int, dim: int
 ) -> list[list[float]]:
-    """Element-wise mean per cluster; empty clusters keep a zero vector
-    (the reference re-seeds them from orphan tags; callers can too).
+    """One Lloyd round's new centers in ONE corpus pass: each Arrow
+    batch assigns its vectors to the nearest center (the
+    assign_to_centers kernel, shared via _nearest_centers) and emits
+    per-cluster partial sums in the same function — only
+    (≤ batches × k) rows of k×dim floats reach the driver, never the
+    vectors. Empty clusters keep a zero vector (the reference re-seeds
+    them from orphan tags; callers can too).
 
-    Per-Arrow-batch numpy partial sums; only (≤ partitions × k) partial
-    rows of k×dim floats reach the driver — never the vectors. The
-    previous posexplode → groupBy(cluster, dim) shape shuffled n·d
-    rows per iteration for the same k×dim result."""
+    r13 shape: the previous round computed the assignment in a
+    SEPARATE mapInPandas pass and re-joined it to the corpus by id —
+    two corpus-scale exchanges (plus a second Python crossing of every
+    vector) per iteration to re-attach information the batch already
+    had in hand. Fused, a Lloyd iteration is a single narrow
+    scan-side pass with zero exchanges: one job per round, and at any
+    scale no vector ever moves between executors during training
+    (guide §2.4 — remove shuffles outright)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    joined = df.select(id_col, vec_col).join(
-        assigned.select(id_col, "cluster"), id_col
-    )
+    C = np.asarray(centers, dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
     schema = T.StructType(
         [
             T.StructField("cluster", T.IntegerType()),
@@ -174,7 +195,7 @@ def _update_centers(
             if len(pdf) == 0:
                 continue
             X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            cl = pdf["cluster"].to_numpy()
+            cl, _ = _nearest_centers(X, C, Cn)
             rows = [
                 (int(c), X[cl == c].sum(axis=0).tolist(), int((cl == c).sum()))
                 for c in np.unique(cl)
@@ -183,7 +204,7 @@ def _update_centers(
 
     sums = np.zeros((k, dim))
     counts = np.zeros(k, dtype=np.int64)
-    for r in joined.mapInPandas(batches, schema).collect():
+    for r in df.select(vec_col).mapInPandas(batches, schema).collect():
         sums[r["cluster"]] += np.asarray(r["psum"])
         counts[r["cluster"]] += r["pn"]
     return [
@@ -221,15 +242,16 @@ def seeded_kmeans(
 ) -> tuple[DataFrame, list[list[float]], int]:
     """Lloyd iterations from explicit seed centers; stops when the max
     center shift drops below ``tol``. Returns (assignments, centers,
-    iterations). The input frame is persisted across iterations (it is
-    re-scanned twice per iteration otherwise)."""
+    iterations). The input frame is persisted across iterations —
+    each round is exactly one narrow pass over it (the fused
+    _update_centers), plus one final pass for the returned
+    assignment."""
     k, dim = len(centers), len(centers[0])
     base = df.select(id_col, vec_col).persist()
     try:
         it = 0
         for it in range(1, max_iters + 1):
-            assigned = assign_to_centers(base, id_col, vec_col, centers)
-            new_centers = _update_centers(base, id_col, vec_col, assigned, k, dim)
+            new_centers = _update_centers(base, vec_col, centers, k, dim)
             shift = max(
                 abs(a - b)
                 for row_a, row_b in zip(centers, new_centers)

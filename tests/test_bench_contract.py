@@ -122,7 +122,7 @@ EXTRA_JOB_TABLE = {
     "curation_pipeline": 8,
     "line_dedup": 6,
     "lm_quality": 9,
-    "semdedup": 18,
+    "semdedup": 13,
     "incremental_probe": 10,
     "chunking": 1,
     "knn_classify": 4,
