@@ -570,11 +570,21 @@ def pq_build(
         .agg(F.avg("_x_").alias("_m_"))
     )
     assign0 = _l2_argmin(pts, cent0)
+    # The refined codebook is persisted: it is dictionary-sized
+    # (m × ksub × dsub rows) while its PLAN is corpus-scale (two
+    # aggregations over pts plus the Lloyd assign join). Without the
+    # persist every downstream consumer re-executes that training —
+    # pq_adc_topk alone runs it three times (the dsub probe, the
+    # broadcast LUT build, and again inside the codes argmin), i.e.
+    # three full corpus passes for one training result (r13, guide
+    # §2.4). Cache reclamation follows the _minhash_bands precedent:
+    # dictionary-sized blocks, released by the ContextCleaner when the
+    # caller drops the returned frames.
     cent1 = (
         pts.join(assign0, ["_id_", "_sub_"])
         .groupBy("_sub_", "_c_", "_dl_")
         .agg(F.avg("_x_").alias("_m_"))
-    )
+    ).persist()
     codes = _l2_argmin(pts, cent1).select(
         F.col("_id_").alias(id_col),
         F.col("_sub_").alias("sub"),

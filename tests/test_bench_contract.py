@@ -91,7 +91,10 @@ def test_quiet_calib_override_moves_class_bands_in_lockstep():
 # job-count check below. Notable counts: bpe_train's 13 = corpus
 # reduction + 6 merge rounds + lineage truncation; quantile_sketch's
 # 12 includes the ADVICE-r12 lossless-capacity derivation count job;
-# pq_ann's 24 spans codebook train + assign + ADC scan stages.
+# pq_ann's 12 halved from 24 in r13: pq_build persists the
+# dictionary-sized refined codebook, so the corpus-scale training
+# subtree executes once instead of three times (dsub probe, LUT
+# broadcast, codes argmin).
 # pagerank is the one BAND pin: its eager per-iteration checkpoints
 # make each mode's query SEQUENCE deterministic (graph.py's
 # ``lineage`` contract — a lazy checkpoint's materialization races
@@ -117,7 +120,7 @@ def test_quiet_calib_override_moves_class_bands_in_lockstep():
 EXTRA_JOB_TABLE = {
     "fuzzy_probe_10x": 8,
     "contamination": 8,
-    "pq_ann": 24,
+    "pq_ann": 12,
     "sequence_pack": 3,
     "curation_pipeline": 8,
     "line_dedup": 6,
