@@ -594,3 +594,19 @@ def test_ivf_probe_leaves_no_cached_frames(spark):
     )
     assert out.count() > 0
     assert n_cached() == before, "internal ivf_build leaked a cached frame"
+
+
+def test_pq_build_codebook_is_persisted(spark):
+    """r13: pq_build must return a CACHED refined codebook —
+    pq_adc_topk executes the codebook plan three times (the dsub
+    probe, the broadcast LUT build, the codes argmin), and the
+    persist is what collapses three corpus-scale training passes
+    into one."""
+    from demy_spark.operators.similarity import pq_build
+
+    vecs = _vecs(spark)
+    codebook, _ = pq_build(vecs, "embedding", "vec_id", m=2, ksub=2)
+    try:
+        assert codebook.storageLevel.useMemory
+    finally:
+        codebook.unpersist()

@@ -265,3 +265,39 @@ def test_rank_column_is_bigint(spark):
     ndf = spark.createDataFrame([(1,), (2,)], "node long")
     out = pagerank(edf, ndf, src="s", dst="t", node_col="node", weight_col="w")
     assert dict(out.dtypes)["rank_fp"] == "bigint"
+
+
+def test_broadcast_and_shuffle_paths_agree_exactly(spark):
+    """broadcast_nodes_max only HINTS the per-iteration join strategy
+    (r13): the broadcast default and the forced co-keyed shuffle path
+    (broadcast_nodes_max=0) must produce identical BIGINT ranks, both
+    equal to the reference recurrence."""
+    random.seed(13)
+    edges = [
+        (random.randrange(12), random.randrange(12), random.randrange(1, 4))
+        for _ in range(40)
+    ]
+    nodes = list(range(12))
+    a = run(spark, edges, nodes)
+    b = run(spark, edges, nodes, broadcast_nodes_max=0)
+    assert a == b == ref_pagerank(edges, nodes)
+
+
+def test_iteration_conf_restores_aqe_and_refcounts(spark):
+    """_iteration_conf (r13) pins AQE off only while held and restores
+    the caller's value exactly once — the inner exit of a nested
+    (concurrent-caller) hold must NOT restore early, which is what
+    makes q152's overlapped pagerank modes safe."""
+    from demy_spark.operators.graph import _iteration_conf
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        with _iteration_conf(spark):
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+            with _iteration_conf(spark):
+                assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
