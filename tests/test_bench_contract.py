@@ -220,6 +220,21 @@ def test_multi_job_extra_job_counts_are_pinned(spark):
             assert lo <= got[n] <= hi, (n, got[n], (lo, hi))
 
 
+def test_decode_bench_fixture_values_pinned(spark, sf_dir):
+    """r13 §6 moved the decode extras' fixture payloads off the driver
+    (createDataFrame rows → plan literals over a bare range). These
+    aggregates pin that the rewiring preserved the workload exactly:
+    512 WAVs + 512 BMFF containers (512 waveforms + 6 sampled frames
+    each → 3584 rows) and 256 baseline + 256 progressive JPEGs all
+    really decoded (real == rows, 512 × 64 × 64 × 3 px)."""
+    import demy_spark.queries as _q
+
+    m = _q.bench_media_decode(spark, sf_dir).collect()[0]
+    assert (m["rows"], m["units"]) == (3584, 8230400)
+    i = _q.bench_image_decode(spark, sf_dir).collect()[0]
+    assert (i["rows"], i["real"], i["px"]) == (512, 512, 6291456)
+
+
 def test_latest_bench_artifact_job_counts_match_table():
     """Adjudicate the FULL extra set from the newest committed bench
     artifact that carries `extra_jobs` (stamped since r13) — no Spark
