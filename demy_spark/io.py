@@ -162,11 +162,19 @@ def spread_narrow_scan(df: DataFrame, *, target: int | None = None) -> DataFrame
     Row content is unchanged (round-robin only moves rows); every
     consumer downstream is row-order-independent by the oracle
     contract (sorted comparison).
+
+    CONTRACT: ``df`` must be a SCAN-ROOTED, exchange-free frame (a
+    read + narrow projections/filters at most). The partition probe
+    below touches ``df.rdd``, which is cheap driver-side planning for
+    such frames — but under AQE, ``.rdd`` on a plan that CONTAINS
+    exchanges executes those shuffle stages eagerly to plan the rest
+    (ADVICE r13). Wrap the raw scan, never a shuffled intermediate.
     """
     spark = df.sparkSession
     want = target or spark.sparkContext.defaultParallelism
     # physical scan partition count: cheap (~5 ms warm) driver-side
-    # planning; no job runs
+    # planning; no job runs FOR AN EXCHANGE-FREE FRAME (the contract
+    # above — .rdd on a post-shuffle plan would run its shuffle stages)
     have = df.rdd.getNumPartitions()
     if have * 2 >= want:
         return df

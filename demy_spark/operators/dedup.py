@@ -185,21 +185,34 @@ def _minhash_bands(
     where ``banded`` = (_id_, _band_, _key_) and ``base`` = (_id_,
     _sh_) distinct shingle sets for exact-Jaccard verification.
 
-    ``persist=True`` caches both frames — right for
+    ``persist=True`` additionally caches ``banded`` — right for
     ``minhash_lsh_dedup``, whose bucket SELF-join reads ``banded``
     once per side, and for ``minhash_probe(include_intra_batch=True)``,
     whose self-join + second verify would otherwise re-run the whole
-    signature pipeline 4-5x per epoch (the cached frames are
-    batch-sized; the ContextCleaner reclaims them once the epoch's
-    references drop). Callers that consume each frame once per action
-    (``minhash_index`` writes them out; the default index-only probe)
-    leave it False and accept one extra scan of their own
-    (batch-sized) input instead.
+    signature pipeline 4-5x per epoch. Cached entries are pinned by
+    the session CacheManager until clearCache/unpersist/session end
+    (DataFrame.persist is NOT ContextCleaner-reclaimed — ADVICE r13);
+    the caller owns the release after its final action.
+
+    ``persist=False`` (r14) still shares the SHINGLE-HASH rows:
+    ``banded`` and ``base`` both derive from ``sh_rows``, and every
+    caller consumes both frames (``minhash_index`` returns both; the
+    probe joins bands for candidates and shingles for verification),
+    so without sharing, the tokenize + shingle-md5 pipeline — the
+    corpus-sized work — ran once PER FRAME (measured r14: q101's plan
+    carried 8 parquet scans of `documents`). The share is a plain
+    ``persist`` of the narrow (id, hash, h2) rows — a same-session
+    3-arm A/B (scripts/probe_ckpt_ab_r14.py, calib 0.070) measured it
+    fastest (persist 2.245 s vs rescan 2.508 vs lazy localCheckpoint
+    2.697 on the q101 probe: the columnar cache write is cheaper than
+    RDD checkpoint blocks and kills the duplicate hashing either way).
+    Reclamation is the same caller-owned contract as ``persist=True``
+    above: the CacheManager entry lives until clearCache/session end —
+    at index scale a production pipeline writes the index to parquet
+    anyway (the minhash_index contract) instead of holding it cached.
     """
     rows_per_band = num_hashes // bands
-    sh_rows = _shingle_rows(df, text_col, id_col, shingle_k, with_h2=True)
-    if persist:
-        sh_rows = sh_rows.persist()
+    sh_rows = _shingle_rows(df, text_col, id_col, shingle_k, with_h2=True).persist()
     # shingle sets per doc, for exact-jaccard verification of candidates
     # (groupBy reuses sh_rows' partitioning — no extra shuffle)
     base = sh_rows.groupBy("_id_").agg(F.collect_set("_s_").alias("_sh_"))
@@ -626,7 +639,12 @@ def embedding_cosine_pairs(
 
 
 def assign_clusters(
-    pairs: DataFrame, ids: DataFrame, id_col: str, max_iters: int = 5
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str,
+    max_iters: int = 5,
+    *,
+    broadcast_ids_max: int = 4_000_000,
 ) -> DataFrame:
     """Duplicate-cluster assignment from near-dup pairs: iterative
     min-id propagation (label = min(label of self, labels of
@@ -634,37 +652,69 @@ def assign_clusters(
     clusters are shallow in practice, so ``max_iters``=5 suffices.
     Returns (id, cluster_id).
 
-    The edge list is persisted once (else each iteration re-executes
-    the whole upstream near-dup plan) and the label frame is
-    checkpointed per iteration to cut the exponentially-deepening
-    lineage — standard practice for iterative DataFrame algorithms."""
-    edges = (
-        pairs.select(F.col("doc_a").alias("_x_"), F.col("doc_b").alias("_y_"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("_x_"), F.col("doc_a").alias("_y_"))
-        )
-        .distinct()
-        .persist()
-    )
-    labels = ids.select(
-        F.col(id_col).alias("_x_"), F.col(id_col).alias("_lbl_")
-    )
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels.withColumnRenamed("_x_", "_y_"), "_y_")
-            .groupBy("_x_")
-            .agg(F.min("_lbl_").alias("_nlbl_"))
-        )
-        labels = (
-            labels.join(neighbor_min, "_x_", "left")
-            .select(
-                "_x_",
-                F.least(
-                    F.col("_lbl_"), F.coalesce("_nlbl_", F.col("_lbl_"))
-                ).alias("_lbl_"),
+    r14: this runs the pagerank iteration shape (graph._iteration_conf
+    — the exact loop this operator's idiom seeded). The call is EAGER:
+    each iteration's label frame is materialized by a synchronous
+    localCheckpoint INSIDE the loop-scoped AQE-off conf (every
+    per-iteration frame is node-sized or persisted; adaptive
+    replanning optimizes nothing there yet costs one scheduler job per
+    exchange — and a lazily returned plan would execute AFTER the conf
+    was restored, getting no benefit). NOTE the conf is session-global
+    while held (graph.py documents the blast radius); the persisted
+    edge frame is released before returning, so the long-lived driver
+    session leaks nothing.
+
+    ``broadcast_ids_max``: below this many ids (counted once — one
+    job) the node-sized frames (labels, per-iteration neighbor minima)
+    are broadcast-hinted onto the persisted edge frame — zero
+    edge-frame exchanges per iteration (each checkpointed label frame
+    is a LogicalRDD with no size statistics, so the planner cannot
+    make that call itself — the pagerank broadcast_nodes_max
+    rationale). Larger corpora fall back to the co-keyed shuffle join;
+    pass 0 to force it. Results are identical on both paths
+    (F.broadcast only hints a strategy)."""
+    from demy_spark.operators.graph import _iteration_conf
+
+    with _iteration_conf(pairs.sparkSession):
+        edges = (
+            pairs.select(F.col("doc_a").alias("_x_"), F.col("doc_b").alias("_y_"))
+            .unionByName(
+                pairs.select(F.col("doc_b").alias("_x_"), F.col("doc_a").alias("_y_"))
             )
-            .localCheckpoint(eager=False)
+            .distinct()
+            .persist()
         )
+        labels = ids.select(
+            F.col(id_col).alias("_x_"), F.col(id_col).alias("_lbl_")
+        )
+        small = labels.count() <= broadcast_ids_max
+
+        def _node_sized(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if small else df
+
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(
+                    _node_sized(labels.withColumnRenamed("_x_", "_y_")), "_y_"
+                )
+                .groupBy("_x_")
+                .agg(F.min("_lbl_").alias("_nlbl_"))
+            )
+            labels = (
+                labels.join(_node_sized(neighbor_min), "_x_", "left")
+                .select(
+                    "_x_",
+                    F.least(
+                        F.col("_lbl_"), F.coalesce("_nlbl_", F.col("_lbl_"))
+                    ).alias("_lbl_"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        # the final label frame is materialized and references neither
+        # the edge frame nor upstream lineage — release the persisted
+        # edges here (the pagerank cache-ownership contract; before
+        # r14 this persist leaked for the session lifetime)
+        edges.unpersist(blocking=True)
     return labels.select(
         F.col("_x_").alias(id_col), F.col("_lbl_").alias("cluster_id")
     )

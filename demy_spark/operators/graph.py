@@ -175,6 +175,18 @@ def pagerank(
     materialized); under ``"lazy"``/``"keep"`` the returned plan still
     reads them, so the caller releases (``spark.catalog.clearCache()``
     or session end) after its final action.
+
+    SESSION-GLOBAL CONF WHILE RUNNING: the call holds
+    ``_iteration_conf`` — AQE is disabled for the WHOLE SparkSession
+    for the duration of the (eager) iteration loop and restored on
+    exit. Any UNRELATED query another thread runs on the same session
+    while this call is in flight plans with AQE off: it still returns
+    correct results, but silently loses runtime coalescing/skew
+    handling. Concurrent pagerank-family calls are safe (the conf is
+    refcounted; q152 overlaps two modes deliberately); callers that
+    interleave ranking with serving traffic should run the ranker on
+    its own ``spark.newSession()``, which insulates SQLConf entirely —
+    the ``phrase_merges`` trainer contract.
     """
     if lineage not in ("eager", "lazy", "keep"):
         raise ValueError(f"lineage must be eager|lazy|keep, got {lineage!r}")

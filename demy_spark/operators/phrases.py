@@ -113,13 +113,21 @@ def _argmax_pair(counts: DataFrame):
     return row["_best_"] if row is not None else None
 
 
-def _merge_pass(cand: DataFrame, joiner: str, wdoc: Window) -> DataFrame:
+def _merge_pass(
+    cand: DataFrame,
+    joiner: str,
+    wdoc: Window,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
     """One left-to-right non-overlapping merge application. ``cand``
     carries (_id_, _p_, _w_, _wn_, _w1_, _w2_) — the token stream with
     its lead token and the pair to merge (NULL pair = no-op round).
     Returns the re-compacted stream (_id_, _p_, _w_). Shared by the
     training loop (argmax pair) and ``apply_merges`` (given pair) so
-    the two can never drift."""
+    the two can never drift. ``extra`` names per-``_id_``-constant
+    passenger columns carried through unchanged (bpe_train rides the
+    word frequency in-row so no round ever joins it back — r14,
+    guide §2.3/§2.4)."""
     cand = cand.withColumn(
         "_m_",
         # isNotNull FIRST (false & NULL = false): the doc-final
@@ -162,6 +170,7 @@ def _merge_pass(cand: DataFrame, joiner: str, wdoc: Window) -> DataFrame:
         )
         .otherwise(F.col("_w_"))
         .alias("_w_"),
+        *extra,
     )
     # re-compact positions so the next round's lead() sees adjacency
     # across the merge (row domain, same as the oracle)
@@ -169,6 +178,7 @@ def _merge_pass(cand: DataFrame, joiner: str, wdoc: Window) -> DataFrame:
         "_id_",
         (F.row_number().over(wdoc) - 1).alias("_p_"),
         "_w_",
+        *extra,
     )
 
 
@@ -333,10 +343,14 @@ def apply_merges(
     )
 
 
-def _char_rows(df: DataFrame, end_of_word: str) -> DataFrame:
-    """(_id_, _p_, _w_) rows: each word string (its own id) exploded to
-    characters plus the end-of-word marker. Shared by train and the
-    encode OOV replay so the split can never drift.
+def _char_rows(
+    df: DataFrame, end_of_word: str, *, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(_id_, *carry, _p_, _w_) rows: each word string (its own id)
+    exploded to characters plus the end-of-word marker. Shared by
+    train and the encode OOV replay so the split can never drift.
+    ``carry`` columns of ``df`` ride along per char row (bpe_train
+    carries the word frequency so no round joins it back).
 
     The empty-pattern split is the ONLY Spark char split that is
     codepoint-correct: a lookahead split (`(?!^)`) advances by UTF-16
@@ -347,7 +361,7 @@ def _char_rows(df: DataFrame, end_of_word: str) -> DataFrame:
     SPARK-40194, split(s, '') also emitted a trailing empty element
     (the fuzz pins the running version's behavior)."""
     chars = F.concat(F.split(F.col("_id_"), ""), F.array(F.lit(end_of_word)))
-    return df.select("_id_", F.posexplode(chars).alias("_p_", "_w_"))
+    return df.select("_id_", *carry, F.posexplode(chars).alias("_p_", "_w_"))
 
 
 def _replay_merges(
@@ -446,9 +460,17 @@ def bpe_train(
             .agg(F.count(F.lit(1)).alias("_freq_"))
         )
         # the word string is its own id: unique by construction, and
-        # the per-word windows partition on it directly
-        t = _char_rows(vocab, end_of_word).localCheckpoint(eager=False)
+        # the per-word windows partition on it directly. The word
+        # frequency rides IN-ROW on the char stream (r14, guide
+        # §2.3/§2.4): the old shape joined the persisted (word, freq)
+        # table back into EVERY round's pair-count aggregation — one
+        # exchange + sort of the freq side per round for a value that
+        # is constant per word. Carried as a passenger column, a round
+        # is exactly one groupBy exchange + the argmax.
         freqs = vocab.persist()
+        t = _char_rows(freqs, end_of_word, carry=("_freq_",)).localCheckpoint(
+            eager=False
+        )
         wdoc = Window.partitionBy("_id_").orderBy("_p_")
         merge_rows: list[tuple] = []
         exhausted = False
@@ -458,7 +480,6 @@ def bpe_train(
                 paired = t.withColumn("_wn_", F.lead("_w_").over(wdoc))
                 best = _argmax_pair(
                     paired.where(F.col("_wn_").isNotNull())
-                    .join(freqs, "_id_")
                     .groupBy("_w_", "_wn_")
                     .agg(F.sum("_freq_").alias("_cnt_"))
                 )
@@ -474,6 +495,7 @@ def bpe_train(
                 ),
                 "",
                 wdoc,
+                extra=("_freq_",),
             )
             t = (
                 t.checkpoint(eager=False)

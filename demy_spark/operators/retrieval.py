@@ -17,11 +17,14 @@ Scale shape:
   (doc, term, tf); per-document lengths ride a partition-only window
   over that REDUCED frame (never the token stream).
 - The query table is broadcast (queries are human-sized); corpus-side
-  df is computed AFTER the postings are filtered to query terms, so
-  the df frame is query-term-sized by construction and joins back
-  broadcast — the full-vocabulary document-frequency table (billions
-  of terms at 100 TB) is never materialized, never broadcast.
-- Corpus statistics (N, total length) are a 1-row cross-joined frame.
+  df is computed AFTER the postings are filtered to query terms — a
+  partition-only window over the query-term-sized frame (r14), so the
+  full-vocabulary document-frequency table (billions of terms at
+  100 TB) is never materialized, never broadcast, and no second
+  corpus pass computes it.
+- Corpus statistics (N, total length) are a 1-row cross-joined frame
+  reduced from one NARROW doc-level scan (token counts), never from a
+  second pass over the postings (r14).
 - Per-term contributions quantize to integer micro-units BEFORE the
   per-(query, doc) sum (partial-aggregation order independence — the
   oracle-gate convention), and the final top-k is a rank window per
@@ -78,8 +81,28 @@ def bm25_search(
     postings = postings.withColumn(
         "_dl_", F.sum("_tf_").over(Window.partitionBy("_id_"))
     )
-    stats = postings.agg(
-        F.countDistinct("_id_").alias("_n_"), F.sum("_tf_").alias("_tot_")
+    # corpus stats from ONE NARROW doc-level aggregate (r14, guide
+    # §2.4): the old `postings.agg(countDistinct, sum)` re-ran the
+    # whole tokenize + postings shuffle a second time just to reduce
+    # it to two numbers (3 exchanges in the before-plan). N docs and
+    # total length are already decided by each doc's token COUNT — a
+    # single scan-and-aggregate, zero shuffles of postings. Exactly
+    # equivalent for unique ``id_col`` (the operator's contract:
+    # duplicate ids would already merge wrongly in the _dl_ window):
+    # explode emits size(toks) rows per doc and none for NULL/empty
+    # (size() is NULL/-1 there, which the `> 0` filter drops in both
+    # ANSI and legacy modes). N counts the ID column, not rows: the
+    # old countDistinct skipped NULL ids while their tokens still
+    # reached the length total — replayed exactly (degenerate-fuzz
+    # pins it via the NULL-business-key document).
+    ntok = F.size(norm_tokens(F.col(text_col)))
+    stats = (
+        docs.select(F.col(id_col).alias("_id_"), ntok.alias("_nt_"))
+        .where(F.col("_nt_") > 0)
+        .agg(
+            F.count("_id_").alias("_n_"),
+            F.sum("_nt_").cast("long").alias("_tot_"),
+        )
     )
     qterms = queries.select(
         F.col(query_id_col).alias("_qid_"),
@@ -88,14 +111,22 @@ def bm25_search(
         ),
     )
     # filter postings to query terms FIRST: df is then computed over a
-    # query-term-sized frame and joins back broadcast — the only safe
-    # order at web-corpus vocabulary sizes
+    # query-term-sized frame — the only safe order at web-corpus
+    # vocabulary sizes
     matched = postings.join(
         F.broadcast(qterms.select("_w_").distinct()), "_w_"
     )
-    dfreq = matched.groupBy("_w_").agg(F.count(F.lit(1)).alias("_df_"))
+    # per-term df as a partition-only window over the FILTERED frame
+    # (r14): the old shape aggregated a SECOND evaluation of `matched`
+    # (a full corpus re-tokenize + postings shuffle) into a broadcast
+    # df table and joined it back. The window attaches the identical
+    # per-term count with one query-term-sized exchange and no second
+    # corpus pass — the plan's 3 scans drop to 2 (one postings pass +
+    # the narrow stats scan), shuffle exchanges 10 -> 7.
     scored = (
-        matched.join(F.broadcast(dfreq), "_w_")
+        matched.withColumn(
+            "_df_", F.count(F.lit(1)).over(Window.partitionBy("_w_"))
+        )
         .join(F.broadcast(qterms), "_w_")
         .crossJoin(F.broadcast(stats))
     )
@@ -219,16 +250,19 @@ def phrase_search(
         # candidate with anchor < 0 can never cover offset 0, prune early
         covered = cand.where(F.col("_a_") >= 0)
     else:
-        # NOTE the rarest branch consumes the token-filtered stream
-        # THREE times (df agg, anchor join, verify join) — three
-        # tokenization scans, not one. The alternative (repartition
-        # matched on the verify keys so one exchange feeds all three
-        # consumers) was MEASURED and rejected: it regressed every
-        # probe load (1,000 Zipfian phrases 4.28s -> 5.11s; 100
-        # phrases 3.02s -> 4.52s) because the full shuffle + extra
-        # stage boundaries cost more than rescans (PLANS.md round-8).
-        # At true corpus scale a caller issuing many phrase batches
-        # should pre-materialize the positional postings instead.
+        # The rarest branch consumes the token-filtered stream THREE
+        # times (df agg, anchor join, verify join). r8 measured and
+        # rejected a repartition-based exchange-reuse variant (it
+        # regressed every probe load — the full shuffle + extra stage
+        # boundaries cost more than rescans, PLANS.md round-8). r14
+        # materializes the stream WITHOUT a shuffle instead (guide
+        # §2.4, the winnow_pairs idiom): a lazy localCheckpoint of the
+        # narrow (id, pos, w) rows — the first action runs the
+        # tokenize + broadcast filter once, the other two consumers
+        # read the blocks. RDD blocks are ContextCleaner-reclaimed
+        # with the plan; each fresh call re-materializes (nothing
+        # persists across runs).
+        matched = matched.localCheckpoint(eager=False)
         # positional df per query term, from the FILTERED stream (the
         # full-vocabulary df table is never built); terms absent from
         # the corpus keep df 0 via the left join below

@@ -577,9 +577,13 @@ def pq_build(
     # pq_adc_topk alone runs it three times (the dsub probe, the
     # broadcast LUT build, and again inside the codes argmin), i.e.
     # three full corpus passes for one training result (r13, guide
-    # §2.4). Cache reclamation follows the _minhash_bands precedent:
-    # dictionary-sized blocks, released by the ContextCleaner when the
-    # caller drops the returned frames.
+    # §2.4). Reclamation honesty (ADVICE r13): DataFrame.persist pins
+    # the InMemoryRelation in the session's CacheManager — it is NOT
+    # ContextCleaner-reclaimed when the frames are dropped. The pinned
+    # entry is dictionary-sized (KBs), the bench clearCache()s between
+    # extras, and a long-lived session releases it with
+    # spark.catalog.clearCache() / unpersist after the final action —
+    # the caller-owned release contract ivf_build documents.
     cent1 = (
         pts.join(assign0, ["_id_", "_sub_"])
         .groupBy("_sub_", "_c_", "_dl_")

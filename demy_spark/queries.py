@@ -11044,18 +11044,22 @@ def q152_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             target=_mode, args=("dag", pairs.where(F.col("src") < F.col("dst")))
         ),
     ]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    for mode in ("full", "dag"):
-        if isinstance(out[mode], BaseException):
-            raise out[mode]
-    # pagerank's default eager lineage has materialized both modes by
-    # now, so the shared edge frame releases here (cache hygiene: the
-    # driver sim runs 152 queries in ONE session; blocking for the
-    # same same-plan re-persist race graph.py documents)
-    pairs.unpersist(blocking=True)
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for mode in ("full", "dag"):
+            if isinstance(out[mode], BaseException):
+                raise out[mode]
+    finally:
+        # pagerank's default eager lineage has materialized both modes
+        # by now, so the shared edge frame releases here (cache
+        # hygiene: the driver sim runs 152 queries in ONE session;
+        # blocking for the same same-plan re-persist race graph.py
+        # documents). In the finally so a failing mode cannot leak the
+        # persisted edge frame for the rest of the session (ADVICE r13).
+        pairs.unpersist(blocking=True)
     return out["full"].unionByName(out["dag"])
 
 

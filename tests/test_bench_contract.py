@@ -117,6 +117,16 @@ def test_quiet_calib_override_moves_class_bands_in_lockstep():
 # / c4_filters each gained exactly +1 job — the conditional
 # io.spread_narrow_scan rebalance of their one-row-group fixture scan
 # (a no-op stage-wise at production row-group counts).
+# r14 optimization notes:
+# - bpe_train 13 -> 7: the per-round (word, freq) broadcast join is
+#   gone (freq rides the char rows), dropping one broadcast-build job
+#   per merge round (phrases.py).
+# - bm25_search 13 -> 11 / hybrid_rrf 15 -> 13: corpus stats from one
+#   narrow doc-level agg + per-term df as a window — two corpus
+#   postings passes removed (retrieval.py).
+# - incremental_probe 10 -> 8: the shingle-hash rows persist inside
+#   _minhash_bands, so the signature pipeline runs once per side and
+#   the steady-state pass reads the cache (dedup.py).
 EXTRA_JOB_TABLE = {
     "fuzzy_probe_10x": 8,
     "contamination": 8,
@@ -126,18 +136,18 @@ EXTRA_JOB_TABLE = {
     "line_dedup": 6,
     "lm_quality": 9,
     "semdedup": 13,
-    "incremental_probe": 10,
+    "incremental_probe": 8,
     "chunking": 1,
     "knn_classify": 4,
-    "bpe_train": 13,
-    "bm25_search": 13,
+    "bpe_train": 7,
+    "bm25_search": 11,
     "repetition_profile": 2,
     "winnow_pairs": 3,
     "script_profile": 1,
     "domain_rollup": 2,
     "phrase_search": 18,
     "c4_filters": 2,
-    "hybrid_rrf": 15,
+    "hybrid_rrf": 13,
     "budget_select": 2,
     "media_decode": 4,
     "image_decode": 3,
@@ -147,6 +157,18 @@ EXTRA_JOB_TABLE = {
 # inclusive (lo, hi) job-count bands for the AQE-sensitive extras
 EXTRA_JOB_BANDS = {
     "pagerank": (42, 56),
+}
+
+# job counts the r14 optimizations intentionally moved: committed
+# bench artifacts stamped BEFORE round 14 carry the old values, so
+# the artifact adjudication below overlays these when the newest
+# stamped artifact predates the re-pin (the live probe above always
+# asserts the CURRENT code's table).
+PRE_R14_PINS = {
+    "bpe_train": 13,
+    "bm25_search": 13,
+    "hybrid_rrf": 15,
+    "incremental_probe": 10,
 }
 
 # the extras BASELINE.md's multi-job note names — these get a LIVE
@@ -250,13 +272,23 @@ def test_latest_bench_artifact_job_counts_match_table():
         m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
         if m:
             art = json.load(open(os.path.join(REPO, f)))
-            if "extra_jobs" in art:
-                stamped.append((int(m.group(1)), art["extra_jobs"]))
+            # the driver's committed artifacts nest the parsed JSON
+            # line under 'parsed' (ADVICE r13: the top-level-only read
+            # made this guard permanently skip)
+            jobs = art.get("extra_jobs") or art.get("parsed", {}).get(
+                "extra_jobs"
+            )
+            if jobs:
+                stamped.append((int(m.group(1)), dict(jobs)))
     if not stamped:
         pytest.skip("no committed bench artifact carries extra_jobs yet")
-    _, jobs = max(stamped)
+    rnd, jobs = max(stamped)
     banded = {n: jobs.pop(n) for n in list(EXTRA_JOB_BANDS) if n in jobs}
-    assert jobs == EXTRA_JOB_TABLE
+    expected = dict(EXTRA_JOB_TABLE)
+    if rnd < 14:
+        # pre-r14 artifacts were stamped before this round's re-pins
+        expected.update({n: v for n, v in PRE_R14_PINS.items() if n in expected})
+    assert jobs == expected
     for n, v in banded.items():
         lo, hi = EXTRA_JOB_BANDS[n]
         assert lo <= v <= hi, (n, v, (lo, hi))

@@ -301,3 +301,34 @@ def test_iteration_conf_restores_aqe_and_refcounts(spark):
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_iterative_operators_restore_aqe_for_later_queries(spark):
+    """Blast-radius fence (VERDICT r13 task 7): _iteration_conf is
+    session-global WHILE HELD, so every public operator that holds it
+    must have returned it to the caller's value by the time the next
+    (non-iterative) query plans — a query issued after any of these
+    EAGER calls must see AQE exactly as the caller set it."""
+    from demy_spark.operators.dedup import assign_clusters
+    from demy_spark.operators.graph import pagerank
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3)], "src long, dst long"
+        )
+        nodes = spark.createDataFrame([(1,), (2,), (3,)], "v long")
+        pagerank(
+            edges, nodes, src="src", dst="dst", node_col="v", iterations=2
+        ).collect()
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "doc_a long, doc_b long"
+        )
+        ids = spark.createDataFrame([(1,), (2,), (3,), (4,)], "doc_id long")
+        assign_clusters(pairs, ids, "doc_id", max_iters=2).collect()
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
