@@ -338,6 +338,20 @@ def fuzzy_lookup(
         "_is_acro_",
         F.lit(boost_acronyms) & F.col("_rawtok_").rlike(r"^([A-Z]{2})\1$"),
     ).drop("_rawtok_")
+    # NOT materialized, deliberately (r14): qtoks feeds 3-4 consumers
+    # (exact join, fuzzy q-vocab + candidate join, token-array
+    # reassembly) and a shared materialization looks attractive — but
+    # a same-session 3-arm A/B (scripts/probe_ckpt_ab_r14.py over
+    # q24_fuzzy_lookup and bench_fuzzy_probe_10x) measured BOTH forms
+    # losing to rescans at sf0.1 (q24: ckpt 4.20 / persist 3.44-ish
+    # vs rescan 3.80; probe_10x: 3.98 / 3.87 vs 3.47 — persist's one
+    # win inverts on the 10x load, i.e. inside noise): the probe-side
+    # regex tokenize is cheap per row, unlike the md5-shingle and
+    # positional-postings pipelines where the same idiom wins
+    # (dedup._minhash_bands, retrieval.phrase_search). Re-evaluations
+    # of the monotonically_increasing_id probe ids stay consistent
+    # because every consumer derives from the same scan partitioning
+    # (the pre-existing contract of this function).
 
     # denormalized probe frames: every score input on one posting row
     # (see FuzzyIndex._denormalize) — the hot path is ONE equi-join

@@ -36,6 +36,9 @@ NAMES = {
     "incremental_probe": "q101_incremental_dedup",
 }
 
+# extra argv names select a subset / additional registry queries:
+#   python scripts/probe_ckpt_ab_r14.py 3 q24_fuzzy_lookup fuzzy_probe_10x
+
 _real_ckpt = DataFrame.localCheckpoint
 
 
@@ -53,6 +56,9 @@ def force(df) -> None:
 
 def main() -> None:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    names = dict(NAMES)
+    if len(sys.argv) > 2:
+        names = {n: NAMES.get(n, n) for n in sys.argv[2:]}
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
@@ -62,8 +68,8 @@ def main() -> None:
     )
     sc = spark.sparkContext
     results: dict[str, dict[str, float]] = {}
-    for short, qname in NAMES.items():
-        fn = _q.REGISTRY[qname].fn
+    for short, qname in names.items():
+        fn = getattr(_q, qname) if hasattr(_q, qname) else _q.REGISTRY[qname].fn
         best = {"ckpt": float("inf"), "rescan": float("inf"), "persist": float("inf")}
         jobs = {}
         ARMS = (

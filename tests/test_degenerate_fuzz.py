@@ -32,6 +32,11 @@ EXCLUDED: dict[str, str] = {}
 
 FUZZ_QUERIES = oracle_queries_touching_only("documents", EXCLUDED)
 
+# slow lane (VERDICT r13 task 1): full-registry oracle replays — run
+# with `pytest -m slow`; tests/test_slow_lane_smoke.py keeps a
+# representative slice in the default lane.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def fuzz_docs_dir(tmp_path_factory):

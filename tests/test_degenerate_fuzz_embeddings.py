@@ -34,6 +34,11 @@ EXCLUDED: dict[str, str] = {}
 
 FUZZ_QUERIES = oracle_queries_touching_only("embeddings", EXCLUDED)
 
+# slow lane (VERDICT r13 task 1): full-registry oracle replays — run
+# with `pytest -m slow`; tests/test_slow_lane_smoke.py keeps a
+# representative slice in the default lane.
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def fuzz_emb_dir(tmp_path_factory):
     from tests.degenerate_fixtures import write_embeddings

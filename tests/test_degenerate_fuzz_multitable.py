@@ -66,6 +66,12 @@ def degenerate_root(tmp_path_factory):
     return str(d)
 
 
+# slow lane (VERDICT r13 task 1): full multi-table replay matrix — run
+# with `pytest -m slow`; tests/test_slow_lane_smoke.py keeps a
+# representative slice in the default lane.
+pytestmark = pytest.mark.slow
+
+
 @pytest.mark.parametrize("name,mode", CASES)
 def test_multitable_degenerate_parity(
     name, mode, spark, sf_dir, degenerate_root, tmp_path

@@ -22,6 +22,11 @@ import pytest
 from demy_spark import queries as Q
 from tests.test_oracle_parity import TABLES, assert_query_parity
 
+# slow lane (VERDICT r13 task 1): full-registry oracle replays — run
+# with `pytest -m slow`; tests/test_slow_lane_smoke.py keeps a
+# representative slice in the default lane.
+pytestmark = pytest.mark.slow
+
 # Every exclusion below is VERIFIED (each excluded query was run on
 # the empty fixture and raised exactly this way — not assumed):
 EXCLUDED = {

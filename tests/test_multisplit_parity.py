@@ -31,13 +31,18 @@ from tests.test_oracle_parity import TABLES, assert_query_parity
 
 N_SPLITS = 4
 
+# slow lane (VERDICT r13 task 1): full-registry oracle replays — run
+# with `pytest -m slow`; tests/test_slow_lane_smoke.py keeps a
+# representative slice in the default lane.
+pytestmark = pytest.mark.slow
 
-@pytest.fixture(scope="module")
-def multisplit_dir(tmp_path_factory, sf_dir):
+
+def build_multisplit_dir(d, sf_dir):
+    """Rewrite every catalog table under ``d`` as N_SPLITS shuffled
+    part files (plain function so the slow-lane smoke reuses it)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    d = tmp_path_factory.mktemp("multisplit")
     for t in TABLES:
         src = os.path.join(sf_dir, f"{t}.parquet")
         if not os.path.exists(src):
@@ -61,6 +66,11 @@ def multisplit_dir(tmp_path_factory, sf_dir):
                 shuffled.take(idx), str(out / f"part-{s:05d}.parquet")
             )
     return str(d)
+
+
+@pytest.fixture(scope="module")
+def multisplit_dir(tmp_path_factory, sf_dir):
+    return build_multisplit_dir(tmp_path_factory.mktemp("multisplit"), sf_dir)
 
 
 @pytest.fixture(scope="module")
