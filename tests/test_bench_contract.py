@@ -7,6 +7,8 @@ from __future__ import annotations
 import importlib.util
 import os
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -228,7 +230,12 @@ def test_multi_job_extras_are_all_covered_by_a_pin():
     assert not uncovered, f"MULTI_JOB_EXTRAS without a pin: {uncovered}"
 
 
+@pytest.mark.slow
 def test_multi_job_extra_job_counts_are_pinned(spark):
+    """Slow lane (3.5 min: 8 extras x 3 sf0.1 passes) — the LIVE
+    job-count probe of the current code. The default lane keeps the
+    zero-cost artifact adjudication below; the live probe runs with
+    `-m slow` and in every bench itself (extra_jobs stamps)."""
     import demy_spark.queries as _q
 
     got = {

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -65,6 +66,7 @@ def test_apply_embeddings_mean(spark):
     assert out["embedding"] == [1.0, 0.5]
 
 
+@pytest.mark.slow  # ~52 s: Spark ML LogisticRegression fits (r14 durations)
 def test_one_vs_rest_separable(spark):
     from pyspark.ml.functions import array_to_vector
 

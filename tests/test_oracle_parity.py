@@ -138,7 +138,20 @@ def multi_table_oracle_queries(exclude: dict) -> dict:
     return out
 
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
+# the few parity cases that each cost >25 s even at sf0.001 (measured
+# r14 full-suite durations: q69 67 s, q46 33 s, q66 29 s — hierarchy
+# and POS-tag replays are driver-iterative) ride the slow lane; every
+# other registry query stays in the default lane's full parity sweep
+SLOW_PARITY = {"q69_center_hierarchy", "q46_pos_tag", "q66_pos_tag_greedy"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=[pytest.mark.slow] if n in SLOW_PARITY else [])
+        for n in ORACLE_QUERIES
+    ],
+)
 def test_oracle_parity(name, spark, sf_dir, ddb):
     assert_query_parity(name, spark, sf_dir, ddb)
 
